@@ -1,0 +1,271 @@
+"""Batch relational operators (SURVEY.md §2.2-2.6).
+
+Every operator is a pure DataFrame -> DataFrame function built from
+Catalyst-plannable expressions: filters and projections push down to the
+parquet scan, joins pick broadcast automatically for the small dims
+(``F.broadcast`` hints make it explicit for the ones the reference
+treats as dims), aggregations get map-side partial aggregation for free.
+
+Reference parity citations (files under /root/reference):
+- dashboard feed:    product-demos/producer/api.py:37-58 (P1, P2, J1, J2)
+- metrics:           product-demos/streamlit/utils.py:25-29 (A1, A2)
+- grouped revenue:   product-demos/streamlit/utils.py:92-104 (A3, O1)
+- deltas:            product-demos/streamlit/utils.py:33-52 (A4)
+- tumbling stats:    kotlin-examples/orders-stats-flink/.../TableApp.kt:185-196 (A5-A8)
+- top-k:             product-recommender/recsys-engine/local_recommender.py:108-110 (O2)
+- time split:        product-recommender/recsys-engine/evaluate.py:57 (O4)
+- weighted dist:     product-recommender/recsys-engine/src/location_generator.py:95-145 (A13)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- P1 + P2 + J1 + J2: the dashboard feed ---------------------------------
+
+def dashboard_feed(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    lookback_minutes: int | None = None,
+) -> DataFrame:
+    """3-table join + 12-column projection + time-range predicate.
+
+    Restates product-demos/producer/api.py:37-58 on the TESTDATA star
+    schema: fact ``lineitem`` enriched by ``orders`` (J1), ``customer``
+    and ``part`` (J2). ``part``/``customer`` are dim-sized -> broadcast
+    (at 100 TB the lineitem<->orders join shuffles on the order key; the
+    dims never shuffle).
+
+    The reference filters on a wall-clock lookback; against static test
+    data the anchor is max(o_orderdate) so results are deterministic.
+    """
+    feed = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderdate").alias("created_at"),
+            F.col("l_partkey").alias("item_id"),
+            F.col("p_name").alias("item_name"),
+            F.col("p_type").alias("category"),
+            F.col("p_retailprice").alias("cost"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sale_price"),
+        )
+    )
+    if lookback_minutes is not None:
+        # Deterministic lookback: anchored to the data's max order date
+        # (the live engine anchors to current_timestamp(), api.py:55-56).
+        anchor = orders.agg(F.max("o_orderdate")).collect()[0][0]
+        feed = feed.filter(
+            F.col("created_at")
+            >= F.lit(anchor) - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+        )
+    return feed
+
+
+# --- A1 + A2 + A9: scalar dashboard metrics --------------------------------
+
+def metrics_summary(feed: DataFrame) -> DataFrame:
+    """Exact distinct counts + rounded revenue sum + mean, one output row
+    (streamlit/utils.py:25-29; mean per bandit_simulator.py:147).
+
+    countDistinct is exact to match the client-side ``Set`` semantics;
+    at 100 TB swap in approx_count_distinct via ``approximate=True``.
+    """
+    return feed.agg(
+        F.countDistinct("order_id").alias("n_orders"),
+        F.countDistinct("item_id").alias("n_items"),
+        F.round(F.sum("sale_price"), 2).alias("total_revenue"),
+        F.round(F.avg("sale_price"), 4).alias("avg_sale_price"),
+    )
+
+
+def metrics_summary_approx(feed: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """HLL variant of metrics_summary for the 100 TB path — no exact
+    distinct shuffle; one pass, mergeable sketches."""
+    return feed.agg(
+        F.approx_count_distinct("order_id", rsd).alias("n_orders"),
+        F.approx_count_distinct("item_id", rsd).alias("n_items"),
+        F.round(F.sum("sale_price"), 2).alias("total_revenue"),
+    )
+
+
+# --- A3 + O1: grouped revenue sorted desc -----------------------------------
+
+def grouped_revenue(feed: DataFrame, key: str) -> DataFrame:
+    """Revenue by group, sorted descending (streamlit/utils.py:92-104)."""
+    return (
+        feed.groupBy(key)
+        .agg(F.round(F.sum("sale_price"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc(key))
+    )
+
+
+# --- A4: metric delta vs previous tick --------------------------------------
+
+def metric_deltas(df: DataFrame, tick_col: str, key_col: str, value_col: str) -> DataFrame:
+    """Per-key delta of a metric vs the previous tick — the dashboard's
+    "metric delta vs previous refresh" (streamlit/utils.py:33-52) as a
+    lag() window over the tick axis."""
+    w = Window.partitionBy(key_col).orderBy(tick_col)
+    return df.select(
+        tick_col,
+        key_col,
+        F.col(value_col).alias("value"),
+        F.round(
+            F.col(value_col) - F.lag(value_col, 1).over(w), 2
+        ).alias("delta"),
+    )
+
+
+# --- A5-A8: tumbling-window aggregation (batch analog) ----------------------
+
+def tumbling_stats(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_duration: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling event-time window -> per-key sum+count, with window bounds
+    formatted to strings at emission (SupplierStatsFunction.kt:17-37,
+    TableApp.kt:185-196). Batch form of the supplier-stats query; the
+    streaming form lives in streaming/supplier_stats.py.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.round(F.sum(value_col), 2).alias("total_value"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            key_col,
+            "total_value",
+            "cnt",
+        )
+    )
+
+
+# --- O2: top-k (global and per-group) ---------------------------------------
+
+def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:
+    """Global top-k by score desc (local_recommender.py:108-110). Spark
+    plans orderBy().limit(k) as TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver; no full sort at scale."""
+    order = [F.desc(score_col)] + ([F.asc(tie_col)] if tie_col else [])
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(df: DataFrame, group_col: str, score_col: str, k: int, tie_col: str) -> DataFrame:
+    """Per-group top-k via ranked window — one shuffle on the group key,
+    rank computed within partitions (eda_recommender.py:125 semantics)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(tie_col))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+# --- O4: time-ordered train/test split --------------------------------------
+
+def time_ordered_split(df: DataFrame, order_col: str, train_frac: float = 0.8) -> DataFrame:
+    """Deterministic, shuffle=False 80/20 split (evaluate.py:57): rows are
+    ranked on the time axis and tagged train/test by fractional position.
+    Uses a global ntile-free formulation: rank/count <= frac."""
+    w = Window.orderBy(F.asc(order_col))
+    total = df.count()
+    return df.withColumn(
+        "split",
+        F.when(F.row_number().over(w) <= int(total * train_frac), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+# --- P4: split a stream/table by predicate ----------------------------------
+
+def split_by_predicate(df: DataFrame, predicate) -> tuple[DataFrame, DataFrame]:
+    """Kafka Streams ``.split().branch(!late).branch(late)``
+    (StreamsApp.kt:100-113) as two filters over one plan. Catalyst reuses
+    the scan; in streaming both branches are written from one
+    foreachBatch so the source is read once per micro-batch."""
+    return df.filter(predicate), df.filter(~predicate)
+
+
+# --- P9: schema alignment / reindex ------------------------------------------
+
+def align_schema(df: DataFrame, columns: list[str], fill_value=0.0) -> DataFrame:
+    """Force a frame onto a declared column set: missing columns filled,
+    extras dropped, order normalized (recsys models.py:101-104)."""
+    cols = []
+    for c in columns:
+        if c in df.columns:
+            cols.append(F.coalesce(F.col(c), F.lit(fill_value)).alias(c))
+        else:
+            cols.append(F.lit(fill_value).alias(c))
+    return df.select(*cols)
+
+
+# --- A13: population-weighted distribution -----------------------------------
+
+def weighted_distribution(df: DataFrame, group_col: str, weight_col: str) -> DataFrame:
+    """Per-group weight sums normalized into sampling proportions
+    (location_generator.py:95-145). One grouped agg + a scalar
+    cross-join of the total; no driver-side loop."""
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("w"))
+    grand = totals.agg(F.sum("w").alias("grand"))
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            group_col,
+            F.round(F.col("w"), 2).alias("weight"),
+            F.round(F.col("w") / F.col("grand"), 6).alias("proportion"),
+        )
+        .orderBy(F.desc("weight"), F.asc(group_col))
+    )
+
+
+# --- flagship: pricing summary (TPC-H Q1 shape) ------------------------------
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
+    """Grouped multi-aggregate scan over the fact table — the canonical
+    "does partial aggregation + pushdown work" probe. Whole plan is one
+    scan + hash aggregate; the shipdate filter reaches the parquet
+    reader as a pushed filter."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+One place to pin every engine-level config so tests, bench, and the
+driver entry point all run the same way:
+
+- UTC session timezone (oracle comparisons against DuckDB's UTC-naive
+  timestamps depend on it),
+- Arrow for all pandas UDF exchange (the vectorized ML operators),
+- AQE on (runtime coalesce + skew-join handling — the 100 TB posture),
+- shuffle partitions sized to cores for local mode (overridable; on a
+  real cluster this is set per-job to ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "streaming_demos_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults target the harness box (local[$SPARK_GRAFT_CPUS]); on a real
+    cluster pass ``master=None`` with a pre-set spark.master and size
+    ``shuffle_partitions`` to the data.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,103 @@
+"""CDC ingestion: Debezium envelope handling (SURVEY.md S10).
+
+The reference's CDC path (cdc-local/) runs Postgres logical decoding
+through Debezium Server with the ``ExtractNewRecordState`` SMT, so each
+message is a JSON envelope whose ``payload`` is the *new row image* plus
+metadata ``op, db, table, schema, lsn, source.ts_ms``
+(cdc-local/config/debezium/application.properties:21-29; the consumer
+reads ``payload`` at cdc-local/ps_sub.py:10-12).
+
+The engine exposes:
+- ``debezium_unwrap``  — envelope JSON -> typed row columns + metadata
+- ``apply_changes``    — change-log compaction: latest-op-wins upsert /
+  delete semantics over a batch of changes (the MERGE a foreachBatch
+  sink would run per micro-batch).
+
+Both are pure DataFrame transforms — in streaming they run unchanged on
+a Kafka-source frame inside foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_demos_spark.schemas import debezium_envelope
+
+_META = [
+    ("op", T.StringType()),
+    ("db", T.StringType()),
+    ("table", T.StringType()),
+    ("schema", T.StringType()),
+    ("lsn", T.LongType()),
+    ("source_ts_ms", T.LongType()),
+]
+
+
+def envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Full message schema: {"payload": {row..., meta...}}."""
+    return T.StructType([T.StructField("payload", debezium_envelope(row_schema), True)])
+
+
+def debezium_unwrap(raw: DataFrame, json_col: str, row_schema: T.StructType) -> DataFrame:
+    """Parse Debezium envelope JSON strings into typed columns.
+
+    Input: one string column of envelope JSON (Kafka ``value`` in the
+    live path). Output: the row image columns typed per ``row_schema``
+    plus the metadata columns. from_json runs JVM-side — no Python in
+    the hot path.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(json_col), envelope_schema(row_schema)).alias("msg")
+    )
+    row_cols = [F.col(f"msg.payload.{f.name}").alias(f.name) for f in row_schema.fields]
+    meta_cols = [F.col(f"msg.payload.{name}").alias(name) for name, _ in _META]
+    return parsed.select(*row_cols, *meta_cols)
+
+
+def apply_changes(changes: DataFrame, key_cols: list[str], seq_col: str = "lsn") -> DataFrame:
+    """Compact a change log into current-state rows.
+
+    Debezium op semantics: c/r/u upsert the row image, d deletes it
+    (with delete-rewrite the tombstone still carries the key). The
+    latest change per key wins, ordered by the log sequence number —
+    one shuffle on the primary key, rank-1 filter, drop deletes.
+
+    At scale this is the standard "dedupe change-log by (pk, max lsn)"
+    pattern; AQE handles key skew and the window runs within the
+    shuffled partitions (no second shuffle).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "d"))
+        .drop("_rn")
+    )
+
+
+def make_envelopes(
+    rows: DataFrame,
+    op: str,
+    db: str,
+    table: str,
+    schema: str = "public",
+    lsn_offset: int = 0,
+) -> DataFrame:
+    """Build envelope JSON strings from typed rows (test/demo helper —
+    the inverse of debezium_unwrap; mirrors what Debezium's SMT emits).
+    ``lsn = key*10 + lsn_offset`` (key = first column) gives each op a
+    deterministic position in the change log, so a c/u/d sequence built
+    with increasing offsets compacts reproducibly."""
+    first = rows.columns[0]
+    lsn = F.col(first).cast("long") * 10 + F.lit(lsn_offset)
+    payload = F.struct(
+        *[F.col(c) for c in rows.columns],
+        F.lit(op).alias("op"),
+        F.lit(db).alias("db"),
+        F.lit(table).alias("table"),
+        F.lit(schema).alias("schema"),
+        lsn.alias("lsn"),
+        (lsn * 1000).alias("source_ts_ms"),
+    )
+    return rows.select(F.to_json(F.struct(payload.alias("payload"))).alias("value"))

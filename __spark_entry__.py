@@ -162,11 +162,14 @@ def q_time_split(spark, sf_dir):
 
 
 def q_time_filter(spark, sf_dir):
-    # P2 time-range predicate anchored at max(ts) - 7 days.
+    # P2 time-range predicate anchored at max(ts) - 7 days. The anchor is
+    # a broadcast 1-row aggregate cross-joined into the plan (one job; no
+    # driver-side collect, no second scan submission).
     events = _t(spark, sf_dir, "events")
-    anchor = events.agg(F.max("ts")).collect()[0][0]
+    anchor = events.agg(F.max("ts").alias("_anchor"))
     return (
-        events.filter(F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 7 DAYS"))
+        events.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 7 DAYS"))
         .select("event_id", "user_id", "event_type", "value")
     )
 
@@ -278,12 +281,15 @@ def q_debezium_unwrap(spark, sf_dir):
 
 def q_cdc_apply_changes(spark, sf_dir):
     # S10 CDC compaction: c (all rows) + u (even keys, new totalprice)
-    # + d (keys % 10 == 0); latest-lsn-wins upsert/delete.
+    # + d (keys % 10 == 0); latest-lsn-wins upsert/delete. The update
+    # transform is *2 — exact in IEEE-754 binary doubles, so Spark and
+    # DuckDB agree bit-for-bit (a *1.1+round transform manufactures
+    # decimal-halfway values the two engines round differently).
     orders = _t(spark, sf_dir, "orders")
     creates = cdc.make_envelopes(orders, "c", "demo", "orders", lsn_offset=0)
     updates = cdc.make_envelopes(
         orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
-            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+            "o_totalprice", F.col("o_totalprice") * 2
         ),
         "u", "demo", "orders", lsn_offset=1,
     )
@@ -390,7 +396,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a4_metric_deltas": """
             WITH daily AS (
-                SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                -- DuckDB date_trunc('day') yields DATE; cast back to
+                -- TIMESTAMP to match Spark's date_trunc.
+                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                        event_type,
                        round(sum(value), 2) AS value
                 FROM events GROUP BY 1, 2
@@ -463,8 +471,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "f_scalar_strings": """
+            -- DuckDB 1.0 has no initcap(); emulate it per word
+            -- (capitalize first letter, lowercase the rest).
             SELECT p_partkey AS part_id,
-                   initcap(replace(p_type, '_', ' ')) AS type_title,
+                   array_to_string(
+                       list_transform(
+                           string_split(replace(p_type, '_', ' '), ' '),
+                           w -> CASE WHEN len(w) = 0 THEN w
+                                     ELSE upper(w[1]) || lower(w[2:]) END
+                       ), ' ') AS type_title,
                    '/product/' || regexp_replace(lower(p_name), '\\s+', '', 'g') AS uri,
                    length(p_name) AS name_len
             FROM part
@@ -523,7 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_cdc_apply_changes": """
             SELECT o_orderkey, o_orderstatus,
                    CASE WHEN o_orderkey % 2 = 0
-                        THEN round(o_totalprice * 1.1, 2)
+                        THEN o_totalprice * 2
                         ELSE o_totalprice END AS o_totalprice
             FROM orders
             WHERE o_orderkey % 10 <> 0

@@ -3,6 +3,16 @@
 Parquet scans go through Spark's vectorized reader; every downstream
 select/filter benefits from pushdown + pruning because loading declares
 no projection here (Catalyst prunes per-query).
+
+Physical-schema normalization: the driver's ``events.parquet`` stores
+``ts`` as parquet ``TIMESTAMP(NANOS)``, which Spark refuses to read as a
+timestamp (PARQUET_TYPE_ILLEGAL). The loader flips
+``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so the scan
+yields a nanosecond long, then truncates ns -> µs with integer ``div``
+(exact — a double division would lose precision above 2^53) and rebuilds
+a proper ``TimestampType`` via ``timestamp_micros``. DuckDB oracles do
+the equivalent ``CAST(ts AS TIMESTAMP)`` ns -> µs truncation, so both
+engines agree to the microsecond.
 """
 
 from __future__ import annotations
@@ -10,14 +20,35 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from streaming_demos_spark.schemas import TESTDATA_TABLES
+from streaming_demos_spark.schemas import TABLE_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Runtime-set so the fix also applies when the driver owns the
+    # SparkSession (verified settable after session construction).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declared = TABLE_SCHEMAS.get(name)
+    if declared is None:
+        return df
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    for field in declared.fields:
+        # Column read as a nanos-long but declared as a timestamp:
+        # truncate to µs with exact integer division.
+        if (
+            isinstance(field.dataType, T.TimestampType)
+            and isinstance(actual.get(field.name), T.LongType)
+        ):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

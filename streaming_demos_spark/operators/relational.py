@@ -41,11 +41,18 @@ def dashboard_feed(
     dims never shuffle).
 
     The reference filters on a wall-clock lookback; against static test
-    data the anchor is max(o_orderdate) so results are deterministic.
+    data the anchor is max(o_orderdate) so results are deterministic —
+    computed as a broadcast 1-row aggregate cross-joined into the plan
+    (one job, no driver-side collect).
+
+    Scale notes: ``part`` is a true dim -> broadcast hint. ``customer``
+    is fact-scaled (grows with sf; hundreds of GB at 100 TB) so it must
+    NOT be broadcast — it shuffles on the customer key and AQE picks the
+    strategy at runtime.
     """
     feed = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
         .select(
             F.col("c_custkey").alias("user_id"),
@@ -65,10 +72,17 @@ def dashboard_feed(
     if lookback_minutes is not None:
         # Deterministic lookback: anchored to the data's max order date
         # (the live engine anchors to current_timestamp(), api.py:55-56).
-        anchor = orders.agg(F.max("o_orderdate")).collect()[0][0]
-        feed = feed.filter(
-            F.col("created_at")
-            >= F.lit(anchor) - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+        # The anchor is a broadcast scalar aggregate, not a collect(): the
+        # whole thing stays one job and Catalyst evaluates the 1-row side
+        # first (same pattern as weighted_distribution).
+        anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
+        feed = (
+            feed.crossJoin(F.broadcast(anchor))
+            .filter(
+                F.col("created_at")
+                >= F.col("_anchor") - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+            )
+            .drop("_anchor")
         )
     return feed
 
@@ -181,15 +195,75 @@ def top_k_per_group(df: DataFrame, group_col: str, score_col: str, k: int, tie_c
 
 # --- O4: time-ordered train/test split --------------------------------------
 
+def exact_kth_smallest(
+    df: DataFrame, col: str, k: int | None = None, frac: float | None = None, n_buckets: int = 4096
+):
+    """Distributed exact selection: the k-th smallest value (1-based) of
+    an integral column, without a global sort or single-partition window.
+
+    Three narrow passes, each a map-side-combinable aggregate over ONE
+    column (column-pruned at the scan):
+      1. min/max/count,
+      2. fixed-width histogram (integer ``div`` bucketing — exact) to
+         locate the bucket containing rank k,
+      3. sort only inside that one bucket (~N/n_buckets rows) for the
+         residual rank.
+    This is the selection analog of range-partitioned sort and survives
+    a 100x scale-up; the old formulation (row_number over an
+    un-partitioned Window) funnels every row through one task.
+
+    Rank is given as ``k`` (absolute) or ``frac`` (k = floor(frac*N),
+    computed from the same first-pass count — no extra scan).
+    Returns (boundary_value, total_count); k<=0 -> (None, n).
+    """
+    row = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if k is None:
+        k = int(n * frac)
+    if n == 0 or k <= 0:
+        return None, n
+    k = min(k, n)
+    width = max(1, (hi - lo) // n_buckets + 1)
+    hist = (
+        df.select(F.expr(f"(`{col}` - {lo}) div {width}").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("_b")
+        .collect()
+    )
+    cum = 0
+    for r in hist:
+        if cum + r["cnt"] >= k:
+            bucket, residual = r["_b"], k - cum
+            break
+        cum += r["cnt"]
+    b_lo = lo + bucket * width
+    b_hi = b_lo + width
+    boundary = (
+        df.filter((F.col(col) >= b_lo) & (F.col(col) < b_hi))
+        .select(col)
+        .orderBy(col)
+        .limit(residual)
+        .agg(F.max(col))
+        .collect()[0][0]
+    )
+    return boundary, n
+
+
 def time_ordered_split(df: DataFrame, order_col: str, train_frac: float = 0.8) -> DataFrame:
-    """Deterministic, shuffle=False 80/20 split (evaluate.py:57): rows are
-    ranked on the time axis and tagged train/test by fractional position.
-    Uses a global ntile-free formulation: rank/count <= frac."""
-    w = Window.orderBy(F.asc(order_col))
-    total = df.count()
+    """Deterministic, shuffle=False 80/20 split (evaluate.py:57): rows
+    are tagged train/test by position on the time axis. ``order_col``
+    must be a unique integral ordering key (event id / epoch micros), so
+    "first floor(frac*N) rows" == "rows <= the k-th smallest value" and
+    the tag is a plain comparison — no global window, no full sort."""
+    boundary, _ = exact_kth_smallest(df, order_col, frac=train_frac)
+    if boundary is None:
+        return df.withColumn("split", F.lit("test"))
     return df.withColumn(
         "split",
-        F.when(F.row_number().over(w) <= int(total * train_frac), F.lit("train")).otherwise(
+        F.when(F.col(order_col) <= F.lit(boundary), F.lit("train")).otherwise(
             F.lit("test")
         ),
     )

@@ -197,3 +197,21 @@ EMBEDDINGS = T.StructType(
         T.StructField("label", T.IntegerType(), True),
     ]
 )
+
+# Declared schema per TESTDATA table. The catalog uses this to normalize
+# physical quirks of the driver parquet (e.g. events.ts is written as
+# parquet TIMESTAMP(NANOS), which Spark reads only as a long under
+# spark.sql.legacy.parquet.nanosAsLong — the loader casts it back to a
+# microsecond TimestampType to honor the declared schema).
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}

@@ -68,6 +68,7 @@ def test_matches_duckdb_oracle(spark, ducon, key):
 
 
 def test_entry_smoke(spark):
+    # Mirrors the driver's gate: the flagship query must produce rows.
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and df.schema is not None
+    assert len(rows) > 0 and df.schema is not None

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from streaming_demos_spark.catalog import load_table
 from streaming_demos_spark.functions.scalars import bucket_time_of_day, title_case
+from streaming_demos_spark.operators import dedup as D
+from streaming_demos_spark.operators import multimodal as MM
 from streaming_demos_spark.operators import relational as R
+from streaming_demos_spark.operators import similarity as SIM
+from streaming_demos_spark.operators import text as TX
 from streaming_demos_spark.schemas import ORDERS
 from streaming_demos_spark.sources import cdc
 
@@ -304,8 +308,176 @@ def q_cdc_apply_changes(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# LLM-data-pipeline queries (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    # Exact dedup groups: md5-hash groupBy, min-id representative.
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    # MinHash(12 hashes)->LSH(4 bands x 3 rows)->exact-Jaccard verify.
+    # Threshold 0.1 surfaces the band-collision candidates in the
+    # synthetic corpus (no true near-dups at sf0.01, so the interesting
+    # output is the verified candidate set itself).
+    return D.minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # 32-bit SimHash fingerprint + 8-bit LSH prefix per document.
+    return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    # Token counts, word lengths, stopword/alpha ratios, quality score.
+    return TX.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    # Marker-word language ID with deterministic tie-breaking.
+    return TX.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    # md5-of-normalized-text content fingerprint.
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    # Brute-force exact cosine top-10 vs vec_id=0 (the ANN baseline).
+    return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # Sign-LSH bucketed ANN: same query, search only the query's bucket.
+    return SIM.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, num_planes=4
+    )
+
+
+def q_neardup_embedding(spark, sf_dir):
+    # Embedding-cosine near-dup pairs within LSH buckets.
+    return SIM.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+def q_multimodal_features(spark, sf_dir):
+    # Binary media plumbing: text payload as opaque bytes -> Arrow
+    # mapInPandas feature extraction (deterministic fake decoder).
+    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.extract_features(media, decoder="fake")
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
+
+def _sql_words(src: str = "documents") -> str:
+    return f"SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM {src}"
+
+
+def _sql_shingles() -> str:
+    # Word 3-grams; short docs collapse to one whole-document shingle
+    # (mirrors operators.text.word_shingles).
+    return (
+        "SELECT doc_id, CASE WHEN len(words) >= 3 "
+        "THEN list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) "
+        "ELSE [array_to_string(words, ' ')] END AS shingles FROM w"
+    )
+
+
+def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: int = 3) -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline (md5-based, so the
+    hashes agree with Spark bit-for-bit)."""
+    mh_exprs = ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS mh_{h}"
+        for h in range(num_hashes)
+    )
+    n_bands = num_hashes // band_rows
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(f"mh_{b * band_rows + r}" for r in range(band_rows)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH w AS ({_sql_words()}),
+        sh AS ({_sql_shingles()}),
+        sig AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM (SELECT doc_id, shingles FROM sh)
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n
+            FROM bands
+        ),
+        okb AS (SELECT * FROM sized WHERE bucket_n <= 50),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM okb a JOIN okb b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   round(
+                     len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))
+                     / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+                        - len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                   4) AS jaccard
+            FROM cand
+            JOIN sh sa ON cand.doc_a = sa.doc_id
+            JOIN sh sb ON cand.doc_b = sb.doc_id
+        )
+        SELECT * FROM scored WHERE jaccard >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _sql_simhash(prefix_bits: int = 8) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN substr(h, {j + 1}, 1) >= '8' "
+        "THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"
+        for j in range(32)
+    )
+    return f"""
+        WITH w AS ({_sql_words()}),
+        hashed AS (SELECT doc_id, list_transform(words, x -> md5(x)) AS hw FROM w),
+        fp AS (SELECT doc_id, {bits} AS simhash FROM hashed)
+        SELECT doc_id, simhash, substr(simhash, 1, {prefix_bits}) AS simhash_prefix FROM fp
+    """
+
+
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _sql_lsh_bucket_cte(num_planes: int = 4) -> str:
+    """CTE 'bk': (vec_id, v DOUBLE[], bucket) with the same md5-derived
+    sign-LSH planes as operators.similarity.lsh_bucket."""
+    bits = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), "
+        f"j -> v[j] * (CASE WHEN substr(md5('{p}:' || (j-1)::VARCHAR), 1, 1) >= '8' "
+        "THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(num_planes)
+    )
+    return (
+        "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"bk AS (SELECT vec_id, v, {bits} AS bucket FROM ev)"
+    )
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -329,6 +501,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_anti_join": q_anti_join,
         "s10_debezium_unwrap": q_debezium_unwrap,
         "s10_cdc_apply_changes": q_cdc_apply_changes,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "llm_dedup_simhash": q_dedup_simhash,
+        "llm_text_stats": q_text_stats,
+        "llm_lang_id": q_lang_id,
+        "llm_fingerprint": q_fingerprint,
+        "llm_ann_cosine_topk": q_ann_cosine_topk,
+        "llm_ann_lsh_topk": q_ann_lsh_topk,
+        "llm_neardup_embedding": q_neardup_embedding,
+        "mm_media_features": q_multimodal_features,
     }
 
 
@@ -542,5 +724,109 @@ def oracle_sql() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice
             FROM orders
             WHERE o_orderkey % 10 <> 0
+        """,
+        "llm_dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
+        "llm_dedup_simhash": _sql_simhash(prefix_bits=8),
+        "llm_text_stats": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(words) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   round((length(text) - (len(words) - 1)) / len(words), 4) AS mean_word_len,
+                   round(len(list_filter(words, x -> x IN
+                         ('the','a','an','and','of','to','in','is','it','for')))
+                         / len(words), 4) AS stopword_ratio,
+                   round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                         / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END), 4)
+                       AS alpha_ratio,
+                   round(
+                     least(len(words) / 64.0, 1.0) * 0.4
+                     + least((len(list_filter(words, x -> x IN
+                              ('the','a','an','and','of','to','in','is','it','for')))
+                              / len(words)) * 5.0, 1.0) * 0.2
+                     + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)) * 0.4,
+                   4) AS quality_score
+            FROM w
+        """,
+        "llm_lang_id": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(words, x -> x IN ('the','a','and','of','is')))  AS score_en,
+                       len(list_filter(words, x -> x IN ('el','la','de','que','y')))   AS score_es,
+                       len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS score_fr,
+                       len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+                       len(list_filter(words, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS score_zh
+                FROM w
+            )
+            SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+                   CASE WHEN greatest(score_en, score_es, score_fr, score_de, score_zh) = 0
+                        THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'es'
+                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'fr'
+                        WHEN score_de = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'de'
+                        ELSE 'zh' END AS pred_lang
+            FROM s
+        """,
+        "llm_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "llm_ann_cosine_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   {_SQL_COS.format(a="embedding::DOUBLE[]", b="qv")} AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "llm_ann_lsh_topk": f"""
+            WITH {_sql_lsh_bucket_cte(4)},
+            q AS (SELECT v AS qv, bucket AS qb FROM bk WHERE vec_id = 0)
+            SELECT vec_id,
+                   {_SQL_COS.format(a="v", b="qv")} AS cos_sim
+            FROM bk, q
+            WHERE vec_id <> 0 AND bucket = qb
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "llm_neardup_embedding": f"""
+            WITH {_sql_lsh_bucket_cte(4)},
+            scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_SQL_COS.format(a="a.v", b="b.v")} AS cos_sim
+                FROM bk a JOIN bk b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT * FROM scored WHERE cos_sim >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "mm_media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest,
+                   ascii(substr(text, 1, 1)) AS head_byte,
+                   ascii(substr(text, length(text), 1)) AS tail_byte
+            FROM documents
         """,
     }

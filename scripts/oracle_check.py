@@ -1,0 +1,80 @@
+"""Driver-style correctness check: run queries() vs oracle_sql() on a
+plain SparkSession and print one line per key. Usage:
+    python scripts/oracle_check.py [sf_dir] [key1,key2,...]
+"""
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    return ("NaN" if math.isnan(v) else round(v, 9)) if isinstance(v, float) else str(v)
+
+
+def vhash(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return hashlib.md5(
+        str(sorted(tuple(norm(r[i]) for i in order) for r in data)).encode()
+    ).hexdigest()
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    Q, O = E.queries(), E.oracle_sql()
+    keys = sys.argv[2].split(",") if len(sys.argv) > 2 else list(Q)
+    n_ok = n_bad = 0
+    for key in keys:
+        try:
+            qdf = Q[key](spark, SF)
+            sdata = [tuple(r) for r in qdf.collect()]
+            scols = qdf.columns
+            if key not in O:
+                print(f"{key}: rows-only {len(sdata)}", flush=True)
+                continue
+            rel = con.sql(O[key])
+            dcols = [d[0] for d in rel.description]
+            ddata = rel.fetchall()
+            ok = vhash(scols, sdata) == vhash(dcols, ddata)
+            n_ok += ok
+            n_bad += not ok
+            print(f"{key}: rows {len(sdata)}/{len(ddata)} hash_match {ok}", flush=True)
+            if not ok:
+                so = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+                ss = sorted(tuple(norm(r[i]) for i in so) for r in sdata)
+                ds = sorted(tuple(norm(r[i]) for i in do) for r in ddata)
+                print(f"  cols spark={sorted(scols)} duck={sorted(dcols)}", flush=True)
+                for a, b in zip(ss, ds):
+                    if a != b:
+                        print(f"  spark {a}\n  duck  {b}", flush=True)
+                        break
+        except Exception as ex:
+            n_bad += 1
+            print(f"{key}: ERR {str(ex)[:250]}", flush=True)
+    print(f"SUMMARY ok={n_ok} bad={n_bad}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

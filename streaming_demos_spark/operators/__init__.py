@@ -3,9 +3,8 @@
 Modules map to SURVEY.md §2 inventory sections:
 
 - relational   — scans/projections/filters/joins/aggregates/sorts (§2.1-2.6)
-- dedup        — exact + near-duplicate detection (scale extension)
-- similarity   — embedding similarity search (scale extension)
+- dedup        — exact + MinHash-LSH + SimHash near-dup detection (scale extension)
+- similarity   — brute-force + sign-LSH embedding similarity search (scale extension)
 - text         — language-ID, quality scoring, tokens, fingerprints
-- linucb       — contextual-bandit batch fit / scoring / eval (§2.10)
-- multimodal   — opaque binary columns + metadata plumbing (stubbed codecs)
+- multimodal   — opaque binary columns + mapInPandas feature plumbing (stubbed codecs)
 """

@@ -1,0 +1,212 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four dedup families over the ``documents`` table, all designed for the
+banded/bucketed scale path — candidate pairs come from equality joins
+on band/bucket keys, NEVER an all-pairs crossJoin:
+
+- exact:       hash-groupBy on md5(text) (or normalized text)
+- MinHash-LSH: word-shingles -> minhash signature -> banded bucket-join
+               -> exact n-gram Jaccard verification of candidates
+- SimHash:     per-word hash bits -> majority-vote fingerprint; near-dup
+               candidates share fingerprint prefixes (bucketable)
+- n-gram Jaccard: the exact verifier, also exposed standalone
+
+Determinism: every hash is md5 (identical across Spark and DuckDB), and
+minhash takes the LEXICOGRAPHIC min of md5 hex strings — a uniform
+"random permutation" both engines order identically, so the oracle can
+re-run the whole algorithm in SQL and hash-match.
+
+At 100 TB: shingling/minhashing is per-row map work; the only shuffle
+is the groupBy on (band_id, band_hash) whose fan-in is bounded by band
+bucket sizes (heavily-skewed buckets indicate boilerplate docs — cap
+bucket size before pairing, standard practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators.text import normalize_text, tokens, word_shingles
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = False
+) -> DataFrame:
+    """Exact duplicate groups: md5-hash groupBy keeping the minimum id
+    as the canonical representative. One shuffle on the 128-bit hash —
+    uniformly distributed, skew-free at any scale."""
+    t = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        docs.select(F.md5(t).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact text: join back to the canonical ids.
+    (dropDuplicates is equivalent but keeps an arbitrary row; min-id is
+    deterministic and therefore testable.)"""
+    keep = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+# --- MinHash signatures + LSH banding ---------------------------------------
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 12, shingle_k: int = 3
+) -> list[Column]:
+    """MinHash signature as ``num_hashes`` columns: for hash-family
+    member h, min over shingles of md5("h|" + shingle), compared
+    lexicographically. md5 is shared with DuckDB so oracles replay it."""
+    sh = word_shingles(text, shingle_k)
+
+    # Factory keeps each lambda single-parameter (a 2-param lambda is
+    # the (element, index) form to pyspark) and evaluates the seed
+    # prefix eagerly.
+    def _seeded_md5(h: int):
+        prefix = f"{h}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(sh, _seeded_md5(h))).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: the signature cut into
+    ``num_hashes/band_rows`` bands, each band hashed to one bucket key.
+    Two documents are candidates iff they share a (band_id, band_hash).
+    """
+    sig = docs.select(F.col(id_col), *minhash_signature(text_col, num_hashes, shingle_k))
+    n_bands = num_hashes // band_rows
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def jaccard_shingles(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (distinct semantics):
+    |A ∩ B| / |A ∪ B|."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    return inter / union
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidate generation then exact
+    n-gram-Jaccard verification.
+
+    Plan shape (the 100 TB path):
+      1. map: shingle + minhash every doc (no shuffle),
+      2. shuffle 1: groupBy (band_id, band_hash) — bucket join produces
+         candidate pairs only within buckets; buckets over
+         ``max_bucket`` docs are dropped (boilerplate guard, keeps the
+         pair blow-up bounded),
+      3. map: exact Jaccard on the candidate pairs, threshold filter.
+    No crossJoin anywhere; candidate count ≈ Σ bucket²  ≤ buckets·cap².
+    """
+    bands = minhash_bands(docs, text_col, id_col, num_hashes, band_rows, shingle_k)
+    # Bound bucket size: count per bucket, drop oversize (noise guard).
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    left = sized.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("doc_a")
+    )
+    right = sized.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("doc_b")
+    )
+    cand = (
+        left.join(right, on=["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash fingerprint as a '0'/'1' string.
+
+    Bit j of a word = whether hex digit j of md5(word) is >= '8' (the
+    high bit of each nibble — 32 independent uniform bits, computable
+    identically in any engine with md5+substr). Fingerprint bit j =
+    majority vote over the document's words (+1/-1, ties -> 1).
+    """
+    hashed = F.transform(tokens(text), lambda x: F.md5(x))
+
+    # Factory keeps the merge lambda two-parameter ((acc, x)); a
+    # default-arg capture would make pyspark bind a 3-arg form that
+    # ArrayAggregate rejects.
+    def _vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1) >= "8", 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(32):
+        vote = F.aggregate(hashed, F.lit(0), _vote(j))
+        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 8
+) -> DataFrame:
+    """Per-doc SimHash + a bucketable prefix: near-dups (small Hamming
+    distance) usually share the leading bits, so the prefix is the LSH
+    band key for candidate pairing at scale."""
+    fp = simhash32(text_col)
+    return docs.select(
+        F.col(id_col),
+        fp.alias("simhash"),
+        F.substring(fp, 1, prefix_bits).alias("simhash_prefix"),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths over the ``embeddings`` table:
+
+- brute-force cosine top-k — the exactness baseline: broadcast the
+  query vector, one map-side pass computing dot/norms with
+  ``zip_with``/``aggregate`` (JVM-side, codegen), TakeOrderedAndProject
+  for the top-k. Linear scan but embarrassingly parallel; at 100 TB it
+  is the *verifier*, not the serving path.
+- sign-LSH bucketed ANN — the scale path: P deterministic ±1
+  hyperplanes (signs derived from md5, so any engine reproduces them)
+  hash every vector to a 2^P-bucket key; search only the query's
+  bucket. The bucket assignment is a per-row map; candidate retrieval
+  is an equality join on the bucket key — no crossJoin of the corpus.
+
+Also: embedding-cosine near-duplicate pairs (bucket join + threshold),
+the fourth dedup family from the north-star brief.
+
+Determinism: cosine is computed in double precision with a fixed
+left-to-right summation (both Spark's ``aggregate`` and DuckDB's list
+kernels fold sequentially), and every emitted score is rounded, so the
+DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + left-to-right fold (JVM, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the embedding of ``query_vec_id``.
+    The 1-row query side is a broadcast; orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge)."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q")
+    )
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec: Column, num_planes: int = 4) -> Column:
+    """Sign-LSH bucket key: bit p = sign of the projection of the
+    vector onto hyperplane p, whose ±1 components are derived from
+    md5(f"{p}:{j}") (first hex digit >= '8' -> +1). Fully deterministic
+    and engine-portable; a '0'/'1' string of length ``num_planes``."""
+    v = _as_double(vec)
+
+    # Factory keeps the transform lambda exactly two-parameter — the
+    # (element, index) form — with the plane id captured eagerly.
+    def _signed_term(p: int):
+        prefix = f"{p}:"
+        return lambda x, j: x * F.when(
+            F.substring(F.md5(F.concat(F.lit(prefix), j.cast("string"))), 1, 1)
+            >= "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.transform(v, _signed_term(p)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def with_lsh_bucket(
+    emb: DataFrame, num_planes: int = 4, vec_col: str = "embedding"
+) -> DataFrame:
+    return emb.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine, but only within the query's LSH bucket.
+    Candidate retrieval is an equality join on the bucket key — the
+    scan prunes to ~corpus/2^P rows. Recall < 1 by construction; raise
+    num_planes and union multiple plane-sets ("OR" tables) to trade
+    compute for recall."""
+    bucketed = with_lsh_bucket(emb, num_planes, vec_col)
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q"), F.col("bucket").alias("_qb")
+    )
+    return (
+        bucketed.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: self-join WITHIN LSH
+    buckets (never all-pairs), exact cosine verify, threshold filter.
+    Near-identical vectors land in the same bucket with high
+    probability (all P projections must flip sign to escape)."""
+    bucketed = with_lsh_bucket(emb, num_planes, vec_col)
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

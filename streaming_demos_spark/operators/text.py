@@ -1,0 +1,149 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+These extend the reference's capability surface toward the 100 TB
+training-data goal (BASELINE.json north_star): token counting, quality
+scoring, language identification, and document fingerprinting over the
+``documents`` table.
+
+Everything here is JVM-side column expressions (split / transform /
+filter / aggregate over arrays) — no Python in the data path, full
+whole-stage codegen, and every function is deterministic so a DuckDB
+oracle can recompute it bit-for-bit.
+
+Design notes for scale: all operators are per-row (embarrassingly
+parallel, no shuffle); the only shuffles appear in the dedup/similarity
+modules that consume these primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword/marker lists (public, trivial).
+STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # romanized markers
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text -> array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap `wc -w` estimator)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of word-piece matches of a
+    tokenizer-like regex (runs of letters, runs of digits, or single
+    non-space symbols) — the standard cheap proxy when the real
+    tokenizer is unavailable."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1))
+    )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip everything
+    but alphanumerics+space, collapse whitespace runs to single
+    spaces, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    The batch analog of a rolling-hash content id — two documents with
+    the same canonical content collide exactly."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Sliding word k-grams (shingles) as array<string>; documents with
+    fewer than k words collapse to one whole-document shingle. The
+    shingle set feeds MinHash / Jaccard in operators.dedup."""
+    w = tokens(text)
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    Heuristics follow the standard LLM-corpus filters: document length,
+    mean word length, stopword ratio, alphabetic ratio. The score is a
+    deterministic [0,1] combination so thresholding is reproducible.
+    """
+    t = F.col(text_col)
+    w = tokens(text_col)
+    n_tok = F.size(w)
+    n_chars = F.length(t)
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars net of separators
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS_EN)))
+    stop_ratio = stop_hits / n_tok
+    alpha_chars = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
+    alpha_ratio = alpha_chars / F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.4
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language identification: count per-language marker
+    hits, predict the argmax (ties broken by a fixed language order).
+    A cheap deterministic heuristic, not a model — the plumbing every
+    corpus pipeline needs; swap the scorer for fastText offline."""
+    w = tokens(text_col)
+    langs = list(LANG_MARKERS)
+
+    # Factory keeps the lambda single-parameter: pyspark infers the
+    # higher-order-function arity from the Python signature, so a
+    # default-arg capture (lambda x, ms=...) would silently become the
+    # 2-arg (element, index) form.
+    def _marker_hits(markers: list[str]):
+        return lambda x: x.isin(markers)
+
+    scores = {
+        lang: F.size(F.filter(w, _marker_hits(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # Last-wins in reverse order => first language in LANG_MARKERS order
+    # wins ties, matching the oracle's CASE chain.
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )

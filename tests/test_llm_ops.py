@@ -1,0 +1,155 @@
+"""Unit tests for the LLM-pipeline operators (dedup / similarity /
+text / multimodal) on crafted micro-data — covers the semantics the
+synthetic corpus can't (true duplicates, near-identical docs), while
+test_oracle_parity.py covers engine-vs-DuckDB equivalence."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import dedup as D
+from streaming_demos_spark.operators import multimodal as MM
+from streaming_demos_spark.operators import similarity as SIM
+from streaming_demos_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+        (4, "completely different words about spark engines"),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = D.exact_dedup(docs).select("doc_id").orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 3, 4, 5]
+
+
+def test_exact_dedup_groups_counts(docs):
+    groups = {r.keep_doc_id: r.n_copies for r in D.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    # band_rows=1 (12 bands of 1 hash) => candidate if ANY minhash
+    # agrees: recall ~1-(1-j)^12, effectively 1.0 at j>=0.5. The default
+    # 4x3 banding trades that recall for fewer candidates at scale.
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_near_dup_pairs(docs, threshold=0.5, band_rows=1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # identical docs: jaccard exactly 1
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # one-word change
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal(docs):
+    fp = {r.doc_id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 32 and set(fp[1]) <= {"0", "1"}
+    # near-dup: small Hamming distance; unrelated: large
+    ham13 = sum(a != b for a, b in zip(fp[1], fp[3]))
+    ham14 = sum(a != b for a, b in zip(fp[1], fp[4]))
+    assert ham13 < ham14
+
+
+def test_jaccard_shingles_bounds(spark):
+    df = spark.createDataFrame(
+        [(["a b c", "b c d"], ["a b c", "b c d"]), (["a b c"], ["x y z"])],
+        ["sa", "sb"],
+    )
+    vals = [r[0] for r in df.select(D.jaccard_shingles(F.col("sa"), F.col("sb"))).collect()]
+    assert vals == [1.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_ordering(emb):
+    out = SIM.brute_force_topk(emb, query_vec_id=0, k=4).collect()
+    assert [r.vec_id for r in out] == [1, 4, 2, 3]
+    assert out[0].cos_sim > 0.999
+    assert out[-1].cos_sim == -1.0
+
+
+def test_lsh_same_bucket_for_near_identical(emb):
+    b = {r.vec_id: r.bucket for r in SIM.with_lsh_bucket(emb, num_planes=4).collect()}
+    assert b[0] == b[1]            # near-identical vectors share the bucket
+    assert b[0] != b[3]            # opposite vector flips every plane
+
+
+def test_lsh_topk_finds_near_identical(emb):
+    out = SIM.lsh_topk(emb, query_vec_id=0, k=3).collect()
+    assert out and out[0].vec_id == 1
+
+
+def test_embedding_near_dup_pairs(emb):
+    pairs = {(r.id_a, r.id_b) for r in SIM.embedding_near_dup_pairs(emb, 0.95).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    r = TX.text_stats(df).collect()[0]
+    assert r.n_tokens == 3
+    assert r.n_chars_computed == 11
+    assert r.mean_word_len == 3.0
+    assert r.stopword_ratio == round(1 / 3, 4)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el gato y la casa de que"), (3, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.pred_lang for r in TX.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_fake_decoder(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "Z")], ["doc_id", "text"])
+    media = MM.as_media(df, "doc_id", "text")
+    out = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert out[1].n_bytes == 3
+    assert out[1].digest == hashlib.md5(b"abc").hexdigest()
+    assert out[1].head_byte == ord("a") and out[1].tail_byte == ord("c")
+    assert out[2].head_byte == out[2].tail_byte == ord("Z")
+
+
+def test_multimodal_real_decoders_stubbed(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = MM.as_media(df, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, decoder="pil")
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(media, 224, 224)
+    with pytest.raises(NotImplementedError):
+        MM.sample_frames(media, 10)

@@ -307,6 +307,37 @@ def q_cdc_apply_changes(spark, sf_dir):
     return current.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+def q_late_tagging(spark, sf_dir):
+    # T6 late-record detection (LateRecordProcessor.kt:46-64 arithmetic):
+    # per-shard stream time = running max event time over arrival order;
+    # late ⇔ stream_time > window_end + grace, window_end =
+    # (floor(ts/size)+1)*size. Batch-checkable form of the streaming
+    # stateful tagger (streaming/supplier_stats.py): shard=event_type,
+    # arrival order=event_id, window=300s, grace=600s.
+    from streaming_demos_spark.streaming import supplier_stats as SS
+
+    # events.parquet is time-ordered by event_id, which would make every
+    # row on-time; a deterministic LCG over the id simulates an
+    # out-of-order arrival sequence (the Kafka-offset analog) so the
+    # tagger produces real late rows.
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("event_time"),
+        (F.col("event_id") * 2
+         + (F.col("event_id") * 1103515245 + 12345) % 13 - 6).alias("seq"),
+    )
+    tagged = SS.tag_late_batch(
+        events, "event_type", "seq", window_sec=300, grace_sec=600
+    )
+    return tagged.select(
+        "event_id",
+        "event_type",
+        SS.window_end_expr(F.col("event_time"), 300).alias("window_end_epoch"),
+        "is_late",
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -501,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_anti_join": q_anti_join,
         "s10_debezium_unwrap": q_debezium_unwrap,
         "s10_cdc_apply_changes": q_cdc_apply_changes,
+        "t6_late_tagging": q_late_tagging,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_simhash": q_dedup_simhash,
@@ -724,6 +756,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice
             FROM orders
             WHERE o_orderkey % 10 <> 0
+        """,
+        "t6_late_tagging": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep,
+                       event_id * 2 + (event_id * 1103515245 + 12345) % 13 - 6 AS seq
+                FROM events
+            )
+            SELECT event_id, event_type,
+                   (ep // 300 + 1) * 300 AS window_end_epoch,
+                   coalesce(
+                     max(ep) OVER (PARTITION BY event_type ORDER BY seq
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     > (ep // 300 + 1) * 300 + 600,
+                     false) AS is_late
+            FROM e
         """,
         "llm_dedup_exact": """
             SELECT md5(text) AS text_hash,

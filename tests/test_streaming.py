@@ -1,0 +1,226 @@
+"""Streaming-semantics tests (SURVEY.md §5.2): crafted event sequences
+with known stream-time behavior, replayed through both the batch analog
+and the real Structured Streaming path with memory sinks.
+
+The late-tagging sequences replicate the reference rule
+``is_late ⇔ stream_time > window_end + grace`` with
+``window_end = (floor(ts/size)+1)*size``
+(orders-stats-streams/.../LateRecordProcessor.kt:46-64).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.streaming import supplier_stats as SS
+
+# Crafted sequence, window=5s grace=5s, one shard key.
+# (seq, epoch_s, expected_is_late) — stream time = max prior epoch.
+#   window_end(ts) = (ts//5+1)*5 ; late iff stream_time > window_end+5
+SEQUENCE = [
+    (0, 100, False),  # stream_time=-inf
+    (1, 103, False),  # st=100, wend=105, 100 <= 110
+    (2, 101, False),  # st=103, wend=105, 103 <= 110
+    (3, 120, False),  # st=103 — big jump forward
+    (4, 104, True),   # st=120, wend=105, 120 > 110 -> LATE
+    (5, 112, False),  # st=120, wend=115, 120 <= 120 (boundary: NOT late)
+    (6, 111, True),   # st=120, wend=115, 120 > 120 false... st still 120
+]
+# fix row 6: wend(111)=115, st=120 > 120? no -> not late. Recompute below.
+
+
+def _expected():
+    st = None
+    out = []
+    for seq, ts, _ in SEQUENCE:
+        wend = (ts // 5 + 1) * 5
+        late = st is not None and st > wend + 5
+        out.append((seq, ts, late))
+        st = ts if st is None else max(st, ts)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        ("s1", seq, f"2024-01-01 00:{ts // 60:02d}:{ts % 60:02d}")
+        for seq, ts, _ in SEQUENCE
+    ]
+    df = spark.createDataFrame(rows, ["shard", "seq", "bid_time"])
+    return SS.with_event_time(df)
+
+
+def test_tag_late_batch_matches_reference_arithmetic(events_df):
+    out = {
+        r.seq: r.is_late
+        for r in SS.tag_late_batch(
+            events_df, "shard", "seq", window_sec=5, grace_sec=5
+        ).collect()
+    }
+    for seq, _, late in _expected():
+        assert out[seq] == late, f"seq {seq}: got {out[seq]}, want {late}"
+
+
+def test_tag_late_batch_is_per_key(spark):
+    # A fast-forwarded shard must not mark another shard's rows late.
+    rows = [
+        ("a", 0, "2024-01-01 00:10:00"),
+        ("b", 1, "2024-01-01 00:00:00"),  # old, but first for shard b
+        ("b", 2, "2024-01-01 00:00:01"),
+    ]
+    df = SS.with_event_time(spark.createDataFrame(rows, ["shard", "seq", "bid_time"]))
+    out = {r.seq: r.is_late for r in SS.tag_late_batch(df, "shard", "seq").collect()}
+    assert out == {0: False, 1: False, 2: False}
+
+
+def test_supplier_stats_batch_aggregation(spark):
+    rows = [
+        ("o1", "2024-01-01 00:00:01", 10.0, "beer", "sup1"),
+        ("o2", "2024-01-01 00:00:03", 20.0, "wine", "sup1"),
+        ("o3", "2024-01-01 00:00:06", 40.0, "beer", "sup2"),
+    ]
+    df = SS.with_event_time(
+        spark.createDataFrame(rows, ["order_id", "bid_time", "price", "item", "supplier"])
+    )
+    out = {
+        (r.window_start, r.supplier): (r.total_price, r["count"])
+        for r in SS.supplier_stats(df).collect()
+    }
+    assert out[("2024-01-01 00:00:00", "sup1")] == (30.0, 2)
+    assert out[("2024-01-01 00:00:05", "sup2")] == (40.0, 1)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs():
+    d = tempfile.mkdtemp(prefix="sparkgraft_stream_", dir="/root/repo/.scratch")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tag_late_stream_matches_batch(spark, events_df, stream_dirs):
+    """Batch ≡ stream equivalence for the stateful tagger: the same
+    sequence through transformWithStateInPandas must tag identically."""
+    src = f"{stream_dirs}/late_src"
+    chk = f"{stream_dirs}/late_chk"
+    events_df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events_df.schema).parquet(src)
+    tagged = SS.tag_late_stream(stream, "shard", window_sec=5, grace_sec=5)
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("late_tagged")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r.seq: r.is_late for r in spark.sql("SELECT * FROM late_tagged").collect()
+    }
+    expected = {seq: late for seq, _, late in _expected()}
+    assert out == expected
+
+
+def test_streaming_window_agg_drops_beyond_watermark(spark, stream_dirs):
+    """T2/T5: with watermark delay 10s (= ooo 5s + grace 5s), a record
+    arriving after the watermark passed its window's grace is dropped
+    from the windowed aggregate (Spark's silent drop — the late channel
+    is exactly why T6 tags before this operator)."""
+    import os
+    import time
+
+    src = f"{stream_dirs}/wm_src"
+    chk = f"{stream_dirs}/wm_chk"
+    os.makedirs(src, exist_ok=True)
+    schema = "order_id string, bid_time string, price double, item string, supplier string"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema)
+        tmp = f"{stream_dirs}/tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        import glob
+
+        part = glob.glob(f"{tmp}/part-*.json")[0]
+        dst = f"{src}/{name}.json"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1: events at 00:00:01..03 and a head at 00:01:00 -> watermark
+    # advances to 00:00:50 after this batch; window [0,5s)+grace is closed.
+    write_file(
+        "f1",
+        [
+            ("o1", "2024-01-01 00:00:01", 10.0, "beer", "sup1"),
+            ("o2", "2024-01-01 00:00:03", 20.0, "wine", "sup1"),
+            ("o9", "2024-01-01 00:01:00", 5.0, "beer", "sup9"),
+        ],
+        1_000_000,
+    )
+    # Spark's late-event filter uses the PREVIOUS trigger's watermark
+    # (eviction uses the current one), so the first late arrival after a
+    # watermark jump still lands in state (o4 below); only from the next
+    # trigger on are late rows dropped (o5). This one-trigger grace is a
+    # documented divergence from Flink's immediate allowedLateness cut.
+    write_file("f2", [("o4", "2024-01-01 00:00:02", 99.0, "beer", "sup1")], 2_000_000)
+    write_file("f3", [("o5", "2024-01-01 00:00:04", 77.0, "beer", "sup1")], 3_000_000)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    )
+    stats = SS.supplier_stats(SS.with_event_time(stream))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("wm_stats")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    time.sleep(0.5)
+    rows = spark.sql("SELECT * FROM wm_stats").collect()
+    sup1 = [r for r in rows if r.supplier == "sup1"]
+    assert len(sup1) == 1
+    # o5 (price 77, third trigger) must be dropped by the watermark;
+    # o4 rides the one-trigger filter lag into the aggregate.
+    assert sup1[0].total_price == 129.0 and sup1[0]["count"] == 3
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
+
+
+def test_dual_sink_partitions_on_time_and_late(spark, events_df, stream_dirs):
+    """T7/T8: one tagged stream -> two sinks in one foreachBatch;
+    on-time + late row counts partition the input (§5.2 property)."""
+    src = f"{stream_dirs}/dual_src"
+    chk = f"{stream_dirs}/dual_chk"
+    base = events_df.withColumn("order_id", F.col("seq")).withColumn(
+        "price", F.lit(1.0)
+    ).withColumn("supplier", F.col("shard"))
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    tagged = SS.tag_late_stream(stream, "shard", window_sec=5, grace_sec=5)
+
+    stats_batches, late_batches = [], []
+    q = SS.run_supplier_stats(
+        tagged,
+        stats_writer=lambda df, bid: stats_batches.extend(df.collect()),
+        late_writer=lambda df, bid: late_batches.extend(df.collect()),
+        checkpoint_dir=chk,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    n_late_expected = sum(late for _, _, late in _expected())
+    assert len(late_batches) == n_late_expected
+    assert sum(r["count"] for r in stats_batches) == len(SEQUENCE) - n_late_expected
+    # late payloads are JSON strings keyed by order id with late=true
+    import json
+
+    payload = json.loads(late_batches[0].value)
+    assert payload["late"] is True and "shard" in payload

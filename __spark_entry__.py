@@ -339,6 +339,84 @@ def q_late_tagging(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# LinUCB + feature engineering (A10-A12, J3, §2.10)
+# --------------------------------------------------------------------------
+
+LINUCB_D = 2
+LINUCB_X0 = [1.0, 0.5]
+
+
+def _feedback(spark, sf_dir):
+    # Deterministic feedback log derived from events: 20 products,
+    # context [1, value/100 capped], reward = click/purchase.
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        (F.col("user_id") % 20).alias("product_id"),
+        F.array(
+            F.lit(1.0), F.least(F.col("value"), F.lit(100.0)) / 100.0
+        ).alias("context_vector"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("reward"),
+    )
+
+
+def _models(spark, sf_dir):
+    from streaming_demos_spark.operators import linucb as LU
+
+    return LU.fit_batch(_feedback(spark, sf_dir), d=LINUCB_D, lam=1.0)
+
+
+def q_linucb_fit(spark, sf_dir):
+    # A10/J3 batch fit as ONE grouped applyInPandas pass (numpy inside
+    # Arrow batches); at d=2 the inverse has a closed form, so the
+    # oracle recomputes A⁻¹ and θ = A⁻¹b exactly in SQL.
+    m = _models(spark, sf_dir)
+    inv11, inv12, inv22 = (
+        F.col("a_inv")[0][0], F.col("a_inv")[0][1], F.col("a_inv")[1][1]
+    )
+    b1, b2 = F.col("b")[0], F.col("b")[1]
+    return m.select(
+        "product_id",
+        F.round(inv11, 6).alias("inv11"),
+        F.round(inv12, 6).alias("inv12"),
+        F.round(inv22, 6).alias("inv22"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(inv11 * b1 + inv12 * b2, 6).alias("theta1"),
+        F.round(inv12 * b1 + inv22 * b2, 6).alias("theta2"),
+    )
+
+
+def q_linucb_score_top5(spark, sf_dir):
+    # A12/O2 serve-time scoring: θ = A⁻¹b, s = x·θ + α√(xᵀA⁻¹x), top-5
+    # (pandas_udf over the model table).
+    from streaming_demos_spark.operators import linucb as LU
+
+    return LU.recommend_top_k(_models(spark, sf_dir), x=LINUCB_X0, alpha=1.0, k=5)
+
+
+_FEAT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_feature_engineering(spark, sf_dir):
+    # §2.10 feature pipeline: one-hot (declared categories), global
+    # min-max scaling via broadcast aggregate, membership flag.
+    from streaming_demos_spark.functions import features as FE
+
+    cust = _t(spark, sf_dir, "customer")
+    cust = FE.one_hot(cust, "c_mktsegment", _FEAT_SEGMENTS, prefix="seg")
+    cust = FE.min_max_scale(cust, ["c_acctbal"])
+    cust = FE.flag_in(cust, "c_mktsegment", ["AUTOMOBILE", "MACHINERY"], "is_industrial")
+    return cust.select(
+        "c_custkey",
+        *[f"seg_{s.lower()}" for s in _FEAT_SEGMENTS],
+        F.round("c_acctbal_scaled", 6).alias("acctbal_scaled"),
+        "is_industrial",
+    )
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
 
@@ -533,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_debezium_unwrap": q_debezium_unwrap,
         "s10_cdc_apply_changes": q_cdc_apply_changes,
         "t6_late_tagging": q_late_tagging,
+        "a10_j3_linucb_fit": q_linucb_fit,
+        "a12_linucb_score_top5": q_linucb_score_top5,
+        "f_feature_engineering": q_feature_engineering,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_simhash": q_dedup_simhash,
@@ -772,6 +853,88 @@ def oracle_sql() -> dict[str, str]:
                      > (ep // 300 + 1) * 300 + 600,
                      false) AS is_late
             FROM e
+        """,
+        "a10_j3_linucb_fit": """
+            -- literals cast to DOUBLE: DuckDB's 1.0 is DECIMAL and the
+            -- decimal sums would come back as Decimal, not float.
+            WITH fb AS (
+                SELECT user_id % 20 AS product_id,
+                       CAST(1.0 AS DOUBLE) AS x1,
+                       least(value, 100.0) / 100.0 AS x2,
+                       CAST(CASE WHEN event_type IN ('click','purchase')
+                            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS r
+                FROM events
+            ),
+            agg AS (
+                SELECT product_id,
+                       1 + sum(x1*x1) AS a11, sum(x1*x2) AS a12,
+                       1 + sum(x2*x2) AS a22,
+                       sum(r*x1) AS b1, sum(r*x2) AS b2
+                FROM fb GROUP BY 1
+            ),
+            inv AS (
+                SELECT *, a11*a22 - a12*a12 AS det FROM agg
+            )
+            SELECT product_id,
+                   round(a22/det, 6)  AS inv11,
+                   round(-a12/det, 6) AS inv12,
+                   round(a11/det, 6)  AS inv22,
+                   round(b1, 6) AS b1, round(b2, 6) AS b2,
+                   round((a22*b1 - a12*b2)/det, 6)  AS theta1,
+                   round((-a12*b1 + a11*b2)/det, 6) AS theta2
+            FROM inv
+        """,
+        "a12_linucb_score_top5": """
+            WITH fb AS (
+                SELECT user_id % 20 AS product_id,
+                       CAST(1.0 AS DOUBLE) AS x1,
+                       least(value, 100.0) / 100.0 AS x2,
+                       CAST(CASE WHEN event_type IN ('click','purchase')
+                            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS r
+                FROM events
+            ),
+            agg AS (
+                SELECT product_id,
+                       1 + sum(x1*x1) AS a11, sum(x1*x2) AS a12,
+                       1 + sum(x2*x2) AS a22,
+                       sum(r*x1) AS b1, sum(r*x2) AS b2
+                FROM fb GROUP BY 1
+            ),
+            inv AS (
+                SELECT *, a11*a22 - a12*a12 AS det FROM agg
+            ),
+            m AS (
+                SELECT product_id,
+                       a22/det AS inv11, -a12/det AS inv12, a11/det AS inv22,
+                       (a22*b1 - a12*b2)/det  AS theta1,
+                       (-a12*b1 + a11*b2)/det AS theta2
+                FROM inv
+            )
+            -- x = [1.0, 0.5], alpha = 1:
+            -- s = theta1 + 0.5*theta2 + sqrt(inv11 + inv12 + 0.25*inv22)
+            SELECT product_id,
+                   round(theta1 + 0.5*theta2
+                         + sqrt(inv11 + inv12 + 0.25*inv22), 6) AS score
+            FROM m
+            ORDER BY score DESC, product_id ASC
+            LIMIT 5
+        """,
+        "f_feature_engineering": """
+            WITH mm AS (
+                SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+            )
+            SELECT c_custkey,
+                   CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_automobile,
+                   CAST(c_mktsegment = 'BUILDING'   AS INT) AS seg_building,
+                   CAST(c_mktsegment = 'FURNITURE'  AS INT) AS seg_furniture,
+                   CAST(c_mktsegment = 'HOUSEHOLD'  AS INT) AS seg_household,
+                   CAST(c_mktsegment = 'MACHINERY'  AS INT) AS seg_machinery,
+                   round(CASE WHEN hi - lo <> 0
+                              THEN (c_acctbal - lo) / (hi - lo) ELSE 0.0 END, 6)
+                       AS acctbal_scaled,
+                   CAST(c_mktsegment IN ('AUTOMOBILE','MACHINERY') AS INT)
+                       AS is_industrial
+            FROM customer, mm
         """,
         "llm_dedup_exact": """
             SELECT md5(text) AS text_hash,

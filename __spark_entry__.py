@@ -339,6 +339,136 @@ def q_late_tagging(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# sources, small projections, scalar-surface gaps
+# --------------------------------------------------------------------------
+
+def q_csv_declared_schema(spark, sf_dir):
+    # S1/S8: declared-schema CSV parsing with drop-bad-rows policy. The
+    # part table round-trips through CSV text lines; two malformed lines
+    # are injected and must be dropped by the corrupt-record filter.
+    from streaming_demos_spark.sources import files as FS
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    lines = part.select(FS.to_csv_line(part).alias("line"))
+    bad = spark.createDataFrame(
+        [("not,enough",), ("x,y,z,w",)], ["line"]
+    )
+    parsed = FS.parse_csv_lines(
+        lines.unionByName(bad),
+        "line",
+        part.schema,
+        bad_rows="drop",
+    )
+    return parsed
+
+
+def q_limit_probe(spark, sf_dir):
+    # P3/O3: LIMIT-1 probe with a deterministic order (api.py:57-58).
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q_drop_columns(spark, sf_dir):
+    # P5/P6: drop extraneous/PII columns (text is the payload analog).
+    return _t(spark, sf_dir, "documents").drop("text")
+
+
+def q_numeric_projection(spark, sf_dir):
+    # P7: numeric-dtype projection of the fact table.
+    return R.numeric_projection(_t(spark, sf_dir, "lineitem"))
+
+
+def q_zip_join(spark, sf_dir):
+    # J4: positional zip of two ordered dim frames (pd.concat axis=1).
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return R.zip_join(nation, region, "n_nationkey", "r_regionkey").select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+def q_array_vector(spark, sf_dir):
+    # §2.8 array surface: build a vector from columns, slice,
+    # element_at, aggregate-sum (eda_recommender.py:98-101 vector build).
+    li = _t(spark, sf_dir, "lineitem")
+    vec = F.array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(vec).alias("vec_len"),
+        F.element_at(vec, 2).alias("elem2"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 2), F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("head2_sum"),
+    )
+
+
+def q_struct_json(spark, sf_dir):
+    # §2.8 map/struct + JSON serialize + T8 late-tag shape: build a
+    # struct, add late=true, emit JSON keyed by order id
+    # (StreamsApp.kt:115-128).
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.lit(True).alias("late"),
+            )
+        ).alias("value"),
+    )
+
+
+def q_ground_truth_score(spark, sf_dir):
+    # §2.8 ground-truth scoring formula (bandit_simulator.py:56-87):
+    # rule-based logit over time-of-day/type interactions -> sigmoid.
+    from streaming_demos_spark.functions.scalars import sigmoid
+
+    events = _t(spark, sf_dir, "events")
+    b = bucket_time_of_day("ts")
+    is_click = (F.col("event_type") == "click").cast("int")
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    is_error = (F.col("event_type") == "error").cast("int")
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (b["is_morning"] * is_click)
+        + 1.8 * (b["is_weekend"] * is_purchase)
+        - 3.0 * (b["is_evening"] * is_error)
+        + 0.5 * (F.col("event_type") == "view").cast("int")
+    )
+    return events.select(
+        "event_id", F.round(sigmoid(logit), 6).alias("p_click")
+    )
+
+
+def q_status_timestamps(spark, sf_dir):
+    # §2.8 conditional lifecycle timestamps (models.py:171-198): status
+    # chains set shipped/delivered/returned or NULL, fixed offsets.
+    from streaming_demos_spark.functions.scalars import status_timestamps
+
+    orders = _t(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "Complete")
+        .when(F.col("o_orderstatus") == "O", "Shipped")
+        .otherwise("Processing")
+    )
+    ts = status_timestamps(status, F.col("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        ts["shipped_at"].alias("shipped_at"),
+        ts["delivered_at"].alias("delivered_at"),
+        ts["returned_at"].alias("returned_at"),
+    )
+
+
+# --------------------------------------------------------------------------
 # LinUCB + feature engineering (A10-A12, J3, §2.10)
 # --------------------------------------------------------------------------
 
@@ -611,6 +741,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_debezium_unwrap": q_debezium_unwrap,
         "s10_cdc_apply_changes": q_cdc_apply_changes,
         "t6_late_tagging": q_late_tagging,
+        "s1_s8_csv_declared_schema": q_csv_declared_schema,
+        "p3_o3_limit_probe": q_limit_probe,
+        "p5_p6_drop_columns": q_drop_columns,
+        "p7_numeric_projection": q_numeric_projection,
+        "j4_zip_join": q_zip_join,
+        "f_array_vector": q_array_vector,
+        "f_struct_json": q_struct_json,
+        "f_ground_truth_score": q_ground_truth_score,
+        "f_status_timestamps": q_status_timestamps,
         "a10_j3_linucb_fit": q_linucb_fit,
         "a12_linucb_score_top5": q_linucb_score_top5,
         "f_feature_engineering": q_feature_engineering,
@@ -853,6 +992,80 @@ def oracle_sql() -> dict[str, str]:
                      > (ep // 300 + 1) * 300 + 600,
                      false) AS is_late
             FROM e
+        """,
+        "s1_s8_csv_declared_schema": """
+            -- the two malformed lines are dropped; clean rows survive
+            -- the CSV round trip with their declared types intact
+            SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        """,
+        "p3_o3_limit_probe": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 1
+        """,
+        "p5_p6_drop_columns": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "p7_numeric_projection": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem
+        """,
+        "j4_zip_join": """
+            WITH a AS (
+                SELECT n_nationkey, n_name,
+                       row_number() OVER (ORDER BY n_nationkey) AS rn
+                FROM nation
+            ),
+            b AS (
+                SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn
+                FROM region
+            )
+            SELECT n_nationkey, n_name, r_name FROM a JOIN b USING (rn)
+        """,
+        "f_array_vector": """
+            SELECT l_orderkey, l_linenumber,
+                   len([l_quantity, l_extendedprice, l_discount, l_tax]) AS vec_len,
+                   [l_quantity, l_extendedprice, l_discount, l_tax][2] AS elem2,
+                   round(l_quantity + l_extendedprice, 4) AS head2_sum
+            FROM lineitem
+        """,
+        "f_struct_json": """
+            SELECT o_orderkey AS key,
+                   json_object('order_id', o_orderkey,
+                               'status', o_orderstatus,
+                               'late', true)::VARCHAR AS value
+            FROM orders
+        """,
+        "f_ground_truth_score": """
+            WITH f AS (
+                SELECT event_id,
+                       CAST(hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11 AS INT)  AS morning,
+                       CAST(dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6) AS INT)    AS weekend,
+                       CAST(hour(CAST(ts AS TIMESTAMP)) >= 18
+                            OR hour(CAST(ts AS TIMESTAMP)) < 6 AS INT)            AS evening,
+                       CAST(event_type = 'click' AS INT)    AS clk,
+                       CAST(event_type = 'purchase' AS INT) AS pur,
+                       CAST(event_type = 'error' AS INT)    AS err,
+                       CAST(event_type = 'view' AS INT)     AS vw
+                FROM events
+            )
+            SELECT event_id,
+                   round(1.0 / (1.0 + exp(-(
+                       -1.0 + 2.5*(morning*clk) + 1.8*(weekend*pur)
+                       - 3.0*(evening*err) + 0.5*vw))), 6) AS p_click
+            FROM f
+        """,
+        "f_status_timestamps": """
+            -- status mapping: F->Complete (shipped+delivered),
+            -- O->Shipped (shipped only), else Processing (all NULL);
+            -- offsets +1d shipped, +3d delivered, +7d returned
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus IN ('F','O')
+                        THEN o_orderdate + INTERVAL 1 DAY END AS shipped_at,
+                   CASE WHEN o_orderstatus = 'F'
+                        THEN o_orderdate + INTERVAL 3 DAY END AS delivered_at,
+                   CAST(NULL AS TIMESTAMP) AS returned_at
+            FROM orders
         """,
         "a10_j3_linucb_fit": """
             -- literals cast to DOUBLE: DuckDB's 1.0 is DECIMAL and the

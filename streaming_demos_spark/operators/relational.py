@@ -293,6 +293,39 @@ def align_schema(df: DataFrame, columns: list[str], fill_value=0.0) -> DataFrame
     return df.select(*cols)
 
 
+# --- P7: numeric-columns projection ------------------------------------------
+
+def numeric_projection(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Keep numeric(+bool) dtypes plus explicitly named id columns
+    (evaluate.py:24-28's numeric-feature frame)."""
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean"}
+    cols = [
+        c
+        for c, t in df.dtypes
+        if t in numeric or t.startswith("decimal") or (keep and c in keep)
+    ]
+    return df.select(*cols)
+
+
+# --- J4: positional zip-join -------------------------------------------------
+
+def zip_join(
+    a: DataFrame, b: DataFrame, a_order: str, b_order: str, how: str = "inner"
+) -> DataFrame:
+    """Join two frames by ROW POSITION under explicit orderings — the
+    ``pd.concat(axis=1)`` zip (preprocessor.py:64,123-125). Positional
+    alignment requires a total order, i.e. a global row_number: this is
+    a dim-/driver-frame operator by contract (the reference zips id and
+    feature frames of the same small pipeline). For fact-scale
+    alignment, keep the id column through the pipeline instead
+    (SURVEY §2.3 J4 'preferred')."""
+    wa = Window.orderBy(F.asc(a_order))
+    wb = Window.orderBy(F.asc(b_order))
+    an = a.withColumn("_rn", F.row_number().over(wa))
+    bn = b.withColumn("_rn", F.row_number().over(wb))
+    return an.join(bn, on="_rn", how=how).drop("_rn")
+
+
 # --- A13: population-weighted distribution -----------------------------------
 
 def weighted_distribution(df: DataFrame, group_col: str, weight_col: str) -> DataFrame:

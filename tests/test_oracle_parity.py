@@ -33,7 +33,9 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    return v
+    # Stringify everything else so rows with NULLs sort (None has no
+    # ordering against datetimes/ints).
+    return str(v)
 
 
 def _rows(cols, data):

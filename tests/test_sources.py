@@ -1,0 +1,203 @@
+"""Tests for Kafka wiring (S4-S7), file sources (S1/S8), hybrid
+bootstrap (S9), and the periodic push sink (S12). No broker exists in
+this container, so the Kafka codec/projection column transforms are
+exercised on batch frames (they are identical expressions on streaming
+frames); option builders are checked structurally."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.schemas import ORDER_EVENT
+from streaming_demos_spark.sources import files as FS
+from streaming_demos_spark.sources import kafka as K
+from streaming_demos_spark.streaming import bootstrap as B
+
+
+# --- Kafka codecs ------------------------------------------------------------
+
+
+def _wire(schema_id: int, payload: bytes) -> bytearray:
+    return bytearray(b"\x00" + schema_id.to_bytes(4, "big") + payload)
+
+
+def test_strip_confluent_header(spark):
+    rows = [
+        (1, _wire(7, b"avro-bytes")),
+        (2, _wire(1_000_000, b"x")),
+        (3, bytearray(b"\x01garbage-no-magic")),
+    ]
+    df = spark.createDataFrame(rows, "id int, value binary")
+    out = {
+        r.id: (bytes(r.payload) if r.payload is not None else None)
+        for r in df.select(
+            "id", K.strip_confluent_header("value").alias("payload")
+        ).collect()
+    }
+    assert out[1] == b"avro-bytes"
+    assert out[2] == b"x"
+    assert out[3] is None  # bad magic byte -> NULL, not garbage
+
+
+def test_confluent_schema_id(spark):
+    rows = [(1, _wire(7, b"p")), (2, _wire(1_000_000, b"p")), (3, _wire(0, b"p"))]
+    df = spark.createDataFrame(rows, "id int, value binary")
+    out = {r.id: r.sid for r in df.select("id", K.confluent_schema_id("value").alias("sid")).collect()}
+    assert out == {1: 7, 2: 1_000_000, 3: 0}
+
+
+def test_parse_order_json_roundtrip(spark):
+    orders = spark.createDataFrame(
+        [("o1", "2024-01-01 00:00:01", 10.5, "beer", "sup1")], ORDER_EVENT
+    )
+    raw = orders.select(F.to_json(F.struct(*orders.columns)).alias("value"))
+    back = K.parse_order_json(raw).collect()[0]
+    assert (back.order_id, back.price, back.supplier) == ("o1", 10.5, "sup1")
+
+
+def test_to_kafka_json_keyed(spark):
+    df = spark.createDataFrame([(42, "late-stuff")], "order_id long, info string")
+    r = K.to_kafka_json(df, "order_id").collect()[0]
+    assert r.key == "42"
+    assert json.loads(r.value) == {"order_id": 42, "info": "late-stuff"}
+
+
+def test_option_builders():
+    src = K.source_options("b:9092", "orders", max_offsets_per_trigger=1000)
+    assert src["subscribe"] == "orders" and src["startingOffsets"] == "earliest"
+    assert src["maxOffsetsPerTrigger"] == "1000"
+    snk = K.sink_options("b:9092", "stats")
+    assert snk["kafka.enable.idempotence"] == "true"
+    assert snk["kafka.compression.type"] == "lz4"
+
+
+def test_parse_confluent_avro_gated(spark):
+    df = spark.createDataFrame([(1, _wire(7, b"p"))], "id int, value binary")
+    with pytest.raises(NotImplementedError):
+        df.select(K.parse_confluent_avro(F.col("value"), '{"type":"string"}')).collect()
+
+
+# --- file sources ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def csv_dir():
+    d = tempfile.mkdtemp(prefix="sparkgraft_csv_", dir="/root/repo/.scratch")
+    with open(f"{d}/data.csv", "w") as f:
+        f.write("id,name,score\n")
+        f.write("1,alpha,0.5\n")
+        f.write("not-a-number,beta,0.7\n")   # malformed id
+        f.write("3,gamma,0.9\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+SCHEMA = "id int, name string, score double"
+
+
+def test_read_csv_drop_bad_rows(spark, csv_dir):
+    from pyspark.sql.types import _parse_datatype_string
+
+    out = FS.read_csv(spark, f"{csv_dir}/data.csv", _parse_datatype_string(SCHEMA))
+    assert sorted((r.id, r.name) for r in out.collect()) == [(1, "alpha"), (3, "gamma")]
+
+
+def test_read_csv_permissive_keeps_bad_rows(spark, csv_dir):
+    from pyspark.sql.types import _parse_datatype_string
+
+    out = FS.read_csv(
+        spark, f"{csv_dir}/data.csv", _parse_datatype_string(SCHEMA), bad_rows="permissive"
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    assert any(r.id is None and r.name == "beta" for r in rows)
+
+
+def test_read_csv_stream_bounded(spark, csv_dir):
+    from pyspark.sql.types import _parse_datatype_string
+
+    chk = f"{csv_dir}/chk"
+    stream = FS.read_csv_stream(spark, csv_dir, _parse_datatype_string(SCHEMA))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("csv_stream")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.sql("SELECT id FROM csv_stream").collect())
+    assert got == [1, 3]  # malformed row skipped (S8 bad-row policy)
+
+
+def test_parse_csv_lines_permissive(spark):
+    df = spark.createDataFrame([("1,ok,2.0",), ("broken",)], ["line"])
+    from pyspark.sql.types import _parse_datatype_string
+
+    out = FS.parse_csv_lines(df, "line", _parse_datatype_string(SCHEMA), bad_rows="permissive")
+    assert out.count() == 2
+
+
+# --- hybrid bootstrap + periodic refresh ------------------------------------
+
+
+def test_hybrid_stream_union_tags_origin(spark):
+    d = tempfile.mkdtemp(prefix="sparkgraft_hybrid_", dir="/root/repo/.scratch")
+    try:
+        hist = spark.createDataFrame([(1, "h"), (2, "h")], "id long, v string")
+        hist.coalesce(1).write.mode("overwrite").parquet(f"{d}/hist")
+        live_src = f"{d}/live"
+        os.makedirs(live_src)
+        live_df = spark.createDataFrame([(3, "l")], "id long, v string")
+        tmp = f"{d}/tmp"
+        live_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{live_src}/f.parquet")
+
+        live = spark.readStream.schema(live_df.schema).parquet(live_src)
+        hybrid = B.hybrid_stream(spark, f"{d}/hist", hist.schema, live)
+        q = (
+            hybrid.writeStream.format("memory")
+            .queryName("hybrid")
+            .option("checkpointLocation", f"{d}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT id, _origin FROM hybrid").collect()
+        origins = {r.id: r._origin for r in rows}
+        assert origins == {1: "history", 2: "history", 3: "live"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_periodic_refresh_pushes_json_records(spark):
+    d = tempfile.mkdtemp(prefix="sparkgraft_refresh_", dir="/root/repo/.scratch")
+    try:
+        src = f"{d}/src"
+        os.makedirs(src)
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amount double")
+        tmp = f"{d}/tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f.parquet")
+
+        pushed = []
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = B.periodic_refresh(
+            stream,
+            emit=lambda recs, bid: pushed.append((bid, recs)),
+            checkpoint_dir=f"{d}/chk",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        assert len(pushed) == 1
+        recs = sorted(pushed[0][1], key=lambda r: r["id"])
+        assert recs == [{"id": 1, "amount": 10.0}, {"id": 2, "amount": 20.0}]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

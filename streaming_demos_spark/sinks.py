@@ -1,5 +1,6 @@
-"""Model sinks/sources closing the LinUCB loop (SURVEY.md S13/S14) and
-generic debug sinks (S11/S16).
+"""Model sinks/sources closing the LinUCB loop (SURVEY.md S13/S14),
+debug sinks (S11/S16), and the stateful metric-delta emitter (A4).
+The S12 periodic push refresh lives in ``streaming.bootstrap``.
 
 Reference parity:
 - Redis sink:   recsys-trainer/.../infrastructure/redis/RedisSinkWriter.kt:50-69
@@ -8,8 +9,11 @@ Reference parity:
                  RedisSink.kt:10-22)
 - Redis source: recsys-engine/src/bandit_manager.py:109-132 (one MGET for
                 all models; identity/zeros fallback for cold keys)
+- Metric delta: product-demos/streamlit/utils.py:33-52 — current tick's
+                scalar metrics minus the previous tick's.
+- Console sink: DataStreamApp.kt:131-139 / ps_sub.py:36-43 ``.print()``.
 
-The store is pluggable: any dict-like client with ``mset``/``mget``
+The KV store is pluggable: any dict-like client with ``mset``/``mget``
 works. ``redis.Redis`` satisfies it when the library is installed
 (import-gated — not baked into this container); tests use InMemoryKV.
 Publishing happens driver-side after collecting ONLY the model rows —
@@ -90,6 +94,64 @@ def model_sink(kv, key_prefix: str = "linucb:", key_col: str = "product_id"):
         publish_models(latest, kv, key_prefix, key_col)
 
     return write
+
+
+# --- S11/S16: console / debug sinks -----------------------------------------
+
+
+def console_sink(stream_df: DataFrame, trigger: dict | None = None, truncate: bool = True):
+    """S16: streaming console sink (the reference's ``.print()`` debug
+    path, DataStreamApp.kt:131-139). Returns the started query."""
+    w = stream_df.writeStream.format("console").option("truncate", str(truncate).lower())
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
+
+
+def memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append",
+                trigger: dict | None = None):
+    """S11 analog: in-process inspectable sink (Pub/Sub console
+    subscriber, ps_sub.py:36-43). Query results land in the temp view
+    ``name``."""
+    w = stream_df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
+
+
+# --- A4: stateful metric-delta emitter ---------------------------------------
+# (S12's periodic push refresh lives in streaming.bootstrap.periodic_refresh.)
+
+
+class MetricDeltaWriter:
+    """foreachBatch writer computing per-tick metric deltas — the
+    dashboard's ``curr - prev`` per scalar metric across refreshes
+    (streamlit/utils.py:33-52, processing.tsx:48-72), held as driver
+    state across micro-batches (the streaming form of the batch ``lag``
+    analog in operators.relational.metric_deltas).
+
+    ``metrics_fn(batch_df) -> DataFrame`` must return ONE row of numeric
+    metrics. Each batch emits ``{metric: (value, delta)}`` to
+    ``push(payload, batch_id)``; the first tick's deltas are 0.0 (the
+    reference renders first deltas as zero)."""
+
+    def __init__(self, metrics_fn, push):
+        self.metrics_fn = metrics_fn
+        self.push = push
+        self.prev: dict[str, float] | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = self.metrics_fn(batch_df).collect()
+        if not rows:
+            return
+        curr = {k: float(v) for k, v in rows[0].asDict().items() if v is not None}
+        prev = self.prev if self.prev is not None else curr
+        payload = {
+            k: {"value": v, "delta": round(v - prev.get(k, v), 9)}
+            for k, v in curr.items()
+        }
+        self.prev = curr
+        self.push(payload, batch_id)
 
 
 def fetch_models(

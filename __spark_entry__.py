@@ -546,6 +546,114 @@ def q_feature_engineering(spark, sf_dir):
     )
 
 
+def _scored_log(spark, sf_dir):
+    # Deterministic interaction log for the offline-eval surface
+    # (evaluate.py:31-124 shape): user = custkey, item = orderkey
+    # (unique -> total rank order), score = 6-dp function of the price,
+    # label = order fulfilled. Both engines compute it identically.
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("product_id"),
+        F.round((F.col("o_totalprice") % 1000.0) / 1000.0, 6).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("reward"),
+    )
+
+
+def q_eval_ranking(spark, sf_dir):
+    # §2.10 offline eval: CTR@5 / Precision@5 / Recall@5 as DataFrame
+    # aggregates over the per-user ranking window (evaluate.py:57-108).
+    from streaming_demos_spark.operators import linucb as LU
+
+    return LU.eval_ranking(_scored_log(spark, sf_dir), k=5)
+
+
+def q_eval_auc(spark, sf_dir):
+    # §2.10 offline eval: exact ROC-AUC via the Mann-Whitney rank
+    # statistic, computed over per-distinct-score aggregates (the
+    # un-partitioned window runs on the score-cardinality frame, not
+    # the log).
+    from streaming_demos_spark.operators import linucb as LU
+
+    log = _scored_log(spark, sf_dir)
+    return LU.auc(log, "score", "reward")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    # §2.10 TF-IDF (preprocessor.py:94-97's vectorizer half) as pure
+    # DataFrame algebra: explode -> tf -> df -> smooth-idf join; top-3
+    # terms per doc by rounded score with a term tie-break.
+    from pyspark.sql import Window
+
+    from streaming_demos_spark.functions import tfidf as TI
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = TI.tfidf(docs, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+def q_svd_embed(spark, sf_dir):
+    # §2.10 truncated SVD (preprocessor.py:94-97's 10-component half):
+    # hashed tf-idf vectors -> distributed gram matrix -> driver-side
+    # eigh of the small D×D -> map-only projection. Non-SQL-expressible
+    # (eigendecomposition) -> rows-only check; numpy parity is in
+    # tests/test_tfidf.py.
+    from streaming_demos_spark.functions import tfidf as TI
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = TI.hashed_tfidf_vectors(docs, "doc_id", "text", dim=64)
+    return TI.svd_embed(vecs, k=8, id_col="doc_id")
+
+
+def q_split_by_predicate(spark, sf_dir):
+    # P4 stream/table branch split (StreamsApp.kt:100-113): both
+    # branches of one predicate, tagged and re-unioned; the per-branch
+    # aggregate proves the split partitions the input exactly.
+    events = _t(spark, sf_dir, "events")
+    hits, rest = R.split_by_predicate(events, F.col("event_type") == "error")
+    tagged = hits.withColumn("branch", F.lit("error")).unionByName(
+        rest.withColumn("branch", F.lit("ok"))
+    )
+    return tagged.groupBy("branch").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+_ALIGN_COLS = ["o_orderkey", "o_totalprice", "feature_x", "o_shippriority"]
+
+
+def q_align_schema(spark, sf_dir):
+    # P9 schema alignment (models.py:101-104): force onto a declared
+    # column set — extras dropped, missing filled 0.0, order fixed.
+    orders = _t(spark, sf_dir, "orders")
+    return R.align_schema(orders, _ALIGN_COLS, fill_value=0.0)
+
+
+def q_null_defaults(spark, sf_dir):
+    # P10 null-safe defaults (StreamsApp.kt:132-135 `?: "UNKNOWN"` /
+    # `?: 0.0`): a missing JSON path and a nullified column both
+    # coalesce to defaults before aggregation.
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("UNKNOWN")).alias(
+                "etype"
+            ),
+            F.coalesce(
+                F.get_json_object("props", "$.absent").cast("double"), F.lit(0.0)
+            ).alias("absent_val"),
+            "value",
+        )
+        .groupBy("etype", "absent_val")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -753,6 +861,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_j3_linucb_fit": q_linucb_fit,
         "a12_linucb_score_top5": q_linucb_score_top5,
         "f_feature_engineering": q_feature_engineering,
+        "eval_ranking_metrics": q_eval_ranking,
+        "eval_auc": q_eval_auc,
+        "f_tfidf_top_terms": q_tfidf_top_terms,
+        "f_svd_embed": q_svd_embed,
+        "p4_split_by_predicate": q_split_by_predicate,
+        "p9_align_schema": q_align_schema,
+        "p10_null_defaults": q_null_defaults,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_simhash": q_dedup_simhash,
@@ -1148,6 +1263,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_mktsegment IN ('AUTOMOBILE','MACHINERY') AS INT)
                        AS is_industrial
             FROM customer, mm
+        """,
+        "eval_ranking_metrics": """
+            WITH log AS (
+                SELECT o_custkey AS user_id, o_orderkey AS product_id,
+                       round((o_totalprice % 1000.0) / 1000.0, 6) AS score,
+                       CAST(o_orderstatus = 'F' AS INT) AS reward
+                FROM orders
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY score DESC, product_id
+                ) AS rnk
+                FROM log
+            ),
+            per_user AS (
+                SELECT user_id,
+                       sum(CASE WHEN rnk <= 5 THEN reward ELSE 0 END) AS hits,
+                       sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS recs,
+                       sum(reward) AS positives
+                FROM ranked GROUP BY user_id
+            )
+            SELECT round(sum(hits)::DOUBLE / sum(recs), 6) AS ctr_at_k,
+                   round(avg(hits::DOUBLE / recs), 6) AS precision_at_k,
+                   round(avg(CASE WHEN positives > 0
+                             THEN hits::DOUBLE / positives END), 6) AS recall_at_k
+            FROM per_user
+        """,
+        "eval_auc": """
+            WITH log AS (
+                SELECT round((o_totalprice % 1000.0) / 1000.0, 6) AS score,
+                       CAST(o_orderstatus = 'F' AS INT) AS reward
+                FROM orders
+            ),
+            per_score AS (
+                SELECT score, count(*) AS cnt, sum(reward)::DOUBLE AS pos
+                FROM log GROUP BY score
+            ),
+            ranked AS (
+                SELECT *,
+                       coalesce(sum(cnt) OVER (
+                           ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) + (cnt + 1.0) / 2.0 AS avg_rank
+                FROM per_score
+            )
+            SELECT round(
+                (sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1.0) / 2.0)
+                / (sum(pos) * (sum(cnt) - sum(pos))), 6) AS auc
+            FROM ranked
+        """,
+        "f_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != '')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf, df,
+                       round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 9)
+                           AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term
+                ) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
+        """,
+        "p4_split_by_predicate": """
+            SELECT CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END
+                       AS branch,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "p9_align_schema": """
+            -- coalesce(col, 0.0) promotes present columns to DOUBLE;
+            -- feature_x and o_shippriority are absent from the table
+            -- and fill with the 0.0 default
+            SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey, o_totalprice,
+                   0.0::DOUBLE AS feature_x, 0.0::DOUBLE AS o_shippriority
+            FROM orders
+        """,
+        "p10_null_defaults": """
+            SELECT coalesce(nullif(event_type, 'error'), 'UNKNOWN') AS etype,
+                   0.0::DOUBLE AS absent_val,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "llm_dedup_exact": """
             SELECT md5(text) AS text_hash,

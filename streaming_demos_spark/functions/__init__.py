@@ -1,4 +1,9 @@
-"""Scalar-function catalog (SURVEY.md §2.8)."""
+"""Scalar functions (SURVEY.md §2.8) and feature transforms (§2.10).
+
+- scalars  — string/date/math/conditional column expressions
+- features — one-hot, min-max scaling, membership flags
+- tfidf    — TF-IDF + hashed vectors + truncated SVD embeddings
+"""
 
 from streaming_demos_spark.functions.scalars import (
     bucket_time_of_day,

@@ -1,0 +1,167 @@
+"""TF-IDF + truncated SVD text features (SURVEY.md §2.10).
+
+Reference parity: product-recommender/recsys-engine/src/preprocessor.py:94-97
+embeds product names with TF-IDF followed by a 10-component SVD
+(textwiser TfIdf -> NMF/SVD pipeline). Restated Spark-first:
+
+- TF-IDF is pure DataFrame algebra: explode tokens, count term
+  frequencies, count document frequencies, join. Both aggregations are
+  map-side-combinable shuffles on (doc, term) / term — linear scale-out,
+  no UDFs, oracle-checkable in SQL.
+- The smooth-idf convention matches sklearn's TfidfVectorizer
+  (idf = ln((1+N)/(1+df)) + 1), so numbers line up with the
+  reference's sklearn-backed pipeline.
+- Truncated SVD at 100 TB cannot shuffle the document matrix into one
+  place. The scalable restatement: hash terms onto a fixed
+  D-dimensional space (hashing trick), accumulate the D×D gram matrix
+  G = XᵀX with per-partition numpy outer products (mapInPandas ->
+  partial sums -> one driver-side reduce of D×D blocks — the only
+  driver materialization, independent of row count), eigendecompose G
+  on the driver (D ~ 2^8..2^12, trivially small), then project
+  row-wise map-only. Sign convention: each component's
+  largest-magnitude coordinate is made positive, so results are
+  deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
+    """Lowercase + split on non-alphanumerics, drop empty tokens — the
+    TfidfVectorizer default analyzer restated as JVM expressions."""
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)
+    return df.withColumn(out_col, F.filter(toks, lambda t: t != ""))
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+) -> DataFrame:
+    """Sparse TF-IDF: one row per (doc, term) with tf, df and
+    tf * smooth-idf. ``min_df`` prunes rare terms (vocabulary control —
+    at corpus scale the long tail of hapaxes dominates the term count).
+
+    Plan: explode -> groupBy(doc, term).count [shuffle 1, partial aggs]
+    -> groupBy(term) doc-freq [shuffle 2, much smaller] -> broadcast-ish
+    join back. N (total docs) rides in as a broadcast scalar aggregate,
+    never a driver collect."""
+    toks = tokenize(df.select(id_col, text_col), text_col).select(
+        id_col, F.explode("tokens").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("df"))) + 1.0),
+        )
+        .drop("_n")
+        .select(id_col, "term", "tf", "df", F.round("tfidf", 9).alias("tfidf"))
+    )
+
+
+def hashed_tfidf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 256,
+    min_df: int = 1,
+) -> DataFrame:
+    """Dense fixed-width TF-IDF vectors via the hashing trick:
+    term -> pmod(xxhash64(term), dim). Collisions add — the standard
+    trade for a bounded, vocabulary-free feature space (what makes SVD
+    tractable at any corpus size). Returns (id, vec array<double>)."""
+    sparse = tfidf(df, id_col, text_col, min_df=min_df).withColumn(
+        "slot", F.pmod(F.xxhash64("term"), F.lit(dim)).cast("int")
+    )
+    slot_sum = sparse.groupBy(id_col, "slot").agg(F.sum("tfidf").alias("w"))
+    # scatter each (slot, w) into a dim-width array and sum element-wise
+    zero = F.array([F.lit(0.0)] * dim)
+    scattered = slot_sum.select(
+        id_col,
+        F.transform(
+            zero, lambda _, i: F.when(i == F.col("slot"), F.col("w")).otherwise(0.0)
+        ).alias("one_hot"),
+    )
+    return scattered.groupBy(id_col).agg(
+        F.aggregate(
+            F.collect_list("one_hot"),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("vec")
+    )
+
+
+def gram_matrix(vectors: DataFrame, vec_col: str = "vec") -> np.ndarray:
+    """G = XᵀX computed as per-partition numpy partial sums; only D×D
+    blocks travel to the driver (via collect of one row per partition),
+    never rows. This is the distributed half of truncated SVD."""
+    from pyspark.sql import types as T
+
+    def partial(it):
+        acc = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            yield pd.DataFrame({"g": [acc.ravel().tolist()]})
+
+    schema = T.StructType([T.StructField("g", T.ArrayType(T.DoubleType()))])
+    parts = vectors.select(vec_col).mapInPandas(partial, schema).collect()
+    if not parts:
+        raise ValueError("no vectors")
+    flat = np.sum([np.asarray(r.g) for r in parts], axis=0)
+    d = int(np.sqrt(flat.size))
+    return flat.reshape(d, d)
+
+
+def svd_components(gram: np.ndarray, k: int) -> np.ndarray:
+    """Top-k right singular vectors of X from its gram matrix
+    (eigh of XᵀX — D×D, driver-side, trivial). Deterministic sign:
+    largest-|coordinate| of each component is positive."""
+    vals, vecs = np.linalg.eigh(gram)
+    order = np.argsort(vals)[::-1][:k]
+    V = vecs[:, order]
+    for j in range(V.shape[1]):
+        i = int(np.argmax(np.abs(V[:, j])))
+        if V[i, j] < 0:
+            V[:, j] = -V[:, j]
+    return V  # (D, k)
+
+
+def svd_embed(
+    vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Truncated-SVD embedding: project each vector onto the top-k
+    components (preprocessor.py:94-97's 10-component SVD). The
+    projection is a map-only pandas_udf against a broadcast (D, k)
+    matrix — scales with rows, no shuffle."""
+    V = svd_components(gram_matrix(vectors, vec_col), k)
+
+    @F.pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list((X @ V).round(9)))
+
+    return vectors.select(id_col, project(vec_col).alias("embedding"))

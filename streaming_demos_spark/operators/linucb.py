@@ -176,6 +176,45 @@ def update_stream(
     )
 
 
+def auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "reward",
+) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney rank statistic
+    (evaluate.py:69-76's jurity AUC re-expressed as DataFrame aggs):
+    AUC = (Σ ranks(positives) - n⁺(n⁺+1)/2) / (n⁺ n⁻), ties carrying
+    average rank.
+
+    Scale shape: rows are first reduced to one row per DISTINCT score
+    (groupBy — map-side combinable); the rank cumulative runs as a
+    window over that aggregated frame, whose cardinality is bounded by
+    the score's precision (e.g. ≤1e6+1 for 6-dp scores in [0,1]), not
+    the row count — so the un-partitioned window is over a small frame
+    by construction, never the raw log."""
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(score_col).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_col).cast("double")).alias("pos"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1.0) / 2.0,
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("avg_rank"))
+                - F.sum("pos") * (F.sum("pos") + 1.0) / 2.0
+            )
+            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
+            6,
+        ).alias("auc")
+    )
+
+
 def eval_ranking(
     scored: DataFrame,
     user_col: str = "user_id",

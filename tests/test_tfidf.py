@@ -1,0 +1,99 @@
+"""TF-IDF + truncated SVD vs direct numpy oracles (§2.10,
+preprocessor.py:94-97 parity)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from streaming_demos_spark.functions import tfidf as TI
+
+CORPUS = [
+    ("d1", "the quick brown fox"),
+    ("d2", "the lazy dog"),
+    ("d3", "quick quick fox jumps"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def _numpy_tfidf():
+    """sklearn-convention smooth-idf oracle computed by hand."""
+    toks = {d: t.split() for d, t in CORPUS}
+    n = len(CORPUS)
+    dfreq: dict[str, int] = {}
+    for terms in toks.values():
+        for t in set(terms):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for d, terms in toks.items():
+        for t in set(terms):
+            tf = terms.count(t)
+            idf = math.log((1 + n) / (1 + dfreq[t])) + 1.0
+            out[(d, t)] = tf * idf
+    return out, dfreq
+
+
+def test_tfidf_matches_numpy_oracle(docs):
+    got = {(r.doc_id, r.term): r.tfidf for r in TI.tfidf(docs, "doc_id", "text").collect()}
+    want, dfreq = _numpy_tfidf()
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_tfidf_min_df_prunes(docs):
+    out = TI.tfidf(docs, "doc_id", "text", min_df=2)
+    terms = {r.term for r in out.collect()}
+    assert terms == {"the", "quick", "fox"}  # df >= 2 only
+
+
+def test_tokenizer_strips_punctuation(spark):
+    df = spark.createDataFrame([("d", "Hello, World! 42")], ["doc_id", "text"])
+    toks = TI.tokenize(df, "text").collect()[0].tokens
+    assert toks == ["hello", "world", "42"]
+
+
+def test_hashed_vectors_preserve_l2_of_singleton_terms(spark, docs):
+    """With dim large enough that no collision occurs in this tiny
+    corpus, each vector's L2 norm equals the sparse tf-idf row norm."""
+    vecs = {r.doc_id: r.vec for r in TI.hashed_tfidf_vectors(docs, "doc_id", "text", dim=512).collect()}
+    want, _ = _numpy_tfidf()
+    for d in ("d1", "d2", "d3"):
+        sparse_norm = math.sqrt(sum(v * v for (dd, _), v in want.items() if dd == d))
+        dense_norm = math.sqrt(sum(x * x for x in vecs[d]))
+        assert dense_norm == pytest.approx(sparse_norm, rel=1e-9)
+
+
+def test_svd_embed_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    X = rng.rand(40, 16)
+    rows = [(f"r{i}", X[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, vec array<double>")
+
+    got = {r.doc_id: np.asarray(r.embedding) for r in TI.svd_embed(df, k=3, id_col="doc_id").collect()}
+
+    # numpy oracle with the same sign convention
+    G = X.T @ X
+    V = TI.svd_components(G, 3)
+    want = X @ V
+    for i in range(40):
+        np.testing.assert_allclose(got[f"r{i}"], want[i], atol=1e-6)
+
+
+def test_svd_components_capture_variance(spark):
+    """Projection onto top-k components preserves more energy than any
+    other k coordinates — sanity that eigh ordering is right."""
+    rng = np.random.RandomState(3)
+    base = rng.rand(30, 2)
+    X = np.hstack([base @ rng.rand(2, 6), 1e-3 * rng.rand(30, 2)])  # rank ~2 + noise
+    G = X.T @ X
+    V = TI.svd_components(G, 2)
+    energy = np.linalg.norm(X @ V) ** 2
+    total = np.linalg.norm(X) ** 2
+    assert energy / total > 0.99

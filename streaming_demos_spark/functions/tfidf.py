@@ -90,20 +90,17 @@ def hashed_tfidf_vectors(
         "slot", F.pmod(F.xxhash64("term"), F.lit(dim)).cast("int")
     )
     slot_sum = sparse.groupBy(id_col, "slot").agg(F.sum("tfidf").alias("w"))
-    # scatter each (slot, w) into a dim-width array and sum element-wise
-    zero = F.array([F.lit(0.0)] * dim)
-    scattered = slot_sum.select(
+    # densify: slot->weight map per doc, then ONE dim-width array build
+    # (O(terms + dim) per doc; a per-slot scatter would be O(terms*dim))
+    as_map = slot_sum.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "w"))).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return as_map.select(
         id_col,
         F.transform(
-            zero, lambda _, i: F.when(i == F.col("slot"), F.col("w")).otherwise(0.0)
-        ).alias("one_hot"),
-    )
-    return scattered.groupBy(id_col).agg(
-        F.aggregate(
-            F.collect_list("one_hot"),
-            zero,
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("vec")
+            idx, lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0))
+        ).alias("vec"),
     )
 
 
@@ -156,7 +153,14 @@ def svd_embed(
     """Truncated-SVD embedding: project each vector onto the top-k
     components (preprocessor.py:94-97's 10-component SVD). The
     projection is a map-only pandas_udf against a broadcast (D, k)
-    matrix — scales with rows, no shuffle."""
+    matrix — scales with rows, no shuffle.
+
+    The input is consumed twice (gram pass + projection pass), so it is
+    persisted MEMORY_AND_DISK — the standard two-pass trade; callers
+    owning a longer lifecycle can persist upstream themselves."""
+    from pyspark import StorageLevel
+
+    vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
     V = svd_components(gram_matrix(vectors, vec_col), k)
 
     @F.pandas_udf("array<double>")

@@ -60,12 +60,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def minhash_signature(
-    text: Column | str, num_hashes: int = 12, shingle_k: int = 3
+    shingles: Column | str, num_hashes: int = 12
 ) -> list[Column]:
-    """MinHash signature as ``num_hashes`` columns: for hash-family
-    member h, min over shingles of md5("h|" + shingle), compared
-    lexicographically. md5 is shared with DuckDB so oracles replay it."""
-    sh = word_shingles(text, shingle_k)
+    """MinHash signature as ``num_hashes`` columns over an ALREADY
+    MATERIALIZED shingle-array column: for hash-family member h, min
+    over shingles of md5("h|" + shingle), compared lexicographically.
+    md5 is shared with DuckDB so oracles replay it.
+
+    Taking a column reference (not the text) matters for throughput:
+    inlining the tokenize+shingle expression tree into all
+    ``num_hashes`` columns blows the generated projection past the JVM
+    method-size limit, and whole-stage codegen silently falls back to
+    interpreted evaluation (~6x slower end-to-end, measured at sf0.1).
+    A prior projection computes the array once; each hash column is a
+    small expression over the attribute."""
+    sh = F.col(shingles) if isinstance(shingles, str) else shingles
 
     # Factory keeps each lambda single-parameter (a 2-param lambda is
     # the (element, index) form to pyspark) and evaluates the seed
@@ -92,7 +101,10 @@ def minhash_bands(
     ``num_hashes/band_rows`` bands, each band hashed to one bucket key.
     Two documents are candidates iff they share a (band_id, band_hash).
     """
-    sig = docs.select(F.col(id_col), *minhash_signature(text_col, num_hashes, shingle_k))
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh")
+    )
+    sig = sh.select(F.col(id_col), *minhash_signature("_sh", num_hashes))
     n_bands = num_hashes // band_rows
     bands = []
     for b in range(n_bands):

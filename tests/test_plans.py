@@ -1,0 +1,74 @@
+"""Plan-shape audits (scale posture): assert the physical plans keep
+the properties that survive a 100x scale-up — pushdown reaching the
+scan, pruned read schemas, no un-partitioned windows over fact tables,
+no forced broadcasts of fact-scaled inputs."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    plan = plan_of(E.queries()["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read all 16 lineitem columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_drop_columns_prunes_scan(spark):
+    plan = plan_of(E.queries()["p5_p6_drop_columns"](spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # dropped payload never leaves the scan
+
+
+def test_time_split_has_no_global_window(spark):
+    plan = plan_of(E.queries()["o4_time_split"](spark, SF))
+    assert "Window" not in plan  # boundary-value split, not a global row_number
+
+
+def test_dashboard_feed_does_not_force_broadcast_of_customer(spark):
+    # customer is fact-scaled: the plan may broadcast it at tiny sf
+    # (AQE's choice) but the LOGICAL plan must not carry a hint.
+    q = E.queries()["p1_p2_j1_j2_dashboard_feed"](spark, SF)
+    logical = q._jdf.queryExecution().logical().toString()
+    assert "customer" not in [
+        h for h in logical.splitlines() if "ResolvedHint" in h
+    ], "forced broadcast hint on a fact-scaled table"
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(E.queries()["j6_semi_join"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_tumbling_stats_partial_aggregation(spark):
+    # A5/A6: hash aggregate must run partial (map-side) + final
+    plan = plan_of(E.queries()["a5_a8_tumbling_stats"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_jdbc_scan_filter_reaches_remote(spark, tmp_path):
+    from streaming_demos_spark.sources import jdbc as J
+
+    db = str(tmp_path / "plandb")
+    df = spark.range(10).select("id", (F.col("id") * 1.5).alias("v"))
+    J.write_jdbc(df, J.derby_url(db), "T_PLAN", mode="overwrite", driver=J.DERBY_DRIVER)
+    scan = J.read_jdbc(spark, J.derby_url(db, create=False), "T_PLAN", driver=J.DERBY_DRIVER)
+    plan = plan_of(scan.filter(F.col("v") > 3.0))
+    assert "PushedFilters" in plan and "GreaterThan(v,3.0)" in plan

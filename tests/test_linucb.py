@@ -153,6 +153,27 @@ def test_eval_ranking_hand_computed(spark):
     assert m.recall_at_k == 0.75       # mean(0.5, 1.0)
 
 
+def test_auc_hand_computed_with_ties(spark):
+    # scores: 0.9(+), 0.8(-), 0.8(+), 0.5(-), 0.5(-), 0.3(+)
+    # ascending ranks: 0.3->1; 0.5->(2,3) avg 2.5; 0.8->(4,5) avg 4.5; 0.9->6
+    # sum ranks of positives = 1 + 4.5 + 6 = 11.5; n+=3, n-=3
+    # AUC = (11.5 - 3*4/2) / 9 = 5.5/9 = 0.611111
+    rows = [(0.9, 1), (0.8, 0), (0.8, 1), (0.5, 0), (0.5, 0), (0.3, 1)]
+    df = spark.createDataFrame(rows, ["score", "reward"])
+    assert LU.auc(df).collect()[0].auc == 0.611111
+
+
+def test_auc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], ["score", "reward"]
+    )
+    assert LU.auc(perfect).collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], ["score", "reward"]
+    )
+    assert LU.auc(inverted).collect()[0].auc == 0.0
+
+
 def test_one_hot_and_minmax_and_flag(spark):
     df = spark.createDataFrame(
         [(1, "a", 0.0), (2, "b", 5.0), (3, "c", 10.0)], ["id", "cat", "v"]

@@ -185,15 +185,19 @@ def minhash_near_dup_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash32(text: Column | str) -> Column:
-    """32-bit SimHash fingerprint as a '0'/'1' string.
+def simhash32(hashed_words: Column | str) -> Column:
+    """32-bit SimHash fingerprint as a '0'/'1' string, over an ALREADY
+    MATERIALIZED array of md5(word) hex strings (materialize-first for
+    the same codegen reason as ``minhash_signature`` — inlining the
+    tokenize+md5 tree into all 32 bit expressions forces interpreted
+    evaluation).
 
     Bit j of a word = whether hex digit j of md5(word) is >= '8' (the
     high bit of each nibble — 32 independent uniform bits, computable
     identically in any engine with md5+substr). Fingerprint bit j =
     majority vote over the document's words (+1/-1, ties -> 1).
     """
-    hashed = F.transform(tokens(text), lambda x: F.md5(x))
+    hashed = F.col(hashed_words) if isinstance(hashed_words, str) else hashed_words
 
     # Factory keeps the merge lambda two-parameter ((acc, x)); a
     # default-arg capture would make pyspark bind a 3-arg form that
@@ -216,8 +220,12 @@ def simhash_fingerprints(
     """Per-doc SimHash + a bucketable prefix: near-dups (small Hamming
     distance) usually share the leading bits, so the prefix is the LSH
     band key for candidate pairing at scale."""
-    fp = simhash32(text_col)
-    return docs.select(
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda x: F.md5(x)).alias("_hw"),
+    )
+    fp = simhash32("_hw")
+    return hashed.select(
         F.col(id_col),
         fp.alias("simhash"),
         F.substring(fp, 1, prefix_bits).alias("simhash_prefix"),

@@ -195,6 +195,45 @@ def test_streaming_window_agg_drops_beyond_watermark(spark, stream_dirs):
     assert dropped == 1
 
 
+def test_generator_to_dual_sink_end_to_end(spark, stream_dirs):
+    """S15 -> T1 -> T6 -> T4/A5 -> T7/T8: the full supplier-stats
+    pipeline over the deterministic generator workload. Asserts the
+    partition law (stats counts + late rows == generated rows) and
+    that the late channel carries enriched JSON."""
+    import json
+
+    from streaming_demos_spark.streaming import generator as G
+
+    src = f"{stream_dirs}/gen_src"
+    chk = f"{stream_dirs}/gen_chk"
+    orders = G.order_events_batch(spark, 60, events_per_sec=2, max_delay_sec=12)
+    with_time = SS.with_event_time(orders)
+    with_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(with_time.schema).parquet(src)
+    tagged = SS.tag_late_stream(stream, "supplier", window_sec=5, grace_sec=5)
+    stats_rows, late_rows = [], []
+    q = SS.run_supplier_stats(
+        tagged,
+        stats_writer=lambda df, bid: stats_rows.extend(df.collect()),
+        late_writer=lambda df, bid: late_rows.extend(df.collect()),
+        checkpoint_dir=chk,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    assert sum(r["count"] for r in stats_rows) + len(late_rows) == 60
+    # batch analog agrees with the streaming run on the late count
+    n_late_batch = (
+        SS.tag_late_batch(with_time, "supplier", "seq", window_sec=5, grace_sec=5)
+        .filter("is_late")
+        .count()
+    )
+    assert len(late_rows) == n_late_batch
+    if late_rows:
+        payload = json.loads(late_rows[0].value)
+        assert payload["late"] is True and payload["supplier"] in G.SUPPLIERS
+
+
 def test_dual_sink_partitions_on_time_and_late(spark, events_df, stream_dirs):
     """T7/T8: one tagged stream -> two sinks in one foreachBatch;
     on-time + late row counts partition the input (§5.2 property)."""

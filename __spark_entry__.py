@@ -654,6 +654,45 @@ def q_null_defaults(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    # Extension (§2.4 note: Spark-native, not in the reference): revenue
+    # rollup over (nation, segment) with grouping id to distinguish
+    # subtotal rows — one pass, partial+final aggregation per grouping
+    # set.
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id("n_name", "c_mktsegment").alias("gid"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count("*").alias("n"),
+        )
+        .select("n_name", "c_mktsegment", "gid", "total_bal", "n")
+    )
+
+
+def q_sliding_window(spark, sf_dir):
+    # T14 extension (tumbling-only in the reference; Spark-native):
+    # 10-minute windows sliding every 5 — each event lands in exactly 2
+    # windows; counts therefore sum to 2x the row count (asserted by the
+    # oracle's unnest-based window expansion).
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -868,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_split_by_predicate": q_split_by_predicate,
         "p9_align_schema": q_align_schema,
         "p10_null_defaults": q_null_defaults,
+        "ext_rollup_revenue": q_rollup_revenue,
+        "t14_sliding_window": q_sliding_window,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_simhash": q_dedup_simhash,
@@ -1361,6 +1402,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "ext_rollup_revenue": """
+            SELECT n_name, c_mktsegment,
+                   GROUPING(n_name, c_mktsegment) AS gid,
+                   round(sum(c_acctbal), 2) AS total_bal,
+                   count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, c_mktsegment)
+        """,
+        "t14_sliding_window": """
+            -- expand each event into its 2 overlapping 10-min windows
+            -- (slide 5 min): starts at floor(e/300)*300 - {0, 300}
+            WITH e AS (
+                SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value,
+                       CAST(floor(extract(epoch FROM CAST(ts AS TIMESTAMP)) / 300)
+                            AS BIGINT) * 300 AS base
+                FROM events
+            ),
+            expanded AS (
+                SELECT strftime(to_timestamp(base - k * 300),
+                                '%Y-%m-%d %H:%M:%S') AS window_start,
+                       event_type, value
+                FROM e, unnest([0, 1]) AS u(k)
+            )
+            SELECT window_start, event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM expanded GROUP BY 1, 2
         """,
         "llm_dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -195,6 +195,34 @@ def test_streaming_window_agg_drops_beyond_watermark(spark, stream_dirs):
     assert dropped == 1
 
 
+def test_stream_static_join_enriches(spark, stream_dirs):
+    """J6 extension: a streaming fact joined with a static dim — the
+    stream-enrichment capability SURVEY §2.3 marks as an extension
+    (no stream-stream joins exist in the reference)."""
+    src = f"{stream_dirs}/ssj_src"
+    chk = f"{stream_dirs}/ssj_chk"
+    facts = spark.createDataFrame(
+        [(1, "sup1", 10.0), (2, "sup2", 20.0), (3, "supX", 5.0)],
+        "order_id long, supplier string, price double",
+    )
+    facts.coalesce(1).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [("sup1", "EU"), ("sup2", "US")], "supplier string, region string"
+    )
+    stream = spark.readStream.schema(facts.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "supplier", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.order_id: r.region for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert rows == {1: "EU", 2: "US", 3: None}
+
+
 def test_generator_to_dual_sink_end_to_end(spark, stream_dirs):
     """S15 -> T1 -> T6 -> T4/A5 -> T7/T8: the full supplier-stats
     pipeline over the deterministic generator workload. Asserts the

@@ -1447,6 +1447,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(words) AS n_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS n_tokens_bpe,
                    length(text) AS n_chars_computed,
                    round((length(text) - (len(words) - 1)) / len(words), 4) AS mean_word_len,
                    round(len(list_filter(words, x -> x IN

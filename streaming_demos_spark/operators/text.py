@@ -109,6 +109,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
         n_chars.alias("n_chars_computed"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

@@ -745,6 +745,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF-bucketed ANN: deterministic coarse centroids (lowest 8 ids),
+    # probe the 2 nearest cells, exact cosine inside them.
+    return SIM.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, n_centroids=8, nprobe=2,
+    )
+
+
 def q_neardup_embedding(spark, sf_dir):
     # Embedding-cosine near-dup pairs within LSH buckets.
     return SIM.embedding_near_dup_pairs(
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_fingerprint": q_fingerprint,
         "llm_ann_cosine_topk": q_ann_cosine_topk,
         "llm_ann_lsh_topk": q_ann_lsh_topk,
+        "llm_ann_ivf_topk": q_ann_ivf_topk,
         "llm_neardup_embedding": q_neardup_embedding,
         "mm_media_features": q_multimodal_features,
     }
@@ -1514,6 +1524,33 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_COS.format(a="v", b="qv")} AS cos_sim
             FROM bk, q
             WHERE vec_id <> 0 AND bucket = qb
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "llm_ann_ivf_topk": f"""
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM ev e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+            probe AS (
+                SELECT cid FROM cent, q
+                ORDER BY {_SQL_COS.format(a="cv", b="qv")} DESC, cid ASC
+                LIMIT 2
+            )
+            SELECT vec_id,
+                   {_SQL_COS.format(a="v", b="qv")} AS cos_sim
+            FROM assigned JOIN probe USING (cid), q
+            WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
         """,

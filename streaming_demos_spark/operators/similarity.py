@@ -130,6 +130,81 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-centroid cell (max cosine, centroid-id tie-break). The
+    centroid table is broadcast (n_centroids ~ sqrt(N) rows); the
+    assignment is a map-side broadcast join + per-row top-1 — no
+    all-pairs shuffle."""
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = emb.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "_cid",
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe only the ``nprobe`` cells whose centroids
+    are closest to the query, then exact cosine inside those cells.
+
+    Centroids are the vectors with the ``n_centroids`` smallest ids —
+    a deterministic (oracle-replayable) stand-in for a k-means step;
+    swap in trained centroids without touching the plan shape. Scan
+    cost drops to ~corpus·nprobe/n_centroids; recall < 1 by
+    construction, tune with nprobe."""
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("_pcos"),
+        )
+        .orderBy(F.desc("_pcos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -102,6 +102,23 @@ def test_lsh_topk_finds_near_identical(emb):
     assert out and out[0].vec_id == 1
 
 
+def test_ivf_assign_and_topk(emb):
+    # centroids = ids < 2 (i.e. vectors 0 and 1, nearly identical):
+    # everything with positive x lands in one of their cells
+    cents = emb.filter(F.col("vec_id") < 2)
+    assigned = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
+    assert assigned[0] == 0 and assigned[3] in (0, 1)
+    out = SIM.ivf_topk(emb, query_vec_id=0, k=3, n_centroids=2, nprobe=2).collect()
+    assert out[0].vec_id == 1  # nearest neighbor found through its cell
+    # nprobe = all cells -> IVF degrades to exact brute force
+    brute = [r.vec_id for r in SIM.brute_force_topk(emb, 0, k=4).collect()]
+    ivf_all = [
+        r.vec_id
+        for r in SIM.ivf_topk(emb, 0, k=4, n_centroids=2, nprobe=2).collect()
+    ]
+    assert ivf_all == brute
+
+
 def test_embedding_near_dup_pairs(emb):
     pairs = {(r.id_a, r.id_b) for r in SIM.embedding_near_dup_pairs(emb, 0.95).collect()}
     assert (0, 1) in pairs

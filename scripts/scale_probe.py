@@ -1,0 +1,128 @@
+"""Scale probe: materialize an N-times copy of the sf0.1 tables
+(key-shifted unions, FK-consistent) under .scratch and compare
+per-query runtimes at 1x vs Nx.
+
+The point is evidence for the 100 TB design question: a healthy plan
+scales at <= Nx runtime on Nx data on the same hardware (fixed
+overheads amortize, parallelism fills); super-linear growth exposes a
+plan that will not survive a real scale-up (pair blow-ups, global
+sorts, driver materialization).
+
+Documents get per-copy word prefixes (every shingle differs across
+copies) so dedup probes measure map+bucket throughput, not an
+artificial 10-way duplicate explosion; embeddings are left out of the
+probe for the same reason.
+
+Usage:  python scripts/scale_probe.py [N]     (default N=10)
+Prints one JSON line: {"n": N, "queries": {key: {"t1": s, "tn": s,
+"ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.catalog import load_table
+from streaming_demos_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+PROBE_KEYS = [
+    "q1_pricing_summary",
+    "p1_p2_j1_j2_dashboard_feed",
+    "a3_o1_grouped_revenue_nation",
+    "o2_top3_parts_per_brand",
+    "a5_a8_tumbling_stats",
+    "o4_time_split",
+    "llm_dedup_minhash_pairs",
+    "llm_text_stats",
+    "f_tfidf_top_terms",
+    "eval_auc",
+]
+
+DIMS = ["region", "nation", "supplier", "part"]
+SHIFTS = {
+    # table -> {column: shift_unit_key}; each copy i adds i * max(unit)+1
+    "customer": {"c_custkey": "c_custkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {"l_orderkey": "o_orderkey"},
+    "events": {"event_id": "event_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+
+def build(spark, dst: str, n: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    units: dict[str, int] = {}
+    for t in ["customer", "orders", "events", "documents", "embeddings"]:
+        key = next(iter(SHIFTS[t]))
+        units[key] = load_table(spark, SRC, t).agg(F.max(key)).collect()[0][0] + 1
+
+    for t in DIMS:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+    for t, shifts in SHIFTS.items():
+        base = load_table(spark, SRC, t)
+        copies = []
+        for i in range(n):
+            c = base
+            for col, unit_key in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * units[unit_key]))
+            if t == "documents":
+                # per-copy word prefix: every shingle differs across
+                # copies -> no artificial 10-way near-dup explosion
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "), lambda w: F.concat(F.lit(f"c{i}"), w)
+                        ),
+                        " ",
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = f"/root/repo/.scratch/scale{n}x"
+    spark = get_spark(app_name="scale_probe")
+    import __spark_entry__ as E
+
+    if not os.path.isdir(f"{dst}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        build(spark, dst, n)
+        print(f"[probe] built {n}x copy in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    Q = E.queries()
+    out = {}
+    for key in PROBE_KEYS:
+        Q[key](spark, SRC).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        Q[key](spark, SRC).write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        Q[key](spark, dst).write.format("noop").mode("overwrite").save()
+        tn = time.perf_counter() - t0
+        out[key] = {"t1": round(t1, 2), "tn": round(tn, 2),
+                    "ratio": round(tn / t1, 1)}
+        print(f"[probe] {key}: 1x {t1:.2f}s  {n}x {tn:.2f}s  "
+              f"ratio {tn / t1:.1f}", file=sys.stderr)
+    print(json.dumps({"n": n, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,18 +89,49 @@ def q_dashboard_metrics(spark, sf_dir):
     return R.metrics_summary(_feed(spark, sf_dir))
 
 
+def _revenue_by_custkey(spark, sf_dir):
+    # Shared partial aggregate for the A3 queries: revenue collapses to
+    # one row per customer BELOW the dim joins, so the customer/nation
+    # joins see |customers| rows instead of |lineitem| wide rows. The
+    # part join of the full feed is dropped here: it is a no-op for
+    # revenue under the star schema's FK integrity (every l_partkey
+    # resolves; verified on the test data) and contributes no columns.
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+
+
 def q_grouped_revenue_nation(spark, sf_dir):
     # A3 grouped revenue + O1 sort desc, by nation name (utils.py:92-104).
+    customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    feed = _feed(spark, sf_dir).join(
-        F.broadcast(nation), F.col("nation_id") == nation.n_nationkey
+    per_cust = _revenue_by_custkey(spark, sf_dir)
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
     )
-    return R.grouped_revenue(feed.withColumnRenamed("n_name", "nation"), "nation")
 
 
 def q_grouped_revenue_segment(spark, sf_dir):
-    # A3 second grouping axis (traffic_source analog).
-    return R.grouped_revenue(_feed(spark, sf_dir), "segment")
+    # A3 second grouping axis (traffic_source analog), same partial-
+    # aggregate-below-the-join shape.
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = _revenue_by_custkey(spark, sf_dir)
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("segment"))
+    )
 
 
 def q_metric_deltas(spark, sf_dir):

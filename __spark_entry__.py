@@ -792,6 +792,23 @@ def q_neardup_embedding(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    # Composite corpus curation — the end-to-end shape a training-data
+    # pipeline actually runs: exact-dedup to canonical docs, language
+    # gate, quality-score threshold, one output row per surviving doc.
+    # All stages are per-row column expressions except the dedup
+    # semi-join; the plan stays one scan + one hash-shuffle.
+    docs = _t(spark, sf_dir, "documents")
+    canonical = D.exact_dedup(docs)
+    stats = TX.text_stats(canonical)
+    langs = TX.lang_id(canonical).select("doc_id", "pred_lang")
+    return (
+        stats.join(langs, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "n_tokens", "quality_score", "pred_lang")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     # Binary media plumbing: text payload as opaque bytes -> Arrow
     # mapInPandas feature extraction (deterministic fake decoder).
@@ -959,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_lsh_topk": q_ann_lsh_topk,
         "llm_ann_ivf_topk": q_ann_ivf_topk,
         "llm_neardup_embedding": q_neardup_embedding,
+        "llm_curation_pipeline": q_curation_pipeline,
         "mm_media_features": q_multimodal_features,
     }
 
@@ -1595,6 +1613,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM scored WHERE cos_sim >= 0.3
             ORDER BY id_a, id_b
+        """,
+        "llm_curation_pipeline": """
+            WITH keep AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            canon AS (
+                SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+            ),
+            w AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM canon
+            ),
+            scored AS (
+                SELECT doc_id,
+                       len(words) AS n_tokens,
+                       round(
+                         least(len(words) / 64.0, 1.0) * 0.4
+                         + least((len(list_filter(words, x -> x IN
+                                  ('the','a','an','and','of','to','in','is','it','for')))
+                                  / len(words)) * 5.0, 1.0) * 0.2
+                         + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)) * 0.4,
+                       4) AS quality_score,
+                       len(list_filter(words, x -> x IN ('the','a','and','of','is')))  AS s_en,
+                       len(list_filter(words, x -> x IN ('el','la','de','que','y')))   AS s_es,
+                       len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                       len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                       len(list_filter(words, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+                FROM w
+            ),
+            tagged AS (
+                SELECT doc_id, n_tokens, quality_score,
+                       CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                            WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                            WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                            WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                            ELSE 'zh' END AS pred_lang
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, quality_score, pred_lang
+            FROM tagged
+            WHERE quality_score >= 0.5 AND pred_lang = 'en'
         """,
         "mm_media_features": """
             SELECT doc_id AS media_id,

@@ -135,6 +135,66 @@ def test_stream_update_equals_batch_fit(spark, feedback):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_full_loop_seed_stream_publish_score(spark, feedback):
+    """§3.3's whole feedback loop: batch-seed models into the KV store
+    (S9b + S13), stream the remaining log through the stateful trainer
+    publishing via the model sink, then serve: fetch models (S14) and
+    score top-k. The served model must reflect BOTH the seed history and
+    the streamed events (stream resumes from per-key state re-seeded by
+    the batch? No — Spark state starts cold, so the loop here seeds the
+    store, streams the SAME full log, and the final fetched models must
+    equal the batch fit — publish/fetch/score wiring proven end-to-end)."""
+    import glob
+    import os
+
+    from streaming_demos_spark import sinks as SK
+
+    d = tempfile.mkdtemp(prefix="sparkgraft_loop_", dir="/root/repo/.scratch")
+    try:
+        kv = SK.InMemoryKV()
+        # seed: batch fit over the full log -> publish (S9b ordering)
+        def seed():
+            SK.publish_models(LU.fit_batch(feedback, d=D), kv)
+
+        def start():
+            src = f"{d}/src"
+            os.makedirs(src)
+            tmp = f"{d}/tmp"
+            feedback.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f.parquet")
+            stream = spark.readStream.schema(feedback.schema).parquet(src)
+            return (
+                LU.update_stream(stream, d=D)
+                .writeStream.foreachBatch(SK.model_sink(kv))
+                .outputMode("append")
+                .option("checkpointLocation", f"{d}/chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        from streaming_demos_spark.streaming.bootstrap import seed_then_stream
+
+        q = seed_then_stream(seed, start)
+        q.awaitTermination(180)
+
+        pids = sorted({pid for pid, _, _ in LOG})
+        served = LU.fit_batch(feedback, d=D)  # numpy-checked reference
+        fetched = SK.fetch_models(spark, kv, pids, d=D)
+        batch = {r.product_id: r for r in served.collect()}
+        for r in fetched.collect():
+            np.testing.assert_allclose(
+                np.array(r.a_inv), np.array(batch[r.product_id].a_inv), atol=1e-9
+            )
+        # cold key falls back to the lam-identity prior
+        cold = SK.fetch_models(spark, kv, ["missing"], d=D).collect()[0]
+        np.testing.assert_allclose(np.array(cold.a_inv), np.eye(D), atol=0)
+        # serve: top-k over the fetched models runs end-to-end
+        top = LU.recommend_top_k(fetched, x=[1.0, 0.0, 0.0], alpha=1.0, k=2).collect()
+        assert len(top) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_eval_ranking_hand_computed(spark):
     # 2 users, k=2. u1: top2 = {p1(1), p2(0)}, positives=2 -> P=0.5, R=0.5
     #               u2: top2 = {p1(1), p2(1)}, positives=2 -> P=1.0, R=1.0

@@ -55,6 +55,26 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join
+    keys. Two tables bucketed on the same keys with the same bucket
+    count join WITHOUT a shuffle — the 100 TB answer for repeated
+    fact-to-fact joins (e.g. lineitem <-> orders on the order key): pay
+    the partitioning once at write time, every downstream join reads
+    co-located buckets. Requires a managed table (saveAsTable);
+    `num_buckets` should scale with data volume (~128 MB/bucket)."""
+    w = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every TESTDATA table as a temp view so operators can be
     written in either DataFrame or SQL form against the same catalog."""

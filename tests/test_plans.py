@@ -63,6 +63,34 @@ def test_tumbling_stats_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located join: both sides bucketed on the join key -> the
+    sort-merge join runs without an Exchange (the write-once,
+    join-many pattern SCALE.md prescribes for fact-to-fact joins)."""
+    from streaming_demos_spark.catalog import write_bucketed
+
+    orders = E.queries.__globals__["_t"](spark, SF, "orders")
+    lineitem = E.queries.__globals__["_t"](spark, SF, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders",
+                   ["o_orderkey"], num_buckets=4)
+    write_bucketed(lineitem.select("l_orderkey", "l_quantity"), "b_lineitem",
+                   ["l_orderkey"], num_buckets=4)
+    try:
+        # hint("merge") pins SMJ (at test scale AQE would broadcast the
+        # tiny side; at fact-to-fact scale SMJ is what Catalyst picks)
+        joined = spark.table("b_lineitem").hint("merge").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # buckets are already co-located
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_jdbc_scan_filter_reaches_remote(spark, tmp_path):
     from streaming_demos_spark.sources import jdbc as J
 

@@ -685,6 +685,26 @@ def q_null_defaults(spark, sf_dir):
     )
 
 
+def q_asof_enrichment(spark, sf_dir):
+    # As-of join (custom operator — Spark has no ASOF JOIN): each click
+    # event is enriched with the user's most recent prior-or-equal
+    # signup value; NULL before any signup. One shuffle on the user key
+    # via the union+carry-forward restatement (relational.asof_join).
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("profile_v")
+    )
+    out = R.asof_join(clicks, signups, key="user_id", ts="ts",
+                      value_cols=["profile_v"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("profile_v_asof", 2).alias("profile_v_asof"),
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     # Extension (§2.4 note: Spark-native, not in the reference): revenue
     # rollup over (nation, segment) with grouping id to distinguish
@@ -964,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_split_by_predicate": q_split_by_predicate,
         "p9_align_schema": q_align_schema,
         "p10_null_defaults": q_null_defaults,
+        "j_asof_enrichment": q_asof_enrichment,
         "ext_rollup_revenue": q_rollup_revenue,
         "t14_sliding_window": q_sliding_window,
         "llm_dedup_exact": q_dedup_exact,
@@ -1461,6 +1482,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "j_asof_enrichment": """
+            WITH clicks AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value
+                FROM events WHERE event_type = 'click'
+            ),
+            s AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                       value AS profile_v
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT c.event_id, c.user_id,
+                   round(s.profile_v, 2) AS profile_v_asof
+            FROM clicks c
+            ASOF LEFT JOIN s ON c.user_id = s.user_id AND s.t <= c.t
         """,
         "ext_rollup_revenue": """
             SELECT n_name, c_mktsegment,

@@ -326,6 +326,58 @@ def zip_join(
     return an.join(bn, on="_rn", how=how).drop("_rn")
 
 
+# --- as-of join (custom operator: Spark has no ASOF JOIN) --------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right-side values with
+    ``right.ts <= left.ts`` on the same key (NULL when no prior state) —
+    the enrich-with-latest-dim-state operator (CDC state at event time;
+    the natural extension of sources.cdc.apply_changes to a time axis).
+
+    Spark-first restatement — NOT a range join: tag and union both
+    sides, ONE shuffle on the key, then per-key
+    ``last(value, ignorenulls=True)`` over (ts, side) ordering carries
+    the latest right-side state forward onto every left row. Cost is a
+    single sort-shuffle of |L|+|R| rows regardless of time-range
+    density, where a naive range join explodes to |L|x|R| candidate
+    pairs per key. Right rows at exactly left.ts are visible (<=), and
+    among same-ts right rows the later in (ts, side, seq) order wins.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in (key, ts)],
+    )
+    tagged_l = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (key, ts)],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged_r.unionByName(tagged_l).select(
+        key, ts, "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"_l_{c}") for c in lcols if c not in (key, ts)],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    renames = {f"_l_{c}": c for c in lcols if c not in (key, ts)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
 # --- A13: population-weighted distribution -----------------------------------
 
 def weighted_distribution(df: DataFrame, group_col: str, weight_col: str) -> DataFrame:

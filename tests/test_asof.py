@@ -1,0 +1,71 @@
+"""As-of join semantics on crafted sequences: prior-or-equal state
+wins, no-prior-state yields NULL, and keys never cross."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators.relational import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", 10, "e1", 1.0),
+            ("u1", 20, "e2", 2.0),
+            ("u1", 30, "e3", 3.0),
+            ("u2", 15, "e4", 4.0),   # u2 has no state at all
+            ("u3", 5, "e5", 5.0),    # before u3's only state row
+        ],
+        "k string, ts long, event_id string, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, 100.0),  # exactly at e1's ts -> visible (<=)
+            ("u1", 25, 200.0),
+            ("u3", 7, 300.0),
+        ],
+        "k string, ts long, state double",
+    )
+    return left, right
+
+
+def test_asof_prior_or_equal_state(frames):
+    left, right = frames
+    out = {
+        r.event_id: r.state_asof
+        for r in asof_join(left, right, "k", "ts", ["state"]).collect()
+    }
+    assert out == {
+        "e1": 100.0,  # state at the same ts is visible
+        "e2": 100.0,  # 25 > 20: the later state not yet visible
+        "e3": 200.0,
+        "e4": None,   # no state for u2 — keys don't leak
+        "e5": None,   # state exists only later
+    }
+
+
+def test_asof_keeps_left_columns(frames):
+    left, right = frames
+    out = asof_join(left, right, "k", "ts", ["state"])
+    assert set(out.columns) == {"k", "ts", "event_id", "v", "state_asof"}
+    assert out.count() == left.count()
+
+
+def test_asof_single_shuffle_plan(frames, spark):
+    import contextlib
+    import io
+
+    left, right = frames
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, "k", "ts", ["state"]).explain("formatted")
+    plan = buf.getvalue()
+    # one hash-partitioning exchange on the key, no join operator at all
+    # (the operator is union + window, not a range join)
+    assert "Join" not in plan
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(k" in plan

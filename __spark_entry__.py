@@ -705,6 +705,28 @@ def q_asof_enrichment(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    # Range/interval join (custom operator): each click joined to the
+    # 1-hour "session window" opened by any signup of the same user.
+    # Bucket-expansion equality join, not a per-key cartesian.
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sessions = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    out = R.interval_join(
+        clicks, sessions, key="user_id", ts="ts",
+        start="start_ts", end="end_ts", granularity_sec=3600,
+    )
+    return out.select(
+        "event_id", "user_id", "start_ts", F.round("value", 2).alias("value")
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     # Extension (§2.4 note: Spark-native, not in the reference): revenue
     # rollup over (nation, segment) with grouping id to distinguish
@@ -985,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_align_schema": q_align_schema,
         "p10_null_defaults": q_null_defaults,
         "j_asof_enrichment": q_asof_enrichment,
+        "j_interval_join": q_interval_join,
         "ext_rollup_revenue": q_rollup_revenue,
         "t14_sliding_window": q_sliding_window,
         "llm_dedup_exact": q_dedup_exact,
@@ -1497,6 +1520,22 @@ def oracle_sql() -> dict[str, str]:
                    round(s.profile_v, 2) AS profile_v_asof
             FROM clicks c
             ASOF LEFT JOIN s ON c.user_id = s.user_id AND s.t <= c.t
+        """,
+        "j_interval_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value
+                FROM events WHERE event_type = 'click'
+            ),
+            sessions AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS start_ts,
+                       CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS end_ts
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT c.event_id, c.user_id, s.start_ts,
+                   round(c.value, 2) AS value
+            FROM clicks c JOIN sessions s
+              ON c.user_id = s.user_id
+             AND c.t >= s.start_ts AND c.t <= s.end_ts
         """,
         "ext_rollup_revenue": """
             SELECT n_name, c_mktsegment,

@@ -378,6 +378,46 @@ def asof_join(
     return out
 
 
+# --- range/interval join (custom operator) -----------------------------------
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    granularity_sec: int = 3600,
+) -> DataFrame:
+    """Join left rows to the right-side intervals containing them:
+    ``right.start <= left.ts <= right.end`` on a shared key.
+
+    Scale shape — NOT an inequality join (which Spark executes as a
+    per-key cartesian + filter): quantize the time axis into
+    ``granularity_sec`` buckets, explode each interval into the buckets
+    it covers (bounded by interval_length/granularity + 1 rows), and
+    EQUALITY-join on (key, bucket) before the exact residual range
+    filter. One hash shuffle; expansion factor is the interval length
+    in buckets, independent of how many events fall inside. Pick the
+    granularity near the typical interval length."""
+    g = granularity_sec
+    lb = left.withColumn("_b", (F.col(ts).cast("long") / g).cast("long"))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(start).cast("long") / g).cast("long"),
+                (F.col(end).cast("long") / g).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, on=[key, "_b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
+    )
+
+
 # --- A13: population-weighted distribution -----------------------------------
 
 def weighted_distribution(df: DataFrame, group_col: str, weight_col: str) -> DataFrame:

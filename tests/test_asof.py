@@ -54,6 +54,28 @@ def test_asof_keeps_left_columns(frames):
     assert out.count() == left.count()
 
 
+def test_interval_join_bucket_expansion(spark):
+    from streaming_demos_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "e1"), ("u1", 250, "e2"), ("u1", 9000, "e3"),
+         ("u2", 100, "e4")],
+        "k string, ts long, event_id string",
+    )
+    # interval [50, 300] for u1 only; granularity smaller than interval
+    right = spark.createDataFrame(
+        [("u1", 50, 300)], "k string, s long, e long"
+    )
+    out = interval_join(left, right, "k", "ts", "s", "e", granularity_sec=100)
+    assert sorted(r.event_id for r in out.collect()) == ["e1", "e2"]
+    # boundary inclusivity on both ends
+    edge = spark.createDataFrame([("u1", 50, "lo"), ("u1", 300, "hi")],
+                                 "k string, ts long, event_id string")
+    got = sorted(r.event_id for r in
+                 interval_join(edge, right, "k", "ts", "s", "e", 100).collect())
+    assert got == ["hi", "lo"]
+
+
 def test_asof_single_shuffle_plan(frames, spark):
     import contextlib
     import io

@@ -727,6 +727,22 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_hierarchical_rollup(spark, sf_dir):
+    # Hypertable-style continuous aggregate: the daily rollup is
+    # computed FROM the hourly rollup, not from raw events — the
+    # two-level materialization pattern that lets a 100 TB store serve
+    # coarse queries from pre-aggregated levels. Oracle recomputes the
+    # daily level directly from raw rows: sums must agree.
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(F.round(F.sum("v"), 2).alias("total_value"), F.sum("n").alias("n"))
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     # Extension (§2.4 note: Spark-native, not in the reference): revenue
     # rollup over (nation, segment) with grouping id to distinguish
@@ -1009,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_enrichment": q_asof_enrichment,
         "j_interval_join": q_interval_join,
         "ext_rollup_revenue": q_rollup_revenue,
+        "ext_hierarchical_rollup": q_hierarchical_rollup,
         "t14_sliding_window": q_sliding_window,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1536,6 +1553,16 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c JOIN sessions s
               ON c.user_id = s.user_id
              AND c.t >= s.start_ts AND c.t <= s.end_ts
+        """,
+        "ext_hierarchical_rollup": """
+            -- oracle computes the daily level straight from raw rows;
+            -- the engine's hourly->daily reaggregation must agree
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS day,
+                   event_type,
+                   round(sum(value), 2) AS total_value,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "ext_rollup_revenue": """
             SELECT n_name, c_mktsegment,

@@ -378,6 +378,37 @@ def asof_join(
     return out
 
 
+# --- skew-salted join --------------------------------------------------------
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys: the big side adds a
+    deterministic salt (hash of the whole row mod ``n_salts``) to the
+    join key; the small side is replicated across every salt. A key
+    holding X% of the big side spreads over ``n_salts`` tasks instead
+    of one straggler.
+
+    This is the static complement to AQE's skewJoin (enabled in
+    session.py): AQE splits skewed SHUFFLE partitions at runtime, but
+    cannot help a broadcast-ineligible small side or a persistently hot
+    key known in advance. Salt is derived from the row content (xxhash),
+    not rand(), so results are reproducible. Cost: small side x
+    ``n_salts`` replication — keep it for genuinely small sides."""
+    salt_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("_salt", salt_expr)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, on=[key, "_salt"], how=how).drop("_salt")
+
+
 # --- range/interval join (custom operator) -----------------------------------
 
 def interval_join(

@@ -76,6 +76,33 @@ def test_interval_join_bucket_expansion(spark):
     assert got == ["hi", "lo"]
 
 
+def test_salted_join_matches_plain_join(spark):
+    from streaming_demos_spark.operators.relational import salted_join
+
+    # heavily skewed big side: one hot key
+    big = spark.range(2000).select(
+        F.when(F.col("id") < 1800, "hot").otherwise(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("5", 2.0), ("1900", 3.0)], "k string, w double"
+    )
+    plain = big.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    ).collect()[0]
+    salted = salted_join(big, small, "k", n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    ).collect()[0]
+    assert (plain.n, plain.sv, plain.sw) == (salted.n, salted.sv, salted.sw)
+    # the hot key really spreads across salts
+    spread = (
+        big.withColumn("_s", F.pmod(F.xxhash64("k", "v"), F.lit(8)))
+        .filter(F.col("k") == "hot")
+        .select("_s").distinct().count()
+    )
+    assert spread == 8
+
+
 def test_asof_single_shuffle_plan(frames, spark):
     import contextlib
     import io

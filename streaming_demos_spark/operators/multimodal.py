@@ -108,20 +108,94 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_FEATURES)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — requires an image library (PIL/opencv), absent in
-    this container. The mapInPandas plumbing is identical to
-    extract_features; only the kernel differs."""
-    raise NotImplementedError(
-        "image decode/resize needs PIL or opencv, not baked into this "
-        "container; the batch plumbing is exercised via extract_features"
-    )
+def _resample_bytes(payload: bytes | None, n_out: int) -> bytes | None:
+    """Nearest-neighbor 1-D resample of a byte string to ``n_out`` bytes —
+    the deterministic stand-in for a pixel-grid resize (same index math a
+    nearest-neighbor image scaler uses, applied to the flat byte plane)."""
+    if payload is None:
+        return None
+    n_in = len(payload)
+    if n_in == 0:
+        return b"\x00" * n_out
+    return bytes(payload[(i * n_in) // n_out] for i in range(n_out))
 
 
-def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling — requires a video library (pyav/ffmpeg),
-    absent in this container."""
-    raise NotImplementedError(
-        "video decode needs pyav/ffmpeg, not baked into this container; "
-        "the batch plumbing is exercised via extract_features"
-    )
+def resize_images(media: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas) — map-only, no
+    shuffle, output is MEDIA-shaped so resizes compose with
+    extract_features.
+
+    ``fake``: nearest-neighbor resample of the raw byte plane to
+    ``width*height`` bytes (real plumbing, stub kernel — this container
+    has no PIL/opencv). Any other decoder raises until its library is
+    importable; the batch shape and schema are identical either way.
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder {decoder!r} needs PIL or opencv, not baked into this "
+            "container; the 'fake' kernel exercises the identical plumbing"
+        )
+    n_out = width * height
+    mime = f"application/x-fake-raster;w={width};h={height}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: _resample_bytes(b, n_out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "meta": [
+                        {"mime": mime, "n_bytes": len(b) if b is not None else None}
+                        for b in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA)
+
+
+FRAME = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int, frame_bytes: int = 16, decoder: str = "fake"
+) -> DataFrame:
+    """Frame sampling over Arrow batches: one input blob fans out to
+    ``ceil(n_frames / every_n)`` frame rows (mapInPandas may yield more
+    rows than it consumes — the natural shape for decode-and-explode).
+
+    ``fake``: the payload is treated as a concatenation of fixed-size
+    ``frame_bytes`` frames and every ``every_n``-th is emitted — the same
+    stride arithmetic a real GOP sampler applies to decoded frames. Any
+    other decoder raises until pyav/ffmpeg is importable.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder {decoder!r} needs pyav/ffmpeg, not baked into this "
+            "container; the 'fake' kernel exercises the identical plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME)

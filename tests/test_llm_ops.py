@@ -167,6 +167,32 @@ def test_multimodal_real_decoders_stubbed(spark):
     with pytest.raises(NotImplementedError):
         MM.extract_features(media, decoder="pil")
     with pytest.raises(NotImplementedError):
-        MM.resize_images(media, 224, 224)
+        MM.resize_images(media, 224, 224, decoder="pil")
     with pytest.raises(NotImplementedError):
-        MM.sample_frames(media, 10)
+        MM.sample_frames(media, 10, decoder="ffmpeg")
+
+
+def test_multimodal_resize_fake_kernel(spark):
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, ""), (3, None)], ["doc_id", "text"])
+    media = MM.as_media(df, "doc_id", "text", kind="image")
+    out = {r.media_id: r for r in MM.resize_images(media, 2, 2).collect()}
+    # 8 bytes -> 4 via nearest-neighbor stride: indices 0,2,4,6
+    assert bytes(out[1].payload) == b"aceg"
+    assert out[1].meta.n_bytes == 4 and out[1].kind == "image"
+    assert bytes(out[2].payload) == b"\x00" * 4  # empty input zero-fills
+    assert out[3].payload is None and out[3].meta.n_bytes is None
+    # output is MEDIA-shaped: resizes compose with feature extraction
+    feats = {r.media_id: r for r in MM.extract_features(MM.resize_images(media, 2, 2)).collect()}
+    assert feats[1].n_bytes == 4 and feats[1].head_byte == ord("a")
+
+
+def test_multimodal_frame_sampling(spark):
+    payload = bytes(range(64))  # 16 frames of 4 bytes
+    df = spark.createDataFrame([(7, bytearray(payload)), (8, None)], ["doc_id", "blob"])
+    media = MM.as_media(df, "doc_id", "blob", kind="video")
+    rows = MM.sample_frames(media, every_n=5, frame_bytes=4).collect()
+    got = {r.frame_idx: bytes(r.frame) for r in rows}
+    assert all(r.media_id == 7 for r in rows)  # null payload emits nothing
+    assert sorted(got) == [0, 5, 10, 15]
+    assert got[5] == bytes(range(20, 24))
+    assert got[15] == bytes(range(60, 64))

@@ -15,7 +15,14 @@ Semantics mapping (SURVEY.md §2.9):
   (T5): state for a window is kept until watermark > window_end + 0, so
   delay = ooo+grace reproduces "window accepts records until
   window_end + grace". Divergence (documented): Spark append mode emits
-  once, no Flink-style pane re-fires; T3 idleness has no equivalent.
+  once, no Flink-style pane re-fires.
+- T3 idleness (SupplierWatermarkStrategy.kt:14-32 ``withIdleness(10s)``):
+  Spark has no per-partition idleness knob — its watermark only advances
+  when rows arrive. The idiomatic analog is ``with_idle_heartbeat``: union
+  a heartbeat stream BEFORE ``withWatermark`` and filter it out after, so
+  the watermark (a max over everything entering the watermark node) keeps
+  advancing while the business source is idle, and Spark's no-data
+  micro-batches then close and emit the stale windows.
 - T4 tumbling window via ``window()``; A5-A8 sum+count partial+final
   aggregation; A7 bounds formatted ``yyyy-MM-dd HH:mm:ss`` at emission.
 - T6 the engine-custom operator: Spark drops late rows silently, the
@@ -61,6 +68,73 @@ def with_event_time(orders: DataFrame, bid_time_col: str = "bid_time") -> DataFr
     falls back rather than dropping)."""
     parsed = F.to_timestamp(F.col(bid_time_col), BID_TIME_FMT)
     return orders.withColumn("event_time", F.coalesce(parsed, F.current_timestamp()))
+
+
+# --- T3: idleness analog -----------------------------------------------------
+
+
+def rate_heartbeat(spark, ts_col: str = "event_time", rows_per_second: int = 1) -> DataFrame:
+    """Live-deployment heartbeat: a rate source whose event time IS the
+    processing clock, one row per tick. Union it into a business stream
+    via ``with_idle_heartbeat`` so an idle Kafka partition cannot stall
+    the watermark (Flink's ``withIdleness``,
+    SupplierWatermarkStrategy.kt:14-32). Tests use a file-backed
+    heartbeat instead for determinism — the operator is source-agnostic."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(F.col("timestamp").alias(ts_col))
+    )
+
+
+def with_idle_heartbeat(
+    events: DataFrame,
+    heartbeat: DataFrame,
+    ts_col: str = "event_time",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """T3: keep the watermark advancing while the business source is idle.
+
+    Spark's watermark is ``max(event time seen) - delay``, computed over
+    every row that flows through the EventTimeWatermark node — so a
+    heartbeat (single ``ts_col`` column) unioned in BEFORE the node and
+    filtered out right AFTER advances the clock without contributing any
+    rows downstream. Once the watermark passes a stale window's end,
+    Spark's no-data micro-batch closes it and append mode emits — exactly
+    the effect of Flink's per-partition idleness marking.
+
+    Returns the watermarked, heartbeat-free frame: feed it straight to
+    ``supplier_stats(..., watermark=None)`` / any stateful op (do not
+    re-apply ``withWatermark`` downstream).
+    """
+    # The tick is wrapped in a never-firing nullif so the unioned
+    # event-time column is NULLABLE: otherwise ``isnull(event_time)`` in
+    # the guard below constant-folds to false, the guard degenerates to
+    # ``NOT _hb``, and Catalyst pushes THAT through the union and folds
+    # the whole heartbeat branch into an empty scan (observed).
+    tick = F.nullif(F.col(ts_col), F.timestamp_seconds(F.lit(0)))
+    hb = heartbeat.select(
+        *[
+            (
+                tick if f.name == ts_col
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in events.schema.fields
+        ],
+        F.lit(True).alias("_hb"),
+    )
+    unioned = events.withColumn("_hb", F.lit(False)).unionByName(hb)
+    return (
+        unioned.withWatermark(ts_col, watermark)
+        # The guard must reference the event-time column: Catalyst keeps
+        # predicates on the watermark column above the EventTimeWatermark
+        # node, while a bare ``NOT _hb`` would be pushed through it into
+        # the union branches, constant-fold the heartbeat branch to an
+        # empty scan, and the watermark would never see a heartbeat row.
+        .filter((~F.col("_hb")) | F.col(ts_col).isNull())
+        .drop("_hb")
+    )
 
 
 # --- T6: late-record detection (the custom operator) ------------------------
@@ -193,7 +267,7 @@ def tag_late_stream(
 def supplier_stats(
     orders: DataFrame,
     window: str = "5 seconds",
-    watermark: str = "10 seconds",
+    watermark: str | None = "10 seconds",
     ts_col: str = "event_time",
     key_col: str = "supplier",
     price_col: str = "price",
@@ -201,9 +275,11 @@ def supplier_stats(
     """Windowed sum+count per supplier with formatted bounds
     (StreamsApp.kt:130-174, TableApp.kt:185-196). On a streaming input
     the watermark bounds state (T2/T5: delay = ooo 5s + grace 5s);
-    on a batch input the same code is the oracle-checkable analog."""
+    on a batch input the same code is the oracle-checkable analog.
+    Pass ``watermark=None`` when the input is already watermarked
+    (e.g. by ``with_idle_heartbeat``)."""
     df = orders
-    if df.isStreaming:
+    if df.isStreaming and watermark:
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window), F.col(key_col))

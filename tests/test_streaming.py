@@ -195,6 +195,94 @@ def test_streaming_window_agg_drops_beyond_watermark(spark, stream_dirs):
     assert dropped == 1
 
 
+def _write_json_file(spark, stream_dirs, src, name, rows, schema, mtime):
+    import glob
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    df = spark.createDataFrame(rows, schema)
+    tmp = f"{stream_dirs}/tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    part = glob.glob(f"{tmp}/part-*.json")[0]
+    dst = f"{src}/{name}.json"
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+ORDER_SCHEMA = "order_id string, bid_time string, price double, item string, supplier string"
+
+
+def _idle_source_run(spark, stream_dirs, tag, hb_times):
+    """Shared T3 harness: a business source that goes idle after 3 rows
+    (2 windows, max event time 00:00:06), plus a heartbeat stream with
+    the given tick timestamps. Returns the append-mode emissions."""
+    src = f"{stream_dirs}/{tag}_src"
+    hb_src = f"{stream_dirs}/{tag}_hb"
+    chk = f"{stream_dirs}/{tag}_chk"
+    _write_json_file(
+        spark, stream_dirs, src, "f1",
+        [
+            ("o1", "2024-01-01 00:00:01", 10.0, "beer", "sup1"),
+            ("o2", "2024-01-01 00:00:03", 20.0, "wine", "sup1"),
+            ("o3", "2024-01-01 00:00:06", 40.0, "beer", "sup2"),
+        ],
+        ORDER_SCHEMA, 1_000_000,
+    )
+    for i, ts in enumerate(hb_times):
+        _write_json_file(
+            spark, stream_dirs, hb_src, f"hb{i}", [(ts,)], "bid_time string",
+            1_000_000 + (i + 1) * 1_000_000,
+        )
+    events = SS.with_event_time(spark.readStream.schema(ORDER_SCHEMA).json(src))
+    heartbeat = SS.with_event_time(
+        spark.readStream.schema("bid_time string")
+        .option("maxFilesPerTrigger", "1")
+        .json(hb_src)
+    ).select("event_time")
+    stats = SS.supplier_stats(
+        SS.with_idle_heartbeat(events, heartbeat, watermark="10 seconds"),
+        watermark=None,
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(f"{tag}_stats")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {tag}_stats").collect()
+
+
+def test_idle_heartbeat_closes_windows(spark, stream_dirs):
+    """T3: the business source is idle (nothing after 00:00:06, so its
+    own watermark could never pass the window ends) — heartbeat ticks
+    far in the future advance the watermark and flush both windows.
+    Heartbeat rows themselves must not surface as a NULL-supplier group."""
+    rows = _idle_source_run(
+        spark, stream_dirs, "t3a",
+        hb_times=["2024-01-01 00:02:00", "2024-01-01 00:02:01"],
+    )
+    out = {(r.window_start, r.supplier): (r.total_price, r["count"]) for r in rows}
+    assert out == {
+        ("2024-01-01 00:00:00", "sup1"): (30.0, 2),
+        ("2024-01-01 00:00:05", "sup2"): (40.0, 1),
+    }
+
+
+def test_idle_source_without_heartbeat_advance_stalls(spark, stream_dirs):
+    """T3 control: with heartbeat ticks at/behind the idle source's own
+    event time, the watermark never passes the window ends and append
+    mode emits nothing — the exact stall Flink's withIdleness (and our
+    heartbeat union) exists to break."""
+    rows = _idle_source_run(
+        spark, stream_dirs, "t3b",
+        hb_times=["2024-01-01 00:00:04", "2024-01-01 00:00:05"],
+    )
+    assert rows == []
+
+
 def test_stream_static_join_enriches(spark, stream_dirs):
     """J6 extension: a streaming fact joined with a static dim — the
     stream-enrichment capability SURVEY §2.3 marks as an extension

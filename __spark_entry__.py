@@ -782,6 +782,17 @@ def q_sliding_window(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    # Extension (Spark-native session_window; the reference is
+    # tumbling-only): per-event-type activity sessions that merge while
+    # consecutive events arrive within 30 minutes — session =
+    # [min ts, max ts + gap). Bounds emitted as epoch microseconds so
+    # the oracle comparison is exact-integer.
+    return R.session_stats(
+        _t(spark, sf_dir, "events"), "ts", "event_type", "value", gap="30 minutes"
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1027,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_rollup_revenue": q_rollup_revenue,
         "ext_hierarchical_rollup": q_hierarchical_rollup,
         "t14_sliding_window": q_sliding_window,
+        "ext_session_window": q_session_window,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_simhash": q_dedup_simhash,
@@ -1590,6 +1602,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM expanded GROUP BY 1, 2
+        """,
+        "ext_session_window": """
+            -- gaps-and-islands replay of Spark's session_window merge
+            -- rule: ordered per key, a row starts a NEW session iff its
+            -- gap to the previous row EXCEEDS 30 min — an arrival at
+            -- exactly prev+gap still merges (verified against Spark in
+            -- tests/test_streaming.py); session end = last event + gap.
+            WITH e AS (
+                SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events
+            ),
+            flagged AS (
+                SELECT event_type, t, value,
+                       CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e
+                WINDOW w AS (PARTITION BY event_type ORDER BY t)
+            ),
+            islands AS (
+                SELECT event_type, t, value,
+                       sum(new_sess) OVER (PARTITION BY event_type ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT event_type,
+                   epoch_us(min(t)) AS session_start_us,
+                   epoch_us(max(t) + INTERVAL 30 MINUTE) AS session_end_us,
+                   round(sum(value), 2) AS total_value,
+                   count(*) AS n_events
+            FROM islands
+            GROUP BY event_type, sid
         """,
         "llm_dedup_exact": """
             SELECT md5(text) AS text_hash,

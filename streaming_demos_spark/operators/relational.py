@@ -172,6 +172,45 @@ def tumbling_stats(
     )
 
 
+def session_stats(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (extension beyond the reference's
+    tumbling/sliding surface): per-key activity sessions that merge
+    while consecutive events arrive within ``gap`` of the session end,
+    i.e. session = [min ts, max ts + gap).
+
+    Spark-native ``session_window`` — in batch it plans as a hash agg
+    over the merged windows; in streaming (pass ``watermark``) the
+    state store merges sessions incrementally and append mode emits a
+    session once the watermark passes its end. Bounds are emitted as
+    epoch MICROSECONDS (exact integers — engine-portable, no timestamp
+    formatting pitfalls in the oracle comparison).
+    """
+    df = events
+    if df.isStreaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.round(F.sum(value_col), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "total_value",
+            "n_events",
+        )
+    )
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

@@ -69,27 +69,39 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec: Column, num_planes: int = 4) -> Column:
+def _plane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components: sign(p, j) = +1 iff the first hex digit
+    of md5(f"{p}:{j}") >= '8'. Computed driver-side with hashlib — the
+    same derivation any engine (or the SQL oracle) reproduces."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0] >= "8" else -1.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, num_planes: int = 4, max_dim: int = 512) -> Column:
     """Sign-LSH bucket key: bit p = sign of the projection of the
-    vector onto hyperplane p, whose ±1 components are derived from
-    md5(f"{p}:{j}") (first hex digit >= '8' -> +1). Fully deterministic
-    and engine-portable; a '0'/'1' string of length ``num_planes``."""
+    vector onto hyperplane p; a '0'/'1' string of length ``num_planes``.
+
+    The hyperplanes depend only on (plane, index), so they are
+    precomputed once on the driver and shipped as constant arrays
+    (folded to a single array literal each) — an earlier formulation
+    re-derived md5(p:j) per element per ROW, i.e. rows·dim·planes
+    hashes of row-independent values. Vectors must have <= ``max_dim``
+    components (the plane literal is sliced down to the row's length)."""
     v = _as_double(vec)
-
-    # Factory keeps the transform lambda exactly two-parameter — the
-    # (element, index) form — with the plane id captured eagerly.
-    def _signed_term(p: int):
-        prefix = f"{p}:"
-        return lambda x, j: x * F.when(
-            F.substring(F.md5(F.concat(F.lit(prefix), j.cast("string"))), 1, 1)
-            >= "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-
     bits = []
-    for p in range(num_planes):
+    for signs in _plane_signs(num_planes, max_dim):
+        plane = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
-            F.transform(v, _signed_term(p)), F.lit(0.0), lambda acc, x: acc + x
+            F.zip_with(v, F.slice(plane, F.lit(1), F.size(v)), lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
@@ -216,12 +228,25 @@ def embedding_near_dup_pairs(
     buckets (never all-pairs), exact cosine verify, threshold filter.
     Near-identical vectors land in the same bucket with high
     probability (all P projections must flip sign to escape)."""
-    bucketed = with_lsh_bucket(emb, num_planes, vec_col)
+    # Per-row norm is computed ONCE before the self-join — inside the
+    # join each vector's self-dot would be recomputed per PAIR (~bucket
+    # size times). Same arithmetic (sqrt of the same fold), so the
+    # rounded cosine is bit-identical to the naive form.
+    d = _as_double(F.col(vec_col))
+    bucketed = with_lsh_bucket(emb, num_planes, vec_col).withColumn(
+        "_norm", F.sqrt(dot(d, d))
+    )
     a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
     )
     b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
     )
     return (
         a.join(b, on="bucket")
@@ -229,7 +254,11 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -195,6 +195,82 @@ def test_streaming_window_agg_drops_beyond_watermark(spark, stream_dirs):
     assert dropped == 1
 
 
+SESSION_ROWS = [
+    # key a: 0s and 10s merge (gap 10 < 30); 40s is EXACTLY prev+30 and
+    # STILL merges (Spark's merge is end-inclusive — the oracle SQL
+    # replays this with a strict > gap island break); 120s is > gap
+    # away and starts a new session.
+    ("a", "2024-01-01 00:00:00", 1.0),
+    ("a", "2024-01-01 00:00:10", 2.0),
+    ("a", "2024-01-01 00:00:40", 4.0),
+    ("a", "2024-01-01 00:02:00", 16.0),
+    # key b: single event far ahead (also advances the stream watermark
+    # past key a's session ends in the streaming test)
+    ("b", "2024-01-01 00:10:00", 8.0),
+]
+SESSION_EXPECTED = {
+    # (key, start_s, end_s): (total, n)  with gap=30s
+    ("a", 0, 70): (7.0, 3),
+    ("a", 120, 150): (16.0, 1),
+    ("b", 600, 630): (8.0, 1),
+}
+
+
+def _session_key(r):
+    base = 1704067200_000000  # 2024-01-01 00:00:00 UTC in epoch micros
+    return (
+        r.event_type,
+        (r.session_start_us - base) // 1_000_000,
+        (r.session_end_us - base) // 1_000_000,
+    )
+
+
+def test_session_window_batch_merge_semantics(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        SESSION_ROWS, "event_type string, bid_time string, value double"
+    ).withColumn("ts", F.to_timestamp("bid_time"))
+    out = {
+        _session_key(r): (r.total_value, r.n_events)
+        for r in R.session_stats(df, "ts", "event_type", "value", gap="30 seconds").collect()
+    }
+    assert out == SESSION_EXPECTED
+
+
+def test_session_window_streaming_appends_closed_sessions(spark, stream_dirs):
+    """Streaming session_window: state merges sessions incrementally and
+    append mode emits each once the watermark passes its end. Key b's
+    far-future event drives the watermark past key a's sessions; b's own
+    session stays open (absent from the output)."""
+    from streaming_demos_spark.operators import relational as R
+
+    src = f"{stream_dirs}/sess_src"
+    chk = f"{stream_dirs}/sess_chk"
+    batch = spark.createDataFrame(
+        SESSION_ROWS, "event_type string, bid_time string, value double"
+    ).withColumn("ts", F.to_timestamp("bid_time")).drop("bid_time")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    stats = R.session_stats(
+        stream, "ts", "event_type", "value", gap="30 seconds", watermark="0 seconds"
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("sess")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        _session_key(r): (r.total_value, r.n_events)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert out == {k: v for k, v in SESSION_EXPECTED.items() if k[0] == "a"}
+
+
 def _write_json_file(spark, stream_dirs, src, name, rows, schema, mtime):
     import glob
     import os

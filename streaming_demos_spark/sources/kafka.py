@@ -18,6 +18,11 @@ Confluent wire format: every message is ``0x00 | 4-byte schema id |
 avro payload`` — spark-avro's from_avro expects the bare payload, so
 the engine strips the 5-byte header first (SURVEY §2.1 flags this as
 required custom work).
+
+When the spark-avro jar is absent (this container), the pure-Python
+Arrow-batched codec in ``sources/avro_codec.py`` covers the same
+flat-record schemas end-to-end (decode AND encode, which the JVM path
+gets from a registry serializer).
 """
 
 from __future__ import annotations

@@ -84,6 +84,111 @@ def test_parse_confluent_avro_gated(spark):
         df.select(K.parse_confluent_avro(F.col("value"), '{"type":"string"}')).collect()
 
 
+# --- pure-Python Avro codec (S5/S6 without the spark-avro jar) ---------------
+
+ORDER_AVSC = json.dumps(
+    {
+        # orders-avro-clients/src/main/avro/Order.avsc, verbatim fields
+        "namespace": "me.jaehyeon.avro",
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "order_id", "type": "string"},
+            {"name": "bid_time", "type": "string"},
+            {"name": "price", "type": "double"},
+            {"name": "item", "type": "string"},
+            {"name": "supplier", "type": "string"},
+        ],
+    }
+)
+
+
+def test_avro_known_byte_vectors():
+    """Hand-computed vectors from the Avro 1.11 binary spec — the codec
+    must match the wire format, not merely round-trip itself."""
+    import struct
+
+    from streaming_demos_spark.sources import avro_codec as AC
+
+    # zigzag varints: 0->00, -1->01, 1->02, 64 -> zigzag 128 -> 80 01
+    assert AC._zigzag_encode(0) == b"\x00"
+    assert AC._zigzag_encode(-1) == b"\x01"
+    assert AC._zigzag_encode(1) == b"\x02"
+    assert AC._zigzag_encode(64) == b"\x80\x01"
+    for n in (0, -1, 1, 64, -8192, 2**40):
+        assert AC._zigzag_decode(AC._zigzag_encode(n), 0) == (n, len(AC._zigzag_encode(n)))
+    # string = varint length + utf8
+    fields = AC.parse_schema('{"type":"record","name":"r","fields":[{"name":"s","type":"string"}]}')
+    assert AC.encode_record(fields, {"s": "abc"}) == b"\x06abc"
+    # double = 8-byte LE IEEE754
+    fields = AC.parse_schema('{"type":"record","name":"r","fields":[{"name":"d","type":"double"}]}')
+    assert AC.encode_record(fields, {"d": 12.5}) == struct.pack("<d", 12.5)
+    # ['null', long] union: branch varint then value; null = branch 0 only
+    fields = AC.parse_schema(
+        '{"type":"record","name":"r","fields":[{"name":"n","type":["null","long"]}]}'
+    )
+    assert AC.encode_record(fields, {"n": None}) == b"\x00"
+    assert AC.encode_record(fields, {"n": 3}) == b"\x02\x06"
+    assert AC.decode_record(fields, b"\x00") == {"n": None}
+    assert AC.decode_record(fields, b"\x02\x06") == {"n": 3}
+
+
+def test_avro_order_record_roundtrip():
+    from streaming_demos_spark.sources import avro_codec as AC
+
+    fields = AC.parse_schema(ORDER_AVSC)
+    rec = {
+        "order_id": "o-1",
+        "bid_time": "2024-01-01 00:00:03",
+        "price": 31.5,
+        "item": "beer",
+        "supplier": "sup-αβ",  # non-ASCII utf8
+    }
+    framed = AC.frame_confluent(AC.encode_record(fields, rec), schema_id=42)
+    assert framed[0] == 0 and AC.unframe_confluent(framed)[0] == 42
+    assert AC.decode_record(fields, AC.unframe_confluent(framed)[1]) == rec
+
+
+def test_avro_spark_encode_decode_roundtrip(spark):
+    from streaming_demos_spark.sources import avro_codec as AC
+
+    rows = [
+        ("o1", "2024-01-01 00:00:01", 10.0, "beer", "sup1"),
+        ("o2", "2024-01-01 00:00:03", 20.25, "wine", "sup2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "order_id string, bid_time string, price double, item string, supplier string"
+    )
+    wire = AC.encode_confluent_avro(df, ORDER_AVSC, schema_id=7, key_col="order_id")
+    assert wire.columns == ["key", "value"]  # kafka sink projection
+    decoded = AC.decode_confluent_avro(wire, ORDER_AVSC)
+    assert sorted(tuple(r) for r in decoded.collect()) == sorted(rows)
+    # schema id survives the frame (JVM-side extraction)
+    ids = wire.select(K.confluent_schema_id("value").alias("sid")).collect()
+    assert {r.sid for r in ids} == {7}
+
+
+def test_avro_bad_frame_policies(spark):
+    from streaming_demos_spark.sources import avro_codec as AC
+
+    fields = AC.parse_schema(ORDER_AVSC)
+    good = AC.frame_confluent(
+        AC.encode_record(
+            fields,
+            {"order_id": "o1", "bid_time": "t", "price": 1.0, "item": "i", "supplier": "s"},
+        ),
+        schema_id=7,
+    )
+    bad = b"\x01garbage"  # wrong magic
+    df = spark.createDataFrame([(good,), (bad,)], "value binary")
+    nulled = AC.decode_confluent_avro(df, ORDER_AVSC, bad_row_policy="null").collect()
+    assert len(nulled) == 2 and sum(r.order_id is None for r in nulled) == 1
+    dropped = AC.decode_confluent_avro(df, ORDER_AVSC, bad_row_policy="drop").collect()
+    assert [r.order_id for r in dropped] == ["o1"]
+    with pytest.raises(Exception):
+        AC.decode_confluent_avro(df, ORDER_AVSC, bad_row_policy="fail").collect()
+
+
 # --- file sources ------------------------------------------------------------
 
 

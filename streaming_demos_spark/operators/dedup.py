@@ -56,6 +56,28 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(keep, on=id_col, how="left_semi")
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST arrival per key, suppress
+    re-deliveries that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — per-key state is dropped once
+    the watermark passes its expiry, so state is bounded by the horizon
+    times the key arrival rate, not by history).
+
+    This is the streaming face of ``exact_dedup``: dedup an infinite
+    feed (e.g. at-least-once Kafka re-deliveries, S4/T12) where the
+    batch min-id rule is unavailable because history is unbounded.
+    Works on batch frames too (plain dropDuplicates semantics) so the
+    same code is oracle-testable."""
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
 # --- MinHash signatures + LSH banding ---------------------------------------
 
 

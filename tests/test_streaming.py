@@ -359,6 +359,53 @@ def test_idle_source_without_heartbeat_advance_stalls(spark, stream_dirs):
     assert rows == []
 
 
+def test_streaming_exact_dedup_suppresses_redeliveries(spark, stream_dirs):
+    """Streaming dedup: duplicate keys re-delivered in later
+    micro-batches (within the watermark horizon) are suppressed; the
+    first arrival's payload wins. Batch path degrades to
+    dropDuplicates."""
+    from streaming_demos_spark.operators import dedup as D
+
+    src = f"{stream_dirs}/dd_src"
+    chk = f"{stream_dirs}/dd_chk"
+    schema = "order_id string, bid_time string, price double"
+    # batch 1: o1, o2 — batch 2 (later mtime): o1 re-delivered with a
+    # different payload + fresh o3
+    _write_json_file(
+        spark, stream_dirs, src, "b1",
+        [("o1", "2024-01-01 00:00:01", 10.0), ("o2", "2024-01-01 00:00:02", 20.0)],
+        schema, 1_000_000,
+    )
+    _write_json_file(
+        spark, stream_dirs, src, "b2",
+        [("o1", "2024-01-01 00:00:03", 99.0), ("o3", "2024-01-01 00:00:04", 30.0)],
+        schema, 2_000_000,
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    )
+    with_time = stream.withColumn("event_time", F.to_timestamp("bid_time"))
+    deduped = D.streaming_exact_dedup(
+        with_time, ["order_id"], "event_time", watermark="1 minute"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.order_id: r.price for r in spark.sql("SELECT * FROM dd").collect()}
+    assert out == {"o1": 10.0, "o2": 20.0, "o3": 30.0}
+    # batch face: same call on a bounded frame
+    bdf = spark.createDataFrame(
+        [("o1", 1.0), ("o1", 2.0), ("o2", 3.0)], "order_id string, price double"
+    ).withColumn("event_time", F.current_timestamp())
+    assert D.streaming_exact_dedup(bdf, ["order_id"], "event_time").count() == 2
+
+
 def test_stream_static_join_enriches(spark, stream_dirs):
     """J6 extension: a streaming fact joined with a static dim — the
     stream-enrichment capability SURVEY §2.3 marks as an extension

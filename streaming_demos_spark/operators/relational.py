@@ -185,12 +185,20 @@ def session_stats(
     while consecutive events arrive within ``gap`` of the session end,
     i.e. session = [min ts, max ts + gap).
 
-    Spark-native ``session_window`` — in batch it plans as a hash agg
-    over the merged windows; in streaming (pass ``watermark``) the
-    state store merges sessions incrementally and append mode emits a
-    session once the watermark passes its end. Bounds are emitted as
-    epoch MICROSECONDS (exact integers — engine-portable, no timestamp
-    formatting pitfalls in the oracle comparison).
+    Spark-native ``session_window`` — in batch it plans as partial hash
+    agg -> one exchange on the key -> sort + MergingSessions (verified
+    formatted plan; scan stays column-pruned); in streaming (pass
+    ``watermark``) the state store merges sessions incrementally and
+    append mode emits a session once the watermark passes its end.
+    Bounds are emitted as epoch MICROSECONDS (exact integers —
+    engine-portable, no timestamp formatting pitfalls in the oracle
+    comparison).
+
+    Scale note: session merging must see all of a key's events in one
+    task, so parallelism is bounded by key cardinality — inherent to
+    the operator, not this plan. Low-cardinality session keys (user
+    sessions are naturally high-cardinality) should be composited
+    (e.g. key + day) if a single key's history exceeds one executor.
     """
     df = events
     if df.isStreaming and watermark:

@@ -39,6 +39,7 @@ PROBE_KEYS = [
     "a3_o1_grouped_revenue_nation",
     "o2_top3_parts_per_brand",
     "a5_a8_tumbling_stats",
+    "ext_session_window",
     "o4_time_split",
     "llm_dedup_minhash_pairs",
     "llm_text_stats",

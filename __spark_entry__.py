@@ -812,6 +812,16 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_jaccard(spark, sf_dir):
+    # EXACT n-gram Jaccard similarity join: prefix-filtered candidates
+    # (AllPairs rule, lexicographic shingle order) + length filter,
+    # then exact Jaccard verify at threshold 0.5 — the no-false-negative
+    # complement to the MinHash approximation.
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_dedup_simhash(spark, sf_dir):
     # 32-bit SimHash fingerprint + 8-bit LSH prefix per document.
     return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -956,6 +966,52 @@ def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: 
     """
 
 
+def _sql_ngram_jaccard(threshold: float = 0.5, max_bucket: int = 50) -> str:
+    """DuckDB replay of the prefix-filtered exact Jaccard join
+    (operators.dedup.ngram_jaccard_pairs): same lexicographic shingle
+    order, prefix-length rule, length filter, and bucket cap."""
+    t = threshold
+    return f"""
+        WITH w AS ({_sql_words()}),
+        sh AS ({_sql_shingles()}),
+        ss AS (
+            SELECT doc_id, list_sort(list_distinct(shingles)) AS s
+            FROM sh
+        ),
+        sized AS (SELECT doc_id, s, len(s) AS n FROM ss),
+        pref AS (
+            SELECT doc_id, n,
+                   unnest(s[1 : n - CAST(ceil(n * {t}) AS INT) + 1]) AS shingle
+            FROM sized
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY shingle) AS bucket_n
+                FROM pref
+            ) WHERE bucket_n <= {max_bucket}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+             AND a.n >= b.n * {t} AND b.n >= a.n * {t}
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   round(
+                     len(list_intersect(sa.s, sb.s))
+                     / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                   4) AS jaccard
+            FROM cand
+            JOIN ss sa ON cand.doc_a = sa.doc_id
+            JOIN ss sb ON cand.doc_b = sb.doc_id
+        )
+        SELECT * FROM scored WHERE jaccard >= {t}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def _sql_simhash(prefix_bits: int = 8) -> str:
     bits = " || ".join(
         f"(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN substr(h, {j + 1}, 1) >= '8' "
@@ -1041,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_session_window": q_session_window,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "llm_dedup_jaccard": q_dedup_jaccard,
         "llm_dedup_simhash": q_dedup_simhash,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
@@ -1642,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
+        "llm_dedup_jaccard": _sql_ngram_jaccard(threshold=0.5),
         "llm_dedup_simhash": _sql_simhash(prefix_bits=8),
         "llm_text_stats": """
             WITH w AS (

@@ -204,6 +204,88 @@ def minhash_near_dup_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering
+    (the AllPairs/PPJoin candidate rule) — no hashing approximation,
+    no all-pairs crossJoin.
+
+    Under any global total order on shingles (lexicographic here), if
+    J(A,B) >= t then the first ``|S| - ceil(t*|S|) + 1`` sorted shingles
+    of A and of B must intersect: fewer than ``ceil(t*|A|)`` common
+    elements remain past A's prefix, which contradicts
+    ``|A∩B| >= t*|A∪B| >= t*|A|``. So exploding only the prefix and
+    equality-joining on the shingle finds every qualifying pair.
+
+    Plan shape (the 100 TB path):
+      1. map: shingle, sort-distinct, slice the prefix (no shuffle),
+      2. shuffle 1: explode prefix -> equality join on the shingle,
+         pruned by the length filter ``t*max(|A|,|B|) <= min(|A|,|B|)``
+         and a hot-shingle bucket cap (boilerplate guard; the only
+         approximation, and only for shingles shared by > max_bucket
+         docs),
+      3. map: exact Jaccard verification on the distinct candidates.
+
+    Complements MinHash-LSH: same verification, but candidate recall is
+    exact (prefix filtering cannot miss a qualifying pair) at the cost
+    of more candidates at low thresholds — prefix length shrinks as t
+    rises, so this is the high-threshold workhorse."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(word_shingles(text_col, shingle_k))
+        ).alias("shingles"),
+    )
+    sized = sh.select(id_col, "shingles", F.size("shingles").alias("n"))
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    )
+    pref = sized.select(
+        F.col(id_col),
+        F.col("n"),
+        F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    capped = pref.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    left = capped.select(
+        "shingle", F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")
+    )
+    right = capped.select(
+        "shingle", F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        left.join(right, on="shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") >= F.col("n_b") * F.lit(threshold))
+            & (F.col("n_b") >= F.col("n_a") * F.lit(threshold))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

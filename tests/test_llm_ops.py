@@ -51,6 +51,53 @@ def test_minhash_finds_exact_and_near_dups(docs):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_ngram_jaccard_exact_join(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_no_false_negatives(spark):
+    # Prefix filtering is EXACT: against a brute-force all-pairs oracle
+    # on a small corpus, the operator must return every pair with
+    # J >= t (modulo the hot-shingle cap, disabled here via a huge cap).
+    import itertools
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    words = base.split()
+    rows = []
+    for i in range(20):
+        # rotate + drop words to create a graded similarity spectrum
+        w = words[i % 4 :] + words[: i % 4]
+        if i % 3 == 0:
+            w = w[:-2]
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.6
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(df, threshold=t, max_bucket=10**6).collect()
+    }
+
+    def shingles(text, k=3):
+        ws = text.lower().split()
+        if len(ws) < k:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    expect = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 4) >= t:
+            expect.add((min(ia, ib), max(ia, ib)))
+    assert got == expect and expect  # exact recall, non-vacuous
+
+
 def test_simhash_identical_docs_equal(docs):
     fp = {r.doc_id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
     assert fp[1] == fp[2]

@@ -27,7 +27,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from streaming_demos_spark.operators.text import normalize_text, tokens, word_shingles
+from streaming_demos_spark.operators.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingles) with tokens materialized in a prior projection —
+    the two-phase shape that keeps the shingle transform from
+    re-evaluating the tokenizer per element (10x at sf0.1)."""
+    return docs.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+        F.col(id_col), shingles_from_tokens(F.col("_w"), k).alias("shingles")
+    )
 
 # --- exact dedup -------------------------------------------------------------
 
@@ -123,10 +136,8 @@ def minhash_bands(
     ``num_hashes/band_rows`` bands, each band hashed to one bucket key.
     Two documents are candidates iff they share a (band_id, band_hash).
     """
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh")
-    )
-    sig = sh.select(F.col(id_col), *minhash_signature("_sh", num_hashes))
+    sh = _shingled(docs, text_col, id_col, shingle_k)
+    sig = sh.select(F.col(id_col), *minhash_signature("shingles", num_hashes))
     n_bands = num_hashes // band_rows
     bands = []
     for b in range(n_bands):
@@ -187,9 +198,7 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
-    )
+    sh = _shingled(docs, text_col, id_col, shingle_k)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -236,11 +245,9 @@ def ngram_jaccard_pairs(
     exact (prefix filtering cannot miss a qualifying pair) at the cost
     of more candidates at low thresholds — prefix length shrinks as t
     rises, so this is the high-threshold workhorse."""
-    sh = docs.select(
+    sh = _shingled(docs, text_col, id_col, shingle_k).select(
         F.col(id_col),
-        F.array_sort(
-            F.array_distinct(word_shingles(text_col, shingle_k))
-        ).alias("shingles"),
+        F.array_sort(F.array_distinct(F.col("shingles"))).alias("shingles"),
     )
     sized = sh.select(id_col, "shingles", F.size("shingles").alias("n"))
     prefix_len = (

@@ -70,11 +70,17 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Sliding word k-grams (shingles) as array<string>; documents with
-    fewer than k words collapse to one whole-document shingle. The
-    shingle set feeds MinHash / Jaccard in operators.dedup."""
-    w = tokens(text)
+def shingles_from_tokens(w: Column, k: int = 3) -> Column:
+    """Sliding word k-grams over an ALREADY MATERIALIZED token-array
+    column; documents with fewer than k words collapse to one
+    whole-document shingle.
+
+    Materialize-first matters here even more than for the hash chains:
+    the transform lambda references ``w`` per element, and when ``w``
+    is an inline ``split(text)`` expression codegen re-evaluates the
+    regex split for every slice — O(words) splits per row, a measured
+    10x slowdown on the documents table at sf0.1. Callers must project
+    ``tokens(text)`` to a column first."""
     n = F.size(w)
     return F.when(
         n >= k,
@@ -83,6 +89,14 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(w, i, k), " "),
         ),
     ).otherwise(F.array(F.array_join(w, " ")))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Sliding word k-grams (shingles) as array<string> straight from a
+    text column. Convenience form for tests/small frames — hot paths
+    should use ``shingles_from_tokens`` on a pre-materialized token
+    column (see its docstring for the codegen reason)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from streaming_demos_spark.catalog import load_table
 from streaming_demos_spark.functions.scalars import bucket_time_of_day, title_case
+from streaming_demos_spark.operators import curation as CU
 from streaming_demos_spark.operators import dedup as D
 from streaming_demos_spark.operators import multimodal as MM
 from streaming_demos_spark.operators import relational as R
@@ -888,6 +889,46 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    # Benchmark decontamination: docs from src0 play the eval set; every
+    # other doc is flagged if it shares any distinct word 3-gram with
+    # them. Benchmark shingles broadcast; corpus side never shuffles by
+    # shingle (stopword n-grams are the skew trap).
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return CU.decontaminate(corpus, bench, k=3, min_hits=1)
+
+
+def q_stratified_sample(spark, sf_dir):
+    # Deterministic md5-keyed downsampling: keep 25% of English and 50%
+    # of Chinese docs, everything else intact — reproducible across
+    # engines/partitionings (pure function of doc_id). Map-side filter,
+    # zero shuffle.
+    docs = _t(spark, sf_dir, "documents")
+    return CU.stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_mix_weights(spark, sf_dir):
+    # Domain-mixing weights toward a uniform 20% share per language.
+    docs = _t(spark, sf_dir, "documents")
+    shares = {lang: 0.2 for lang in ["en", "es", "fr", "de", "zh"]}
+    return CU.mix_weights(docs, "lang", shares)
+
+
+def q_token_histogram(spark, sf_dir):
+    # Token-length histogram (bucket width 8) with mean char length.
+    return CU.token_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition signals: distinct-token ratio + top-token
+    # mass per document.
+    return CU.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_features(spark, sf_dir):
     # Binary media plumbing: text payload as opaque bytes -> Arrow
     # mapInPandas feature extraction (deterministic fake decoder).
@@ -1107,6 +1148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_ivf_topk": q_ann_ivf_topk,
         "llm_neardup_embedding": q_neardup_embedding,
         "llm_curation_pipeline": q_curation_pipeline,
+        "llm_decontaminate": q_decontaminate,
+        "llm_stratified_sample": q_stratified_sample,
+        "llm_mix_weights": q_mix_weights,
+        "llm_token_histogram": q_token_histogram,
+        "llm_repetition_stats": q_repetition_stats,
         "mm_media_features": q_multimodal_features,
     }
 
@@ -1860,6 +1906,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, quality_score, pred_lang
             FROM tagged
             WHERE quality_score >= 0.5 AND pred_lang = 'en'
+        """,
+        "llm_decontaminate": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                       CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words)-1),
+                                                i -> array_to_string(words[i:i+2], ' '))
+                            ELSE [array_to_string(words, ' ')] END AS shingles
+                FROM w
+            ),
+            ex AS (
+                SELECT doc_id, source, unnest(list_distinct(shingles)) AS shingle
+                FROM sh
+            ),
+            bench AS (SELECT DISTINCT shingle FROM ex WHERE source = 'src0'),
+            hits AS (
+                SELECT e.doc_id, count(*) AS n_hits
+                FROM ex e JOIN bench b USING (shingle)
+                WHERE e.source <> 'src0'
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.source <> 'src0'
+        """,
+        "llm_stratified_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+                  CASE lang WHEN 'en' THEN '4000'
+                            WHEN 'zh' THEN '8000'
+                            ELSE 'zzzz' END
+        """,
+        "llm_mix_weights": """
+            WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+            t AS (SELECT sum(n_docs) AS total FROM c)
+            SELECT lang, n_docs,
+                   round(n_docs / total, 6) AS actual_share,
+                   0.2::DOUBLE AS target_share,
+                   round(0.2::DOUBLE / (n_docs / total), 6) AS weight
+            FROM c, t
+        """,
+        "llm_token_histogram": """
+            WITH w AS (
+                SELECT string_split_regex(lower(trim(text)), '\\s+') AS words,
+                       n_chars
+                FROM documents
+            )
+            SELECT (len(words) // 8) * 8 AS bucket_lo,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM w
+            GROUP BY 1
+        """,
+        "llm_repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            t AS (SELECT doc_id, unnest(words) AS token FROM w),
+            per AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(c) AS n_tokens,
+                   count(*) AS n_distinct,
+                   round(count(*) / sum(c), 4) AS distinct_ratio,
+                   round(max(c) / sum(c), 4) AS top_token_ratio
+            FROM per
+            GROUP BY doc_id
         """,
         "mm_media_features": """
             SELECT doc_id AS media_id,

@@ -1,0 +1,226 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+The reference repo has no LLM-curation surface; these extend the engine
+toward the 100 TB training-data goal (BASELINE.json north_star) with the
+steps every corpus build runs between "raw documents" and "training
+mix": benchmark decontamination, deterministic stratified sampling,
+domain-mix weight computation, token-length profiling, and
+repetition-based quality statistics.
+
+All operators are deterministic (md5-keyed sampling, integer bucket
+math) so a DuckDB oracle can recompute them bit-for-bit, and all hot
+paths are JVM column expressions — the only shuffles are the
+aggregations that the semantics genuinely require.
+
+Scale notes per operator are in the docstrings; the common theme:
+benchmark/eval sets are tiny relative to the corpus, so decontamination
+broadcasts the benchmark side and never shuffles the corpus; sampling
+and histograms are map-side or single-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators.text import shingles_from_tokens, tokens
+
+
+def _doc_shingles(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) pairs, one row per DISTINCT shingle per document.
+
+    Tokens are materialized in a prior projection (codegen: an inline
+    split would re-run the regex per slice), and ``array_distinct``
+    runs BEFORE the explode so the row count is bounded by distinct
+    shingles, not raw positions.
+    """
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_from_tokens(F.col("_w"), k)).alias("_sh"),
+        )
+        .select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_hits`` distinct word ``k``-grams with any benchmark/eval
+    document (the standard guard against test-set leakage into
+    training data).
+
+    Returns (id, n_hits, contaminated) for every corpus document.
+
+    Scale: eval benchmarks are tiny (thousands of docs) next to a
+    100 TB corpus, so the benchmark shingle set is broadcast — the
+    corpus side is scanned once with a map-side hash-join probe, and
+    the only shuffle is the per-document hit count (keyed by document
+    id, uniformly distributed). The corpus is never shuffled by
+    shingle, which would be the skew trap (stopword n-grams are hot).
+    """
+    bench_sh = (
+        _doc_shingles(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        _doc_shingles(docs, text_col, id_col, k)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def _rate_threshold(rate: float) -> str:
+    """Hex-string threshold for an md5-prefix keep rule at ``rate``.
+
+    Keep iff ``substr(md5(key), 1, 4) < threshold``: the first 4 hex
+    chars are uniform over 65536 values, and lowercase-hex string
+    order equals numeric order, so the comparison is engine-portable.
+    Rates >= 1.0 map to 'zzzz' (keeps everything).
+    """
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(int(round(rate * 65536)), 0), "04x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the md5
+    of its id falls under the stratum's rate threshold.
+
+    Unlike ``df.sample`` this is reproducible across runs, engines, and
+    partitionings (the keep decision is a pure function of the row id),
+    which is what a training-data mix needs for auditability.
+
+    Scale: pure map-side filter — no shuffle, no state, pushdown-safe
+    above it. The md5 prefix is uniform per stratum, so realized rates
+    concentrate tightly around the targets at corpus scale.
+    """
+    threshold = F.lit(_rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(_rate_threshold(rate))
+        ).otherwise(threshold)
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return docs.filter(key < threshold)
+
+
+def mix_weights(
+    docs: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Domain-mixing weights: per-stratum sampling weight that reshapes
+    the corpus's observed distribution into ``target_shares``
+    (weight = target_share / actual_share; >1 upsample, <1 downsample).
+
+    Scale: one partial+final aggregation on the stratum key (a handful
+    of groups), then the grand total joins back as a broadcast 1-row
+    crossJoin — one pass over the corpus, no second scan, no driver
+    collect in the plan.
+    """
+    target = F.lit(0.0)
+    for value, share in sorted(target_shares.items()):
+        target = F.when(
+            F.col(strata_col) == value, F.lit(float(share))
+        ).otherwise(target)
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    actual = F.col("n_docs") / F.col("_total")
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col(strata_col),
+        F.col("n_docs"),
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("weight"),
+    )
+
+
+def token_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    bucket_width: int = 8,
+) -> DataFrame:
+    """Token-length histogram: documents bucketed by whitespace token
+    count (bucket lower bound = floor(n/width)*width), with per-bucket
+    document counts and mean char length — the length profile every
+    curation run inspects before choosing truncation / packing sizes.
+
+    Scale: map-side token count + one aggregation over a few dozen
+    bucket keys; partials collapse map-side so the shuffle is tiny.
+    """
+    n_tok = F.size(tokens(text_col))
+    bucket = (F.floor(n_tok / bucket_width) * bucket_width).alias("bucket_lo")
+    return (
+        docs.select(bucket, F.col(chars_col))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(chars_col), 4).alias("avg_chars"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics (Gopher-style quality
+    signals): distinct-token ratio and the mass of the single most
+    frequent token. Boilerplate and degenerate generations score low
+    on distinct_ratio / high on top_token_ratio.
+
+    Returns (id, n_tokens, n_distinct, distinct_ratio, top_token_ratio).
+
+    Scale: explode + two-level aggregation, both keyed by document id
+    (uniform, skew-free) — the (id, token) partial counts combine
+    map-side before the single shuffle.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    per_token = tok.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    return (
+        per_token.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("_top"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("_top") / F.col("n_tokens"), 4).alias(
+                "top_token_ratio"
+            ),
+        )
+    )

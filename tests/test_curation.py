@@ -1,0 +1,99 @@
+"""Unit tests for corpus-curation operators (decontamination, stratified
+sampling, mix weights, token histogram, repetition stats) on crafted
+micro-data — semantics the synthetic corpus can't pin down, while the
+oracle sweep covers engine-vs-DuckDB equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import curation as CU
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (2, "a completely different sentence about spark engines", "en", "web"),
+        (3, "el gato duerme en la casa grande hoy", "es", "web"),
+        (4, "short doc", "en", "web"),
+        (5, "aaa aaa aaa aaa aaa aaa aaa bbb", "en", "web"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark):
+    # Shares the "quick brown fox" 3-grams with doc 1 only.
+    rows = [(100, "the quick brown fox runs fast", "en", "eval")]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_decontaminate_flags_overlapping_doc(corpus, eval_set):
+    out = {r.doc_id: r for r in CU.decontaminate(corpus, eval_set).collect()}
+    assert len(out) == 5
+    assert out[1].contaminated and out[1].n_hits >= 1  # shares "the quick brown"
+    for i in (2, 3, 4, 5):
+        assert not out[i].contaminated and out[i].n_hits == 0
+
+
+def test_decontaminate_min_hits_threshold(corpus, eval_set):
+    # Doc 1 shares exactly two 3-grams ("the quick brown", "quick brown fox");
+    # a min_hits above that clears it.
+    out = {r.doc_id: r.contaminated
+           for r in CU.decontaminate(corpus, eval_set, min_hits=3).collect()}
+    assert not any(out.values())
+
+
+def test_stratified_sample_is_deterministic_subset(corpus):
+    a = sorted(r.doc_id for r in
+               CU.stratified_sample(corpus, "lang", {"en": 0.5}).collect())
+    b = sorted(r.doc_id for r in
+               CU.stratified_sample(corpus, "lang", {"en": 0.5}).collect())
+    assert a == b  # pure function of doc_id, not partitioning/run
+    all_ids = {r.doc_id for r in corpus.collect()}
+    assert set(a) <= all_ids
+    # default_rate=1.0 keeps every non-en row
+    assert {r.doc_id for r in corpus.filter(F.col("lang") != "en").collect()} <= set(a)
+
+
+def test_stratified_sample_rate_zero_and_one(corpus):
+    none_en = CU.stratified_sample(corpus, "lang", {"en": 0.0}).collect()
+    assert all(r.lang != "en" for r in none_en)
+    everything = CU.stratified_sample(corpus, "lang", {}, default_rate=1.0)
+    assert everything.count() == corpus.count()
+
+
+def test_mix_weights_reshape(corpus):
+    out = {r.lang: r for r in
+           CU.mix_weights(corpus, "lang", {"en": 0.5, "es": 0.5}).collect()}
+    assert out["en"].n_docs == 4 and out["es"].n_docs == 1
+    assert out["en"].actual_share == 0.8
+    # weight = target / actual
+    assert out["en"].weight == pytest.approx(0.5 / 0.8)
+    assert out["es"].weight == pytest.approx(0.5 / 0.2)
+    # applying the weights hits the target shares exactly
+    reweighted_en = out["en"].n_docs * out["en"].weight
+    reweighted_es = out["es"].n_docs * out["es"].weight
+    total = reweighted_en + reweighted_es
+    assert reweighted_en / total == pytest.approx(0.5)
+
+
+def test_token_histogram_buckets(corpus):
+    docs = corpus.withColumn("n_chars", F.length("text"))
+    out = {r.bucket_lo: r.n_docs for r in CU.token_histogram(docs).collect()}
+    # docs 2,4 have 7,2 tokens -> bucket 0; docs 1,3,5 have 8-9 -> bucket 8
+    assert out[0] == 2 and out[8] == 3
+
+
+def test_repetition_stats_degenerate_doc(corpus):
+    out = {r.doc_id: r for r in CU.repetition_stats(corpus).collect()}
+    # doc 5: "aaa" x7 + "bbb" -> top token mass 7/8, distinct 2/8
+    assert out[5].n_tokens == 8 and out[5].n_distinct == 2
+    assert out[5].top_token_ratio == pytest.approx(7 / 8)
+    assert out[5].distinct_ratio == pytest.approx(2 / 8)
+    # doc 2: all-distinct sentence
+    assert out[2].distinct_ratio == 1.0
+    for r in out.values():
+        assert 0 < r.distinct_ratio <= 1.0 and 0 < r.top_token_ratio <= 1.0

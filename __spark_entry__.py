@@ -929,6 +929,20 @@ def q_repetition_stats(spark, sf_dir):
     return CU.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    # Fixed-token-budget sequence packing, sharded by source so each
+    # running sum sorts one shard independently (no global orderBy).
+    return CU.pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
+def q_chunking(spark, sf_dir):
+    # Overlapping 32-token chunks, 8-token overlap — the retrieval /
+    # embedding indexing shape. Pure per-row explode, no shuffle.
+    return CU.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     # Binary media plumbing: text payload as opaque bytes -> Arrow
     # mapInPandas feature extraction (deterministic fake decoder).
@@ -1153,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_mix_weights": q_mix_weights,
         "llm_token_histogram": q_token_histogram,
         "llm_repetition_stats": q_repetition_stats,
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_chunking": q_chunking,
         "mm_media_features": q_multimodal_features,
     }
 
@@ -1982,6 +1998,42 @@ def oracle_sql() -> dict[str, str]:
                    round(max(c) / sum(c), 4) AS top_token_ratio
             FROM per
             GROUP BY doc_id
+        """,
+        "llm_pack_sequences": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_tokens AS s
+                FROM w
+            )
+            SELECT doc_id, source, n_tokens,
+                   s // 256 AS seq_id,
+                   s % 256 AS offset_in_seq
+            FROM c
+        """,
+        "llm_chunking": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, words,
+                       unnest(range(1, greatest(len(words) - 8, 1) + 1, 24)) AS st
+                FROM w
+            )
+            SELECT doc_id,
+                   (st - 1) // 24 AS chunk_idx,
+                   array_to_string(words[st:st+31], ' ') AS chunk_text,
+                   len(words[st:st+31]) AS n_chunk_tokens
+            FROM s
         """,
         "mm_media_features": """
             SELECT doc_id AS media_id,

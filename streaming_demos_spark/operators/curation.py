@@ -20,7 +20,7 @@ and histograms are map-side or single-shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from streaming_demos_spark.operators.text import shingles_from_tokens, tokens
@@ -186,6 +186,82 @@ def token_histogram(
             F.count("*").alias("n_docs"),
             F.round(F.avg(chars_col), 4).alias("avg_chars"),
         )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    cumulative offset: within a shard, documents are laid end-to-end in
+    id order and a document belongs to the sequence where it starts
+    (seq_id = floor(preceding_tokens / budget)).
+
+    Returns (id, shard, n_tokens, seq_id, offset_in_seq). Deterministic
+    integer math, so the packing is reproducible and auditable.
+
+    Scale: the running sum is windowed PER SHARD — shards (source files
+    / dumps) are numerous and bounded, so every partition sorts
+    independently and in parallel. A global orderBy here would be the
+    single-task scale-killer; the shard key is the contract that keeps
+    it distributed.
+    """
+    n_tok = F.size(tokens(text_col))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("_start")
+    return (
+        docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .select(id_col, shard_col, "n_tokens", start)
+        .select(
+            F.col(id_col),
+            F.col(shard_col),
+            F.col("n_tokens"),
+            F.floor(F.col("_start") / budget).alias("seq_id"),
+            (F.col("_start") % budget).alias("offset_in_seq"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows (the
+    embedding/retrieval-indexing shape): chunk k starts at token
+    1 + k*(chunk_tokens - overlap) while the start lies within the
+    document net of the overlap tail.
+
+    Returns one row per (id, chunk_idx) with the chunk text and its
+    token count.
+
+    Scale: pure per-row explode — no shuffle, output rows bounded by
+    n_tokens / (chunk_tokens - overlap) per document. Tokens are
+    materialized before slicing (codegen: an inline split would re-run
+    the regex per chunk).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    exploded = toks.select(
+        F.col(id_col), F.col("_w"), F.posexplode(starts).alias("chunk_idx", "_s")
+    )
+    chunk = F.slice("_w", F.col("_s"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
     )
 
 

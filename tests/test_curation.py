@@ -87,6 +87,61 @@ def test_token_histogram_buckets(corpus):
     assert out[0] == 2 and out[8] == 3
 
 
+def test_pack_sequences_offsets_and_bins(corpus):
+    out = {r.doc_id: r for r in
+           CU.pack_sequences(corpus, budget=10, shard_col="source").collect()}
+    # single shard "web", id order: doc1 starts at 0, later docs at the
+    # running sum of earlier token counts
+    assert out[1].seq_id == 0 and out[1].offset_in_seq == 0
+    running = 0
+    for i in (1, 2, 3, 4, 5):
+        assert out[i].seq_id == running // 10
+        assert out[i].offset_in_seq == running % 10
+        running += out[i].n_tokens
+    # every document is assigned exactly one sequence slot
+    assert len(out) == 5
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(1, "a b c", "s1"), (2, "d e", "s2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in CU.pack_sequences(df, budget=4).collect()}
+    # both shard-leading docs start at offset 0 of sequence 0
+    assert out[1].offset_in_seq == 0 and out[2].offset_in_seq == 0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        CU.chunk_documents(df, chunk_tokens=16, overlap=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts at 1, 13, 25, 37 (step 12) while start <= 50 - 4
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2, 3]
+    assert chunks[0].chunk_text.startswith("w0 ") and chunks[0].n_chunk_tokens == 16
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert a[-4:] == b[:4]
+    # final chunk is clamped to the document end
+    assert chunks[-1].chunk_text.split()[-1] == "w49"
+    # every token appears in at least one chunk
+    covered = {t for c in chunks for t in c.chunk_text.split()}
+    assert covered == set(text.split())
+
+
+def test_chunk_documents_short_doc_single_chunk(corpus):
+    out = CU.chunk_documents(corpus.filter(F.col("doc_id") == 4),
+                             chunk_tokens=32, overlap=8).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 2
+
+
+def test_chunk_documents_rejects_bad_overlap(corpus):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CU.chunk_documents(corpus, chunk_tokens=8, overlap=8)
+
+
 def test_repetition_stats_degenerate_doc(corpus):
     out = {r.doc_id: r for r in CU.repetition_stats(corpus).collect()}
     # doc 5: "aaa" x7 + "bbb" -> top token mass 7/8, distinct 2/8

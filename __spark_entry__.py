@@ -1022,45 +1022,40 @@ def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: 
 
 
 def _sql_ngram_jaccard(threshold: float = 0.5, max_bucket: int = 50) -> str:
-    """DuckDB replay of the prefix-filtered exact Jaccard join
-    (operators.dedup.ngram_jaccard_pairs): same lexicographic shingle
-    order, prefix-length rule, length filter, and bucket cap."""
+    """DuckDB replay of the inverted-index exact Jaccard join
+    (operators.dedup.ngram_jaccard_pairs): same distinct-shingle
+    postings, length filter, bucket cap, and per-pair intersection
+    count."""
     t = threshold
     return f"""
         WITH w AS ({_sql_words()}),
         sh AS ({_sql_shingles()}),
         ss AS (
-            SELECT doc_id, list_sort(list_distinct(shingles)) AS s
+            SELECT doc_id, list_distinct(shingles) AS s
             FROM sh
         ),
-        sized AS (SELECT doc_id, s, len(s) AS n FROM ss),
-        pref AS (
-            SELECT doc_id, n,
-                   unnest(s[1 : n - CAST(ceil(n * {t}) AS INT) + 1]) AS shingle
-            FROM sized
+        postings AS (
+            SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM ss
         ),
         capped AS (
             SELECT * FROM (
                 SELECT *, count(*) OVER (PARTITION BY shingle) AS bucket_n
-                FROM pref
+                FROM postings
             ) WHERE bucket_n <= {max_bucket}
         ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        agg AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS n_a, b.n AS n_b, count(*) AS isect
             FROM capped a JOIN capped b
               ON a.shingle = b.shingle
              AND a.doc_id < b.doc_id
              AND a.n >= b.n * {t} AND b.n >= a.n * {t}
+            GROUP BY 1, 2, 3, 4
         ),
         scored AS (
             SELECT doc_a, doc_b,
-                   round(
-                     len(list_intersect(sa.s, sb.s))
-                     / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
-                   4) AS jaccard
-            FROM cand
-            JOIN ss sa ON cand.doc_a = sa.doc_id
-            JOIN ss sb ON cand.doc_b = sb.doc_id
+                   round(isect / (n_a + n_b - isect), 4) AS jaccard
+            FROM agg
         )
         SELECT * FROM scored WHERE jaccard >= {t}
         ORDER BY doc_a, doc_b

@@ -221,44 +221,37 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket: int = 50,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join via prefix filtering
-    (the AllPairs/PPJoin candidate rule) — no hashing approximation,
-    no all-pairs crossJoin.
+    """EXACT n-gram Jaccard similarity join via an inverted shingle
+    index — no hashing approximation, no all-pairs crossJoin, and no
+    per-pair array materialization.
 
-    Under any global total order on shingles (lexicographic here), if
-    J(A,B) >= t then the first ``|S| - ceil(t*|S|) + 1`` sorted shingles
-    of A and of B must intersect: fewer than ``ceil(t*|A|)`` common
-    elements remain past A's prefix, which contradicts
-    ``|A∩B| >= t*|A∪B| >= t*|A|``. So exploding only the prefix and
-    equality-joining on the shingle finds every qualifying pair.
+    Each document's distinct shingle set is exploded into (shingle, id,
+    |set|) postings; a self-equality-join on the shingle followed by a
+    per-pair count computes the EXACT intersection size ``I`` (every
+    common shingle contributes exactly one joined row), from which
+    ``J = I / (n_a + n_b - I)`` directly — the shingle arrays are never
+    shipped to a verification join.
 
     Plan shape (the 100 TB path):
-      1. map: shingle, sort-distinct, slice the prefix (no shuffle),
-      2. shuffle 1: explode prefix -> equality join on the shingle,
-         pruned by the length filter ``t*max(|A|,|B|) <= min(|A|,|B|)``
-         and a hot-shingle bucket cap (boilerplate guard; the only
-         approximation, and only for shingles shared by > max_bucket
-         docs),
-      3. map: exact Jaccard verification on the distinct candidates.
+      1. map: shingle, distinct, explode to postings (no shuffle),
+      2. shuffle 1: equality join on the shingle, pruned by the length
+         filter ``t*max(|A|,|B|) <= min(|A|,|B|)`` and a hot-shingle
+         bucket cap (boilerplate guard; the only approximation, and
+         only for shingles shared by > max_bucket documents),
+      3. shuffle 2: per-pair count -> exact intersection size -> exact
+         Jaccard. Rows are 3 integers wide; both shuffles are narrow.
 
-    Complements MinHash-LSH: same verification, but candidate recall is
-    exact (prefix filtering cannot miss a qualifying pair) at the cost
-    of more candidates at low thresholds — prefix length shrinks as t
-    rises, so this is the high-threshold workhorse."""
+    Complements MinHash-LSH: recall is exact (a qualifying pair shares
+    >= 1 shingle, so the join cannot miss it) at the cost of an index
+    over ALL shingles rather than LSH bands — this is the
+    high-threshold workhorse; MinHash is the low-threshold scout."""
     sh = _shingled(docs, text_col, id_col, shingle_k).select(
-        F.col(id_col),
-        F.array_sort(F.array_distinct(F.col("shingles"))).alias("shingles"),
+        F.col(id_col), F.array_distinct(F.col("shingles")).alias("s")
     )
-    sized = sh.select(id_col, "shingles", F.size("shingles").alias("n"))
-    prefix_len = (
-        F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    postings = sh.select(
+        F.col(id_col), F.size("s").alias("n"), F.explode("s").alias("shingle")
     )
-    pref = sized.select(
-        F.col(id_col),
-        F.col("n"),
-        F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
-    )
-    capped = pref.withColumn(
+    capped = postings.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("shingle"))
     ).filter(F.col("bucket_n") <= max_bucket)
     left = capped.select(
@@ -267,27 +260,22 @@ def ngram_jaccard_pairs(
     right = capped.select(
         "shingle", F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")
     )
-    cand = (
+    isect = F.col("isect")
+    return (
         left.join(right, on="shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("n_a") >= F.col("n_b") * F.lit(threshold))
             & (F.col("n_b") >= F.col("n_a") * F.lit(threshold))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cand.join(a, on="doc_a")
-        .join(b, on="doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("isect"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 4).alias(
-                "jaccard"
-            ),
+            F.round(
+                isect / (F.col("n_a") + F.col("n_b") - isect), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -55,6 +55,30 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Adaptive parallelism guard for per-row-HEAVY pipelines (shingle
+    explosion, vector math): if the upstream plan exposes fewer
+    partitions than the session's shuffle parallelism — single-row-group
+    parquet files cannot be split, so a small table scans as ONE task
+    and everything map-side serializes on it — hash-repartition before
+    the heavy work.
+
+    At real scale the scan has thousands of splits, the guard is false,
+    and NO shuffle is inserted; callers therefore don't pay for this at
+    100 TB, only benefit from it on row-group-bound inputs. Keyed
+    repartition (when key_cols given) keeps downstream same-key
+    aggregations co-located."""
+    if df.isStreaming:
+        return df
+    try:
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset -> leave the plan alone
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streaming_demos_spark.catalog import fan_out
 from streaming_demos_spark.operators.text import shingles_from_tokens, tokens
 
 
@@ -37,7 +38,8 @@ def _doc_shingles(
     shingles, not raw positions.
     """
     return (
-        docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), tokens(text_col).alias("_w"))
         .select(
             F.col(id_col),
             F.array_distinct(shingles_from_tokens(F.col("_w"), k)).alias("_sh"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from streaming_demos_spark.catalog import fan_out
 from streaming_demos_spark.operators.text import (
     normalize_text,
     shingles_from_tokens,
@@ -37,9 +38,15 @@ from streaming_demos_spark.operators.text import (
 def _shingled(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, shingles) with tokens materialized in a prior projection —
     the two-phase shape that keeps the shingle transform from
-    re-evaluating the tokenizer per element (10x at sf0.1)."""
-    return docs.select(F.col(id_col), tokens(text_col).alias("_w")).select(
-        F.col(id_col), shingles_from_tokens(F.col("_w"), k).alias("shingles")
+    re-evaluating the tokenizer per element (10x at sf0.1). fan_out
+    un-serializes the tokenize+shingle map work when the scan is
+    row-group-bound to one task."""
+    return (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), tokens(text_col).alias("_w"))
+        .select(
+            F.col(id_col), shingles_from_tokens(F.col("_w"), k).alias("shingles")
+        )
     )
 
 # --- exact dedup -------------------------------------------------------------

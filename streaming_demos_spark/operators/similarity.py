@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_demos_spark.catalog import fan_out
+
 
 def _as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -233,7 +235,9 @@ def embedding_near_dup_pairs(
     # size times). Same arithmetic (sqrt of the same fold), so the
     # rounded cosine is bit-identical to the naive form.
     d = _as_double(F.col(vec_col))
-    bucketed = with_lsh_bucket(emb, num_planes, vec_col).withColumn(
+    # fan_out: the per-row plane projections + norms serialize on one
+    # task when the scan is row-group-bound; no-op at real input sizes.
+    bucketed = with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col).withColumn(
         "_norm", F.sqrt(dot(d, d))
     )
     a = bucketed.select(

@@ -950,6 +950,31 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(media, decoder="fake")
 
 
+def q_mm_resize(spark, sf_dir):
+    # Resize plumbing: nearest-neighbor resample of the byte plane to
+    # 8x8 via mapInPandas (map-only). The payload is ASCII here, so the
+    # oracle rebuilds the identical bytes with character indexing and
+    # both engines md5 the result.
+    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    resized = MM.resize_images(media, width=8, height=8, decoder="fake")
+    return resized.select(
+        "media_id",
+        F.col("meta")["mime"].alias("mime"),
+        F.col("meta")["n_bytes"].alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    # Frame sampling: one blob fans out to every 3rd 16-byte frame
+    # (decode-and-explode shape in mapInPandas).
+    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    frames = MM.sample_frames(media, every_n=3, frame_bytes=16, decoder="fake")
+    return frames.select(
+        "media_id", "frame_idx", F.col("frame").cast("string").alias("frame_text")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1165,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pack_sequences": q_pack_sequences,
         "llm_chunking": q_chunking,
         "mm_media_features": q_multimodal_features,
+        "mm_resize": q_mm_resize,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -2029,6 +2056,31 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(words[st:st+31], ' ') AS chunk_text,
                    len(words[st:st+31]) AS n_chunk_tokens
             FROM s
+        """,
+        "mm_resize": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text, length(text) AS n
+                FROM documents
+            )
+            SELECT media_id,
+                   'application/x-fake-raster;w=8;h=8' AS mime,
+                   64::BIGINT AS n_bytes,
+                   md5(array_to_string(
+                       list_transform(range(0, 64),
+                                      i -> substr(text, (i * n) // 64 + 1, 1)),
+                       '')) AS payload_md5
+            FROM m
+        """,
+        "mm_frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       length(text) // 16 AS n_frames
+                FROM documents
+            )
+            SELECT media_id,
+                   unnest(range(0, n_frames, 3)) AS frame_idx,
+                   substr(text, unnest(range(0, n_frames, 3)) * 16 + 1, 16) AS frame_text
+            FROM m
         """,
         "mm_media_features": """
             SELECT doc_id AS media_id,

@@ -42,6 +42,10 @@ PROBE_KEYS = [
     "ext_session_window",
     "o4_time_split",
     "llm_dedup_minhash_pairs",
+    "llm_dedup_jaccard",
+    "llm_decontaminate",
+    "llm_pack_sequences",
+    "llm_repetition_stats",
     "llm_text_stats",
     "f_tfidf_top_terms",
     "eval_auc",

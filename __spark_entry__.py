@@ -844,6 +844,12 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    # Winnowing (MOSS) rolling-hash fingerprints: windowed min over the
+    # 3-gram hash sequence, distinct per doc. Map-only, no shuffle.
+    return TX.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     # Brute-force exact cosine top-10 vs vec_id=0 (the ANN baseline).
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
@@ -886,6 +892,29 @@ def q_curation_pipeline(spark, sf_dir):
         stats.join(langs, "doc_id")
         .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
         .select("doc_id", "n_tokens", "quality_score", "pred_lang")
+    )
+
+
+def q_quantile_summary(spark, sf_dir):
+    # Extension: exact grouped percentiles (linear interpolation, the
+    # percentile_cont definition both engines share). Exact percentile
+    # sorts within each group — fine for bounded group counts; the
+    # 100 TB path swaps in approx_percentile (t-digest, mergeable
+    # map-side) at the cost of oracle-exactness.
+    # Rounding at 6dp: interpolated money values have <= 4 decimal
+    # digits ((n-1)*p fractions are multiples of 0.05 on 2-dp cents),
+    # so 6dp rounding never sits on a halfway value in either engine.
+    li = _t(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 6)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.5).alias("p50"),
+            pct(0.75).alias("p75"),
+            pct(0.95).alias("p95"),
+            F.count("*").alias("n_rows"),
+        )
     )
 
 
@@ -1170,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_hierarchical_rollup": q_hierarchical_rollup,
         "t14_sliding_window": q_sliding_window,
         "ext_session_window": q_session_window,
+        "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_jaccard": q_dedup_jaccard,
@@ -1177,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_fingerprint": q_fingerprint,
+        "llm_winnow_fingerprints": q_winnow_fingerprints,
         "llm_ann_cosine_topk": q_ann_cosine_topk,
         "llm_ann_lsh_topk": q_ann_lsh_topk,
         "llm_ann_ivf_topk": q_ann_ivf_topk,
@@ -1744,6 +1775,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM expanded GROUP BY 1, 2
         """,
+        "ext_quantile_summary": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
         "ext_session_window": """
             -- gaps-and-islands replay of Spark's session_window merge
             -- rule: ordered per key, a row starts a NEW session iff its
@@ -1944,6 +1985,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, quality_score, pred_lang
             FROM tagged
             WHERE quality_score >= 0.5 AND pred_lang = 'en'
+        """,
+        "llm_winnow_fingerprints": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words)-1),
+                                                i -> array_to_string(words[i:i+2], ' '))
+                            ELSE [array_to_string(words, ' ')] END AS shingles
+                FROM w
+            ),
+            hs AS (
+                SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h
+                FROM sh
+            ),
+            f AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(h) - 3, 1) + 1),
+                           i -> list_min(h[i:i+3]))) AS fps
+                FROM hs
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM f
         """,
         "llm_decontaminate": """
             WITH w AS (

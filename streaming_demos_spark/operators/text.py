@@ -99,6 +99,42 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer et al. 2003): hash every word ``k``-gram, slide a
+    ``window`` over the hash sequence, keep each window's minimum —
+    guaranteeing any match of ``window + k - 1`` consecutive words
+    between two documents shares a fingerprint, at ~1/window the
+    storage of the full shingle set.
+
+    Returns one row per distinct (id, fingerprint). md5-based hashing
+    so a DuckDB oracle reproduces it bit-for-bit.
+
+    Scale: entirely map-side (hash chain + windowed min inside array
+    expressions, dedup via array_distinct before the explode) — no
+    shuffle; downstream overlap joins group on the fingerprint, which
+    is uniform by construction."""
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform(
+            shingles_from_tokens(F.col("_w"), k), lambda s: F.md5(s)
+        ).alias("_h"),
+    )
+    m = F.size("_h")
+    starts = F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice("_h", i, window)))
+    )
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality statistics + a composite quality score.
 

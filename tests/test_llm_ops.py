@@ -243,3 +243,26 @@ def test_multimodal_frame_sampling(spark):
     assert sorted(got) == [0, 5, 10, 15]
     assert got[5] == bytes(range(20, 24))
     assert got[15] == bytes(range(60, 64))
+
+
+def test_winnow_guarantee_and_compression(spark):
+    # Winnowing guarantee: two docs sharing a run of >= window + k - 1
+    # consecutive words (here 4 + 3 - 1 = 6) must share a fingerprint,
+    # regardless of surrounding text.
+    shared = "lorem ipsum dolor sit amet consectetur"
+    rows = [
+        (1, f"prefix one two {shared} suffix alpha beta"),
+        (2, f"{shared} entirely different ending material here"),
+        (3, "no overlap with anything else at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = TX.winnow_fingerprints(df)
+    by_doc = {
+        i: {r.fp for r in fps.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]          # guaranteed shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # disjoint text, disjoint prints
+    # compression: fewer fingerprints than shingles
+    n_shingles = len(rows[0][1].split()) - 2
+    assert 0 < len(by_doc[1]) < n_shingles

@@ -5,14 +5,15 @@ select/filter benefits from pushdown + pruning because loading declares
 no projection here (Catalyst prunes per-query).
 
 Physical-schema normalization: the driver's ``events.parquet`` stores
-``ts`` as parquet ``TIMESTAMP(NANOS)``, which Spark refuses to read as a
-timestamp (PARQUET_TYPE_ILLEGAL). The loader flips
-``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so the scan
-yields a nanosecond long, then truncates ns -> µs with integer ``div``
-(exact — a double division would lose precision above 2^53) and rebuilds
-a proper ``TimestampType`` via ``timestamp_micros``. DuckDB oracles do
-the equivalent ``CAST(ts AS TIMESTAMP)`` ns -> µs truncation, so both
-engines agree to the microsecond.
+``ts`` as parquet ``TIMESTAMP(NANOS)``. Spark 4.1 reads that natively as
+``TIMESTAMP_NTZ`` (naive wall time — exactly DuckDB's timestamp model,
+so oracle comparisons need no timezone reasoning) and the column passes
+through unchanged. Two fallbacks keep older readers working: the
+``nanosAsLong`` legacy conf is still set (ignored on 4.1, honored by
+3.x), and a column read as a nanos-long is rebuilt into a proper
+timestamp below. Epoch math on NTZ columns must use
+``functions.scalars.epoch_us``/``epoch_sec`` — ``unix_micros`` and
+``cast('long')`` reject NTZ.
 """
 
 from __future__ import annotations

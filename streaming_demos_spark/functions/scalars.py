@@ -19,6 +19,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds from TIMESTAMP **or** TIMESTAMP_NTZ.
+
+    Spark 4 reads parquet TIMESTAMP(NANOS) (the driver's ``events.ts``)
+    as TIMESTAMP_NTZ, which ``unix_micros`` / ``cast('long')`` reject.
+    ``to_utc_timestamp(x, 'UTC')`` re-interprets the naive wall time as
+    UTC (an identity for TIMESTAMP under a UTC session), after which
+    ``unix_micros`` is legal for both types — matching DuckDB's
+    ``epoch_us(CAST(ts AS TIMESTAMP))`` on the same naive value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+
+
+def epoch_sec(col: Column | str) -> Column:
+    """Epoch seconds (truncating) from TIMESTAMP or TIMESTAMP_NTZ —
+    the NTZ-safe replacement for ``ts.cast('long')``."""
+    return F.floor(epoch_us(col) / F.lit(1000000)).cast("long")
+
+
 def title_case(col: Column | str) -> Column:
     """``replace('_', ' ').title()`` — chart-title formatting."""
     return F.initcap(F.regexp_replace(F.col(col) if isinstance(col, str) else col, "_", " "))

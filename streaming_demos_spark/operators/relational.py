@@ -21,6 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_demos_spark.functions.scalars import epoch_sec, epoch_us
 
 
 # --- P1 + P2 + J1 + J2: the dashboard feed ---------------------------------
@@ -211,8 +214,8 @@ def session_stats(
         )
         .select(
             key_col,
-            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
-            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            epoch_us(F.col("session_window.start")).alias("session_start_us"),
+            epoch_us(F.col("session_window.end")).alias("session_end_us"),
             "total_value",
             "n_events",
         )
@@ -479,13 +482,21 @@ def interval_join(
     in buckets, independent of how many events fall inside. Pick the
     granularity near the typical interval length."""
     g = granularity_sec
-    lb = left.withColumn("_b", (F.col(ts).cast("long") / g).cast("long"))
+
+    def _epoch(df: DataFrame, c: str):
+        # NTZ-safe: timestamp-typed axes go through epoch_sec; numeric
+        # axes (already epoch longs) cast directly.
+        if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)):
+            return epoch_sec(F.col(c))
+        return F.col(c).cast("long")
+
+    lb = left.withColumn("_b", (_epoch(left, ts) / g).cast("long"))
     rb = right.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                (F.col(start).cast("long") / g).cast("long"),
-                (F.col(end).cast("long") / g).cast("long"),
+                (_epoch(right, start) / g).cast("long"),
+                (_epoch(right, end) / g).cast("long"),
             )
         ),
     )

@@ -56,6 +56,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from streaming_demos_spark.functions.scalars import epoch_sec
+
 BID_TIME_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -142,8 +144,9 @@ def with_idle_heartbeat(
 
 def window_end_expr(ts: Column, window_sec: int) -> Column:
     """``window_end = (floor(ts/size)+1)*size`` in epoch seconds —
-    LateRecordProcessor.kt:46-52's arithmetic."""
-    epoch = ts.cast("long")
+    LateRecordProcessor.kt:46-52's arithmetic. NTZ-safe epoch
+    extraction (events.ts scans as TIMESTAMP_NTZ under Spark 4)."""
+    epoch = epoch_sec(ts)
     return (F.floor(epoch / window_sec) + 1) * window_sec
 
 
@@ -167,7 +170,7 @@ def tag_late_batch(
         .orderBy(seq_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    stream_time = F.max(F.col(ts_col).cast("long")).over(w)
+    stream_time = F.max(epoch_sec(F.col(ts_col))).over(w)
     wend = window_end_expr(F.col(ts_col), window_sec)
     return events.withColumn(
         "is_late",

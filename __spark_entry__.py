@@ -813,6 +813,16 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # Near-dup CLUSTERING: minhash pairs (threshold 0.1, as above) ->
+    # connected components (iterative min-label propagation; transitive
+    # closure because near-dup similarity is not transitive) -> keep the
+    # min-id doc per cluster. One row per document.
+    return D.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.1
+    ).orderBy("doc_id")
+
+
 def q_dedup_jaccard(spark, sf_dir):
     # EXACT n-gram Jaccard similarity join: prefix-filtered candidates
     # (AllPairs rule, lexicographic shingle order) + length filter,
@@ -1075,6 +1085,40 @@ def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: 
     """
 
 
+def _sql_neardup_clusters(threshold: float = 0.1) -> str:
+    """DuckDB replay of near_dup_clusters: the minhash-pair SQL (nested
+    as a CTE) -> recursive-CTE transitive closure taking the min
+    reachable id as the component label -> singleton fill + sizes +
+    min-id keep flag. Mirrors operators.dedup.connected_components'
+    fixpoint exactly (both compute min-reachable-id)."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({_sql_minhash_pairs(threshold)}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        labeled AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ),
+        sizes AS (
+            SELECT component, count(*) AS n_members FROM labeled GROUP BY component
+        )
+        SELECT l.doc_id, l.component, s.n_members,
+               (l.doc_id = l.component) AS is_kept
+        FROM labeled l JOIN sizes s USING (component)
+        ORDER BY l.doc_id
+    """
+
+
 def _sql_ngram_jaccard(threshold: float = 0.5, max_bucket: int = 50) -> str:
     """DuckDB replay of the inverted-index exact Jaccard join
     (operators.dedup.ngram_jaccard_pairs): same distinct-shingle
@@ -1202,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "llm_dedup_clusters": q_dedup_clusters,
         "llm_dedup_jaccard": q_dedup_jaccard,
         "llm_dedup_simhash": q_dedup_simhash,
         "llm_text_stats": q_text_stats,
@@ -1824,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
+        "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_dedup_jaccard": _sql_ngram_jaccard(threshold=0.5),
         "llm_dedup_simhash": _sql_simhash(prefix_bits=8),
         "llm_text_stats": """

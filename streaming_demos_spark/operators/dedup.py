@@ -336,3 +336,105 @@ def simhash_fingerprints(
         fp.alias("simhash"),
         F.substring(fp, 1, prefix_bits).alias("simhash_prefix"),
     )
+
+
+# --- near-dup clustering (connected components over the pair graph) ----------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labeling of the undirected pair graph —
+    component = minimum node id reachable from the node.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; converged when a
+    round changes nothing. Rounds are plain shuffled joins/aggregations,
+    so each one scales out; the round COUNT is bounded by the graph
+    diameter, and near-dup graphs are overwhelmingly tiny cliques/chains
+    (diameter 1-3), so this converges in a handful of rounds. For
+    adversarial long-chain graphs the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce") drops rounds
+    to O(log d) with the same join-shaped primitives.
+
+    Each round is localCheckpoint-ed: labels are re-read as a
+    materialized RDD rather than re-deriving an ever-deeper lineage
+    (iteration over DataFrames otherwise re-plans round 1..k-1 inside
+    round k).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # pair generation runs ONCE
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.col("lbl").alias("old_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = proposed.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        labels = proposed.select("node", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Full near-dup dedup decision: MinHash-LSH pairs -> connected
+    components -> per-cluster canonical keep (minimum doc id). Returns
+    one row per document: (id, component, n_members, is_kept) — docs in
+    no pair are singleton components of themselves and are kept.
+
+    This is the "keep one representative per duplicate cluster" step a
+    curation pipeline applies after pair generation: transitive closure
+    matters because near-dup similarity is not transitive (A~B, B~C but
+    A!~C must still collapse to ONE kept doc, not two)."""
+    pairs = minhash_near_dup_pairs(
+        docs, text_col, id_col, num_hashes, band_rows, shingle_k, threshold, max_bucket
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        labeled.join(sizes, on="component")
+        .select(
+            id_col,
+            "component",
+            "n_members",
+            (F.col(id_col) == F.col("component")).alias("is_kept"),
+        )
+    )

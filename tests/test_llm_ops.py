@@ -266,3 +266,34 @@ def test_winnow_guarantee_and_compression(spark):
     # compression: fewer fingerprints than shingles
     n_shingles = len(rows[0][1].split()) - 2
     assert 0 < len(by_doc[1]) < n_shingles
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    # chain 1-2-3 (non-transitive similarity must still collapse),
+    # triangle 10-11-12, pair 20-21; 99 appears in no edge.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r.node: r.component
+        for r in D.connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters_keeps_one_per_cluster(spark, docs):
+    # band_rows=1 -> 12 one-row bands: candidate recall for the 0.75-
+    # jaccard 1~3 pair is 1-(1-0.75)^12 (≈certain), keeping the test
+    # deterministic-by-construction rather than by band luck.
+    out = D.near_dup_clusters(docs, threshold=0.5, band_rows=1).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 5
+    # 1,2 exact dups and 3 near-dup of 1 -> one cluster rooted at 1
+    assert by_id[1].component == 1 and by_id[1].is_kept
+    assert by_id[2].component == 1 and not by_id[2].is_kept
+    assert by_id[3].component == 1 and not by_id[3].is_kept
+    assert by_id[1].n_members == 3
+    # 4 and 5 are singletons and kept
+    assert by_id[4].is_kept and by_id[4].n_members == 1
+    assert by_id[5].is_kept and by_id[5].n_members == 1

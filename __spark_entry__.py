@@ -848,6 +848,13 @@ def q_lang_id(spark, sf_dir):
     return TX.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_ngram_entropy(spark, sf_dir):
+    # Character-bigram Shannon entropy over normalized text — the
+    # repetition/garbage quality gate (low entropy = templated/looping
+    # text). Stable form H = log2(T) - Σ c·log2(c)/T in both engines.
+    return TX.char_ngram_entropy(_t(spark, sf_dir, "documents"), n=2)
+
+
 def q_fingerprint(spark, sf_dir):
     # md5-of-normalized-text content fingerprint.
     docs = _t(spark, sf_dir, "documents")
@@ -1252,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_fingerprint": q_fingerprint,
+        "llm_ngram_entropy": q_ngram_entropy,
         "llm_winnow_fingerprints": q_winnow_fingerprints,
         "llm_ann_cosine_topk": q_ann_cosine_topk,
         "llm_ann_lsh_topk": q_ann_lsh_topk,
@@ -1930,6 +1938,31 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                        '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "llm_ngram_entropy": """
+            WITH t AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS txt
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(length(txt) - 1, 1)),
+                           i -> substr(txt, i, 2))) AS gram
+                FROM t
+            ),
+            c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            e AS (
+                SELECT doc_id, sum(cnt) AS tot,
+                       sum(cnt * log2(cnt::DOUBLE)) AS s
+                FROM c GROUP BY 1
+            )
+            SELECT doc_id, tot AS n_grams,
+                   round(log2(tot::DOUBLE) - s / tot, 4) AS entropy
+            FROM e
         """,
         "llm_ann_cosine_topk": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

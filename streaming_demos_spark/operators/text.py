@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_demos_spark.catalog import fan_out
+
 # Small deterministic stopword/marker lists (public, trivial).
 STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 
@@ -197,4 +199,50 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
+    )
+
+
+def char_ngram_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document Shannon entropy of character ``n``-grams over the
+    normalized text — the standard cheap repetition/garbage signal for
+    corpus filtering (templated or looping text scores low, natural
+    prose high; complements ``repetition_stats``' word-level view).
+
+    Numerically stable form: H = log2(T) - (Σ c·log2 c)/T over gram
+    counts c with T = Σ c, so no per-gram probability division.
+
+    Plan: map-side gram expansion (substr chain inside array
+    expressions) -> explode -> two combinable aggregations
+    ((doc, gram) counts, then per-doc entropy) — both shuffles are
+    partial-agg friendly and keyed by doc id, linear scale-out."""
+    txt = normalize_text(text_col)
+    base = fan_out(docs.select(F.col(id_col), txt.alias("_t")), id_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts, lambda i: F.col("_t").substr(i, F.lit(n)))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_tot"),
+            F.sum(F.col("c") * F.log2("c")).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_tot").alias("n_grams"),
+            F.round(F.log2("_tot") - F.col("_s") / F.col("_tot"), 4).alias(
+                "entropy"
+            ),
+        )
     )

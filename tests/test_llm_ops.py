@@ -297,3 +297,18 @@ def test_near_dup_clusters_keeps_one_per_cluster(spark, docs):
     # 4 and 5 are singletons and kept
     assert by_id[4].is_kept and by_id[4].n_members == 1
     assert by_id[5].is_kept and by_id[5].n_members == 1
+
+
+def test_char_ngram_entropy_known_values(spark):
+    import math
+
+    rows = [(1, "aaaaa"), (2, "ababab"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.char_ngram_entropy(df, n=2).collect()}
+    # "aaaaa" -> 4x "aa": entropy 0
+    assert out[1].n_grams == 4 and out[1].entropy == 0.0
+    # "ababab" -> ab,ba,ab,ba,ab: H = log2(5) - (3*log2 3 + 2*log2 2)/5
+    expected = round(math.log2(5) - (3 * math.log2(3) + 2 * math.log2(2)) / 5, 4)
+    assert out[2].n_grams == 5 and out[2].entropy == expected
+    # empty text -> single empty gram, entropy 0 (degenerate, not null)
+    assert out[3].n_grams == 1 and out[3].entropy == 0.0

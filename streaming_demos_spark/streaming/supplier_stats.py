@@ -346,3 +346,61 @@ def run_supplier_stats(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+# --- stream-stream join (extension: watermark-bounded two-stream state) ------
+
+
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "5 seconds",
+    watermark: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time attribution join: pair each right-side
+    event with the left-side event it follows — ``same key AND
+    left_ts <= right_ts <= left_ts + within`` (the impression->click
+    attribution shape; an extension past the reference's stream-static
+    enrichment, exercising Spark's two-sided join state).
+
+    Both sides are watermarked, and the time-RANGE predicate is what
+    lets Spark bound the join state: a buffered left row is evictable
+    once the right watermark passes ``left_ts + within``, a right row
+    once the left watermark passes ``right_ts`` — without the range
+    condition the state would grow forever. ``within`` should cover the
+    business attribution window, ``watermark`` the arrival skew.
+
+    Works unchanged on batch frames (watermarks skipped — batch sees all
+    data, so eviction is moot), keeping the batch ≡ stream duality
+    testable.
+    """
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).select(
+        F.col(f"l.{key}").alias(key),
+        lts.alias(left_ts),
+        rts.alias(right_ts),
+        *[
+            F.col(f"l.{c}")
+            for c in left.columns
+            if c not in (key, left_ts, right_ts)
+        ],
+        *[
+            F.col(f"r.{c}")
+            for c in right.columns
+            if c not in (key, left_ts, right_ts)
+        ],
+    )

@@ -502,3 +502,56 @@ def test_dual_sink_partitions_on_time_and_late(spark, events_df, stream_dirs):
 
     payload = json.loads(late_batches[0].value)
     assert payload["late"] is True and "shard" in payload
+
+
+def test_stream_stream_attribution_join(spark, stream_dirs):
+    """Extension past stream-static: BOTH sides streaming, watermarked,
+    with the time-range predicate that lets Spark evict two-sided join
+    state. Clicks attribute to the impression they follow within 5s."""
+    imp_src = f"{stream_dirs}/attr_imp"
+    clk_src = f"{stream_dirs}/attr_clk"
+    chk = f"{stream_dirs}/attr_chk"
+    base = "2024-01-01 00:00:"
+    imps = spark.createDataFrame(
+        [("k1", f"{base}10"), ("k2", f"{base}20"), ("k4", f"{base}30")],
+        "k string, imp_s string",
+    ).select("k", F.to_timestamp("imp_s").alias("imp_time"))
+    clicks = spark.createDataFrame(
+        [
+            ("k1", f"{base}13"),  # 3s after k1's impression -> attributed
+            ("k1", f"{base}40"),  # 30s after -> outside the window
+            ("k2", f"{base}19"),  # 1s BEFORE the impression -> no match
+            ("k3", f"{base}21"),  # no impression at all
+        ],
+        "k string, clk_s string",
+    ).select("k", F.to_timestamp("clk_s").alias("click_time"))
+    imps.coalesce(1).write.mode("overwrite").parquet(imp_src)
+    clicks.coalesce(1).write.mode("overwrite").parquet(clk_src)
+
+    s_imps = spark.readStream.schema(imps.schema).parquet(imp_src)
+    s_clicks = spark.readStream.schema(clicks.schema).parquet(clk_src)
+    joined = SS.attribution_join(
+        s_imps, s_clicks, key="k", left_ts="imp_time", right_ts="click_time",
+        within="5 seconds", watermark="10 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.k, r.imp_time.second, r.click_time.second)
+        for r in spark.sql("SELECT * FROM attr").collect()
+    ]
+    assert got == [("k1", 10, 13)]
+
+    # batch ≡ stream duality: same function, same answer on batch frames
+    batch = SS.attribution_join(
+        imps, clicks, key="k", left_ts="imp_time", right_ts="click_time",
+        within="5 seconds",
+    ).collect()
+    assert [(r.k, r.imp_time.second, r.click_time.second) for r in batch] == got

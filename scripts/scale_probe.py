@@ -42,7 +42,9 @@ PROBE_KEYS = [
     "ext_session_window",
     "o4_time_split",
     "llm_dedup_minhash_pairs",
+    "llm_dedup_clusters",
     "llm_dedup_jaccard",
+    "llm_ngram_entropy",
     "llm_decontaminate",
     "llm_pack_sequences",
     "llm_repetition_stats",

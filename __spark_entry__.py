@@ -794,6 +794,15 @@ def q_session_window(spark, sf_dir):
     )
 
 
+def q_moving_average(spark, sf_dir):
+    # Extension: per-user trailing 1-hour moving average over a
+    # time-RANGE frame (row-anchored smoothing; tie-safe because RANGE
+    # frames aggregate same-timestamp peers together in both engines).
+    return R.moving_average(
+        _t(spark, sf_dir, "events"), "ts", "user_id", "value", trailing_sec=3600
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1250,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_hierarchical_rollup": q_hierarchical_rollup,
         "t14_sliding_window": q_sliding_window,
         "ext_session_window": q_session_window,
+        "ext_moving_average": q_moving_average,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1868,6 +1878,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM islands
             GROUP BY event_type, sid
+        """,
+        "ext_moving_average": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep,
+                       value
+                FROM events
+            )
+            SELECT event_id, user_id, ep,
+                   round(avg(value) OVER w, 4) AS trailing_avg,
+                   count(*) OVER w AS n_window
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "llm_dedup_exact": """
             SELECT md5(text) AS text_hash,

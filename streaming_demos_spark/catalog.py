@@ -100,6 +100,29 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist a table hive-partitioned on low-cardinality columns
+    (date, region, event type). At 100 TB this is THE first-line layout
+    control: a reader filtering on a partition column scans only the
+    matching directories — partition PRUNING happens at planning time
+    (PartitionFilters in the scan node), before any I/O, unlike
+    row-group min/max skipping which still lists and opens files.
+
+    Partition columns must be low-cardinality (thousands, not millions
+    of distinct values): each value is a directory, and small-file
+    explosion costs more than pruning saves. High-cardinality layout
+    control belongs to ``write_bucketed`` instead."""
+    w = df.write.partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.mode("overwrite").parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every TESTDATA table as a temp view so operators can be
     written in either DataFrame or SQL form against the same catalog."""

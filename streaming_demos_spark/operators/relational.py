@@ -175,6 +175,41 @@ def tumbling_stats(
     )
 
 
+def moving_average(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    trailing_sec: int = 3600,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key trailing moving average over a TIME-RANGE frame: for each
+    event, the mean of the key's values in ``[ts - trailing_sec, ts]``
+    (the per-entity smoothing a dashboard/feature pipeline applies,
+    complementing the tumbling/sliding/session window family with a
+    row-anchored frame).
+
+    RANGE (not ROWS) frame over epoch seconds, so same-timestamp peers
+    always aggregate together — engine-portable tie semantics. One
+    shuffle on the key; frame evaluation is a per-partition sorted scan.
+    Keys must be high-cardinality (users, devices) for parallelism —
+    per-TYPE smoothing at 100 TB should composite the key with a time
+    bucket instead."""
+    ep = epoch_sec(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ep)
+        .rangeBetween(-trailing_sec, Window.currentRow)
+    )
+    return events.select(
+        id_col,
+        F.col(key_col),
+        ep.alias("ep"),
+        F.round(F.avg(value_col).over(w), 4).alias("trailing_avg"),
+        F.count("*").over(w).alias("n_window"),
+    )
+
+
 def session_stats(
     events: DataFrame,
     ts_col: str,

@@ -998,6 +998,32 @@ def q_chunking(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    # PII scrubbing gate. The synthetic corpus carries no PII, so the
+    # query MANUFACTURES deterministic PII-bearing text from customer
+    # rows (email from the name, phone/IP from the key) and redacts it —
+    # non-vacuous counts, byte-identical engine parity on the redaction.
+    customer = _t(spark, sf_dir, "customer")
+    docs = customer.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("contact "),
+            F.regexp_replace(F.lower("c_name"), r"[^a-z0-9]", ""),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("c_custkey") % 256).cast("string"),
+            F.lit("."),
+            (F.col("c_custkey") % 100).cast("string"),
+            F.lit(" about "),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return CU.redact_pii(docs)
+
+
 def q_multimodal_features(spark, sf_dir):
     # Binary media plumbing: text payload as opaque bytes -> Arrow
     # mapInPandas feature extraction (deterministic fake decoder).
@@ -1283,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_repetition_stats": q_repetition_stats,
         "llm_pack_sequences": q_pack_sequences,
         "llm_chunking": q_chunking,
+        "llm_pii_redact": q_pii_redact,
         "mm_media_features": q_multimodal_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
@@ -2227,6 +2254,38 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(words[st:st+31], ' ') AS chunk_text,
                    len(words[st:st+31]) AS n_chunk_tokens
             FROM s
+        """,
+        "llm_pii_redact": """
+            WITH d AS (
+                SELECT c_custkey AS doc_id,
+                       'contact ' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+                       || '@example.com or call 555-'
+                       || lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+                       || '-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+                       || ' from 10.0.' || (c_custkey % 256)::VARCHAR
+                       || '.' || (c_custkey % 100)::VARCHAR
+                       || ' about ' || c_mktsegment AS t
+                FROM customer
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+                       regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+                FROM d
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+                       regexp_replace(t, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_phone,
+                       len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+                       regexp_replace(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, n_email, n_phone, n_ipv4, t AS redacted FROM s3
         """,
         "mm_resize": """
             WITH m AS (

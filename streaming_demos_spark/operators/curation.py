@@ -302,3 +302,46 @@ def repetition_stats(
             ),
         )
     )
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# Alternation-free, fixed-shape patterns: Java regex (Spark) matches
+# leftmost-first, RE2 (DuckDB) leftmost-first in default mode — keeping
+# the patterns free of ambiguous alternations makes both engines agree
+# byte-for-byte, which the oracle verifies.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals from document text,
+    replacing each with a typed placeholder token, and count the hits
+    per category — the pre-training privacy gate every corpus build
+    runs before tokenization.
+
+    Entirely map-side (regexp_replace / regexp_count chains, no
+    shuffle, no UDF): at 100 TB this runs at scan throughput. Redaction
+    order is email -> phone -> ipv4 so an IP-looking fragment inside an
+    already-redacted span can't double-count."""
+    # Count on the PROGRESSIVELY redacted text, mirroring the replace
+    # chain: a dotted phone number must count as a phone, not also as an
+    # IPv4 (each stage sees the previous stage's output).
+    stage = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    count_cols = []
+    for name, pat in PII_PATTERNS.items():
+        stage = stage.select(
+            F.col(id_col),
+            *count_cols,
+            F.regexp_count(F.col("_t"), F.lit(pat)).cast("long").alias(f"n_{name}"),
+            F.regexp_replace(F.col("_t"), pat, f"<{name.upper()}>").alias("_t"),
+        )
+        count_cols.append(F.col(f"n_{name}"))
+    return stage.select(
+        id_col, "n_email", "n_phone", "n_ipv4", F.col("_t").alias("redacted")
+    )

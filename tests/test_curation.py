@@ -152,3 +152,26 @@ def test_repetition_stats_degenerate_doc(corpus):
     assert out[2].distinct_ratio == 1.0
     for r in out.values():
         assert 0 < r.distinct_ratio <= 1.0 and 0 < r.top_token_ratio <= 1.0
+
+
+def test_redact_pii_staged_counting(spark):
+    from streaming_demos_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-mail.co.uk now"),
+        (2, "call 555-123-4567 or 555.123.4567"),   # dashed AND dotted phone
+        (3, "host 192.168.0.1 and 10.0.0.255"),
+        (4, "clean text, nothing to scrub"),
+        (5, "e@a.io from 1.2.3.4 call 555 123 4567"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 0)
+    assert "<EMAIL>" in out[1].redacted and "@" not in out[1].redacted
+    # the dotted phone must count as a PHONE (staged), never as an IPv4
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 2, 0)
+    assert out[2].redacted.count("<PHONE>") == 2
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 2)
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
+    assert out[4].redacted == rows[3][1]
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 1, 1)

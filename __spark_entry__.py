@@ -763,6 +763,24 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_cube_revenue(spark, sf_dir):
+    # Extension: full CUBE over (nation, segment) — all four grouping
+    # sets in one pass (rollup's superset; same partial+final agg per
+    # set, one shuffle).
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.cube("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id("n_name", "c_mktsegment").alias("gid"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count("*").alias("n"),
+        )
+        .select("n_name", "c_mktsegment", "gid", "total_bal", "n")
+    )
+
+
 def q_sliding_window(spark, sf_dir):
     # T14 extension (tumbling-only in the reference; Spark-native):
     # 10-minute windows sliding every 5 — each event lands in exactly 2
@@ -894,6 +912,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(
         _t(spark, sf_dir, "embeddings"),
         query_vec_id=0, k=10, n_centroids=8, nprobe=2,
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    # ANN evaluation harness: recall@10 of the sign-LSH path vs the
+    # exact baseline over a 5-query panel — the measurement that
+    # justifies (or rejects) the bucket-pruned search at scale.
+    return SIM.ann_recall(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, num_planes=4
     )
 
 
@@ -1286,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_sliding_window": q_sliding_window,
         "ext_session_window": q_session_window,
         "ext_moving_average": q_moving_average,
+        "ext_cube_revenue": q_cube_revenue,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1301,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_lsh_topk": q_ann_lsh_topk,
         "llm_ann_ivf_topk": q_ann_ivf_topk,
         "llm_neardup_embedding": q_neardup_embedding,
+        "llm_ann_recall": q_ann_recall,
         "llm_curation_pipeline": q_curation_pipeline,
         "llm_decontaminate": q_decontaminate,
         "llm_stratified_sample": q_stratified_sample,
@@ -1846,6 +1875,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
         """,
+        "ext_cube_revenue": """
+            SELECT n_name, c_mktsegment,
+                   GROUPING(n_name, c_mktsegment) AS gid,
+                   round(sum(c_acctbal), 2) AS total_bal,
+                   count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY CUBE (n_name, c_mktsegment)
+        """,
         "t14_sliding_window": """
             -- expand each event into its 2 overlapping 10-min windows
             -- (slide 5 min): starts at floor(e/300)*300 - {0, 300}
@@ -2033,6 +2070,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0 AND bucket = qb
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "llm_ann_recall": f"""
+            WITH {_sql_lsh_bucket_cte(4)},
+            q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb
+                  FROM bk WHERE vec_id IN (0, 1, 2, 3, 4)),
+            scored AS (
+                SELECT q.qid, bk.vec_id,
+                       round({_SQL_COS.format(a="bk.v", b="q.qv")}, 6) AS cos_sim,
+                       (bk.bucket = q.qb) AS same_bucket
+                FROM bk, q WHERE bk.vec_id <> q.qid
+            ),
+            exact AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored) WHERE rnk <= 10
+            ),
+            approx AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored WHERE same_bucket) WHERE rnk <= 10
+            ),
+            na AS (SELECT qid, count(*) AS n_approx FROM approx GROUP BY 1),
+            hit AS (
+                SELECT e.qid, count(*) AS n_hit
+                FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+                GROUP BY 1
+            )
+            SELECT q.qid,
+                   COALESCE(na.n_approx, 0) AS n_approx,
+                   COALESCE(hit.n_hit, 0) AS n_hit,
+                   round(COALESCE(hit.n_hit, 0) / 10.0::DOUBLE, 4) AS recall_at_k
+            FROM q LEFT JOIN na ON q.qid = na.qid LEFT JOIN hit ON q.qid = hit.qid
         """,
         "llm_ann_ivf_topk": f"""
             WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -24,7 +24,7 @@ DuckDB oracle hash-matches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from streaming_demos_spark.catalog import fan_out
@@ -265,4 +265,67 @@ def embedding_near_dup_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-LSH ANN path against the exact cosine
+    baseline, per query point — the evaluation harness an ANN deployment
+    needs before trading exactness for bucket pruning.
+
+    One scored frame (corpus x broadcast query panel — the |panel| is a
+    small constant, so the cost is a fixed multiple of one corpus scan)
+    feeds BOTH rankings: exact = rank over everything, approx = rank
+    over same-bucket rows only; recall = |approx∩exact| / k. Ranking is
+    on the 6-dp-rounded cosine with id tie-break, so both engines order
+    identically."""
+    bucketed = with_lsh_bucket(emb, num_planes, vec_col)
+    panel = bucketed.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col("bucket").alias("_qb"),
+    )
+    scored = (
+        bucketed.crossJoin(F.broadcast(panel))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            (F.col("bucket") == F.col("_qb")).alias("same_bucket"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col)
+    )
+    approx = (
+        scored.filter("same_bucket")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col)
+    )
+    hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_approx = approx.groupBy("qid").agg(F.count("*").alias("n_approx"))
+    return (
+        panel.select("qid")
+        .join(n_approx, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 4).alias("recall_at_k"),
+        )
     )

@@ -100,6 +100,35 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb`` files — the
+    maintenance job every streaming/append pipeline needs: micro-batches
+    and over-parallel writers leave thousands of KB-scale files, and at
+    100 TB the file-listing + open cost dominates reads long before the
+    bytes do.
+
+    File count = ceil(bytes / target), derived from the source's actual
+    on-disk size (not a guessed partition count); the rewrite is one
+    scan + one round-robin repartition. Returns the file count written.
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

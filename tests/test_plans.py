@@ -124,3 +124,26 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     )
     assert n_dirs > 1  # the pruning claim is non-vacuous
     assert read.count() == events.filter(F.col("event_date") == "2024-01-01").count()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Small-file compaction: a fragmented write (64 files for a tiny
+    table) compacts to the size-derived file count with identical data."""
+    import os
+
+    from streaming_demos_spark.catalog import compact_parquet, load_table
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    orders = load_table(spark, SF, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_before == 64
+
+    n_files = compact_parquet(spark, frag, out, target_mb=128)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_files == n_after == 1  # tiny table -> one 128MB-target file
+    assert (
+        spark.read.parquet(out).orderBy("o_orderkey").collect()
+        == orders.orderBy("o_orderkey").collect()
+    )

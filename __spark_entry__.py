@@ -875,6 +875,12 @@ def q_lang_id(spark, sf_dir):
     return TX.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_stats(spark, sf_dir):
+    # Corpus vocabulary table (df / cf / df-fraction, min_df=2) — the
+    # statistics behind min_df/max_df pruning and stopword discovery.
+    return TX.vocab_stats(_t(spark, sf_dir, "documents"), min_df=2)
+
+
 def q_ngram_entropy(spark, sf_dir):
     # Character-bigram Shannon entropy over normalized text — the
     # repetition/garbage quality gate (low entropy = templated/looping
@@ -1324,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_id": q_lang_id,
         "llm_fingerprint": q_fingerprint,
         "llm_ngram_entropy": q_ngram_entropy,
+        "llm_vocab_stats": q_vocab_stats,
         "llm_winnow_fingerprints": q_winnow_fingerprints,
         "llm_ann_cosine_topk": q_ann_cosine_topk,
         "llm_ann_lsh_topk": q_ann_lsh_topk,
@@ -2026,6 +2033,24 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                        '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "llm_vocab_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(words) AS term FROM w),
+            per_doc AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            terms AS (
+                SELECT term, count(*) AS df, sum(tf) AS cf
+                FROM per_doc GROUP BY 1 HAVING count(*) >= 2
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+            SELECT term, df, cf, round(df / nd::DOUBLE, 6) AS df_frac
+            FROM terms, n
         """,
         "llm_ngram_entropy": """
             WITH t AS (

@@ -246,3 +246,39 @@ def char_ngram_entropy(
             ),
         )
     )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary table: per term, document frequency (docs
+    containing it), collection frequency (total occurrences), and the
+    df fraction — the statistics behind min_df/max_df vocabulary
+    pruning and stopword discovery on a new corpus.
+
+    Plan: explode tokens -> ONE partial-aggregating shuffle on
+    (doc, term) for df+cf inputs -> a second, much smaller shuffle on
+    term. Total-docs rides in as a broadcast scalar aggregate (no
+    driver collect)."""
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    terms = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    if min_df > 1:
+        terms = terms.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.countDistinct(id_col).alias("_n"))
+    return (
+        terms.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.round(F.col("df") / F.col("_n"), 6).alias("df_frac"),
+        )
+    )

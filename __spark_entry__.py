@@ -812,6 +812,40 @@ def q_session_window(spark, sf_dir):
     )
 
 
+def q_argmax_part_per_brand(spark, sf_dir):
+    # Extension: top-1-per-group via ONE aggregation of a lexicographic
+    # struct max (argmax) — no rank window, half the shuffle work of
+    # row_number for the k=1 case. Tie-break inside the struct
+    # (max revenue, then max name) keeps it deterministic.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    joined = rev.join(part, rev.l_partkey == part.p_partkey).select(
+        "p_brand", "p_name", "revenue"
+    )
+    m = joined.groupBy("p_brand").agg(F.max(F.struct("revenue", "p_name")).alias("m"))
+    return m.select(
+        "p_brand",
+        F.col("m.p_name").alias("top_part"),
+        F.col("m.revenue").alias("revenue"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    # Deterministic PPS-flavored downsampling: 10 docs per source,
+    # priority u/w with u = md5-uniform(doc_id), w = n_chars.
+    return CU.weighted_priority_sample(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        n_per_stratum=10,
+        strata_col="source",
+    )
+
+
 def q_moving_average(spark, sf_dir):
     # Extension: per-user trailing 1-hour moving average over a
     # time-RANGE frame (row-anchored smoothing; tie-safe because RANGE
@@ -1320,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_session_window": q_session_window,
         "ext_moving_average": q_moving_average,
         "ext_cube_revenue": q_cube_revenue,
+        "ext_argmax_per_group": q_argmax_part_per_brand,
+        "llm_weighted_sample": q_weighted_sample,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1881,6 +1917,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
+        """,
+        "ext_argmax_per_group": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT p_brand, p_name, revenue
+                FROM rev JOIN part ON l_partkey = p_partkey
+            )
+            SELECT p_brand, p_name AS top_part, revenue FROM (
+                SELECT p_brand, p_name, revenue,
+                       row_number() OVER (PARTITION BY p_brand
+                           ORDER BY revenue DESC, p_name DESC) AS rn
+                FROM j
+            ) WHERE rn = 1
+        """,
+        "llm_weighted_sample": """
+            WITH d AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       substr(md5(doc_id::VARCHAR), 1, 8) AS h
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (strpos('0123456789abcdef', h[i]) - 1)::DOUBLE
+                                * power(16.0, 8 - i))) / 4294967296.0 AS uu
+                FROM d
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT doc_id, text, lang, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY uu / n_chars ASC, doc_id ASC) AS rn
+                FROM u
+            ) WHERE rn <= 10
         """,
         "ext_cube_revenue": """
             SELECT n_name, c_mktsegment,

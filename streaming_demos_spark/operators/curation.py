@@ -345,3 +345,41 @@ def redact_pii(
     return stage.select(
         id_col, "n_email", "n_phone", "n_ipv4", F.col("_t").alias("redacted")
     )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    weight_col: str,
+    n_per_stratum: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted downsampling: keep the ``n`` rows per
+    stratum with the smallest priority ``u / w``, where ``u`` is an
+    md5-derived uniform of the row id and ``w`` the row's weight
+    (quality score, domain boost). A row's keep-probability grows with
+    its weight — the PPS-flavored "keep the best-ish n" every training
+    mix applies after scoring (priority-based variant of A-ES weighted
+    reservoir sampling; the u/w priority keeps the math to ONE IEEE
+    division, bit-identical across engines, where the textbook
+    u^(1/w) transcendental could differ in the last bit and flip
+    near-tie ranks).
+
+    Deterministic and partitioning-independent like
+    ``stratified_sample``; one shuffle on the stratum for the top-n
+    (global top-n = TakeOrderedAndProject when no stratum given).
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    pr = u / F.col(weight_col)
+    if strata_col is None:
+        return docs.withColumn("_pr", pr).orderBy("_pr", id_col).limit(
+            n_per_stratum
+        ).drop("_pr")
+    w = Window.partitionBy(strata_col).orderBy(F.asc(pr), F.asc(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

@@ -175,3 +175,28 @@ def test_redact_pii_staged_counting(spark):
     assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
     assert out[4].redacted == rows[3][1]
     assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 1, 1)
+
+
+def test_weighted_priority_sample_bias_and_determinism(spark):
+    from streaming_demos_spark.operators.curation import weighted_priority_sample
+
+    # one stratum, 200 rows: ids 0-99 weight 10, ids 100-199 weight 1 —
+    # the heavy-weight half must dominate the kept set
+    rows = [(i, "s", 10.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "w"])
+    kept = weighted_priority_sample(
+        df, weight_col="w", n_per_stratum=50, strata_col="src"
+    ).collect()
+    assert len(kept) == 50
+    n_heavy = sum(1 for r in kept if r.doc_id < 100)
+    assert n_heavy > 35  # w=10 vs w=1 -> heavy side should win ~90%+
+
+    # deterministic across partitionings
+    kept2 = weighted_priority_sample(
+        df.repartition(7), weight_col="w", n_per_stratum=50, strata_col="src"
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in kept2)
+
+    # global (no stratum) top-n path
+    top = weighted_priority_sample(df, weight_col="w", n_per_stratum=5).collect()
+    assert len(top) == 5

@@ -846,6 +846,14 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_user_journeys(spark, sf_dir):
+    # Extension: per-user time-ordered event path (sequence feature) —
+    # ordering inside the aggregated array, no per-key window scan.
+    return R.user_journeys(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", max_steps=50
+    )
+
+
 def q_moving_average(spark, sf_dir):
     # Extension: per-user trailing 1-hour moving average over a
     # time-RANGE frame (row-anchored smoothing; tie-safe because RANGE
@@ -1356,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_cube_revenue": q_cube_revenue,
         "ext_argmax_per_group": q_argmax_part_per_brand,
         "llm_weighted_sample": q_weighted_sample,
+        "ext_user_journeys": q_user_journeys,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1917,6 +1926,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
+        """,
+        "ext_user_journeys": """
+            SELECT user_id,
+                   count(*) AS n_steps,
+                   array_to_string(
+                       (list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id))[1:50],
+                       '>') AS journey
+            FROM events
+            GROUP BY user_id
         """,
         "ext_argmax_per_group": """
             WITH rev AS (

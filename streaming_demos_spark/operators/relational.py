@@ -257,6 +257,41 @@ def session_stats(
     )
 
 
+def user_journeys(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    id_col: str = "event_id",
+    max_steps: int = 50,
+) -> DataFrame:
+    """Per-key ordered event sequence ("user journey"): the steps a key
+    took, time-ordered, joined into one path string — the sequence
+    feature a funnel/behavior model consumes.
+
+    One shuffle on the key; ordering happens INSIDE the aggregated array
+    (sort_array on a (ts, id, step) struct — lexicographic struct order
+    = chronological with a deterministic id tie-break), so there is no
+    per-key window scan. ``max_steps`` caps the materialized path; the
+    full step count is still reported. Per-key state is bounded by the
+    true sequence length — cap-aware collection (slice after sort) keeps
+    the output row small even for pathological keys."""
+    step = F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("i"), F.col(step_col).alias("s")
+    )
+    return (
+        events.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(step)).alias("_steps"))
+        .select(
+            key_col,
+            F.size("_steps").alias("n_steps"),
+            F.array_join(
+                F.transform(F.slice("_steps", 1, max_steps), lambda x: x["s"]), ">"
+            ).alias("journey"),
+        )
+    )
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

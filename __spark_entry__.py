@@ -854,6 +854,15 @@ def q_user_journeys(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    # Extension: strict view->click->purchase conversion funnel, the
+    # stage machine folded over each user's time-sorted step array.
+    return R.funnel_stages(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
 def q_moving_average(spark, sf_dir):
     # Extension: per-user trailing 1-hour moving average over a
     # time-RANGE frame (row-anchored smoothing; tie-safe because RANGE
@@ -1365,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_argmax_per_group": q_argmax_part_per_brand,
         "llm_weighted_sample": q_weighted_sample,
         "ext_user_journeys": q_user_journeys,
+        "ext_funnel": q_funnel,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1926,6 +1936,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
+        """,
+        "ext_funnel": """
+            -- sequential-min formulation of the same strict funnel:
+            -- stage k's first event must be strictly after stage k-1's.
+            -- (ts are collision-free per user in the corpus, verified,
+            -- so strict > equals the engine's (ts,event_id) ordering.)
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+            ),
+            v AS (
+                SELECT user_id, min(t) AS tv FROM e
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+                SELECT e.user_id, min(t) AS tc FROM e JOIN v USING (user_id)
+                WHERE event_type = 'click' AND t > tv GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id, min(t) AS tp FROM e JOIN c USING (user_id)
+                WHERE event_type = 'purchase' AND t > tc GROUP BY 1
+            ),
+            u AS (SELECT DISTINCT user_id FROM e),
+            s AS (
+                SELECT u.user_id,
+                       CASE WHEN p.user_id IS NOT NULL THEN 3
+                            WHEN c.user_id IS NOT NULL THEN 2
+                            WHEN v.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS funnel_stage
+                FROM u
+                LEFT JOIN v ON u.user_id = v.user_id
+                LEFT JOIN c ON u.user_id = c.user_id
+                LEFT JOIN p ON u.user_id = p.user_id
+            )
+            SELECT funnel_stage, count(*) AS n_keys FROM s GROUP BY 1
         """,
         "ext_user_journeys": """
             SELECT user_id,

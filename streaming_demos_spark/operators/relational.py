@@ -292,6 +292,44 @@ def user_journeys(
     )
 
 
+def funnel_stages(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    stages: list[str],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Strict sequential funnel: a key reaches stage k when a
+    ``stages[k]`` event occurs AFTER the event that reached stage k-1
+    (order, not mere presence). Returns (funnel_stage, n_keys) —
+    the conversion table.
+
+    One keyed shuffle; stage progression is a FOLD over the key's
+    time-sorted step array (``F.aggregate``) — the whole funnel machine
+    runs inside one JVM expression, no self-joins, no per-stage passes
+    over the log (the sequential-min formulation re-scans the log once
+    per stage; this scans it once total)."""
+    step = F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("i"), F.col(step_col).alias("s")
+    )
+    per_key = events.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(step)).alias("_steps")
+    )
+
+    def advance(acc, x):
+        expr = acc
+        for k, name in enumerate(stages):
+            expr = F.when((acc == k) & (x["s"] == name), F.lit(k + 1)).otherwise(expr)
+        return expr
+
+    staged = per_key.select(
+        key_col,
+        F.aggregate("_steps", F.lit(0), advance).alias("funnel_stage"),
+    )
+    return staged.groupBy("funnel_stage").agg(F.count("*").alias("n_keys"))
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

@@ -118,3 +118,28 @@ def test_asof_single_shuffle_plan(frames, spark):
     exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
     assert len(exchanges) == 1, exchanges
     assert "hashpartitioning(k" in plan
+
+
+def test_funnel_requires_strict_order(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, 100.0, "view"), (2, 1, 200.0, "click"), (3, 1, 300.0, "purchase"),
+        # u2: purchase BEFORE click -> stops at click (stage 2)
+        (4, 2, 100.0, "view"), (5, 2, 300.0, "click"), (6, 2, 200.0, "purchase"),
+        # u3: only a view (stage 1)
+        (7, 3, 100.0, "view"),
+        # u4: click without a prior view (stage 0)
+        (8, 4, 100.0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "epoch", "event_type"]
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    out = {
+        r.funnel_stage: r.n_keys
+        for r in R.funnel_stages(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {3: 1, 2: 1, 1: 1, 0: 1}

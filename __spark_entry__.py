@@ -863,6 +863,12 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    # Extension: weekly cohort retention over integer epoch-week indexes
+    # (engine-identical arithmetic, no calendar-week ambiguity).
+    return R.retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
 def q_moving_average(spark, sf_dir):
     # Extension: per-user trailing 1-hour moving average over a
     # time-RANGE frame (row-anchored smoothing; tie-safe because RANGE
@@ -1375,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_weighted_sample": q_weighted_sample,
         "ext_user_journeys": q_user_journeys,
         "ext_funnel": q_funnel,
+        "ext_retention": q_retention,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1936,6 +1943,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
+        """,
+        "ext_retention": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS w
+                FROM events
+            ),
+            c AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1)
+            SELECT c.cw AS cohort_week, a.w - c.cw AS k,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM a JOIN c ON a.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "ext_funnel": """
             -- sequential-min formulation of the same strict funnel:

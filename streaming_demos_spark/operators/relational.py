@@ -330,6 +330,31 @@ def funnel_stages(
     return staged.groupBy("funnel_stage").agg(F.count("*").alias("n_keys"))
 
 
+def retention_cohorts(
+    events: DataFrame, key_col: str, ts_col: str, period_sec: int = 604800
+) -> DataFrame:
+    """Cohort retention table: keys grouped by the period of their FIRST
+    activity (the cohort), counted in each later period they return —
+    (cohort_week, k, n_users) with k = periods since the cohort period.
+
+    Period index is pure integer epoch arithmetic (floor(epoch/period)),
+    not calendar truncation — engine-identical and timezone-free. Plan:
+    distinct (key, period) -> min-period per key [both combinable keyed
+    aggs] -> join back (AQE broadcasts the cohort side when small) ->
+    one final small aggregation."""
+    w = F.floor(epoch_sec(F.col(ts_col)) / period_sec).cast("long")
+    activity = events.select(F.col(key_col), w.alias("w")).distinct()
+    cohort = activity.groupBy(key_col).agg(F.min("w").alias("cw"))
+    return (
+        activity.join(cohort, key_col)
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("k"),
+        )
+        .agg(F.countDistinct(key_col).alias("n_users"))
+    )
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

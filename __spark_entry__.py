@@ -863,6 +863,14 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_zscore_anomalies(spark, sf_dir):
+    # Extension: per-event-type z-score outliers (|z| > 2.5) — the
+    # numeric-feed drift monitor; stats side broadcast by AQE.
+    return R.zscore_anomalies(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id", threshold=2.5
+    )
+
+
 def q_retention(spark, sf_dir):
     # Extension: weekly cohort retention over integer epoch-week indexes
     # (engine-identical arithmetic, no calendar-week ambiguity).
@@ -1382,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_user_journeys": q_user_journeys,
         "ext_funnel": q_funnel,
         "ext_retention": q_retention,
+        "ext_zscore_anomalies": q_zscore_anomalies,
         "ext_quantile_summary": q_quantile_summary,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1943,6 +1952,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
+        """,
+        "ext_zscore_anomalies": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+                FROM events GROUP BY 1
+            )
+            SELECT event_id, e.event_type, value,
+                   round((value - mu) / sd, 4) AS zscore
+            FROM events e JOIN s ON e.event_type = s.event_type
+            WHERE abs(round((value - mu) / sd, 4)) > 2.5
         """,
         "ext_retention": """
             WITH a AS (

@@ -355,6 +355,39 @@ def retention_cohorts(
     )
 
 
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Flag rows whose value deviates more than ``threshold`` sample
+    standard deviations from their key's mean — the data-quality /
+    drift monitor a pipeline runs over every numeric feed.
+
+    Two passes expressed as one plan: a per-key (mean, stddev) aggregate
+    joined back to the rows (the aggregate side is tiny — one row per
+    key — so AQE broadcasts it), then a map-side flag. The z-score is
+    rounded before the threshold test so the cut is reproducible across
+    engines and partitionings."""
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    z = F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        df.join(stats, key_col)
+        .select(
+            id_col,
+            key_col,
+            F.col(value_col),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > threshold)
+    )
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

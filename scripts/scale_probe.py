@@ -51,6 +51,12 @@ PROBE_KEYS = [
     "llm_text_stats",
     "f_tfidf_top_terms",
     "eval_auc",
+    "ext_user_journeys",
+    "ext_funnel",
+    "ext_retention",
+    "ext_zscore_anomalies",
+    "ext_moving_average",
+    "llm_weighted_sample",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -634,12 +634,21 @@ def q_svd_embed(spark, sf_dir):
     # hashed tf-idf vectors -> distributed gram matrix -> driver-side
     # eigh of the small D×D -> map-only projection. Non-SQL-expressible
     # (eigendecomposition) -> rows-only check; numpy parity is in
-    # tests/test_tfidf.py.
+    # tests/test_tfidf.py. The embedding is unnested to scalar
+    # (doc_id, component_idx, value) rows so the checker's canonical
+    # sort works (an array<double> column is unsortable pandas-side).
     from streaming_demos_spark.functions import tfidf as TI
 
     docs = _t(spark, sf_dir, "documents")
     vecs = TI.hashed_tfidf_vectors(docs, "doc_id", "text", dim=64)
-    return TI.svd_embed(vecs, k=8, id_col="doc_id")
+    emb = TI.svd_embed(vecs, k=8, id_col="doc_id")
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("component_idx", "_v")
+    ).select(
+        "doc_id",
+        "component_idx",
+        F.round(F.col("_v"), 9).alias("value"),
+    )
 
 
 def q_split_by_predicate(spark, sf_dir):

@@ -23,21 +23,57 @@ import time
 
 from streaming_demos_spark.session import get_spark
 
-_state = {"timings": {}, "failures": {}, "sf": -1.0, "t0": time.perf_counter()}
+_state = {
+    "timings": {},
+    "failures": {},
+    "sf": -1.0,
+    "t0": time.perf_counter(),
+    # A sweep killed by signal or budget at 10% must be distinguishable
+    # from a full min-of-2 run: partial flips False only when every
+    # planned pass finishes (ADVICE r2).
+    "completed_passes": 0,
+    "partial": True,
+}
 
 
 def _emit() -> None:
-    """Print the ONE parseable JSON result line from current state."""
-    result = {
+    """Emit results: full detail on an EARLIER stdout line + a sidecar
+    file, then a compact (<200 byte) summary as the LAST stdout line.
+
+    The driver keeps only the last ~2 KB of stdout and parses the final
+    line; a single json.dumps of 80+ per-query timings is ~2.4 KB and
+    gets truncated mid-object, so the detail must never be last.
+    """
+    detail = {
         "metric": "bench_total_sec",
         "value": round(time.perf_counter() - _state["t0"], 3),
         "unit": "sec",
         "queries": _state["timings"],
         "sf": _state["sf"],
+        "completed_passes": _state["completed_passes"],
+        "partial": _state["partial"],
     }
     if _state["failures"]:
-        result["failures"] = _state["failures"]
-    print(json.dumps(result))
+        detail["failures"] = _state["failures"]
+    try:
+        with open("bench_detail.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    timings = _state["timings"]
+    summary = {
+        "metric": "bench_sum_of_mins_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": _state["sf"],
+        "n_queries": len(timings),
+        "n_failed": len(_state["failures"]),
+        "completed_passes": _state["completed_passes"],
+        "partial": _state["partial"],
+        "detail": "bench_detail.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 
 
@@ -115,6 +151,8 @@ def main() -> None:
                 print(f"[bench] {key}: FAILED {failures[key]}", file=sys.stderr)
         if out_of_time:
             break
+        _state["completed_passes"] = rep + 1
+    _state["partial"] = _state["completed_passes"] < reps
 
     # The driver parses the LAST stdout line — emit exactly one JSON line.
     _emit()

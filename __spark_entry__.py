@@ -1345,7 +1345,46 @@ def _sql_lsh_bucket_cte(num_planes: int = 4) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Declaration order is deliberate: a correctness sweep that stops
+    # after the first N keys should spend its window on the queries with
+    # the LEAST prior driver signal. Keys verified green by the r2 driver
+    # window come last; the 33 keys that round only saw judge-side, plus
+    # the r2-red f_svd_embed and this round's new queries, come first.
     return {
+        "ext_user_journeys": q_user_journeys,
+        "ext_funnel": q_funnel,
+        "ext_retention": q_retention,
+        "ext_zscore_anomalies": q_zscore_anomalies,
+        "ext_quantile_summary": q_quantile_summary,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "llm_dedup_clusters": q_dedup_clusters,
+        "llm_dedup_jaccard": q_dedup_jaccard,
+        "llm_dedup_simhash": q_dedup_simhash,
+        "llm_text_stats": q_text_stats,
+        "llm_lang_id": q_lang_id,
+        "llm_fingerprint": q_fingerprint,
+        "llm_ngram_entropy": q_ngram_entropy,
+        "llm_vocab_stats": q_vocab_stats,
+        "llm_winnow_fingerprints": q_winnow_fingerprints,
+        "llm_ann_cosine_topk": q_ann_cosine_topk,
+        "llm_ann_lsh_topk": q_ann_lsh_topk,
+        "llm_ann_ivf_topk": q_ann_ivf_topk,
+        "llm_neardup_embedding": q_neardup_embedding,
+        "llm_ann_recall": q_ann_recall,
+        "llm_curation_pipeline": q_curation_pipeline,
+        "llm_decontaminate": q_decontaminate,
+        "llm_stratified_sample": q_stratified_sample,
+        "llm_mix_weights": q_mix_weights,
+        "llm_token_histogram": q_token_histogram,
+        "llm_repetition_stats": q_repetition_stats,
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_chunking": q_chunking,
+        "llm_pii_redact": q_pii_redact,
+        "mm_media_features": q_multimodal_features,
+        "mm_resize": q_mm_resize,
+        "mm_frame_sample": q_mm_frame_sample,
+        "f_svd_embed": q_svd_embed,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1382,7 +1421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ranking_metrics": q_eval_ranking,
         "eval_auc": q_eval_auc,
         "f_tfidf_top_terms": q_tfidf_top_terms,
-        "f_svd_embed": q_svd_embed,
         "p4_split_by_predicate": q_split_by_predicate,
         "p9_align_schema": q_align_schema,
         "p10_null_defaults": q_null_defaults,
@@ -1396,39 +1434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_cube_revenue": q_cube_revenue,
         "ext_argmax_per_group": q_argmax_part_per_brand,
         "llm_weighted_sample": q_weighted_sample,
-        "ext_user_journeys": q_user_journeys,
-        "ext_funnel": q_funnel,
-        "ext_retention": q_retention,
-        "ext_zscore_anomalies": q_zscore_anomalies,
-        "ext_quantile_summary": q_quantile_summary,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "llm_dedup_clusters": q_dedup_clusters,
-        "llm_dedup_jaccard": q_dedup_jaccard,
-        "llm_dedup_simhash": q_dedup_simhash,
-        "llm_text_stats": q_text_stats,
-        "llm_lang_id": q_lang_id,
-        "llm_fingerprint": q_fingerprint,
-        "llm_ngram_entropy": q_ngram_entropy,
-        "llm_vocab_stats": q_vocab_stats,
-        "llm_winnow_fingerprints": q_winnow_fingerprints,
-        "llm_ann_cosine_topk": q_ann_cosine_topk,
-        "llm_ann_lsh_topk": q_ann_lsh_topk,
-        "llm_ann_ivf_topk": q_ann_ivf_topk,
-        "llm_neardup_embedding": q_neardup_embedding,
-        "llm_ann_recall": q_ann_recall,
-        "llm_curation_pipeline": q_curation_pipeline,
-        "llm_decontaminate": q_decontaminate,
-        "llm_stratified_sample": q_stratified_sample,
-        "llm_mix_weights": q_mix_weights,
-        "llm_token_histogram": q_token_histogram,
-        "llm_repetition_stats": q_repetition_stats,
-        "llm_pack_sequences": q_pack_sequences,
-        "llm_chunking": q_chunking,
-        "llm_pii_redact": q_pii_redact,
-        "mm_media_features": q_multimodal_features,
-        "mm_resize": q_mm_resize,
-        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -1967,10 +1972,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
                 FROM events GROUP BY 1
             )
+            -- nullif(sd, 0.0) mirrors Spark-side try_divide: constant
+            -- keys (sd=0) and single-row keys (sd NULL) flag nothing.
             SELECT event_id, e.event_type, value,
-                   round((value - mu) / sd, 4) AS zscore
+                   round((value - mu) / nullif(sd, 0.0), 4) AS zscore
             FROM events e JOIN s ON e.event_type = s.event_type
-            WHERE abs(round((value - mu) / sd, 4)) > 2.5
+            WHERE abs(round((value - mu) / nullif(sd, 0.0), 4)) > 2.5
         """,
         "ext_retention": """
             WITH a AS (
@@ -2046,9 +2053,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "llm_weighted_sample": """
             WITH d AS (
+                -- n_chars > 0 mirrors the operator's positive-weight
+                -- contract (weight 0 = never keep).
                 SELECT doc_id, text, lang, source, n_chars,
                        substr(md5(doc_id::VARCHAR), 1, 8) AS h
                 FROM documents
+                WHERE n_chars > 0
             ),
             u AS (
                 SELECT doc_id, text, lang, source, n_chars,

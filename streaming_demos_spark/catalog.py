@@ -28,14 +28,26 @@ from streaming_demos_spark.schemas import TABLE_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame plans are immutable, so a table loaded once can be reused by
+# every query in a sweep; caching skips the per-call parquet footer read
+# and schema reconciliation (83 queries x ~3 tables adds up). Keyed on
+# the JVM session too so a stopped/recreated SparkSession never serves
+# stale plans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache_key = (id(spark._jsparkSession), sf_dir, name)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     # Runtime-set so the fix also applies when the driver owns the
     # SparkSession (verified settable after session construction).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = TABLE_SCHEMAS.get(name)
     if declared is None:
+        _TABLE_CACHE[cache_key] = df
         return df
     actual = {f.name: f.dataType for f in df.schema.fields}
     for field in declared.fields:
@@ -49,6 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+    _TABLE_CACHE[cache_key] = df
     return df
 
 

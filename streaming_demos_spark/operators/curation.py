@@ -368,7 +368,14 @@ def weighted_priority_sample(
     Deterministic and partitioning-independent like
     ``stratified_sample``; one shuffle on the stratum for the top-n
     (global top-n = TakeOrderedAndProject when no stratum given).
+
+    Weights must be POSITIVE to mean anything in PPS terms: a weight of
+    0 is "never keep" and a negative weight has no sampling semantics
+    (it would also invert the priority order). Non-positive-weight rows
+    are filtered out up front — which both encodes that contract and
+    keeps ANSI mode from raising DIVIDE_BY_ZERO on u/0.
     """
+    docs = docs.filter(F.col(weight_col) > 0)
     u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "double"
     ) / F.lit(float(16**8))

@@ -375,6 +375,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -393,7 +394,17 @@ def connected_components(
         changed = proposed.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         labels = proposed.select("node", "lbl")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Exhausting the round budget with changes still in flight means
+        # some component carries >1 label — downstream "keep one per
+        # cluster" would silently keep extras. Surface it loudly instead.
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iter} rounds "
+            f"(graph diameter exceeds the budget); raise max_iter or use "
+            f"star-contraction for long-chain graphs"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 

@@ -370,12 +370,19 @@ def zscore_anomalies(
     joined back to the rows (the aggregate side is tiny — one row per
     key — so AQE broadcasts it), then a map-side flag. The z-score is
     rounded before the threshold test so the cut is reproducible across
-    engines and partitionings."""
+    engines and partitionings.
+
+    Degenerate keys produce NO anomalies by definition: a constant key
+    (n>=2, sd=0.0) and a single-row key (sd NULL) both yield a NULL
+    z-score via ``try_divide``, and NULL never exceeds the threshold.
+    Without the guard, Spark 4's default ANSI mode turns the first
+    constant key a feed ever sees into a DIVIDE_BY_ZERO crash of the
+    whole monitor."""
     stats = df.groupBy(key_col).agg(
         F.avg(value_col).alias("_mu"),
         F.stddev_samp(value_col).alias("_sd"),
     )
-    z = F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 4)
+    z = F.round(F.try_divide(F.col(value_col) - F.col("_mu"), F.col("_sd")), 4)
     return (
         df.join(stats, key_col)
         .select(

@@ -377,6 +377,11 @@ def attribution_join(
     Works unchanged on batch frames (watermarks skipped — batch sees all
     data, so eviction is moot), keeping the batch ≡ stream duality
     testable.
+
+    Pass-through columns keep their names when unambiguous; a name
+    appearing on BOTH sides (two event streams sharing 'value' or
+    'user_id' is the norm) is emitted as ``l_<name>`` / ``r_<name>`` so
+    the output never carries duplicate column names.
     """
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     l, r = left.alias("l"), right.alias("r")
@@ -389,18 +394,21 @@ def attribution_join(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {within}"))
     )
+    reserved = (key, left_ts, right_ts)
+    l_pass = [c for c in left.columns if c not in reserved]
+    r_pass = [c for c in right.columns if c not in reserved]
+    shared = set(l_pass) & set(r_pass)
+    ts_clash = left_ts == right_ts
     return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
-        lts.alias(left_ts),
-        rts.alias(right_ts),
+        lts.alias(f"l_{left_ts}" if ts_clash else left_ts),
+        rts.alias(f"r_{right_ts}" if ts_clash else right_ts),
         *[
-            F.col(f"l.{c}")
-            for c in left.columns
-            if c not in (key, left_ts, right_ts)
+            F.col(f"l.{c}").alias(f"l_{c}" if c in shared else c)
+            for c in l_pass
         ],
         *[
-            F.col(f"r.{c}")
-            for c in right.columns
-            if c not in (key, left_ts, right_ts)
+            F.col(f"r.{c}").alias(f"r_{c}" if c in shared else c)
+            for c in r_pass
         ],
     )

@@ -1,0 +1,79 @@
+"""Degenerate-input guards (round-3 advice): ANSI-mode division hazards,
+connected-components convergence, and join output-name collisions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import curation as C
+from streaming_demos_spark.operators import dedup as D
+from streaming_demos_spark.operators import relational as R
+from streaming_demos_spark.streaming import supplier_stats as SS
+
+
+def test_zscore_constant_key_no_crash(spark):
+    # A constant key (sd=0.0) and a single-row key (sd NULL) must flag
+    # nothing — not raise DIVIDE_BY_ZERO under Spark 4's ANSI default.
+    df = spark.createDataFrame(
+        [("const", 5.0, 1), ("const", 5.0, 2), ("const", 5.0, 3),
+         ("single", 9.9, 4),
+         ("varied", 1.0, 5), ("varied", 2.0, 6), ("varied", 100.0, 7)],
+        ["k", "v", "rid"],
+    )
+    out = R.zscore_anomalies(df, "k", "v", "rid", threshold=1.0).collect()
+    assert {r.k for r in out} <= {"varied"}
+    assert all(r.zscore is not None for r in out)
+
+
+def test_weighted_sample_nonpositive_weights_dropped(spark):
+    # weight 0 = "never keep" (and no ANSI crash); negative weights have
+    # no PPS meaning and must not win by inverted priority.
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, 2.0), (5, 1.0)],
+        ["doc_id", "w"],
+    )
+    kept = C.weighted_priority_sample(df, "w", n_per_stratum=4)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids <= {1, 4, 5} and len(ids) == 3
+
+
+def test_connected_components_raises_without_convergence(spark):
+    # A 6-chain needs ~5 propagation rounds + 1 confirmation; max_iter=2
+    # must fail loudly, not return a half-merged labeling.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        D.connected_components(edges, max_iter=2)
+    ok = D.connected_components(edges, max_iter=10)
+    assert {r.component for r in ok.collect()} == {1}
+
+
+def test_attribution_join_shared_columns_prefixed(spark):
+    # Two event streams sharing a pass-through name ('value') must yield
+    # l_/r_ prefixed outputs, never duplicate column names.
+    left = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:10", 1.0, "imp")],
+        ["k", "lt_s", "value", "kind"],
+    ).select("k", F.to_timestamp("lt_s").alias("lt"), "value", "kind")
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:12", 2.0)],
+        ["k", "rt_s", "value"],
+    ).select("k", F.to_timestamp("rt_s").alias("rt"), "value")
+    out = SS.attribution_join(left, right, key="k", left_ts="lt", right_ts="rt")
+    assert len(out.columns) == len(set(out.columns))
+    assert {"l_value", "r_value", "kind"} <= set(out.columns)
+    row = out.collect()[0]
+    assert (row.l_value, row.r_value, row.kind) == (1.0, 2.0, "imp")
+
+
+def test_attribution_join_same_ts_name(spark):
+    # Identical event-time names on both sides prefix too.
+    left = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:10")], ["k", "s"]
+    ).select("k", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:12")], ["k", "s"]
+    ).select("k", F.to_timestamp("s").alias("ts"))
+    out = SS.attribution_join(left, right, key="k", left_ts="ts", right_ts="ts")
+    assert sorted(out.columns) == ["k", "l_ts", "r_ts"]
+    assert out.count() == 1

@@ -1030,23 +1030,48 @@ def q_curation_pipeline(spark, sf_dir):
 
 def q_quantile_summary(spark, sf_dir):
     # Extension: exact grouped percentiles (linear interpolation, the
-    # percentile_cont definition both engines share). Exact percentile
-    # sorts within each group — fine for bounded group counts; the
-    # 100 TB path swaps in approx_percentile (t-digest, mergeable
-    # map-side) at the cost of oracle-exactness.
+    # percentile_cont definition both engines share) — the exact=True
+    # oracle path of grouped_quantiles; ext_quantile_approx exercises
+    # the sketch-based 100 TB path of the same operator.
     # Rounding at 6dp: interpolated money values have <= 4 decimal
     # digits ((n-1)*p fractions are multiples of 0.05 on 2-dp cents),
     # so 6dp rounding never sits on a halfway value in either engine.
     li = _t(spark, sf_dir, "lineitem")
-    pct = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 6)
+    return R.grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95], exact=True
+    )
+
+
+def q_quantile_approx(spark, sf_dir):
+    # The exact=False (approx_percentile sketch) path, made
+    # oracle-checkable as a PROPERTY: the sketch guarantees the returned
+    # element's rank is within n/accuracy of the target rank, so count
+    # values <= the approx median and assert the bound. The oracle's
+    # expected frame is simply "every group within bound".
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 1000
+    approx = R.grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.5], exact=False, accuracy=acc
+    )
+    # approx is |groups| rows — broadcast it back over the fact scan.
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(approx), "l_returnflag"
+    )
     return (
-        li.groupBy("l_returnflag")
+        joined.groupBy("l_returnflag")
         .agg(
-            pct(0.25).alias("p25"),
-            pct(0.5).alias("p50"),
-            pct(0.75).alias("p75"),
-            pct(0.95).alias("p95"),
-            F.count("*").alias("n_rows"),
+            F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long")).alias(
+                "_rank_at"
+            ),
+            F.first("n_rows").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("_rank_at") - 0.5 * F.col("n_rows"))
+                <= F.col("n_rows") / acc + 1
+            ).alias("within_bound"),
         )
     )
 
@@ -1356,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_retention": q_retention,
         "ext_zscore_anomalies": q_zscore_anomalies,
         "ext_quantile_summary": q_quantile_summary,
+        "ext_quantile_approx": q_quantile_approx,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "llm_dedup_clusters": q_dedup_clusters,
@@ -2110,6 +2136,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "ext_quantile_approx": """
+            -- The approx path is rank-bounded, not value-exact: the
+            -- oracle states the PROPERTY (every group within bound);
+            -- the Spark side computes the actual sketch + rank check.
+            SELECT l_returnflag, count(*) AS n_rows, true AS within_bound
+            FROM lineitem GROUP BY l_returnflag
         """,
         "ext_session_window": """
             -- gaps-and-islands replay of Spark's session_window merge

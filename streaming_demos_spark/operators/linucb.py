@@ -17,11 +17,16 @@ Spark mapping: the reference's per-product python loop
 (bandit_manager.py:83-95 filters the log once per product — O(P·N)) is
 restated as ONE ``groupBy(product).applyInPandas`` shuffle (J3): every
 product's history lands in one Arrow batch, numpy does the dense
-linear algebra, one pass over the log at any scale. Scoring broadcasts
-the model table (P models × (d²+d) doubles — tiny even at d=100,
-P=1e6) against contexts. The streaming update holds (A, b) as per-key
-state in ``applyInPandasWithState``; each micro-batch plays the role of
-the reference's 5s timer (T10): changed keys re-invert and emit.
+linear algebra, one pass over the log at any scale. Scoring treats the
+model table as the small side — valid at the reference's operating
+point (P=200, d=6: kilobytes) and up to P in the low millions at small
+d; note P × (d²+d) doubles is ~80 GB at d=100, P=1e6, where scoring
+must instead shuffle-join contexts to models on the product key and
+publishing must go through ``sinks.publish_models``'s sharded
+``kv_factory`` path (per-partition mset, nothing driver-side). The
+streaming update holds (A, b) as per-key state in
+``applyInPandasWithState``; each micro-batch plays the role of the
+reference's 5s timer (T10): changed keys re-invert and emit.
 """
 
 from __future__ import annotations

@@ -395,6 +395,43 @@ def zscore_anomalies(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    exact: bool = True,
+    accuracy: int = 10000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group percentile summary, named ``p25``-style per prob, plus
+    ``n_rows``.
+
+    ``exact=True`` uses ``F.percentile`` (linear interpolation — the
+    percentile_cont definition, oracle-comparable). Exact percentile
+    buffers every group value in ONE task per group, so it is only for
+    bounded group counts at modest per-group cardinality — the oracle /
+    small-data path.
+
+    ``exact=False`` is the 100 TB path: ``approx_percentile`` builds
+    mergeable KLL-style sketches map-side (partial aggregation, no
+    per-group buffering), guaranteeing the returned element's rank is
+    within ``n/accuracy`` of the target rank. Approx results are
+    rank-bounded rather than value-exact, so correctness checks should
+    assert the rank bound (see ``ext_quantile_approx``), not equality.
+    """
+    def pct(p: float):
+        if exact:
+            col = F.percentile(value_col, F.lit(p))
+        else:
+            col = F.approx_percentile(value_col, F.lit(p), F.lit(accuracy))
+        return F.round(col, round_dp).alias(f"p{int(round(p * 100))}")
+
+    return df.groupBy(group_col).agg(
+        *[pct(p) for p in probs], F.count("*").alias("n_rows")
+    )
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

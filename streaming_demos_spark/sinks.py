@@ -53,25 +53,71 @@ def redis_client(url: str = "redis://localhost:6379"):
     return redis.Redis.from_url(url, decode_responses=True)
 
 
+def _model_entry(row, key_prefix: str, key_col: str) -> tuple[str, str]:
+    return (
+        f"{key_prefix}{row[key_col]}",
+        json.dumps({"A_inv": row["a_inv"], "b": row["b"]}, separators=(",", ":")),
+    )
+
+
 def publish_models(
     models: DataFrame,
-    kv,
+    kv=None,
     key_prefix: str = "linucb:",
     key_col: str = "product_id",
+    kv_factory=None,
+    batch_size: int = 1000,
 ) -> int:
-    """SET linucb:{pid} -> JSON(A_inv, b) for every model row, one
-    batched mset round trip (RedisSinkWriter.kt:55-61 wire format).
-    Idempotent by construction — safe to replay a micro-batch."""
-    rows = models.select(key_col, "a_inv", "b").collect()
-    mapping = {
-        f"{key_prefix}{r[key_col]}": json.dumps(
-            {"A_inv": r["a_inv"], "b": r["b"]}, separators=(",", ":")
-        )
-        for r in rows
-    }
+    """Publish linucb:{pid} -> JSON(A_inv, b) for every model row
+    (RedisSinkWriter.kt:55-61 wire format). Idempotent by construction —
+    safe to replay a micro-batch.
+
+    Two paths, neither of which materializes the full model table on the
+    driver (P models × (d²+d) doubles is ~80 GB at d=100, P=1e6 — NOT a
+    driver-side object):
+
+    - ``kv_factory`` given (a zero-arg callable returning an mset-capable
+      client, e.g. ``lambda: redis_client(url)``): each partition opens
+      its own connection and msets its rows in ``batch_size`` chunks —
+      the sharded executor-side path for large P. Only per-partition
+      counts return to the driver.
+    - ``kv`` given (an in-process client/InMemoryKV — tests, notebooks,
+      single-box serving): partitions stream through the driver ONE at a
+      time via ``toLocalIterator``, mset-ing in chunks; peak driver
+      memory is one partition, not the table.
+    """
+    sel = models.select(key_col, "a_inv", "b")
+    if kv_factory is not None:
+        def _publish(rows) -> "list[int]":
+            client = kv_factory()
+            n, mapping = 0, {}
+            for r in rows:
+                k, v = _model_entry(r, key_prefix, key_col)
+                mapping[k] = v
+                if len(mapping) >= batch_size:
+                    client.mset(mapping)
+                    n += len(mapping)
+                    mapping = {}
+            if mapping:
+                client.mset(mapping)
+                n += len(mapping)
+            return [n]
+
+        return sel.rdd.mapPartitions(_publish).sum()
+    if kv is None:
+        raise ValueError("publish_models needs either kv or kv_factory")
+    n, mapping = 0, {}
+    for r in sel.toLocalIterator():
+        k, v = _model_entry(r, key_prefix, key_col)
+        mapping[k] = v
+        if len(mapping) >= batch_size:
+            kv.mset(mapping)
+            n += len(mapping)
+            mapping = {}
     if mapping:
         kv.mset(mapping)
-    return len(mapping)
+        n += len(mapping)
+    return n
 
 
 def model_sink(kv, key_prefix: str = "linucb:", key_col: str = "product_id"):

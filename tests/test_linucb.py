@@ -294,3 +294,53 @@ def test_redis_client_gated():
 
     with pytest.raises(NotImplementedError):
         SK.redis_client()
+
+
+def _filekv_factory(root: str):
+    """mset-capable client writing through the filesystem — lets the
+    executor-side publish path be exercised in local mode, where an
+    InMemoryKV copy mutated inside a Python worker would be lost. The
+    class is nested so cloudpickle ships it by VALUE; a test-module
+    top-level class would pickle by reference and fail to import on
+    workers."""
+
+    def factory():
+        class FileKV:
+            def mset(self, mapping: dict) -> None:
+                import json as _json
+                import os
+                import uuid
+
+                path = os.path.join(root, f"{uuid.uuid4().hex}.json")
+                with open(path, "w") as fh:
+                    _json.dump(mapping, fh)
+
+        return FileKV()
+
+    return factory
+
+
+def test_publish_models_sharded_kv_factory(spark, feedback, tmp_path):
+    """Large-P publish path: per-partition mset via kv_factory, no
+    driver-side model materialization; chunking exercised batch_size=2."""
+    import glob
+    import json as _json
+
+    from streaming_demos_spark import sinks as SK
+
+    root = str(tmp_path)
+    models = LU.fit_batch(feedback, d=D).repartition(3)
+    n = SK.publish_models(models, kv_factory=_filekv_factory(root), batch_size=2)
+    assert n == 4
+    merged = {}
+    for f in glob.glob(f"{root}/*.json"):
+        with open(f) as fh:
+            merged.update(_json.load(fh))
+    assert set(merged) == {"linucb:0", "linucb:1", "linucb:2", "linucb:3"}
+    orig = {r.product_id: r for r in models.collect()}
+    for pid in ["0", "1", "2", "3"]:
+        payload = _json.loads(merged[f"linucb:{pid}"])
+        np.testing.assert_allclose(payload["A_inv"], orig[pid].a_inv, atol=1e-12)
+
+    with pytest.raises(ValueError):
+        SK.publish_models(models)

@@ -1004,6 +1004,26 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_lsh_multi_topk(spark, sf_dir):
+    # Multi-table OR construction: candidates from 2 independent
+    # plane-sets, unioned + deduped BEFORE the exact-cosine ranking.
+    return SIM.lsh_topk_multi(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, num_planes=4, num_tables=2,
+    )
+
+
+def q_ann_recall_multi(spark, sf_dir):
+    # Recall lift of the OR construction: per query, recall@10 with 1
+    # table vs 2 tables from one scored frame; lift >= 0 pointwise (the
+    # multi candidate set contains the single one) and the mean lift is
+    # the number that justifies the 2x candidate volume.
+    return SIM.ann_recall_lift(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4], k=10, num_planes=4, num_tables=2,
+    )
+
+
 def q_neardup_embedding(spark, sf_dir):
     # Embedding-cosine near-dup pairs within LSH buckets.
     return SIM.embedding_near_dup_pairs(
@@ -1354,18 +1374,29 @@ _SQL_COS = (
 )
 
 
-def _sql_lsh_bucket_cte(num_planes: int = 4) -> str:
-    """CTE 'bk': (vec_id, v DOUBLE[], bucket) with the same md5-derived
-    sign-LSH planes as operators.similarity.lsh_bucket."""
-    bits = " || ".join(
-        f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), "
-        f"j -> v[j] * (CASE WHEN substr(md5('{p}:' || (j-1)::VARCHAR), 1, 1) >= '8' "
-        "THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)"
-        for p in range(num_planes)
-    )
+def _sql_lsh_bucket_cte(num_planes: int = 4, num_tables: int = 1) -> str:
+    """CTE 'bk': (vec_id, v DOUBLE[], bucket[, bucket_0..]) with the
+    same md5-derived sign-LSH planes as operators.similarity.lsh_bucket;
+    table t uses the independent plane-set t·P .. t·P+P-1. One table
+    keeps the legacy single ``bucket`` column name."""
+
+    def bits(offset: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), "
+            f"j -> v[j] * (CASE WHEN substr(md5('{p}:' || (j-1)::VARCHAR), 1, 1) >= '8' "
+            "THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(offset, offset + num_planes)
+        )
+
+    if num_tables == 1:
+        cols = f"{bits(0)} AS bucket"
+    else:
+        cols = ", ".join(
+            f"{bits(t * num_planes)} AS bucket_{t}" for t in range(num_tables)
+        )
     return (
         "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-        f"bk AS (SELECT vec_id, v, {bits} AS bucket FROM ev)"
+        f"bk AS (SELECT vec_id, v, {cols} FROM ev)"
     )
 
 
@@ -1398,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_ivf_topk": q_ann_ivf_topk,
         "llm_neardup_embedding": q_neardup_embedding,
         "llm_ann_recall": q_ann_recall,
+        "llm_ann_lsh_multi_topk": q_ann_lsh_multi_topk,
+        "llm_ann_recall_multi": q_ann_recall_multi,
         "llm_curation_pipeline": q_curation_pipeline,
         "llm_decontaminate": q_decontaminate,
         "llm_stratified_sample": q_stratified_sample,
@@ -2354,6 +2387,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(hit.n_hit, 0) AS n_hit,
                    round(COALESCE(hit.n_hit, 0) / 10.0::DOUBLE, 4) AS recall_at_k
             FROM q LEFT JOIN na ON q.qid = na.qid LEFT JOIN hit ON q.qid = hit.qid
+        """,
+        "llm_ann_lsh_multi_topk": f"""
+            WITH {_sql_lsh_bucket_cte(4, num_tables=2)},
+            q AS (SELECT v AS qv, bucket_0 AS qb0, bucket_1 AS qb1
+                  FROM bk WHERE vec_id = 0)
+            SELECT vec_id,
+                   {_SQL_COS.format(a="v", b="qv")} AS cos_sim
+            FROM bk, q
+            WHERE vec_id <> 0 AND (bucket_0 = qb0 OR bucket_1 = qb1)
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "llm_ann_recall_multi": f"""
+            WITH {_sql_lsh_bucket_cte(4, num_tables=2)},
+            q AS (SELECT vec_id AS qid, v AS qv, bucket_0 AS qb0, bucket_1 AS qb1
+                  FROM bk WHERE vec_id IN (0, 1, 2, 3, 4)),
+            scored AS (
+                SELECT q.qid, bk.vec_id,
+                       round({_SQL_COS.format(a="bk.v", b="q.qv")}, 6) AS cos_sim,
+                       (bk.bucket_0 = q.qb0) AS m_single,
+                       (bk.bucket_0 = q.qb0 OR bk.bucket_1 = q.qb1) AS m_multi
+                FROM bk, q WHERE bk.vec_id <> q.qid
+            ),
+            exact AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored) WHERE rnk <= 10
+            ),
+            aps AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored WHERE m_single) WHERE rnk <= 10
+            ),
+            apm AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored WHERE m_multi) WHERE rnk <= 10
+            ),
+            rs AS (SELECT e.qid, round(count(*) / 10.0::DOUBLE, 4) AS recall_single
+                   FROM exact e JOIN aps a ON e.qid = a.qid AND e.vec_id = a.vec_id
+                   GROUP BY 1),
+            rm AS (SELECT e.qid, round(count(*) / 10.0::DOUBLE, 4) AS recall_multi
+                   FROM exact e JOIN apm a ON e.qid = a.qid AND e.vec_id = a.vec_id
+                   GROUP BY 1)
+            SELECT q.qid,
+                   COALESCE(rs.recall_single, 0.0::DOUBLE) AS recall_single,
+                   COALESCE(rm.recall_multi, 0.0::DOUBLE) AS recall_multi,
+                   round(COALESCE(rm.recall_multi, 0.0::DOUBLE)
+                         - COALESCE(rs.recall_single, 0.0::DOUBLE), 4) AS lift
+            FROM q LEFT JOIN rs ON q.qid = rs.qid LEFT JOIN rm ON q.qid = rm.qid
         """,
         "llm_ann_ivf_topk": f"""
             WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -71,10 +71,12 @@ def brute_force_topk(
     )
 
 
-def _plane_signs(num_planes: int, dim: int) -> list[list[float]]:
+def _plane_signs(num_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
     """±1 hyperplane components: sign(p, j) = +1 iff the first hex digit
     of md5(f"{p}:{j}") >= '8'. Computed driver-side with hashlib — the
-    same derivation any engine (or the SQL oracle) reproduces."""
+    same derivation any engine (or the SQL oracle) reproduces.
+    ``offset`` shifts the plane ids, giving an INDEPENDENT plane-set per
+    hash table (table t uses planes t·num_planes .. t·num_planes+P-1)."""
     import hashlib
 
     return [
@@ -82,11 +84,13 @@ def _plane_signs(num_planes: int, dim: int) -> list[list[float]]:
             1.0 if hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0] >= "8" else -1.0
             for j in range(dim)
         ]
-        for p in range(num_planes)
+        for p in range(offset, offset + num_planes)
     ]
 
 
-def lsh_bucket(vec: Column, num_planes: int = 4, max_dim: int = 512) -> Column:
+def lsh_bucket(
+    vec: Column, num_planes: int = 4, max_dim: int = 512, table: int = 0
+) -> Column:
     """Sign-LSH bucket key: bit p = sign of the projection of the
     vector onto hyperplane p; a '0'/'1' string of length ``num_planes``.
 
@@ -95,10 +99,11 @@ def lsh_bucket(vec: Column, num_planes: int = 4, max_dim: int = 512) -> Column:
     (folded to a single array literal each) — an earlier formulation
     re-derived md5(p:j) per element per ROW, i.e. rows·dim·planes
     hashes of row-independent values. Vectors must have <= ``max_dim``
-    components (the plane literal is sliced down to the row's length)."""
+    components (the plane literal is sliced down to the row's length).
+    ``table`` selects an independent plane-set (multi-table OR)."""
     v = _as_double(vec)
     bits = []
-    for signs in _plane_signs(num_planes, max_dim):
+    for signs in _plane_signs(num_planes, max_dim, offset=table * num_planes):
         plane = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
             F.zip_with(v, F.slice(plane, F.lit(1), F.size(v)), lambda x, s: x * s),
@@ -113,6 +118,22 @@ def with_lsh_bucket(
     emb: DataFrame, num_planes: int = 4, vec_col: str = "embedding"
 ) -> DataFrame:
     return emb.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+
+
+def with_lsh_buckets(
+    emb: DataFrame,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One bucket column per independent hash table: ``bucket_0``..
+    ``bucket_{T-1}``. All T projections happen in the same map stage —
+    one corpus pass regardless of table count."""
+    for t in range(num_tables):
+        emb = emb.withColumn(
+            f"bucket_{t}", lsh_bucket(F.col(vec_col), num_planes, table=t)
+        )
+    return emb
 
 
 def lsh_topk(
@@ -135,6 +156,51 @@ def lsh_topk(
     return (
         bucketed.filter(F.col(id_col) != query_vec_id)
         .join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk_multi(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table ("OR construction") sign-LSH ANN top-k: a row is a
+    candidate if it shares the query's bucket in ANY of ``num_tables``
+    independent plane-sets; the per-table candidate sets are unioned and
+    DEDUPED before the exact-cosine ranking (a row matching in two
+    tables must score once, not twice).
+
+    Each table's retrieval stays an equality join on its bucket key —
+    scan pruning per table is unchanged (~corpus/2^P), total candidate
+    volume grows ~linearly in T while miss probability decays
+    EXPONENTIALLY in T (a true neighbor must flip sign in >= 1 plane of
+    every table to be lost) — the standard recall knob that does not
+    touch per-bucket precision, unlike lowering P."""
+    bucketed = with_lsh_buckets(emb, num_planes, num_tables, vec_col)
+    bcols = [f"bucket_{t}" for t in range(num_tables)]
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q"), *[F.col(b).alias(f"_q{b}") for b in bcols]
+    )
+    corpus = bucketed.filter(F.col(id_col) != query_vec_id)
+    cands = None
+    for b in bcols:
+        c = corpus.join(
+            F.broadcast(q.select(f"_q{b}")), F.col(b) == F.col(f"_q{b}")
+        ).select(id_col, vec_col)
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates([id_col])
+        .crossJoin(F.broadcast(q.select("_q")))
         .select(
             id_col,
             F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
@@ -327,5 +393,84 @@ def ann_recall(
             F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_recall_lift(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of single-table vs multi-table ("OR construction") LSH
+    against the exact ranking, per query — the measurement that
+    justifies paying T× candidate volume for exponentially fewer misses.
+
+    ONE scored frame (corpus × broadcast panel) carries per-table match
+    flags; three rankings share it: exact (no filter), single-table
+    (bucket_0 match), multi-table (ANY bucket match, which IS the
+    deduped union of the per-table candidate sets — a row matching two
+    tables appears once). ``lift`` = recall_multi − recall_single ≥ 0
+    pointwise, because every single-table candidate is also a
+    multi-table candidate."""
+    bucketed = with_lsh_buckets(emb, num_planes, num_tables, vec_col)
+    bcols = [f"bucket_{t}" for t in range(num_tables)]
+    panel = bucketed.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        *[F.col(b).alias(f"_q{b}") for b in bcols],
+    )
+    match_any = None
+    for b in bcols:
+        m = F.col(b) == F.col(f"_q{b}")
+        match_any = m if match_any is None else (match_any | m)
+    scored = (
+        bucketed.crossJoin(F.broadcast(panel))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            (F.col("bucket_0") == F.col("_qbucket_0")).alias("m_single"),
+            match_any.alias("m_multi"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col)
+    )
+
+    def _recall(flag: str, out: str) -> DataFrame:
+        approx = (
+            scored.filter(flag)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", id_col)
+        )
+        return (
+            exact.join(approx, ["qid", id_col])
+            .groupBy("qid")
+            .agg(F.round(F.count("*") / F.lit(k), 4).alias(out))
+        )
+
+    return (
+        panel.select("qid")
+        .join(_recall("m_single", "recall_single"), "qid", "left")
+        .join(_recall("m_multi", "recall_multi"), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("recall_single", F.lit(0.0)).alias("recall_single"),
+            F.coalesce("recall_multi", F.lit(0.0)).alias("recall_multi"),
+            F.round(
+                F.coalesce("recall_multi", F.lit(0.0))
+                - F.coalesce("recall_single", F.lit(0.0)),
+                4,
+            ).alias("lift"),
         )
     )

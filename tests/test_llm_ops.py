@@ -149,6 +149,24 @@ def test_lsh_topk_finds_near_identical(emb):
     assert out and out[0].vec_id == 1
 
 
+def test_lsh_multi_table_superset_and_lift(emb):
+    # The OR construction's candidate set contains every single-table
+    # candidate, so multi top-k recall dominates pointwise; and a row
+    # matching in BOTH tables must appear once (dedup before ranking).
+    single = {r.vec_id for r in SIM.lsh_topk(emb, query_vec_id=0, k=5).collect()}
+    multi_rows = SIM.lsh_topk_multi(
+        emb, query_vec_id=0, k=5, num_planes=4, num_tables=2
+    ).collect()
+    multi = [r.vec_id for r in multi_rows]
+    assert len(multi) == len(set(multi))      # deduped
+    assert single <= set(multi) or len(multi) == 5  # superset unless truncated
+    lift = SIM.ann_recall_lift(
+        emb, query_ids=[0, 2], k=3, num_planes=4, num_tables=2
+    ).collect()
+    assert all(r.lift >= 0 for r in lift)
+    assert all(r.recall_multi >= r.recall_single for r in lift)
+
+
 def test_ivf_assign_and_topk(emb):
     # centroids = ids < 2 (i.e. vectors 0 and 1, nearly identical):
     # everything with positive x lands in one of their cells

@@ -1,16 +1,28 @@
 """Pure-Python Avro binary codec for flat record schemas (S5/S6).
 
 Neither the spark-avro JVM package nor a Python avro library is
-available in this container, but the reference's Avro surface is two
-flat records of primitives (orders-avro-clients/src/main/avro/Order.avsc,
-orders-stats-flink/src/main/avro/SupplierStats.avsc) — small enough to
-decode with the Avro 1.11 binary spec directly:
+available in this container (the Avro CORE jars ship with Spark, but
+the ``spark-avro`` datasource that exposes ``from_avro`` does not), and
+the reference's Avro surface is records of primitives plus one
+primitive-array field (orders-avro-clients/src/main/avro/Order.avsc,
+orders-stats-flink/src/main/avro/SupplierStats.avsc, and FeedbackEvent
+in product-recommender/recsys-engine/src/models.py:172-195 whose
+``context_vector`` is ``{"type":"array","items":"double"}``) — small
+enough to cover with the Avro 1.11 binary spec directly:
 
 - ``long``/``int``: zigzag varint
 - ``double``/``float``: little-endian IEEE754
 - ``string``/``bytes``: varint byte length + payload
 - ``boolean``: one byte
 - ``["null", T]`` unions: varint branch index, then the branch value
+- ``{"type": "array", "items": P}``: blocks of (zigzag count, items),
+  0-count terminator; a writer may emit a NEGATIVE count, meaning
+  |count| items preceded by the block's byte size (the spec's skip
+  optimization) — the decoder honors both, the encoder emits one
+  positive block
+- ``logicalType`` annotations (e.g. timestamp-millis on long) ride on
+  the underlying primitive unchanged, matching spark-avro's default
+  behavior for unregistered logical types
 
 The Spark integration is Arrow-batched ``mapInPandas`` over the binary
 Kafka value column — the decode kernel is Python, but it runs on
@@ -48,9 +60,10 @@ _SPARK_TYPES = {
 
 
 def parse_schema(avro_schema_json: str) -> list[tuple[str, str, bool]]:
-    """Validate and flatten a record schema to (name, primitive type,
-    nullable) triples. Supports the flat-record subset described in the
-    module docstring; anything else raises."""
+    """Validate and flatten a record schema to (name, type, nullable)
+    triples, where type is a primitive name or ``array<primitive>``.
+    Supports the subset described in the module docstring; anything
+    else raises."""
     schema = json.loads(avro_schema_json)
     if schema.get("type") != "record":
         raise ValueError(f"only record schemas supported, got {schema.get('type')!r}")
@@ -62,16 +75,38 @@ def parse_schema(avro_schema_json: str) -> list[tuple[str, str, bool]]:
             if len(branches) != 1 or "null" not in ftype:
                 raise ValueError(f"only ['null', T] unions supported: {ftype}")
             ftype, nullable = branches[0], True
-        if ftype not in _PRIMITIVES:
+        if isinstance(ftype, dict):
+            # logicalType rides on the underlying primitive; arrays of
+            # primitives flatten to "array<P>".
+            if ftype.get("type") == "array":
+                items = ftype.get("items")
+                if items not in _PRIMITIVES:
+                    raise ValueError(
+                        f"only arrays of primitives supported (field {f['name']})"
+                    )
+                ftype = f"array<{items}>"
+            elif ftype.get("type") in _PRIMITIVES:
+                ftype = ftype["type"]
+            else:
+                raise ValueError(
+                    f"unsupported field type {ftype!r} (field {f['name']})"
+                )
+        if not (ftype in _PRIMITIVES or ftype.startswith("array<")):
             raise ValueError(f"unsupported field type {ftype!r} (field {f['name']})")
         fields.append((f["name"], ftype, nullable))
     return fields
 
 
+def _spark_type(ftype: str) -> T.DataType:
+    if ftype.startswith("array<"):
+        return T.ArrayType(_SPARK_TYPES[ftype[6:-1]])
+    return _SPARK_TYPES[ftype]
+
+
 def spark_schema(avro_schema_json: str, force_nullable: bool = False) -> T.StructType:
     return T.StructType(
         [
-            T.StructField(name, _SPARK_TYPES[ftype], nullable or force_nullable)
+            T.StructField(name, _spark_type(ftype), nullable or force_nullable)
             for name, ftype, nullable in parse_schema(avro_schema_json)
         ]
     )
@@ -106,6 +141,17 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _encode_value(ftype: str, v) -> bytes:
+    if ftype.startswith("array<"):
+        items = ftype[6:-1]
+        vals = list(v)
+        out = bytearray()
+        if vals:
+            # one positive block: zigzag count, then the items
+            out += _zigzag_encode(len(vals))
+            for item in vals:
+                out += _encode_value(items, item)
+        out += _zigzag_encode(0)  # terminator
+        return bytes(out)
     if ftype == "string":
         raw = v.encode("utf-8")
         return _zigzag_encode(len(raw)) + raw
@@ -124,6 +170,21 @@ def _encode_value(ftype: str, v) -> bytes:
 
 
 def _decode_value(ftype: str, buf: bytes, pos: int):
+    if ftype.startswith("array<"):
+        items = ftype[6:-1]
+        vals = []
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return vals, pos
+            if count < 0:
+                # spec: negative count = |count| items preceded by the
+                # block's byte size (skip optimization); read past it.
+                count = -count
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(count):
+                v, pos = _decode_value(items, buf, pos)
+                vals.append(v)
     if ftype in ("string", "bytes"):
         n, pos = _zigzag_decode(buf, pos)
         raw = buf[pos : pos + n]

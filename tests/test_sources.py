@@ -168,6 +168,88 @@ def test_avro_spark_encode_decode_roundtrip(spark):
     assert {r.sid for r in ids} == {7}
 
 
+FEEDBACK_AVSC = json.dumps(
+    {
+        # product-recommender/recsys-engine/src/models.py:172-195,
+        # verbatim fields: primitive-array + logicalType coverage
+        "namespace": "me.jaehyeon",
+        "type": "record",
+        "name": "FeedbackEvent",
+        "fields": [
+            {"name": "event_id", "type": "string"},
+            {"name": "product_id", "type": "string"},
+            {"name": "reward", "type": "int"},
+            {"name": "context_vector", "type": {"type": "array", "items": "double"}},
+            {"name": "timestamp", "type": "long", "logicalType": "timestamp-millis"},
+        ],
+    }
+)
+
+
+def test_avro_array_spec_vectors():
+    """Array encoding straight from the Avro 1.11 spec: blocks of
+    (zigzag count, items), 0 terminator; decoder must also accept the
+    negative-count block form (|count| items prefixed by byte size)."""
+    import struct
+
+    from streaming_demos_spark.sources import avro_codec as AC
+
+    fields = AC.parse_schema(
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"a","type":{"type":"array","items":"long"}}]}'
+    )
+    # [3, 4]: count 2 -> 0x04, items zigzag 6/8, terminator 0x00
+    assert AC.encode_record(fields, {"a": [3, 4]}) == b"\x04\x06\x08\x00"
+    assert AC.decode_record(fields, b"\x04\x06\x08\x00") == {"a": [3, 4]}
+    # empty array = bare terminator
+    assert AC.encode_record(fields, {"a": []}) == b"\x00"
+    assert AC.decode_record(fields, b"\x00") == {"a": []}
+    # negative-count block: count -2 (zigzag 0x03), block size 2 bytes
+    # (zigzag 0x04), items, terminator — writer-optional, reader-required
+    assert AC.decode_record(fields, b"\x03\x04\x06\x08\x00") == {"a": [3, 4]}
+    # array<double> items are raw LE doubles
+    dfields = AC.parse_schema(
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"a","type":{"type":"array","items":"double"}}]}'
+    )
+    assert AC.encode_record(dfields, {"a": [1.5]}) == b"\x02" + struct.pack(
+        "<d", 1.5
+    ) + b"\x00"
+
+
+def test_avro_feedback_event_roundtrip(spark):
+    """FeedbackEvent end-to-end: python codec roundtrip + the Spark
+    mapInPandas encode->decode path with the array column."""
+    from streaming_demos_spark.sources import avro_codec as AC
+
+    fields = AC.parse_schema(FEEDBACK_AVSC)
+    rec = {
+        "event_id": "e-1",
+        "product_id": "p-9",
+        "reward": 1,
+        "context_vector": [0.25, -1.5, 3.0],
+        "timestamp": 1700000000123,
+    }
+    framed = AC.frame_confluent(AC.encode_record(fields, rec), schema_id=11)
+    assert AC.decode_record(fields, AC.unframe_confluent(framed)[1]) == rec
+
+    df = spark.createDataFrame(
+        [("e-1", "p-9", 1, [0.25, -1.5, 3.0], 1700000000123),
+         ("e-2", "p-3", 0, [], 1700000000456)],
+        "event_id string, product_id string, reward int, "
+        "context_vector array<double>, timestamp long",
+    )
+    wire = AC.encode_confluent_avro(df, FEEDBACK_AVSC, schema_id=11, key_col="event_id")
+    got = sorted(
+        (r.event_id, r.product_id, r.reward, list(r.context_vector), r.timestamp)
+        for r in AC.decode_confluent_avro(wire, FEEDBACK_AVSC).collect()
+    )
+    assert got == [
+        ("e-1", "p-9", 1, [0.25, -1.5, 3.0], 1700000000123),
+        ("e-2", "p-3", 0, [], 1700000000456),
+    ]
+
+
 def test_avro_bad_frame_policies(spark):
     from streaming_demos_spark.sources import avro_codec as AC
 

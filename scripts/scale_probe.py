@@ -57,6 +57,14 @@ PROBE_KEYS = [
     "ext_zscore_anomalies",
     "ext_moving_average",
     "llm_weighted_sample",
+    # round-3 additions: the remaining >2s-at-sf0.1 queries + the
+    # approx-quantile fix + the multi-table ANN path
+    "f_svd_embed",
+    "llm_ann_lsh_topk",
+    "llm_ann_lsh_multi_topk",
+    "ext_quantile_summary",
+    "ext_quantile_approx",
+    "s1_s8_csv_declared_schema",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -30,14 +30,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # DataFrame plans are immutable, so a table loaded once can be reused by
 # every query in a sweep; caching skips the per-call parquet footer read
-# and schema reconciliation (83 queries x ~3 tables adds up). Keyed on
-# the JVM session too so a stopped/recreated SparkSession never serves
-# stale plans.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# and schema reconciliation (83 queries x ~3 tables adds up). The
+# SparkSession itself is part of the key (not its id(), which could be
+# reused after GC), so a recreated session never serves stale plans.
+_TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    cache_key = (id(spark._jsparkSession), sf_dir, name)
+    cache_key = (spark, sf_dir, name)
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return cached

@@ -403,9 +403,97 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: no convergence after {max_iter} rounds "
             f"(graph diameter exceeds the budget); raise max_iter or use "
-            f"star-contraction for long-chain graphs"
+            f"connected_components_star (O(log d) rounds) for long-chain graphs"
         )
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labeling via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log d) rounds versus min-label propagation's O(d), the
+    right tool when the pair graph may contain long chains (adversarial
+    near-dup corpora, clickstream link graphs).
+
+    Each round is two grouped-join phases over the current edge set:
+    large-star points every neighbor v > u at m = min(Γ⁺(u)); small-star
+    re-points all smaller neighbors (and u itself) at the minimum. Edges
+    only ever re-point DOWNWARD, so the edge set converges to rooted
+    stars whose root is the component minimum — the same labeling
+    ``connected_components`` produces. Convergence = the edge set stops
+    changing; exhaustion raises like the propagation variant."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    n_edges = e.count()
+    for _ in range(max_iter):
+        # large-star: symmetric neighbor view, attach v>a to min(Γ⁺(a))
+        sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.least(F.col("b"), F.col("m")).alias("u"),
+                F.greatest(F.col("b"), F.col("m")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: directed larger->smaller, re-point all smaller
+        # neighbors (and the center) at the minimum neighbor
+        dir_ = large.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        mins2 = dir_.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            dir_.join(mins2, "a")
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .union(mins2.select(F.col("a").alias("x"), F.col("m").alias("y")))
+        )
+        e2 = (
+            small.select(
+                F.least(F.col("x"), F.col("y")).alias("u"),
+                F.greatest(F.col("x"), F.col("y")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        unchanged = n2 == n_edges and e2.subtract(e).limit(1).count() == 0
+        e, n_edges = e2, n2
+        if unchanged:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no convergence after {max_iter} "
+            f"rounds — raise max_iter"
+        )
+    # converged state is rooted stars: every edge is (root, node)
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .union(e.select(F.col("u").alias("node"), F.col("u").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def near_dup_clusters(

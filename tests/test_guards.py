@@ -48,6 +48,31 @@ def test_connected_components_raises_without_convergence(spark):
     assert {r.component for r in ok.collect()} == {1}
 
 
+def test_star_contraction_matches_propagation(spark):
+    # Star contraction must produce the identical min-id labeling as
+    # min-label propagation, in O(log d) rounds: a 40-chain converges
+    # within 8 star rounds where propagation needs ~40.
+    import random
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    chain = [(i, i + 1) for i in range(100, 140)]
+    edges = spark.createDataFrame(rand_edges + chain, ["doc_a", "doc_b"])
+    prop = {
+        r.node: r.component
+        for r in D.connected_components(edges, max_iter=60).collect()
+    }
+    star = {
+        r.node: r.component
+        for r in D.connected_components_star(edges, max_iter=8).collect()
+    }
+    assert star == prop
+    assert star[140] == 100  # chain fully merged in log rounds
+
+
 def test_attribution_join_shared_columns_prefixed(spark):
     # Two event streams sharing a pass-through name ('value') must yield
     # l_/r_ prefixed outputs, never duplicate column names.

@@ -1400,6 +1400,52 @@ def _sql_lsh_bucket_cte(num_planes: int = 4, num_tables: int = 1) -> str:
     )
 
 
+def q_cdc_scd2_history(spark, sf_dir):
+    # S10 CDC versioned history: the same deterministic c/u/d change
+    # log as q_cdc_apply_changes, but kept as SCD-2 validity intervals
+    # (every version survives; deletes close their predecessor).
+    orders = _t(spark, sf_dir, "orders")
+    creates = cdc.make_envelopes(orders, "c", "demo", "orders", lsn_offset=0)
+    updates = cdc.make_envelopes(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        "u", "demo", "orders", lsn_offset=1,
+    )
+    deletes = cdc.make_envelopes(
+        orders.filter(F.col("o_orderkey") % 10 == 0), "d", "demo", "orders",
+        lsn_offset=2,
+    )
+    changes = cdc.debezium_unwrap(
+        creates.unionByName(updates).unionByName(deletes), "value", ORDERS
+    )
+    hist = cdc.scd2_history(changes, ["o_orderkey"], seq_col="lsn")
+    return hist.select(
+        "o_orderkey", "o_totalprice", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    # Gopher-style rule-based quality gate: per-rule booleans + the
+    # conjunction, one map-only projection over the corpus.
+    return CU.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    # Mergeable-sketch distinct rollup: per-(priority,status) HLL
+    # sketches unioned to per-priority estimates, bound-checked against
+    # the exact count (the exact side exists only for this gate).
+    return R.hll_distinct_rollup(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus", "o_custkey"
+    )
+
+
+def q_key_skew_profile(spark, sf_dir):
+    # Shuffle-planning diagnostic: top-15 heaviest l_suppkey values
+    # with row share and skew ratio vs the mean key.
+    return R.key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order is deliberate: a correctness sweep that stops
     # after the first N keys should spend its window on the queries with
@@ -1407,6 +1453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window come last; the 33 keys that round only saw judge-side, plus
     # the r2-red f_svd_embed and this round's new queries, come first.
     return {
+        "s10_cdc_scd2_history": q_cdc_scd2_history,
+        "llm_quality_filter": q_quality_filter,
+        "ext_hll_distinct": q_hll_distinct,
+        "ext_key_skew_profile": q_key_skew_profile,
         "ext_user_journeys": q_user_journeys,
         "ext_funnel": q_funnel,
         "ext_retention": q_retention,
@@ -1498,6 +1548,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "s10_cdc_scd2_history": """
+            WITH ch AS (
+                SELECT o_orderkey, o_totalprice, 'c' AS op,
+                       o_orderkey * 10 AS lsn
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 2, 'u', o_orderkey * 10 + 1
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, 'd', o_orderkey * 10 + 2
+                FROM orders WHERE o_orderkey % 10 = 0
+            ),
+            v AS (
+                SELECT *, lsn AS valid_from,
+                       lead(lsn) OVER (PARTITION BY o_orderkey ORDER BY lsn)
+                           AS valid_to
+                FROM ch
+            )
+            SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM v WHERE op <> 'd'
+        """,
+        "llm_quality_filter": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       len(words) AS n_tokens,
+                       CASE WHEN len(words) > 0 THEN len(words) ELSE 1 END AS safe_n,
+                       length(text) AS n_chars,
+                       len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                           AS alpha_words,
+                       len(list_filter(words, x -> x IN
+                           ('the','a','an','and','of','to','in','is','it','for')))
+                           AS stop_hits
+                FROM w
+            )
+            SELECT doc_id, n_tokens,
+                   round((n_chars - (n_tokens - 1)) / safe_n, 4) AS mean_word_len,
+                   round(alpha_words / safe_n, 4) AS alpha_word_ratio,
+                   stop_hits,
+                   n_tokens BETWEEN 10 AND 100000 AS ok_tokens,
+                   ((n_chars - (n_tokens - 1)) / safe_n) BETWEEN 2.0 AND 12.0
+                       AS ok_word_len,
+                   (alpha_words / safe_n) >= 0.7 AS ok_alpha_words,
+                   stop_hits >= 2 AS ok_stopwords,
+                   (n_tokens BETWEEN 10 AND 100000)
+                       AND (((n_chars - (n_tokens - 1)) / safe_n)
+                            BETWEEN 2.0 AND 12.0)
+                       AND ((alpha_words / safe_n) >= 0.7)
+                       AND (stop_hits >= 2) AS passes
+            FROM s
+        """,
+        "ext_hll_distinct": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_orderstatus) AS n_subgroups,
+                   count(DISTINCT o_custkey)     AS exact_distinct,
+                   true                          AS estimate_ok
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "ext_key_skew_profile": """
+            WITH c AS (
+                SELECT l_suppkey, count(*) AS key_rows
+                FROM lineitem GROUP BY l_suppkey
+            ),
+            m AS (SELECT sum(key_rows) AS total, avg(key_rows) AS mean FROM c)
+            SELECT l_suppkey, key_rows,
+                   round(key_rows / m.total, 6) AS row_share,
+                   round(key_rows / m.mean, 4)  AS skew_ratio
+            FROM c, m
+            ORDER BY key_rows DESC, l_suppkey
+            LIMIT 15
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                        AS sum_qty,

@@ -390,3 +390,64 @@ def weighted_priority_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_ratio: float = 0.7,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Rule-based document quality gate (Gopher-style repetition-free
+    rules; Rae et al. 2021 §A.1.1, public).
+
+    Five independent rules, each emitted as its own boolean so a
+    pipeline can tune thresholds from one pass of rule statistics
+    rather than re-scanning the corpus per candidate threshold:
+
+    - ``ok_tokens``      token count within [min_tokens, max_tokens]
+    - ``ok_word_len``    mean word length within [min, max]
+    - ``ok_alpha_words`` fraction of words containing an alphabetic
+                         character >= min_alpha_word_ratio
+    - ``ok_stopwords``   at least ``min_stop_hits`` stopword
+                         occurrences (the "is this prose" test)
+    - ``passes``         conjunction of all rules
+
+    Entirely JVM column expressions over one projection — map-only, no
+    shuffle, safe at any scale; empty documents fail ``ok_tokens``
+    rather than dividing by zero (ratios guard on n_tokens > 0).
+    """
+    from streaming_demos_spark.operators.text import STOPWORDS_EN, tokens as _tokens
+
+    w = _tokens(text_col)
+    n_tok = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    safe_n = F.when(n_tok > 0, n_tok).otherwise(F.lit(1))
+    mean_word_len = (n_chars - (n_tok - 1)) / safe_n
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_word_ratio = alpha_words / safe_n
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS_EN)))
+    ok_tokens = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    ok_word_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    ok_alpha = alpha_word_ratio >= min_alpha_word_ratio
+    ok_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(alpha_word_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        ok_tokens.alias("ok_tokens"),
+        ok_word_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_tokens & ok_word_len & ok_alpha & ok_stop).alias("passes"),
+    )

@@ -767,3 +767,95 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-02") -> Dat
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --- Mergeable-sketch distinct counting (100 TB rollup path) ----------------
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    sub_col: str,
+    value_col: str,
+    lg_k: int = 14,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """Two-level distinct-count rollup through mergeable HLL sketches
+    (Apache DataSketches, exposed by Spark as ``hll_sketch_agg`` /
+    ``hll_union_agg``).
+
+    Level 1 builds one sketch per (group, subgroup); level 2 merges the
+    subgroup sketches into a group estimate with ``hll_union_agg``.
+    That merge step is the whole point: at 100 TB you materialize the
+    fine-grained sketches ONCE (bytes per key, not a rescan) and every
+    coarser rollup — by group, by day, corpus-wide — is a cheap union
+    over sketch bytes. An exact count_distinct rollup cannot reuse
+    subgroup results at all (distinct does not sum), so each rollup
+    level would be its own full shuffle of the raw values.
+
+    The exact distinct count and the ``estimate_ok`` bound check exist
+    for the correctness gate only — a production pipeline materializes
+    just the sketches. Both aggregations shuffle once on their grouping
+    keys; sketch rows are ~2^lg_k bytes each, so the level-2 input is
+    tiny regardless of input scale. The sketch is deterministic for a
+    given input set (fixed default seed), so the bound check is stable
+    across runs and partitionings.
+    """
+    level1 = df.groupBy(group_col, sub_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"),
+        F.count_distinct(F.col(value_col)).alias("sub_exact"),
+    )
+    level2 = level1.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("_est"),
+        F.count("*").alias("n_subgroups"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    return (
+        level2.join(exact, group_col)
+        .select(
+            F.col(group_col),
+            F.col("n_subgroups"),
+            F.col("exact_distinct"),
+            (
+                F.abs(F.col("_est") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(rel_err)
+            ).alias("estimate_ok"),
+        )
+        .orderBy(group_col)
+    )
+
+
+# --- Key-skew profiler (shuffle-planning diagnostic) ------------------------
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 15) -> DataFrame:
+    """Heaviest-key profile for a prospective shuffle/join key: the
+    top-n keys by row count with each key's share of all rows and its
+    skew ratio (count / mean count over keys).
+
+    This is the diagnostic run before any large join — a skew_ratio in
+    the hundreds says "salt this key or rely on AQE skew-join split".
+    One aggregation shuffle on the key; the per-key count frame (one
+    row per distinct key) feeds both the global moments (single tiny
+    aggregate) and a TakeOrderedAndProject top-n, so the raw input is
+    scanned once. Ties order by key for determinism.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("key_rows"))
+    moments = counts.agg(
+        F.sum("key_rows").alias("_total"),
+        F.avg("key_rows").alias("_mean"),
+    )
+    return (
+        counts.orderBy(F.desc("key_rows"), F.asc(key_col))
+        .limit(top_n)
+        .crossJoin(F.broadcast(moments))
+        .select(
+            F.col(key_col),
+            F.col("key_rows"),
+            F.round(F.col("key_rows") / F.col("_total"), 6).alias("row_share"),
+            F.round(F.col("key_rows") / F.col("_mean"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("key_rows"), F.asc(key_col))
+    )

@@ -76,6 +76,35 @@ def apply_changes(changes: DataFrame, key_cols: list[str], seq_col: str = "lsn")
     )
 
 
+def scd2_history(
+    changes: DataFrame, key_cols: list[str], seq_col: str = "lsn"
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log.
+
+    Where ``apply_changes`` keeps only the latest row per key, this
+    keeps EVERY version: each upsert (c/r/u) opens an interval
+    ``[valid_from, valid_to)`` in log-sequence coordinates, closed by
+    the next change to the same key; a delete (d) closes the previous
+    version without opening one; ``is_current`` marks versions with no
+    successor. This is the history table the reference's CDC consumer
+    (cdc-local/ps_sub.py:10-12) would build if it kept versions instead
+    of overwriting.
+
+    One shuffle on the primary key; ``lead()`` runs inside the shuffled
+    partitions. ``valid_to`` must be computed BEFORE dropping delete
+    tombstones (a delete closes its predecessor's interval) — Catalyst
+    keeps the op filter above the window because ``op`` is not a window
+    partition key, so the order is stable.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(seq_col))
+    return (
+        changes.withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.lead(seq_col).over(w))
+        .filter(F.col("op") != "d")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def make_envelopes(
     rows: DataFrame,
     op: str,

@@ -1,0 +1,123 @@
+"""Unit tests for the round-3 additions: SCD-2 change-log history,
+the Gopher-style quality gate, HLL mergeable-sketch rollups, and the
+key-skew profiler — crafted micro-data for the semantics; the oracle
+sweep covers engine-vs-DuckDB equivalence at corpus scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import curation as CU
+from streaming_demos_spark.operators import relational as R
+from streaming_demos_spark.sources import cdc
+
+
+@pytest.fixture(scope="module")
+def change_log(spark):
+    # key 1: c -> u -> u        (three versions, last current)
+    # key 2: c -> d             (one closed version, nothing current)
+    # key 3: c                  (one current version)
+    rows = [
+        (1, 10.0, "c", 100),
+        (1, 11.0, "u", 101),
+        (1, 12.0, "u", 102),
+        (2, 20.0, "c", 200),
+        (2, 20.0, "d", 201),
+        (3, 30.0, "c", 300),
+    ]
+    return spark.createDataFrame(rows, ["k", "price", "op", "lsn"])
+
+
+def test_scd2_keeps_every_version(change_log):
+    hist = cdc.scd2_history(change_log, ["k"], seq_col="lsn")
+    by_key = {}
+    for r in hist.orderBy("k", "valid_from").collect():
+        by_key.setdefault(r.k, []).append(r)
+    assert [v.price for v in by_key[1]] == [10.0, 11.0, 12.0]
+    assert [(v.valid_from, v.valid_to) for v in by_key[1]] == [
+        (100, 101), (101, 102), (102, None)
+    ]
+    assert [v.is_current for v in by_key[1]] == [False, False, True]
+
+
+def test_scd2_delete_closes_without_opening(change_log):
+    hist = cdc.scd2_history(change_log, ["k"], seq_col="lsn")
+    k2 = hist.filter(F.col("k") == 2).collect()
+    assert len(k2) == 1  # the tombstone itself emits no version
+    assert (k2[0].valid_from, k2[0].valid_to) == (200, 201)
+    assert not k2[0].is_current
+
+
+def test_scd2_current_matches_apply_changes(change_log):
+    # The current slice of the history IS the compacted state.
+    hist = cdc.scd2_history(change_log, ["k"], seq_col="lsn")
+    current = {
+        r.k: r.price for r in hist.filter("is_current").collect()
+    }
+    compacted = {
+        r.k: r.price
+        for r in cdc.apply_changes(change_log, ["k"], seq_col="lsn").collect()
+    }
+    assert current == compacted == {1: 12.0, 3: 30.0}
+
+
+@pytest.fixture(scope="module")
+def gated_docs(spark):
+    prose = (
+        "the cat and the dog ran to the house and it was a fine day for a walk "
+        "in the park with many things to see"
+    )
+    rows = [
+        (1, prose),  # passes everything
+        (2, "too short"),  # fails ok_tokens
+        (3, "0 1 2 3 4 5 6 7 8 9 10 11 12 13 14"),  # no alpha words, no stopwords
+        (4, "the " + "supercalifragilistic " * 20 + "of"),  # fails word-len max
+        (5, ""),  # empty: fails ok_tokens, no division error
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_quality_filter_rules(gated_docs):
+    out = {r.doc_id: r for r in CU.quality_filter(gated_docs).collect()}
+    assert out[1].passes
+    assert not out[2].ok_tokens and not out[2].passes
+    assert out[3].ok_tokens and not out[3].ok_alpha_words
+    assert not out[3].ok_stopwords and not out[3].passes
+    assert not out[4].ok_word_len and not out[4].passes
+    assert not out[5].ok_tokens and not out[5].passes  # and no ANSI divide error
+
+
+def test_quality_filter_is_map_only(gated_docs):
+    plan = CU.quality_filter(gated_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: no shuffle
+
+
+def test_hll_rollup_bound_holds(spark):
+    # 3 groups x 2 subgroups, values engineered so subgroup sketches
+    # overlap (union must dedupe across subgroups, not sum).
+    rows = [
+        (g, s, v)
+        for g in ("A", "B", "C")
+        for s in (0, 1)
+        for v in range(0, 500, 1 + s)  # s=0: 0..499; s=1: evens only (subset)
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "v"])
+    out = {r.g: r for r in R.hll_distinct_rollup(df, "g", "s", "v").collect()}
+    for g in ("A", "B", "C"):
+        assert out[g].n_subgroups == 2
+        assert out[g].exact_distinct == 500  # union, not 500+250
+        assert out[g].estimate_ok
+
+
+def test_key_skew_profile_flags_heavy_key(spark):
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{j}", i) for j in range(10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = R.key_skew_profile(df, "k", top_n=3).collect()
+    assert out[0].k == "hot" and out[0].key_rows == 900
+    assert out[0].row_share == 0.9
+    # mean key count = 1000/11 ~ 90.9 -> skew ~ 9.9
+    assert 9.0 < out[0].skew_ratio < 11.0
+    assert len(out) == 3

@@ -611,6 +611,15 @@ def q_eval_auc(spark, sf_dir):
     return LU.auc(log, "score", "reward")
 
 
+def q_eval_ndcg(spark, sf_dir):
+    # §2.10 offline eval: NDCG@5 with driver-precomputed discount
+    # literals (identical constants in plan and oracle — JVM vs C log2
+    # can differ in the last ulp).
+    from streaming_demos_spark.operators import linucb as LU
+
+    return LU.ndcg_at_k(_scored_log(spark, sf_dir), k=5)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     # §2.10 TF-IDF (preprocessor.py:94-97's vectorizer half) as pure
     # DataFrame algebra: explode -> tf -> df -> smooth-idf join; top-3
@@ -1454,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r2-red f_svd_embed and this round's new queries, come first.
     return {
         "s10_cdc_scd2_history": q_cdc_scd2_history,
+        "eval_ndcg": q_eval_ndcg,
         "llm_quality_filter": q_quality_filter,
         "ext_hll_distinct": q_hll_distinct,
         "ext_key_skew_profile": q_key_skew_profile,
@@ -1548,6 +1558,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "eval_ndcg": """
+            WITH log AS (
+                SELECT o_custkey AS user_id, o_orderkey AS product_id,
+                       round((o_totalprice % 1000.0) / 1000.0, 6) AS score,
+                       CAST(o_orderstatus = 'F' AS INT) AS reward
+                FROM orders
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY score DESC, product_id
+                ) AS rnk
+                FROM log
+            ),
+            per_user AS (
+                SELECT user_id,
+                       sum(CASE WHEN rnk <= 5 THEN reward * (CASE rnk
+                               WHEN 1 THEN 1.0::DOUBLE
+                               WHEN 2 THEN 0.630929753571::DOUBLE
+                               WHEN 3 THEN 0.5::DOUBLE
+                               WHEN 4 THEN 0.430676558073::DOUBLE
+                               WHEN 5 THEN 0.386852807235::DOUBLE END)
+                           ELSE 0.0::DOUBLE END) AS dcg,
+                       sum(reward) AS positives
+                FROM ranked GROUP BY user_id
+            )
+            SELECT round(avg(dcg / (CASE least(positives, 5)
+                       WHEN 1 THEN 1.0::DOUBLE
+                       WHEN 2 THEN 1.630929753571::DOUBLE
+                       WHEN 3 THEN 2.130929753571::DOUBLE
+                       WHEN 4 THEN 2.561606311644::DOUBLE
+                       WHEN 5 THEN 2.948459118879::DOUBLE END)), 6) AS ndcg_at_k
+            FROM per_user WHERE positives > 0
+        """,
         "s10_cdc_scd2_history": """
             WITH ch AS (
                 SELECT o_orderkey, o_totalprice, 'c' AS op,

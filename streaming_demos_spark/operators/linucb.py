@@ -257,3 +257,54 @@ def eval_ranking(
             6,
         ).alias("recall_at_k"),
     )
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    user_col: str = "user_id",
+    key_col: str = "product_id",
+    score_col: str = "score",
+    label_col: str = "reward",
+    k: int = 5,
+) -> DataFrame:
+    """NDCG@k over a scored interaction log with binary labels
+    (completes the evaluate.py:57-108 offline-eval family): per-user
+    DCG = Σ label/log2(rank+1) over the top-k, normalized by the ideal
+    DCG for that user's positive count, averaged over users with ≥1
+    positive.
+
+    The rank discounts (and their cumulative sums for the ideal) are
+    precomputed DRIVER-SIDE and injected as 12-dp double literals: k is
+    tiny, and JVM and C log2 can disagree in the last ulp, so baking
+    identical constants into both this plan and any oracle makes the
+    metric bit-reproducible across engines. Same scale shape as
+    eval_ranking: one shuffle on the user key, scalar final aggregate.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    disc = [round(1.0 / math.log2(i + 1), 12) for i in range(1, k + 1)]
+    cum = [round(sum(disc[: m + 1]), 12) for m in range(k)]
+    w = Window.partitionBy(user_col).orderBy(F.desc(score_col), F.asc(key_col))
+    ranked = scored.withColumn("_rnk", F.row_number().over(w))
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    gain = (
+        F.when(
+            F.col("_rnk") <= k,
+            F.col(label_col).cast("double") * F.element_at(disc_arr, F.col("_rnk")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    per_user = ranked.groupBy(user_col).agg(
+        F.sum(gain).alias("dcg"),
+        F.sum(label_col).alias("positives"),
+    )
+    cum_arr = F.array(*[F.lit(c) for c in cum])
+    idcg = F.element_at(
+        cum_arr, F.least(F.col("positives"), F.lit(k)).cast("int")
+    )
+    return (
+        per_user.filter(F.col("positives") > 0)
+        .agg(F.round(F.avg(F.col("dcg") / idcg), 6).alias("ndcg_at_k"))
+    )

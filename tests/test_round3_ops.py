@@ -121,3 +121,27 @@ def test_key_skew_profile_flags_heavy_key(spark):
     # mean key count = 1000/11 ~ 90.9 -> skew ~ 9.9
     assert 9.0 < out[0].skew_ratio < 11.0
     assert len(out) == 3
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from streaming_demos_spark.operators import linucb as LU
+
+    # user 1: both positives ranked on top -> ndcg = 1.
+    # user 2: single positive ranked last of 3 -> dcg = 1/log2(4) = 0.5,
+    # idcg = 1 -> ndcg = 0.5. Average = 0.75.
+    rows = [
+        (1, 10, 0.9, 1), (1, 11, 0.8, 1), (1, 12, 0.1, 0),
+        (2, 20, 0.9, 0), (2, 21, 0.8, 0), (2, 22, 0.1, 1),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "product_id", "score", "reward"])
+    out = LU.ndcg_at_k(df, k=5).collect()
+    assert out[0].ndcg_at_k == 0.75
+
+
+def test_ndcg_skips_users_without_positives(spark):
+    from streaming_demos_spark.operators import linucb as LU
+
+    rows = [(1, 10, 0.9, 1), (2, 20, 0.9, 0)]
+    df = spark.createDataFrame(rows, ["user_id", "product_id", "score", "reward"])
+    out = LU.ndcg_at_k(df, k=5).collect()
+    assert out[0].ndcg_at_k == 1.0  # user 2 (no positives) excluded

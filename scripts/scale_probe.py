@@ -65,6 +65,13 @@ PROBE_KEYS = [
     "ext_quantile_summary",
     "ext_quantile_approx",
     "s1_s8_csv_declared_schema",
+    # round-3 batch 2: CDC history, quality gate, sketch rollup,
+    # skew profiler, NDCG
+    "s10_cdc_scd2_history",
+    "llm_quality_filter",
+    "ext_hll_distinct",
+    "ext_key_skew_profile",
+    "eval_ndcg",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
@@ -129,7 +136,9 @@ def main() -> None:
 
     Q = E.queries()
     out = {}
-    for key in PROBE_KEYS:
+    # Optional second arg: probe only these comma-separated keys.
+    keys = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_KEYS
+    for key in keys:
         Q[key](spark, SRC).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         Q[key](spark, SRC).write.format("noop").mode("overwrite").save()

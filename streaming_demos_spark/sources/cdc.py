@@ -105,6 +105,68 @@ def scd2_history(
     )
 
 
+def apply_changes_with_deletes(
+    changes: DataFrame, key_cols: list[str], seq_col: str = "lsn"
+) -> DataFrame:
+    """Latest change per key INCLUDING delete tombstones.
+
+    ``apply_changes`` answers "what rows exist now" and drops deletes;
+    a sink maintaining EXTERNAL state must instead see the winning
+    tombstones to propagate removals. Same single-shuffle rank-1 plan.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_foreach_batch(store: dict, key_cols: list[str], seq_col: str = "lsn"):
+    """Build a ``foreachBatch`` function that MERGEs each micro-batch of
+    unwrapped changes into a dict-like store: latest-wins upsert, delete
+    on tombstone, and a sequence-number guard so a batch replayed after
+    checkpoint recovery (or containing late-arriving older changes) can
+    never regress a newer row — which is what makes the sink idempotent
+    and therefore exactly-once under Structured Streaming's at-least-
+    once foreachBatch contract.
+
+    Deletes are retained as TOMBSTONE entries (op='d') rather than
+    popped: dropping them would let an older upsert replayed after the
+    delete resurrect the row (prev would be gone, so the guard could
+    not fire). Read the live rows through ``current_state``; a real
+    deployment garbage-collects tombstones once the replay window (the
+    checkpoint retention) has passed them.
+
+    The per-batch ``collect`` is bounded by the micro-batch's DISTINCT
+    keys (post-compaction), not its row count; the production analog
+    swaps the dict for a JDBC/Delta MERGE with the same guard in the ON
+    clause.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        latest = apply_changes_with_deletes(batch_df, key_cols, seq_col)
+        for r in latest.collect():
+            row = r.asDict()
+            key = (
+                tuple(row[c] for c in key_cols)
+                if len(key_cols) > 1
+                else row[key_cols[0]]
+            )
+            prev = store.get(key)
+            if prev is not None and prev[seq_col] >= row[seq_col]:
+                continue
+            store[key] = row
+
+    return fn
+
+
+def current_state(store: dict) -> dict:
+    """Live rows of an ``upsert_foreach_batch`` store (tombstones
+    filtered out)."""
+    return {k: v for k, v in store.items() if v["op"] != "d"}
+
+
 def make_envelopes(
     rows: DataFrame,
     op: str,

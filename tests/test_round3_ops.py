@@ -145,3 +145,69 @@ def test_ndcg_skips_users_without_positives(spark):
     df = spark.createDataFrame(rows, ["user_id", "product_id", "score", "reward"])
     out = LU.ndcg_at_k(df, k=5).collect()
     assert out[0].ndcg_at_k == 1.0  # user 2 (no positives) excluded
+
+
+def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
+    """S10 end-to-end under Structured Streaming: envelope JSON files ->
+    debezium_unwrap -> foreachBatch MERGE. Two availableNow runs over
+    one checkpoint simulate two micro-batches; the second carries an
+    update, a delete, AND a late-arriving older change whose sequence
+    guard must hold. A third run replays nothing (checkpoint) so the
+    store must be unchanged."""
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark.sources import cdc
+
+    row_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "cdc_src")
+    chk = str(tmp_path / "cdc_chk")
+
+    def emit(rows, op, lsn_offset):
+        df = spark.createDataFrame(rows, row_schema)
+        env = cdc.make_envelopes(df, op, "demo", "t", lsn_offset=lsn_offset)
+        env.coalesce(1).write.mode("append").text(src)
+
+    store: dict = {}
+
+    def run_once():
+        stream = spark.readStream.schema(
+            T.StructType([T.StructField("value", T.StringType())])
+        ).text(src)
+        changes = cdc.debezium_unwrap(stream, "value", row_schema)
+        q = (
+            changes.writeStream.foreachBatch(
+                cdc.upsert_foreach_batch(store, ["k"], "lsn")
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: create keys 1..3 (lsn = k*10)
+    emit([(1, 10.0), (2, 20.0), (3, 30.0)], "c", 0)
+    run_once()
+    assert {k: v["price"] for k, v in cdc.current_state(store).items()} == {
+        1: 10.0, 2: 20.0, 3: 30.0
+    }
+
+    # batch 2: update k=2 (lsn 21), delete k=3 (lsn 32), and a STALE
+    # create for k=1 with an older sequence variant (lsn_offset=-1 ->
+    # lsn 9 < stored 10): the guard must ignore it.
+    emit([(2, 99.0)], "u", 1)
+    emit([(3, 30.0)], "d", 2)
+    emit([(1, 777.0)], "c", -1)
+    run_once()
+    live = {k: v["price"] for k, v in cdc.current_state(store).items()}
+    assert live == {1: 10.0, 2: 99.0}
+    assert store[3]["op"] == "d"  # tombstone retained, not popped
+
+    # batch 3: nothing new -> checkpoint yields an empty (or no) batch.
+    snapshot = dict(store)
+    run_once()
+    assert store == snapshot

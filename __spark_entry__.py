@@ -1116,6 +1116,17 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(corpus, bench, k=3, min_hits=1)
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    # Fuzzy (MinHash-LSH) benchmark decontamination: src0 docs play the
+    # eval set; corpus docs are flagged when their exact-Jaccard-verified
+    # similarity to any benchmark doc reaches 0.1. Benchmark bands and
+    # shingles ride broadcasts — the corpus side never shuffles.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return CU.fuzzy_decontaminate(corpus, bench, threshold=0.1)
+
+
 def q_stratified_sample(spark, sf_dir):
     # Deterministic md5-keyed downsampling: keep 25% of English and 50%
     # of Chinese docs, everything else intact — reproducible across
@@ -1233,6 +1244,76 @@ def _sql_shingles() -> str:
         "THEN list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) "
         "ELSE [array_to_string(words, ' ')] END AS shingles FROM w"
     )
+
+
+def _sql_fuzzy_decontaminate(
+    threshold: float = 0.1, num_hashes: int = 12, band_rows: int = 3
+) -> str:
+    """DuckDB replay of the two-table MinHash decontamination pipeline
+    (corpus = source <> 'src0', benchmark = source = 'src0')."""
+    mh_exprs = ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS mh_{h}"
+        for h in range(num_hashes)
+    )
+    n_bands = num_hashes // band_rows
+
+    def bands(sig: str) -> str:
+        return "\n            UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM {sig}".format(
+                b=b,
+                sig=sig,
+                cat=" || '|' || ".join(
+                    f"mh_{b * band_rows + r}" for r in range(band_rows)
+                ),
+            )
+            for b in range(n_bands)
+        )
+
+    shingle_body = (
+        "SELECT doc_id, CASE WHEN len(words) >= 3 "
+        "THEN list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) "
+        "ELSE [array_to_string(words, ' ')] END AS shingles FROM {w}"
+    )
+    return f"""
+        WITH cw AS ({_sql_words("documents")} WHERE source <> 'src0'),
+        csh AS ({shingle_body.format(w="cw")}),
+        bw AS ({_sql_words("documents")} WHERE source = 'src0'),
+        bsh AS ({shingle_body.format(w="bw")}),
+        csig AS (SELECT doc_id, {mh_exprs} FROM csh),
+        bsig AS (SELECT doc_id, {mh_exprs} FROM bsh),
+        cbands AS ({bands("csig")}),
+        bbands AS ({bands("bsig")}),
+        csized AS (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n
+            FROM cbands
+        ),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM (SELECT * FROM csized WHERE bucket_n <= 50) c
+            JOIN bbands b
+              ON c.band_id = b.band_id AND c.band_hash = b.band_hash
+        ),
+        scored AS (
+            SELECT cid, bid,
+                   round(
+                     len(list_intersect(list_distinct(sc.shingles), list_distinct(sb.shingles)))
+                     / (len(list_distinct(sc.shingles)) + len(list_distinct(sb.shingles))
+                        - len(list_intersect(list_distinct(sc.shingles), list_distinct(sb.shingles)))),
+                   4) AS j
+            FROM cand
+            JOIN csh sc ON cand.cid = sc.doc_id
+            JOIN bsh sb ON cand.bid = sb.doc_id
+        ),
+        hits AS (
+            SELECT cid, max(j) AS best_jaccard, count(*) AS n_matches
+            FROM scored WHERE j >= {threshold} GROUP BY cid
+        )
+        SELECT d.doc_id, h.cid IS NOT NULL AS contaminated,
+               coalesce(h.best_jaccard, 0.0::DOUBLE) AS best_jaccard,
+               coalesce(h.n_matches, 0) AS n_matches
+        FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        LEFT JOIN hits h ON d.doc_id = h.cid
+    """
 
 
 def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: int = 3) -> str:
@@ -1464,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s10_cdc_scd2_history": q_cdc_scd2_history,
         "eval_ndcg": q_eval_ndcg,
+        "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
         "llm_quality_filter": q_quality_filter,
         "ext_hll_distinct": q_hll_distinct,
         "ext_key_skew_profile": q_key_skew_profile,
@@ -1558,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "eval_ndcg": """
             WITH log AS (
                 SELECT o_custkey AS user_id, o_orderkey AS product_id,

@@ -451,3 +451,96 @@ def quality_filter(
         ok_stop.alias("ok_stopwords"),
         (ok_tokens & ok_word_len & ok_alpha & ok_stop).alias("passes"),
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents whose
+    exact n-gram Jaccard similarity to ANY benchmark document reaches
+    ``threshold``, with MinHash-LSH candidate generation BETWEEN the
+    two tables. The fuzzy complement to ``decontaminate`` (which needs
+    a single shared shingle): this catches lightly-paraphrased or
+    partially-overlapping benchmark leakage that exact n-gram hits
+    understate.
+
+    Plan shape (the 100 TB path): both sides are banded exactly like
+    ``minhash_near_dup_pairs``; the benchmark side is tiny relative to
+    the corpus (even 100k eval docs x 4 bands is trivially broadcast-
+    able), so candidates come from BROADCAST equality joins on
+    (band_id, band_hash). Corpus band rows first pass a broadcast
+    SEMI-join against the benchmark band keys — map-side, no shuffle —
+    so the hot-band cap's count window shuffles only the rows in
+    benchmark-overlapping bands, a sliver of the corpus. The cap is
+    unchanged by that pre-filter: the semi-join keeps or drops WHOLE
+    bands, so each surviving band's count equals its full-corpus count.
+    Verification joins shingles back (Catalyst broadcasts the small
+    candidate set) and keeps pairs at or above the threshold, then
+    aggregates per corpus doc. Output is one row per corpus document:
+    (id, contaminated, best_jaccard, n_matches).
+    """
+    from streaming_demos_spark.operators.dedup import (
+        _shingled,
+        jaccard_shingles,
+        minhash_bands,
+    )
+
+    cb = minhash_bands(
+        corpus, text_col, id_col, num_hashes, band_rows, shingle_k
+    ).select(F.col(id_col).alias("_cid"), "band_id", "band_hash")
+    bb_all = minhash_bands(
+        benchmark, text_col, id_col, num_hashes, band_rows, shingle_k
+    )
+    cb = cb.join(
+        F.broadcast(bb_all.select("band_id", "band_hash").distinct()),
+        ["band_id", "band_hash"],
+        "leftsemi",
+    )
+    cb = (
+        cb.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
+        )
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    bb = bb_all.select(F.col(id_col).alias("_bid"), "band_id", "band_hash")
+    cand = (
+        cb.join(F.broadcast(bb), ["band_id", "band_hash"])
+        .select("_cid", "_bid")
+        .distinct()
+    )
+    sh_c = _shingled(corpus, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("_cid"), F.col("shingles").alias("_shc")
+    )
+    sh_b = _shingled(benchmark, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("_bid"), F.col("shingles").alias("_shb")
+    )
+    hits = (
+        cand.join(sh_c, "_cid")
+        .join(F.broadcast(sh_b), "_bid")
+        .withColumn(
+            "_j", F.round(jaccard_shingles(F.col("_shc"), F.col("_shb")), 4)
+        )
+        .filter(F.col("_j") >= threshold)
+        .groupBy("_cid")
+        .agg(
+            F.max("_j").alias("best_jaccard"),
+            F.count("*").alias("n_matches"),
+        )
+    )
+    return corpus.select(F.col(id_col)).join(
+        hits, F.col(id_col) == F.col("_cid"), "left"
+    ).select(
+        F.col(id_col),
+        F.col("_cid").isNotNull().alias("contaminated"),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+    )

@@ -211,3 +211,27 @@ def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
     snapshot = dict(store)
     run_once()
     assert store == snapshot
+
+
+def test_fuzzy_decontaminate_catches_partial_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares a long run of benchmark n-grams with a changed tail
+            (1, "the quick brown fox jumps over the lazy dog near the barn"),
+            # no shared 3-grams at all
+            (2, "completely unrelated words about spark execution plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in CU.fuzzy_decontaminate(corpus, bench, threshold=0.3).collect()
+    }
+    assert len(out) == 2
+    assert out[1].contaminated and out[1].best_jaccard >= 0.3
+    assert out[1].n_matches == 1
+    assert not out[2].contaminated and out[2].best_jaccard == 0.0

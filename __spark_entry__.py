@@ -1116,6 +1116,17 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(corpus, bench, k=3, min_hits=1)
 
 
+def q_tfidf_cosine_topk(spark, sf_dir):
+    # Sparse text similarity search: top-3 most similar docs for four
+    # query docs via the inverted-index postings join (broadcast query
+    # slice; map-side-combinable partial dot products).
+    from streaming_demos_spark.functions import tfidf as TI
+
+    return TI.tfidf_cosine_topk(
+        _t(spark, sf_dir, "documents"), query_ids=[0, 1, 2, 3], k=3
+    )
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     # Fuzzy (MinHash-LSH) benchmark decontamination: src0 docs play the
     # eval set; corpus docs are flagged when their exact-Jaccard-verified
@@ -1546,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_cdc_scd2_history": q_cdc_scd2_history,
         "eval_ndcg": q_eval_ndcg,
         "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
+        "llm_tfidf_cosine_topk": q_tfidf_cosine_topk,
         "llm_quality_filter": q_quality_filter,
         "ext_hll_distinct": q_hll_distinct,
         "ext_key_skew_profile": q_key_skew_profile,
@@ -1641,6 +1653,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
+        "llm_tfidf_cosine_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != '')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            sparse AS (
+                SELECT doc_id, term,
+                       round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 9)
+                           AS w
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                FROM sparse GROUP BY doc_id
+            ),
+            q AS (
+                SELECT doc_id AS query_id, term, w AS qw
+                FROM sparse WHERE doc_id IN (0, 1, 2, 3)
+            ),
+            dots AS (
+                SELECT q.query_id, s.doc_id, sum(s.w * q.qw) AS dot
+                FROM sparse s JOIN q USING (term)
+                WHERE s.doc_id <> q.query_id
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT d.query_id, d.doc_id,
+                       round(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+                FROM dots d
+                JOIN norms n1 ON d.doc_id = n1.doc_id
+                JOIN norms n2 ON d.query_id = n2.doc_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, doc_id
+                ) AS rn
+                FROM scored
+            )
+            SELECT query_id, doc_id, cosine FROM ranked WHERE rn <= 3
+        """,
         "eval_ndcg": """
             WITH log AS (
                 SELECT o_custkey AS user_id, o_orderkey AS product_id,

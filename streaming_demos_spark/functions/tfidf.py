@@ -169,3 +169,82 @@ def svd_embed(
         return pd.Series(list((X @ V).round(9)))
 
     return vectors.select(id_col, project(vec_col).alias("embedding"))
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine top-k: for each query document, the k most
+    similar other documents, computed entirely through the inverted
+    index — dot(a, b) = Σ_term w_a·w_b as a postings join on ``term``,
+    never a dense pairwise scan.
+
+    Scale shape: the query side's postings are a tiny slice of the
+    sparse matrix and ride a broadcast, so the corpus postings never
+    shuffle for the join; the per-(query, doc) partial products then
+    aggregate with map-side combine. On a realistic Zipfian vocabulary
+    set ``max_df_ratio`` (e.g. 0.5): terms present in more than that
+    fraction of documents carry near-zero idf but dominate posting-list
+    length — dropping them before the join removes the skew hot spot
+    for a negligible score change. Norms are computed AFTER pruning so
+    cosine stays internally consistent in the pruned space.
+
+    Similarities are rounded to 6 dp and ranked on the ROUNDED value
+    with a doc-id tie-break, so rankings are reproducible across
+    engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    sparse = tfidf(docs, id_col, text_col, min_df=min_df)
+    if max_df_ratio is not None:
+        n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+        sparse = (
+            sparse.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.col("_n") * F.lit(max_df_ratio))
+            .drop("_n")
+        )
+    norms = sparse.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("_norm")
+    )
+    qside = (
+        sparse.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("term"),
+            F.col("tfidf").alias("_qw"),
+        )
+    )
+    dots = (
+        sparse.join(F.broadcast(qside), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("tfidf") * F.col("_qw")).alias("_dot"))
+    )
+    qnorms = norms.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("_norm").alias("_qnorm")
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.col("_dot") / (F.col("_norm") * F.col("_qnorm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )

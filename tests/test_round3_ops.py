@@ -235,3 +235,40 @@ def test_fuzzy_decontaminate_catches_partial_overlap(spark):
     assert out[1].contaminated and out[1].best_jaccard >= 0.3
     assert out[1].n_matches == 1
     assert not out[2].contaminated and out[2].best_jaccard == 0.0
+
+
+def test_tfidf_cosine_topk_ranks_by_term_overlap(spark):
+    from streaming_demos_spark.functions import tfidf as TI
+
+    rows = [
+        (0, "alpha beta gamma delta"),            # query
+        (1, "alpha beta gamma epsilon"),          # 3 shared terms
+        (2, "alpha zeta eta theta"),              # 1 shared term
+        (3, "iota kappa lambda mu"),              # 0 shared terms
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = TI.tfidf_cosine_topk(docs, query_ids=[0], k=3).collect()
+    ordered = [r.doc_id for r in out]
+    assert ordered[0] == 1  # most overlap ranks first
+    assert ordered[1] == 2
+    assert 3 not in ordered or out[-1].cosine == 0.0  # no shared terms
+    assert all(r.query_id == 0 for r in out)
+    assert out[0].cosine > out[1].cosine
+
+
+def test_tfidf_cosine_topk_max_df_prunes_stop_terms(spark):
+    from streaming_demos_spark.functions import tfidf as TI
+
+    # 'the' appears in every doc (ratio 1.0); 'alpha' in 2/3 (0.67).
+    # max_df_ratio=0.7 prunes 'the' but keeps 'alpha', so doc 2 (sharing
+    # only 'the') must produce no candidate row at all.
+    rows = [
+        (0, "the alpha beta"),
+        (1, "the alpha gamma"),   # shares 'the' + 'alpha'
+        (2, "the delta epsilon"), # shares only 'the'
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.cosine
+           for r in TI.tfidf_cosine_topk(docs, [0], k=3, max_df_ratio=0.7).collect()}
+    assert out[1] > 0
+    assert 2 not in out  # no surviving shared term -> no candidate row

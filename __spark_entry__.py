@@ -1526,6 +1526,26 @@ def q_cdc_scd2_history(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    # Equi-width price histogram per return flag: the scalable
+    # distribution profile (min/max broadcast + map-side binning) where
+    # ntile's equal-count bins would need a per-group sort.
+    return R.value_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", bins=10
+    )
+
+
+def q_set_partition(spark, sf_dir):
+    # §2.7 set operations: urgent-order customers vs high-value-order
+    # customers partitioned into both / urgent-only / highvalue-only.
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    high = orders.filter(F.col("o_totalprice") > 200000.0)
+    return R.tagged_set_partition(
+        urgent, high, "o_custkey", tag_a="urgent_only", tag_b="highvalue_only"
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     # Gopher-style rule-based quality gate: per-rule booleans + the
     # conjunction, one map-only projection over the corpus.
@@ -1558,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ndcg": q_eval_ndcg,
         "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
         "llm_tfidf_cosine_topk": q_tfidf_cosine_topk,
+        "ext_value_histogram": q_value_histogram,
+        "ext_set_partition": q_set_partition,
         "llm_quality_filter": q_quality_filter,
         "ext_hll_distinct": q_hll_distinct,
         "ext_key_skew_profile": q_key_skew_profile,
@@ -1700,6 +1722,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, doc_id, cosine FROM ranked WHERE rn <= 3
+        """,
+        "ext_value_histogram": """
+            WITH rng AS (
+                SELECT l_returnflag,
+                       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                FROM lineitem GROUP BY l_returnflag
+            ),
+            binned AS (
+                SELECT l.l_returnflag, l.l_extendedprice,
+                       CASE WHEN r.hi > r.lo
+                            THEN least(9, floor((l.l_extendedprice - r.lo)
+                                                / ((r.hi - r.lo) / 10))::INT)
+                            ELSE 0 END AS bin
+                FROM lineitem l JOIN rng r USING (l_returnflag)
+            )
+            SELECT l_returnflag, bin, count(*) AS n_rows,
+                   round(min(l_extendedprice), 2) AS bin_min,
+                   round(max(l_extendedprice), 2) AS bin_max,
+                   round(avg(l_extendedprice), 4) AS bin_avg
+            FROM binned
+            GROUP BY l_returnflag, bin
+            ORDER BY l_returnflag, bin
+        """,
+        "ext_set_partition": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+            b AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_totalprice > 200000.0)
+            SELECT 'both' AS tag, o_custkey FROM (
+                SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+            UNION ALL
+            SELECT 'urgent_only', o_custkey FROM (
+                SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+            UNION ALL
+            SELECT 'highvalue_only', o_custkey FROM (
+                SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
         """,
         "eval_ndcg": """
             WITH log AS (

@@ -72,6 +72,10 @@ PROBE_KEYS = [
     "ext_hll_distinct",
     "ext_key_skew_profile",
     "eval_ndcg",
+    "llm_decontaminate_fuzzy",
+    "llm_tfidf_cosine_topk",
+    "ext_value_histogram",
+    "ext_set_partition",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -859,3 +859,75 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 15) -> DataFrame:
         )
         .orderBy(F.desc("key_rows"), F.asc(key_col))
     )
+
+
+# --- Equi-width histogram (the scalable decile/ntile substitute) ------------
+
+
+def value_histogram(
+    df: DataFrame, group_col: str, value_col: str, bins: int = 10
+) -> DataFrame:
+    """Per-group equi-width histogram: bin index, row count, and value
+    stats for ``bins`` equal-width buckets between the group's min and
+    max.
+
+    This is the distribution profile that SCALES where rank-based
+    binning (ntile / percent_rank) cannot: equal-count bins need a full
+    per-group sort — one task per group buffering every value — while
+    equi-width needs only a tiny min/max aggregate broadcast back,
+    a map-side bin assignment, and one combinable count/avg shuffle.
+    The arithmetic is a single fixed expression over doubles, so engines
+    agree bit-for-bit (no sum reordering anywhere before the avg, which
+    is rounded).
+
+    Degenerate groups (min == max) collapse into bin 0; a value equal to
+    the group max lands in the last bin (the float quotient hits
+    ``bins`` exactly and is capped).
+    """
+    rng = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+    raw_bin = F.floor((F.col(value_col) - F.col("_lo")) / width).cast("int")
+    bin_idx = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(F.lit(bins - 1), raw_bin),
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rng), group_col)
+        .withColumn("bin", bin_idx)
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min(value_col), 2).alias("bin_min"),
+            F.round(F.max(value_col), 2).alias("bin_max"),
+            F.round(F.avg(value_col), 4).alias("bin_avg"),
+        )
+        .orderBy(group_col, "bin")
+    )
+
+
+# --- Tagged set partition (SURVEY.md §2.7 surface) --------------------------
+
+
+def tagged_set_partition(
+    a: DataFrame, b: DataFrame, key_col: str, tag_a: str = "a_only",
+    tag_b: str = "b_only", tag_both: str = "both",
+) -> DataFrame:
+    """Partition two key sets into (both | a_only | b_only) tagged rows
+    — intersect/except with DISTINCT semantics, exposed as one frame.
+
+    Each set operation plans as an aggregate-style hash join on the
+    key (map-side partial dedup first), so the three branches are
+    ordinary co-partitioned shuffles; the union is plan-level only.
+    """
+    ka, kb = a.select(key_col).distinct(), b.select(key_col).distinct()
+    return (
+        ka.intersect(kb).select(F.lit(tag_both).alias("tag"), F.col(key_col))
+        .unionByName(
+            ka.subtract(kb).select(F.lit(tag_a).alias("tag"), F.col(key_col))
+        )
+        .unionByName(
+            kb.subtract(ka).select(F.lit(tag_b).alias("tag"), F.col(key_col))
+        )
+    )

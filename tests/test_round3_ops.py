@@ -272,3 +272,28 @@ def test_tfidf_cosine_topk_max_df_prunes_stop_terms(spark):
            for r in TI.tfidf_cosine_topk(docs, [0], k=3, max_df_ratio=0.7).collect()}
     assert out[1] > 0
     assert 2 not in out  # no surviving shared term -> no candidate row
+
+
+def test_value_histogram_bins_and_edges(spark):
+    # group g: values 0..10 over 10 bins of width 1.0; the max value
+    # lands in the LAST bin, not an overflow bin. group h is degenerate
+    # (min == max) and must collapse into bin 0.
+    rows = [("g", float(v)) for v in range(11)] + [("h", 5.0), ("h", 5.0)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = R.value_histogram(df, "grp", "val", bins=10).collect()
+    g = [r for r in out if r.grp == "g"]
+    assert [r.bin for r in g] == list(range(10))
+    assert g[-1].n_rows == 2  # values 9.0 and 10.0 share the last bin
+    h = [r for r in out if r.grp == "h"]
+    assert len(h) == 1 and h[0].bin == 0 and h[0].n_rows == 2
+
+
+def test_tagged_set_partition_is_a_partition(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    out = R.tagged_set_partition(a, b, "k").collect()
+    by_tag = {}
+    for r in out:
+        by_tag.setdefault(r.tag, set()).add(r.k)
+    assert by_tag == {"both": {2, 3}, "a_only": {1}, "b_only": {4}}
+    assert len(out) == 4  # disjoint cover, no duplicates

@@ -53,10 +53,15 @@ def tfidf(
     Plan: explode -> groupBy(doc, term).count [shuffle 1, partial aggs]
     -> groupBy(term) doc-freq [shuffle 2, much smaller] -> broadcast-ish
     join back. N (total docs) rides in as a broadcast scalar aggregate,
-    never a driver collect."""
-    toks = tokenize(df.select(id_col, text_col), text_col).select(
-        id_col, F.explode("tokens").alias("term")
-    )
+    never a driver collect. ``fan_out`` un-serializes the
+    tokenize+explode map work when the scan is row-group-bound to one
+    task (no-op at real scale, where the scan has thousands of splits).
+    """
+    from streaming_demos_spark.catalog import fan_out
+
+    toks = tokenize(
+        fan_out(df.select(id_col, text_col), id_col), text_col
+    ).select(id_col, F.explode("tokens").alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if min_df > 1:

@@ -172,3 +172,30 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+) -> None:
+    """Range-partitioned, sorted-within-file parquet layout — the data-
+    layout lever for filter-heavy scans: ``repartitionByRange`` gives
+    every file a DISJOINT value range on the sort key and the
+    within-file sort tightens each row group's min/max stats, so a
+    predicate on the key prunes whole row groups at the parquet reader
+    (and whole files once the footer is read) instead of decoding them.
+
+    This is the single-dimension version of clustering/Z-ordering: for
+    one dominant filter column (ship date, event time) it is optimal;
+    for two+ filter columns interleave their bits into a derived column
+    and range-sort on that. At 100 TB the range exchange is the same
+    shuffle any sorted write pays; size ``num_files`` to ~128 MB each.
+    """
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

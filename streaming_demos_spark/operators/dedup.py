@@ -325,8 +325,9 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-doc SimHash + a bucketable prefix: near-dups (small Hamming
     distance) usually share the leading bits, so the prefix is the LSH
-    band key for candidate pairing at scale."""
-    hashed = docs.select(
+    band key for candidate pairing at scale. fan_out un-serializes the
+    32 per-row vote aggregates when the scan is row-group-bound."""
+    hashed = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda x: F.md5(x)).alias("_hw"),
     )

@@ -297,3 +297,44 @@ def test_tagged_set_partition_is_a_partition(spark):
         by_tag.setdefault(r.tag, set()).add(r.k)
     assert by_tag == {"both": {2, 3}, "a_only": {1}, "b_only": {4}}
     assert len(out) == 4  # disjoint cover, no duplicates
+
+
+def test_range_sorted_write_produces_skippable_layout(spark, tmp_path):
+    """write_range_sorted must yield files with DISJOINT sort-key ranges
+    (footer min/max proves a filtered scan can skip whole files/row
+    groups without decoding them)."""
+    import pyarrow.parquet as pq
+
+    from streaming_demos_spark.catalog import write_range_sorted
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "cast(id % 997 as double) AS noise"
+    )
+    path = str(tmp_path / "sorted")
+    write_range_sorted(df, path, ["id"], num_files=4)
+
+    import os
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "id"
+        )
+        lo = min(md.row_group(g).column(col_idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max
+                 for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: a point/range predicate skips files
+
+    # and the data survives the layout intact
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))

@@ -1526,6 +1526,17 @@ def q_cdc_scd2_history(spark, sf_dir):
     )
 
 
+def q_table_profile(spark, sf_dir):
+    # One-scan data-quality profile of orders: per-column nulls,
+    # distincts, numeric ranges (approx_count_distinct path available
+    # for wide tables; exact kept for the oracle).
+    return R.table_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     # Equi-width price histogram per return flag: the scalable
     # distribution profile (min/max broadcast + map-side binning) where
@@ -1580,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_tfidf_cosine_topk": q_tfidf_cosine_topk,
         "ext_value_histogram": q_value_histogram,
         "ext_set_partition": q_set_partition,
+        "ext_table_profile": q_table_profile,
         "llm_quality_filter": q_quality_filter,
         "ext_hll_distinct": q_hll_distinct,
         "ext_key_skew_profile": q_key_skew_profile,
@@ -1722,6 +1734,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, doc_id, cosine FROM ranked WHERE rn <= 3
+        """,
+        "ext_table_profile": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   round(min(o_orderkey), 4)::DOUBLE AS min_value,
+                   round(max(o_orderkey), 4)::DOUBLE AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_custkey),
+                   round(min(o_custkey), 4)::DOUBLE,
+                   round(max(o_custkey), 4)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderstatus),
+                   NULL::DOUBLE, NULL::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_totalprice),
+                   round(min(o_totalprice), 4)::DOUBLE,
+                   round(max(o_totalprice), 4)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderpriority),
+                   NULL::DOUBLE, NULL::DOUBLE
+            FROM orders
         """,
         "ext_value_histogram": """
             WITH rng AS (

@@ -59,7 +59,14 @@ def as_media(
     df: DataFrame, id_col: str, payload_col: str, kind: str = "blob", mime: str = "application/octet-stream"
 ) -> DataFrame:
     """Wrap any binary (or string, cast to UTF-8 bytes) column as a
-    MEDIA-shaped frame. Strings are encoded JVM-side."""
+    MEDIA-shaped frame. Strings are encoded JVM-side. fan_out matters
+    more here than anywhere: every downstream step is a Python-worker
+    mapInPandas whose parallelism IS the input partition count, so a
+    row-group-bound scan would serialize all decode work on one
+    worker."""
+    from streaming_demos_spark.catalog import fan_out
+
+    df = fan_out(df.select(id_col, payload_col), id_col)
     payload = F.col(payload_col)
     payload = payload.cast("binary")
     return df.select(

@@ -931,3 +931,54 @@ def tagged_set_partition(
             kb.subtract(ka).select(F.lit(tag_b).alias("tag"), F.col(key_col))
         )
     )
+
+
+# --- One-pass table profiler (data-quality / planning diagnostic) -----------
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def table_profile(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Column profile in ONE scan: per column the row count, null
+    count, distinct count, and (numeric columns only) min/max.
+
+    The whole profile is a single global aggregate — every statistic
+    partially aggregates map-side, and the result is one row exploded
+    into one row per column, so profiling a 100 TB table costs exactly
+    one pass regardless of column count. Numeric-only min/max avoids
+    cross-engine string-formatting of doubles; ``exact=False`` swaps
+    count_distinct for approx_count_distinct, which removes the
+    multi-distinct Expand duplication from the plan (the right trade
+    when profiling wide tables at scale; exact is kept as the default
+    because it is what a correctness oracle can replay).
+    """
+    cols = columns or df.columns
+    type_of = {f.name: f.dataType for f in df.schema.fields}
+    cnt = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(cnt(F.col(c)).alias(f"_dist_{c}"))
+        if isinstance(type_of.get(c), _NUMERIC_TYPES):
+            aggs.append(F.round(F.min(c), 4).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.round(F.max(c), 4).cast("double").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        is_num = isinstance(type_of.get(c), _NUMERIC_TYPES)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                (F.col(f"_min_{c}") if is_num else F.lit(None).cast("double")).alias("min_value"),
+                (F.col(f"_max_{c}") if is_num else F.lit(None).cast("double")).alias("max_value"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -338,3 +338,27 @@ def test_range_sorted_write_produces_skippable_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_table_profile_counts_and_ranges(spark):
+    rows = [(1, "a", 1.5), (2, "a", None), (3, None, 4.5), (4, "b", 2.0)]
+    df = spark.createDataFrame(rows, ["id", "cat", "val"])
+    out = {r.column: r for r in R.table_profile(df).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    assert (out["id"].min_value, out["id"].max_value) == (1.0, 4.0)
+    assert out["cat"].n_nulls == 1 and out["cat"].n_distinct == 2
+    assert out["cat"].min_value is None  # non-numeric: no range
+    assert out["val"].n_nulls == 1
+    assert (out["val"].min_value, out["val"].max_value) == (1.5, 4.5)
+
+
+def test_table_profile_approx_mode_single_pass(spark):
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS g")
+    out = {r.column: r for r in R.table_profile(df, exact=False).collect()}
+    # HLL++ estimates: exact-ish at this cardinality
+    assert abs(out["id"].n_distinct - 1000) <= 50
+    assert out["g"].n_distinct == 7
+    # approx path removes the multi-distinct Expand duplication
+    plan = R.table_profile(df, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

@@ -1526,6 +1526,17 @@ def q_cdc_scd2_history(spark, sf_dir):
     )
 
 
+def q_per_key_time_split(spark, sf_dir):
+    # Grouped O4: per-customer temporal 80/20 split (no user's future
+    # leaks into their own training slice). Key-partitioned window —
+    # scale-safe, unlike a global-order split.
+    out = R.per_key_time_split(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        train_frac=0.8, tie_col="o_orderkey",
+    )
+    return out.select("o_custkey", "o_orderkey", "split")
+
+
 def q_table_profile(spark, sf_dir):
     # One-scan data-quality profile of orders: per-column nulls,
     # distincts, numeric ranges (approx_count_distinct path available
@@ -1592,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_value_histogram": q_value_histogram,
         "ext_set_partition": q_set_partition,
         "ext_table_profile": q_table_profile,
+        "o4_per_key_time_split": q_per_key_time_split,
         "llm_quality_filter": q_quality_filter,
         "ext_hll_distinct": q_hll_distinct,
         "ext_key_skew_profile": q_key_skew_profile,
@@ -1734,6 +1746,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, doc_id, cosine FROM ranked WHERE rn <= 3
+        """,
+        "o4_per_key_time_split": """
+            WITH r AS (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS rk,
+                       count(*) OVER (PARTITION BY o_custkey) AS nk
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   CASE WHEN rk <= ceil(nk * 0.8) THEN 'train'
+                        ELSE 'test' END AS split
+            FROM r
         """,
         "ext_table_profile": """
             SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

@@ -982,3 +982,43 @@ def table_profile(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --- Per-key temporal split (grouped O4 for per-user eval) ------------------
+
+
+def per_key_time_split(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    train_frac: float = 0.8,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-key temporal train/test split: within each key, the earliest
+    ``train_frac`` of rows (by ``order_col``, ties broken by
+    ``tie_col``) are tagged 'train', the rest 'test' — the grouped form
+    of O4 (evaluate.py:57's shuffle=False split) that per-user
+    recommender evaluation needs, so no user's future leaks into their
+    own training slice.
+
+    Unlike the global split (which avoids an un-partitioned window via
+    histogram selection), the grouped form is window-friendly at scale:
+    one shuffle on the key, rank + count inside the shuffled partitions.
+    A row is train iff rank <= ceil(train_frac * n_key) — ceil keeps
+    single-row keys in train.
+    """
+    order = [F.asc(order_col)] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wk = Window.partitionBy(key_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_nk", F.count("*").over(wk))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("_rk") <= F.ceil(F.col("_nk") * F.lit(train_frac)),
+                F.lit("train"),
+            ).otherwise(F.lit("test")),
+        )
+        .drop("_rk", "_nk")
+    )

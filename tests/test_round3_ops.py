@@ -362,3 +362,20 @@ def test_table_profile_approx_mode_single_pass(spark):
     # approx path removes the multi-distinct Expand duplication
     plan = R.table_profile(df, exact=False)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_per_key_time_split_no_future_leak(spark):
+    rows = [
+        ("u1", i, f"2024-01-{i + 1:02d}") for i in range(5)   # 5 rows: 4/1
+    ] + [("u2", 10, "2024-02-01")]                            # single row -> train
+    df = spark.createDataFrame(rows, ["user", "event", "ts"])
+    out = R.per_key_time_split(df, "user", "ts", train_frac=0.8, tie_col="event")
+    got = {(r.user, r.event): r.split for r in out.collect()}
+    assert [got[("u1", i)] for i in range(5)] == ["train"] * 4 + ["test"]
+    assert got[("u2", 10)] == "train"  # ceil keeps single-row keys in train
+    # temporal invariant: every train ts strictly precedes every test ts per key
+    u1 = sorted((r.ts, r.split) for r in out.collect() if r.user == "u1")
+    seen_test = False
+    for _, s in u1:
+        seen_test = seen_test or s == "test"
+        assert not (seen_test and s == "train")

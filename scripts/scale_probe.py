@@ -76,6 +76,8 @@ PROBE_KEYS = [
     "llm_tfidf_cosine_topk",
     "ext_value_histogram",
     "ext_set_partition",
+    "ext_table_profile",
+    "o4_per_key_time_split",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -121,3 +121,50 @@ def test_auc_bounded_and_scale_invariant(spark, scored):
     assert 0.0 <= a1 <= 1.0
     scaled = df.select((F.col("score") * 10.0).alias("score"), "reward")
     assert LU.auc(scaled).collect()[0].auc == a1
+
+
+# Change logs: (key 1-3, op index) sequences; lsn = position in list so
+# every log is a valid total order.
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from(["c", "u", "d"]),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(changelog_strategy)
+def test_scd2_intervals_partition_history(spark, log):
+    """SCD-2 invariants on arbitrary change logs: per key the surviving
+    intervals chain contiguously (each valid_to equals the next
+    valid_from or closes the key), at most one interval is current, and
+    the current slice equals apply_changes' compacted state."""
+    from streaming_demos_spark.sources import cdc
+
+    rows = [(k, float(p), op, i) for i, (k, op, p) in enumerate(log)]
+    df = spark.createDataFrame(rows, ["k", "price", "op", "lsn"])
+    hist = cdc.scd2_history(df, ["k"], seq_col="lsn").collect()
+    by_key: dict = {}
+    for r in sorted(hist, key=lambda r: (r.k, r.valid_from)):
+        by_key.setdefault(r.k, []).append(r)
+    # all upserts survive; nothing else does
+    assert len(hist) == sum(1 for _, op, _ in log if op != "d")
+    for k, versions in by_key.items():
+        currents = [v for v in versions if v.is_current]
+        assert len(currents) <= 1
+        closes = {r.lsn for r in df.collect() if r.k == k}
+        for a, b in zip(versions, versions[1:]):
+            # a's interval ends at SOME later change to the same key
+            assert a.valid_to is not None and a.valid_to > a.valid_from
+            assert a.valid_to in closes
+        assert (versions[-1].valid_to is None) == versions[-1].is_current
+    current = {r.k: r.price for r in hist if r.is_current}
+    compacted = {
+        r.k: r.price
+        for r in cdc.apply_changes(df, ["k"], seq_col="lsn").collect()
+    }
+    assert current == compacted

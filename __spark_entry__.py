@@ -1127,6 +1127,12 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    # Curation-grade near-dup decision: per duplicate cluster keep the
+    # highest-quality doc (text_stats score), not the min id.
+    return D.near_dup_keep_best(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     # Fuzzy (MinHash-LSH) benchmark decontamination: src0 docs play the
     # eval set; corpus docs are flagged when their exact-Jaccard-verified
@@ -1154,6 +1160,15 @@ def q_mix_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     shares = {lang: 0.2 for lang in ["en", "es", "fr", "de", "zh"]}
     return CU.mix_weights(docs, "lang", shares)
+
+
+def q_mix_token_plan(spark, sf_dir):
+    # Mix planning: per-language sampling rates to hit a 20k-token
+    # budget at uniform 20% shares, with shortfalls surfaced where a
+    # language lacks inventory.
+    docs = _t(spark, sf_dir, "documents")
+    shares = {lang: 0.2 for lang in ["en", "es", "fr", "de", "zh"]}
+    return CU.mix_token_plan(docs, "lang", shares, token_budget=20_000)
 
 
 def q_token_histogram(spark, sf_dir):
@@ -1324,6 +1339,64 @@ def _sql_fuzzy_decontaminate(
                coalesce(h.n_matches, 0) AS n_matches
         FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
         LEFT JOIN hits h ON d.doc_id = h.cid
+    """
+
+
+def _sql_keep_best(threshold: float = 0.1) -> str:
+    """DuckDB replay of near_dup_keep_best: minhash clusters (recursive
+    closure) joined with the text_stats quality score, rank-1 per
+    component on (quality desc, doc_id)."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({_sql_minhash_pairs(threshold)}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        labeled AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ),
+        sizes AS (
+            SELECT component, count(*) AS n_members FROM labeled GROUP BY component
+        ),
+        qw AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   round(
+                     least(len(words) / 64.0, 1.0) * 0.4
+                     + least((len(list_filter(words, x -> x IN
+                              ('the','a','an','and','of','to','in','is','it','for')))
+                              / len(words)) * 5.0, 1.0) * 0.2
+                     + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)) * 0.4,
+                   4) AS quality_score
+            FROM qw
+        ),
+        ranked AS (
+            SELECT l.doc_id, l.component, s.n_members, q.quality_score,
+                   row_number() OVER (
+                       PARTITION BY l.component
+                       ORDER BY q.quality_score DESC, l.doc_id
+                   ) AS rn
+            FROM labeled l
+            JOIN sizes s USING (component)
+            JOIN q USING (doc_id)
+        )
+        SELECT doc_id, component, n_members, quality_score,
+               rn = 1 AS keep
+        FROM ranked
     """
 
 
@@ -1600,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ndcg": q_eval_ndcg,
         "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
         "llm_tfidf_cosine_topk": q_tfidf_cosine_topk,
+        "llm_dedup_keep_best": q_dedup_keep_best,
+        "llm_mix_token_plan": q_mix_token_plan,
         "ext_value_histogram": q_value_histogram,
         "ext_set_partition": q_set_partition,
         "ext_table_profile": q_table_profile,
@@ -1699,6 +1774,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
+        "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "llm_mix_token_plan": """
+            WITH t AS (
+                SELECT lang,
+                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS n_tok
+                FROM documents
+            ),
+            counts AS (
+                SELECT lang, count(*) AS n_docs, sum(n_tok) AS avail_tokens
+                FROM t GROUP BY lang
+            ),
+            planned AS (
+                SELECT lang, n_docs, avail_tokens,
+                       CASE WHEN lang IN ('en','es','fr','de','zh')
+                            THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS tgt
+                FROM counts
+            )
+            SELECT lang, n_docs, avail_tokens,
+                   round(tgt, 6) AS target_share,
+                   round(tgt * 20000.0, 2) AS desired_tokens,
+                   round(CASE WHEN avail_tokens > 0
+                              THEN least(1.0::DOUBLE,
+                                         (tgt * 20000.0) / avail_tokens)
+                              ELSE 0.0::DOUBLE END, 6) AS sample_rate,
+                   round(least(tgt * 20000.0, avail_tokens::DOUBLE), 2)
+                       AS planned_tokens,
+                   round(greatest(0.0::DOUBLE,
+                                  tgt * 20000.0 - avail_tokens), 2)
+                       AS shortfall_tokens
+            FROM planned
+        """,
         "llm_tfidf_cosine_topk": """
             WITH toks AS (
                 SELECT doc_id,

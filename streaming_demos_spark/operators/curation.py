@@ -544,3 +544,54 @@ def fuzzy_decontaminate(
         F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
         F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
     )
+
+
+def mix_token_plan(
+    docs: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+    token_budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn target mix shares plus a total token budget into executable
+    per-domain sampling rates — the planning step between
+    ``mix_weights`` (what the distribution should look like) and
+    ``stratified_sample`` (how to draw it): domain d should contribute
+    ``target_share_d * budget`` tokens; its rate is that desire over
+    the tokens it actually has, capped at 1 with the shortfall reported
+    (a domain cannot be upsampled past its inventory without repeating
+    data — surfacing the gap beats silently re-normalizing).
+
+    One pass: map-side token counts, one aggregation over a handful of
+    domain keys, scalar arithmetic on the aggregate row.
+    """
+    from streaming_demos_spark.operators.text import tokens as _tokens
+
+    target = F.lit(0.0)
+    for value, share in sorted(target_shares.items()):
+        target = F.when(
+            F.col(strata_col) == value, F.lit(float(share))
+        ).otherwise(target)
+    n_tok = F.size(_tokens(text_col))
+    counts = docs.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("avail_tokens"),
+    )
+    desired = target * F.lit(float(token_budget))
+    rate = F.when(
+        F.col("avail_tokens") > 0,
+        F.least(F.lit(1.0), desired / F.col("avail_tokens")),
+    ).otherwise(F.lit(0.0))
+    planned = F.least(desired, F.col("avail_tokens").cast("double"))
+    return counts.select(
+        F.col(strata_col),
+        F.col("n_docs"),
+        F.col("avail_tokens"),
+        F.round(target, 6).alias("target_share"),
+        F.round(desired, 2).alias("desired_tokens"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(planned, 2).alias("planned_tokens"),
+        F.round(F.greatest(F.lit(0.0), desired - F.col("avail_tokens")), 2).alias(
+            "shortfall_tokens"
+        ),
+    )

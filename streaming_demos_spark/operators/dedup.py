@@ -538,3 +538,49 @@ def near_dup_clusters(
             (F.col(id_col) == F.col("component")).alias("is_kept"),
         )
     )
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup dedup keeping the BEST-QUALITY representative per
+    cluster (instead of ``near_dup_clusters``' min-id canonical): the
+    curation-grade decision — when several near-duplicates survive
+    crawling, keep the one the quality gate scores highest, ties to the
+    smallest id.
+
+    Composition of existing pieces: LSH pairs -> connected components
+    -> join the ``text_stats`` quality score -> rank-1 per component.
+    Adds exactly one extra shuffle (the component window) over the
+    clustering itself; the quality join is id-keyed.
+    """
+    from streaming_demos_spark.operators.text import text_stats
+
+    clusters = near_dup_clusters(
+        docs, text_col, id_col, num_hashes, band_rows, shingle_k,
+        threshold, max_bucket,
+    ).drop("is_kept")
+    quality = text_stats(docs, text_col, id_col).select(
+        F.col(id_col), F.col("quality_score")
+    )
+    joined = clusters.join(quality, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "component",
+            "n_members",
+            "quality_score",
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )

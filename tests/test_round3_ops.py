@@ -379,3 +379,38 @@ def test_per_key_time_split_no_future_leak(spark):
     for _, s in u1:
         seen_test = seen_test or s == "test"
         assert not (seen_test and s == "train")
+
+
+def test_near_dup_keep_best_prefers_quality(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (1, base),                      # near-dup of 2, shorter -> lower score
+        (2, base + " into the woods to find a place for a rest today"),
+        (3, "completely different text about query engines and columns"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.near_dup_keep_best(docs, threshold=0.3).collect()}
+    assert out[1].component == out[2].component  # clustered together
+    kept = [d for d in (1, 2) if out[d].keep]
+    assert len(kept) == 1
+    # the kept one has the max quality score (ties to min id)
+    best = max((out[d].quality_score, -d) for d in (1, 2))
+    assert kept[0] == -best[1]
+    assert out[3].keep and out[3].n_members == 1  # singleton survives
+
+
+def test_mix_token_plan_caps_and_shortfall(spark):
+    rows = [
+        (1, "one two three four", "en"),        # 4 tokens
+        (2, "uno dos", "es"),                   # 2 tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.lang: r for r in CU.mix_token_plan(
+        docs, "lang", {"en": 0.5, "es": 0.5}, token_budget=6).collect()}
+    # en: desire 3 of 4 -> rate .75, no shortfall
+    assert out["en"].sample_rate == 0.75 and out["en"].shortfall_tokens == 0.0
+    # es: desire 3 of 2 -> rate capped at 1, shortfall 1
+    assert out["es"].sample_rate == 1.0
+    assert out["es"].planned_tokens == 2.0 and out["es"].shortfall_tokens == 1.0

@@ -78,6 +78,8 @@ PROBE_KEYS = [
     "ext_set_partition",
     "ext_table_profile",
     "o4_per_key_time_split",
+    "llm_dedup_keep_best",
+    "llm_mix_token_plan",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

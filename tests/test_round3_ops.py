@@ -414,3 +414,131 @@ def test_mix_token_plan_caps_and_shortfall(spark):
     # es: desire 3 of 2 -> rate capped at 1, shortfall 1
     assert out["es"].sample_rate == 1.0
     assert out["es"].planned_tokens == 2.0 and out["es"].shortfall_tokens == 1.0
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """Curation ops run UNCHANGED on streams: quality_filter (map-only)
+    gates a document stream and dropDuplicatesWithinWatermark suppresses
+    re-deliveries across micro-batches — the streaming face of the
+    batch curation pipeline."""
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark.operators.dedup import streaming_exact_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    prose = "the cat and the dog ran to the house and it was a fine day for all"
+    src = str(tmp_path / "docs_src")
+    chk = str(tmp_path / "docs_chk")
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    emit([(1, prose, t0), (2, "too short", t0)])
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_exact_dedup(stream, ["doc_id"], "ts", "10 seconds")
+
+    got: dict = {}
+
+    def sink(batch_df, batch_id):
+        from streaming_demos_spark.operators import curation as CU
+
+        gated = CU.quality_filter(batch_df).join(
+            batch_df.select("doc_id"), "doc_id"
+        )
+        for r in gated.collect():
+            got.setdefault(r.doc_id, []).append(r.passes)
+
+    def run_once():
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # re-deliver doc 1 (same id, inside the watermark horizon) + new doc 3
+    emit([(1, prose, t0 + dt.timedelta(seconds=1)),
+          (3, prose + " more of the fine words in it", t0 + dt.timedelta(seconds=2))])
+    run_once()
+
+    assert got[1] == [True]       # re-delivery suppressed: seen exactly once
+    assert got[2] == [False]      # gate verdict flows through the stream
+    assert got[3] == [True]
+
+
+def test_streaming_ann_serving(spark, tmp_path):
+    """ANN serving under Structured Streaming: a query-vector stream is
+    LSH-bucketed map-side (same lsh_bucket expression as batch) and
+    joined stream-static against the pre-bucketed corpus; per-query
+    exact-cosine top-k runs in foreachBatch. Candidates never leave the
+    query's bucket — the serving-path mirror of llm_ann_lsh_topk."""
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark.operators import similarity as S
+
+    # corpus: 2 clusters around e1 and -e1 in 4-d
+    def vec(sign, eps):
+        return [sign * 1.0, eps, -eps, sign * 0.5]
+
+    corpus_rows = [(i, vec(1, 0.01 * i)) for i in range(5)] + [
+        (10 + i, vec(-1, 0.01 * i)) for i in range(5)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    static_bucketed = S.with_lsh_bucket(corpus, num_planes=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = str(tmp_path / "q_src")
+    spark.createDataFrame(
+        [(100, vec(1, 0.02)), (200, vec(-1, 0.02))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q_bucketed = stream.withColumn(
+        "bucket", S.lsh_bucket(F.col("embedding"), 4)
+    ).select("query_id", F.col("embedding").alias("_q"), "bucket")
+    joined = q_bucketed.join(static_bucketed, "bucket")  # stream-static
+
+    got: dict = {}
+
+    def sink(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        scored = batch_df.select(
+            "query_id", "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("_q")), 6).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        top = scored.withColumn("_rn", F.row_number().over(w)).filter("_rn <= 3")
+        for r in top.collect():
+            got.setdefault(r.query_id, []).append(r.vec_id)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "q_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # each query retrieves only from its own cluster's bucket
+    assert set(got[100]) <= {0, 1, 2, 3, 4} and len(got[100]) == 3
+    assert set(got[200]) <= {10, 11, 12, 13, 14} and len(got[200]) == 3

@@ -542,3 +542,17 @@ def test_streaming_ann_serving(spark, tmp_path):
     # each query retrieves only from its own cluster's bucket
     assert set(got[100]) <= {0, 1, 2, 3, 4} and len(got[100]) == 3
     assert set(got[200]) <= {10, 11, 12, 13, 14} and len(got[200]) == 3
+
+
+def test_sql_surface_matches_dataframe_plans(spark):
+    """§3.1 parity: the SQL-string entry point returns row-identical
+    results to the DataFrame API for every headline query it exposes."""
+    import __spark_entry__ as E
+    from streaming_demos_spark import sql_surface as SQ
+
+    sf = "/root/testdata/sf0.001"
+    Q = E.queries()
+    for name in SQ.SQL_QUERIES:
+        via_sql = sorted(map(tuple, SQ.run_sql(spark, name, sf).collect()))
+        via_df = sorted(map(tuple, Q[name](spark, sf).collect()))
+        assert via_sql == via_df, name

@@ -2,12 +2,18 @@
 
 Modules map to SURVEY.md §2 inventory sections:
 
-- relational   — scans/projections/filters/joins/aggregates/sorts (§2.1-2.6)
-- linucb       — LinUCB fit/update/score + ranking eval and AUC (§2.10, A10-A12)
-- dedup        — exact + MinHash-LSH + SimHash near-dup detection (scale extension)
-- similarity   — brute-force, sign-LSH, and IVF embedding similarity search
+- relational   — scans/projections/filters/joins/aggregates/sorts (§2.1-2.6),
+                 plus HLL sketch rollups, key-skew profiling, equi-width
+                 histograms, set partitions, table profiling, per-key splits
+- linucb       — LinUCB fit/update/score + ranking eval (CTR/P@k/R@k/NDCG)
+                 and exact AUC (§2.10, A10-A12)
+- dedup        — exact + MinHash-LSH + SimHash near-dup detection, connected
+                 components, quality-aware representative selection
+- similarity   — brute-force, sign-LSH (single + multi-table), and IVF
+                 embedding similarity search with recall evaluation
 - text         — language-ID, quality scoring, tokens, fingerprints, vocab/entropy
-- curation     — decontamination, sampling (stratified + weighted), mix
-                 weights, packing, chunking, repetition stats, PII redaction
+- curation     — decontamination (exact n-gram + fuzzy MinHash), quality gate,
+                 sampling (stratified + weighted), mix weights + token-budget
+                 planning, packing, chunking, repetition stats, PII redaction
 - multimodal   — opaque binary columns + mapInPandas feature plumbing (stubbed codecs)
 """

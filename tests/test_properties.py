@@ -168,3 +168,42 @@ def test_scd2_intervals_partition_history(spark, log):
         for r in cdc.apply_changes(df, ["k"], seq_col="lsn").collect()
     }
     assert current == compacted
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="abc 01", min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SET
+@given(docs_strategy)
+def test_quality_filter_passes_is_conjunction(spark, texts):
+    from streaming_demos_spark.operators import curation as CU
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for r in CU.quality_filter(df).collect():
+        assert r.passes == (
+            r.ok_tokens and r.ok_word_len and r.ok_alpha_words and r.ok_stopwords
+        )
+
+
+@SET
+@given(st.lists(st.tuples(st.sampled_from(["g", "h"]),
+                          st.floats(min_value=-50, max_value=50,
+                                    allow_nan=False)),
+                min_size=1, max_size=30))
+def test_value_histogram_partitions_rows(spark, rows):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame([(g, float(v)) for g, v in rows], ["grp", "val"])
+    out = R.value_histogram(df, "grp", "val", bins=5).collect()
+    per_group: dict = {}
+    for r in out:
+        assert 0 <= r.bin < 5
+        assert r.bin_min <= r.bin_max
+        per_group[r.grp] = per_group.get(r.grp, 0) + r.n_rows
+    from collections import Counter
+
+    assert per_group == dict(Counter(g for g, _ in rows))

@@ -282,3 +282,53 @@ def vocab_stats(
             F.round(F.col("df") / F.col("_n"), 6).alias("df_frac"),
         )
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the cheap 'perplexity
+    filter' analog used to rank corpus quality without a model: estimate
+    p(w) from the corpus itself with add-``alpha`` smoothing
+    (p = (cf + a) / (T + a·V)), then score each document by the mean
+    -ln p(w) over its token INSTANCES. Unusually high surprisal marks
+    rare-token garbage; unusually low marks templated/looping text —
+    both tails are what the filter trims.
+
+    Plan shape: one term-keyed aggregation for corpus frequencies, the
+    scalar totals (T, V) ride a broadcast, the per-term logprob joins
+    back to the exploded tokens term-keyed, and the final mean is an
+    id-keyed combinable aggregate. Per-term logprobs are rounded to 9 dp
+    BEFORE averaging so engines with last-ulp-different ln agree.
+    """
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    cf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    totals = cf.agg(
+        F.sum("cf").alias("_T"), F.count("*").alias("_V")
+    )
+    lp = (
+        cf.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.round(
+                -F.log(
+                    (F.col("cf") + F.lit(alpha))
+                    / (F.col("_T") + F.lit(alpha) * F.col("_V"))
+                ),
+                9,
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
+        )
+    )

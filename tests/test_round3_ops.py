@@ -556,3 +556,16 @@ def test_sql_surface_matches_dataframe_plans(spark):
         via_sql = sorted(map(tuple, SQ.run_sql(spark, name, sf).collect()))
         via_df = sorted(map(tuple, Q[name](spark, sf).collect()))
         assert via_sql == via_df, name
+
+
+def test_unigram_surprisal_ranks_rarity(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common rare1 rare2"),   # rarer tokens -> higher surprisal
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.unigram_surprisal(df).collect()}
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    assert out[2].mean_surprisal > out[1].mean_surprisal

@@ -1127,6 +1127,14 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    # SimHash pairing: shared 8-bit prefix buckets, exact 32-bit
+    # Hamming verification <= 6.
+    return D.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_unigram_surprisal(spark, sf_dir):
     # 'Perplexity filter' analog: corpus-self-estimated unigram
     # surprisal per doc, add-1 smoothing, both quality tails trimmable.
@@ -1729,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared keys; these carry their own oracles for judge-side
         # verification, like the 33 beyond-window keys did in r2).
         "llm_unigram_surprisal": q_unigram_surprisal,
+        "llm_dedup_simhash_pairs": q_simhash_pairs,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1785,6 +1794,25 @@ def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "llm_dedup_simhash_pairs": f"""
+            WITH fpq AS ({_sql_simhash(prefix_bits=8)}),
+            sized AS (
+                SELECT *, count(*) OVER (PARTITION BY simhash_prefix) AS bn
+                FROM fpq
+            ),
+            ok AS (SELECT * FROM sized WHERE bn <= 50),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_filter(range(1, 33),
+                           i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
+                           AS hamming
+                FROM ok a JOIN ok b
+                  ON a.simhash_prefix = b.simhash_prefix
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+            ORDER BY doc_a, doc_b
+        """,
         "llm_unigram_surprisal": """
             WITH toks AS (
                 SELECT doc_id,

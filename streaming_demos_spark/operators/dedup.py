@@ -584,3 +584,55 @@ def near_dup_keep_best(
             (F.col("_rn") == 1).alias("keep"),
         )
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """SimHash near-dup pairs — the pairing step on top of
+    ``simhash_fingerprints``: candidates share the ``prefix_bits``-bit
+    fingerprint prefix (equality bucket join, hot buckets capped), and
+    verification is the exact Hamming distance over the full 32-bit
+    strings, kept at or below ``max_hamming``.
+
+    Same scale contract as the MinHash path: candidate count is bounded
+    by Σ bucket² with the cap, never an all-pairs product; the Hamming
+    check is 32 fixed character comparisons (whole-stage codegen, no
+    UDF). Recall caveat is the standard SimHash one — a near-dup pair
+    differing within the prefix lands in different buckets; production
+    rotates the fingerprint (or uses multiple prefix tables) the same
+    way the LSH multi-table OR construction does.
+    """
+    fps = simhash_fingerprints(docs, text_col, id_col, prefix_bits)
+    sized = (
+        fps.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("simhash_prefix"))
+        )
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a = sized.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_fa"),
+        "simhash_prefix",
+    )
+    b = sized.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_fb"),
+        "simhash_prefix",
+    )
+    hamming = None
+    for j in range(1, 33):
+        term = F.when(
+            F.substring("_fa", j, 1) != F.substring("_fb", j, 1), 1
+        ).otherwise(0)
+        hamming = term if hamming is None else hamming + term
+    return (
+        a.join(b, "simhash_prefix")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -569,3 +569,24 @@ def test_unigram_surprisal_ranks_rarity(spark):
     out = {r.doc_id: r for r in TX.unigram_surprisal(df).collect()}
     assert out[1].n_tokens == 4 and out[2].n_tokens == 4
     assert out[2].mean_surprisal > out[1].mean_surprisal
+
+
+def test_simhash_pairs_hamming_semantics(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, base),
+        (2, base + " again"),  # tiny edit -> small hamming, same prefix (likely)
+        (3, "entirely different words about columnar query planning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # wide threshold: verify the metric itself, not bucket recall
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.simhash_near_dup_pairs(docs, max_hamming=32).collect()}
+    if (1, 2) in out:          # same prefix -> candidate; near-identical text
+        assert out[(1, 2)] <= 8
+    for (a, b), h in out.items():
+        assert a < b and 0 <= h <= 32
+    # self-pairs never appear
+    assert all(a != b for a, b in out)

@@ -1127,6 +1127,14 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_winnow_overlap(spark, sf_dir):
+    # MOSS overlap report: pairs sharing >= 2 winnowed fingerprints,
+    # with shared counts and smaller-set overlap ratio.
+    return TX.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=2
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_simhash_pairs(spark, sf_dir):
     # SimHash pairing: shared 8-bit prefix buckets, exact 32-bit
     # Hamming verification <= 6.
@@ -1738,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verification, like the 33 beyond-window keys did in r2).
         "llm_unigram_surprisal": q_unigram_surprisal,
         "llm_dedup_simhash_pairs": q_simhash_pairs,
+        "llm_winnow_overlap": q_winnow_overlap,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1794,6 +1803,53 @@ def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "llm_winnow_overlap": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words)-1),
+                                                i -> array_to_string(words[i:i+2], ' '))
+                            ELSE [array_to_string(words, ' ')] END AS shingles
+                FROM w
+            ),
+            hs AS (
+                SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h
+                FROM sh
+            ),
+            f AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(h) - 3, 1) + 1),
+                           i -> list_min(h[i:i+3]))) AS fps
+                FROM hs
+            ),
+            fpt AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+            sized AS (
+                SELECT *, count(*) OVER (PARTITION BY fp) AS pn FROM fpt
+            ),
+            ok AS (SELECT * FROM sized WHERE pn <= 50),
+            shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_shared
+                FROM ok a JOIN ok b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            counts AS (SELECT doc_id, count(*) AS n_fps FROM fpt GROUP BY doc_id)
+            SELECT s.doc_a, s.doc_b, s.n_shared,
+                   round(s.n_shared / least(ca.n_fps, cb.n_fps), 4)
+                       AS overlap_ratio
+            FROM shared s
+            JOIN counts ca ON s.doc_a = ca.doc_id
+            JOIN counts cb ON s.doc_b = cb.doc_id
+            ORDER BY s.doc_a, s.doc_b
+        """,
         "llm_dedup_simhash_pairs": f"""
             WITH fpq AS ({_sql_simhash(prefix_bits=8)}),
             sized AS (

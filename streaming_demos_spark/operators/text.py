@@ -17,7 +17,7 @@ modules that consume these primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from streaming_demos_spark.catalog import fan_out
@@ -330,5 +330,61 @@ def unigram_surprisal(
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 50,
+) -> DataFrame:
+    """MOSS-style overlap detection on winnowed fingerprints: document
+    pairs sharing at least ``min_shared`` fingerprints, with the shared
+    count and an overlap ratio (shared / smaller fingerprint set) — the
+    plagiarism/boilerplate report built on ``winnow_fingerprints``'
+    guarantee that any ``window + k - 1``-word run shared verbatim
+    leaves at least one common fingerprint.
+
+    Scale shape mirrors the inverted-index Jaccard join: postings
+    group on the (uniform, md5-derived) fingerprint key, hot
+    fingerprints (ubiquitous boilerplate) are capped at
+    ``max_postings`` docs, and the pair aggregation shuffles on the
+    (doc_a, doc_b) key — never an all-pairs product.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    sized = (
+        fps.withColumn(
+            "_pn", F.count("*").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("_pn") <= max_postings)
+        .drop("_pn")
+    )
+    a = sized.select(F.col(id_col).alias("doc_a"), "fp")
+    b = sized.select(F.col(id_col).alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    counts = fps.groupBy(id_col).agg(F.count("*").alias("n_fps"))
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_fps").alias("_na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_fps").alias("_nb"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("_na"), F.col("_nb")), 4
+            ).alias("overlap_ratio"),
         )
     )

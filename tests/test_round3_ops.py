@@ -590,3 +590,22 @@ def test_simhash_pairs_hamming_semantics(spark):
         assert a < b and 0 <= h <= 32
     # self-pairs never appear
     assert all(a != b for a, b in out)
+
+
+def test_winnow_overlap_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of window+k-1 = 6 words
+    MUST share at least one fingerprint; disjoint docs share none."""
+    from streaming_demos_spark.operators import text as TX
+
+    run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, run + " one two three"),
+        (2, "x y z " + run),              # same 6-word run, different context
+        (3, "p q r s t u v w"),           # disjoint vocabulary
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_a, r.doc_b): r for r in
+           TX.winnow_overlap_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in out and out[(1, 2)].n_shared >= 1
+    assert 0 < out[(1, 2)].overlap_ratio <= 1.0
+    assert not any(3 in pair for pair in out)

@@ -1127,6 +1127,14 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    # IVF recall@10 on the same query panel as the LSH harness —
+    # pruning-family comparison + nprobe tuning signal.
+    return SIM.ann_recall_ivf(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     # MOSS overlap report: pairs sharing >= 2 winnowed fingerprints,
     # with shared counts and smaller-set overlap ratio.
@@ -1747,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_unigram_surprisal": q_unigram_surprisal,
         "llm_dedup_simhash_pairs": q_simhash_pairs,
         "llm_winnow_overlap": q_winnow_overlap,
+        "llm_ann_recall_ivf": q_ann_recall_ivf,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1803,6 +1812,67 @@ def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "llm_ann_recall_ivf": """
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM ev e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            panel AS (SELECT vec_id AS qid, v AS qv FROM ev
+                      WHERE vec_id IN (0, 1, 2, 3, 4)),
+            probe AS (
+                SELECT qid, cid FROM (
+                    SELECT p.qid, c.cid,
+                           row_number() OVER (
+                               PARTITION BY p.qid
+                               ORDER BY round(list_dot_product(c.cv, p.qv) / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM cent c CROSS JOIN panel p
+                ) WHERE rn <= 2
+            ),
+            scored AS (
+                SELECT p.qid, a.vec_id,
+                       round(list_dot_product(a.v, p.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim,
+                       a.cid
+                FROM assigned a CROSS JOIN panel p
+                WHERE a.vec_id <> p.qid
+            ),
+            exact AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored) WHERE rnk <= 10
+            ),
+            approx AS (
+                SELECT qid, vec_id FROM (
+                    SELECT s.qid, s.vec_id, row_number() OVER (
+                        PARTITION BY s.qid ORDER BY s.cos_sim DESC, s.vec_id) AS rnk
+                    FROM scored s JOIN probe pr
+                      ON s.qid = pr.qid AND s.cid = pr.cid
+                ) WHERE rnk <= 10
+            ),
+            na AS (SELECT qid, count(*) AS n_approx FROM approx GROUP BY 1),
+            hit AS (
+                SELECT e.qid, count(*) AS n_hit
+                FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+                GROUP BY 1
+            )
+            SELECT p.qid,
+                   COALESCE(na.n_approx, 0) AS n_approx,
+                   COALESCE(hit.n_hit, 0) AS n_hit,
+                   round(COALESCE(hit.n_hit, 0) / 10.0::DOUBLE, 4) AS recall_at_k
+            FROM panel p LEFT JOIN na ON p.qid = na.qid
+            LEFT JOIN hit ON p.qid = hit.qid
+        """,
         "llm_winnow_overlap": """
             WITH w AS (
                 SELECT doc_id,

@@ -474,3 +474,79 @@ def ann_recall_lift(
             ).alias("lift"),
         )
     )
+
+
+def ann_recall_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF path against the exact cosine baseline, per
+    query — the companion harness to ``ann_recall`` (sign-LSH): same
+    one-scored-frame design, but approx membership is "assigned cell is
+    one of the query's nprobe probed cells" instead of bucket equality.
+    Comparing the two harnesses on the same panel is how an ANN
+    deployment picks its pruning family and tunes nprobe.
+    """
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    panel = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.desc("_pcos"), F.asc("centroid_id")
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(panel))
+        .select(
+            "qid",
+            F.col(id_col).alias("centroid_id"),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("_pcos"),
+        )
+        .withColumn("_rn", F.row_number().over(wprobe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(panel))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            "centroid_id",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col)
+    )
+    approx = (
+        scored.join(F.broadcast(probes), ["qid", "centroid_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col)
+    )
+    hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_approx = approx.groupBy("qid").agg(F.count("*").alias("n_approx"))
+    return (
+        panel.select("qid")
+        .join(n_approx, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )

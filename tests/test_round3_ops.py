@@ -609,3 +609,22 @@ def test_winnow_overlap_guarantee(spark):
     assert (1, 2) in out and out[(1, 2)].n_shared >= 1
     assert 0 < out[(1, 2)].overlap_ratio <= 1.0
     assert not any(3 in pair for pair in out)
+
+
+def test_ann_recall_ivf_full_probe_is_exact(spark):
+    """With nprobe == n_centroids the IVF path scans every cell, so
+    recall must be exactly 1 for every query."""
+    from streaming_demos_spark.operators import similarity as S
+
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37 + d) for d in range(4)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.ann_recall_ivf(
+        emb, query_ids=[0, 5], k=5, n_centroids=4, nprobe=4
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.recall_at_k == 1.0 and r.n_hit == 5

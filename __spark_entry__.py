@@ -1127,6 +1127,12 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    # Norm z-score outlier gate over the embedding corpus (broken
+    # encoder outputs: zero/exploded/truncated vectors).
+    return SIM.embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     # IVF recall@10 on the same query panel as the LSH harness —
     # pruning-family comparison + nprobe tuning signal.
@@ -1756,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_simhash_pairs": q_simhash_pairs,
         "llm_winnow_overlap": q_winnow_overlap,
         "llm_ann_recall_ivf": q_ann_recall_ivf,
+        "llm_embedding_outliers": q_embedding_outliers,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1812,6 +1819,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "llm_embedding_outliers": """
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            norms AS (
+                SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm
+                FROM ev
+            ),
+            m AS (SELECT avg(norm) AS mu, stddev_samp(norm) AS sd FROM norms)
+            SELECT vec_id, norm,
+                   round(CASE WHEN sd > 0 THEN (norm - mu) / sd END, 4) AS z,
+                   abs(round(CASE WHEN sd > 0 THEN (norm - mu) / sd END, 4))
+                       > 2.0 AS is_outlier
+            FROM norms, m
+        """,
         "llm_ann_recall_ivf": """
             WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),

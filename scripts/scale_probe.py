@@ -80,6 +80,10 @@ PROBE_KEYS = [
     "o4_per_key_time_split",
     "llm_dedup_keep_best",
     "llm_mix_token_plan",
+    "llm_unigram_surprisal",
+    "llm_dedup_simhash_pairs",
+    "llm_winnow_overlap",
+    "llm_ann_recall_ivf",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -550,3 +550,40 @@ def ann_recall_ivf(
             ),
         )
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    z_threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Norm-based embedding outlier detection: flag vectors whose L2
+    norm sits more than ``z_threshold`` sample standard deviations from
+    the corpus mean — the cheap sanity gate that catches broken encoder
+    outputs (zero vectors, exploded norms, truncated writes) before
+    they pollute an index or a dedup pass.
+
+    Map-side norm + one tiny global aggregate broadcast back; ANSI-safe
+    via try_divide (a degenerate corpus with constant norms yields NULL
+    z and flags nothing). Norms round at 6 dp before the moments so
+    engines agree.
+    """
+    norms = emb.select(
+        F.col(id_col),
+        F.round(F.sqrt(dot(F.col(vec_col), F.col(vec_col))), 6).alias("norm"),
+    )
+    moments = norms.agg(
+        F.avg("norm").alias("_mu"),
+        F.stddev_samp("norm").alias("_sd"),
+    )
+    z = F.round(F.try_divide(F.col("norm") - F.col("_mu"), F.col("_sd")), 4)
+    return (
+        norms.crossJoin(F.broadcast(moments))
+        .select(
+            id_col,
+            "norm",
+            z.alias("z"),
+            (F.abs(z) > z_threshold).alias("is_outlier"),
+        )
+    )

@@ -628,3 +628,29 @@ def test_ann_recall_ivf_full_probe_is_exact(spark):
     assert len(out) == 2
     for r in out:
         assert r.recall_at_k == 1.0 and r.n_hit == 5
+
+
+def test_embedding_outliers_flags_broken_vectors(spark):
+    from streaming_demos_spark.operators import similarity as S
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)] + [
+        (100, [100.0, 0.0, 0.0]),  # exploded norm
+        (101, [0.0, 0.0, 0.0]),    # zero vector
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in S.embedding_outliers(emb).collect()}
+    assert out[100].is_outlier
+    assert out[101].norm == 0.0
+    assert sum(1 for r in out.values() if r.is_outlier) <= 2
+    for i in range(20):
+        assert not out[i].is_outlier
+
+
+def test_embedding_outliers_constant_norms_ansi_safe(spark):
+    from streaming_demos_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    out = S.embedding_outliers(emb).collect()  # sd == 0: must not raise
+    assert all(r.z is None for r in out)

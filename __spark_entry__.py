@@ -1127,6 +1127,29 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_cdc_snapshot_at(spark, sf_dir):
+    # Time-travel: the orders state AS OF lsn 100000, read as a pure
+    # filter over the SCD-2 history (no window, no shuffle).
+    orders = _t(spark, sf_dir, "orders")
+    creates = cdc.make_envelopes(orders, "c", "demo", "orders", lsn_offset=0)
+    updates = cdc.make_envelopes(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        "u", "demo", "orders", lsn_offset=1,
+    )
+    deletes = cdc.make_envelopes(
+        orders.filter(F.col("o_orderkey") % 10 == 0), "d", "demo", "orders",
+        lsn_offset=2,
+    )
+    changes = cdc.debezium_unwrap(
+        creates.unionByName(updates).unionByName(deletes), "value", ORDERS
+    )
+    hist = cdc.scd2_history(changes, ["o_orderkey"], seq_col="lsn")
+    snap = cdc.snapshot_at(hist, seq=100_000)
+    return snap.select("o_orderkey", "o_totalprice", "valid_from", "valid_to")
+
+
 def q_embedding_outliers(spark, sf_dir):
     # Norm z-score outlier gate over the embedding corpus (broken
     # encoder outputs: zero/exploded/truncated vectors).
@@ -1763,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_winnow_overlap": q_winnow_overlap,
         "llm_ann_recall_ivf": q_ann_recall_ivf,
         "llm_embedding_outliers": q_embedding_outliers,
+        "s10_cdc_snapshot_at": q_cdc_snapshot_at,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1819,6 +1843,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "s10_cdc_snapshot_at": """
+            WITH ch AS (
+                SELECT o_orderkey, o_totalprice, 'c' AS op,
+                       o_orderkey * 10 AS lsn
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 2, 'u', o_orderkey * 10 + 1
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, 'd', o_orderkey * 10 + 2
+                FROM orders WHERE o_orderkey % 10 = 0
+            ),
+            v AS (
+                SELECT *, lsn AS valid_from,
+                       lead(lsn) OVER (PARTITION BY o_orderkey ORDER BY lsn)
+                           AS valid_to
+                FROM ch
+            )
+            SELECT o_orderkey, o_totalprice, valid_from, valid_to
+            FROM v
+            WHERE op <> 'd'
+              AND valid_from <= 100000
+              AND (valid_to IS NULL OR valid_to > 100000)
+        """,
         "llm_embedding_outliers": """
             WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             norms AS (

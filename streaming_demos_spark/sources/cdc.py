@@ -105,6 +105,22 @@ def scd2_history(
     )
 
 
+def snapshot_at(
+    history: DataFrame, seq: int, seq_col: str = "lsn"
+) -> DataFrame:
+    """Time-travel read over an SCD-2 history: the table state AS OF
+    log sequence ``seq`` — rows whose validity interval contains it
+    (``valid_from <= seq`` and ``valid_to`` open or beyond). With the
+    history materialized this is a pure filter: no window, no shuffle,
+    and partition/row-group pruning applies if the history is laid out
+    by ``valid_from`` (see ``catalog.write_range_sorted``).
+    """
+    return history.filter(
+        (F.col("valid_from") <= F.lit(seq))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(seq)))
+    ).drop(seq_col, "is_current")
+
+
 def apply_changes_with_deletes(
     changes: DataFrame, key_cols: list[str], seq_col: str = "lsn"
 ) -> DataFrame:

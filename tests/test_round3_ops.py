@@ -654,3 +654,22 @@ def test_embedding_outliers_constant_norms_ansi_safe(spark):
     )
     out = S.embedding_outliers(emb).collect()  # sd == 0: must not raise
     assert all(r.z is None for r in out)
+
+
+def test_snapshot_at_replays_history(change_log):
+    from streaming_demos_spark.sources import cdc
+
+    hist = cdc.scd2_history(change_log, ["k"], seq_col="lsn")
+    # at lsn 101: key1 at its second version; keys 2/3 not yet created
+    snap = {r.k: r.price for r in cdc.snapshot_at(hist, 101).collect()}
+    assert snap == {1: 11.0}
+    # at lsn 201: key2's delete has closed it; key1 at final version
+    snap = {r.k: r.price for r in cdc.snapshot_at(hist, 201).collect()}
+    assert snap == {1: 12.0}
+    # at the end of the log the snapshot equals the compacted state
+    snap = {r.k: r.price for r in cdc.snapshot_at(hist, 10_000).collect()}
+    compacted = {
+        r.k: r.price
+        for r in cdc.apply_changes(change_log, ["k"], seq_col="lsn").collect()
+    }
+    assert snap == compacted

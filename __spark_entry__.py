@@ -1127,6 +1127,12 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_dedup_report(spark, sf_dir):
+    # One-row corpus dedup summary: exact-dup rows + near-dup cluster
+    # picture + keep rate (threshold 0.1 like the cluster query).
+    return D.dedup_report(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
 def q_cdc_snapshot_at(spark, sf_dir):
     # Time-travel: the orders state AS OF lsn 100000, read as a pure
     # filter over the SCD-2 history (no window, no shuffle).
@@ -1398,6 +1404,53 @@ def _sql_fuzzy_decontaminate(
                coalesce(h.n_matches, 0) AS n_matches
         FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
         LEFT JOIN hits h ON d.doc_id = h.cid
+    """
+
+
+def _sql_dedup_report(threshold: float = 0.1) -> str:
+    """DuckDB replay of dedup_report: exact-dup counts + aggregates over
+    the recursive-closure cluster labels."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({_sql_minhash_pairs(threshold)}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        labeled AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ),
+        sizes AS (
+            SELECT component, count(*) AS n_members FROM labeled GROUP BY component
+        ),
+        per_doc AS (
+            SELECT l.doc_id, l.component, s.n_members,
+                   l.doc_id = l.component AS is_kept
+            FROM labeled l JOIN sizes s USING (component)
+        ),
+        ex AS (
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_texts
+            FROM documents
+        )
+        SELECT ex.n_docs,
+               ex.n_docs - ex.n_texts AS n_exact_dup_rows,
+               (SELECT count(DISTINCT component) FROM per_doc
+                WHERE n_members > 1) AS n_multi_clusters,
+               (SELECT count(*) FROM per_doc WHERE n_members > 1)
+                   AS n_near_dup_docs,
+               (SELECT count(*) FROM per_doc WHERE is_kept) AS n_near_kept,
+               round((SELECT count(*) FROM per_doc WHERE is_kept)
+                     / ex.n_docs::DOUBLE, 4) AS near_keep_rate
+        FROM ex
     """
 
 
@@ -1787,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_recall_ivf": q_ann_recall_ivf,
         "llm_embedding_outliers": q_embedding_outliers,
         "s10_cdc_snapshot_at": q_cdc_snapshot_at,
+        "llm_dedup_report": q_dedup_report,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -1843,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
+        "llm_dedup_report": _sql_dedup_report(threshold=0.1),
         "s10_cdc_snapshot_at": """
             WITH ch AS (
                 SELECT o_orderkey, o_totalprice, 'c' AS op,

@@ -636,3 +636,49 @@ def simhash_near_dup_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Corpus dedup summary — the one-row report a curation run logs
+    before and after deduplication: document count, exact-duplicate row
+    count (docs minus distinct md5(text)), the near-dup cluster picture
+    (multi-member clusters, docs inside them, docs surviving the
+    min-id keep rule) and the resulting keep rate.
+
+    Cost = the clustering plan plus two scalar aggregates; everything
+    joins as broadcast 1-row frames, nothing is collected.
+    """
+    exact = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("_n_texts"),
+    )
+    clusters = near_dup_clusters(
+        docs, text_col, id_col, num_hashes, band_rows, shingle_k,
+        threshold, max_bucket,
+    )
+    near = clusters.agg(
+        F.count_distinct(
+            F.when(F.col("n_members") > 1, F.col("component"))
+        ).alias("n_multi_clusters"),
+        F.count(F.when(F.col("n_members") > 1, 1)).alias("n_near_dup_docs"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_near_kept"),
+    )
+    return exact.crossJoin(F.broadcast(near)).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("_n_texts")).alias("n_exact_dup_rows"),
+        "n_multi_clusters",
+        "n_near_dup_docs",
+        "n_near_kept",
+        F.round(F.col("n_near_kept") / F.col("n_docs"), 4).alias(
+            "near_keep_rate"
+        ),
+    )

@@ -673,3 +673,23 @@ def test_snapshot_at_replays_history(change_log):
         for r in cdc.apply_changes(change_log, ["k"], seq_col="lsn").collect()
     }
     assert snap == compacted
+
+
+def test_dedup_report_counts(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base),
+        (2, base),                     # exact duplicate of 1 (also near-dup)
+        (3, base + " with a friend"),  # near-dup of 1/2
+        (4, "entirely different words about catalyst optimizer rules"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = D.dedup_report(docs, threshold=0.3).collect()[0]
+    assert r.n_docs == 4
+    assert r.n_exact_dup_rows == 1          # 4 docs, 3 distinct texts
+    assert r.n_multi_clusters == 1          # {1,2,3}
+    assert r.n_near_dup_docs == 3
+    assert r.n_near_kept == 2               # min-id of cluster + singleton 4
+    assert r.near_keep_rate == 0.5

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from streaming_demos_spark.catalog import load_table
 from streaming_demos_spark.functions.scalars import bucket_time_of_day, title_case
+from streaming_demos_spark.operators import clustering as CL
 from streaming_demos_spark.operators import curation as CU
 from streaming_demos_spark.operators import dedup as D
 from streaming_demos_spark.operators import multimodal as MM
@@ -1774,6 +1775,50 @@ def q_key_skew_profile(spark, sf_dir):
     return R.key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=15)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    # Spherical k-means assignment against deterministic seed
+    # centroids (k lowest-id vectors, broadcast): the coarse-cell
+    # primitive under IVF search and semantic dedup.
+    return CL.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8).orderBy("vec_id")
+
+
+def q_kmeans_centroids(spark, sf_dir):
+    # One Lloyd update: component-wise means per cluster as k*d scalar
+    # rows (posexplode + hash-agg; partial aggregation map-side).
+    return CL.kmeans_step_centroids(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def q_kmeans_round(spark, sf_dir):
+    # Full Lloyd round proven end-to-end: seed-assign -> mean update ->
+    # re-assign against updated centroids -> cluster sizes.
+    return CL.kmeans_two_round_sizes(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style semantic near-dup removal: pairwise cosine ONLY
+    # within k-means cells; drop vectors with a lower-id neighbour
+    # above threshold. (0.3 suits this synthetic corpus's cosine
+    # range; real corpora run ~0.92-0.95.)
+    return CL.semantic_dedup(_t(spark, sf_dir, "embeddings"), k=8, threshold=0.3)
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    # Metadata-filtered exact top-k (RAG serving shape): label
+    # predicate pushed to the scan, broadcast query vector.
+    return CL.filtered_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, label=3, k=10
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    # Crawl-refresh dedup: new batch (doc_id % 5 == 0) checked against
+    # the already-deduped base corpus via hash anti-join.
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    base_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_dedup(new_docs, base_docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order is deliberate: a correctness sweep that stops
     # after the first N keys should spend its window on the queries with
@@ -1831,6 +1876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "f_svd_embed": q_svd_embed,
+        "llm_kmeans_assign": q_kmeans_assign,
+        "llm_kmeans_centroids": q_kmeans_centroids,
+        "llm_kmeans_round": q_kmeans_round,
+        "llm_semantic_dedup": q_semantic_dedup,
+        "llm_ann_filtered_topk": q_ann_filtered_topk,
+        "llm_dedup_incremental": q_dedup_incremental,
         # Post-window round-3 additions (driver checks the first 50
         # declared keys; these carry their own oracles for judge-side
         # verification, like the 33 beyond-window keys did in r2).
@@ -3584,5 +3635,137 @@ def oracle_sql() -> dict[str, str]:
                    ascii(substr(text, 1, 1)) AS head_byte,
                    ascii(substr(text, length(text), 1)) AS tail_byte
             FROM documents
+        """,
+        "llm_kmeans_assign": f"""
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8)
+            SELECT vec_id, cid AS cluster_id, _cos AS cos_sim FROM (
+                SELECT e.vec_id, c.cid,
+                       {_SQL_COS.format(a="e.v", b="c.cv")} AS _cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM ev e CROSS JOIN cent c
+            ) WHERE rn = 1
+            ORDER BY vec_id
+        """,
+        "llm_kmeans_centroids": f"""
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM ev e CROSS JOIN cent c
+                ) WHERE rn = 1
+            )
+            SELECT cid AS cluster_id,
+                   gs - 1 AS component_idx,
+                   round(avg(comp), 6) AS centroid_value
+            FROM (SELECT cid, unnest(v) AS comp,
+                         generate_subscripts(v, 1) AS gs
+                  FROM assigned)
+            GROUP BY cid, gs
+            ORDER BY cluster_id, component_idx
+        """,
+        "llm_kmeans_round": f"""
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM ev e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            cent1 AS (
+                SELECT cid, list(cval ORDER BY gs) AS cv FROM (
+                    SELECT cid, gs, round(avg(comp), 6) AS cval
+                    FROM (SELECT cid, unnest(v) AS comp,
+                                 generate_subscripts(v, 1) AS gs
+                          FROM assigned)
+                    GROUP BY cid, gs
+                ) GROUP BY cid
+            ),
+            re AS (
+                SELECT vec_id, cid, _cos FROM (
+                    SELECT e.vec_id, c.cid,
+                           {_SQL_COS.format(a="e.v", b="c.cv")} AS _cos,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM ev e CROSS JOIN cent1 c
+                ) WHERE rn = 1
+            )
+            SELECT cid AS cluster_id,
+                   count(*) AS n_members,
+                   round(avg(_cos), 6) AS mean_cos
+            FROM re GROUP BY cid ORDER BY cluster_id
+        """,
+        "llm_semantic_dedup": f"""
+            WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM ev e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            unitized AS (
+                SELECT vec_id, cid,
+                       list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                           AS u
+                FROM assigned
+            ),
+            dominated AS (
+                SELECT DISTINCT b.vec_id
+                FROM unitized b JOIN unitized a
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.u, b.u), 6) >= 0.3
+            )
+            SELECT vec_id, cid AS cluster_id
+            FROM unitized
+            WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+            ORDER BY vec_id
+        """,
+        "llm_ann_filtered_topk": f"""
+            WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            q AS (SELECT v AS qv FROM ev WHERE vec_id = 0)
+            SELECT vec_id, label,
+                   {_SQL_COS.format(a="v", b="qv")} AS cos_sim
+            FROM ev, q
+            WHERE label = 3 AND vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "llm_dedup_incremental": """
+            WITH new_hashed AS (
+                SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+                FROM documents WHERE doc_id % 5 = 0
+                GROUP BY md5(text)
+            )
+            SELECT doc_id, text_hash FROM new_hashed
+            WHERE text_hash NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0
+            )
+            ORDER BY doc_id
         """,
     }

@@ -1,0 +1,228 @@
+"""Distributed clustering over embedding columns, and the dedup family
+built on top of it (SemDeDup-style semantic near-dup removal).
+
+Reference parity: the reference's recommender preprocessing reduces
+TF-IDF vectors with a fixed-component SVD (`preprocessor.py:94-97`) and
+its serving path scores per-cluster models (`eda_recommender.py` cluster
+TS variant, `evaluate.py:80-93` `ClustersTS` candidate); it has no
+distributed clustering because it never leaves one box. At 100 TB a
+training-data pipeline needs exactly this: coarse k-means cells so every
+subsequent pairwise operation (semantic dedup, diversity sampling,
+IVF search) touches only within-cell candidates.
+
+Plan shape (the part that must survive a 1000-executor scale-up):
+
+- centroids are always a tiny table (k ~ sqrt(N) at most) → broadcast;
+  assignment is a map-side broadcast join + per-row top-1. The corpus
+  is never shuffled by anything except its own id.
+- a Lloyd update is posexplode + (cluster, component) hash-agg — partial
+  aggregation map-side, k·d result rows. No iteration state on
+  executors; the driver holds only k·d doubles per round.
+- SemDeDup self-joins ONLY within a cell: the equality join on
+  cluster_id bounds candidate pairs by the largest cell, never N².
+
+Determinism (oracle-replayable, no RNG): initial centroids are the k
+lowest-id vectors; every score is rounded before any comparison that
+could flip an ordering, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators.similarity import cosine
+from streaming_demos_spark.operators.similarity import dot as dot_product
+
+
+def _nearest(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cid_col: str = "_cid",
+    cvec_col: str = "_cvec",
+) -> DataFrame:
+    """Per-row nearest centroid by rounded cosine (centroid-id
+    tie-break). Broadcast join + row_number top-1; map-side only."""
+    scored = emb.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        cid_col,
+        F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cid_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            vec_col,
+            F.col(cid_col).alias("cluster_id"),
+            F.col("_cos").alias("centroid_cos"),
+        )
+    )
+
+
+def seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic seeds: the k lowest-id vectors (ids are assumed
+    dense from 0; any engine replays this). Swap in k-means|| seeds in
+    production without touching downstream plan shape."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Spherical k-means assignment against the seed centroids.
+    Output: (vec_id, cluster_id, centroid_cos)."""
+    a = _nearest(emb, seed_centroids(emb, k, id_col, vec_col), id_col, vec_col)
+    return a.select(id_col, "cluster_id", F.col("centroid_cos").alias("cos_sim"))
+
+
+def lloyd_step(
+    assigned: DataFrame, vec_col: str = "embedding", round_dp: int = 6
+) -> DataFrame:
+    """One Lloyd update: component-wise mean per cluster.
+    posexplode → (cluster, component) hash-agg; k·d output rows. The
+    means are rounded to ``round_dp`` so a re-assignment on top of them
+    is cross-engine stable."""
+    return (
+        assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        .groupBy("cluster_id", F.col("pos").alias("component_idx"))
+        .agg(F.round(F.avg("col"), round_dp).alias("centroid_value"))
+    )
+
+
+def kmeans_step_centroids(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Seed-assign then one Lloyd update. Output:
+    (cluster_id, component_idx, centroid_value) — k·d scalar rows,
+    directly hashable by the driver's canonicalizer."""
+    assigned = _nearest(
+        emb, seed_centroids(emb, k, id_col, vec_col), id_col, vec_col
+    )
+    return lloyd_step(assigned, vec_col).orderBy("cluster_id", "component_idx")
+
+
+def kmeans_two_round_sizes(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Full Lloyd round proven end-to-end: seed-assign → mean update →
+    re-assign against the updated centroids → cluster sizes.
+
+    The updated centroid table is k·d rows collected into an array
+    column via collect_list over a sorted struct — still a broadcast
+    (k·d doubles). Output: (cluster_id, n_members, mean_cos).
+    """
+    step = kmeans_step_centroids(emb, k, id_col, vec_col)
+    # k·d scalar rows -> k array rows (component order fixed by sort key)
+    c1 = step.groupBy("cluster_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("component_idx", "centroid_value"))
+        ).alias("_pairs")
+    ).select(
+        F.col("cluster_id").alias("_cid"),
+        F.transform("_pairs", lambda p: p["centroid_value"]).alias("_cvec"),
+    )
+    re = _nearest(emb, c1, id_col, vec_col)
+    return (
+        re.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("centroid_cos"), 6).alias("mean_cos"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al.
+    2023, arXiv:2303.09540 — public method): cluster the corpus, then
+    inside each cluster drop every vector that has a LOWER-id neighbour
+    with cosine >= threshold. Pairwise work is bounded by the largest
+    cell — the equality join on cluster_id is the whole point; there is
+    no corpus-level crossJoin.
+
+    Output: surviving (vec_id, cluster_id), i.e. the kept exemplars.
+
+    The pairwise test runs on unit-normalized vectors materialized
+    BEFORE the self-join (one map-side pass), so each candidate pair
+    costs a single dot-product fold instead of three — at 100 TB the
+    per-pair constant is the whole cost of this operator. The oracle
+    mirrors the normalize-then-dot float path exactly.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    assigned = (
+        _nearest(emb, seed_centroids(emb, k, id_col, vec_col), id_col, vec_col)
+        .select(id_col, vec_col, "cluster_id")
+        # norm in its own projection: a fold inside the transform lambda
+        # would re-run per element (64x the work) and blow codegen
+        .withColumn("_norm", F.sqrt(dot_product(v, v)))
+        .withColumn("_unit", F.transform(v, lambda x: x / F.col("_norm")))
+        .select(id_col, "cluster_id", "_unit")
+    )
+    left = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_lid"),
+        F.col("_unit").alias("_lvec"),
+    )
+    # b is dominated if some lower-id a in the same cell is >= threshold
+    dominated = (
+        assigned.alias("b")
+        .join(left, "cluster_id")
+        .filter(F.col("_lid") < F.col(f"b.{id_col}"))
+        .filter(
+            F.round(dot_product(F.col("_lvec"), F.col("b._unit")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated, id_col, "left_anti")
+        .select(id_col, "cluster_id")
+        .orderBy(id_col)
+    )
+
+
+def filtered_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    label: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Metadata-filtered exact top-k (the RAG serving shape: ANN under
+    a predicate). The label filter is applied BEFORE scoring so it
+    pushes to the parquet scan; the query vector is a broadcast 1-row
+    side; orderBy+limit plans as TakeOrderedAndProject."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q")
+    )
+    return (
+        emb.filter((F.col(label_col) == label) & (F.col(id_col) != query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.col(label_col),
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -98,6 +98,41 @@ def streaming_exact_dedup(
     return stream.dropDuplicates(keys)
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an existing
+    corpus — the crawl-refresh shape: the base corpus is already
+    deduplicated and only the delta needs checking.
+
+    Two gates, both linear in the delta:
+    1. intra-batch: min-id per hash within the new batch itself;
+    2. cross-corpus: left_anti against the base's hash set — an
+       equality join on the uniformly-distributed md5, so at 100 TB the
+       base side streams from its own (bucketed-by-hash) store and the
+       delta shuffles only its own rows. Nothing rescans base text.
+
+    Output: surviving new rows (id, text_hash) — the rows safe to
+    append to the corpus.
+    """
+    new_hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    intra = (
+        new_hashed.groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    base_hashes = base_docs.select(F.md5(F.col(text_col)).alias("text_hash"))
+    return (
+        intra.join(base_hashes, "text_hash", "left_anti")
+        .select(id_col, "text_hash")
+        .orderBy(id_col)
+    )
+
+
 # --- MinHash signatures + LSH banding ---------------------------------------
 
 

@@ -1819,6 +1819,22 @@ def q_dedup_incremental(spark, sf_dir):
     return D.incremental_dedup(new_docs, base_docs)
 
 
+def q_window_suite(spark, sf_dir):
+    # Full analytic-window family in ONE per-key pass (lag, lead,
+    # ntile, percent_rank, cume_dist share a single Window spec ->
+    # one shuffle + one sort).
+    return R.window_rank_suite(_t(spark, sf_dir, "events"))
+
+
+def q_set_compare(spark, sf_dir):
+    # §2.7 set ops: customers active in 1995 vs 1996 — intersect /
+    # except / union distinct-set cardinalities in one summary row.
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return R.set_compare(a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order is deliberate: a correctness sweep that stops
     # after the first N keys should spend its window on the queries with
@@ -1882,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_semantic_dedup": q_semantic_dedup,
         "llm_ann_filtered_topk": q_ann_filtered_topk,
         "llm_dedup_incremental": q_dedup_incremental,
+        "ext_window_suite": q_window_suite,
+        "ext_set_compare": q_set_compare,
         # Post-window round-3 additions (driver checks the first 50
         # declared keys; these carry their own oracles for judge-side
         # verification, like the 33 beyond-window keys did in r2).
@@ -3755,6 +3773,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE label = 3 AND vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "ext_window_suite": """
+            SELECT user_id, event_id,
+                   round(value - lag(value, 1) OVER w, 6) AS value_delta,
+                   lead(event_type, 1) OVER w AS next_type,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 9) AS pct_rank,
+                   round(cume_dist() OVER w, 9) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "ext_set_compare": """
+            SELECT
+                (SELECT count(*) FROM (
+                    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+                    INTERSECT
+                    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+                )) AS n_both,
+                (SELECT count(*) FROM (
+                    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+                    EXCEPT
+                    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+                )) AS n_only_a,
+                (SELECT count(*) FROM (
+                    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+                    EXCEPT
+                    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+                )) AS n_only_b,
+                (SELECT count(DISTINCT o_custkey) FROM orders
+                 WHERE year(o_orderdate) IN (1995, 1996)) AS n_union
         """,
         "llm_dedup_incremental": """
             WITH new_hashed AS (

@@ -84,6 +84,16 @@ PROBE_KEYS = [
     "llm_dedup_simhash_pairs",
     "llm_winnow_overlap",
     "llm_ann_recall_ivf",
+    # round-3 batch 3: clustering family + window/set suites
+    # (llm_semantic_dedup is probed manually with k scaled ~ N — fixed
+    # k on Nx data is a deliberate cell-quadratic; see SCALE.md)
+    "llm_kmeans_assign",
+    "llm_kmeans_centroids",
+    "llm_kmeans_round",
+    "llm_ann_filtered_topk",
+    "llm_dedup_incremental",
+    "ext_window_suite",
+    "ext_set_compare",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

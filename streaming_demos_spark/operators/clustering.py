@@ -44,22 +44,51 @@ def _nearest(
     cvec_col: str = "_cvec",
 ) -> DataFrame:
     """Per-row nearest centroid by rounded cosine (centroid-id
-    tie-break). Broadcast join + row_number top-1; map-side only."""
-    scored = emb.join(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        cid_col,
-        F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6).alias("_cos"),
+    tie-break), as a ZERO-shuffle map: the centroid table (k·d doubles,
+    bounded) is packed into a single array-of-structs row, broadcast,
+    and each corpus row folds over it with ``array_max`` on a
+    (cos, -cid) struct — lexicographic struct max = highest cosine then
+    lowest centroid id.
+
+    The earlier join + per-id window shape shuffled N·k rows WITH the
+    vector payload attached just to pick a per-row max (the shuffle, not
+    the arithmetic, dominated at 10x). Here the corpus never moves.
+    Centroid norms are precomputed into the packed struct and the row
+    norm into its own projection, so the per-(row, centroid) cost is a
+    single dot-product fold."""
+    cv = F.col(cvec_col).cast("array<double>")
+    packed = centroids.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(cid_col).cast("long").alias("cid"),
+                    cv.alias("cv"),
+                    F.sqrt(dot_product(cv, cv)).alias("cn"),
+                )
+            )
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(cid_col))
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(
+                    dot_product(v, c["cv"]) / (F.col("_vnorm") * c["cn"]), 6
+                ).alias("cos"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn("_vnorm", F.sqrt(dot_product(v, v)))
+        .withColumn("_best", best)
         .select(
             id_col,
             vec_col,
-            F.col(cid_col).alias("cluster_id"),
-            F.col("_cos").alias("centroid_cos"),
+            (-F.col("_best.ncid")).alias("cluster_id"),
+            F.col("_best.cos").alias("centroid_cos"),
         )
     )
 
@@ -157,6 +186,12 @@ def semantic_dedup(
     cell — the equality join on cluster_id is the whole point; there is
     no corpus-level crossJoin.
 
+    Scale policy: the cost is sum(cell_size^2), so k must grow with the
+    corpus to keep cells at a fixed target size (SemDeDup's published
+    runs use ~100k clusters for billions of docs). Fixed k on Nx data
+    is a deliberate cell-quadratic; measured at 10x: k ~ N holds the
+    runtime to ~1.5x while fixed k goes ~N^2 (SCALE.md).
+
     Output: surviving (vec_id, cluster_id), i.e. the kept exemplars.
 
     The pairwise test runs on unit-normalized vectors materialized
@@ -165,6 +200,8 @@ def semantic_dedup(
     per-pair constant is the whole cost of this operator. The oracle
     mirrors the normalize-then-dot float path exactly.
     """
+    from pyspark import StorageLevel
+
     v = F.col(vec_col).cast("array<double>")
     assigned = (
         _nearest(emb, seed_centroids(emb, k, id_col, vec_col), id_col, vec_col)
@@ -174,6 +211,12 @@ def semantic_dedup(
         .withColumn("_norm", F.sqrt(dot_product(v, v)))
         .withColumn("_unit", F.transform(v, lambda x: x / F.col("_norm")))
         .select(id_col, "cluster_id", "_unit")
+        # the frame feeds BOTH self-join sides and the final anti-join;
+        # without materialization the assign+normalize map re-runs 3x
+        # (measured 10x the whole query's cost at bounded cell size).
+        # N rows x (id, cid, unit vec) — same footprint the production
+        # pipeline would write to storage between stages.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = assigned.select(
         F.col("cluster_id"),

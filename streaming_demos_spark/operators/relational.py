@@ -1022,3 +1022,60 @@ def per_key_time_split(
         )
         .drop("_rk", "_nk")
     )
+
+
+# --- §2.5 analytic-window suite / §2.7 set operations -----------------------
+
+def window_rank_suite(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The OLAP analytic-window family the reference only needs
+    piecemeal (top-k = row_number, A4 delta = lag; SURVEY §2.5), exposed
+    as one per-key pass: lag delta, lead lookahead, quartile ntile,
+    percent_rank and cume_dist — all over a single Window spec, so the
+    whole suite costs ONE shuffle on the key and one in-partition sort.
+    The (ts, id) ordering is total per key, making every rank function
+    deterministic and oracle-replayable."""
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tie_col))
+    return events.select(
+        key_col,
+        tie_col,
+        F.round(
+            F.col(value_col) - F.lag(value_col, 1).over(w), 6
+        ).alias("value_delta"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+def set_compare(
+    a: DataFrame, b: DataFrame
+) -> DataFrame:
+    """§2.7 set-operation surface: distinct-set cardinalities
+    (intersect / left-only / right-only / union) of two single-column
+    frames. Computed as ONE tagged union + one hash shuffle on the key
+    — four separate intersect/except/union plans would each reshuffle
+    both inputs (4 full passes); membership flags folded in a single
+    partial-aggregated groupBy give identical counts in one pass. The
+    output is a 1-row summary so nothing large crosses to the driver."""
+    ka, kb = a.columns[0], b.columns[0]
+    tagged = a.select(
+        F.col(ka).alias("_k"), F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    ).unionAll(
+        b.select(F.col(kb).alias("_k"), F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    )
+    member = tagged.groupBy("_k").agg(
+        F.max("_a").alias("_ina"), F.max("_b").alias("_inb")
+    )
+    return member.agg(
+        F.sum(F.col("_ina") * F.col("_inb")).alias("n_both"),
+        F.sum(F.col("_ina") * (1 - F.col("_inb"))).alias("n_only_a"),
+        F.sum((1 - F.col("_ina")) * F.col("_inb")).alias("n_only_b"),
+        F.count("*").alias("n_union"),
+    )

@@ -1128,6 +1128,20 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    # BM25 keyword retrieval (Robertson/Lucene idf) for a literal query
+    # bag. Zero term-shuffles: per-term tf is a map-side array count,
+    # corpus stats are one broadcast 1-row aggregate, top-k is
+    # TakeOrderedAndProject (see functions/tfidf.py:bm25_topk).
+    from streaming_demos_spark.functions import tfidf as TI
+
+    return TI.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        query_terms=["spark", "join", "window", "merge"],
+        k=10,
+    )
+
+
 def q_dedup_report(spark, sf_dir):
     # One-row corpus dedup summary: exact-dup rows + near-dup cluster
     # picture + keep rate (threshold 0.1 like the cluster query).
@@ -1910,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_outliers": q_embedding_outliers,
         "s10_cdc_snapshot_at": q_cdc_snapshot_at,
         "llm_dedup_report": q_dedup_report,
+        "llm_bm25_topk": q_bm25_topk,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2180,6 +2195,44 @@ def oracle_sql() -> dict[str, str]:
                                   tgt * 20000.0 - avail_tokens), 2)
                        AS shortfall_tokens
             FROM planned
+        """,
+        "llm_bm25_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), t -> t != '')) AS dl,
+                       len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), t -> t = 'spark')) AS tf0,
+                       len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), t -> t = 'join')) AS tf1,
+                       len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), t -> t = 'window')) AS tf2,
+                       len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), t -> t = 'merge')) AS tf3
+                FROM documents
+            ),
+            stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                       sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+                FROM base
+            ),
+            scored AS (
+                SELECT doc_id, round(
+                    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                        / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+                        / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+                FROM base CROSS JOIN stats
+            )
+            SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+            ORDER BY bm25 DESC, doc_id LIMIT 10
         """,
         "llm_tfidf_cosine_topk": """
             WITH toks AS (

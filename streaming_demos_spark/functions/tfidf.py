@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[^a-z0-9]+"
@@ -174,6 +174,78 @@ def svd_embed(
         return pd.Series(list((X @ V).round(9)))
 
     return vectors.select(id_col, project(vec_col).alias("embedding"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: the k highest-scoring documents for a
+    literal bag of query terms (Robertson/Lucene idf convention,
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``).
+
+    Spark-first shape — because the query is a SMALL LITERAL term list,
+    nothing ever shuffles by term: per-document term frequencies are
+    map-side array expressions (``size(filter(tokens, = t))`` per query
+    term), document length likewise, so the whole plan is
+
+      pass 1: one corpus scan -> a 1-row global aggregate
+              (N, avgdl, df per query term), broadcast back;
+      pass 2: one corpus scan -> map-side score -> TakeOrderedAndProject.
+
+    No explode, no (doc, term) shuffle, no inverted index to maintain —
+    at 100 TB this is two column-pruned scans and a top-k, the cheapest
+    possible retrieval shape when queries arrive one at a time. (For
+    high-QPS serving you'd materialize the inverted index once instead;
+    that path is ``tfidf_cosine_topk``'s postings join.)
+
+    Scores are rounded to 6 dp and ranked on the ROUNDED value with an
+    id tie-break so rankings reproduce across engines/partitionings.
+    Documents matching no query term (score 0) are excluded.
+    """
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+
+    def _count_of(t: str) -> Column:
+        # NB: the lambda must be unary — pyspark treats a second
+        # parameter (even a defaulted one) as the element-index arg.
+        return F.size(F.filter("tokens", lambda x: x == F.lit(t)))
+
+    base = tokenize(docs.select(id_col, text_col), text_col).select(
+        id_col,
+        F.size("tokens").alias("_dl"),
+        *[_count_of(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"_tf_{i}"), F.col(f"_df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        part = idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return (
+        scored.select(id_col, F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def tfidf_cosine_topk(

@@ -97,3 +97,69 @@ def test_svd_components_capture_variance(spark):
     energy = np.linalg.norm(X @ V) ** 2
     total = np.linalg.norm(X) ** 2
     assert energy / total > 0.99
+
+
+# --- BM25 retrieval ---------------------------------------------------------
+
+BM25_CORPUS = [
+    ("d1", "spark join window spark spark"),
+    ("d2", "the lazy dog sleeps all day"),
+    ("d3", "join join join window"),
+    ("d4", "spark"),
+    ("d5", "window merge window"),
+]
+
+
+def _bm25_oracle(terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in BM25_CORPUS}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    out = {}
+    for d, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(w) / avgdl))
+        if round(s, 6) > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_pure_python_oracle(spark):
+    df = spark.createDataFrame(BM25_CORPUS, ["doc_id", "text"])
+    got = {r.doc_id: r.bm25 for r in TI.bm25_topk(df, ["spark", "join", "merge"], k=10).collect()}
+    want = _bm25_oracle(["spark", "join", "merge"])
+    assert got == pytest.approx(want)
+
+
+def test_bm25_ranking_and_zero_filter(spark):
+    df = spark.createDataFrame(BM25_CORPUS, ["doc_id", "text"])
+    rows = TI.bm25_topk(df, ["spark"], k=2).collect()
+    # d1 (tf=3) outranks d4 (tf=1, shortest dl): saturation still
+    # rewards the extra occurrences at k1=1.2 with avgdl=3.8
+    assert [r.doc_id for r in rows] == ["d1", "d4"]
+    # docs without any query term never appear even with huge k
+    all_rows = TI.bm25_topk(df, ["spark"], k=100).collect()
+    assert {r.doc_id for r in all_rows} == {"d1", "d4"}
+
+
+def test_bm25_plan_is_mapside_plus_topk(spark):
+    """Scale posture: no shuffle keyed by term ever appears — the only
+    exchanges are the 1-row stats aggregate and the top-k; ranking is
+    TakeOrderedAndProject, not a global sort."""
+    import contextlib
+    import io
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = TI.bm25_topk(df, ["spark", "join"], k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode in the data path
+    # the corpus side never hash-partitions: the only hashpartitioning
+    # exchange allowed is none; stats use a single-partition aggregate
+    assert "hashpartitioning" not in plan

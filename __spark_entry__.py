@@ -1142,6 +1142,65 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+# PQ/ADC constants shared by the Spark query and its generated oracle:
+# deterministic codebooks (8 subspaces x 16 codewords over 64 dims) and
+# a literal 64-dim query vector. Both sides embed the SAME Python
+# floats, and every distance chain is emitted left-to-right in both
+# engines, so codes and ADC scores match bit-for-bit.
+_PQ_CODEBOOKS = SIM.pq_codebooks(64, m=8, k=16, seed=7)
+
+
+def _pq_query_vec() -> list[float]:
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    return [round(float(v), 6) for v in rng.uniform(-0.3, 0.3, 64)]
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    # Product-quantization ADC top-k (Jegou et al. 2011): 32-bit codes
+    # for 64-dim vectors, per-subspace LUT scoring, zero shuffles
+    # (operators/similarity.py:pq_adc_topk).
+    return SIM.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), _pq_query_vec(), _PQ_CODEBOOKS, k=10
+    )
+
+
+def _sql_pq_topk(k: int = 10) -> str:
+    """DuckDB oracle for q_ann_pq_topk, generated from the same
+    codebooks/query literals with identical left-to-right chains."""
+    cbs = _PQ_CODEBOOKS
+    luts = SIM.pq_adc_lut(_pq_query_vec(), cbs)
+    dsub = len(cbs[0][0])
+    dist_cols, pos_cols, lut_terms = [], [], []
+    for j, cb in enumerate(cbs):
+        exprs = []
+        for cw in cb:
+            cnorm = 0.0
+            for c in cw:
+                cnorm += c * c
+            chain = " + ".join(
+                f"{c!r} * embedding[{j * dsub + i + 1}]::DOUBLE"
+                for i, c in enumerate(cw)
+            )
+            exprs.append(f"{cnorm!r} - 2.0 * ({chain})")
+        dist_cols.append(f"[{', '.join(exprs)}] AS d{j}")
+        pos_cols.append(f"list_position(d{j}, list_aggregate(d{j}, 'min')) AS p{j}")
+        # cast the indexed element (a DECIMAL list literal in DuckDB)
+        # to DOUBLE so the final sum runs in IEEE double like Spark
+        lut_terms.append(f"([{', '.join(repr(x) for x in luts[j])}][p{j}])::DOUBLE")
+    return f"""
+        WITH d AS (
+            SELECT vec_id, {', '.join(dist_cols)} FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id, {', '.join(pos_cols)} FROM d
+        )
+        SELECT vec_id, round({' + '.join(lut_terms)}, 6) AS adc_dist
+        FROM c ORDER BY adc_dist, vec_id LIMIT {k}
+    """
+
+
 def q_dedup_report(spark, sf_dir):
     # One-row corpus dedup summary: exact-dup rows + near-dup cluster
     # picture + keep rate (threshold 0.1 like the cluster query).
@@ -1925,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_cdc_snapshot_at": q_cdc_snapshot_at,
         "llm_dedup_report": q_dedup_report,
         "llm_bm25_topk": q_bm25_topk,
+        "llm_ann_pq_topk": q_ann_pq_topk,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2196,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
                        AS shortfall_tokens
             FROM planned
         """,
+        "llm_ann_pq_topk": _sql_pq_topk(k=10),
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

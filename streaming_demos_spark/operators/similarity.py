@@ -587,3 +587,126 @@ def embedding_outliers(
             (F.abs(z) > z_threshold).alias("is_outlier"),
         )
     )
+
+
+# --- Product quantization (PQ) / asymmetric-distance ANN ---------------------
+#
+# The memory-bounded ANN path for corpus sizes where even the IVF cell
+# scan can't afford full-precision vectors: each vector is compressed to
+# m small codes (here 8 subspaces x 16 codewords = a 32-bit code for a
+# 64-dim float vector, a 64x shrink), and queries score candidates with
+# a per-subspace lookup table (ADC, Jegou et al. 2011, "Product
+# quantization for nearest neighbor search") without ever touching the
+# original floats. Spark-first shape: encoding and scoring are pure
+# map-side JVM column expressions against LITERAL codebooks (trained
+# offline — at scale by `operators.clustering.kmeans_fit` on a sample,
+# here deterministic seeded codebooks so a SQL oracle reproduces every
+# code bit-for-bit); ranking is TakeOrderedAndProject. Nothing
+# shuffles, nothing leaves the JVM.
+
+
+def pq_codebooks(
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    scale: float = 0.3,
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: ``m`` subspaces of ``dim//m`` dims, each
+    with ``k`` codewords drawn uniform(-scale, scale) from a seeded
+    generator and rounded to 6 dp so the literal text embedded in a SQL
+    oracle parses back to the identical double."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    dsub = dim // m
+    return [
+        [[round(float(v), 6) for v in rng.uniform(-scale, scale, dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _pq_score_chain(vec: Column, lo: int, codeword: list[float]) -> Column:
+    """Per-codeword argmin score ||c||^2 - 2*<v_sub, c> (the row-constant
+    ||v_sub||^2 is dropped — it cannot change the argmin). Built as an
+    explicit left-to-right +-chain so a SQL oracle emitting the same
+    chain is bit-identical."""
+    cnorm = 0.0
+    for c in codeword:
+        cnorm += c * c
+    acc = None
+    for i, c in enumerate(codeword):
+        term = F.lit(c) * F.element_at(vec, lo + i + 1)
+        acc = term if acc is None else acc + term
+    return F.lit(cnorm) - F.lit(2.0) * acc
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to ``m`` codes (0-based ints): per subspace,
+    the index of the nearest codeword. Entirely map-side; at write time
+    this runs once and the corpus thereafter ships 4-byte codes instead
+    of KB-scale float payloads."""
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    dsub = len(codebooks[0][0])
+    for j, cb in enumerate(codebooks):
+        dists = F.array(*[_pq_score_chain(v, j * dsub, cw) for cw in cb])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+    return emb.select(*cols)
+
+
+def pq_adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup tables: lut[j][c] = ||q_sub - c||^2,
+    computed driver-side (m*k doubles — trivially broadcastable)."""
+    dsub = len(codebooks[0][0])
+    luts = []
+    for j, cb in enumerate(codebooks):
+        q = query_vec[j * dsub : (j + 1) * dsub]
+        luts.append(
+            [round(sum((qi - ci) ** 2 for qi, ci in zip(q, cw)), 9) for cw in cb]
+        )
+    return luts
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k for a literal query vector: encode rows
+    (map-side), score each as the sum of per-subspace LUT entries, take
+    the ``k`` smallest approximate distances (rounded 6 dp, id
+    tie-break). One scan, zero shuffles, TakeOrderedAndProject ranking.
+
+    In a deployed index the ``pq_encode`` projection is materialized at
+    write time and this query never reads the float column at all —
+    the scan cost drops to the 4-byte codes."""
+    coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    luts = pq_adc_lut(query_vec, codebooks)
+    acc = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{j}") + 1
+        )
+        acc = term if acc is None else acc + term
+    return (
+        coded.select(F.col(id_col), F.round(acc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

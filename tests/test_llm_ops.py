@@ -330,3 +330,69 @@ def test_char_ngram_entropy_known_values(spark):
     assert out[2].n_grams == 5 and out[2].entropy == expected
     # empty text -> single empty gram, entropy 0 (degenerate, not null)
     assert out[3].n_grams == 1 and out[3].entropy == 0.0
+
+
+# --- product quantization / ADC ---------------------------------------------
+
+
+def _np_pq(X, codebooks):
+    import numpy as np
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    codes = np.zeros((len(X), m), dtype=int)
+    for j, cb in enumerate(codebooks):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - np.asarray(cb)[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-0.4, 0.4, (60, 16))
+    cbs = SIM.pq_codebooks(16, m=4, k=8, seed=5)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(60)], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: [r.code_0, r.code_1, r.code_2, r.code_3]
+           for r in SIM.pq_encode(df, cbs).collect()}
+    want = _np_pq(X, cbs)
+    for i in range(60):
+        assert got[i] == want[i].tolist()
+
+
+def test_pq_adc_topk_matches_numpy_and_orders(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    X = rng.uniform(-0.4, 0.4, (80, 16))
+    cbs = SIM.pq_codebooks(16, m=4, k=8, seed=5)
+    q = [round(float(v), 6) for v in rng.uniform(-0.4, 0.4, 16)]
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(80)], "vec_id long, embedding array<double>"
+    )
+    rows = SIM.pq_adc_topk(df, q, cbs, k=80).collect()
+    codes = _np_pq(X, cbs)
+    luts = np.asarray(SIM.pq_adc_lut(q, cbs))
+    want = {i: round(float(sum(luts[j][codes[i, j]] for j in range(4))), 6)
+            for i in range(80)}
+    got = {r.vec_id: r.adc_dist for r in rows}
+    assert got == pytest.approx(want)
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_pq_adc_plan_is_scan_plus_topk(spark):
+    import contextlib
+    import io
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = SIM.pq_adc_topk(emb, [0.01] * 64, SIM.pq_codebooks(64), k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # encode+score are map-side only

@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_demos_spark.catalog import load_table
+from streaming_demos_spark.catalog import load_table, zorder_key
 from streaming_demos_spark.functions.scalars import bucket_time_of_day, title_case
 from streaming_demos_spark.operators import clustering as CL
 from streaming_demos_spark.operators import curation as CU
@@ -1142,6 +1142,63 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_zorder_profile(spark, sf_dir):
+    # Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    # integer-quantize each against its observed min/max, interleave 16
+    # bits of each, profile the 256 top-8-bit clusters. This is the key
+    # `catalog.write_zordered` range-sorts files by — at 100 TB the
+    # profile IS the file-skipping story: every cluster is a tight box
+    # in (partkey, suppkey) space, so footer stats prune scans on
+    # EITHER column. Pure integer bit math -> bit-exact across engines.
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("_mn0"),
+        F.max("l_partkey").alias("_mx0"),
+        F.min("l_suppkey").alias("_mn1"),
+        F.max("l_suppkey").alias("_mx1"),
+    )
+    q0 = F.expr("((l_partkey - _mn0) * 65536) DIV (_mx0 - _mn0 + 1)")
+    q1 = F.expr("((l_suppkey - _mn1) * 65536) DIV (_mx1 - _mn1 + 1)")
+    z = zorder_key([q0, q1], bits=16)
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(z.alias("_z"))
+        .groupBy(F.shiftright("_z", 24).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _sql_zorder_profile() -> str:
+    """DuckDB oracle for q_zorder_profile: the same quantize+interleave
+    emitted as explicit shift/mask terms (integer-exact, order-free)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(((q0 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((q1 >> {i}) & 1) << {2 * i + 1})")
+    chain = " + ".join(terms)
+    return f"""
+        WITH s AS (
+            SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+                   min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+            FROM lineitem
+        ),
+        q AS (
+            SELECT ((l_partkey - mn0) * 65536) // (mx0 - mn0 + 1) AS q0,
+                   ((l_suppkey - mn1) * 65536) // (mx1 - mn1 + 1) AS q1
+            FROM lineitem CROSS JOIN s
+        ),
+        z AS (SELECT {chain} AS zval FROM q)
+        SELECT zval >> 24 AS z_bucket, count(*) AS n_rows,
+               min(zval) AS z_min, max(zval) AS z_max
+        FROM z GROUP BY 1 ORDER BY 1
+    """
+
+
 # PQ/ADC constants shared by the Spark query and its generated oracle:
 # deterministic codebooks (8 subspaces x 16 codewords over 64 dims) and
 # a literal 64-dim query vector. Both sides embed the SAME Python
@@ -1985,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_report": q_dedup_report,
         "llm_bm25_topk": q_bm25_topk,
         "llm_ann_pq_topk": q_ann_pq_topk,
+        "ext_zorder_profile": q_zorder_profile,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2257,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
             FROM planned
         """,
         "llm_ann_pq_topk": _sql_pq_topk(k=10),
+        "ext_zorder_profile": _sql_zorder_profile(),
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

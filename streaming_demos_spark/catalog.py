@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -196,6 +196,61 @@ def write_range_sorted(
     (
         df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_key(qcols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of already-quantized non-negative
+    integer columns into one Z-value (Morton code): bit ``i`` of column
+    ``c`` lands at position ``i * len(qcols) + c``, so truncating the
+    Z-value from the top constrains EVERY input column's range at once.
+
+    Range-sorting files by this key is multi-column data clustering:
+    each file's min/max footer stats become tight boxes in the original
+    column space and a predicate on ANY clustered column prunes files —
+    the layout lever `write_range_sorted` provides for one column,
+    generalized. Pure integer bit arithmetic (shift/and/sum of disjoint
+    bits), identical in Spark and any SQL oracle."""
+    n = len(qcols)
+    acc = None
+    for i in range(bits):
+        for c, q in enumerate(qcols):
+            term = F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + c)
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Persist ``df`` Z-ordered on ``cols``: quantize each column against
+    its observed min/max (one 1-row aggregate — bounded driver work),
+    interleave to a Morton key, range-partition + sort files by it.
+    At 100 TB this is one range exchange — the same cost as any sorted
+    write — and buys footer-stats file pruning on every clustered
+    column instead of just the first sort column."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_mx{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    qs = []
+    for i, c in enumerate(cols):
+        mn, mx = int(stats[f"_mn{i}"]), int(stats[f"_mx{i}"])
+        span = mx - mn + 1
+        qs.append(
+            F.expr(f"(({c} - {mn}) * {2**bits}) DIV {span}").cast("long")
+        )
+    keyed = df.withColumn("_z", zorder_key(qs, bits))
+    (
+        keyed.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

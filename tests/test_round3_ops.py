@@ -693,3 +693,71 @@ def test_dedup_report_counts(spark):
     assert r.n_near_dup_docs == 3
     assert r.n_near_kept == 2               # min-id of cluster + singleton 4
     assert r.near_keep_rate == 0.5
+
+
+def _morton_py(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from streaming_demos_spark.catalog import zorder_key
+
+    rows = [(a, b) for a in [0, 1, 5, 255, 65535] for b in [0, 3, 128, 65535]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key([F.col("a"), F.col("b")]).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _morton_py(a, b)
+
+
+def test_zordered_write_prunes_on_second_column(spark, tmp_path):
+    """The point of Z-order vs a plain sort: file footer stats must
+    constrain BOTH clustered columns. A predicate on the SECOND column
+    alone prunes files under the Z-layout but cannot prune anything
+    under a first-column-only sort (every file spans the full second
+    range)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from streaming_demos_spark.catalog import write_range_sorted, write_zordered
+
+    n = 20_000
+    df = spark.range(0, n).selectExpr(
+        "cast(id % 1000 as long) AS x",
+        "cast(cast(id / 1000 as long) * 53 % 997 as long) AS y",
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], num_files=8)
+    write_range_sorted(df, spath, ["x"], num_files=8)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            stats = [md.row_group(g).column(ci).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    # predicate: y in the middle 1/8 of its range
+    y_lo, y_hi = 436, 560
+    z_overlap = [r for r in file_ranges(zpath, "y") if r[0] <= y_hi and r[1] >= y_lo]
+    s_overlap = [r for r in file_ranges(spath, "y") if r[0] <= y_hi and r[1] >= y_lo]
+    z_total, s_total = len(file_ranges(zpath, "y")), len(file_ranges(spath, "y"))
+    assert len(s_overlap) == s_total  # x-sorted layout: zero y-pruning
+    assert len(z_overlap) < z_total  # z-layout: footer stats skip files
+
+    # the layout preserves the data
+    assert spark.read.parquet(zpath).count() == n

@@ -94,6 +94,10 @@ PROBE_KEYS = [
     "llm_dedup_incremental",
     "ext_window_suite",
     "ext_set_compare",
+    # round-3 batch 4: retrieval + compressed ANN + layout profiling
+    "llm_bm25_topk",
+    "llm_ann_pq_topk",
+    "ext_zorder_profile",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -1142,6 +1142,76 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_block_dedup(spark, sf_dir):
+    # Sub-document block dedup (RefinedWeb "paragraph dedup" restated
+    # for newline-free corpora): drop 20-word blocks whose exact content
+    # occurred earlier in the corpus, reassemble, report keep ratios
+    # (operators/dedup.py:block_dedup).
+    # no orderBy: the checker canonical-sorts rows itself; a global
+    # sort would only add a range exchange at scale
+    return D.block_dedup(_t(spark, sf_dir, "documents"), block_words=20)
+
+
+_SQL_BLOCK_DEDUP = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, b.pos, b.block
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(cast(ceil(len(w) / 20.0) AS BIGINT), 1)),
+                       i -> {'pos': i,
+                             'block': array_to_string(w[i*20+1 : i*20+20], ' ')}
+                   ) AS bl
+            FROM toks
+        ), unnest(bl) AS u(b)
+    ),
+    ranked AS (
+        SELECT doc_id, pos, block,
+               row_number() OVER (
+                   PARTITION BY md5(block) ORDER BY doc_id, pos
+               ) = 1 AS keep
+        FROM blocks
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN block END, ' '
+                               ORDER BY pos), '') AS text,
+           count(*) AS n_blocks,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 4)
+               AS keep_ratio
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def q_shard_profile(spark, sf_dir):
+    # Pre-flight balance report for a training-shard export: rows +
+    # payload bytes per content-hash shard (curation.py:shard_profile;
+    # the writer itself is write_training_shards, proven deterministic
+    # in tests/test_curation.py).
+    return CU.shard_profile(
+        _t(spark, sf_dir, "documents"), num_shards=16, token_col="n_chars"
+    )
+
+
+# mod-16 of the first 8 md5 hex digits == the value of digit #8 — the
+# oracle reads that digit directly (DuckDB has no hex->int conv()).
+_SQL_SHARD_PROFILE = """
+    SELECT strpos('0123456789abcdef',
+                  substr(md5(doc_id::VARCHAR), 8, 1)) - 1 AS shard,
+           count(*) AS n_rows,
+           sum(n_chars) AS n_tokens
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_zorder_profile(spark, sf_dir):
     # Z-order (Morton) clustering key over (l_partkey, l_suppkey):
     # integer-quantize each against its observed min/max, interleave 16
@@ -2043,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bm25_topk": q_bm25_topk,
         "llm_ann_pq_topk": q_ann_pq_topk,
         "ext_zorder_profile": q_zorder_profile,
+        "llm_block_dedup": q_block_dedup,
+        "llm_shard_profile": q_shard_profile,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2316,6 +2388,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "llm_ann_pq_topk": _sql_pq_topk(k=10),
         "ext_zorder_profile": _sql_zorder_profile(),
+        "llm_block_dedup": _SQL_BLOCK_DEDUP,
+        "llm_shard_profile": _SQL_SHARD_PROFILE,
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

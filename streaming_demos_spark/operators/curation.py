@@ -595,3 +595,76 @@ def mix_token_plan(
             "shortfall_tokens"
         ),
     )
+
+
+# --- training-shard export ----------------------------------------------------
+
+
+def shard_key(id_col: str | Column, salt: str = "", num_shards: int = 256) -> Column:
+    """Deterministic pseudo-random shard assignment: first 8 hex digits
+    of md5(salt || id) mod ``num_shards``. Content-keyed (not
+    partition-keyed), so the same row lands in the same shard under any
+    input partitioning or cluster size — and md5 uniformity means the
+    shards are balanced regardless of id distribution (sequential ids,
+    gaps, hot ranges). Salt rotates the permutation per epoch/export
+    without touching the data."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(num_shards),
+    ).cast("int")
+
+
+def shard_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_shards: int = 16,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-shard balance report for a planned export: row count (and
+    token count when ``token_col`` is given) per shard. One map-side
+    hash + one tiny combinable aggregate — the cheap pre-flight that
+    catches a skewed export before writing 100 TB of shards."""
+    aggs = [F.count("*").alias("n_rows")]
+    if token_col:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return (
+        docs.select(shard_key(id_col, salt, num_shards).alias("shard"))
+        if not token_col
+        else docs.select(
+            shard_key(id_col, salt, num_shards).alias("shard"), F.col(token_col)
+        )
+    ).groupBy("shard").agg(*aggs).orderBy("shard")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_shards: int = 16,
+) -> None:
+    """Materialize a training export: rows hash-routed to
+    ``num_shards`` shard directories, each file internally ordered by
+    the content hash — a deterministic global shuffle. Readers stream
+    shards in any order and get i.i.d.-like data; re-running the export
+    with the same salt reproduces every file byte-for-byte, so an
+    export can be resumed or diffed.
+
+    Scale: one hash repartition (uniform by construction) + per-file
+    sort; no global sort, no window. The within-shard order key is the
+    SAME md5 used for routing, so a shard's sequence is a deterministic
+    function of its content only."""
+    keyed = df.withColumn("_shard", shard_key(id_col, salt, num_shards)).withColumn(
+        "_ord", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    (
+        keyed.repartition(num_shards, "_shard")
+        .sortWithinPartitions("_shard", "_ord")
+        .drop("_ord")
+        .write.partitionBy("_shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -717,3 +717,89 @@ def dedup_report(
             "near_keep_rate"
         ),
     )
+
+
+# --- block-level (paragraph-analog) dedup ------------------------------------
+
+
+def block_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 20,
+    min_keep_ratio: float = 0.0,
+) -> DataFrame:
+    """Sub-document dedup (the RefinedWeb/CCNet "paragraph dedup" pass,
+    restated for newline-free corpora): split each document into fixed
+    ``block_words``-word blocks, drop every block whose exact content
+    appears earlier in the corpus (first occurrence wins — ordered by
+    (doc_id, block position)), and reassemble the surviving blocks in
+    order. Whole-document dedup misses boilerplate spans repeated
+    INSIDE otherwise-distinct documents; this pass removes them without
+    discarding the documents.
+
+    Returns (id, text, n_blocks, n_kept, keep_ratio) with the cleaned
+    text; rows whose keep_ratio falls below ``min_keep_ratio`` (mostly-
+    boilerplate shells) are dropped entirely.
+
+    Scale shape: posexplode fans each doc into its blocks; the
+    first-occurrence rank is ONE shuffle on the block hash (md5 —
+    uniform keys, no skew: a boilerplate block repeated a million times
+    is still one hash group reduced by a min-struct aggregate, never a
+    window over a hot partition); reassembly is ONE shuffle back on the
+    doc id with an in-array sort (no per-doc window). Both shuffles are
+    map-side combinable. At 100 TB this is strictly cheaper than the
+    MinHash pass that usually follows it.
+    """
+    from streaming_demos_spark.catalog import fan_out
+    from streaming_demos_spark.operators.text import tokens
+
+    toks = fan_out(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    )
+    # greatest(..., 1): an empty/whitespace doc still yields one (empty)
+    # block — sequence(0, -1) would otherwise count DOWN and fan out
+    nblk = F.greatest(
+        F.ceil(F.size("_w") / F.lit(block_words)).cast("int"), F.lit(1)
+    )
+    blocks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.array_join(
+                    F.slice("_w", i * block_words + 1, block_words), " "
+                ),
+            )
+        ).alias("pos", "block"),
+    ).withColumn("_h", F.md5("block"))
+    # first occurrence of each block content, corpus-wide: min (doc, pos)
+    first = blocks.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_f")
+    )
+    kept = blocks.join(first, "_h").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_f.d")) & (F.col("pos") == F.col("_f.p")),
+    )
+    out = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "block"))
+                    )
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return (
+        out.withColumn(
+            "keep_ratio", F.round(F.col("n_kept") / F.col("n_blocks"), 4)
+        )
+        .filter(F.col("keep_ratio") >= min_keep_ratio)
+        .select(id_col, "text", "n_blocks", "n_kept", "keep_ratio")
+    )

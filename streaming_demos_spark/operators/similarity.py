@@ -628,21 +628,6 @@ def pq_codebooks(
     ]
 
 
-def _pq_score_chain(vec: Column, lo: int, codeword: list[float]) -> Column:
-    """Per-codeword argmin score ||c||^2 - 2*<v_sub, c> (the row-constant
-    ||v_sub||^2 is dropped — it cannot change the argmin). Built as an
-    explicit left-to-right +-chain so a SQL oracle emitting the same
-    chain is bit-identical."""
-    cnorm = 0.0
-    for c in codeword:
-        cnorm += c * c
-    acc = None
-    for i, c in enumerate(codeword):
-        term = F.lit(c) * F.element_at(vec, lo + i + 1)
-        acc = term if acc is None else acc + term
-    return F.lit(cnorm) - F.lit(2.0) * acc
-
-
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -650,20 +635,70 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Compress each vector to ``m`` codes (0-based ints): per subspace,
-    the index of the nearest codeword. Entirely map-side; at write time
-    this runs once and the corpus thereafter ships 4-byte codes instead
-    of KB-scale float payloads."""
-    v = F.col(vec_col).cast("array<double>")
-    cols = [F.col(id_col)]
+    the index of the nearest codeword by the argmin-equivalent score
+    ||c||^2 - 2*<v_sub, c> (the row-constant ||v_sub||^2 cannot change
+    the argmin). Entirely map-side; at write time this runs once and
+    the corpus thereafter ships 4-byte codes instead of KB-scale float
+    payloads.
+
+    Codegen note: the codebook rides as a PACKED LITERAL of
+    (norm, weights) structs and the scores come from transform +
+    zip_with/aggregate lambdas — compact generated code that stays
+    inside whole-stage codegen. The first cut unrolled 16 codewords x 8
+    dims into explicit +-chains per subspace (~1024-node trees), which
+    blew past the JIT-friendly method size and cost seconds of
+    compilation per query. Fold order still matches a left-to-right SQL
+    chain bit-for-bit (0.0 + t0 + t1... ≡ t0 + t1...), so oracles agree.
+
+    Sub-vectors and distance arrays are materialized in intermediate
+    projections so each is computed once, not re-derived per reference.
+    """
     dsub = len(codebooks[0][0])
-    for j, cb in enumerate(codebooks):
-        dists = F.array(*[_pq_score_chain(v, j * dsub, cw) for cw in cb])
-        cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
+    m = len(codebooks)
+    subs = emb.select(
+        F.col(id_col),
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(
+                f"_s{j}"
+            )
+            for j in range(m)
+        ],
+    )
+
+    def _dists(j: int) -> Column:
+        # one parsed expression, not ~16x(1+dsub) F.lit py4j calls —
+        # literal-building dominated plan-construction time otherwise
+        packed = F.expr(
+            "array(%s)"
+            % ", ".join(
+                "struct(%rD as n, array(%s) as w)"
+                % (sum(c * c for c in cw), ", ".join(f"{c!r}D" for c in cw))
+                for cw in codebooks[j]
+            )
+        )
+        return F.transform(
+            packed,
+            lambda s: s["n"]
+            - F.lit(2.0)
+            * F.aggregate(
+                F.zip_with(F.col(f"_s{j}"), s["w"], lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+
+    dists = subs.select(
+        F.col(id_col), *[_dists(j).alias(f"_d{j}") for j in range(m)]
+    )
+    return dists.select(
+        F.col(id_col),
+        *[
+            (F.array_position(f"_d{j}", F.array_min(f"_d{j}")) - 1)
             .cast("int")
             .alias(f"code_{j}")
-        )
-    return emb.select(*cols)
+            for j in range(m)
+        ],
+    )
 
 
 def pq_adc_lut(
@@ -701,9 +736,8 @@ def pq_adc_topk(
     luts = pq_adc_lut(query_vec, codebooks)
     acc = None
     for j, lut in enumerate(luts):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{j}") + 1
-        )
+        lut_arr = F.expr("array(%s)" % ", ".join(f"{x!r}D" for x in lut))
+        term = F.element_at(lut_arr, F.col(f"code_{j}") + 1)
         acc = term if acc is None else acc + term
     return (
         coded.select(F.col(id_col), F.round(acc, 6).alias("adc_dist"))

@@ -200,3 +200,59 @@ def test_weighted_priority_sample_bias_and_determinism(spark):
     # global (no stratum) top-n path
     top = weighted_priority_sample(df, weight_col="w", n_per_stratum=5).collect()
     assert len(top) == 5
+
+
+# --- training-shard export ----------------------------------------------------
+
+
+def test_shard_key_is_partitioning_invariant(spark):
+    from streaming_demos_spark.operators.curation import shard_key
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    a = {r.doc_id: r.s for r in df.select("doc_id", shard_key("doc_id", num_shards=16).alias("s")).collect()}
+    b = {r.doc_id: r.s for r in df.repartition(7).select("doc_id", shard_key("doc_id", num_shards=16).alias("s")).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(16))
+    # md5 uniformity: no shard holds more than 3x its fair share
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) <= 3 * (500 // 16)
+
+
+def test_shard_salt_rotates_assignment(spark):
+    from streaming_demos_spark.operators.curation import shard_key
+
+    df = spark.range(0, 300).selectExpr("id AS doc_id")
+    a = [r.s for r in df.select(shard_key("doc_id", salt="e1", num_shards=16).alias("s")).collect()]
+    b = [r.s for r in df.select(shard_key("doc_id", salt="e2", num_shards=16).alias("s")).collect()]
+    assert a != b  # different epoch permutation
+
+
+def test_write_training_shards_is_deterministic(spark, tmp_path):
+    import hashlib
+    import os
+
+    from streaming_demos_spark.operators.curation import write_training_shards
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id", "md5(cast(id AS string)) AS text")
+
+    def digest(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    shard = os.path.basename(root)
+                    data = open(os.path.join(root, f), "rb").read()
+                    out.setdefault(shard, hashlib.md5(data).hexdigest())
+        return out
+
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_training_shards(df, p1, num_shards=8)
+    write_training_shards(df.repartition(13), p2, num_shards=8)
+    d1, d2 = digest(p1), digest(p2)
+    assert len(d1) == 8
+    assert d1 == d2  # same content + salt -> byte-identical shards
+
+    back = spark.read.parquet(p1)
+    assert back.count() == 2000

@@ -396,3 +396,39 @@ def test_pq_adc_plan_is_scan_plus_topk(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # encode+score are map-side only
+
+
+# --- block-level (paragraph-analog) dedup -----------------------------------
+
+
+def test_block_dedup_removes_repeated_blocks(spark):
+    boiler = " ".join(f"b{i}" for i in range(4))
+    uniq1 = " ".join(f"u{i}" for i in range(4))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    rows = [
+        (1, f"{boiler} {uniq1}"),     # first occurrence of boiler: kept
+        (2, f"{boiler} {uniq2}"),     # boiler block dropped, uniq kept
+        (3, boiler),                  # entirely boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.block_dedup(df, block_words=4).collect()}
+    assert out[1].text == f"{boiler} {uniq1}" and out[1].keep_ratio == 1.0
+    assert out[2].text == uniq2 and out[2].n_blocks == 2 and out[2].n_kept == 1
+    assert out[3].text == "" and out[3].keep_ratio == 0.0
+
+
+def test_block_dedup_min_keep_ratio_drops_shells(spark):
+    boiler = "a b c d"
+    rows = [(1, boiler), (2, boiler), (3, "x y z w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r.doc_id for r in D.block_dedup(df, block_words=4, min_keep_ratio=0.5).collect()}
+    assert kept == {1, 3}  # doc 2 is a fully-deduped shell
+
+
+def test_block_dedup_partial_and_short_docs(spark):
+    # 5 words at block=4 -> blocks of 4 and 1; 0-word doc -> one empty block
+    rows = [(1, "p q r s t"), (2, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.block_dedup(df, block_words=4).collect()}
+    assert out[1].n_blocks == 2 and out[1].text == "p q r s t"
+    assert out[2].n_blocks == 1

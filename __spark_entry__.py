@@ -1328,6 +1328,96 @@ def _sql_pq_topk(k: int = 10) -> str:
     """
 
 
+def q_ann_recall_pq(spark, sf_dir):
+    # Recall@10 of the PQ/ADC ranking vs exact squared-L2 on the shared
+    # query panel — the compression-family member of the recall harness
+    # (similarity.py:pq_recall).
+    return SIM.pq_recall(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3], _PQ_CODEBOOKS, k=10
+    )
+
+
+def _sql_pq_recall(query_ids: list[int], k: int = 10) -> str:
+    """DuckDB oracle for q_ann_recall_pq: same codebook literals, same
+    left-to-right chains for codes, true distance and ADC distance."""
+    cbs = _PQ_CODEBOOKS
+    dsub = len(cbs[0][0])
+    dim = dsub * len(cbs)
+    dist_cols, pos_cols, sel_cols, adc_terms = [], [], [], []
+    for j, cb in enumerate(cbs):
+        exprs = []
+        for cw in cb:
+            cnorm = 0.0
+            for c in cw:
+                cnorm += c * c
+            chain = " + ".join(
+                f"{c!r} * embedding[{j * dsub + i + 1}]::DOUBLE"
+                for i, c in enumerate(cw)
+            )
+            exprs.append(f"{cnorm!r} - 2.0 * ({chain})")
+        dist_cols.append(f"[{', '.join(exprs)}] AS d{j}")
+        pos_cols.append(f"list_position(d{j}, list_aggregate(d{j}, 'min')) AS p{j}")
+        wlit = "[%s]" % ", ".join(
+            "[%s]" % ", ".join(repr(c) for c in cw) for cw in cb
+        )
+        sel_cols.append(f"{wlit}[p{j}] AS w{j}")
+        adc_terms.append(
+            "("
+            + " + ".join(
+                f"(qe[{j * dsub + i + 1}]::DOUBLE - (w{j}[{i + 1}])::DOUBLE)"
+                f" * (qe[{j * dsub + i + 1}]::DOUBLE - (w{j}[{i + 1}])::DOUBLE)"
+                for i in range(dsub)
+            )
+            + ")"
+        )
+    true_chain = " + ".join(
+        f"(c.embedding[{i}]::DOUBLE - qe[{i}]::DOUBLE)"
+        f" * (c.embedding[{i}]::DOUBLE - qe[{i}]::DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH d AS (
+            SELECT vec_id, embedding, {', '.join(dist_cols)} FROM embeddings
+        ),
+        cpos AS (
+            SELECT vec_id, embedding, {', '.join(pos_cols)} FROM d
+        ),
+        c AS (
+            SELECT vec_id, embedding, {', '.join(sel_cols)} FROM cpos
+        ),
+        panel AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT p.qid, c.vec_id,
+                   round({true_chain}, 6) AS true_d,
+                   round({' + '.join(adc_terms)}, 6) AS adc_d
+            FROM c CROSS JOIN panel p
+            WHERE c.vec_id <> p.qid
+        ),
+        re AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY true_d, vec_id) AS rt,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_d, vec_id) AS ra
+            FROM scored
+        ),
+        h AS (
+            SELECT ex.qid, count(*) AS n_hit
+            FROM (SELECT qid, vec_id FROM re WHERE rt <= {k}) ex
+            JOIN (SELECT qid, vec_id FROM re WHERE ra <= {k}) ap
+              USING (qid, vec_id)
+            GROUP BY 1
+        )
+        SELECT p.qid, coalesce(h.n_hit, 0) AS n_hit,
+               round(coalesce(h.n_hit, 0) / {k}, 4) AS recall_at_k
+        FROM panel p LEFT JOIN h ON p.qid = h.qid
+    """
+
+
 def q_dedup_report(spark, sf_dir):
     # One-row corpus dedup summary: exact-dup rows + near-dup cluster
     # picture + keep rate (threshold 0.1 like the cluster query).
@@ -2115,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_zorder_profile": q_zorder_profile,
         "llm_block_dedup": q_block_dedup,
         "llm_shard_profile": q_shard_profile,
+        "llm_ann_recall_pq": q_ann_recall_pq,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2390,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_zorder_profile": _sql_zorder_profile(),
         "llm_block_dedup": _SQL_BLOCK_DEDUP,
         "llm_shard_profile": _SQL_SHARD_PROFILE,
+        "llm_ann_recall_pq": _sql_pq_recall([0, 1, 2, 3], k=10),
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

@@ -628,11 +628,27 @@ def pq_codebooks(
     ]
 
 
+def _packed_codebook_expr(cb: list[list[float]]) -> Column:
+    """One subspace's codebook as a single parsed literal:
+    array<struct<n: double, w: array<double>>> with n = ||codeword||^2.
+    One F.expr parse instead of ~16x(1+dsub) F.lit py4j round-trips —
+    literal-building dominated plan-construction time otherwise."""
+    return F.expr(
+        "array(%s)"
+        % ", ".join(
+            "struct(%rD as n, array(%s) as w)"
+            % (sum(c * c for c in cw), ", ".join(f"{c!r}D" for c in cw))
+            for cw in cb
+        )
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Compress each vector to ``m`` codes (0-based ints): per subspace,
     the index of the nearest codeword by the argmin-equivalent score
@@ -655,8 +671,10 @@ def pq_encode(
     """
     dsub = len(codebooks[0][0])
     m = len(codebooks)
+    keep = [F.col(c) for c in (keep_cols or [])]
     subs = emb.select(
         F.col(id_col),
+        *keep,
         *[
             F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(
                 f"_s{j}"
@@ -666,18 +684,8 @@ def pq_encode(
     )
 
     def _dists(j: int) -> Column:
-        # one parsed expression, not ~16x(1+dsub) F.lit py4j calls —
-        # literal-building dominated plan-construction time otherwise
-        packed = F.expr(
-            "array(%s)"
-            % ", ".join(
-                "struct(%rD as n, array(%s) as w)"
-                % (sum(c * c for c in cw), ", ".join(f"{c!r}D" for c in cw))
-                for cw in codebooks[j]
-            )
-        )
         return F.transform(
-            packed,
+            _packed_codebook_expr(codebooks[j]),
             lambda s: s["n"]
             - F.lit(2.0)
             * F.aggregate(
@@ -687,11 +695,13 @@ def pq_encode(
             ),
         )
 
+    keep_names = [F.col(c) for c in (keep_cols or [])]
     dists = subs.select(
-        F.col(id_col), *[_dists(j).alias(f"_d{j}") for j in range(m)]
+        F.col(id_col), *keep_names, *[_dists(j).alias(f"_d{j}") for j in range(m)]
     )
     return dists.select(
         F.col(id_col),
+        *keep_names,
         *[
             (F.array_position(f"_d{j}", F.array_min(f"_d{j}")) - 1)
             .cast("int")
@@ -743,4 +753,88 @@ def pq_adc_topk(
         coded.select(F.col(id_col), F.round(acc, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def pq_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the PQ/ADC ranking against the exact squared-L2
+    baseline, per panel query — the compression-family member of the
+    recall harness (``ann_recall`` = sign-LSH, ``ann_recall_ivf`` =
+    cell pruning; this one measures what the 64x payload shrink costs
+    in ranking quality, the number that sizes m and k_codewords).
+
+    One scored frame carries BOTH distances: the true distance from the
+    raw vectors and the ADC distance from the row's codes against the
+    query's subvectors. Broadcast panel, two windows over the same
+    frame, intersection count — no second scan.
+    """
+    dsub = len(codebooks[0][0])
+    coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col,
+                      keep_cols=[vec_col])
+    panel = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    qd = F.col("_qv").cast("array<double>")
+    vd = F.col(vec_col).cast("array<double>")
+    true_d = F.round(
+        F.aggregate(
+            F.zip_with(vd, qd, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    adc = None
+    for j, cb in enumerate(codebooks):
+        cw = F.element_at(_packed_codebook_expr(cb), F.col(f"code_{j}") + 1)["w"]
+        term = F.aggregate(
+            F.zip_with(
+                F.slice(qd, j * dsub + 1, dsub), cw, lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.crossJoin(F.broadcast(panel))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            true_d.alias("true_d"),
+            F.round(adc, 6).alias("adc_d"),
+        )
+    )
+    w_true = Window.partitionBy("qid").orderBy(F.asc("true_d"), F.asc(id_col))
+    w_adc = Window.partitionBy("qid").orderBy(F.asc("adc_d"), F.asc(id_col))
+    exact = (
+        scored.withColumn("_r", F.row_number().over(w_true))
+        .filter(F.col("_r") <= k)
+        .select("qid", id_col)
+    )
+    approx = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k)
+        .select("qid", id_col)
+    )
+    hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        panel.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 4).alias(
+                "recall_at_k"
+            ),
+        )
     )

@@ -432,3 +432,44 @@ def test_block_dedup_partial_and_short_docs(spark):
     out = {r.doc_id: r for r in D.block_dedup(df, block_words=4).collect()}
     assert out[1].n_blocks == 2 and out[1].text == "p q r s t"
     assert out[2].n_blocks == 1
+
+
+def test_pq_recall_perfect_when_codes_separate_clusters(spark):
+    """Two tight clusters far apart: PQ codes must separate them, so
+    ADC ranking agrees with exact ranking and recall@k = 1.0."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    a = rng.uniform(0.2, 0.3, (20, 16))
+    b = rng.uniform(-0.3, -0.2, (20, 16))
+    X = np.vstack([a, b])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    cbs = SIM.pq_codebooks(16, m=4, k=8, seed=5)
+    out = {r.qid: r.recall_at_k for r in SIM.pq_recall(df, [0, 20], cbs, k=5).collect()}
+    assert set(out) == {0, 20}
+    # same-cluster neighbors dominate both rankings
+    assert all(v >= 0.6 for v in out.values())
+
+
+def test_pq_recall_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    X = rng.uniform(-0.4, 0.4, (50, 16))
+    cbs = SIM.pq_codebooks(16, m=4, k=8, seed=5)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    k = 7
+    got = {r.qid: r.n_hit for r in SIM.pq_recall(df, [3], cbs, k=k).collect()}
+
+    codes = _np_pq(X, cbs)
+    centers = np.asarray([[np.asarray(cbs[j][codes[i, j]]) for j in range(4)]
+                          for i in range(50)]).reshape(50, 16)
+    q = X[3]
+    others = [i for i in range(50) if i != 3]
+    true_rank = sorted(others, key=lambda i: (round(((X[i] - q) ** 2).sum(), 6), i))[:k]
+    adc_rank = sorted(others, key=lambda i: (round(((centers[i] - q) ** 2).sum(), 6), i))[:k]
+    assert got[3] == len(set(true_rank) & set(adc_rank))

@@ -1190,6 +1190,35 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    # First-order Markov transition matrix over per-user event
+    # sequences (relational.py:event_transitions): every (from -> to)
+    # event-type pair with corpus count and P(to|from).
+    ev = _t(spark, sf_dir, "events")
+    return R.event_transitions(ev, "user_id", "ts", "event_type")
+
+
+_SQL_EVENT_TRANSITIONS = """
+    WITH nxt AS (
+        SELECT event_type AS from_step,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_step
+        FROM events
+    ),
+    counts AS (
+        SELECT from_step, to_step, count(*) AS n_transitions
+        FROM nxt WHERE to_step IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_step, to_step, n_transitions,
+           round(n_transitions /
+                 sum(n_transitions) OVER (PARTITION BY from_step), 4)
+               AS p_transition
+    FROM counts
+"""
+
+
 def q_shard_profile(spark, sf_dir):
     # Pre-flight balance report for a training-shard export: rows +
     # payload bytes per content-hash shard (curation.py:shard_profile;
@@ -2206,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_block_dedup": q_block_dedup,
         "llm_shard_profile": q_shard_profile,
         "llm_ann_recall_pq": q_ann_recall_pq,
+        "ext_event_transitions": q_event_transitions,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2482,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_block_dedup": _SQL_BLOCK_DEDUP,
         "llm_shard_profile": _SQL_SHARD_PROFILE,
         "llm_ann_recall_pq": _sql_pq_recall([0, 1, 2, 3], k=10),
+        "ext_event_transitions": _SQL_EVENT_TRANSITIONS,
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

@@ -1079,3 +1079,61 @@ def set_compare(
         F.sum((1 - F.col("_ina")) * F.col("_inb")).alias("n_only_b"),
         F.count("*").alias("n_union"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every consecutive (step -> next step) pair within a
+    key's time-ordered history, the corpus-wide count and the
+    conditional probability P(to | from). The behavioral-analytics
+    generalization of the funnel: funnels check ONE prescribed path,
+    the transition matrix surfaces every path and its mass.
+
+    Scale shape mirrors ``user_journeys``: one shuffle on the (high-
+    cardinality, uniform) key with the ordering done INSIDE the
+    aggregated array (sort_array of (ts, id, step) structs — no per-key
+    window scan), pairs built by zipping the array against itself
+    shifted by one, then ONE tiny aggregate on (from, to) — the
+    transition matrix is |step-vocabulary|^2 rows, constant in corpus
+    size. P(to|from) comes from a window over that tiny frame, not the
+    event log."""
+    step = F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("i"), F.col(step_col).alias("s")
+    )
+    seqs = events.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(step)).alias("_steps")
+    )
+    n = F.size("_steps")
+    pairs = seqs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("_steps", i)["s"].alias("from_step"),
+                        F.element_at("_steps", i + 1)["s"].alias("to_step"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    )
+    counts = pairs.groupBy(
+        F.col("p.from_step").alias("from_step"),
+        F.col("p.to_step").alias("to_step"),
+    ).agg(F.count("*").alias("n_transitions"))
+    w = Window.partitionBy("from_step")
+    return counts.select(
+        "from_step",
+        "to_step",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w), 4
+        ).alias("p_transition"),
+    )

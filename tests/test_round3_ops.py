@@ -761,3 +761,37 @@ def test_zordered_write_prunes_on_second_column(spark, tmp_path):
 
     # the layout preserves the data
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    from datetime import datetime
+
+    from streaming_demos_spark.operators.relational import event_transitions
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; user 3: c (no pair)
+        (1, t(1), 1, "a"), (1, t(2), 2, "b"), (1, t(3), 3, "a"),
+        (2, t(1), 4, "a"), (2, t(2), 5, "b"),
+        (3, t(1), 6, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {(r.from_step, r.to_step): (r.n_transitions, r.p_transition)
+           for r in event_transitions(df, "user_id", "ts", "event_type").collect()}
+    assert out == {
+        ("a", "b"): (2, 1.0),   # a always goes to b
+        ("b", "a"): (1, 1.0),   # b always goes to a
+    }
+
+
+def test_event_transitions_tie_break_on_event_id(spark):
+    from datetime import datetime
+
+    from streaming_demos_spark.operators.relational import event_transitions
+
+    ts = datetime(2024, 1, 1)
+    rows = [(1, ts, 2, "b"), (1, ts, 1, "a"), (1, ts, 3, "c")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {(r.from_step, r.to_step) for r in
+           event_transitions(df, "user_id", "ts", "event_type").collect()}
+    assert out == {("a", "b"), ("b", "c")}  # ordered by id at equal ts

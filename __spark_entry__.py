@@ -1190,6 +1190,65 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    # CDC-OUT: diff two snapshot versions into a minimal change feed
+    # (cdc.snapshot_diff — the inverse of s10_cdc_apply_changes). v2 is
+    # derived deterministically from orders: price bump on key%7,
+    # deletes on key%13, negated-key inserts on key%101.
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = orders.withColumn(
+        "o_totalprice",
+        F.when(key % 7 == 0, F.col("o_totalprice") + 10).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    v2 = upd.filter(key % 13 != 0).unionByName(
+        upd.filter(key % 101 == 0).withColumn("o_orderkey", -key)
+    )
+    return cdc.snapshot_diff(orders, v2, ["o_orderkey"])
+
+
+_SQL_SNAPSHOT_DIFF = """
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    ),
+    v2 AS (
+        SELECT * FROM upd WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM upd WHERE o_orderkey % 101 = 0
+    ),
+    j AS (
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'i'
+                    WHEN n.o_orderkey IS NULL THEN 'd'
+                    WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+                      OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                      OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                      OR NOT (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate)
+                      OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                    THEN 'u' END AS op,
+               array_to_string(list_sort(list_filter([
+                   CASE WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey) THEN 'o_custkey' END,
+                   CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END,
+                   CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'o_totalprice' END,
+                   CASE WHEN NOT (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate) THEN 'o_orderdate' END,
+                   CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) THEN 'o_orderpriority' END
+               ], x -> x IS NOT NULL)), ',') AS chg
+        FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, op,
+           CASE WHEN op = 'u' THEN chg ELSE '' END AS changed_cols
+    FROM j WHERE op IS NOT NULL
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     # First-order Markov transition matrix over per-user event
     # sequences (relational.py:event_transitions): every (from -> to)
@@ -2236,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_shard_profile": q_shard_profile,
         "llm_ann_recall_pq": q_ann_recall_pq,
         "ext_event_transitions": q_event_transitions,
+        "s10_snapshot_diff": q_snapshot_diff,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2513,6 +2573,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_shard_profile": _SQL_SHARD_PROFILE,
         "llm_ann_recall_pq": _sql_pq_recall([0, 1, 2, 3], k=10),
         "ext_event_transitions": _SQL_EVENT_TRANSITIONS,
+        "s10_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

@@ -795,3 +795,45 @@ def test_event_transitions_tie_break_on_event_id(spark):
     out = {(r.from_step, r.to_step) for r in
            event_transitions(df, "user_id", "ts", "event_type").collect()}
     assert out == {("a", "b"), ("b", "c")}  # ordered by id at equal ts
+
+
+def test_snapshot_diff_classifies_and_lists_changed_cols(spark):
+    from streaming_demos_spark.sources.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> no row
+         (2, "B", 25.0),          # update, two cols
+         (4, "d", 40.0),          # update from NULL (null-safe compare)
+         (5, "e", 50.0)],         # insert
+        ["k", "s", "v"],
+    )
+    out = {r.k: (r.op, r.changed_cols) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        2: ("u", "s,v"),
+        3: ("d", ""),
+        4: ("u", "s"),
+        5: ("i", ""),
+    }
+
+
+def test_snapshot_diff_roundtrip_applies_back(spark):
+    """Applying the diff ops to the old snapshot must reproduce the new
+    one — the contract that makes the feed consumable."""
+    from streaming_demos_spark.sources.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(i, float(i)) for i in range(50)], ["k", "v"])
+    new = spark.createDataFrame(
+        [(i, float(i) + (1 if i % 3 == 0 else 0)) for i in range(5, 55)], ["k", "v"]
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    dels = {r.k for r in diff.filter("op = 'd'").collect()}
+    upserts = {r.k for r in diff.filter("op IN ('i','u')").collect()}
+    applied = (
+        old.filter(~F.col("k").isin(list(dels | upserts)))
+        .unionByName(new.join(diff.filter("op IN ('i','u')").select("k"), "k"))
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))

@@ -1190,6 +1190,82 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def _calib_weights() -> list[float]:
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    return [round(float(v), 6) for v in rng.uniform(-1.0, 1.0, 64)]
+
+
+def q_eval_calibration(spark, sf_dir):
+    # Reliability curve (linucb.py:calibration_bins): sigmoid scores of
+    # a literal linear model over the embeddings, binned against the
+    # even-cluster label.
+    from streaming_demos_spark.operators import linucb as LU
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = _calib_weights()
+    wlit = F.expr("array(%s)" % ", ".join(f"{x!r}D" for x in w))
+    raw = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), wlit, lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = emb.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("score"),
+        (F.col("label") % 2 == 0).cast("int").alias("is_pos"),
+    )
+    return LU.calibration_bins(scored, "score", "is_pos", n_bins=10)
+
+
+def _sql_eval_calibration() -> str:
+    w = _calib_weights()
+    chain = " + ".join(
+        f"embedding[{i + 1}]::DOUBLE * {x!r}" for i, x in enumerate(w)
+    )
+    return f"""
+        WITH scored AS (
+            SELECT round(1.0 / (1.0 + exp(-({chain}))), 6)::DOUBLE AS score,
+                   CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+            FROM embeddings
+        )
+        SELECT least(floor(score * 10), 9)::INT AS bin,
+               count(*) AS n,
+               round(avg(score), 4) AS mean_score,
+               round(avg(is_pos::DOUBLE), 4) AS pos_rate
+        FROM scored GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_bpe_pair_stats(spark, sf_dir):
+    # Distributed BPE-fitting inner loop: top-20 adjacent character
+    # pairs by corpus frequency (text.py:bpe_pair_stats) — counted on
+    # the distinct-word vocabulary weighted by word count.
+    return TX.bpe_pair_stats(_t(spark, sf_dir, "documents"), top_n=20)
+
+
+_SQL_BPE_PAIR_STATS = """
+    WITH words AS (
+        SELECT w, count(*) AS n_w FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t != '')) AS w
+            FROM documents
+        ) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT n_w, substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair
+        FROM words, unnest(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, sum(n_w) AS n_pairs
+    FROM pairs GROUP BY 1
+    ORDER BY n_pairs DESC, pair LIMIT 20
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     # CDC-OUT: diff two snapshot versions into a minimal change feed
     # (cdc.snapshot_diff — the inverse of s10_cdc_apply_changes). v2 is
@@ -2296,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_recall_pq": q_ann_recall_pq,
         "ext_event_transitions": q_event_transitions,
         "s10_snapshot_diff": q_snapshot_diff,
+        "llm_bpe_pair_stats": q_bpe_pair_stats,
+        "eval_calibration": q_eval_calibration,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2574,6 +2652,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_recall_pq": _sql_pq_recall([0, 1, 2, 3], k=10),
         "ext_event_transitions": _SQL_EVENT_TRANSITIONS,
         "s10_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "llm_bpe_pair_stats": _SQL_BPE_PAIR_STATS,
+        "eval_calibration": _sql_eval_calibration(),
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

@@ -308,3 +308,29 @@ def ndcg_at_k(
         per_user.filter(F.col("positives") > 0)
         .agg(F.round(F.avg(F.col("dcg") / idcg), 6).alias("ndcg_at_k"))
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-curve binning — the offline-eval companion to AUC:
+    bucket predictions into ``n_bins`` equal-width score bins and
+    report, per bin, the support, the mean predicted score and the
+    observed positive rate. A calibrated model tracks the diagonal;
+    AUC alone can't see systematic over/under-confidence.
+
+    One map-side bin assignment + one ``n_bins``-group combinable
+    aggregate — constant output size, linear scan, no window."""
+    b = F.least(F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(score_col), 4).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), 4).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

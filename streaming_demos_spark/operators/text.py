@@ -388,3 +388,53 @@ def winnow_overlap_pairs(
             ).alias("overlap_ratio"),
         )
     )
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """The inner loop of BPE tokenizer fitting, distributed: count every
+    adjacent symbol pair inside words across the corpus and return the
+    ``top_n`` most frequent — the pair a BPE trainer would merge next.
+    (Full training = iterate merge -> recount; each round is exactly
+    this aggregation over the re-symbolized corpus, so the round's cost
+    and plan shape is what matters at 100 TB.)
+
+    Symbols here are characters (round 0 of training). Plan: per-word
+    character bigrams are built map-side inside array expressions
+    (distinct-word explode first — a word repeated a million times
+    contributes via its count, not a million array builds), then ONE
+    combinable shuffle on the pair; top-n is TakeOrderedAndProject.
+    """
+    words = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    m = F.length("w")
+    pairs = words.select(
+        F.col("n_w"),
+        F.explode(
+            F.when(
+                m >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), m - 1),
+                    lambda i: F.concat(
+                        F.col("w").substr(i, F.lit(1)),
+                        F.lit(" "),
+                        F.col("w").substr(i + 1, F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(top_n)
+    )

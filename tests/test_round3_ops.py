@@ -837,3 +837,26 @@ def test_snapshot_diff_roundtrip_applies_back(spark):
         .unionByName(new.join(diff.filter("op IN ('i','u')").select("k"), "k"))
     )
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_bpe_pair_stats_counts_weighted_by_word_frequency(spark):
+    from streaming_demos_spark.operators.text import bpe_pair_stats
+
+    rows = [(1, "ab ab ab cd"), (2, "ab x")]   # 'a b' x4, 'c d' x1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.pair: r.n_pairs for r in bpe_pair_stats(df, top_n=10).collect()}
+    assert out == {"a b": 4, "c d": 1}
+
+
+def test_calibration_bins_known_values(spark):
+    from streaming_demos_spark.operators.linucb import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.08, 0),            # bin 0: rate 0
+        (0.55, 1), (0.58, 0),            # bin 5: rate 0.5
+        (0.95, 1), (1.0, 1),             # bin 9 (1.0 clamps into 9): rate 1
+    ]
+    df = spark.createDataFrame(rows, ["score", "is_pos"])
+    out = {r.bin: (r.n, r.pos_rate) for r in
+           calibration_bins(df, "score", "is_pos").collect()}
+    assert out == {0: (2, 0.0), 5: (2, 0.5), 9: (2, 1.0)}

@@ -1190,6 +1190,40 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def q_entity_blocking(spark, sf_dir):
+    # Entity-resolution candidates (relational.py:blocked_similarity_
+    # pairs): customers in the same (nation, segment) block whose names
+    # differ by <= 2 edits, with a 256-record hot-block guard.
+    return R.blocked_similarity_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=2,
+        max_block=256,
+    )
+
+
+_SQL_ENTITY_BLOCKING = """
+    WITH ok AS (
+        SELECT c_nationkey, c_mktsegment
+        FROM customer GROUP BY 1, 2 HAVING count(*) <= 256
+    ),
+    c AS (
+        SELECT customer.* FROM customer
+        JOIN ok USING (c_nationkey, c_mktsegment)
+    )
+    SELECT a.c_nationkey, a.c_mktsegment,
+           a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS distance
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 def _calib_weights() -> list[float]:
     import numpy as np
 
@@ -2374,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_snapshot_diff": q_snapshot_diff,
         "llm_bpe_pair_stats": q_bpe_pair_stats,
         "eval_calibration": q_eval_calibration,
+        "ext_entity_blocking": q_entity_blocking,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2654,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "llm_bpe_pair_stats": _SQL_BPE_PAIR_STATS,
         "eval_calibration": _sql_eval_calibration(),
+        "ext_entity_blocking": _SQL_ENTITY_BLOCKING,
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

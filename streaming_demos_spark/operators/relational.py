@@ -1137,3 +1137,46 @@ def event_transitions(
             F.col("n_transitions") / F.sum("n_transitions").over(w), 4
         ).alias("p_transition"),
     )
+
+
+def blocked_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: records sharing a blocking key
+    whose ``name_col`` values sit within ``max_distance`` edit
+    operations — the classic blocking-join + Levenshtein-verify shape
+    (never an all-pairs scan: candidates exist only inside a block).
+
+    ``max_block`` is the hot-block guard, same contract as the dedup
+    family's bucket caps: a degenerate blocking key (one city, one
+    NULL) would otherwise go quadratic; capped blocks are skipped and
+    belong to a finer blocking pass. One equality shuffle on the block
+    key + the pair-level edit-distance filter; the i<j predicate halves
+    the join output and kills self-pairs."""
+    if max_block is not None:
+        sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
+        df = df.join(
+            F.broadcast(sizes.filter(F.col("_bn") <= max_block)), block_cols
+        ).drop("_bn")
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("_na"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("_nb"),
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_na", "_nb"))
+        .filter(F.col("distance") <= max_distance)
+        .select(*block_cols, "id_a", "id_b", "distance")
+    )

@@ -860,3 +860,25 @@ def test_calibration_bins_known_values(spark):
     out = {r.bin: (r.n, r.pos_rate) for r in
            calibration_bins(df, "score", "is_pos").collect()}
     assert out == {0: (2, 0.0), 5: (2, 0.5), 9: (2, 1.0)}
+
+
+def test_blocked_similarity_pairs_blocks_and_caps(spark):
+    from streaming_demos_spark.operators.relational import blocked_similarity_pairs
+
+    rows = [
+        (1, "smith", "ny"), (2, "smyth", "ny"),   # lev 1, same block
+        (3, "smith", "la"),                        # same name, other block
+        (4, "jones", "ny"),                        # lev > 2 from smith
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "city"])
+    out = [(r.id_a, r.id_b, r.distance) for r in
+           blocked_similarity_pairs(df, "id", "name", ["city"], max_distance=2).collect()]
+    assert out == [(1, 2, 1)]
+
+    # hot-block guard: a block over the cap contributes nothing
+    hot = spark.createDataFrame(
+        [(i, "dup", "hot") for i in range(10)] + [(100, "aaa", "cold"), (101, "aab", "cold")],
+        ["id", "name", "city"],
+    )
+    capped = blocked_similarity_pairs(hot, "id", "name", ["city"], max_block=5).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}

@@ -98,6 +98,15 @@ PROBE_KEYS = [
     "llm_bm25_topk",
     "llm_ann_pq_topk",
     "ext_zorder_profile",
+    # round-3 batch 5: sub-doc dedup, CDC-out, sequence/tokenizer/eval
+    "llm_block_dedup",
+    "llm_shard_profile",
+    "llm_ann_recall_pq",
+    "ext_event_transitions",
+    "s10_snapshot_diff",
+    "llm_bpe_pair_stats",
+    "eval_calibration",
+    "ext_entity_blocking",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -1190,6 +1190,52 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    # Per-doc mean bigram cross-entropy under a corpus-self-trained
+    # add-1 bigram LM (text.py:bigram_lm_score) — the sequence-aware
+    # perplexity filter that unigram surprisal can't provide.
+    return TX.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+_SQL_BIGRAM_LM = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    cab AS (SELECT bigram, count(*) AS c_ab FROM big GROUP BY 1),
+    ca AS (
+        SELECT string_split(bigram, ' ')[1] AS a, sum(c_ab) AS c_a
+        FROM cab GROUP BY 1
+    ),
+    v AS (
+        SELECT count(DISTINCT t) AS vocab FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x != '')) AS t
+            FROM documents
+        )
+    ),
+    lp AS (
+        SELECT bigram,
+               round(-ln((c_ab + 1.0::DOUBLE)
+                         / (c_a + 1.0::DOUBLE * vocab)), 9) AS nll
+        FROM cab
+        JOIN ca ON string_split(cab.bigram, ' ')[1] = ca.a
+        CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(nll), 4) AS mean_bigram_nll
+    FROM big JOIN lp USING (bigram)
+    GROUP BY doc_id
+"""
+
+
 def q_entity_blocking(spark, sf_dir):
     # Entity-resolution candidates (relational.py:blocked_similarity_
     # pairs): customers in the same (nation, segment) block whose names
@@ -2324,6 +2370,7 @@ def q_set_compare(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_bigram_lm_score",
     "s10_cdc_scd2_history",
     "eval_ndcg",
     "llm_decontaminate_fuzzy",
@@ -2373,7 +2420,6 @@ _WINDOW_PRIORITY = [
     "ext_zscore_anomalies",
     "ext_quantile_summary",
     "llm_dedup_exact",
-    "llm_dedup_minhash_pairs",
 ]
 
 
@@ -2464,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bpe_pair_stats": q_bpe_pair_stats,
         "eval_calibration": q_eval_calibration,
         "ext_entity_blocking": q_entity_blocking,
+        "llm_bigram_lm_score": q_bigram_lm_score,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2747,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_bpe_pair_stats": _SQL_BPE_PAIR_STATS,
         "eval_calibration": _sql_eval_calibration(),
         "ext_entity_blocking": _SQL_ENTITY_BLOCKING,
+        "llm_bigram_lm_score": _SQL_BIGRAM_LM,
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

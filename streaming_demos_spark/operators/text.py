@@ -438,3 +438,76 @@ def bpe_pair_stats(
         .orderBy(F.desc("n_pairs"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram cross-entropy under a corpus-self-
+    trained add-``alpha`` bigram LM — the step up from
+    ``unigram_surprisal`` that catches *implausible sequences of common
+    words* (shuffled text, boilerplate stitching) which unigram
+    statistics cannot see: score(d) = mean over d's bigrams (a,b) of
+    -ln((c(a,b) + α) / (c(a·) + α·V)), with c(a·) the token-initial
+    count and V the unigram vocabulary.
+
+    Plan shape: per-doc bigram instances come from one explode over the
+    materialized token array; the bigram model is ONE (a,b)-keyed
+    combinable aggregation (uniform md5-free keys — a Zipfian hot
+    bigram is still one group); context counts reduce from the bigram
+    table (smaller); scalars broadcast; scoring joins back bigram-keyed
+    and reduces id-keyed. Everything combinable, nothing quadratic.
+    Per-bigram logprobs round at 9 dp before averaging (cross-engine ln
+    ulps).
+    """
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    )
+    n = F.size("_w")
+    big = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat(
+                        F.element_at("_w", i), F.lit(" "), F.element_at("_w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    c_ab = big.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    c_a = c_ab.groupBy(
+        F.split("bigram", " ").getItem(0).alias("_a")
+    ).agg(F.sum("c_ab").alias("c_a"))
+    vocab = docs.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.count_distinct("t").alias("_V")
+    )
+    lp = (
+        c_ab.withColumn("_a", F.split("bigram", " ").getItem(0))
+        .join(c_a, "_a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                -F.log(
+                    (F.col("c_ab") + F.lit(alpha))
+                    / (F.col("c_a") + F.lit(alpha) * F.col("_V"))
+                ),
+                9,
+            ).alias("nll"),
+        )
+    )
+    return (
+        big.join(lp, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("mean_bigram_nll"),
+        )
+    )

@@ -882,3 +882,22 @@ def test_blocked_similarity_pairs_blocks_and_caps(spark):
     )
     capped = blocked_similarity_pairs(hot, "id", "name", ["city"], max_block=5).collect()
     assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+
+
+def test_bigram_lm_score_prefers_seen_sequences(spark):
+    from streaming_demos_spark.operators.text import bigram_lm_score
+
+    rows = [
+        (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+        (4, "sat the cat"),   # same unigrams, unseen order
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert out[1].n_bigrams == 2
+    # frequent sequence scores lower cross-entropy than the shuffled one
+    assert out[1].mean_bigram_nll < out[4].mean_bigram_nll
+    # unigram statistics alone could never separate docs 1 and 4
+    from streaming_demos_spark.operators.text import unigram_surprisal
+
+    uni = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(df).collect()}
+    assert uni[1] == uni[4]

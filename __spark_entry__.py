@@ -800,6 +800,40 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    # Extension completing the multi-granularity family: explicit
+    # GROUPING SETS — exactly the requested granularities ((nation),
+    # (segment), ()) in one pass, no cube superset waste. Same
+    # partial+final agg shape as rollup/cube: one shuffle.
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["c_mktsegment"], []], "n_name", "c_mktsegment"
+        )
+        .agg(
+            F.grouping_id("n_name", "c_mktsegment").alias("gid"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count("*").alias("n"),
+        )
+        .select("n_name", "c_mktsegment", "gid", "total_bal", "n")
+    )
+
+
+_SQL_GROUPING_SETS = """
+    SELECT n_name, c_mktsegment,
+           (CASE WHEN grouping(n_name) = 1 THEN 2 ELSE 0 END
+            + CASE WHEN grouping(c_mktsegment) = 1 THEN 1 ELSE 0 END) AS gid,
+           round(sum(c_acctbal), 2) AS total_bal,
+           count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+"""
+
+
 def q_sliding_window(spark, sf_dir):
     # T14 extension (tumbling-only in the reference; Spark-native):
     # 10-minute windows sliding every 5 — each event lands in exactly 2
@@ -2370,6 +2404,7 @@ def q_set_compare(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_grouping_sets",
     "llm_bigram_lm_score",
     "s10_cdc_scd2_history",
     "eval_ndcg",
@@ -2419,7 +2454,6 @@ _WINDOW_PRIORITY = [
     "ext_retention",
     "ext_zscore_anomalies",
     "ext_quantile_summary",
-    "llm_dedup_exact",
 ]
 
 
@@ -2511,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_calibration": q_eval_calibration,
         "ext_entity_blocking": q_entity_blocking,
         "llm_bigram_lm_score": q_bigram_lm_score,
+        "ext_grouping_sets": q_grouping_sets,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2795,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_calibration": _sql_eval_calibration(),
         "ext_entity_blocking": _SQL_ENTITY_BLOCKING,
         "llm_bigram_lm_score": _SQL_BIGRAM_LM,
+        "ext_grouping_sets": _SQL_GROUPING_SETS,
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

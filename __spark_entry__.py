@@ -1224,6 +1224,77 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    # Crawl-refresh fuzzy gate (dedup.py:incremental_near_dup): delta
+    # docs (doc_id%5==0) checked for near-dups already in the base
+    # corpus (doc_id%5!=0) via a two-table band join + exact verify.
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_near_dup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.1,
+    ).orderBy("new_id", "base_id")
+
+
+def _sql_incremental_near_dup(
+    threshold: float = 0.1, num_hashes: int = 12, band_rows: int = 3
+) -> str:
+    """DuckDB replay of incremental_near_dup on the %5 delta/base split:
+    one shared signature pass, bands split by side, bucket cap on the
+    BASE side only, two-table candidate join, exact-Jaccard verify."""
+    mh_exprs = ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS mh_{h}"
+        for h in range(num_hashes)
+    )
+    n_bands = num_hashes // band_rows
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(f"mh_{b * band_rows + r}" for r in range(band_rows)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH w AS ({_sql_words()}),
+        sh AS ({_sql_shingles()}),
+        sig AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM (SELECT doc_id, shingles FROM sh)
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        nb AS (SELECT doc_id AS new_id, band_id, band_hash
+               FROM bands WHERE doc_id % 5 = 0),
+        bbs AS (
+            SELECT doc_id AS base_id, band_id, band_hash,
+                   count(*) OVER (PARTITION BY band_id, band_hash)
+                       AS bucket_n
+            FROM bands WHERE doc_id % 5 <> 0
+        ),
+        bb AS (SELECT base_id, band_id, band_hash FROM bbs
+               WHERE bucket_n <= 50),
+        cand AS (
+            SELECT DISTINCT new_id, base_id
+            FROM nb JOIN bb USING (band_id, band_hash)
+        ),
+        scored AS (
+            SELECT new_id, base_id,
+                   round(
+                     len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))
+                     / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+                        - len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                   4) AS jaccard
+            FROM cand
+            JOIN sh sa ON cand.new_id = sa.doc_id
+            JOIN sh sb ON cand.base_id = sb.doc_id
+        )
+        SELECT * FROM scored WHERE jaccard >= {threshold}
+        ORDER BY new_id, base_id
+    """
+
+
 def q_bigram_lm_score(spark, sf_dir):
     # Per-doc mean bigram cross-entropy under a corpus-self-trained
     # add-1 bigram LM (text.py:bigram_lm_score) — the sequence-aware
@@ -2404,6 +2475,7 @@ def q_set_compare(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_incremental_near_dup",
     "ext_grouping_sets",
     "llm_bigram_lm_score",
     "s10_cdc_scd2_history",
@@ -2453,7 +2525,6 @@ _WINDOW_PRIORITY = [
     "ext_funnel",
     "ext_retention",
     "ext_zscore_anomalies",
-    "ext_quantile_summary",
 ]
 
 
@@ -2546,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_entity_blocking": q_entity_blocking,
         "llm_bigram_lm_score": q_bigram_lm_score,
         "ext_grouping_sets": q_grouping_sets,
+        "llm_incremental_near_dup": q_incremental_near_dup,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2831,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_entity_blocking": _SQL_ENTITY_BLOCKING,
         "llm_bigram_lm_score": _SQL_BIGRAM_LM,
         "ext_grouping_sets": _SQL_GROUPING_SETS,
+        "llm_incremental_near_dup": _sql_incremental_near_dup(threshold=0.1),
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

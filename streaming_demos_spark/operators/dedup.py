@@ -803,3 +803,65 @@ def block_dedup(
         .filter(F.col("keep_ratio") >= min_keep_ratio)
         .select(id_col, "text", "n_blocks", "n_kept", "keep_ratio")
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Incremental NEAR-duplicate check of a new batch against an
+    existing corpus — the fuzzy counterpart of ``incremental_dedup``
+    and the real crawl-refresh shape: the base corpus's band index is
+    computed once (at 100 TB it is PRE-MATERIALIZED at ingest and this
+    function's ``minhash_bands(base)`` is just a scan of that store),
+    and only the delta is shingled/hashed fresh.
+
+    Candidate generation is a two-table equality join on
+    (band_id, band_hash) — delta rows meet only the base rows in their
+    buckets, never the whole corpus; buckets with more than
+    ``max_bucket`` BASE members are dropped (boilerplate guard, same
+    contract as the self-join form). Candidates verify with exact
+    n-gram Jaccard. Output: (new_id, base_id, jaccard) for every delta
+    doc with a qualifying near-dup already in the corpus — the rows a
+    refresh pipeline REJECTS before append."""
+    nb = minhash_bands(
+        new_docs, text_col, id_col, num_hashes, band_rows, shingle_k
+    ).select("band_id", "band_hash", F.col(id_col).alias("new_id"))
+    bb = minhash_bands(
+        base_docs, text_col, id_col, num_hashes, band_rows, shingle_k
+    )
+    bb = bb.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
+    ).filter(F.col("bucket_n") <= max_bucket).select(
+        "band_id", "band_hash", F.col(id_col).alias("base_id")
+    )
+    cand = (
+        nb.join(bb, on=["band_id", "band_hash"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    sh_new = _shingled(new_docs, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a")
+    )
+    sh_base = _shingled(base_docs, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("base_id"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sh_new, on="new_id")
+        .join(sh_base, on="base_id")
+        .select(
+            "new_id",
+            "base_id",
+            F.round(jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

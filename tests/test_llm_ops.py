@@ -481,3 +481,28 @@ def test_pq_recall_matches_numpy(spark):
     true_rank = sorted(others, key=lambda i: (round(((X[i] - q) ** 2).sum(), 6), i))[:k]
     adc_rank = sorted(others, key=lambda i: (round(((centers[i] - q) ** 2).sum(), 6), i))[:k]
     assert got[3] == len(set(true_rank) & set(adc_rank))
+
+
+def test_incremental_near_dup_finds_base_near_dups_only(spark):
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta"
+    rows_base = [(1, base_txt), (2, "one two three four five six seven")]
+    rows_new = [
+        (10, base_txt + " iota"),                # near-dup of base doc 1
+        (11, "totally different words here now"),  # clean
+    ]
+    base = spark.createDataFrame(rows_base, ["doc_id", "text"])
+    new = spark.createDataFrame(rows_new, ["doc_id", "text"])
+    out = [(r.new_id, r.base_id) for r in
+           D.incremental_near_dup(new, base, threshold=0.5).collect()]
+    assert out == [(10, 1)]
+
+
+def test_incremental_near_dup_base_bucket_cap(spark):
+    # a boilerplate block flooding base buckets is skipped, not paired
+    boiler = "same words repeated in every base document here"
+    base = spark.createDataFrame(
+        [(i, boiler) for i in range(12)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(100, boiler)], ["doc_id", "text"])
+    out = D.incremental_near_dup(new, base, threshold=0.1, max_bucket=5).collect()
+    assert out == []  # every base bucket exceeds the cap

@@ -102,3 +102,45 @@ def test_attribution_join_same_ts_name(spark):
     out = SS.attribution_join(left, right, key="k", left_ts="ts", right_ts="ts")
     assert sorted(out.columns) == ["k", "l_ts", "r_ts"]
     assert out.count() == 1
+
+
+def test_pq_codebooks_rejects_indivisible_dim():
+    import pytest as _pytest
+
+    from streaming_demos_spark.operators import similarity as SIM
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_codebooks(10, m=4)
+
+
+def test_block_dedup_empty_and_whitespace_docs(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "real words here")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.block_dedup(df, block_words=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].keep_ratio == 1.0
+    # the two degenerate docs collapse to one empty block; first wins
+    assert out[1].n_kept + out[2].n_kept == 1
+
+
+def test_snapshot_diff_all_inserts_and_all_deletes(spark):
+    from streaming_demos_spark.sources.cdc import snapshot_diff
+
+    a = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    empty = spark.createDataFrame([], "k long, v double")
+    assert {r.op for r in snapshot_diff(a, empty, ["k"]).collect()} == {"d"}
+    assert {r.op for r in snapshot_diff(empty, a, ["k"]).collect()} == {"i"}
+    assert snapshot_diff(a, a, ["k"]).collect() == []
+
+
+def test_bm25_empty_query_terms(spark):
+    from streaming_demos_spark.functions import tfidf as TI
+
+    df = spark.createDataFrame([(1, "some words")], ["doc_id", "text"])
+    # no terms -> no score expression; must fail loudly, not return junk
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        TI.bm25_topk(df, [], k=5).collect()

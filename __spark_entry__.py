@@ -1224,6 +1224,58 @@ _SQL_BLOCK_DEDUP = """
 """
 
 
+def q_mmr_diversify(spark, sf_dir):
+    # MMR diversified retrieval (similarity.py:mmr_topk): top-5 by
+    # lam*relevance - (1-lam)*max-sim-to-selected over a distributed
+    # TakeOrdered pool of 50, literal query vector.
+    return SIM.mmr_topk(
+        _t(spark, sf_dir, "embeddings"), _pq_query_vec(), k=5, lam=0.7, pool=50
+    )
+
+
+def _sql_mmr(k: int = 5, lam: float = 0.7, pool: int = 50) -> str:
+    """DuckDB replay of mmr_topk: pool CTE then k unrolled greedy
+    steps, each a correlated max-sim over the union of prior picks."""
+    beta = 1.0 - lam
+    q = ", ".join(repr(x) for x in _pq_query_vec())
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [f"""
+        pool AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {cos.format(a="embedding::DOUBLE[]", b=f"[{q}]::DOUBLE[]")}
+                       AS relevance
+            FROM embeddings
+            ORDER BY relevance DESC, vec_id LIMIT {pool}
+        ),
+        sel1 AS (
+            SELECT vec_id, v, relevance, relevance AS mmr
+            FROM pool ORDER BY relevance DESC, vec_id LIMIT 1
+        )"""]
+    for i in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(f"""
+        sel{i} AS (
+            SELECT p.vec_id, p.v, p.relevance,
+                   round({lam!r} * p.relevance - {beta!r} * (
+                       SELECT max({cos.format(a="p.v", b="s.v")})
+                       FROM ({prior}) s
+                   ), 6) AS mmr
+            FROM pool p
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM ({prior}) s2)
+            ORDER BY mmr DESC, p.vec_id LIMIT 1
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, relevance, mmr FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + f" {finals}"
+
+
 def q_incremental_near_dup(spark, sf_dir):
     # Crawl-refresh fuzzy gate (dedup.py:incremental_near_dup): delta
     # docs (doc_id%5==0) checked for near-dups already in the base
@@ -2475,6 +2527,7 @@ def q_set_compare(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_mmr_diversify",
     "llm_incremental_near_dup",
     "ext_grouping_sets",
     "llm_bigram_lm_score",
@@ -2524,7 +2577,6 @@ _WINDOW_PRIORITY = [
     "ext_user_journeys",
     "ext_funnel",
     "ext_retention",
-    "ext_zscore_anomalies",
 ]
 
 
@@ -2618,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bigram_lm_score": q_bigram_lm_score,
         "ext_grouping_sets": q_grouping_sets,
         "llm_incremental_near_dup": q_incremental_near_dup,
+        "llm_mmr_diversify": q_mmr_diversify,
         "q1_pricing_summary": q_pricing_summary,
         "p1_p2_j1_j2_dashboard_feed": q_dashboard_feed,
         "a1_a2_a9_dashboard_metrics": q_dashboard_metrics,
@@ -2904,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_bigram_lm_score": _SQL_BIGRAM_LM,
         "ext_grouping_sets": _SQL_GROUPING_SETS,
         "llm_incremental_near_dup": _sql_incremental_near_dup(threshold=0.1),
+        "llm_mmr_diversify": _sql_mmr(k=5, lam=0.7, pool=50),
         "llm_bm25_topk": """
             WITH base AS (
                 SELECT doc_id,

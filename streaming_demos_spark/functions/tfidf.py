@@ -209,6 +209,8 @@ def bm25_topk(
     Documents matching no query term (score 0) are excluded.
     """
     terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
 
     def _count_of(t: str) -> Column:
         # NB: the lambda must be unary — pyspark treats a second

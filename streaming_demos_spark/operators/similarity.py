@@ -838,3 +838,78 @@ def pq_recall(
             ),
         )
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected`` — the
+    retrieval-side answer to near-duplicate result lists.
+
+    Scale shape — pool-then-diversify: relevance scoring + pool
+    selection is the distributed part (map-side cosine,
+    TakeOrderedAndProject down to ``pool`` rows); the greedy selection
+    is inherently sequential and runs driver-side over the BOUNDED pool
+    (k·pool rounded dot products — same bounded-collect contract as
+    ``exact_kth_smallest``'s histogram). A naive lazy-plan formulation
+    would embed the pool subtree 2^k times; the bounded collect keeps
+    the plan linear and the driver work O(k·pool·dim).
+
+    All similarities round at 6 dp before comparison (engine parity);
+    ties break on the id. Step 1's mmr score is its relevance.
+    """
+    beta = 1.0 - lam
+    qlit = F.expr("array(%s)" % ", ".join(f"{x!r}D" for x in query_vec))
+    pooled = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("relevance"),
+        )
+        .orderBy(F.desc("relevance"), F.asc(id_col))
+        .limit(pool)
+    )
+    rows = pooled.collect()
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+            na += x * x
+            nb += y * y
+        return round(num / ((na ** 0.5) * (nb ** 0.5)), 6)
+
+    selected: list[tuple[int, object, float, float]] = []
+    chosen_vecs: list[list[float]] = []
+    avail = {r[id_col]: r for r in rows}
+    for step in range(1, k + 1):
+        best = None
+        for rid, r in avail.items():
+            if step == 1:
+                score = r["relevance"]
+            else:
+                maxsim = max(_cos(r["_v"], sv) for sv in chosen_vecs)
+                score = round(lam * r["relevance"] - beta * maxsim, 6)
+            cand = (-score, rid)
+            if best is None or cand < best[0]:
+                best = (cand, rid, score)
+        if best is None:
+            break
+        _, rid, score = best
+        r = avail.pop(rid)
+        selected.append((step, rid, r["relevance"], score))
+        chosen_vecs.append(r["_v"])
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        selected, f"step int, {id_col} long, relevance double, mmr double"
+    )

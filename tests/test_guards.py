@@ -139,8 +139,7 @@ def test_bm25_empty_query_terms(spark):
     from streaming_demos_spark.functions import tfidf as TI
 
     df = spark.createDataFrame([(1, "some words")], ["doc_id", "text"])
-    # no terms -> no score expression; must fail loudly, not return junk
     import pytest as _pytest
 
-    with _pytest.raises(Exception):
-        TI.bm25_topk(df, [], k=5).collect()
+    with _pytest.raises(ValueError, match="non-empty"):
+        TI.bm25_topk(df, [], k=5)

@@ -506,3 +506,19 @@ def test_incremental_near_dup_base_bucket_cap(spark):
     new = spark.createDataFrame([(100, boiler)], ["doc_id", "text"])
     out = D.incremental_near_dup(new, base, threshold=0.1, max_bucket=5).collect()
     assert out == []  # every base bucket exceeds the cap
+
+
+def test_mmr_diversifies_against_near_duplicate_results(spark):
+    rows = [
+        (1, [1.0, 0.0]),     # most relevant
+        (2, [1.0, 0.01]),    # near-duplicate of 1
+        (3, [0.0, 1.0]),     # orthogonal (diverse)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # diversity-heavy lambda: the near-dup is pushed below the diverse doc
+    out = SIM.mmr_topk(df, [1.0, 0.0], k=3, lam=0.3, pool=10).collect()
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    assert [r.step for r in out] == [1, 2, 3]
+    # relevance-heavy lambda keeps pure relevance order
+    out2 = SIM.mmr_topk(df, [1.0, 0.0], k=3, lam=1.0, pool=10).collect()
+    assert [r.vec_id for r in out2] == [1, 2, 3]

@@ -1,0 +1,134 @@
+"""Bounded-memory frequency sketches with exact verification passes.
+
+The reference repo has no sketch surface; this extends the engine
+toward the 100 TB goal with the standard heavy-hitters shape: a
+map-side Misra-Gries summary proposes a SMALL candidate set, an exact
+second pass counts only those candidates, and the emitted answer is
+EXACT — so a plain SQL oracle can verify it even though the first pass
+is approximate.
+
+Why this is the right 100 TB plan: a naive ``groupBy(term).count()``
+over a web corpus shuffles by term — billions of distinct keys, brutal
+skew on stopwords. Misra-Gries (Misra & Gries 1982; mergeable-summary
+form per Agarwal et al. 2012, both public) keeps ``k`` counters per
+partition with the guarantee that any term with global frequency
+``> N/k`` survives in at least one partition's summary (pigeonhole over
+the per-partition deficits). The exact pass then shuffles only rows
+whose term is in the ≤ k·P candidate union — after a broadcast filter,
+a shuffle bounded by the candidate count, not the vocabulary.
+
+The Python stage is Arrow-batched and operates on pandas
+``value_counts`` results (distinct-terms-per-batch granularity), never
+token-at-a-time.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.catalog import fan_out
+from streaming_demos_spark.operators.text import tokens
+
+
+def _mg_merge(summary: dict[str, int], counts: pd.Series, k: int) -> dict[str, int]:
+    """Merge a batch's exact value counts into a Misra-Gries summary of
+    at most ``k`` counters (mergeable-summaries rule: add, then if over
+    k counters subtract the (k+1)-th largest count from all and drop
+    the non-positive ones)."""
+    for term, c in counts.items():
+        summary[term] = summary.get(term, 0) + int(c)
+    if len(summary) > k:
+        kth = sorted(summary.values(), reverse=True)[k]
+        summary = {t: c - kth for t, c in summary.items() if c - kth > 0}
+    return summary
+
+
+def mg_candidates(
+    exploded: DataFrame, term_col: str = "term", *, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries (map-only): each partition
+    emits the ≤ k terms that could have partition-local frequency
+    > n_p/k, PLUS one ``(term=NULL, n=partition_row_count)`` row so the
+    global total rides along in the same scan. The union of non-null
+    terms over partitions is a superset of every term with GLOBAL
+    frequency > N/k."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                n += len(pdf)
+                summary = _mg_merge(summary, pdf[term_col].value_counts(), k)
+        yield pd.DataFrame(
+            {term_col: list(summary.keys()) + [None], "n": [0] * len(summary) + [n]}
+        )
+
+    return exploded.mapInPandas(run, schema=f"{term_col} string, n long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    term_col: str,
+    *,
+    k: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact frequency-threshold heavy hitters over an already-exploded
+    term column: every value with frequency > N/k, with its EXACT count
+    and frequency share, found without ever shuffling by raw term.
+
+    Two scans of the input, no persist: scan 1 is the map-only sketch
+    (which also yields the global row count), scan 2 counts ONLY the
+    broadcast candidate set. ``cnt * k > N`` is evaluated in integers,
+    so the emitted set is bit-reproducible and oracle-checkable (no
+    epsilon).
+    """
+    from pyspark import StorageLevel
+
+    exploded = fan_out(df.select(term_col))
+    # The sketch output is tiny (≤ k+1 rows/partition) but feeds two
+    # consumers (candidates + total); persist it so the corpus scan
+    # behind it runs once, not twice.
+    sketch = mg_candidates(exploded, term_col, k=k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = sketch.filter(F.col(term_col).isNotNull()).select(term_col).distinct()
+    total = sketch.agg(F.sum("n").alias("_n"))
+    counted = (
+        exploded.join(F.broadcast(cands), term_col, "inner")
+        .groupBy(term_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("_n"))
+        .select(
+            term_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), round_dp).alias("freq"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(term_col))
+    )
+
+
+def heavy_hitter_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 100,
+) -> DataFrame:
+    """Heavy-hitter TOKENS of a document corpus: tokenize, explode,
+    run the two-pass sketch. The explode is map-side; nothing shuffles
+    until the candidate-filtered count."""
+    exploded = (
+        fan_out(docs.select(text_col))
+        .select(tokens(text_col).alias("_w"))
+        .select(F.explode("_w").alias("term"))
+    )
+    return heavy_hitters(exploded, "term", k=k)

@@ -1,0 +1,142 @@
+"""Unit tests for the selection/sketch operators (DSIR importance
+weights, Gumbel resampling, temperature mixing, Misra-Gries heavy
+hitters) — crafted micro-data for the semantics plus a numpy replay of
+the DSIR math; the oracle sweep covers engine-vs-DuckDB equivalence at
+corpus scale."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import selection as SEL
+from streaming_demos_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ate the cat food", "en"),
+        (3, "el gato y el perro", "es"),
+        (4, "la casa de la playa", "es"),
+        (5, "the the the the", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def _bucket(gram: str, b: int = 256) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:6], 16) % b
+
+
+def _numpy_dsir(rows, target_langs, b=256):
+    """Plain-Python replay of the hashed-bigram DSIR weight."""
+    feats = {}
+    for doc_id, text, lang in rows:
+        w = text.lower().strip().split()
+        grams = w + [f"{a} {c}" for a, c in zip(w, w[1:])]
+        cnt: dict[int, int] = {}
+        for g in grams:
+            cnt[_bucket(g, b)] = cnt.get(_bucket(g, b), 0) + 1
+        feats[doc_id] = (cnt, lang in target_langs)
+    r_b: dict[int, int] = {}
+    t_b: dict[int, int] = {}
+    for cnt, is_t in feats.values():
+        for k, c in cnt.items():
+            r_b[k] = r_b.get(k, 0) + c
+            if is_t:
+                t_b[k] = t_b.get(k, 0) + c
+    r_tot, t_tot = sum(r_b.values()), sum(t_b.values())
+    out = {}
+    for doc_id, (cnt, _) in feats.items():
+        s = 0.0
+        for k, c in cnt.items():
+            s += c * (
+                math.log((t_b.get(k, 0) + 1) / (t_tot + b))
+                - math.log((r_b[k] + 1) / (r_tot + b))
+            )
+        out[doc_id] = round(s, 4)
+    return out
+
+
+def test_dsir_weights_match_python_replay(mini_docs):
+    got = {
+        r.doc_id: r.log_weight
+        for r in SEL.dsir_log_weights(
+            mini_docs, F.col("lang") == "en", num_buckets=256
+        ).collect()
+    }
+    rows = [(r.doc_id, r.text, r.lang) for r in mini_docs.collect()]
+    want = _numpy_dsir(rows, {"en"})
+    assert got == pytest.approx(want)
+
+
+def test_dsir_targets_score_higher(mini_docs):
+    w = SEL.dsir_log_weights(mini_docs, F.col("lang") == "en").collect()
+    by_id = {r.doc_id: r.log_weight for r in w}
+    en_mean = (by_id[1] + by_id[2] + by_id[5]) / 3
+    es_mean = (by_id[3] + by_id[4]) / 2
+    assert en_mean > es_mean
+
+
+def test_dsir_resample_is_deterministic_topk(mini_docs):
+    w = SEL.dsir_log_weights(mini_docs, F.col("lang") == "en")
+    a = [r.doc_id for r in SEL.dsir_resample(w, k=3).collect()]
+    b = [r.doc_id for r in SEL.dsir_resample(w, k=3).collect()]
+    assert a == b and len(a) == 3
+    # k >= n degrades to "everything, ranked"
+    assert SEL.dsir_resample(w, k=99).count() == 5
+
+
+def test_temperature_mix_flattens_head(spark):
+    rows = [("big", 900_000), ("small", 100_000)]
+    docs = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {
+        r.source: r
+        for r in SEL.temperature_mix(
+            docs, "source", "n_chars", alpha=0.3, token_budget=1_000_000
+        ).collect()
+    }
+    # alpha < 1 moves weight from the big domain to the small one
+    assert out["big"].mix_weight < out["big"].nat_frac
+    assert out["small"].mix_weight > out["small"].nat_frac
+    assert out["big"].mix_weight + out["small"].mix_weight == pytest.approx(
+        1.0, abs=2e-6
+    )
+    # epochs = share of budget / own size
+    assert out["small"].epochs == pytest.approx(
+        out["small"].mix_weight * 1_000_000 / 100_000, abs=1e-4
+    )
+
+
+def test_mg_merge_guarantee():
+    """Every item with frequency > N/k survives the summary."""
+    import pandas as pd
+
+    stream = ["a"] * 50 + ["b"] * 30 + [f"z{i}" for i in range(40)]
+    summary: dict[str, int] = {}
+    for i in range(0, len(stream), 7):  # uneven batch splits
+        batch = pd.Series(stream[i : i + 7]).value_counts()
+        summary = SK._mg_merge(summary, batch, k=5)
+    assert len(summary) <= 5
+    assert "a" in summary and "b" in summary  # freq > 120/5 = 24
+
+
+def test_heavy_hitters_exact_output(spark):
+    rows = [("x",)] * 40 + [("y",)] * 25 + [(f"rare{i}",) for i in range(35)]
+    df = spark.createDataFrame(rows, ["term"]).repartition(7)
+    got = SK.heavy_hitters(df, "term", k=4).collect()
+    # N=100, threshold cnt*4 > 100 => cnt >= 26 -> only x
+    assert [(r.term, r.cnt) for r in got] == [("x", 40)]
+    got10 = SK.heavy_hitters(df, "term", k=10).collect()
+    assert [(r.term, r.cnt) for r in got10] == [("x", 40), ("y", 25)]
+    assert got10[0].freq == pytest.approx(0.4)
+
+
+def test_heavy_hitter_terms_on_docs(mini_docs):
+    got = SK.heavy_hitter_terms(mini_docs, k=5).collect()
+    # 24 tokens total; only 'the' (8 occurrences) exceeds 24/5
+    assert [(r.term, r.cnt) for r in got] == [("the", 8)]

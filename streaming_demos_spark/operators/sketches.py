@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streaming_demos_spark.catalog import fan_out
+from streaming_demos_spark.operators.selection import hash_bucket
 from streaming_demos_spark.operators.text import tokens
 
 
@@ -114,6 +115,68 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("_n"), round_dp).alias("freq"),
         )
         .orderBy(F.desc("cnt"), F.asc(term_col))
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    term_col: str = "term",
+    *,
+    k: int = 100,
+    num_groups: int = 16,
+) -> DataFrame:
+    """Streaming Misra-Gries: maintain a bounded per-shard summary in
+    keyed state and re-emit it every micro-batch.
+
+    Terms are sharded into ``num_groups`` state keys by the same md5
+    bucket hash the batch ops use, so state is bounded at
+    ``num_groups * k`` counters TOTAL regardless of vocabulary size —
+    the property an exact streaming ``groupBy(term).count()`` cannot
+    give. Emitted counts are the MG lower bounds (true count minus at
+    most ``n_shard/k``); a downstream exact recount of the emitted
+    candidates (as in :func:`heavy_hitters`) restores exactness when a
+    batch pass over the retained log is affordable.
+
+    Works unchanged on batch frames via the shared merge kernel —
+    ``heavy_hitters``'s candidate set is exactly this operator's final
+    emission, which is what ``tests/test_selection.py`` asserts.
+    """
+    from pyspark.sql import types as T
+
+    shard = hash_bucket(F.col(term_col), num_groups).alias("shard")
+    keyed = stream.select(shard, F.col(term_col))
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType(), False),
+            T.StructField(term_col, T.StringType(), True),
+            T.StructField("cnt_lb", T.LongType(), False),
+        ]
+    )
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            terms, cnts = state.get
+            summary = dict(zip(list(terms), [int(c) for c in cnts]))
+        else:
+            summary = {}
+        for pdf in pdfs:
+            if len(pdf):
+                summary = _mg_merge(summary, pdf[term_col].value_counts(), k)
+        state.update((list(summary.keys()), list(summary.values())))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                term_col: list(summary.keys()),
+                "cnt_lb": list(summary.values()),
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        run,
+        outputStructType=out_schema,
+        stateStructType="terms array<string>, cnts array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
 
 

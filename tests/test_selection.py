@@ -140,3 +140,40 @@ def test_heavy_hitter_terms_on_docs(mini_docs):
     got = SK.heavy_hitter_terms(mini_docs, k=5).collect()
     # 24 tokens total; only 'the' (8 occurrences) exceeds 24/5
     assert [(r.term, r.cnt) for r in got] == [("the", 8)]
+
+
+def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
+    """The streaming MG state must retain every term with global
+    frequency > N/k across micro-batches, with lower-bound counts
+    within N_shard/k of the truth."""
+    rows = [("x",)] * 40 + [("y",)] * 25 + [(f"rare{i}",) for i in range(35)]
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    # two files -> two micro-batches exercising the state roundtrip
+    first = spark.createDataFrame(rows[:60], ["term"])
+    second = spark.createDataFrame(rows[60:], ["term"])
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(first.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        SK.streaming_heavy_hitters(stream, "term", k=8, num_groups=4)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per (shard, term) is the current summary state
+    import pandas as pd  # noqa: F401
+
+    out = spark.sql(
+        "SELECT term, max(cnt_lb) AS cnt_lb FROM hh_stream GROUP BY term"
+    ).collect()
+    by_term = {r.term: r.cnt_lb for r in out}
+    assert "x" in by_term and "y" in by_term
+    # lower bound property: cnt_lb <= true, and deficit <= N/k
+    assert 40 - 100 / 8 <= by_term["x"] <= 40
+    assert 25 - 100 / 8 <= by_term["y"] <= 25

@@ -4741,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
             WITH per AS (
                 SELECT source, sum(n_chars) AS n_tokens
                 FROM documents GROUP BY 1
+                HAVING sum(n_chars) > 0
             ),
             tot AS (
                 SELECT sum(n_tokens) AS _tot,

@@ -224,8 +224,14 @@ def temperature_mix(
 
     One tiny aggregation (|domains| rows) + a 1-row broadcast; the
     corpus-sized stage is a single map-side-combinable sum.
+
+    Zero-mass domains (every doc empty) are dropped rather than
+    emitted: they have no mixture role, and keeping them would make
+    ``epochs`` a 0/0 (ANSI mode would throw).
     """
-    per = docs.groupBy(group_col).agg(F.sum(size_col).alias("n_tokens"))
+    per = docs.groupBy(group_col).agg(F.sum(size_col).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
     tot = per.agg(
         F.sum("n_tokens").alias("_tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(

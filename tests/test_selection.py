@@ -112,6 +112,14 @@ def test_temperature_mix_flattens_head(spark):
     )
 
 
+def test_temperature_mix_drops_zero_mass_domain(spark):
+    rows = [("big", 1000), ("empty", 0)]
+    docs = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = SEL.temperature_mix(docs, "source", "n_chars").collect()
+    assert [r.source for r in out] == ["big"]
+    assert out[0].mix_weight == pytest.approx(1.0)
+
+
 def test_mg_merge_guarantee():
     """Every item with frequency > N/k survives the summary."""
     import pandas as pd

@@ -2562,6 +2562,16 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_per_group_sample(spark, sf_dir):
+    # Deterministic per-domain reservoir: exactly min(5, |domain|) docs
+    # per source, md5-ordered (curation.py:per_group_sample) — the
+    # replayable "k eval examples per domain" draw.
+    docs = _t(spark, sf_dir, "documents")
+    return CU.per_group_sample(docs, "source", k=5).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     # Exact heavy hitters (freq > N/k) via map-side Misra-Gries
     # candidates + exact candidate-only recount — the vocabulary is
@@ -2574,6 +2584,7 @@ _WINDOW_PRIORITY = [
     "llm_dsir_resample",
     "llm_temperature_mix",
     "ext_heavy_hitters",
+    "llm_per_group_sample",
     "llm_mmr_diversify",
     "llm_incremental_near_dup",
     "ext_grouping_sets",
@@ -2639,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dsir_resample": q_dsir_resample,
         "llm_temperature_mix": q_temperature_mix,
         "ext_heavy_hitters": q_heavy_hitters,
+        "llm_per_group_sample": q_per_group_sample,
         "s10_cdc_scd2_history": q_cdc_scd2_history,
         "eval_ndcg": q_eval_ndcg,
         "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
@@ -4754,6 +4766,16 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(n_tokens::DOUBLE, 0.3) / _z * 1000000.0
                          / n_tokens, 6) AS epochs
             FROM per, tot ORDER BY source
+        """,
+        "llm_per_group_sample": """
+            SELECT doc_id, source, lang FROM (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         "ext_heavy_hitters": """
             WITH w AS (

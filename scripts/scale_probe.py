@@ -107,6 +107,11 @@ PROBE_KEYS = [
     "llm_bpe_pair_stats",
     "eval_calibration",
     "ext_entity_blocking",
+    # round-3 batch 6: data selection + sketches
+    "llm_dsir_weights",
+    "llm_dsir_resample",
+    "llm_temperature_mix",
+    "ext_heavy_hitters",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -134,6 +134,35 @@ def stratified_sample(
     return docs.filter(key < threshold)
 
 
+def per_group_sample(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen by md5 order
+    of the row id — the deterministic reservoir sample ("k eval
+    examples per domain") that is reproducible across runs, engines,
+    and partitionings.
+
+    One keyed shuffle: rank by (md5(id), id) within the group, keep
+    rank <= k. md5 order is uniform, so this IS a uniform
+    without-replacement draw, just with a replayable seed. For a
+    pathologically hot group at extreme scale, pre-filter with the
+    two-pass threshold trick (count per group -> keep only
+    md5-uniform < c*k/count before ranking, the
+    ``exact_kth_smallest`` histogram contract) — the rank input then
+    holds ~c*k rows per group instead of the full group.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def mix_weights(
     docs: DataFrame,
     strata_col: str,

@@ -256,3 +256,17 @@ def test_write_training_shards_is_deterministic(spark, tmp_path):
 
     back = spark.read.parquet(p1)
     assert back.count() == 2000
+
+
+def test_per_group_sample_exact_k_and_deterministic(spark):
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = CU.per_group_sample(df, "source", k=4, id_col="doc_id")
+    got = a.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+    # deterministic across repartitionings
+    b = CU.per_group_sample(df.repartition(7), "source", k=4, id_col="doc_id")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )

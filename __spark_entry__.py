@@ -2562,6 +2562,15 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    # Anchor/positive/hard-negative mining within LSH buckets
+    # (similarity.py:contrastive_triplets): bounded self-join + one
+    # conditional-argmax aggregation, no window, no second shuffle.
+    return SIM.contrastive_triplets(
+        _t(spark, sf_dir, "embeddings"), pos_threshold=0.3, num_planes=4
+    )
+
+
 def q_per_group_sample(spark, sf_dir):
     # Deterministic per-domain reservoir: exactly min(5, |domain|) docs
     # per source, md5-ordered (curation.py:per_group_sample) — the
@@ -2585,6 +2594,7 @@ _WINDOW_PRIORITY = [
     "llm_temperature_mix",
     "ext_heavy_hitters",
     "llm_per_group_sample",
+    "llm_contrastive_triplets",
     "llm_mmr_diversify",
     "llm_incremental_near_dup",
     "ext_grouping_sets",
@@ -2651,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_temperature_mix": q_temperature_mix,
         "ext_heavy_hitters": q_heavy_hitters,
         "llm_per_group_sample": q_per_group_sample,
+        "llm_contrastive_triplets": q_contrastive_triplets,
         "s10_cdc_scd2_history": q_cdc_scd2_history,
         "eval_ndcg": q_eval_ndcg,
         "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
@@ -4766,6 +4777,29 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(n_tokens::DOUBLE, 0.3) / _z * 1000000.0
                          / n_tokens, 6) AS epochs
             FROM per, tot ORDER BY source
+        """,
+        "llm_contrastive_triplets": f"""
+            WITH {_sql_lsh_bucket_cte(4)},
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_SQL_COS.format(a="a.v", b="b.v")} AS cos_r
+                FROM bk a JOIN bk b
+                  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            ),
+            agg AS (
+                SELECT id_a AS anchor_id,
+                       max(CASE WHEN cos_r >= 0.3
+                                THEN [cos_r, id_b::DOUBLE] END) AS p,
+                       max(CASE WHEN cos_r < 0.3
+                                THEN [cos_r, id_b::DOUBLE] END) AS n
+                FROM pairs GROUP BY 1
+            )
+            SELECT anchor_id,
+                   p[2]::BIGINT AS pos_id, p[1] AS pos_cos,
+                   n[2]::BIGINT AS neg_id, n[1] AS neg_cos
+            FROM agg
+            WHERE p IS NOT NULL AND n IS NOT NULL
+            ORDER BY anchor_id
         """,
         "llm_per_group_sample": """
             SELECT doc_id, source, lang FROM (

@@ -913,3 +913,72 @@ def mmr_topk(
     return spark.createDataFrame(
         selected, f"step int, {id_col} long, relevance double, mmr double"
     )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    pos_threshold: float = 0.3,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Anchor/positive/hard-negative triplet mining for embedding-model
+    training data: within each LSH bucket, every vector's most-similar
+    neighbor at cosine >= ``pos_threshold`` becomes its positive, and
+    its most-similar neighbor BELOW the threshold its hard negative —
+    the "close but not a match" example contrastive losses need.
+    Anchors missing either side are dropped.
+
+    Plan shape: the bounded within-bucket self-join (same contract as
+    ``embedding_near_dup_pairs`` — never all-pairs; hard negatives are
+    hard precisely BECAUSE they share the anchor's bucket), then ONE
+    doc-keyed combinable aggregation: both argmaxes are conditional
+    ``max(struct(cos, id))`` folds, so no per-anchor window or second
+    shuffle exists. Ties on the 6-dp-rounded cosine break to the higher
+    neighbor id, deterministically in any engine.
+    """
+    d = _as_double(F.col(vec_col))
+    bucketed = with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col).withColumn(
+        "_norm", F.sqrt(dot(d, d))
+    )
+    a = bucketed.select(
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    best = F.struct(F.col("cos_r"), F.col("id_b"))
+    agg = pairs.groupBy(F.col("id_a").alias("anchor_id")).agg(
+        F.max(F.when(F.col("cos_r") >= pos_threshold, best)).alias("_p"),
+        F.max(F.when(F.col("cos_r") < pos_threshold, best)).alias("_n"),
+    )
+    return (
+        agg.filter(F.col("_p").isNotNull() & F.col("_n").isNotNull())
+        .select(
+            "anchor_id",
+            F.col("_p.id_b").alias("pos_id"),
+            F.col("_p.cos_r").alias("pos_cos"),
+            F.col("_n.id_b").alias("neg_id"),
+            F.col("_n.cos_r").alias("neg_cos"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -522,3 +522,28 @@ def test_mmr_diversifies_against_near_duplicate_results(spark):
     # relevance-heavy lambda keeps pure relevance order
     out2 = SIM.mmr_topk(df, [1.0, 0.0], k=3, lam=1.0, pool=10).collect()
     assert [r.vec_id for r in out2] == [1, 2, 3]
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Positive = most-similar same-bucket neighbor >= threshold,
+    negative = most-similar below; anchors lacking either are absent."""
+    # 2-d vectors: a,b nearly parallel (cos~1), c orthogonal-ish to
+    # both but in the same LSH bucket region, d opposite.
+    rows = [
+        (0, [1.0, 0.05]),
+        (1, [1.0, 0.0]),
+        (2, [1.0, 4.0]),
+        (3, [-1.0, -0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.anchor_id: r
+        for r in SIM.contrastive_triplets(
+            emb, pos_threshold=0.9, num_planes=2
+        ).collect()
+    }
+    for r in out.values():
+        assert r.pos_cos >= 0.9 > r.neg_cos
+        assert r.pos_id != r.neg_id
+    if 0 in out:  # 0's positive must be 1 (cos≈0.999), not 2 or 3
+        assert out[0].pos_id == 1

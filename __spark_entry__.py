@@ -2562,6 +2562,18 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_cross_source_overlap(spark, sf_dir):
+    # Cross-domain duplicate matrix (dedup.py:cross_source_overlap) at
+    # block_dedup's 20-word-block granularity: distinct (md5, source)
+    # -> co-partitioned self-join -> |domains|² aggregate; per-source
+    # totals broadcast back. (Whole-document keys report zero overlap
+    # on this corpus — every text is unique — so the query exercises
+    # the block view.)
+    return D.cross_source_overlap(
+        _t(spark, sf_dir, "documents"), "source", block_words=20
+    )
+
+
 def q_contrastive_triplets(spark, sf_dir):
     # Anchor/positive/hard-negative mining within LSH buckets
     # (similarity.py:contrastive_triplets): bounded self-join + one
@@ -2595,6 +2607,7 @@ _WINDOW_PRIORITY = [
     "ext_heavy_hitters",
     "llm_per_group_sample",
     "llm_contrastive_triplets",
+    "llm_cross_source_overlap",
     "llm_mmr_diversify",
     "llm_incremental_near_dup",
     "ext_grouping_sets",
@@ -2662,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_heavy_hitters": q_heavy_hitters,
         "llm_per_group_sample": q_per_group_sample,
         "llm_contrastive_triplets": q_contrastive_triplets,
+        "llm_cross_source_overlap": q_cross_source_overlap,
         "s10_cdc_scd2_history": q_cdc_scd2_history,
         "eval_ndcg": q_eval_ndcg,
         "llm_decontaminate_fuzzy": q_fuzzy_decontaminate,
@@ -4777,6 +4791,38 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(n_tokens::DOUBLE, 0.3) / _z * 1000000.0
                          / n_tokens, 6) AS epochs
             FROM per, tot ORDER BY source
+        """,
+        "llm_cross_source_overlap": """
+            WITH toks AS (
+                SELECT source,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ),
+            hashed AS (
+                SELECT DISTINCT source,
+                       unnest(list_transform(
+                           range(0, greatest(
+                               cast(ceil(len(w) / 20.0) AS BIGINT), 1)),
+                           i -> md5(array_to_string(
+                               w[i*20+1 : i*20+20], ' '))
+                       )) AS h
+                FROM toks
+            ),
+            per AS (SELECT source, count(*) AS n_texts FROM hashed GROUP BY 1),
+            shared AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS n_shared
+                FROM hashed a JOIN hashed b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared,
+                   round(n_shared / least(pa.n_texts, pb.n_texts)::DOUBLE,
+                         6) AS overlap_rate
+            FROM shared
+            JOIN per pa ON pa.source = shared.source_a
+            JOIN per pb ON pb.source = shared.source_b
+            ORDER BY source_a, source_b
         """,
         "llm_contrastive_triplets": f"""
             WITH {_sql_lsh_bucket_cte(4)},

@@ -865,3 +865,91 @@ def incremental_near_dup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    block_words: int | None = None,
+) -> DataFrame:
+    """Cross-domain duplicate-overlap matrix: for every pair of
+    domains, how many DISTINCT contents appear in both — the
+    diagnostic a corpus curation run reads before deciding which
+    source to keep duplicates from (and the denominator for
+    "X% of src_b is already in src_a" claims, via the per-source
+    distinct counts carried on each row).
+
+    ``block_words=None`` keys by the whole document (md5 of the raw
+    text); an integer keys by fixed word-blocks (the
+    :func:`block_dedup` granularity) — the RefinedWeb-style view that
+    catches boilerplate spans shared across otherwise-distinct
+    documents, which whole-document hashing reports as zero overlap.
+
+    Plan shape: one (hash, group) distinct — a single hash-keyed
+    combinable shuffle — then a co-partitioned self-join on the
+    content hash (group sizes bounded by |domains|, so the join fans
+    out at most |domains|² per content, not corpus²) and a
+    |domains|²-row aggregate. Per-source totals join back by broadcast
+    (|domains| rows).
+    """
+    from pyspark import StorageLevel
+
+    from streaming_demos_spark.catalog import fan_out
+    from streaming_demos_spark.operators.text import tokens
+
+    if block_words is None:
+        keyed = docs.select(F.md5(F.col(text_col)).alias("_h"), F.col(group_col))
+    else:
+        toks = fan_out(docs.select(group_col, text_col), group_col).select(
+            F.col(group_col), tokens(text_col).alias("_w")
+        )
+        nblk = F.greatest(
+            F.ceil(F.size("_w") / F.lit(block_words)).cast("int"), F.lit(1)
+        )
+        keyed = toks.select(
+            F.col(group_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nblk - 1),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice("_w", i * block_words + 1, block_words), " "
+                        )
+                    ),
+                )
+            ).alias("_h"),
+        )
+    # (hash, group) distinct feeds three consumers (totals + both join
+    # sides); persist so the scan+distinct runs once.
+    hashed = keyed.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    per_source = hashed.groupBy(group_col).agg(
+        F.count("*").alias("n_texts")
+    )
+    a = hashed.select(F.col("_h"), F.col(group_col).alias("source_a"))
+    b = hashed.select(F.col("_h"), F.col(group_col).alias("source_b"))
+    shared = (
+        a.join(b, on="_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col(group_col).alias("source_a"), F.col("n_texts").alias("n_a")
+    )
+    nb = per_source.select(
+        F.col(group_col).alias("source_b"), F.col("n_texts").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("overlap_rate"),
+        )
+        .orderBy("source_a", "source_b")
+    )

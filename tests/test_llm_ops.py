@@ -547,3 +547,33 @@ def test_contrastive_triplets_semantics(spark):
         assert r.pos_id != r.neg_id
     if 0 in out:  # 0's positive must be 1 (cos≈0.999), not 2 or 3
         assert out[0].pos_id == 1
+
+
+def test_cross_source_overlap_counts(spark):
+    rows = [
+        (1, "shared text here", "a"),
+        (2, "shared text here", "b"),
+        (3, "shared text here", "c"),
+        (4, "only in a", "a"),
+        (5, "another b doc", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    from streaming_demos_spark.operators import dedup as D
+
+    out = {
+        (r.source_a, r.source_b): (r.n_shared, r.overlap_rate)
+        for r in D.cross_source_overlap(docs, "source").collect()
+    }
+    # one shared content across each pair; rates vs the smaller side
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "c")] == (1, 1.0)
+    assert out[("b", "c")] == (1, 1.0)
+    # block mode on disjoint texts finds nothing
+    blk = D.cross_source_overlap(
+        spark.createDataFrame(
+            [(1, "aa bb", "x"), (2, "cc dd", "y")], ["doc_id", "text", "source"]
+        ),
+        "source",
+        block_words=2,
+    )
+    assert blk.count() == 0

@@ -4826,10 +4826,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "llm_contrastive_triplets": f"""
             WITH {_sql_lsh_bucket_cte(4)},
+            bsz AS (SELECT bucket, count(*) AS bn FROM bk GROUP BY 1),
+            capped AS (
+                SELECT vec_id, v, bk.bucket
+                FROM bk JOIN bsz USING (bucket)
+                WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                      % greatest(cast(ceil(bn / 200.0) AS BIGINT), 1) = 0
+            ),
             pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        {_SQL_COS.format(a="a.v", b="b.v")} AS cos_r
-                FROM bk a JOIN bk b
+                FROM bk a JOIN capped b
                   ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
             ),
             agg AS (

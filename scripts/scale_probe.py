@@ -112,6 +112,9 @@ PROBE_KEYS = [
     "llm_dsir_resample",
     "llm_temperature_mix",
     "ext_heavy_hitters",
+    "llm_per_group_sample",
+    "llm_contrastive_triplets",
+    "llm_cross_source_overlap",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -921,6 +921,7 @@ def contrastive_triplets(
     num_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Anchor/positive/hard-negative triplet mining for embedding-model
     training data: within each LSH bucket, every vector's most-similar
@@ -936,10 +937,27 @@ def contrastive_triplets(
     ``max(struct(cos, id))`` folds, so no per-anchor window or second
     shuffle exists. Ties on the 6-dp-rounded cosine break to the higher
     neighbor id, deterministically in any engine.
+
+    The CANDIDATE side of the join is thinned to ~``max_bucket``
+    vectors per bucket by a deterministic hash-stride filter: keep a
+    candidate iff ``md5_uniform(id) % ceil(bucket_size/max_bucket) ==
+    0``. Join fan-out is then ``|anchors| * O(max_bucket)`` — linear in
+    corpus size, never quadratic in bucket size (a 10x probe without
+    any cap measured 82x wall-clock: 16 fixed buckets going 10x fatter
+    = 100x pairs). The stride filter is map-side (bucket sizes are a
+    2^planes-row broadcast aggregate) — unlike a row_number cap it
+    adds NO per-bucket sort, which at few-bucket settings would
+    serialize on 2^planes tasks. At real scale also grow
+    ``num_planes`` ~ log2(N) to hold expected bucket size constant —
+    the same policy as semantic dedup's k ~ N.
     """
+    from pyspark import StorageLevel
+
     d = _as_double(F.col(vec_col))
-    bucketed = with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col).withColumn(
-        "_norm", F.sqrt(dot(d, d))
+    bucketed = (
+        with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col)
+        .withColumn("_norm", F.sqrt(dot(d, d)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bucketed.select(
         "bucket",
@@ -947,11 +965,22 @@ def contrastive_triplets(
         F.col(vec_col).alias("va"),
         F.col("_norm").alias("na"),
     )
-    b = bucketed.select(
-        "bucket",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_norm").alias("nb"),
+    bsize = bucketed.groupBy("bucket").agg(F.count("*").alias("_bn"))
+    stride = F.greatest(
+        F.ceil(F.col("_bn") / F.lit(max_bucket)), F.lit(1)
+    ).cast("long")
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = (
+        bucketed.join(F.broadcast(bsize), "bucket")
+        .filter(u % stride == 0)
+        .select(
+            "bucket",
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("_norm").alias("nb"),
+        )
     )
     pairs = (
         a.join(b, on="bucket")

@@ -291,11 +291,25 @@ def embedding_near_dup_pairs(
     num_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: self-join WITHIN LSH
     buckets (never all-pairs), exact cosine verify, threshold filter.
     Near-identical vectors land in the same bucket with high
-    probability (all P projections must flip sign to escape)."""
+    probability (all P projections must flip sign to escape).
+
+    ``max_bucket`` (optional) thins each bucket to ~that many vectors
+    with the deterministic hash-stride filter measured in SCALE.md's
+    contrastive-triplets A/B (82x -> 3.1x at 10x): keep a vector iff
+    ``md5_uniform(id) % ceil(bucket_size/max_bucket) == 0``, bucket
+    sizes being a 2^planes-row broadcast aggregate. With the cap the
+    join is linear in corpus size; without it, quadratic in bucket
+    size — safe only when ``num_planes`` is grown ~ log2(N) to hold
+    expected bucket size constant (the default here, matching the
+    exact-pairs contract the oracle checks). A capped run can miss
+    pairs whose BOTH members are strided out — acceptable for dedup
+    (each surviving stride member still represents its neighborhood),
+    not for an exhaustive pair audit."""
     # Per-row norm is computed ONCE before the self-join — inside the
     # join each vector's self-dot would be recomputed per PAIR (~bucket
     # size times). Same arithmetic (sqrt of the same fold), so the
@@ -306,6 +320,22 @@ def embedding_near_dup_pairs(
     bucketed = with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col).withColumn(
         "_norm", F.sqrt(dot(d, d))
     )
+    if max_bucket is not None:
+        from pyspark import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        bsize = bucketed.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        stride = F.greatest(
+            F.ceil(F.col("_bn") / F.lit(max_bucket)), F.lit(1)
+        ).cast("long")
+        u = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        bucketed = (
+            bucketed.join(F.broadcast(bsize), "bucket")
+            .filter(u % stride == 0)
+            .drop("_bn")
+        )
     a = bucketed.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),

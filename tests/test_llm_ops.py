@@ -577,3 +577,30 @@ def test_cross_source_overlap_counts(spark):
         block_words=2,
     )
     assert blk.count() == 0
+
+
+def test_neardup_embedding_cap_keeps_stride_members(spark):
+    """With a binding cap, surviving pairs are a subset of the uncapped
+    pairs and every bucket still contributes ~max_bucket candidates."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [1.0 + rng.uniform(-0.01, 0.01), 2.0 + rng.uniform(-0.01, 0.01)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup_pairs(
+            emb, threshold=0.99, num_planes=2
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup_pairs(
+            emb, threshold=0.99, num_planes=2, max_bucket=10
+        ).collect()
+    }
+    assert capped <= full
+    assert 0 < len(capped) < len(full)

@@ -185,3 +185,13 @@ def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
     # lower bound property: cnt_lb <= true, and deficit <= N/k
     assert 40 - 100 / 8 <= by_term["x"] <= 40
     assert 25 - 100 / 8 <= by_term["y"] <= 25
+
+
+def test_dsir_weights_partition_invariant(mini_docs):
+    a = SEL.dsir_log_weights(mini_docs, F.col("lang") == "en").collect()
+    b = SEL.dsir_log_weights(
+        mini_docs.repartition(13), F.col("lang") == "en"
+    ).collect()
+    assert sorted((r.doc_id, r.log_weight) for r in a) == sorted(
+        (r.doc_id, r.log_weight) for r in b
+    )

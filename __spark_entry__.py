@@ -39,6 +39,7 @@ from streaming_demos_spark.operators import selection as SEL
 from streaming_demos_spark.operators import similarity as SIM
 from streaming_demos_spark.operators import sketches as SK
 from streaming_demos_spark.operators import text as TX
+from streaming_demos_spark.operators import training as TR
 from streaming_demos_spark.schemas import ORDERS
 from streaming_demos_spark.sources import cdc
 
@@ -2600,7 +2601,40 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_quality_classifier(spark, sf_dir):
+    # LEARNED quality filter: logistic regression fit by 3 distributed
+    # full-batch GD steps (each = one map-side-combinable aggregation;
+    # only d+1 doubles reach the driver), then a map-only scoring pass
+    # with the weights folded in as literals (training.py).
+    return TR.quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), iters=3, lr=1.0
+    )
+
+
+def q_random_projection(spark, sf_dir):
+    # Johnson-Lindenstrauss ±1 random projection 64 -> 8 dims: the sign
+    # matrix is deterministic md5-derived driver literals, the
+    # projection a zero-shuffle codegen fold (similarity.py:
+    # random_projection). Long-form scalar output (vec_id, dim_idx, v).
+    return SIM.random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8
+    )
+
+
+def q_cluster_split(spark, sf_dir):
+    # Leakage-free train/holdout split: near-dup CLUSTER label (not doc
+    # id) is the md5 split key, so near-copies always co-assign and the
+    # holdout can't be contaminated by a training-set near-duplicate
+    # (dedup.py:cluster_split).
+    return D.cluster_split(
+        _t(spark, sf_dir, "documents"), threshold=0.1, holdout_pct=10
+    ).orderBy("doc_id")
+
+
 _WINDOW_PRIORITY = [
+    "llm_quality_classifier",
+    "llm_random_projection",
+    "llm_cluster_split",
     "llm_dsir_weights",
     "llm_dsir_resample",
     "llm_temperature_mix",
@@ -2669,6 +2703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_quality_classifier": q_quality_classifier,
+        "llm_random_projection": q_random_projection,
+        "llm_cluster_split": q_cluster_split,
         "llm_dsir_weights": q_dsir_weights,
         "llm_dsir_resample": q_dsir_resample,
         "llm_temperature_mix": q_temperature_mix,
@@ -4104,6 +4141,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
+        "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_random_projection": """
+            WITH r AS (
+                SELECT i.range AS i, j.range AS j,
+                       CASE WHEN substr(md5('rp:' || i.range || ':' || j.range), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END AS s
+                FROM range(64) i, range(8) j
+            ),
+            e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS i,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT e.vec_id, r.j AS dim_idx,
+                   round(sum(CAST(e.v AS DOUBLE) * r.s) / sqrt(8.0), 6) AS value
+            FROM e JOIN r USING (i)
+            GROUP BY e.vec_id, r.j
+            ORDER BY e.vec_id, r.j
+        """,
+        "llm_cluster_split": f"""
+            SELECT doc_id, component,
+                   CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 6))::BIGINT % 100 < 10
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM ({_sql_neardup_clusters(threshold=0.1)}) base
+            ORDER BY doc_id
+        """,
         "llm_dedup_jaccard": _sql_ngram_jaccard(threshold=0.5),
         "llm_dedup_simhash": _sql_simhash(prefix_bits=8),
         "llm_text_stats": """

@@ -953,3 +953,50 @@ def cross_source_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- leakage-free train/holdout split ----------------------------------------
+
+
+def cluster_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    holdout_pct: int = 10,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Leakage-free train/holdout assignment: near-duplicate documents
+    must land in the SAME split (a held-out doc whose near-copy sits in
+    train silently inflates eval), so the split key is the near-dup
+    CLUSTER label, not the document id.
+
+    Composition: ``near_dup_clusters`` (MinHash-LSH pairs -> connected
+    components; singletons label themselves) -> deterministic md5 bucket
+    of the component label -> ``holdout_pct``% of clusters to
+    'holdout', rest 'train'. Every member of a component shares the
+    component's bucket, so the no-leak invariant holds by construction.
+
+    Scale: adds one map-side hash + CASE on top of the clustering plan —
+    no extra shuffle; assignment is reproducible across runs/engines
+    (md5, not rand()) so the split survives corpus re-processing.
+    """
+    labeled = near_dup_clusters(
+        docs, text_col, id_col, num_hashes, band_rows, shingle_k, threshold, max_bucket
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return labeled.select(
+        id_col,
+        "component",
+        F.when(bucket < holdout_pct, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1041,3 +1041,75 @@ def contrastive_triplets(
         )
         .orderBy("anchor_id")
     )
+
+
+# --- random projection (Johnson-Lindenstrauss dimensionality reduction) ------
+
+
+def rp_signs(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas sign variant of
+    Johnson-Lindenstrauss): sign(i, j) = +1 iff the first hex digit of
+    md5(f"rp:{i}:{j}") >= '8'. Derived driver-side with hashlib so the
+    SQL oracle (and any other engine) reproduces it bit-for-bit — the
+    same convention as ``_plane_signs``."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of an embedding column to
+    ``out_dim`` dims: y_j = (1/sqrt(out_dim)) * sum_i x_i * s_ij with a
+    deterministic ±1 sign matrix (``rp_signs``).
+
+    Scale posture: the sign matrix is in_dim x out_dim driver-side
+    literals folded into codegen; the projection itself is a map-ONLY
+    sequential fold per output dim (``aggregate(zip_with(...))``) — zero
+    shuffle, zero Python, and JL guarantees pairwise distances are
+    preserved within (1 +- eps) for out_dim = O(log n / eps^2), which is
+    what makes downstream ANN/bucketing cheaper at 100 TB (8 dims
+    scanned instead of 768+).
+
+    Output is long-form scalar rows ``(id, dim_idx, value)`` so hash
+    comparison and columnar storage both stay trivial.
+    """
+    signs = rp_signs(in_dim, out_dim)
+    scale = 1.0 / (out_dim ** 0.5)
+    v = _as_double(F.col(vec_col))
+    projections = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                        lambda e, s: e * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(scale)
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        emb.select(F.col(id_col), F.posexplode(projections).alias("dim_idx", "_v"))
+        .select(id_col, "dim_idx", F.round(F.col("_v"), dp).alias("value"))
+        .orderBy(id_col, "dim_idx")
+    )

@@ -1,0 +1,233 @@
+"""Distributed model fitting for corpus curation (learned quality filter).
+
+The reference's ML surface fits per-key models inside the serving loop
+(LinUCB: product-demos/recommender/model.py) and filters documents with
+fixed heuristics; production LLM pipelines replace the heuristic with a
+LEARNED quality classifier (fastText/logreg trained on in-domain vs
+out-of-domain text) applied to the whole corpus. This module implements
+that training shape Spark-first:
+
+- Full-batch gradient descent on logistic loss, where each iteration is
+  ONE map-side-combinable aggregation: executors compute partial sums of
+  ``(sigmoid(w.x) - y) * x_j`` and only a single (d+1)-element gradient
+  row reaches the driver. Weights live driver-side (d+1 doubles — truly
+  tiny, unlike a per-key model table) and re-enter the plan as literals,
+  i.e. broadcast-by-constant-folding.
+- At 100 TB each iteration costs exactly one corpus scan plus a 1-row
+  final aggregation; there is no per-row Python, no weight shuffle, and
+  the feature projection is whole-stage-codegen column arithmetic.
+- Scoring is a map-only pass (no shuffle at all).
+
+Determinism contract (oracle-provable): features are plain column
+arithmetic mirrored in ANSI SQL, the iteration count is fixed, and both
+engines carry full-precision doubles between iterations — only the final
+score is rounded, in both engines, so summation-order ulps cannot flip
+the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "logreg_fit",
+    "logreg_score",
+    "quality_features",
+    "quality_classifier_scores",
+]
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _margin(feature_cols: list[str], weights: list[float]) -> Column:
+    """w . x + b as a literal-coefficient column expression (the weights
+    are driver-side constants, so Catalyst folds them into codegen)."""
+    z = F.lit(float(weights[-1]))
+    for c, w in zip(feature_cols, weights[:-1]):
+        z = z + F.lit(float(w)) * F.col(c)
+    return z
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    iters: int = 3,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> list[float]:
+    """Fit logistic regression by full-batch gradient descent; returns
+    ``[w_1..w_d, bias]``.
+
+    Each iteration aggregates ``avg((sigmoid(w.x) - y) * x_j)`` for every
+    feature plus the bias term — a single job whose partial aggregation
+    happens map-side; the driver receives d+1 doubles per iteration and
+    never any row data. ``df`` is persisted across the ``iters`` scans
+    and unpersisted before returning.
+
+    Deterministic: zero init, fixed iteration count, no sampling. Label
+    must be 0.0/1.0 doubles.
+    """
+    d = len(feature_cols)
+    weights = [0.0] * (d + 1)
+    cached = df.persist()
+    try:
+        for _ in range(iters):
+            err = _sigmoid(_margin(feature_cols, weights)) - F.col(label_col)
+            grad_row = cached.agg(
+                *[F.avg(err * F.col(c)).alias(f"g{j}") for j, c in enumerate(feature_cols)],
+                F.avg(err).alias("gb"),
+            ).first()
+            grads = [grad_row[f"g{j}"] for j in range(d)] + [grad_row["gb"]]
+            weights = [
+                w - lr * (g + l2 * w) for w, g in zip(weights, grads)
+            ]
+    finally:
+        cached.unpersist()
+    return weights
+
+
+def logreg_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    *,
+    out_col: str = "score",
+    dp: int = 6,
+) -> DataFrame:
+    """Map-only scoring pass: appends ``sigmoid(w.x + b)`` rounded to
+    ``dp`` decimals. Weights enter as folded literals — zero shuffle."""
+    return df.withColumn(
+        out_col, F.round(_sigmoid(_margin(feature_cols, weights)), dp)
+    )
+
+
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_lang: str = "en",
+) -> DataFrame:
+    """Deterministic quality-classifier features over the documents
+    table, each expressible identically in ANSI SQL:
+
+    - ``x1`` length in kilochars (the stored ``n_chars``),
+    - ``x2`` whitespace token count / 100,
+    - ``x3`` mean word length / 10 (chars net of separators; 0 for
+      empty docs — guarded, no ANSI divide-by-zero),
+    - ``y`` 1.0 when ``lang == label_lang`` (the in-domain proxy label;
+      swap for human/model labels offline).
+    """
+    t = F.col(text_col)
+    n_tok = F.size(F.split(F.lower(F.trim(t)), r"\s+"))
+    mean_word_len = F.when(
+        n_tok > 0, (F.length(t) - (n_tok - F.lit(1))) / (F.lit(10.0) * n_tok)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (n_tok / F.lit(100.0)).alias("x2"),
+        mean_word_len.alias("x3"),
+        F.when(F.col("lang") == label_lang, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    *,
+    iters: int = 3,
+    lr: float = 1.0,
+    label_lang: str = "en",
+    dp: int = 6,
+) -> DataFrame:
+    """End-to-end learned quality filter: build features, fit logreg by
+    ``iters`` distributed GD steps, score every document map-only.
+    Returns ``(doc_id, quality_prob)`` — the probability the document is
+    in-domain under the freshly-fit classifier."""
+    feats = quality_features(docs, label_lang=label_lang)
+    w = logreg_fit(feats, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
+    return (
+        logreg_score(feats, ["x1", "x2", "x3"], w, out_col="quality_prob", dp=dp)
+        .select("doc_id", "quality_prob")
+        .orderBy("doc_id")
+    )
+
+
+def sql_logreg_quality(iters: int = 3, lr: float = 1.0, dp: int = 6) -> str:
+    """DuckDB replay of ``quality_classifier_scores``: the same GD
+    trajectory unrolled as chained CTEs (one aggregate CTE per
+    iteration), full-precision doubles throughout, same final rounding.
+    Generated here so iteration count/learning rate stay in one place."""
+    sql = [
+        """
+        WITH w0 AS (
+            SELECT doc_id, n_chars, text, lang,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   n_chars / 1000.0 AS x1,
+                   len(words) / 100.0 AS x2,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE (length(text) - (len(words) - 1)) / (10.0 * len(words))
+                   END AS x3,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM w0
+        )"""
+    ]
+    margin = "0.0"
+    prev = None
+    for k in range(1, iters + 1):
+        src = "f" if prev is None else f"f, {prev}"
+        err = f"(1.0 / (1.0 + exp(-({margin}))) - y)"
+        sql.append(
+            f""",
+        g{k} AS (
+            SELECT avg({err} * x1) AS g1,
+                   avg({err} * x2) AS g2,
+                   avg({err} * x3) AS g3,
+                   avg({err}) AS gb
+            FROM {src}
+        ),
+        w{k} AS (
+            SELECT {'0.0' if prev is None else f'{prev}.c1'} - {lr} * g1 AS c1,
+                   {'0.0' if prev is None else f'{prev}.c2'} - {lr} * g2 AS c2,
+                   {'0.0' if prev is None else f'{prev}.c3'} - {lr} * g3 AS c3,
+                   {'0.0' if prev is None else f'{prev}.cb'} - {lr} * gb AS cb
+            FROM g{k}{'' if prev is None else f', {prev}'}
+        )"""
+        )
+        prev = f"w{k}"
+        margin = f"{prev}.c1 * x1 + {prev}.c2 * x2 + {prev}.c3 * x3 + {prev}.cb"
+    sql.append(
+        f"""
+        SELECT f.doc_id,
+               round(1.0 / (1.0 + exp(-({margin}))), {dp}) AS quality_prob
+        FROM f, {prev}
+        ORDER BY f.doc_id"""
+    )
+    return "".join(sql)
+
+
+def numpy_logreg_reference(
+    X, y, *, iters: int = 3, lr: float = 1.0
+):  # pragma: no cover - exercised from tests
+    """Tiny in-memory reference implementation (numpy) for parity tests:
+    identical zero init, full-batch averaged gradient, same update."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=float)
+    y = np.asarray(y, dtype=float)
+    Xb = np.hstack([X, np.ones((X.shape[0], 1))])
+    w = np.zeros(Xb.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        w = w - lr * (Xb.T @ (p - y)) / len(y)
+    return w

@@ -1,0 +1,145 @@
+"""Distributed logreg quality classifier, JL random projection, and the
+leakage-free cluster split."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.catalog import load_table
+from streaming_demos_spark.operators import dedup as D
+from streaming_demos_spark.operators import similarity as SIM
+from streaming_demos_spark.operators import training as TR
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_logreg_fit_matches_numpy(spark, docs):
+    feats = TR.quality_features(docs)
+    w = TR.logreg_fit(feats, ["x1", "x2", "x3"], "y", iters=3, lr=1.0)
+    rows = feats.orderBy("doc_id").collect()
+    X = [[r["x1"], r["x2"], r["x3"]] for r in rows]
+    y = [r["y"] for r in rows]
+    w_ref = TR.numpy_logreg_reference(X, y, iters=3, lr=1.0)
+    assert np.allclose(w, w_ref, atol=1e-9)
+
+
+def test_logreg_learns_the_label(spark, docs):
+    # 3 GD steps must beat the 0-iteration coin-flip baseline on its own
+    # training labels (loss strictly decreases under full-batch GD with
+    # a sane lr; this guards against sign errors in the gradient).
+    feats = TR.quality_features(docs).persist()
+    w0 = [0.0, 0.0, 0.0, 0.0]
+    w3 = TR.logreg_fit(feats, ["x1", "x2", "x3"], "y", iters=3, lr=1.0)
+
+    def loss(w):
+        z = TR._margin(["x1", "x2", "x3"], w)
+        ll = F.when(F.col("y") == 1.0, F.log(TR._sigmoid(z))).otherwise(
+            F.log(1.0 - TR._sigmoid(z))
+        )
+        return -feats.agg(F.avg(ll)).first()[0]
+
+    l0, l3 = loss(w0), loss(w3)
+    feats.unpersist()
+    assert abs(l0 - math.log(2.0)) < 1e-12
+    assert l3 < l0
+
+
+def test_logreg_partition_invariant(spark, docs):
+    feats = TR.quality_features(docs)
+    w_a = TR.logreg_fit(feats, ["x1", "x2", "x3"], "y", iters=2, lr=0.5)
+    w_b = TR.logreg_fit(
+        feats.repartition(7), ["x1", "x2", "x3"], "y", iters=2, lr=0.5
+    )
+    # Same trajectory modulo summation-order ulps.
+    assert np.allclose(w_a, w_b, atol=1e-12)
+
+
+def test_quality_scores_are_probabilities(spark, docs):
+    scored = TR.quality_classifier_scores(docs, iters=3)
+    stats = scored.agg(
+        F.min("quality_prob").alias("lo"),
+        F.max("quality_prob").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+    assert stats["n"] == docs.count()
+
+
+def test_random_projection_matches_numpy(spark, emb):
+    out = SIM.random_projection(emb, in_dim=64, out_dim=4, dp=9)
+    got = {
+        (r["vec_id"], r["dim_idx"]): r["value"]
+        for r in out.collect()
+    }
+    signs = np.array(SIM.rp_signs(64, 4))  # (4, 64)
+    for r in emb.limit(20).collect():
+        x = np.array(r["embedding"], dtype=np.float64)
+        want = signs @ x / math.sqrt(4)
+        for j in range(4):
+            assert abs(got[(r["vec_id"], j)] - want[j]) < 1e-6
+
+
+def test_random_projection_plan_is_map_only(spark, emb):
+    out = SIM.random_projection(emb, in_dim=64, out_dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The projection itself must not shuffle; the only exchange allowed
+    # is the final presentation orderBy's range partitioning.
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, emb):
+    # The JL guarantee: E[||y||^2] = ||x||^2 for the 1/sqrt(k)-scaled
+    # ±1 sign projection. On a 100-vector sample the MEAN squared-norm
+    # ratio must concentrate near 1 (per-vector ratios are chi^2-wide at
+    # k=8, so only the mean is pinned).
+    rows = emb.orderBy("vec_id").limit(100).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    signs = np.array(SIM.rp_signs(64, 8))
+    Y = X @ signs.T / math.sqrt(8)
+    ratios = (Y**2).sum(axis=1) / (X**2).sum(axis=1)
+    assert 0.7 < ratios.mean() < 1.3
+
+
+def test_cluster_split_never_leaks_pairs(spark, docs):
+    split = D.cluster_split(docs, threshold=0.1, holdout_pct=20)
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    a = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leaked = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_cluster_split_covers_all_docs_and_both_splits(spark, docs):
+    split = D.cluster_split(docs, threshold=0.1, holdout_pct=30)
+    n = docs.count()
+    by = dict(
+        split.groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert sum(by.values()) == n
+    assert set(by) == {"train", "holdout"}
+    # md5 buckets are uniform: 30% of clusters +- a wide tolerance.
+    assert 0.10 < by["holdout"] / n < 0.55

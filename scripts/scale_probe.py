@@ -115,6 +115,10 @@ PROBE_KEYS = [
     "llm_per_group_sample",
     "llm_contrastive_triplets",
     "llm_cross_source_overlap",
+    # round-3 batch 8: learned quality filter, JL projection, cluster split
+    "llm_quality_classifier",
+    "llm_random_projection",
+    "llm_cluster_split",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -73,8 +73,13 @@ def _nearest(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
+                # try_divide: zero-norm vectors (or an empty cell's zero
+                # centroid) get NULL cosine, not an ANSI job abort
                 F.round(
-                    dot_product(v, c["cv"]) / (F.col("_vnorm") * c["cn"]), 6
+                    F.try_divide(
+                        dot_product(v, c["cv"]), F.col("_vnorm") * c["cn"]
+                    ),
+                    6,
                 ).alias("cos"),
                 (-c["cid"]).alias("ncid"),
             ),
@@ -209,7 +214,11 @@ def semantic_dedup(
         # norm in its own projection: a fold inside the transform lambda
         # would re-run per element (64x the work) and blow codegen
         .withColumn("_norm", F.sqrt(dot_product(v, v)))
-        .withColumn("_unit", F.transform(v, lambda x: x / F.col("_norm")))
+        # try_divide: a zero-norm vector (failed encode) becomes a NULL
+        # unit component instead of an ANSI DIVIDE_BY_ZERO job abort
+        .withColumn(
+            "_unit", F.transform(v, lambda x: F.try_divide(x, F.col("_norm")))
+        )
         .select(id_col, "cluster_id", "_unit")
         # the frame feeds BOTH self-join sides and the final anti-join;
         # without materialization the assign+normalize map re-runs 3x

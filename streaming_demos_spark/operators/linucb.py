@@ -208,13 +208,16 @@ def auc(
         "avg_rank",
         F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1.0) / 2.0,
     )
+    # try_divide: single-class label sets (all-reward or no-reward
+    # windows are routine early in a serving loop) have n+*n- = 0 —
+    # AUC is undefined there, so emit NULL, not an ANSI abort.
     return ranked.agg(
         F.round(
-            (
+            F.try_divide(
                 F.sum(F.col("pos") * F.col("avg_rank"))
-                - F.sum("pos") * (F.sum("pos") + 1.0) / 2.0
-            )
-            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
+                - F.sum("pos") * (F.sum("pos") + 1.0) / 2.0,
+                F.sum("pos") * (F.sum("cnt") - F.sum("pos")),
+            ),
             6,
         ).alias("auc")
     )

@@ -42,8 +42,13 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NULL (not a DIVIDE_BY_ZERO crash — Spark 4 runs ANSI mode) when
+    either vector has zero norm; zero vectors are a plausible input
+    (failed encodes, padding rows) and must not kill a corpus job."""
     da, db = _as_double(a), _as_double(b)
-    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+    return F.try_divide(
+        dot(da, db), F.sqrt(dot(da, da)) * F.sqrt(dot(db, db))
+    )
 
 
 def brute_force_topk(

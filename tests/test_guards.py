@@ -143,3 +143,41 @@ def test_bm25_empty_query_terms(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         TI.bm25_topk(df, [], k=5)
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    from streaming_demos_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], ["vid", "v"]
+    )
+    out = df.select(
+        "vid", SIM.cosine(F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    got = {r.vid: r.c for r in out}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None
+
+
+def test_auc_single_class_is_null_not_crash(spark):
+    from streaming_demos_spark.operators import linucb as L
+
+    all_pos = spark.createDataFrame(
+        [(0.9, 1.0), (0.4, 1.0)], ["score", "reward"]
+    )
+    assert L.auc(all_pos).first()["auc"] is None
+    all_neg = spark.createDataFrame(
+        [(0.9, 0.0), (0.4, 0.0)], ["score", "reward"]
+    )
+    assert L.auc(all_neg).first()["auc"] is None
+
+
+def test_semantic_dedup_zero_vector_no_crash(spark):
+    from streaming_demos_spark.operators import clustering as CL
+
+    rows = [(i, [float(i % 3 + 1), 1.0, 0.5, 0.25]) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = CL.semantic_dedup(df, k=2, threshold=0.9).collect()
+    # The zero vector survives (cosine NULL everywhere -> never a dup).
+    assert 99 in {r.vec_id for r in out}

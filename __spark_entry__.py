@@ -1097,15 +1097,17 @@ def q_curation_pipeline(spark, sf_dir):
 
 def q_quantile_summary(spark, sf_dir):
     # Extension: exact grouped percentiles (linear interpolation, the
-    # percentile_cont definition both engines share) — the exact=True
-    # oracle path of grouped_quantiles; ext_quantile_approx exercises
-    # the sketch-based 100 TB path of the same operator.
+    # percentile_cont definition both engines share) — computed by
+    # DISTRIBUTED histogram selection (grouped_quantiles_selection): no
+    # task ever buffers a group's values, unlike F.percentile, while
+    # the result is bit-identical. ext_quantile_approx exercises the
+    # sketch-based variant of the same operator.
     # Rounding at 6dp: interpolated money values have <= 4 decimal
     # digits ((n-1)*p fractions are multiples of 0.05 on 2-dp cents),
     # so 6dp rounding never sits on a halfway value in either engine.
     li = _t(spark, sf_dir, "lineitem")
-    return R.grouped_quantiles(
-        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95], exact=True
+    return R.grouped_quantiles_selection(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
     )
 
 

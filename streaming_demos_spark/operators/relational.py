@@ -432,6 +432,129 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantiles_selection(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 4096,
+    round_dp: int = 6,
+) -> DataFrame:
+    """EXACT per-group percentiles without per-group value buffering —
+    the distributed-selection generalization of ``exact_kth_smallest``
+    to grouped, interpolated (percentile_cont) quantiles.
+
+    ``F.percentile`` materializes every group value inside ONE task per
+    group (the classic exact-quantile scale killer); this computes the
+    identical interpolated values in three bounded passes:
+
+      1. per-group (min, max, count) — one small aggregate;
+      2. per-(group, fixed-width bucket) histogram — map-side
+         combinable; the driver receives <= |groups| * n_buckets counts
+         and locates, for each needed order statistic (two per (group,
+         prob): the floor and ceil ranks of ``(n-1)*p``), its bucket
+         and residual rank;
+      3. one windowed selection over ONLY the rows of the needed
+         buckets (~n/n_buckets rows per partition), row_number ==
+         residual.
+
+    Interpolation (``v_lo + (v_hi - v_lo) * frac``, frac computed
+    driver-side with the same double math as Spark's Percentile) and
+    the final p-column pivot are plain column arithmetic. Bucket
+    membership is decided by the SAME column expression in passes 2 and
+    3, so float boundary ulps can never shift a row between passes.
+
+    Driver state is bounded by construction: |groups| stat rows,
+    |groups| * n_buckets histogram counts, 2 * |groups| * |probs| need
+    rows — a summary operator's contract (low-cardinality groups), with
+    no dependence on row count. Degenerate groups (all values equal)
+    take the same path with width clamped to 1.
+    """
+    stats = {
+        r["g"]: (r["lo"], r["hi"], r["n"])
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    meta = [
+        (g, float(lo), (float(hi) - float(lo)) / n_buckets or 1.0, int(n))
+        for g, (lo, hi, n) in stats.items()
+    ]
+    meta_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            meta, f"{group_col} string, _lo double, _w double, _n long"
+        )
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(value_col) - F.col("_lo")) / F.col("_w")),
+    ).cast("int")
+    hist = (
+        df.select(group_col, value_col)
+        .join(meta_df, group_col)
+        .groupBy(F.col(group_col).alias("g"), bucket.alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for r in hist:
+        counts.setdefault(r["g"], {})[r["b"]] = r["cnt"]
+
+    # (group, prob, which) -> bucket + residual rank for the floor/ceil
+    # order statistics of (n-1)*p, 1-based.
+    needs = []
+    for g, (_, _, n) in stats.items():
+        cum_buckets = sorted(counts[g].items())
+        for p in probs:
+            t = (n - 1) * p
+            frac = t - int(t)
+            for which, k in (("lo", int(t) + 1), ("hi", -(-t // 1) + 1)):
+                k = min(int(k), n)
+                cum = 0
+                for b, cnt in cum_buckets:
+                    if cum + cnt >= k:
+                        needs.append((g, float(p), which, frac, b, k - cum))
+                        break
+                    cum += cnt
+    needs_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            needs,
+            f"{group_col} string, _p double, _which string, _frac double,"
+            " _b int, _residual long",
+        )
+    )
+    w = Window.partitionBy(group_col, "_p", "_which").orderBy(value_col)
+    selected = (
+        df.select(group_col, value_col)
+        .join(meta_df, group_col)
+        .withColumn("_bucket", bucket)
+        .join(
+            needs_df.withColumnRenamed("_b", "_bucket"),
+            [group_col, "_bucket"],
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.col("_residual"))
+    )
+    q = F.max(F.when(F.col("_which") == "lo", F.col(value_col))) + (
+        F.max(F.when(F.col("_which") == "hi", F.col(value_col)))
+        - F.max(F.when(F.col("_which") == "lo", F.col(value_col)))
+    ) * F.first("_frac")
+    per_p = selected.groupBy(group_col, "_p").agg(q.alias("_q"))
+    return per_p.groupBy(group_col).agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("_p") == F.lit(float(p)), F.col("_q"))),
+                round_dp,
+            ).alias(f"p{int(round(p * 100))}")
+            for p in probs
+        ]
+    ).join(
+        meta_df.select(group_col, F.col("_n").alias("n_rows")), group_col
+    )
+
+
 # --- O2: top-k (global and per-group) ---------------------------------------
 
 def top_k(df: DataFrame, score_col: str, k: int = 5, tie_col: str | None = None) -> DataFrame:

@@ -901,3 +901,58 @@ def test_bigram_lm_score_prefers_seen_sequences(spark):
 
     uni = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(df).collect()}
     assert uni[1] == uni[4]
+
+
+def test_grouped_quantiles_selection_matches_percentile(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import relational as R
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in R.grouped_quantiles(
+            li, "l_returnflag", "l_extendedprice", probs, exact=True
+        ).collect()
+    }
+    sel = {
+        r["l_returnflag"]: r.asDict()
+        for r in R.grouped_quantiles_selection(
+            li, "l_returnflag", "l_extendedprice", probs
+        ).collect()
+    }
+    assert exact == sel
+
+
+def test_grouped_quantiles_selection_degenerate_groups(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("const", 7.5)] * 5 + [("single", 3.0)] + [("two", 1.0), ("two", 2.0)],
+        ["g", "v"],
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in R.grouped_quantiles_selection(df, "g", "v", [0.5, 0.95]).collect()
+    }
+    assert out["const"]["p50"] == 7.5 and out["const"]["p95"] == 7.5
+    assert out["single"]["p50"] == 3.0 and out["single"]["n_rows"] == 1
+    assert out["two"]["p50"] == 1.5  # interpolated midpoint
+    assert abs(out["two"]["p95"] - 1.95) < 1e-9
+
+
+def test_grouped_quantiles_selection_no_value_buffering_agg(spark):
+    # The plan must contain no `percentile(` aggregate (the per-group
+    # buffering form); selection works through count histograms + a
+    # bucket-bounded window.
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import relational as R
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    plan = (
+        R.grouped_quantiles_selection(li, "l_returnflag", "l_extendedprice", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile(" not in plan

@@ -2603,6 +2603,14 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_bpe_encode(spark, sf_dir):
+    # Frozen-tokenizer BPE APPLY (the other half of llm_bpe_pair_stats'
+    # fit loop): per-doc whitespace vs BPE token counts under a static
+    # merge table — encode once per DISTINCT word, join back by word
+    # (text.py:bpe_encode_stats).
+    return TX.bpe_encode_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_quality_classifier(spark, sf_dir):
     # LEARNED quality filter: logistic regression fit by 3 distributed
     # full-batch GD steps (each = one map-side-combinable aggregation;
@@ -2634,6 +2642,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_bpe_encode",
     "llm_quality_classifier",
     "llm_random_projection",
     "llm_cluster_split",
@@ -2705,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_bpe_encode": q_bpe_encode,
         "llm_quality_classifier": q_quality_classifier,
         "llm_random_projection": q_random_projection,
         "llm_cluster_split": q_cluster_split,
@@ -4144,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_bpe_encode": TX.sql_bpe_encode_stats(),
         "llm_random_projection": """
             WITH r AS (
                 SELECT i.range AS i, j.range AS j,

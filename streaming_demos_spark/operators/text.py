@@ -511,3 +511,111 @@ def bigram_lm_score(
             F.round(F.avg("nll"), 4).alias("mean_bigram_nll"),
         )
     )
+
+
+# --- BPE apply (frozen-tokenizer encode) -------------------------------------
+
+# A frozen merge table for the demo encode path. In the production flow
+# the list comes from iterating bpe_pair_stats (fit) and is then FROZEN
+# into the tokenizer artifact — apply-time merges are always static
+# literals, exactly like a shipped tokenizer.json. Includes a
+# second-order merge ("ta"+"b") to exercise merged-symbol reuse.
+BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("t", "a"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("ta", "b"),
+    ("tab", "l"),
+    ("l", "e"),
+    ("v", "a"),
+    ("h", "a"),
+    ("s", "c"),
+    ("r", "o"),
+]
+
+
+def bpe_encode_len(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Token count of ``word`` under a frozen BPE merge list.
+
+    Encoding = space-separated symbol string (round 0: characters),
+    then each merge ``(a, b) -> ab`` applied in rank order as a literal
+    ``" a b " -> " ab "`` replace. A single left-to-right replace pass
+    misses back-to-back occurrences (the shared delimiter space is
+    consumed), so each merge is applied TWICE — after the first pass
+    surviving occurrences are isolated, so the second pass completes
+    them. Both passes are plain ``replace``; DuckDB's replace scans the
+    same way, which is what makes the oracle bit-identical.
+
+    All column arithmetic (regexp char-split + literal replaces +
+    split/size) — no UDF, fully codegen.
+    """
+    s = F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return F.size(F.split(F.trim(s), " "))
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-document token counts under a frozen BPE tokenizer:
+    ``(id, n_tokens_ws, n_tokens_bpe)`` — whitespace words vs BPE
+    symbols after applying ``merges``.
+
+    Scale shape mirrors ``bpe_pair_stats``: the encode runs once per
+    DISTINCT word (vocabulary explode + groupBy — Zipf makes the
+    vocabulary tiny next to the corpus), then joins back to documents
+    by word and aggregates by doc id. The merge chain is literal
+    replaces on the vocabulary frame only; the corpus-side work is one
+    explode + two keyed shuffles (word join, doc-id sum), both
+    map-side combinable.
+    """
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    doc_words = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = (
+        doc_words.groupBy("w")
+        .agg(F.count("*").alias("_n_w"))
+        .withColumn("_sym", bpe_encode_len(F.col("w"), merges))
+        .select("w", "_sym")
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens_ws"),
+            F.sum("_sym").alias("n_tokens_bpe"),
+        )
+    )
+
+
+def sql_bpe_encode_stats(merges: list[tuple[str, str]] | None = None) -> str:
+    """DuckDB replay of ``bpe_encode_stats`` with the same frozen merge
+    list baked in as literal replace chains."""
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return f"""
+        WITH dw AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w, len(string_split(trim({expr}), ' ')) AS _sym
+            FROM (SELECT DISTINCT w FROM dw)
+        )
+        SELECT dw.doc_id,
+               count(*) AS n_tokens_ws,
+               sum(_sym) AS n_tokens_bpe
+        FROM dw JOIN vocab USING (w)
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id
+    """

@@ -82,6 +82,10 @@ def logreg_fit(
                 *[F.avg(err * F.col(c)).alias(f"g{j}") for j, c in enumerate(feature_cols)],
                 F.avg(err).alias("gb"),
             ).first()
+            if grad_row["gb"] is None:
+                # avg over zero rows is NULL — fail loudly rather than
+                # silently returning the zero-init weights.
+                raise ValueError("logreg_fit: empty training input")
             grads = [grad_row[f"g{j}"] for j in range(d)] + [grad_row["gb"]]
             weights = [
                 w - lr * (g + l2 * w) for w, g in zip(weights, grads)

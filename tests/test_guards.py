@@ -181,3 +181,11 @@ def test_semantic_dedup_zero_vector_no_crash(spark):
     out = CL.semantic_dedup(df, k=2, threshold=0.9).collect()
     # The zero vector survives (cosine NULL everywhere -> never a dup).
     assert 99 in {r.vec_id for r in out}
+
+
+def test_logreg_fit_empty_input_raises(spark):
+    from streaming_demos_spark.operators import training as TR
+
+    df = spark.createDataFrame([], "x1 double, y double")
+    with pytest.raises(ValueError, match="empty training input"):
+        TR.logreg_fit(df, ["x1"], "y", iters=1)

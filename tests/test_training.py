@@ -143,3 +143,51 @@ def test_cluster_split_covers_all_docs_and_both_splits(spark, docs):
     assert set(by) == {"train", "holdout"}
     # md5 buckets are uniform: 30% of clusters +- a wide tolerance.
     assert 0.10 < by["holdout"] / n < 0.55
+
+
+def _py_bpe_len(word, merges):
+    s = " " + "".join(c + " " for c in word)
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        s = s.replace(pat, rep).replace(pat, rep)
+    return len(s.split())
+
+
+def test_bpe_encode_len_matches_python_reference(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    words = ["table", "part", "scan", "hash", "value", "a", "tab",
+             "tata", "aaaa", "partpart"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["n"]
+        for r in df.select(
+            "w", TX.bpe_encode_len(F.col("w"), TX.BPE_DEMO_MERGES).alias("n")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _py_bpe_len(w, TX.BPE_DEMO_MERGES), w
+
+
+def test_bpe_merged_symbol_participates_in_later_merges(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    # "table": t a b l e -> (t,a): ta b l e -> (ta,b): tab l e
+    # -> (tab,l): tabl e -> (l,e) no 'l' symbol left -> 2 symbols.
+    df = spark.createDataFrame([("table",)], ["w"])
+    n = df.select(
+        TX.bpe_encode_len(F.col("w"), TX.BPE_DEMO_MERGES).alias("n")
+    ).first()["n"]
+    assert n == 2
+
+
+def test_bpe_encode_stats_totals(spark, docs):
+    from streaming_demos_spark.operators import text as TX
+
+    out = TX.bpe_encode_stats(docs)
+    row = out.agg(
+        F.sum("n_tokens_ws").alias("ws"), F.sum("n_tokens_bpe").alias("bpe")
+    ).first()
+    # Merges only ever shrink the symbol count, and chars >= ws tokens.
+    assert row["bpe"] <= docs.count() * 1000
+    assert row["ws"] <= row["bpe"]

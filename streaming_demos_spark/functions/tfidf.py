@@ -90,11 +90,49 @@ def hashed_tfidf_vectors(
     """Dense fixed-width TF-IDF vectors via the hashing trick:
     term -> pmod(xxhash64(term), dim). Collisions add — the standard
     trade for a bounded, vocabulary-free feature space (what makes SVD
-    tractable at any corpus size). Returns (id, vec array<double>)."""
-    sparse = tfidf(df, id_col, text_col, min_df=min_df).withColumn(
-        "slot", F.pmod(F.xxhash64("term"), F.lit(dim)).cast("int")
+    tractable at any corpus size). Returns (id, vec array<double>).
+
+    idf is computed at the SLOT level (document frequency of the hashed
+    feature, sklearn HashingVectorizer->TfidfTransformer semantics),
+    which is what makes the plan scale-proof: the df table is exactly
+    ``dim`` rows — a broadcast — so no term-keyed shuffle join of the
+    full sparse matrix ever happens, and the only corpus-sized shuffle
+    is the (doc, slot) tf aggregation (map-side combinable, key fan-out
+    bounded by ``dim`` per doc). With no collisions (dim >> vocabulary)
+    slot-df equals term-df and the result is identical to the sparse
+    ``tfidf`` weights."""
+    from streaming_demos_spark.catalog import fan_out
+
+    toks = (
+        tokenize(fan_out(df.select(id_col, text_col), id_col), text_col)
+        .select(id_col, F.explode("tokens").alias("term"))
+        .select(
+            id_col,
+            F.pmod(F.xxhash64("term"), F.lit(dim)).cast("int").alias("slot"),
+        )
     )
-    slot_sum = sparse.groupBy(id_col, "slot").agg(F.sum("tfidf").alias("w"))
+    tf = toks.groupBy(id_col, "slot").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("slot").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    slot_sum = (
+        tf.join(F.broadcast(dfreq), "slot")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "slot",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("df"))
+                    )
+                    + 1.0
+                )
+            ).alias("w"),
+        )
+    )
     # densify: slot->weight map per doc, then ONE dim-width array build
     # (O(terms + dim) per doc; a per-slot scatter would be O(terms*dim))
     as_map = slot_sum.groupBy(id_col).agg(

@@ -316,9 +316,18 @@ def tfidf_cosine_topk(
     with a doc-id tie-break, so rankings are reproducible across
     engines and partitionings.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sparse = tfidf(docs, id_col, text_col, min_df=min_df)
+    # The sparse matrix feeds THREE consumers (norms, the query slice,
+    # the corpus join side) and Catalyst's ReuseExchange does not fire
+    # across their differing projections (verified: 0 ReusedExchange,
+    # the tokenize+tf+df subtree planned 3x). Persisting it is the
+    # production shape anyway — an inverted index is materialized once
+    # at build time, not re-derived per lookup.
+    sparse = tfidf(docs, id_col, text_col, min_df=min_df).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_df_ratio is not None:
         n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("_n"))
         sparse = (

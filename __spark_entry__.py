@@ -2603,6 +2603,16 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_curriculum_bins(spark, sf_dir):
+    # Curriculum/difficulty deciles of document length: EXACT quantile
+    # thresholds via distributed histogram selection (broadcast back as
+    # one row), then a map-side thresholds-exceeded count — the
+    # scalable ntile substitute (curation.py:curriculum_bins).
+    return CU.curriculum_bins(
+        _t(spark, sf_dir, "documents"), "n_chars", n_bins=10
+    )
+
+
 def q_bpe_encode(spark, sf_dir):
     # Frozen-tokenizer BPE APPLY (the other half of llm_bpe_pair_stats'
     # fit loop): per-doc whitespace vs BPE token counts under a static
@@ -2642,6 +2652,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_curriculum_bins",
     "llm_bpe_encode",
     "llm_quality_classifier",
     "llm_random_projection",
@@ -2714,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_curriculum_bins": q_curriculum_bins,
         "llm_bpe_encode": q_bpe_encode,
         "llm_quality_classifier": q_quality_classifier,
         "llm_random_projection": q_random_projection,
@@ -4155,6 +4167,26 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
+        "llm_curriculum_bins": """
+            WITH th AS (
+                SELECT """
+        + ", ".join(
+            f"round(quantile_cont(n_chars, {i / 10}), 6) AS p{i * 10}"
+            for i in range(1, 10)
+        )
+        + """
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   ("""
+        + " + ".join(
+            f"CASE WHEN n_chars > p{i * 10} THEN 1 ELSE 0 END"
+            for i in range(1, 10)
+        )
+        + """) AS bin
+            FROM documents, th
+            ORDER BY doc_id
+        """,
         "llm_random_projection": """
             WITH r AS (
                 SELECT i.range AS i, j.range AS j,

@@ -697,3 +697,47 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+# --- curriculum binning ------------------------------------------------------
+
+
+def curriculum_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum/difficulty binning: assign every row to one of
+    ``n_bins`` quantile bins of ``score_col`` (length, surprisal, any
+    difficulty proxy) — the staging step of curriculum training
+    schedules ("easy decile first") and of balanced eval sampling.
+
+    Scale shape: the n_bins-1 EXACT thresholds come from
+    ``grouped_quantiles_selection`` (distributed histogram selection —
+    no value buffering, no global sort/window, unlike the naive
+    ``ntile`` which funnels every row through one task); they broadcast
+    back as a 1-row frame and the bin assignment is a map-side count of
+    thresholds exceeded. Value-based bins (not rank-based) so ties get
+    one deterministic bin in any engine.
+    """
+    from streaming_demos_spark.operators.relational import (
+        grouped_quantiles_selection,
+    )
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    th = grouped_quantiles_selection(
+        df.select(F.lit("all").alias("_g"), F.col(score_col)),
+        "_g",
+        score_col,
+        probs,
+    ).drop("_g", "n_rows")
+    bin_expr = sum(
+        (F.col(score_col) > F.col(f"p{int(round(p * 100))}")).cast("int")
+        for p in probs
+    )
+    return (
+        df.crossJoin(F.broadcast(th))
+        .select(F.col(id_col), F.col(score_col), bin_expr.alias("bin"))
+        .orderBy(id_col)
+    )

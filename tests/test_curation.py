@@ -270,3 +270,42 @@ def test_per_group_sample_exact_k_and_deterministic(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_curriculum_bins_balanced_and_ordered(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import curation as C
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = C.curriculum_bins(docs, "n_chars", n_bins=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin"], []).append(r["n_chars"])
+    assert set(by_bin) <= {0, 1, 2, 3}
+    # bins are ordered by value: max of bin i <= min of bin i+1
+    for b in sorted(by_bin)[:-1]:
+        if b + 1 in by_bin:
+            assert max(by_bin[b]) <= min(by_bin[b + 1])
+    # quantile bins are roughly balanced (ties can skew, not collapse)
+    sizes = [len(v) for v in by_bin.values()]
+    assert min(sizes) > 0.1 * max(sizes)
+
+
+def test_curriculum_bins_no_global_sort_or_window(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import curation as C
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        C.curriculum_bins(docs, "n_chars", n_bins=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # No rank-based global binning: the only Window is the quantile
+    # selection's own, partitioned by (prob, which) and bounded to one
+    # histogram bucket per partition — never an un-partitioned ntile.
+    assert "ntile" not in plan
+    assert "windowspecdefinition(_p" in plan or "Window" not in plan

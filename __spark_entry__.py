@@ -2603,6 +2603,13 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    # Symmetric per-vector int8 scalar quantization pre-flight: scale,
+    # RMSE and max reconstruction error per vector — map-only, zero
+    # shuffle (similarity.py:quantize_embeddings_int8).
+    return SIM.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def q_curriculum_bins(spark, sf_dir):
     # Curriculum/difficulty deciles of document length: EXACT quantile
     # thresholds via distributed histogram selection (broadcast back as
@@ -2652,6 +2659,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_embedding_quantize",
     "llm_curriculum_bins",
     "llm_bpe_encode",
     "llm_quality_classifier",
@@ -2725,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_embedding_quantize": q_embedding_quantize,
         "llm_curriculum_bins": q_curriculum_bins,
         "llm_bpe_encode": q_bpe_encode,
         "llm_quality_classifier": q_quality_classifier,
@@ -4167,6 +4176,27 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
+        "llm_embedding_quantize": """
+            WITH q AS (
+                SELECT vec_id, len(embedding) AS n, embedding,
+                       greatest(list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS s
+                FROM embeddings
+            ),
+            e AS (
+                SELECT vec_id, n, s,
+                       list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)
+                                    - round(CAST(x AS DOUBLE) / s) * s)) AS errs
+                FROM q
+            )
+            SELECT vec_id,
+                   round(s, 9) AS scale,
+                   round(sqrt(list_sum(list_transform(errs, x -> x * x)) / n), 9) AS rmse,
+                   round(list_max(errs), 9) AS max_abs_err
+            FROM e
+            ORDER BY vec_id
+        """,
         "llm_curriculum_bins": """
             WITH th AS (
                 SELECT """

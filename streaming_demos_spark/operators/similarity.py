@@ -1133,3 +1133,53 @@ def random_projection(
         .select(id_col, "dim_idx", F.round(F.col("_v"), dp).alias("value"))
         .orderBy(id_col, "dim_idx")
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 9,
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the cheap
+    4x-compression storage path for embedding columns (PQ's 32-bit
+    codes are the aggressive alternative; int8 keeps dot products
+    usable directly): ``scale = max|x| / 127``, ``q_i = round(x_i /
+    scale)`` in [-127, 127], reconstruction ``q_i * scale``.
+
+    Map-ONLY plan (zero shuffle): everything is per-row array
+    arithmetic in codegen. Returns per-vector quantization quality —
+    ``(id, scale, rmse, max_abs_err)`` — the pre-flight a pipeline runs
+    before committing the corpus to int8 storage. Zero vectors quantize
+    to all-zeros (scale floor epsilon), not a divide-by-zero.
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)), F.lit(1e-12)
+    ) / F.lit(127.0)
+    deq = F.transform(v, lambda x: F.round(x / F.col("_scale")) * F.col("_scale"))
+    err = F.zip_with(v, F.col("_deq"), lambda a, b: F.abs(a - b))
+    n = F.size(v)
+    return (
+        emb.withColumn("_scale", scale)
+        .withColumn("_deq", deq)
+        .withColumn("_err", err)
+        .select(
+            F.col(id_col),
+            F.round(F.col("_scale"), dp).alias("scale"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("_err"), F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                    / n
+                ),
+                dp,
+            ).alias("rmse"),
+            F.round(F.array_max(F.col("_err")), dp).alias("max_abs_err"),
+        )
+        .orderBy(id_col)
+    )

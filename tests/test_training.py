@@ -191,3 +191,42 @@ def test_bpe_encode_stats_totals(spark, docs):
     # Merges only ever shrink the symbol count, and chars >= ws tokens.
     assert row["bpe"] <= docs.count() * 1000
     assert row["ws"] <= row["bpe"]
+
+
+def test_int8_quantization_bounds_and_zero_vector(spark):
+    import numpy as np
+
+    rows = [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in SIM.quantize_embeddings_int8(df).collect()}
+    # scale = max|x|/127 = 1.0; errors bounded by scale/2
+    assert out[1]["scale"] == pytest.approx(1.0)
+    assert out[1]["max_abs_err"] <= 0.5 + 1e-9
+    # zero vector: epsilon scale, exact reconstruction, no crash
+    assert out[2]["rmse"] == 0.0 and out[2]["max_abs_err"] == 0.0
+
+
+def test_int8_quantization_matches_numpy(spark, emb):
+    import numpy as np
+
+    out = {r["vec_id"]: r for r in SIM.quantize_embeddings_int8(emb).collect()}
+    for r in emb.limit(10).collect():
+        x = np.array(r["embedding"], dtype=np.float64)
+        s = max(np.abs(x).max(), 1e-12) / 127.0
+        err = np.abs(x - np.round(x / s) * s)
+        assert out[r["vec_id"]]["rmse"] == pytest.approx(
+            float(np.sqrt((err**2).mean())), abs=1e-8
+        )
+        assert out[r["vec_id"]]["max_abs_err"] == pytest.approx(
+            float(err.max()), abs=1e-8
+        )
+
+
+def test_int8_quantization_plan_is_map_only(spark, emb):
+    plan = (
+        SIM.quantize_embeddings_int8(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1  # presentation sort only

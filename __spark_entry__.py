@@ -2603,6 +2603,44 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_incremental_agg(spark, sf_dir):
+    # Materialized-view maintenance: refresh a grouped sum/count from a
+    # retraction-stream delta (d(old)+i(new) pairs, Flink changelog
+    # semantics) — one delta-sized shuffle + a co-partitioned join with
+    # the stored aggregate, never a base-table rescan. The oracle
+    # recomputes the aggregate from the reconstructed new snapshot, so
+    # a green hash PROVES incremental == recompute
+    # (relational.py:incremental_agg_refresh).
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    img = lambda op, df: df.select(  # noqa: E731 - local shorthand
+        F.lit(op).alias("op"),
+        "o_orderpriority",
+        F.col("o_totalprice").alias("revenue"),
+    )
+    base_agg = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("revenue"), F.count("*").alias("n_rows")
+    )
+    deletes = img("d", orders.filter(key % 10 == 0))
+    upd_src = orders.filter((key % 7 == 3) & (key % 10 != 0))
+    upd = img("d", upd_src).unionByName(
+        img("i", upd_src.withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    )
+    inserts = img("i", orders.filter(key % 5 == 1))
+    delta = deletes.unionByName(upd).unionByName(inserts)
+    return (
+        R.incremental_agg_refresh(
+            base_agg, delta, ["o_orderpriority"], ["revenue"]
+        )
+        .select(
+            "o_orderpriority",
+            F.round("revenue", 2).alias("revenue"),
+            "n_rows",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     # Symmetric per-vector int8 scalar quantization pre-flight: scale,
     # RMSE and max reconstruction error per vector — map-only, zero
@@ -2659,6 +2697,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_incremental_agg",
     "llm_embedding_quantize",
     "llm_curriculum_bins",
     "llm_bpe_encode",
@@ -2733,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_incremental_agg": q_incremental_agg,
         "llm_embedding_quantize": q_embedding_quantize,
         "llm_curriculum_bins": q_curriculum_bins,
         "llm_bpe_encode": q_bpe_encode,
@@ -4176,6 +4216,23 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
+        "ext_incremental_agg": """
+            WITH new_state AS (
+                SELECT o_orderpriority,
+                       CASE WHEN o_orderkey % 7 = 3 AND o_orderkey % 10 != 0
+                            THEN o_totalprice * 2 ELSE o_totalprice END AS p
+                FROM orders WHERE o_orderkey % 10 != 0
+                UNION ALL
+                SELECT o_orderpriority, o_totalprice FROM orders
+                WHERE o_orderkey % 5 = 1
+            )
+            SELECT o_orderpriority,
+                   round(sum(p), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM new_state
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         "llm_embedding_quantize": """
             WITH q AS (
                 SELECT vec_id, len(embedding) AS n, embedding,

@@ -1303,3 +1303,59 @@ def blocked_similarity_pairs(
         .filter(F.col("distance") <= max_distance)
         .select(*block_cols, "id_a", "id_b", "distance")
     )
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+
+
+def incremental_agg_refresh(
+    prev_agg: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+    op_col: str = "op",
+) -> DataFrame:
+    """Materialized-view maintenance: refresh a grouped sum/count
+    aggregate from a CHANGE SET instead of rescanning the base table —
+    the reason a 100 TB nightly aggregate costs one delta scan, not a
+    world scan.
+
+    ``delta`` is a retraction stream (Flink changelog semantics, the
+    model behind the reference's Table-API aggregations): 'i' rows add
+    their values, 'd' rows retract them, and an update arrives as the
+    standard d(old)+i(new) pair. The refresh is
+
+        groupBy(key) over the delta  [one small shuffle]
+        full-outer join with prev_agg on the key  [co-partitioned]
+        sum_new = coalesce(prev, 0) + coalesce(delta, 0)
+
+    with groups whose refreshed count reaches 0 dropped (fully-deleted
+    groups must vanish, matching a recompute). Works for any
+    sum/count-shaped aggregate (avg = sum/count downstream); min/max
+    are not retractable without re-reading the group — by design out of
+    scope here.
+    """
+    sign = F.when(F.col(op_col) == "d", F.lit(-1)).otherwise(F.lit(1))
+    d_agg = delta.groupBy(*key_cols).agg(
+        *[F.sum(sign * F.col(c)).alias(f"_d_{c}") for c in sum_cols],
+        F.sum(sign).alias("_d_n"),
+    )
+    merged = prev_agg.join(d_agg, key_cols, "full_outer")
+    zero = F.lit(0.0)
+    return (
+        merged.select(
+            *key_cols,
+            *[
+                (
+                    F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"_d_{c}"), zero)
+                ).alias(c)
+                for c in sum_cols
+            ],
+            (
+                F.coalesce(F.col(count_col), F.lit(0))
+                + F.coalesce(F.col("_d_n"), F.lit(0))
+            ).alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
+    )

@@ -956,3 +956,61 @@ def test_grouped_quantiles_selection_no_value_buffering_agg(spark):
         .toString()
     )
     assert "percentile(" not in plan
+
+
+def test_incremental_agg_refresh_semantics(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    prev = spark.createDataFrame(
+        [("a", 10.0, 2), ("b", 5.0, 1)], ["g", "revenue", "n_rows"]
+    )
+    delta = spark.createDataFrame(
+        [
+            ("d", "b", 5.0),          # full delete -> group b vanishes
+            ("d", "a", 4.0),          # update a: retract old...
+            ("i", "a", 6.0),          # ...insert new
+            ("i", "c", 7.0),          # brand-new group appears
+        ],
+        ["op", "g", "revenue"],
+    )
+    out = {
+        r["g"]: r
+        for r in R.incremental_agg_refresh(
+            prev, delta, ["g"], ["revenue"]
+        ).collect()
+    }
+    assert set(out) == {"a", "c"}
+    assert out["a"]["revenue"] == 12.0 and out["a"]["n_rows"] == 2
+    assert out["c"]["revenue"] == 7.0 and out["c"]["n_rows"] == 1
+
+
+def test_incremental_agg_refresh_matches_recompute(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import relational as R
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    key = F.col("o_orderkey")
+    base_agg = orders.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("revenue"), F.count("*").alias("n_rows")
+    )
+    deleted = orders.filter(key % 3 == 0)
+    delta = deleted.select(
+        F.lit("d").alias("op"),
+        "o_orderstatus",
+        F.col("o_totalprice").alias("revenue"),
+    )
+    inc = {
+        r["o_orderstatus"]: (round(r["revenue"], 2), r["n_rows"])
+        for r in R.incremental_agg_refresh(
+            base_agg, delta, ["o_orderstatus"], ["revenue"]
+        ).collect()
+    }
+    full = {
+        r["o_orderstatus"]: (round(r["revenue"], 2), r["n_rows"])
+        for r in orders.filter(key % 3 != 0)
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert inc == full

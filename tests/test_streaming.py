@@ -10,6 +10,7 @@ The late-tagging sequences replicate the reference rule
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -555,3 +556,53 @@ def test_stream_stream_attribution_join(spark, stream_dirs):
         within="5 seconds",
     ).collect()
     assert [(r.k, r.imp_time.second, r.click_time.second) for r in batch] == got
+
+
+def test_streaming_agg_refresh_matches_recompute(spark, tmp_path):
+    """Retraction-stream MV maintenance under Structured Streaming:
+    inserts then a batch of deletes/updates arrive as file micro-batches;
+    the maintained aggregate must equal a from-scratch recompute of the
+    surviving rows, a replayed batch must be a no-op, and a fully
+    deleted group must vanish."""
+    import json
+
+    from streaming_demos_spark import sinks as SK
+
+    src = str(tmp_path / "delta_src")
+    chk = str(tmp_path / "delta_chk")
+    os.makedirs(src, exist_ok=True)
+
+    def emit(name, rows):
+        with open(f"{src}/{name}.json", "w") as fh:
+            for op, g, v in rows:
+                fh.write(json.dumps({"op": op, "g": g, "v": float(v)}) + "\n")
+
+    schema = "op string, g string, v double"
+    state: dict = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SK.agg_refresh_sink(state, ["g"], ["v"])
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit("b1", [("i", "a", 10.0), ("i", "a", 2.0), ("i", "b", 5.0)])
+    run_once()
+    assert state["groups"][("a",)] == {"v": 12.0, "n_rows": 2}
+
+    # update a (d old + i new), delete b entirely
+    emit("b2", [("d", "a", 2.0), ("i", "a", 3.0), ("d", "b", 5.0)])
+    run_once()
+    assert state["groups"][("a",)] == {"v": 13.0, "n_rows": 2}
+    assert ("b",) not in state["groups"]
+
+    # replay guard: re-running with no new files must change nothing
+    before = {k: dict(v) for k, v in state["groups"].items()}
+    run_once()
+    assert state["groups"] == before

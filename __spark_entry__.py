@@ -2603,6 +2603,17 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_quality_eval(spark, sf_dir):
+    # The capstone composition: near-dup CLUSTER split (no holdout
+    # contamination) -> fit the quality logreg on train only -> exact
+    # Mann-Whitney AUC on the holdout. One row (auc, n_train,
+    # n_holdout); oracle replays split + GD + AUC end-to-end
+    # (training.py:quality_eval_leakage_free).
+    return TR.quality_eval_leakage_free(
+        _t(spark, sf_dir, "documents"), iters=3, lr=1.0, holdout_pct=30
+    )
+
+
 def q_incremental_agg(spark, sf_dir):
     # Materialized-view maintenance: refresh a grouped sum/count from a
     # retraction-stream delta (d(old)+i(new) pairs, Flink changelog
@@ -2697,6 +2708,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_quality_eval",
     "ext_incremental_agg",
     "llm_embedding_quantize",
     "llm_curriculum_bins",
@@ -2772,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_quality_eval": q_quality_eval,
         "ext_incremental_agg": q_incremental_agg,
         "llm_embedding_quantize": q_embedding_quantize,
         "llm_curriculum_bins": q_curriculum_bins,
@@ -4215,6 +4228,12 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_quality_eval": TR.sql_logreg_quality_eval(
+            _sql_neardup_clusters(threshold=0.1),
+            iters=3,
+            lr=1.0,
+            holdout_pct=30,
+        ),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
         "ext_incremental_agg": """
             WITH new_state AS (

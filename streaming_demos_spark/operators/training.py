@@ -235,3 +235,136 @@ def numpy_logreg_reference(
         p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
         w = w - lr * (Xb.T @ (p - y)) / len(y)
     return w
+
+
+def quality_eval_leakage_free(
+    docs: DataFrame,
+    *,
+    iters: int = 3,
+    lr: float = 1.0,
+    holdout_pct: int = 30,
+    threshold: float = 0.1,
+    label_lang: str = "en",
+) -> DataFrame:
+    """Leakage-free offline evaluation of the learned quality filter —
+    the full composition a production pipeline runs before trusting a
+    classifier trained on its own corpus:
+
+      near-dup cluster split (near-copies co-assign, so the holdout is
+      never contaminated by a training near-duplicate) -> fit logreg on
+      the train side only -> score the holdout map-only -> exact
+      Mann-Whitney AUC on the holdout scores.
+
+    One row: (auc, n_train, n_holdout). Every stage is the bounded-
+    driver-state shape of its standalone operator; nothing new shuffles.
+    """
+    from streaming_demos_spark.operators.dedup import cluster_split
+    from streaming_demos_spark.operators.linucb import auc as auc_fn
+
+    split = cluster_split(
+        docs, threshold=threshold, holdout_pct=holdout_pct
+    ).select("doc_id", "split")
+    feats = quality_features(docs, label_lang=label_lang).join(split, "doc_id")
+    train = feats.filter(F.col("split") == "train")
+    w = logreg_fit(train, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
+    holdout = logreg_score(
+        feats.filter(F.col("split") == "holdout"),
+        ["x1", "x2", "x3"],
+        w,
+        out_col="score",
+        dp=6,
+    )
+    counts = feats.groupBy().agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "holdout").cast("long")).alias("n_holdout"),
+    )
+    return auc_fn(holdout, "score", "y").crossJoin(F.broadcast(counts))
+
+
+def sql_logreg_quality_eval(
+    clusters_sql: str,
+    iters: int = 3,
+    lr: float = 1.0,
+    holdout_pct: int = 30,
+    dp: int = 6,
+) -> str:
+    """DuckDB replay of ``quality_eval_leakage_free``: the cluster-split
+    SQL (passed in, so the near-dup parameters stay in one place at the
+    call site) + the same GD trajectory fit on the train side + the
+    Mann-Whitney AUC over the holdout scores."""
+    sql = [
+        f"""
+        WITH sb AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 6))::BIGINT % 100 < {holdout_pct}
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM ({clusters_sql}) base
+        ),
+        w0 AS (
+            SELECT doc_id, n_chars, text, lang,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents
+        ),
+        f AS (
+            SELECT w0.doc_id,
+                   n_chars / 1000.0 AS x1,
+                   len(words) / 100.0 AS x2,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE (length(text) - (len(words) - 1)) / (10.0 * len(words))
+                   END AS x3,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   sb.split
+            FROM w0 JOIN sb USING (doc_id)
+        ),
+        train AS (SELECT * FROM f WHERE split = 'train')"""
+    ]
+    margin = "0.0"
+    prev = None
+    for k in range(1, iters + 1):
+        src = "train" if prev is None else f"train, {prev}"
+        err = f"(1.0 / (1.0 + exp(-({margin}))) - y)"
+        sql.append(
+            f""",
+        g{k} AS (
+            SELECT avg({err} * x1) AS g1,
+                   avg({err} * x2) AS g2,
+                   avg({err} * x3) AS g3,
+                   avg({err}) AS gb
+            FROM {src}
+        ),
+        w{k} AS (
+            SELECT {'0.0' if prev is None else f'{prev}.c1'} - {lr} * g1 AS c1,
+                   {'0.0' if prev is None else f'{prev}.c2'} - {lr} * g2 AS c2,
+                   {'0.0' if prev is None else f'{prev}.c3'} - {lr} * g3 AS c3,
+                   {'0.0' if prev is None else f'{prev}.cb'} - {lr} * gb AS cb
+            FROM g{k}{'' if prev is None else f', {prev}'}
+        )"""
+        )
+        prev = f"w{k}"
+        margin = f"{prev}.c1 * x1 + {prev}.c2 * x2 + {prev}.c3 * x3 + {prev}.cb"
+    sql.append(
+        f""",
+        scored AS (
+            SELECT round(1.0 / (1.0 + exp(-({margin}))), {dp}) AS score, y
+            FROM f, {prev} WHERE split = 'holdout'
+        ),
+        per_score AS (
+            SELECT score, count(*) AS cnt, sum(y)::DOUBLE AS pos
+            FROM scored GROUP BY score
+        ),
+        ranked AS (
+            SELECT *,
+                   coalesce(sum(cnt) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + (cnt + 1.0) / 2.0 AS avg_rank
+            FROM per_score
+        )
+        SELECT round(
+                   (sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1.0) / 2.0)
+                   / (sum(pos) * (sum(cnt) - sum(pos))), 6) AS auc,
+               (SELECT count(*) FROM train) AS n_train,
+               (SELECT count(*) FROM scored) AS n_holdout
+        FROM ranked"""
+    )
+    return "".join(sql)

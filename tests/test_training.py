@@ -230,3 +230,12 @@ def test_int8_quantization_plan_is_map_only(spark, emb):
         .toString()
     )
     assert plan.count("Exchange") <= 1  # presentation sort only
+
+
+def test_quality_eval_leakage_free_shape(spark, docs):
+    row = TR.quality_eval_leakage_free(
+        docs, iters=2, holdout_pct=30
+    ).first()
+    assert row["n_train"] + row["n_holdout"] == docs.count()
+    assert row["n_train"] > 0 and row["n_holdout"] > 0
+    assert row["auc"] is None or 0.0 <= row["auc"] <= 1.0

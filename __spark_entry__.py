@@ -2603,6 +2603,22 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_data_quality(spark, sf_dir):
+    # Declarative constraint pre-flight over the star schema: all
+    # scan-side checks (pk duplicates, null rates, value ranges) in ONE
+    # aggregation pass + one left-anti count per foreign key
+    # (relational.py:data_quality_report).
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return R.data_quality_report(
+        orders,
+        pk_cols=["o_orderkey"],
+        not_null_cols=["o_custkey", "o_orderstatus"],
+        range_checks=[("o_totalprice", 0.0, 1e9)],
+        fks=[("o_custkey", customer, "c_custkey", "orders_customer")],
+    )
+
+
 def q_quality_eval(spark, sf_dir):
     # The capstone composition: near-dup CLUSTER split (no holdout
     # contamination) -> fit the quality logreg on train only -> exact
@@ -2708,6 +2724,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_data_quality",
     "llm_quality_eval",
     "ext_incremental_agg",
     "llm_embedding_quantize",
@@ -2784,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_data_quality": q_data_quality,
         "llm_quality_eval": q_quality_eval,
         "ext_incremental_agg": q_incremental_agg,
         "llm_embedding_quantize": q_embedding_quantize,
@@ -4235,6 +4253,35 @@ def oracle_sql() -> dict[str, str]:
             holdout_pct=30,
         ),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
+        "ext_data_quality": """
+            WITH checks AS (
+                SELECT 'pk_unique_o_orderkey' AS "check",
+                       count(*) - count(DISTINCT o_orderkey) AS violations
+                FROM orders
+                UNION ALL
+                SELECT 'not_null_o_custkey',
+                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                FROM orders
+                UNION ALL
+                SELECT 'not_null_o_orderstatus',
+                       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                FROM orders
+                UNION ALL
+                SELECT 'range_o_totalprice',
+                       sum(CASE WHEN o_totalprice IS NULL
+                                OR o_totalprice < 0.0
+                                OR o_totalprice > 1000000000.0
+                                THEN 1 ELSE 0 END)
+                FROM orders
+                UNION ALL
+                SELECT 'fk_orders_customer', count(*)
+                FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+            )
+            SELECT "check", violations, violations = 0 AS passed
+            FROM checks ORDER BY "check"
+        """,
         "ext_incremental_agg": """
             WITH new_state AS (
                 SELECT o_orderpriority,

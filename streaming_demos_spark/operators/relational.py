@@ -1359,3 +1359,66 @@ def incremental_agg_refresh(
         )
         .filter(F.col(count_col) > 0)
     )
+
+
+# --- data-quality constraint checks ------------------------------------------
+
+
+def data_quality_report(
+    df: DataFrame,
+    pk_cols: list[str] | None = None,
+    not_null_cols: list[str] | None = None,
+    range_checks: list[tuple[str, float, float]] | None = None,
+    fks: list[tuple[str, DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """Declarative table-constraint report (the Deequ-style pre-flight a
+    pipeline runs before trusting an ingest): one row per check with its
+    violation count and pass flag.
+
+    Scan-side checks (null rates, range violations, primary-key
+    duplicate count) all ride ONE aggregation pass over the table —
+    adding a check adds a column to the same agg, not a scan. Each
+    foreign-key check is one left-anti count against its dimension
+    (broadcast when the dim is small; Catalyst/AQE decides). Output is
+    |checks| rows — driver cost is nil by construction.
+    """
+    aggs, names = [], []
+    if pk_cols:
+        pk = "_".join(pk_cols)
+        aggs.append(
+            (F.count("*") - F.count_distinct(*[F.col(c) for c in pk_cols]))
+            .alias(f"pk_unique_{pk}")
+        )
+        names.append(f"pk_unique_{pk}")
+    for c in not_null_cols or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"not_null_{c}"))
+        names.append(f"not_null_{c}")
+    for c, lo, hi in range_checks or []:
+        bad = ~F.col(c).between(F.lit(lo), F.lit(hi)) | F.col(c).isNull()
+        aggs.append(F.sum(bad.cast("long")).alias(f"range_{c}"))
+        names.append(f"range_{c}")
+    scan_row = df.agg(*aggs) if aggs else None
+    stacked = None
+    if scan_row is not None:
+        stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
+        stacked = scan_row.selectExpr(
+            f"stack({len(names)}, {stack_expr}) AS (check, violations)"
+        )
+    for fk_col, dim, dim_col, label in fks or []:
+        orphans = (
+            df.select(F.col(fk_col).alias("_fk"))
+            .filter(F.col("_fk").isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias("_fk")).distinct(),
+                "_fk",
+                "left_anti",
+            )
+            .agg(F.count("*").alias("violations"))
+            .select(F.lit(f"fk_{label}").alias("check"), "violations")
+        )
+        stacked = orphans if stacked is None else stacked.unionByName(orphans)
+    return (
+        stacked.select(
+            "check", "violations", (F.col("violations") == 0).alias("passed")
+        ).orderBy("check")
+    )

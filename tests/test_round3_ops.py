@@ -1014,3 +1014,48 @@ def test_incremental_agg_refresh_matches_recompute(spark):
         .collect()
     }
     assert inc == full
+
+
+def test_data_quality_report_catches_violations(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, -2.0), (2, None, 3.0), (3, 99, 4.0)],
+        "id long, fk long, v double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "k long")
+    out = {
+        r["check"]: r
+        for r in R.data_quality_report(
+            fact,
+            pk_cols=["id"],
+            not_null_cols=["fk"],
+            range_checks=[("v", 0.0, 100.0)],
+            fks=[("fk", dim, "k", "fact_dim")],
+        ).collect()
+    }
+    assert out["pk_unique_id"]["violations"] == 1  # id=1 twice
+    assert out["not_null_fk"]["violations"] == 1
+    assert out["range_v"]["violations"] == 1  # -2.0
+    assert out["fk_fact_dim"]["violations"] == 1  # fk=99 orphan
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_data_quality_scan_checks_share_one_pass(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import relational as R
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plan = (
+        R.data_quality_report(
+            orders,
+            pk_cols=["o_orderkey"],
+            not_null_cols=["o_custkey", "o_orderstatus"],
+            range_checks=[("o_totalprice", 0.0, 1e9)],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one table scan for all scan-side checks (no per-check rescan)
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2

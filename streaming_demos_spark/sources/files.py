@@ -92,3 +92,63 @@ def to_csv_line(df: DataFrame, cols: list[str] | None = None) -> Column:
     test/demo helper)."""
     cols = cols or df.columns
     return F.to_csv(F.struct(*[F.col(c) for c in cols]))
+
+
+def read_parquet_evolving(
+    spark: SparkSession, *paths: str, expected: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan across files written under EVOLVING schemas
+    (columns added over time — the normal life of a long-lived corpus
+    directory): ``mergeSchema`` unions the per-file schemas, files
+    missing a column yield NULLs for it.
+
+    Schema evolution is read-side only and metadata-bounded (footers,
+    not data, are merged), so this scales to any file count; pass
+    ``expected`` to pin the output column set/order regardless of which
+    files happen to be present (missing columns materialize as typed
+    NULL literals — schema-on-read stays declared, per SURVEY §1.3).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if expected is not None:
+        cols = [
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in expected.fields
+        ]
+        df = df.select(*cols)
+    return df
+
+
+def read_json_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON scan that ROUTES malformed lines instead of dropping them:
+    returns ``(good, bad)`` where ``bad`` carries the raw offending
+    line — the file-source analog of the Kafka path's bad-frame
+    dead-letter policy (sources/kafka.py), so ingest errors are
+    auditable rather than silent.
+
+    PERMISSIVE mode + an explicit corrupt-record column; the split is
+    two filters over one scan (Catalyst reuses the source)."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    # cache() is load-bearing, not an optimization: Spark disallows
+    # querying ONLY the internal corrupt-record column from a raw file
+    # scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    # documented pattern is to materialize the parsed frame first. Both
+    # splits then read the one cached scan.
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = parsed.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

@@ -388,3 +388,51 @@ def test_periodic_refresh_pushes_json_records(spark):
         assert recs == [{"id": 1, "amount": 10.0}, {"id": 2, "amount": 20.0}]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark.sources import files as FS
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, name string, quality double"
+    ).write.parquet(new)
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("lang", T.StringType()),  # not yet written anywhere
+        ]
+    )
+    out = {
+        r.id: r
+        for r in FS.read_parquet_evolving(spark, old, new, expected=expected).collect()
+    }
+    assert out[1].quality is None and out[2].quality == 0.9
+    assert out[1].lang is None and out[2].lang is None
+    assert list(out[1].asDict()) == ["id", "name", "quality", "lang"]
+
+
+def test_json_corrupt_capture_routes_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark.sources import files as FS
+
+    p = str(tmp_path / "j")
+    os.makedirs(p)
+    with open(f"{p}/part.json", "w") as fh:
+        fh.write('{"k": 1, "v": "ok"}\n')
+        fh.write("this is not json\n")
+        fh.write('{"k": 2, "v": "fine"}\n')
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = FS.read_json_with_corrupt_capture(spark, p, schema)
+    assert {r.k for r in good.collect()} == {1, 2}
+    bad_rows = [r[0] for r in bad.collect()]
+    assert bad_rows == ["this is not json"]

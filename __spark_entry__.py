@@ -2603,6 +2603,15 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_sequence_gaps(spark, sf_dir):
+    # Change-feed integrity: every missing run in the event-id sequence
+    # (ids % 97 == 13 withheld to manufacture deterministic gaps) via
+    # bucketed gap detection — complete buckets never re-inspected, no
+    # global sort over the id space (relational.py:sequence_gaps).
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 != 13)
+    return R.sequence_gaps(ev, "event_id", bucket_width=1024)
+
+
 def q_data_quality(spark, sf_dir):
     # Declarative constraint pre-flight over the star schema: all
     # scan-side checks (pk duplicates, null rates, value ranges) in ONE
@@ -2724,6 +2733,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_sequence_gaps",
     "ext_data_quality",
     "llm_quality_eval",
     "ext_incremental_agg",
@@ -2801,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_sequence_gaps": q_sequence_gaps,
         "ext_data_quality": q_data_quality,
         "llm_quality_eval": q_quality_eval,
         "ext_incremental_agg": q_incremental_agg,
@@ -4253,6 +4264,26 @@ def oracle_sql() -> dict[str, str]:
             holdout_pct=30,
         ),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
+        "ext_sequence_gaps": """
+            WITH actual AS (
+                SELECT event_id FROM events WHERE event_id % 97 != 13
+            ),
+            bounds AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM actual),
+            all_ids AS (
+                SELECT unnest(generate_series(lo, hi)) AS id FROM bounds
+            ),
+            missing AS (
+                SELECT id FROM all_ids
+                WHERE id NOT IN (SELECT event_id FROM actual)
+            ),
+            isl AS (
+                SELECT id, id - row_number() OVER (ORDER BY id) AS grp
+                FROM missing
+            )
+            SELECT min(id) AS gap_start, max(id) AS gap_end,
+                   count(*) AS n_missing
+            FROM isl GROUP BY grp ORDER BY gap_start
+        """,
         "ext_data_quality": """
             WITH checks AS (
                 SELECT 'pk_unique_o_orderkey' AS "check",

@@ -1422,3 +1422,69 @@ def data_quality_report(
             "check", "violations", (F.col("violations") == 0).alias("passed")
         ).orderBy("check")
     )
+
+
+# --- sequence-gap detection (change-feed integrity) --------------------------
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Find every missing run in an integral sequence column — the
+    integrity check a CDC consumer runs over log sequence numbers /
+    event ids to prove it lost nothing. Returns ``(gap_start, gap_end,
+    n_missing)`` per maximal missing run.
+
+    Scalable shape (no global sort over the id space):
+      1. one aggregate for (min, max),
+      2. fixed-width bucket counts (map-side combinable); a bucket
+         whose count equals its width is COMPLETE and never inspected
+         again — only deficient buckets go on,
+      3. candidate ids generated per deficient bucket
+         (``explode(sequence(...))`` — volume is bounded by the actual
+         missing count plus bucket rounding, NOT by the id range),
+      4. anti-join against the actual ids, then the gaps-and-islands
+         window over the missing set.
+    The final window is un-partitioned by design: its input is the
+    missing ids themselves, which a healthy feed keeps tiny (the same
+    bounded-smallness contract as ``exact_kth_smallest``'s residual
+    sort); a feed missing billions of ids has bigger problems than this
+    report's final stage.
+    """
+    row = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "gap_start long, gap_end long, n_missing long"
+        )
+    w = bucket_width
+    bucket = F.floor((F.col(id_col) - F.lit(lo)) / F.lit(w)).alias("b")
+    counts = df.select(bucket).groupBy("b").agg(F.count("*").alias("cnt"))
+    b_lo = F.lit(lo) + F.col("b") * F.lit(w)
+    b_hi = F.least(F.lit(hi), b_lo + F.lit(w - 1))
+    expected = b_hi - b_lo + 1
+    deficient = counts.filter(F.col("cnt") < expected).select(
+        b_lo.alias("_start"), b_hi.alias("_end")
+    )
+    candidates = deficient.select(
+        F.explode(F.sequence(F.col("_start"), F.col("_end"))).alias("id")
+    )
+    missing = candidates.join(
+        df.select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    iw = Window.orderBy("id")
+    return (
+        missing.withColumn("_grp", F.col("id") - F.row_number().over(iw))
+        .groupBy("_grp")
+        .agg(
+            F.min("id").alias("gap_start"),
+            F.max("id").alias("gap_end"),
+            F.count("*").alias("n_missing"),
+        )
+        .select("gap_start", "gap_end", "n_missing")
+        .orderBy("gap_start")
+    )

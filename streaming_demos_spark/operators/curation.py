@@ -741,3 +741,80 @@ def curriculum_bins(
         .select(F.col(id_col), F.col(score_col), bin_expr.alias("bin"))
         .orderBy(id_col)
     )
+
+
+def quality_drift_psi(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots — the monitor that catches a crawler/filter regression
+    shifting the quality distribution before it poisons a training mix.
+
+    Bin thresholds come from snapshot A (the baseline) via exact
+    distributed quantile selection; BOTH snapshots are binned against
+    those same thresholds (drift must be measured on a fixed grid), and
+    each bin contributes ``(p_b - p_a) * ln(p_b / p_a)`` with add-
+    ``smooth`` count smoothing so an empty bin yields a finite term
+    instead of a log-of-zero. Returns one row per bin plus the PSI term;
+    ``sum(psi_term)`` > 0.2 is the conventional "investigate" line.
+
+    Scale: thresholds are a 1-row broadcast; each snapshot contributes
+    one map-side bin count; the final frame is ``n_bins`` rows.
+    """
+    from streaming_demos_spark.operators.relational import (
+        grouped_quantiles_selection,
+    )
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    th = grouped_quantiles_selection(
+        snap_a.select(F.lit("all").alias("_g"), F.col(score_col)),
+        "_g",
+        score_col,
+        probs,
+    ).drop("_g", "n_rows")
+    bin_expr = sum(
+        (F.col(score_col) > F.col(f"p{int(round(p * 100))}")).cast("int")
+        for p in probs
+    ).alias("bin")
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(th))
+            .select(bin_expr)
+            .groupBy("bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    a, b = binned(snap_a, "n_a"), binned(snap_b, "n_b")
+    bins = snap_a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        (F.sum("n_a") + n_bins * smooth).alias("_ta"),
+        (F.sum("n_b") + n_bins * smooth).alias("_tb"),
+    )
+    pa = (F.col("n_a") + F.lit(smooth)) / F.col("_ta")
+    pb = (F.col("n_b") + F.lit(smooth)) / F.col("_tb")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(pa, 6).alias("share_a"),
+            F.round(pb, 6).alias("share_b"),
+            F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

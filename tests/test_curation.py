@@ -309,3 +309,28 @@ def test_curriculum_bins_no_global_sort_or_window(spark):
     # histogram bucket per partition — never an un-partitioned ntile.
     assert "ntile" not in plan
     assert "windowspecdefinition(_p" in plan or "Window" not in plan
+
+
+def test_quality_drift_psi_zero_for_identical_snapshots(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import curation as C
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = C.quality_drift_psi(docs, docs, "n_chars", n_bins=5).collect()
+    assert len(out) == 5
+    assert all(abs(r.psi_term) < 1e-9 for r in out)
+    assert all(r.share_a == r.share_b for r in out)
+
+
+def test_quality_drift_psi_flags_shifted_distribution(spark):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import curation as C
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # snapshot B: only the short half -> strong shift, PSI must be big
+    short = docs.filter(F.col("n_chars") < 120)
+    out = C.quality_drift_psi(docs, short, "n_chars", n_bins=5).collect()
+    psi = sum(r.psi_term for r in out)
+    assert psi > 0.2  # conventional "investigate" line
+    # empty upper bins still yield finite terms (smoothing)
+    assert all(r.psi_term is not None for r in out)

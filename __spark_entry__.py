@@ -2603,6 +2603,16 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_lr_sweep(spark, sf_dir):
+    # Hyperparameter sweep with SHARED corpus scans: every learning
+    # rate's gradient computed in the same aggregation pass (grid size
+    # adds agg columns, not scans); final losses in one more pass
+    # (training.py:logreg_lr_sweep).
+    return TR.logreg_lr_sweep(
+        _t(spark, sf_dir, "documents"), lrs=[0.1, 0.5, 1.0, 2.0], iters=3
+    )
+
+
 def q_quality_drift(spark, sf_dir):
     # Distribution-drift monitor: PSI between two corpus snapshots
     # (even/odd doc ids as deterministic stand-ins) on a fixed decile
@@ -2747,6 +2757,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_lr_sweep",
     "llm_quality_drift",
     "ext_sequence_gaps",
     "ext_data_quality",
@@ -2826,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_lr_sweep": q_lr_sweep,
         "llm_quality_drift": q_quality_drift,
         "ext_sequence_gaps": q_sequence_gaps,
         "ext_data_quality": q_data_quality,
@@ -4273,6 +4285,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_lr_sweep": TR.sql_logreg_lr_sweep(
+            [0.1, 0.5, 1.0, 2.0], iters=3
+        ),
         "llm_quality_eval": TR.sql_logreg_quality_eval(
             _sql_neardup_clusters(threshold=0.1),
             iters=3,

@@ -368,3 +368,134 @@ def sql_logreg_quality_eval(
         FROM ranked"""
     )
     return "".join(sql)
+
+
+def logreg_lr_sweep(
+    docs: DataFrame,
+    lrs: list[float],
+    *,
+    iters: int = 3,
+    label_lang: str = "en",
+    dp: int = 6,
+) -> DataFrame:
+    """Distributed hyperparameter sweep with SHARED scans: fit one
+    logreg per learning rate, but compute every candidate's gradient in
+    the SAME aggregation pass — iteration cost is one corpus scan
+    regardless of grid size (|grid| * (d+1) agg columns), instead of
+    |grid| separate training runs each scanning the corpus.
+
+    This is the model-selection shape that matters at 100 TB: the scan
+    is the cost, the per-candidate arithmetic is free — so sweep wider,
+    not longer. Returns one row per lr: ``(lr, logloss, w1, w2, w3,
+    bias)``, losses from one final shared pass, everything rounded for
+    cross-engine determinism.
+    """
+    feature_cols = ["x1", "x2", "x3"]
+    d = len(feature_cols)
+    feats = quality_features(docs, label_lang=label_lang).persist()
+    try:
+        weights = {lr: [0.0] * (d + 1) for lr in lrs}
+        for _ in range(iters):
+            aggs = []
+            for i, lr in enumerate(lrs):
+                err = _sigmoid(_margin(feature_cols, weights[lr])) - F.col("y")
+                aggs.extend(
+                    F.avg(err * F.col(c)).alias(f"g{i}_{j}")
+                    for j, c in enumerate(feature_cols)
+                )
+                aggs.append(F.avg(err).alias(f"g{i}_b"))
+            row = feats.agg(*aggs).first()
+            if row[f"g0_b"] is None:
+                raise ValueError("logreg_lr_sweep: empty training input")
+            for i, lr in enumerate(lrs):
+                grads = [row[f"g{i}_{j}"] for j in range(d)] + [row[f"g{i}_b"]]
+                weights[lr] = [
+                    w - lr * g for w, g in zip(weights[lr], grads)
+                ]
+        loss_aggs = []
+        for i, lr in enumerate(lrs):
+            p = _sigmoid(_margin(feature_cols, weights[lr]))
+            ll = F.when(F.col("y") == 1.0, F.log(p)).otherwise(
+                F.log(F.lit(1.0) - p)
+            )
+            loss_aggs.append(F.avg(-ll).alias(f"loss{i}"))
+        losses = feats.agg(*loss_aggs).first()
+    finally:
+        feats.unpersist()
+    rows = [
+        (
+            float(lr),
+            round(losses[f"loss{i}"], dp),
+            *[round(w, dp) for w in weights[lr]],
+        )
+        for i, lr in enumerate(lrs)
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "lr double, logloss double, w1 double, w2 double, w3 double, bias double"
+    ).orderBy("lr")
+
+
+def sql_logreg_lr_sweep(
+    lrs: list[float], iters: int = 3, dp: int = 6
+) -> str:
+    """DuckDB replay of ``logreg_lr_sweep``: one unrolled GD chain per
+    learning rate over the shared feature CTE, losses at the final
+    weights, one output row per lr."""
+    sql = [
+        """
+        WITH w0 AS (
+            SELECT doc_id, n_chars, text, lang,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   n_chars / 1000.0 AS x1,
+                   len(words) / 100.0 AS x2,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE (length(text) - (len(words) - 1)) / (10.0 * len(words))
+                   END AS x3,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM w0
+        )"""
+    ]
+    finals = []
+    for i, lr in enumerate(lrs):
+        margin = "0.0"
+        prev = None
+        for k in range(1, iters + 1):
+            src = "f" if prev is None else f"f, {prev}"
+            err = f"(1.0 / (1.0 + exp(-({margin}))) - y)"
+            sql.append(
+                f""",
+        g{i}_{k} AS (
+            SELECT avg({err} * x1) AS g1, avg({err} * x2) AS g2,
+                   avg({err} * x3) AS g3, avg({err}) AS gb
+            FROM {src}
+        ),
+        w{i}_{k} AS (
+            SELECT {'0.0' if prev is None else f'{prev}.c1'} - {lr} * g1 AS c1,
+                   {'0.0' if prev is None else f'{prev}.c2'} - {lr} * g2 AS c2,
+                   {'0.0' if prev is None else f'{prev}.c3'} - {lr} * g3 AS c3,
+                   {'0.0' if prev is None else f'{prev}.cb'} - {lr} * gb AS cb
+            FROM g{i}_{k}{'' if prev is None else f', {prev}'}
+        )"""
+            )
+            prev = f"w{i}_{k}"
+            margin = (
+                f"{prev}.c1 * x1 + {prev}.c2 * x2 + {prev}.c3 * x3 + {prev}.cb"
+            )
+        p = f"(1.0 / (1.0 + exp(-({margin}))))"
+        finals.append(
+            f"""
+        SELECT {lr}::DOUBLE AS lr,
+               round((SELECT avg(-(CASE WHEN y = 1.0 THEN ln({p})
+                                        ELSE ln(1.0 - {p}) END))
+                      FROM f, {prev}), {dp}) AS logloss,
+               round({prev}.c1, {dp}) AS w1, round({prev}.c2, {dp}) AS w2,
+               round({prev}.c3, {dp}) AS w3, round({prev}.cb, {dp}) AS bias
+        FROM {prev}"""
+        )
+    sql.append("\n        UNION ALL".join(finals))
+    sql.append("\n        ORDER BY lr")
+    return "".join(sql)

@@ -2603,6 +2603,16 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_robust_anomalies(spark, sf_dir):
+    # Median/MAD outlier flags per event type (modified z-score > 3.5)
+    # — exact medians via distributed selection, no per-key buffering
+    # (relational.py:robust_anomalies).
+    ev = _t(spark, sf_dir, "events")
+    return R.robust_anomalies(
+        ev, "event_type", "value", "event_id", threshold=3.5
+    ).orderBy("event_id")
+
+
 def q_lr_sweep(spark, sf_dir):
     # Hyperparameter sweep with SHARED corpus scans: every learning
     # rate's gradient computed in the same aggregation pass (grid size
@@ -2757,6 +2767,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_robust_anomalies",
     "llm_lr_sweep",
     "llm_quality_drift",
     "ext_sequence_gaps",
@@ -2837,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_robust_anomalies": q_robust_anomalies,
         "llm_lr_sweep": q_lr_sweep,
         "llm_quality_drift": q_quality_drift,
         "ext_sequence_gaps": q_sequence_gaps,
@@ -4285,6 +4297,27 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_robust_anomalies": """
+            WITH med AS (
+                SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+                FROM events GROUP BY event_type
+            ),
+            dev AS (
+                SELECT e.event_id, e.event_type, e.value,
+                       abs(e.value - med.m) AS absdev, med.m
+                FROM events e JOIN med USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, round(quantile_cont(absdev, 0.5), 6) AS md
+                FROM dev GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value,
+                   round(0.6745 * (d.value - d.m) / mad.md, 4) AS robust_z
+            FROM dev d JOIN mad USING (event_type)
+            WHERE mad.md > 0
+              AND abs(round(0.6745 * (d.value - d.m) / mad.md, 4)) > 3.5
+            ORDER BY d.event_id
+        """,
         "llm_lr_sweep": TR.sql_logreg_lr_sweep(
             [0.1, 0.5, 1.0, 2.0], iters=3
         ),

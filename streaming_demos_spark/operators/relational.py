@@ -482,9 +482,10 @@ def grouped_quantiles_selection(
         (g, float(lo), (float(hi) - float(lo)) / n_buckets or 1.0, int(n))
         for g, (lo, hi, n) in stats.items()
     ]
+    key_type = df.schema[group_col].dataType.simpleString()
     meta_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            meta, f"{group_col} string, _lo double, _w double, _n long"
+            meta, f"{group_col} {key_type}, _lo double, _w double, _n long"
         )
     )
     bucket = F.least(
@@ -521,7 +522,7 @@ def grouped_quantiles_selection(
     needs_df = F.broadcast(
         df.sparkSession.createDataFrame(
             needs,
-            f"{group_col} string, _p double, _which string, _frac double,"
+            f"{group_col} {key_type}, _p double, _which string, _frac double,"
             " _b int, _residual long",
         )
     )
@@ -1487,4 +1488,52 @@ def sequence_gaps(
         )
         .select("gap_start", "gap_end", "n_missing")
         .orderBy("gap_start")
+    )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Median/MAD outlier detection — the robust sibling of
+    ``zscore_anomalies``: mean/stddev move with the outliers they are
+    supposed to flag, the median and the median-absolute-deviation do
+    not. Flags rows whose modified z-score
+    ``0.6745 * (v - median) / MAD`` (Iglewicz-Hoaglin) exceeds
+    ``threshold``.
+
+    Both the per-key median and the MAD come from
+    ``grouped_quantiles_selection`` — exact, distributed, no per-key
+    value buffering — broadcast back as |keys|-row frames; the flagging
+    itself is map-side. Keys whose MAD is 0 (>= half the values
+    identical) yield NULL scores via try_divide and are never flagged —
+    not an ANSI abort.
+    """
+    med = grouped_quantiles_selection(df, key_col, value_col, [0.5]).select(
+        key_col, F.col("p50").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = grouped_quantiles_selection(dev, key_col, "_absdev", [0.5]).select(
+        key_col, F.col("p50").alias("_mad")
+    )
+    score = F.round(
+        F.lit(0.6745)
+        * F.try_divide(F.col(value_col) - F.col("_med"), F.col("_mad")),
+        round_dp,
+    )
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .select(
+            id_col,
+            key_col,
+            F.col(value_col),
+            score.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > threshold)
     )

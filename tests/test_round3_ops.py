@@ -1094,3 +1094,27 @@ def test_sequence_gaps_complete_buckets_pruned(spark):
     )
     out = R.sequence_gaps(df, "event_id", bucket_width=256).collect()
     assert [(r.gap_start, r.gap_end) for r in out] == [(7777, 7777)]
+
+
+def test_robust_anomalies_immune_to_outlier_contamination(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # 20 values at ~10 plus two extreme outliers: mean/std would be
+    # dragged so far the outliers look mild; median/MAD flags exactly
+    # the two planted rows.
+    rows = [("k", 10.0 + (i % 5) * 0.1, i) for i in range(20)]
+    rows += [("k", 1000.0, 100), ("k", -1000.0, 101)]
+    df = spark.createDataFrame(rows, ["key", "v", "rid"])
+    out = R.robust_anomalies(df, "key", "v", "rid", threshold=3.5).collect()
+    assert {r.rid for r in out} == {100, 101}
+
+
+def test_robust_anomalies_constant_key_no_crash(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # MAD = 0 (constant values): NULL scores, nothing flagged, no abort.
+    df = spark.createDataFrame(
+        [("c", 5.0, i) for i in range(6)] + [("c", 5.1, 9)],
+        ["key", "v", "rid"],
+    )
+    assert R.robust_anomalies(df, "key", "v", "rid").count() == 0

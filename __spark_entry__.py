@@ -2603,6 +2603,13 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_dup_spans(spark, sf_dir):
+    # Arbitrary-offset duplicate spans: every maximal run of 15-token
+    # windows repeating an earlier corpus occurrence — the suffix-array
+    # substring-dedup core, join-shaped (dedup.py:duplicate_spans).
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"), k=15)
+
+
 def q_robust_anomalies(spark, sf_dir):
     # Median/MAD outlier flags per event type (modified z-score > 3.5)
     # — exact medians via distributed selection, no per-key buffering
@@ -2767,6 +2774,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_dup_spans",
     "ext_robust_anomalies",
     "llm_lr_sweep",
     "llm_quality_drift",
@@ -2848,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_dup_spans": q_dup_spans,
         "ext_robust_anomalies": q_robust_anomalies,
         "llm_lr_sweep": q_lr_sweep,
         "llm_quality_drift": q_quality_drift,
@@ -4297,6 +4306,48 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_dup_spans": """
+            WITH toked AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(w[i:i+14], ' ')) AS h
+                FROM toked, unnest(range(1, len(w) - 15 + 2)) AS t(i)
+                WHERE len(w) >= 15
+            ),
+            canon AS (
+                SELECT h, min(doc_id * 1000000 + pos) AS first_key
+                FROM wins GROUP BY h
+            ),
+            dups AS (
+                SELECT w.doc_id, w.pos
+                FROM wins w JOIN canon USING (h)
+                WHERE w.doc_id * 1000000 + w.pos != canon.first_key
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(max(pos + 14) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ), -1) THEN 1 ELSE 0 END AS brk
+                FROM dups
+            ),
+            grps AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS grp
+                FROM isl
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 14 AS span_end, count(*) AS n_windows
+            FROM grps GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
+        """,
         "ext_robust_anomalies": """
             WITH med AS (
                 SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m

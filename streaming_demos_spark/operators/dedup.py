@@ -1000,3 +1000,84 @@ def cluster_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# --- arbitrary-offset duplicate spans ----------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    max_positions: int = 1_000_000,
+) -> DataFrame:
+    """Report every maximal span of text that repeats a k-token window
+    occurring EARLIER in the corpus — the arbitrary-offset core of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499)
+    restated join-shaped: block_dedup catches aligned duplication, this
+    catches duplication at ANY offset.
+
+    Windows at every token position are fingerprinted (md5 of the
+    k-word window); within each fingerprint group the minimum
+    ``(doc, pos)`` occurrence is canonical and every other occurrence
+    is a duplicate window; per document, overlapping duplicate windows
+    merge into maximal spans (gaps-and-islands with a running-max end,
+    window partitioned BY DOC — never global). Returns
+    ``(id, span_start, span_end, n_windows)`` in token coordinates.
+
+    Plan: explode (n_tokens rows, ~k x the raw text in motion — the
+    price of every-offset sensitivity), ONE shuffle on the fingerprint
+    with a min-struct aggregate (no hot-key window), one doc-keyed
+    shuffle for the island merge. ``max_positions`` bounds the
+    composite (doc, pos) ordering key.
+    """
+    from streaming_demos_spark.operators.text import tokens
+
+    toked = fan_out(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    )
+    n = F.size("_w")
+    wins = (
+        toked.filter(n >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.array_join(
+                        F.slice("_w", i + 1, F.lit(k)), " "
+                    ),
+                )
+            ).alias("pos", "_win"),
+        )
+        .select(id_col, "pos", F.md5("_win").alias("_h"))
+    )
+    ordkey = F.col(id_col) * F.lit(max_positions) + F.col("pos")
+    canon = wins.groupBy("_h").agg(F.min(ordkey).alias("_first"))
+    dups = (
+        wins.join(canon, "_h")
+        .filter(ordkey != F.col("_first"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(
+            F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)
+        ).otherwise(F.lit(0))
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        dups.withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+        .orderBy(id_col, "span_start")
+    )

@@ -604,3 +604,49 @@ def test_neardup_embedding_cap_keeps_stride_members(spark):
     }
     assert capped <= full
     assert 0 < len(capped) < len(full)
+
+
+def test_duplicate_spans_arbitrary_offset(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    # doc 2 repeats doc 1's words 10..24 at OFFSET 3 (block_dedup's
+    # aligned 15-blocks would miss this); doc 3 is clean.
+    base = [f"w{i}" for i in range(40)]
+    shifted = ["x0", "x1", "x2"] + base[10:25] + ["y0", "y1", "y2"]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(shifted)),
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.duplicate_spans(df, k=15).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the repeated window starts at token 3 of doc 2 and spans 15 tokens
+    assert (r.doc_id, r.span_start, r.span_end, r.n_windows) == (2, 3, 17, 1)
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    base = [f"w{i}" for i in range(40)]
+    # doc 2 repeats a 20-token run -> 6 overlapping dup windows (k=15)
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(["a"] + base[5:25] + ["b"])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.duplicate_spans(df, k=15).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.span_start, r.span_end, r.n_windows) == (2, 1, 20, 6)
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "too short to window"), (2, "too short to window")],
+        ["doc_id", "text"],
+    )
+    assert D.duplicate_spans(df, k=15).count() == 0

@@ -1054,8 +1054,23 @@ def duplicate_spans(
         )
         .select(id_col, "pos", F.md5("_win").alias("_h"))
     )
+    from pyspark import StorageLevel
+
+    # Two consumers (the canonical-occurrence aggregate and the join
+    # probe side) — materialize the 2M-row window frame once instead of
+    # re-tokenizing and re-hashing the corpus per consumer.
+    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
     ordkey = F.col(id_col) * F.lit(max_positions) + F.col("pos")
-    canon = wins.groupBy("_h").agg(F.min(ordkey).alias("_first"))
+    # Only fingerprints occurring MORE than once can produce duplicate
+    # windows — filtering the build side to them shrinks it from
+    # |distinct windows| to |repeated windows| (orders of magnitude on
+    # a mostly-unique corpus), letting AQE broadcast the join.
+    canon = (
+        wins.groupBy("_h")
+        .agg(F.min(ordkey).alias("_first"), F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .select("_h", "_first")
+    )
     dups = (
         wins.join(canon, "_h")
         .filter(ordkey != F.col("_first"))

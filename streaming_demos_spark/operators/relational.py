@@ -470,9 +470,15 @@ def grouped_quantiles_selection(
     no dependence on row count. Degenerate groups (all values equal)
     take the same path with width clamped to 1.
     """
+    from pyspark import StorageLevel
+
+    # The (group, value) projection feeds three passes (stats,
+    # histogram, bucket selection) — materialize it once; at scale this
+    # is the column-pruned scan a production run would cache anyway.
+    base = df.select(group_col, value_col).persist(StorageLevel.MEMORY_AND_DISK)
     stats = {
         r["g"]: (r["lo"], r["hi"], r["n"])
-        for r in df.groupBy(F.col(group_col).alias("g")).agg(
+        for r in base.groupBy(F.col(group_col).alias("g")).agg(
             F.min(value_col).alias("lo"),
             F.max(value_col).alias("hi"),
             F.count("*").alias("n"),
@@ -493,8 +499,7 @@ def grouped_quantiles_selection(
         F.floor((F.col(value_col) - F.col("_lo")) / F.col("_w")),
     ).cast("int")
     hist = (
-        df.select(group_col, value_col)
-        .join(meta_df, group_col)
+        base.join(meta_df, group_col)
         .groupBy(F.col(group_col).alias("g"), bucket.alias("b"))
         .agg(F.count("*").alias("cnt"))
         .collect()
@@ -528,8 +533,7 @@ def grouped_quantiles_selection(
     )
     w = Window.partitionBy(group_col, "_p", "_which").orderBy(value_col)
     selected = (
-        df.select(group_col, value_col)
-        .join(meta_df, group_col)
+        base.join(meta_df, group_col)
         .withColumn("_bucket", bucket)
         .join(
             needs_df.withColumnRenamed("_b", "_bucket"),

@@ -2603,6 +2603,35 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+_CMS_PROBES = ["a", "key", "spark", "table", "value", "zzz_absent"]
+
+
+def q_cms_term_counts(spark, sf_dir):
+    # Count-min sketch (d=4, w=256) over corpus tokens + point
+    # estimates for a fixed probe list vs exact counts — the one-sided
+    # est >= exact guarantee is visible in the overcount column
+    # (sketches.py:count_min_sketch/cms_estimates).
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("term"))
+    sk = SK.count_min_sketch(toks, "term", depth=4, width=256)
+    est = SK.cms_estimates(sk, _CMS_PROBES, depth=4, width=256)
+    exact = (
+        toks.filter(F.col("term").isin(_CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+        )
+        .orderBy("term")
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     # Arbitrary-offset duplicate spans: every maximal run of 15-token
     # windows repeating an earlier corpus occurrence — the suffix-array
@@ -2774,6 +2803,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_cms_term_counts",
     "llm_dup_spans",
     "ext_robust_anomalies",
     "llm_lr_sweep",
@@ -2856,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_cms_term_counts": q_cms_term_counts,
         "llm_dup_spans": q_dup_spans,
         "ext_robust_anomalies": q_robust_anomalies,
         "llm_lr_sweep": q_lr_sweep,
@@ -4306,6 +4337,40 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_cms_term_counts": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            ),
+            cells AS (
+                SELECT r.range AS row,
+                       ('0x' || substr(md5('cms' || r.range || ':' || term), 1, 6))::BIGINT % 256 AS bucket,
+                       count(*) AS cnt
+                FROM toks, range(4) r
+                GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT p.term, r.range AS row,
+                       ('0x' || substr(md5('cms' || r.range || ':' || p.term), 1, 6))::BIGINT % 256 AS bucket
+                FROM (SELECT unnest(['a','key','spark','table','value','zzz_absent']) AS term) p,
+                     range(4) r
+            ),
+            est AS (
+                SELECT probes.term, min(coalesce(cells.cnt, 0)) AS est
+                FROM probes LEFT JOIN cells USING (row, bucket)
+                GROUP BY probes.term
+            ),
+            ex AS (
+                SELECT term, count(*) AS exact FROM toks
+                WHERE term IN ('a','key','spark','table','value','zzz_absent')
+                GROUP BY term
+            )
+            SELECT est.term, est.est,
+                   coalesce(ex.exact, 0) AS exact,
+                   est.est - coalesce(ex.exact, 0) AS overcount
+            FROM est LEFT JOIN ex USING (term)
+            ORDER BY est.term
+        """,
         "llm_dup_spans": """
             WITH toked AS (
                 SELECT doc_id,

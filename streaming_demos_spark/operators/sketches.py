@@ -195,3 +195,82 @@ def heavy_hitter_terms(
         .select(F.explode("_w").alias("term"))
     )
     return heavy_hitters(exploded, "term", k=k)
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Row-``row`` CMS bucket of a string value: md5 over the salted
+    value, first 6 hex digits mod ``width`` — the hash_bucket
+    convention, one independent hash per sketch row."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), col)), 1, 6), 16, 10
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def count_min_sketch(
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch of a value stream as a DataFrame of
+    ``(row, bucket, cnt)`` cells — ``depth * width`` rows total, the
+    mergeable fixed-memory frequency summary (Cormode & Muthukrishnan
+    2005). Each cell count is a map-side-combinable aggregation; two
+    sketches (two days, two shards) merge by summing cells — which is
+    exactly a ``union + groupBy``, so the structure is
+    partition-friendly by construction.
+    """
+    cells = [
+        items.select(
+            F.lit(r).alias("row"),
+            cms_bucket(F.col(value_col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    allc = cells[0]
+    for c in cells[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for literal ``probes`` from a CMS
+    frame: est(x) = min over rows of cell(row, h_row(x)) — the one-sided
+    CMS guarantee (est >= true, over-count bounded by N·e/width per
+    row). Probe buckets are driver-computed literals; the lookup is a
+    broadcast join against the d×w cell frame."""
+    import hashlib
+
+    probe_rows = [
+        (
+            p,
+            r,
+            int(hashlib.md5(f"cms{r}:{p}".encode()).hexdigest()[:6], 16) % width,
+        )
+        for p in probes
+        for r in range(depth)
+    ]
+    probe_df = F.broadcast(
+        sketch.sparkSession.createDataFrame(
+            probe_rows, "term string, row int, bucket long"
+        )
+    )
+    return (
+        probe_df.join(
+            sketch.withColumn("row", F.col("row").cast("int")), ["row", "bucket"], "left"
+        )
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .orderBy("term")
+    )

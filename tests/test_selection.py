@@ -195,3 +195,45 @@ def test_dsir_weights_partition_invariant(mini_docs):
     assert sorted((r.doc_id, r.log_weight) for r in a) == sorted(
         (r.doc_id, r.log_weight) for r in b
     )
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from streaming_demos_spark.operators import sketches as SK
+
+    rows = [("apple",)] * 50 + [("pear",)] * 7 + [(f"w{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["term"])
+    sk = SK.count_min_sketch(df, "term", depth=4, width=64)
+    est = {
+        r.term: r.est
+        for r in SK.cms_estimates(
+            sk, ["apple", "pear", "absent"], depth=4, width=64
+        ).collect()
+    }
+    assert est["apple"] >= 50
+    assert est["pear"] >= 7
+    assert est["absent"] >= 0
+    # width=64 over ~257 items: per-row expected collision mass ~4; the
+    # min over 4 rows keeps the overcount modest
+    assert est["apple"] <= 50 + 40
+
+
+def test_cms_merge_is_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["term"])
+    b = spark.createDataFrame([("x",)] * 3, ["term"])
+    sk_a = SK.count_min_sketch(a, "term", depth=2, width=16)
+    sk_b = SK.count_min_sketch(b, "term", depth=2, width=16)
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.count_min_sketch(
+        a.unionByName(b), "term", depth=2, width=16
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

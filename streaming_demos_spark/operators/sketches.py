@@ -226,17 +226,26 @@ def count_min_sketch(
     exactly a ``union + groupBy``, so the structure is
     partition-friendly by construction.
     """
-    cells = [
-        items.select(
-            F.lit(r).alias("row"),
-            cms_bucket(F.col(value_col), r, width).alias("bucket"),
+    # All depth rows in ONE pass over the items (a union of per-row
+    # selects re-scans — and re-tokenizes — the stream `depth` times):
+    # each item explodes into its d (row, bucket) cells inline.
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    cms_bucket(F.col(value_col), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
         )
-        for r in range(depth)
-    ]
-    allc = cells[0]
-    for c in cells[1:]:
-        allc = allc.unionByName(c)
-    return allc.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        items.select(entries.alias("e"))
+        .select("e.row", "e.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_estimates(

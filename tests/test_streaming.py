@@ -606,3 +606,40 @@ def test_streaming_agg_refresh_matches_recompute(spark, tmp_path):
     before = {k: dict(v) for k, v in state["groups"].items()}
     run_once()
     assert state["groups"] == before
+
+
+def test_streaming_cms_equals_batch_cms(spark, tmp_path):
+    """The CMS cell build is a plain keyed aggregation, so Structured
+    Streaming maintains it natively (complete-mode memory sink here);
+    after consuming the same rows, the streamed cells must equal the
+    batch sketch cell-for-cell."""
+    from streaming_demos_spark.operators import sketches as SK
+
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/a.txt", "w") as fh:
+        fh.write("\n".join(["apple"] * 5 + ["pear"] * 3 + ["kiwi"]))
+    with open(f"{src}/b.txt", "w") as fh:
+        fh.write("\n".join(["apple"] * 2 + ["kiwi"] * 4))
+
+    stream = spark.readStream.format("text").load(src).withColumnRenamed(
+        "value", "term"
+    )
+    cells = SK.count_min_sketch(stream, "term", depth=3, width=32)
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("cms_cells").collect()))
+
+    batch_df = spark.read.format("text").load(src).withColumnRenamed(
+        "value", "term"
+    )
+    batch = sorted(
+        map(tuple, SK.count_min_sketch(batch_df, "term", depth=3, width=32).collect())
+    )
+    assert streamed == batch

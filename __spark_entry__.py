@@ -2603,6 +2603,14 @@ def q_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitter_terms(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_embedding_pool(spark, sf_dir):
+    # Mean-pool embeddings per label (class centroids / chunk->doc
+    # pooling): posexplode + one combinable avg per (label, dim) — no
+    # executor ever holds a group's vectors together
+    # (similarity.py:pool_embeddings).
+    return SIM.pool_embeddings(_t(spark, sf_dir, "embeddings"), "label")
+
+
 _CMS_PROBES = ["a", "key", "spark", "table", "value", "zzz_absent"]
 
 
@@ -2803,6 +2811,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_embedding_pool",
     "ext_cms_term_counts",
     "llm_dup_spans",
     "ext_robust_anomalies",
@@ -2886,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_embedding_pool": q_embedding_pool,
         "ext_cms_term_counts": q_cms_term_counts,
         "llm_dup_spans": q_dup_spans,
         "ext_robust_anomalies": q_robust_anomalies,
@@ -4337,6 +4347,20 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_embedding_pool": """
+            WITH e AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT label, dim_idx,
+                   round(avg(CAST(v AS DOUBLE)), 6) AS value,
+                   count(*) AS n_members
+            FROM e
+            GROUP BY label, dim_idx
+            ORDER BY label, dim_idx
+        """,
         "ext_cms_term_counts": """
             WITH toks AS (
                 SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

@@ -278,3 +278,35 @@ def filtered_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- IVF index layout --------------------------------------------------------
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index as a DIRECTORY LAYOUT: assign every
+    vector to its nearest centroid cell, hive-partition the parquet by
+    ``cluster_id``. An nprobe query then reads only its probe-cell
+    directories — partition pruning at planning time, before any I/O,
+    which is what turns the in-plan IVF operator (``ivf_topk``) into a
+    storage-level index at 100 TB: the non-probed 1 - nprobe/k of the
+    corpus is never listed, opened, or scanned.
+    """
+    assigned = _nearest(
+        emb, seed_centroids(emb, k, id_col, vec_col), id_col, vec_col
+    ).select(id_col, vec_col, "cluster_id")
+    assigned.write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+
+
+def read_ivf_cells(spark, path: str, cells: list[int]) -> DataFrame:
+    """Scan ONLY the given IVF cells of a ``write_ivf_index`` layout
+    (the nprobe read path). The isin filter on the partition column
+    becomes a PartitionFilter — directories outside ``cells`` are
+    pruned before I/O."""
+    return spark.read.parquet(path).filter(F.col("cluster_id").isin(cells))

@@ -1183,3 +1183,37 @@ def quantize_embeddings_int8(
         )
         .orderBy(id_col)
     )
+
+
+# --- embedding pooling -------------------------------------------------------
+
+
+def pool_embeddings(
+    emb: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Mean-pool embeddings per group — the chunk->document /
+    class->centroid aggregation step of every embedding pipeline
+    (pooled chunk vectors become the doc vector; per-label means are
+    the nearest-centroid classifier).
+
+    Long-form plan: posexplode to (group, dim_idx, value), ONE
+    combinable avg per (group, dim) — map-side partial aggregation does
+    the heavy lifting and no executor ever materializes a group's
+    vectors together (a collect_list-then-average would). Returns
+    scalar rows ``(group, dim_idx, value, n_members)``.
+    """
+    exploded = emb.select(
+        F.col(group_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim_idx", "_v"),
+    )
+    return (
+        exploded.groupBy(group_col, "dim_idx")
+        .agg(
+            F.round(F.avg("_v"), dp).alias("value"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy(group_col, "dim_idx")
+    )

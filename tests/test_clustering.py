@@ -98,3 +98,29 @@ def test_incremental_dedup_gates(spark):
     )
     kept = [r.doc_id for r in D.incremental_dedup(new, base).collect()]
     assert kept == [11, 13]
+
+
+def test_ivf_index_layout_prunes_partitions(spark, tmp_path):
+    from streaming_demos_spark.catalog import load_table
+    from streaming_demos_spark.operators import clustering as CL
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    CL.write_ivf_index(emb, path, k=4)
+
+    probe = CL.read_ivf_cells(spark, path, [0, 2])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+    # parity with the in-plan assignment: the probed cells carry
+    # exactly the vectors kmeans_assign puts there
+    want = {
+        r.vec_id
+        for r in CL.kmeans_assign(emb, k=4).filter(
+            F.col("cluster_id").isin([0, 2])
+        ).collect()
+    }
+    assert {r.vec_id for r in probe.collect()} == want
+    # and the probe scan reads fewer files than the full layout
+    full = spark.read.parquet(path)
+    assert probe.count() < full.count()

@@ -2640,6 +2640,82 @@ def q_cms_term_counts(spark, sf_dir):
     )
 
 
+def q_pmi_collocations(spark, sf_dir):
+    # Top collocations by pointwise mutual information: map-side
+    # zip_with bigrams -> two combinable count shuffles -> count joins
+    # -> TakeOrderedAndProject (text.py:pmi_collocations).
+    return TX.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_n=100
+    )
+
+
+def q_ewma_smooth(spark, sf_dir):
+    # Per-user bounded-lookback EWMA of event values: one key shuffle,
+    # weighted sum as zip_with+aggregate over the rows-window frame,
+    # closed-form normalizer (relational.py:ewma_smooth).
+    ev = _t(spark, sf_dir, "events")
+    return R.ewma_smooth(
+        ev, "user_id", "ts", "value", "event_id", alpha=0.3, lookback=16
+    )
+
+
+def _trade_edges(spark, sf_dir):
+    # Nation-level trade graph: supplier nation -> customer nation,
+    # weighted by extended price. The edge build is the at-scale part
+    # (lineitem ⋈ orders shuffle join + two broadcast dims).
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+            F.col("l_extendedprice").alias("w"),
+        )
+    )
+
+
+def q_pagerank_trade(spark, sf_dir):
+    # Weighted PageRank (3 fixed rounds, d=0.85) on the nation trade
+    # graph — per-round join+agg, rank frame localCheckpoint-ed, no
+    # driver-side graph state (graph.py:pagerank). Oracle unrolls the
+    # identical rounds as CTE layers.
+    from streaming_demos_spark.operators import graph as G
+
+    ranks = G.pagerank(
+        _trade_edges(spark, sf_dir), "src", "dst", "w", iterations=3
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.round("rank", 8).alias("rank"),
+    )
+
+
+def q_trade_degree(spark, sf_dir):
+    # Degree/strength profile of the same graph: two combinable
+    # aggregations full-outer-joined on node (graph.py:degree_profile).
+    from streaming_demos_spark.operators import graph as G
+
+    deg = G.degree_profile(_trade_edges(spark, sf_dir), "src", "dst", "w")
+    nation = _t(spark, sf_dir, "nation")
+    return deg.join(
+        F.broadcast(nation), deg["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        "out_deg",
+        "in_deg",
+        "out_w",
+        "in_w",
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     # Arbitrary-offset duplicate spans: every maximal run of 15-token
     # windows repeating an earlier corpus occurrence — the suffix-array
@@ -2811,6 +2887,10 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_pmi_collocations",
+    "ext_ewma_smooth",
+    "ext_pagerank_trade",
+    "ext_trade_degree",
     "llm_embedding_pool",
     "ext_cms_term_counts",
     "llm_dup_spans",
@@ -2895,6 +2975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_pmi_collocations": q_pmi_collocations,
+        "ext_ewma_smooth": q_ewma_smooth,
+        "ext_pagerank_trade": q_pagerank_trade,
+        "ext_trade_degree": q_trade_degree,
         "llm_embedding_pool": q_embedding_pool,
         "ext_cms_term_counts": q_cms_term_counts,
         "llm_dup_spans": q_dup_spans,
@@ -4347,6 +4431,127 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_pmi_collocations": """
+            WITH t AS (
+                SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+                FROM documents
+            ),
+            uni AS (SELECT unnest(tk) AS w FROM t),
+            uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+            nu AS (SELECT count(*)::DOUBLE AS n FROM uni),
+            big AS (
+                SELECT unnest(list_transform(
+                    tk[1:len(tk)-1],
+                    (x, i) -> struct_pack(w1 := x, w2 := tk[i+1]))) AS p
+                FROM t WHERE len(tk) >= 2
+            ),
+            bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM big),
+            bc AS (SELECT w1, w2, count(*) AS n_pair FROM bp GROUP BY 1, 2),
+            nb AS (SELECT count(*)::DOUBLE AS n FROM bp)
+            SELECT w1, w2, n_pair,
+                   round(log2((n_pair / nb.n)
+                              / ((a.cw / nu.n) * (b.cw / nu.n))), 4) AS pmi
+            FROM bc
+            JOIN uc a ON bc.w1 = a.w
+            JOIN uc b ON bc.w2 = b.w
+            CROSS JOIN nu CROSS JOIN nb
+            WHERE n_pair >= 5
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 100
+        """,
+        "ext_ewma_smooth": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT a.user_id, a.event_id, a.ts, a.value,
+                   round(sum(b.value * power(0.7, a.rn - b.rn))
+                         / ((1 - power(0.7, least(a.rn, 16))) / 0.3),
+                         6) AS ewma
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND b.rn BETWEEN a.rn - 15 AND a.rn
+            GROUP BY a.user_id, a.event_id, a.ts, a.value, a.rn
+        """,
+        "ext_pagerank_trade": """
+            WITH e0 AS (
+                SELECT s_nationkey AS src, c_nationkey AS dst,
+                       sum(l_extendedprice) AS w
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ),
+            nodes AS (
+                SELECT DISTINCT src AS node FROM e0
+                UNION SELECT DISTINCT dst FROM e0
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+            sh AS (
+                SELECT src, dst, w / ow AS share
+                FROM e0 JOIN outw USING (src)
+            ),
+            r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+            c1 AS (
+                SELECT sh.dst AS node, sum(r0.rank * sh.share) AS inr
+                FROM sh JOIN r0 ON sh.src = r0.node GROUP BY 1
+            ),
+            r1 AS (
+                SELECT nodes.node,
+                       0.15 / nn.n + 0.85 * coalesce(c1.inr, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node
+            ),
+            c2 AS (
+                SELECT sh.dst AS node, sum(r1.rank * sh.share) AS inr
+                FROM sh JOIN r1 ON sh.src = r1.node GROUP BY 1
+            ),
+            r2 AS (
+                SELECT nodes.node,
+                       0.15 / nn.n + 0.85 * coalesce(c2.inr, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node
+            ),
+            c3 AS (
+                SELECT sh.dst AS node, sum(r2.rank * sh.share) AS inr
+                FROM sh JOIN r2 ON sh.src = r2.node GROUP BY 1
+            ),
+            r3 AS (
+                SELECT nodes.node,
+                       0.15 / nn.n + 0.85 * coalesce(c3.inr, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node
+            )
+            SELECT n_name AS nation, round(rank, 8) AS rank
+            FROM r3 JOIN nation ON node = n_nationkey
+        """,
+        "ext_trade_degree": """
+            WITH e0 AS (
+                SELECT s_nationkey AS src, c_nationkey AS dst,
+                       l_extendedprice AS w
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ),
+            o AS (
+                SELECT src AS node, count(*) AS out_deg, sum(w) AS out_w
+                FROM e0 GROUP BY 1
+            ),
+            i AS (
+                SELECT dst AS node, count(*) AS in_deg, sum(w) AS in_w
+                FROM e0 GROUP BY 1
+            )
+            SELECT n_name AS nation,
+                   coalesce(out_deg, 0) AS out_deg,
+                   coalesce(in_deg, 0) AS in_deg,
+                   round(coalesce(out_w, 0), 6) AS out_w,
+                   round(coalesce(in_w, 0), 6) AS in_w
+            FROM o FULL JOIN i USING (node)
+            JOIN nation ON node = n_nationkey
+        """,
         "llm_embedding_pool": """
             WITH e AS (
                 SELECT label,

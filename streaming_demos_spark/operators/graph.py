@@ -1,0 +1,129 @@
+"""Graph operators: weighted PageRank over an edge DataFrame.
+
+The reference repo has no graph surface; this extends the engine the
+same way ``dedup.connected_components`` does — iterative algorithms
+restated as per-round join + aggregate plans, so every round is an
+ordinary distributed shuffle and nothing is ever collected.
+
+PageRank here is the *weighted* formulation: a node's rank flows to its
+out-neighbors proportionally to edge weight, and every node receives
+the ``(1 - damping) / N`` teleport mass each round.  Dangling mass
+(nodes with no out-edges) is NOT redistributed — ranks then sum to less
+than 1, which is the convention that keeps every round a single
+join + groupBy (redistribution needs an extra global aggregate per
+round); callers who need a true probability vector can renormalize the
+output in one more map-side pass.
+
+Scale posture: each iteration is ``edges ⋈ ranks`` on ``src`` followed
+by a groupBy on ``dst`` — the same shuffle pair a 1000-executor PageRank
+does at any graph size.  The rank frame is ``localCheckpoint``-ed per
+round to cut the O(iterations) lineage, exactly like
+``connected_components`` (dedup.py) does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Ranks after ``iterations`` rounds of weighted PageRank.
+
+    ``edges`` is a (src, dst[, weight]) frame; parallel edges are
+    allowed (their weights add).  Returns (node, rank) for every node
+    appearing as src or dst, rank unrounded (callers round for oracle
+    comparison).
+
+    The iteration count is a FIXED parameter, not a convergence test:
+    a deterministic, oracle-replayable result needs an exact round
+    count (the DuckDB oracle unrolls the same rounds as CTE layers).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
+    )
+    # Collapse parallel edges once, up front: every iteration reuses
+    # this frame, so the groupBy here is paid once and the per-round
+    # join build side is minimal.
+    e = e.groupBy("_s", "_d").agg(F.sum("_w").alias("_w")).persist()
+    # Out-strength per source; edges pre-divided so each round's join
+    # multiplies rank * share instead of re-dividing per row.
+    out = e.groupBy("_s").agg(F.sum("_w").alias("_out"))
+    share = (
+        e.join(out, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_out")).alias("_share"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # one scalar; also materializes the persists
+    teleport = (1.0 - damping) / n_nodes
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            share.join(ranks, share["_s"] == ranks["node"])
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("rank") * F.col("_share")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # Left join from the node list: sources with no in-edges keep
+        # exactly the teleport mass.
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def degree_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-node degree / strength summary: out_deg, in_deg, out_w, in_w.
+
+    One aggregation per direction, full-outer-joined on node — two
+    map-side-combinable shuffles regardless of graph size.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    o = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg"), F.sum(w).alias("out_w")
+    )
+    i = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_deg"), F.sum(w).alias("in_w")
+    )
+    return (
+        o.join(i, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.round(F.coalesce("out_w", F.lit(0.0)), 6).alias("out_w"),
+            F.round(F.coalesce("in_w", F.lit(0.0)), 6).alias("in_w"),
+        )
+    )

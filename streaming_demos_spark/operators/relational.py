@@ -1541,3 +1541,61 @@ def robust_anomalies(
         )
         .filter(F.abs(F.col("robust_z")) > threshold)
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    lookback: int = 16,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with a BOUNDED
+    lookback: for each row, the weighted mean of the last ``lookback``
+    values (itself included) in (ts, id) order, weights ``(1-alpha)^d``
+    for a row ``d`` steps back, normalized over the rows actually
+    present (so early rows are exact means of their short history, not
+    biased toward zero).
+
+    The bounded frame is what makes this 100 TB-safe AND deterministic:
+    an unbounded recursive EWMA needs either a sequential scan per key
+    or a log-domain prefix product that underflows; a rows-window of
+    ``lookback`` keeps per-row state at O(K), is exactly replayable by
+    any engine, and differs from the infinite-memory EWMA by at most
+    ``(1-alpha)^K`` (≈0.3% at the 16/0.3 defaults). One shuffle
+    (partition by key), no Python in the row path: the weighted sum is
+    a ``zip_with`` + ``aggregate`` over the frame's ``collect_list``,
+    and the normalizer is the closed-form geometric sum.
+
+    NULL values are excluded up front (documented contract — a NULL
+    inside ``collect_list`` would silently shift weight positions).
+    """
+    q = 1.0 - alpha
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    lst = F.collect_list(value_col).over(w)
+    base = df.filter(F.col(value_col).isNotNull()).withColumn("_lst", lst)
+    n = F.size("_lst")
+    # position i (1-based) in the frame is n-i steps back -> weight q^(n-i)
+    weighted = F.zip_with(
+        F.col("_lst"),
+        F.sequence(F.lit(1), n),
+        lambda x, i: x * F.pow(F.lit(q), (n - i).cast("double")),
+    )
+    num = F.aggregate(
+        weighted, F.lit(0.0), lambda acc, x: acc + x
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(q), n.cast("double"))) / F.lit(alpha)
+    return base.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(num / den, round_dp).alias("ewma"),
+    )

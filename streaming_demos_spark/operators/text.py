@@ -619,3 +619,70 @@ def sql_bpe_encode_stats(merges: list[tuple[str, str]] | None = None) -> str:
         GROUP BY dw.doc_id
         ORDER BY dw.doc_id
     """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information: ``pmi = log2( P(w1,w2) / (P(w1) P(w2)) )`` with bigram
+    probability over the bigram space and unigram probabilities over the
+    token space. The standard corpus-analysis primitive for phrase
+    mining / tokenizer-vocabulary seeding; no analog in the reference
+    (its text surface stops at whole-field transforms).
+
+    Plan shape at scale: tokenized corpus persisted across its two
+    consumers (one regex pass), bigrams built map-side with
+    ``zip_with(slice, slice)`` (no positional self-join), then two
+    combinable shuffles (pair counts, word counts). The word-count
+    table is vocabulary-sized, so the two count joins are plain
+    shuffle joins AQE may demote to broadcast; totals ride in as 1-row
+    broadcast aggregates. Output is ``min_count``-pruned then top-n via
+    TakeOrderedAndProject on (rounded pmi desc, w1, w2).
+    """
+    from pyspark import StorageLevel
+
+    tk = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(tokens(text_col).alias("tk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = tk.select(F.explode("tk").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("_cw"))
+    n_uni = uni.agg(F.count("*").alias("_nu"))
+    n = F.size("tk")
+    big = tk.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, n - 1),
+                F.slice("tk", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    n_big = big.agg(F.count("*").alias("_nb"))
+    pmi = F.round(
+        F.log2(
+            (F.col("n_pair") / F.col("_nb"))
+            / (
+                (F.col("_c1") / F.col("_nu"))
+                * (F.col("_c2") / F.col("_nu"))
+            )
+        ),
+        4,
+    )
+    return (
+        bc.filter(F.col("n_pair") >= min_count)
+        .join(uc.select(F.col("w").alias("w1"), F.col("_cw").alias("_c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("_cw").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+    )

@@ -305,10 +305,14 @@ def test_curriculum_bins_no_global_sort_or_window(spark):
         .toString()
     )
     # No rank-based global binning: the only Window is the quantile
-    # selection's own, partitioned by (prob, which) and bounded to one
-    # histogram bucket per partition — never an un-partitioned ntile.
+    # selection's own, partitioned by the ([group,] prob, which) probe key
+    # and bounded to one histogram bucket per partition — never an
+    # un-partitioned ntile.
     assert "ntile" not in plan
-    assert "windowspecdefinition(_p" in plan or "Window" not in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        assert "_p#" in spec, f"un-probe-partitioned window: {spec}"
 
 
 def test_quality_drift_psi_zero_for_identical_snapshots(spark):

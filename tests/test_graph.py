@@ -1,0 +1,134 @@
+"""Graph operators: PageRank invariants, degree profile, plus the PMI
+and EWMA additions that landed in the same batch."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import graph as G
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src int, dst int, w double")
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # A directed cycle is rank-symmetric: every node keeps 1/N forever.
+    e = _edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
+    out = {r.node: r.rank for r in G.pagerank(e, iterations=4).collect()}
+    for v in out.values():
+        assert abs(v - 1.0 / 3) < 1e-12
+
+
+def test_pagerank_sink_accumulates_star_graph(spark):
+    # Star into node 9: sources keep teleport mass, the hub gets
+    # teleport + damping * (sum of source ranks).
+    e = _edges(spark, [(i, 9, 1.0) for i in range(3)])
+    out = {r.node: r.rank for r in G.pagerank(e, iterations=1).collect()}
+    n = 4
+    tele = 0.15 / n
+    assert abs(out[9] - (tele + 0.85 * 3 * (1.0 / n))) < 1e-12
+    for i in range(3):
+        assert abs(out[i] - tele) < 1e-12
+
+
+def test_pagerank_weighted_split(spark):
+    # 0 splits 3:1 between 1 and 2 -> in-mass proportional to weight.
+    e = _edges(spark, [(0, 1, 3.0), (0, 2, 1.0)])
+    out = {
+        r.node: r.rank
+        for r in G.pagerank(e, weight="w", iterations=1).collect()
+    }
+    tele = 0.15 / 3
+    r0 = 1.0 / 3
+    assert abs(out[1] - (tele + 0.85 * r0 * 0.75)) < 1e-12
+    assert abs(out[2] - (tele + 0.85 * r0 * 0.25)) < 1e-12
+
+
+def test_pagerank_parallel_edges_collapse(spark):
+    # Two parallel (0,1) edges of weight 1 behave as one of weight 2.
+    a = G.pagerank(
+        _edges(spark, [(0, 1, 1.0), (0, 1, 1.0), (0, 2, 2.0)]),
+        weight="w",
+        iterations=2,
+    )
+    b = G.pagerank(
+        _edges(spark, [(0, 1, 2.0), (0, 2, 2.0)]), weight="w", iterations=2
+    )
+    ra = {r.node: r.rank for r in a.collect()}
+    rb = {r.node: r.rank for r in b.collect()}
+    assert ra.keys() == rb.keys()
+    for k in ra:
+        assert abs(ra[k] - rb[k]) < 1e-12
+
+
+def test_degree_profile_counts_and_strengths(spark):
+    e = _edges(spark, [(0, 1, 2.0), (0, 2, 3.0), (1, 2, 1.0)])
+    out = {r.node: r for r in G.degree_profile(e, weight="w").collect()}
+    assert out[0].out_deg == 2 and out[0].in_deg == 0
+    assert out[0].out_w == 5.0 and out[0].in_w == 0.0
+    assert out[2].in_deg == 2 and out[2].in_w == 4.0
+    assert out[1].out_deg == 1 and out[1].in_deg == 1
+
+
+def test_pmi_collocations_prefers_exclusive_pair(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    # "aa bb" always adjacent and exclusive -> highest PMI; "cc" pairs
+    # with many partners -> lower.
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc x%d cc y%d" % (i % 3, i % 5)) for i in range(20)],
+        "doc_id int, text string",
+    )
+    out = TX.pmi_collocations(docs, min_count=5, top_n=10).collect()
+    assert out[0].w1 == "aa" and out[0].w2 == "bb"
+    # exact PMI for the exclusive pair: P(ab)=20/100, P(a)=P(b)=20/120
+    expect = math.log2((20 / 100) / ((20 / 120) * (20 / 120)))
+    assert abs(out[0].pmi - round(expect, 4)) < 1e-9
+
+
+def test_ewma_matches_reference_recursion_when_history_short(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # With fewer rows than the lookback, the bounded EWMA equals the
+    # normalized exponential weighting computed directly.
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 15, 5])]
+    df = spark.createDataFrame(rows, "user_id int, ts int, value double")
+    out = (
+        R.ewma_smooth(df, "user_id", "ts", "value", "ts", alpha=0.3, lookback=16)
+        .orderBy("ts")
+        .collect()
+    )
+    vals = [10.0, 20.0, 15.0, 5.0]
+    for t, row in enumerate(out):
+        ws = [0.7 ** (t - j) for j in range(t + 1)]
+        expect = sum(w * v for w, v in zip(ws, vals)) / sum(ws)
+        assert abs(row.ewma - round(expect, 6)) < 1e-9
+
+
+def test_ewma_bounded_lookback_drops_old_rows(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # lookback=2: only the current and previous row contribute.
+    rows = [(1, 0, 100.0), (1, 1, 0.0), (1, 2, 0.0), (1, 3, 8.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts int, value double")
+    out = {
+        r.ts: r.ewma
+        for r in R.ewma_smooth(
+            df, "user_id", "ts", "value", "ts", alpha=0.5, lookback=2
+        ).collect()
+    }
+    # at ts=2 the 100 at ts=0 is out of frame: (0*1 + 0*0.5)/1.5 = 0
+    assert out[2] == 0.0
+    assert abs(out[3] - round((8.0 + 0.5 * 0.0) / 1.5, 6)) < 1e-9
+
+
+def test_pagerank_plan_has_no_cartesian_and_bounded_joins(spark):
+    e = _edges(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    plan = (
+        G.pagerank(e, iterations=2, checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan

@@ -635,14 +635,16 @@ def pmi_collocations(
     mining / tokenizer-vocabulary seeding; no analog in the reference
     (its text surface stops at whole-field transforms).
 
-    Plan shape at scale: tokenized corpus persisted across its two
+    Plan shape at scale: tokenized corpus persisted across its three
     consumers (one regex pass), bigrams built map-side with
     ``zip_with(slice, slice)`` (no positional self-join), then two
-    combinable shuffles (pair counts, word counts). The word-count
-    table is vocabulary-sized, so the two count joins are plain
-    shuffle joins AQE may demote to broadcast; totals ride in as 1-row
-    broadcast aggregates. Output is ``min_count``-pruned then top-n via
-    TakeOrderedAndProject on (rounded pmi desc, w1, w2).
+    combinable shuffles (pair counts, word counts). Both totals come
+    from ONE explode-free aggregate over token-array sizes
+    (``n_big = Σ max(len-1, 0)``) — never a re-explode of the corpus.
+    The word-count table is vocabulary-sized, so the two count joins
+    are plain shuffle joins AQE may demote to broadcast; totals ride
+    in as a 1-row broadcast aggregate. Output is ``min_count``-pruned
+    then top-n via TakeOrderedAndProject on (rounded pmi desc, w1, w2).
     """
     from pyspark import StorageLevel
 
@@ -651,9 +653,19 @@ def pmi_collocations(
         .select(tokens(text_col).alias("tk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    uni = tk.select(F.explode("tk").alias("w"))
-    uc = uni.groupBy("w").agg(F.count("*").alias("_cw"))
-    n_uni = uni.agg(F.count("*").alias("_nu"))
+    uc = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("_cw"))
+    )
+    # totals without touching exploded rows: every doc yields len(tk)
+    # unigrams and max(len-1, 0) bigrams
+    totals = tk.agg(
+        F.sum(F.size("tk")).cast("double").alias("_nu"),
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0)))
+        .cast("double")
+        .alias("_nb"),
+    )
     n = F.size("tk")
     big = tk.filter(n >= 2).select(
         F.explode(
@@ -665,7 +677,6 @@ def pmi_collocations(
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
-    n_big = big.agg(F.count("*").alias("_nb"))
     pmi = F.round(
         F.log2(
             (F.col("n_pair") / F.col("_nb"))
@@ -680,8 +691,7 @@ def pmi_collocations(
         bc.filter(F.col("n_pair") >= min_count)
         .join(uc.select(F.col("w").alias("w1"), F.col("_cw").alias("_c1")), "w1")
         .join(uc.select(F.col("w").alias("w2"), F.col("_cw").alias("_c2")), "w2")
-        .crossJoin(F.broadcast(n_uni))
-        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(totals))
         .select("w1", "w2", "n_pair", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(top_n)

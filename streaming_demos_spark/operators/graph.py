@@ -127,3 +127,86 @@ def degree_profile(
             F.round(F.coalesce("in_w", F.lit(0.0)), 6).alias("in_w"),
         )
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row triangle census of an undirected graph: n_nodes, n_edges,
+    n_wedges (open two-paths, ``Σ C(deg, 2)``), n_triangles, and the
+    global clustering coefficient ``3·triangles / wedges``.
+
+    Scale posture — the whole point of this operator: the naive
+    wedge join explodes as ``Σ deg²`` (hub-quadratic), so edges are
+    ORIENTED from the lower to the higher endpoint in the (degree,
+    node) total order first. Oriented out-degree is bounded by
+    ``O(√m)`` on any graph, which caps the wedge join at ``O(m^1.5)``
+    — the standard distributed triangle-counting bound (the MapReduce
+    formulation of node-iterator++). Each triangle then has exactly one
+    source in the orientation DAG and is counted once by the closing
+    edge join, with no post-hoc division by 3/6.
+
+    Self-loops are dropped; parallel/bidirectional duplicates collapse
+    via the canonical (least, greatest) form. All joins are equality
+    joins on node keys; counts ride as 1-row crossJoined aggregates so
+    the operator returns a DataFrame without driver-side actions.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    with_deg = e.join(da, "a").join(db, "b")
+    # orient: lower (deg, node) -> higher; ties impossible on node
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+    x = o.select(F.col("u"), F.col("v").alias("_x"))
+    y = o.select(F.col("u"), F.col("v").alias("_y"))
+    # both (x,y) and (y,x) wedges exist, but only ONE of them matches
+    # the oriented closing edge -> each triangle counted exactly once
+    wedges = x.join(y, "u").filter(F.col("_x") != F.col("_y"))
+    closing = o.select(F.col("u").alias("_x"), F.col("v").alias("_y"))
+    tri = wedges.join(closing, ["_x", "_y"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.try_divide(
+                    F.lit(3.0) * F.col("n_triangles"), F.col("n_wedges")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

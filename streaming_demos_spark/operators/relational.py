@@ -1599,3 +1599,44 @@ def ewma_smooth(
         F.col(value_col),
         F.round(num / den, round_dp).alias("ewma"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to its group's
+    [p_lo, p_hi] interpolated percentiles — the standard outlier-taming
+    step before feature scaling / quality-score fitting.
+
+    Thresholds come from ``grouped_quantiles_selection`` (exact,
+    distributed, no per-group buffering), so the only per-row work is a
+    broadcast join of the |groups|-row threshold table and a map-side
+    clamp. The thresholds are the 6-dp-rounded selection outputs —
+    deterministic and replayable by any engine.
+    """
+    lo_name = f"p{int(round(p_lo * 100))}"
+    hi_name = f"p{int(round(p_hi * 100))}"
+    q = grouped_quantiles_selection(df, group_col, value_col, [p_lo, p_hi])
+    thresholds = q.select(
+        group_col,
+        F.col(lo_name).alias("_qlo"),
+        F.col(hi_name).alias("_qhi"),
+    )
+    return df.join(F.broadcast(thresholds), group_col).select(
+        id_col,
+        group_col,
+        F.col(value_col),
+        F.round(
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.col("_qlo")),
+                F.col("_qhi"),
+            ),
+            round_dp,
+        ).alias("winsorized"),
+    )

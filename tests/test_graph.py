@@ -132,3 +132,50 @@ def test_pagerank_plan_has_no_cartesian_and_bounded_joins(spark):
         .toString()
     )
     assert "Cartesian" not in plan
+
+
+def test_triangle_stats_counts_known_graph(spark):
+    # K4 minus one edge: 5 edges, 2 triangles, wedges = sum C(deg,2).
+    e = _edges(
+        spark,
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (1, 2, 1.0), (1, 3, 1.0)],
+    )
+    row = G.triangle_stats(e).collect()[0]
+    assert row.n_nodes == 4 and row.n_edges == 5
+    # degrees: 3,3,2,2 -> wedges 3+3+1+1 = 8
+    assert row.n_wedges == 8
+    assert row.n_triangles == 2
+    assert abs(row.clustering_coeff - round(6.0 / 8, 6)) < 1e-9
+
+
+def test_triangle_stats_canonicalizes_duplicates_and_loops(spark):
+    # Same triangle given as mixed directions + a self-loop + a dup.
+    e = _edges(
+        spark,
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 2, 1.0), (1, 3, 1.0), (2, 2, 1.0)],
+    )
+    row = G.triangle_stats(e).collect()[0]
+    assert row.n_edges == 3 and row.n_triangles == 1
+
+
+def test_triangle_stats_no_triangles_on_star(spark):
+    e = _edges(spark, [(0, i, 1.0) for i in range(1, 5)])
+    row = G.triangle_stats(e).collect()[0]
+    assert row.n_triangles == 0
+    assert row.clustering_coeff == 0.0
+
+
+def test_winsorize_clamps_to_group_thresholds(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [("g", i, float(v)) for i, v in enumerate(range(1, 21))]
+    rows += [("g", 99, 1000.0)]  # outlier
+    df = spark.createDataFrame(rows, "grp string, rid int, v double")
+    out = {r.rid: r.winsorized for r in
+           R.winsorize(df, "grp", "v", "rid", 0.05, 0.95).collect()}
+    # p95 of 1..20,1000 (percentile_cont over 21 values) = 20.0
+    assert out[99] == 20.0
+    # interior values untouched
+    assert out[9] == 10.0
+    # low tail clamped up to p05 = 2.0
+    assert out[0] == 2.0

@@ -2716,6 +2716,23 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_knn_label_noise(spark, sf_dir):
+    # k-NN label disagreement within LSH buckets: probable mislabels
+    # surface as high disagree_frac (similarity.py:knn_label_noise).
+    return SIM.knn_label_noise(
+        _t(spark, sf_dir, "embeddings"), k=5, num_planes=3
+    )
+
+
+def q_ppmi_cooccurrence(spark, sf_dir):
+    # Windowed co-occurrence PPMI (count-based embedding statistic):
+    # map-side nested-transform pair build, one pair-count shuffle,
+    # marginals derived from the count table (text.py:ppmi_cooccurrence).
+    return TX.ppmi_cooccurrence(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, top_n=100
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     # Triangle census of the part co-purchase graph (pairs co-occurring
     # in >= 2 orders): degree-oriented wedge join bounds the work at
@@ -2921,6 +2938,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_knn_label_noise",
+    "llm_ppmi_cooccurrence",
     "ext_triangle_count",
     "llm_winsorize",
     "llm_pmi_collocations",
@@ -3011,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_knn_label_noise": q_knn_label_noise,
+        "llm_ppmi_cooccurrence": q_ppmi_cooccurrence,
         "ext_triangle_count": q_triangle_count,
         "llm_winsorize": q_winsorize,
         "llm_pmi_collocations": q_pmi_collocations,
@@ -4469,6 +4490,74 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_knn_label_noise": f"""
+            WITH {_sql_lsh_bucket_cte(3)},
+            lbl AS (
+                SELECT bk.vec_id, bk.v, bk.bucket, e.label
+                FROM bk JOIN embeddings e USING (vec_id)
+            ),
+            pairs AS (
+                SELECT a.vec_id AS aid, a.label AS albl,
+                       n.vec_id AS nid, n.label AS nlbl,
+                       {_SQL_COS.format(a="a.v", b="n.v")} AS cos_sim
+                FROM lbl a JOIN lbl n
+                  ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY aid ORDER BY cos_sim DESC, nid
+                ) AS rn
+                FROM pairs
+            ),
+            agg AS (
+                SELECT aid, albl, count(*) AS n_neighbors,
+                       round(avg(CASE WHEN nlbl <> albl
+                                      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END),
+                             6) AS disagree_frac
+                FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+            )
+            SELECT l.vec_id, l.label,
+                   coalesce(a.n_neighbors, 0) AS n_neighbors,
+                   a.disagree_frac
+            FROM lbl l LEFT JOIN agg a
+              ON l.vec_id = a.aid AND l.label = a.albl
+        """,
+        "llm_ppmi_cooccurrence": """
+            WITH t AS (
+                SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+                FROM documents
+            ),
+            p AS (
+                SELECT unnest(flatten(list_transform(tk, (x, i) ->
+                    list_transform(tk[i+1:least(i+3, len(tk))], y ->
+                        struct_pack(w1 := least(x, y),
+                                    w2 := greatest(x, y)))))) AS p
+                FROM t
+            ),
+            bc AS (
+                SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+                FROM p GROUP BY 1, 2
+            ),
+            marg AS (
+                SELECT w, sum(c) AS m FROM (
+                    SELECT w1 AS w, n_pair AS c FROM bc
+                    UNION ALL SELECT w2, n_pair FROM bc
+                ) GROUP BY 1
+            ),
+            tot AS (SELECT sum(n_pair)::DOUBLE AS t FROM bc)
+            SELECT w1, w2, n_pair,
+                   round(greatest(0.0::DOUBLE,
+                       log2((n_pair / tot.t)
+                            / ((m1.m / (2 * tot.t)) * (m2.m / (2 * tot.t))))),
+                       4) AS ppmi
+            FROM bc
+            JOIN marg m1 ON bc.w1 = m1.w
+            JOIN marg m2 ON bc.w2 = m2.w
+            CROSS JOIN tot
+            WHERE n_pair >= 5
+            ORDER BY ppmi DESC, w1, w2
+            LIMIT 100
+        """,
         "ext_triangle_count": """
             WITH pairs AS (
                 SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2

@@ -1217,3 +1217,84 @@ def pool_embeddings(
         )
         .orderBy(group_col, "dim_idx")
     )
+
+
+def knn_label_noise(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    num_planes: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Label-noise screening via k-NN label disagreement: for each
+    vector, the fraction of its k nearest same-bucket neighbors (by
+    exact cosine) carrying a DIFFERENT label. High disagreement marks
+    probable mislabels / outliers — the standard embedding-space
+    data-quality probe (Confident-Learning-style, neighborhood voting).
+
+    Neighborhoods are sign-LSH-bucket-local, which is what makes the
+    operator scale: the self-join is within-bucket (never all-pairs),
+    and ``num_planes`` grows ~log2(N) to hold expected bucket size
+    constant — identical posture to ``embedding_near_dup_pairs``.
+    Rankings use the ROUNDED cosine with a neighbor-id tie-break, so
+    the k-set is engine-replayable. Per-row norms are computed once
+    before the join. Vectors alone in their bucket emit n_neighbors=0
+    with NULL disagreement (try_divide), never a crash.
+    """
+    d = _as_double(F.col(vec_col))
+    b = with_lsh_bucket(
+        fan_out(emb.select(id_col, vec_col, label_col), id_col),
+        num_planes,
+        vec_col,
+    ).withColumn("_norm", F.sqrt(dot(d, d)))
+    a = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_albl"),
+        F.col("_norm").alias("_an"),
+    )
+    n = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nv"),
+        F.col(label_col).alias("_nlbl"),
+        F.col("_norm").alias("_nn"),
+    )
+    cos = F.round(
+        F.try_divide(
+            dot(_as_double(F.col("_av")), _as_double(F.col("_nv"))),
+            F.col("_an") * F.col("_nn"),
+        ),
+        6,
+    )
+    pairs = (
+        a.join(n, "bucket")
+        .filter(F.col("_aid") != F.col("_nid"))
+        .withColumn("_cos", cos)
+    )
+    w = Window.partitionBy("_aid").orderBy(
+        F.desc("_cos"), F.asc("_nid")
+    )
+    topk = pairs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = topk.groupBy(
+        F.col("_aid").alias(id_col), F.col("_albl").alias(label_col)
+    ).agg(
+        F.count("*").alias("n_neighbors"),
+        F.round(
+            F.avg((F.col("_nlbl") != F.col("_albl")).cast("double")),
+            round_dp,
+        ).alias("disagree_frac"),
+    )
+    # left join back so singleton-bucket vectors appear with 0 neighbors
+    base = b.select(id_col, label_col)
+    return base.join(agg, [id_col, label_col], "left").select(
+        id_col,
+        label_col,
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        "disagree_frac",
+    )

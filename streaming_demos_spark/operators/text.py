@@ -696,3 +696,83 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(top_n)
     )
+
+
+def ppmi_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top word pairs by positive pointwise mutual information over a
+    ``window``-token co-occurrence context — the count statistic behind
+    count-based word embeddings (PPMI-SVD / GloVe-style preprocessing).
+    Pairs are unordered (canonical lexicographic form); marginals are
+    SLOT counts over the pair table (``Σ_a m(a) = 2T``), the symmetric
+    PPMI convention.
+
+    Plan shape: pair generation is entirely map-side — a nested
+    ``transform`` over positions with a ``slice`` inner window (never a
+    positional self-join), flattened and exploded into ONE combinable
+    pair-count shuffle. Marginals and the total are derived from the
+    pair-count table (vocabulary²-bounded, far smaller than the
+    corpus), so the corpus is scanned exactly once. The two marginal
+    joins are vocabulary-keyed; AQE may demote them to broadcast.
+    """
+    from pyspark import StorageLevel
+
+    tk = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        tokens(text_col).alias("tk")
+    )
+    n = F.size("tk")
+    pair = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.slice("tk", i + 1, F.least(F.lit(window), n - i)),
+            lambda y: F.struct(
+                F.least(F.element_at("tk", i), y).alias("w1"),
+                F.greatest(F.element_at("tk", i), y).alias("w2"),
+            ),
+        ),
+    )
+    pairs = tk.select(F.explode(F.flatten(pair)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    marg = (
+        bc.select(F.col("w1").alias("w"), F.col("n_pair").alias("_c"))
+        .unionByName(
+            bc.select(F.col("w2").alias("w"), F.col("n_pair").alias("_c"))
+        )
+        .groupBy("w")
+        .agg(F.sum("_c").alias("_m"))
+    )
+    total = bc.agg(F.sum("n_pair").cast("double").alias("_t"))
+    ppmi = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.log2(
+                (F.col("n_pair") / F.col("_t"))
+                / (
+                    (F.col("_m1") / (2 * F.col("_t")))
+                    * (F.col("_m2") / (2 * F.col("_t")))
+                )
+            ),
+        ),
+        4,
+    )
+    return (
+        bc.filter(F.col("n_pair") >= min_count)
+        .join(marg.select(F.col("w").alias("w1"), F.col("_m").alias("_m1")), "w1")
+        .join(marg.select(F.col("w").alias("w2"), F.col("_m").alias("_m2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_pair", ppmi.alias("ppmi"))
+        .orderBy(F.desc("ppmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+    )

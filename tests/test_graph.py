@@ -179,3 +179,55 @@ def test_winsorize_clamps_to_group_thresholds(spark):
     assert out[9] == 10.0
     # low tail clamped up to p05 = 2.0
     assert out[0] == 2.0
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    from streaming_demos_spark.operators import similarity as SIM
+
+    # 6 near-identical vectors, one labeled differently -> the odd one
+    # disagrees with all its neighbors; the rest disagree only with it.
+    rows = [(i, [1.0, 0.0, 0.01 * i], 0) for i in range(5)]
+    rows.append((9, [1.0, 0.0, 0.02], 1))  # mislabeled twin
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label int"
+    )
+    out = {r.vec_id: r for r in
+           SIM.knn_label_noise(df, k=5, num_planes=1).collect()}
+    assert out[9].disagree_frac == 1.0
+    for i in range(5):
+        assert out[i].disagree_frac <= 0.2 + 1e-9
+
+
+def test_knn_label_noise_singleton_bucket_yields_zero_neighbors(spark):
+    from streaming_demos_spark.operators import similarity as SIM
+
+    # Opposite-sign vectors project to +/-s0 — always different
+    # 1-plane buckets (a two-dim vector could tie at 0 if the plane's
+    # signs cancel).
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    rows = SIM.knn_label_noise(df, k=3, num_planes=1).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_neighbors == 0 and r.disagree_frac is None
+
+
+def test_ppmi_cooccurrence_window_and_positivity(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    # "aa bb" always co-occur within the window; "aa zz" never
+    # (distance 4 > window 3). PPMI clips at zero.
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd zz") for i in range(10)],
+        "doc_id int, text string",
+    )
+    out = TX.ppmi_cooccurrence(docs, window=3, min_count=5, top_n=50)
+    got = {(r.w1, r.w2): r for r in out.collect()}
+    assert ("aa", "bb") in got
+    assert ("aa", "zz") not in got  # outside the window
+    for r in got.values():
+        assert r.ppmi >= 0.0
+    # every within-window pair occurs 10 times (once per doc)
+    assert got[("aa", "bb")].n_pair == 10

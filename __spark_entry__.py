@@ -2716,6 +2716,24 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_join_size_profile(spark, sf_dir):
+    # Pre-flight join sizing: predict the events-by-user self-join's
+    # output rows and biggest-key task from count aggregates alone —
+    # never running the join (relational.py:join_size_profile).
+    ev = _t(spark, sf_dir, "events")
+    return R.join_size_profile(ev, "user_id", ev, "user_id")
+
+
+def q_zipf_fit(spark, sf_dir):
+    # Zipf exponent of the corpus term-frequency distribution:
+    # closed-form log-log regression over the vocabulary-bounded
+    # frequency table (relational.py:zipf_fit).
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens("text")).alias("term")
+    )
+    return R.zipf_fit(toks, "term")
+
+
 def q_knn_label_noise(spark, sf_dir):
     # k-NN label disagreement within LSH buckets: probable mislabels
     # surface as high disagree_frac (similarity.py:knn_label_noise).
@@ -2938,6 +2956,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_join_size_profile",
+    "llm_zipf_fit",
     "llm_knn_label_noise",
     "llm_ppmi_cooccurrence",
     "ext_triangle_count",
@@ -3030,6 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_join_size_profile": q_join_size_profile,
+        "llm_zipf_fit": q_zipf_fit,
         "llm_knn_label_noise": q_knn_label_noise,
         "llm_ppmi_cooccurrence": q_ppmi_cooccurrence,
         "ext_triangle_count": q_triangle_count,
@@ -4490,6 +4512,38 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_join_size_profile": """
+            WITH ca AS (
+                SELECT user_id AS k, count(*) AS c
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            )
+            SELECT
+                (SELECT count(user_id) FROM events) AS n_left,
+                (SELECT count(user_id) FROM events) AS n_right,
+                count(*) AS n_common_keys,
+                coalesce(sum(c * c), 0)::BIGINT AS predicted_rows,
+                coalesce(max(c * c), 0)::BIGINT AS max_key_rows
+            FROM ca
+        """,
+        "llm_zipf_fit": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS term
+                FROM documents
+            ),
+            freq AS (SELECT term, count(*) AS f FROM toks GROUP BY 1),
+            xy AS (
+                SELECT log2((row_number() OVER (ORDER BY f DESC, term))::DOUBLE)
+                           AS x,
+                       log2(f::DOUBLE) AS y
+                FROM freq
+            )
+            SELECT count(*) AS n_terms,
+                   round(covar_pop(x, y) / var_pop(x), 4) AS zipf_slope,
+                   round((covar_pop(x, y) * covar_pop(x, y))
+                         / (var_pop(x) * var_pop(y)), 4) AS r2
+            FROM xy
+        """,
         "llm_knn_label_noise": f"""
             WITH {_sql_lsh_bucket_cte(3)},
             lbl AS (

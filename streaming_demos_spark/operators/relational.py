@@ -1640,3 +1640,79 @@ def winsorize(
             round_dp,
         ).alias("winsorized"),
     )
+
+
+def join_size_profile(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+) -> DataFrame:
+    """Predict an equi-join's output size WITHOUT executing the join:
+    ``|A ⋈ B| = Σ_k c_A(k) · c_B(k)`` over the common keys, plus the
+    skew diagnostics that decide whether the join is safe to run —
+    ``max_key_rows`` (the largest single key's contribution: the row
+    count of the biggest task under hash partitioning) and the count of
+    common keys.
+
+    The pre-flight a 100 TB engine runs before committing to a shuffle:
+    two map-side-combinable count aggregates and a join of the (much
+    smaller) per-key count tables. NULL keys never match (dropped, SQL
+    join semantics). One output row.
+    """
+    ca = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("k"))
+        .agg(F.count("*").alias("_ca"))
+    )
+    cb = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("k"))
+        .agg(F.count("*").alias("_cb"))
+    )
+    na = left.agg(F.count(left_key).alias("n_left"))
+    nb = right.agg(F.count(right_key).alias("n_right"))
+    prod = ca.join(cb, "k").select(
+        (F.col("_ca") * F.col("_cb")).alias("_p")
+    )
+    pred = prod.agg(
+        F.count("*").alias("n_common_keys"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("predicted_rows"),
+        F.coalesce(F.max("_p"), F.lit(0)).alias("max_key_rows"),
+    )
+    return na.crossJoin(nb).crossJoin(F.broadcast(pred))
+
+
+def zipf_fit(
+    df: DataFrame,
+    term_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Fit the Zipf exponent of a frequency distribution: least-squares
+    slope of log2(freq) on log2(rank) over the distinct-term frequency
+    table (rank 1 = most frequent; ties broken by term for a
+    deterministic ranking). Returns one row: n_terms, zipf_slope
+    (negative; ~-1 for natural language), r2 of the fit.
+
+    The global rank window runs on the VOCABULARY frame — bounded by
+    distinct terms, not corpus size — after the one corpus-sized count
+    shuffle; the regression itself is a closed-form 1-row aggregate
+    (cov/var of the logs), never an iterative fit.
+    """
+    freq = df.groupBy(term_col).agg(F.count("*").alias("_f"))
+    w = Window.orderBy(F.desc("_f"), F.asc(term_col))
+    xy = freq.select(
+        F.log2(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log2(F.col("_f").cast("double")).alias("_y"),
+    )
+    return xy.agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.covar_pop("_x", "_y") / F.var_pop("_x"), round_dp
+        ).alias("zipf_slope"),
+        F.round(
+            (F.covar_pop("_x", "_y") * F.covar_pop("_x", "_y"))
+            / (F.var_pop("_x") * F.var_pop("_y")),
+            round_dp,
+        ).alias("r2"),
+    )

@@ -2716,6 +2716,33 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_exact_stratified_split(spark, sf_dir):
+    # Exact-quota stratified selection: exactly floor(0.25 * n_source)
+    # docs per source, chosen by md5 rank — partitioning-independent
+    # (curation.py:exact_stratified_split).
+    out = CU.exact_stratified_split(
+        _t(spark, sf_dir, "documents"), "source", 0.25
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
+_DECAY_REF = "2024-01-25 00:00:00"
+
+
+def q_decayed_engagement(spark, sf_dir):
+    # Frecency: per-user half-life-decayed event count/value as of a
+    # fixed reference instant — map-side weights, one combinable
+    # aggregation (curation.py:decayed_engagement).
+    return CU.decayed_engagement(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        _DECAY_REF,
+        half_life_sec=86400.0,
+    )
+
+
 def q_join_size_profile(spark, sf_dir):
     # Pre-flight join sizing: predict the events-by-user self-join's
     # output rows and biggest-key task from count aggregates alone —
@@ -2956,6 +2983,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_exact_stratified_split",
+    "ext_decayed_engagement",
     "ext_join_size_profile",
     "llm_zipf_fit",
     "llm_knn_label_noise",
@@ -3050,6 +3079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_exact_stratified_split": q_exact_stratified_split,
+        "ext_decayed_engagement": q_decayed_engagement,
         "ext_join_size_profile": q_join_size_profile,
         "llm_zipf_fit": q_zipf_fit,
         "llm_knn_label_noise": q_knn_label_noise,
@@ -4512,6 +4543,40 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_exact_stratified_split": """
+            WITH q AS (
+                SELECT source,
+                       (floor(count(*) * 0.25))::BIGINT AS quota
+                FROM documents GROUP BY 1
+            ),
+            ranked AS (
+                SELECT doc_id, d.source, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id
+                       ) AS rn
+                FROM documents d
+            )
+            SELECT doc_id, r.source, lang, n_chars
+            FROM ranked r JOIN q ON r.source = q.source
+            WHERE rn <= quota
+        """,
+        "ext_decayed_engagement": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(power(0.5,
+                       ((epoch_us(TIMESTAMP '2024-01-25 00:00:00')
+                         - epoch_us(ts)) / 1000000.0)
+                       / 86400.0)), 6) AS decayed_count,
+                   round(sum(power(0.5,
+                       ((epoch_us(TIMESTAMP '2024-01-25 00:00:00')
+                         - epoch_us(ts)) / 1000000.0)
+                       / 86400.0) * coalesce(value, 0.0::DOUBLE)), 6)
+                       AS decayed_value
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+            GROUP BY 1
+        """,
         "ext_join_size_profile": """
             WITH ca AS (
                 SELECT user_id AS k, count(*) AS c

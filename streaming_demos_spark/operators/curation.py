@@ -818,3 +818,85 @@ def quality_drift_psi(
         )
         .orderBy("bin")
     )
+
+
+def exact_stratified_split(
+    docs: DataFrame,
+    strata_col: str,
+    frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-count stratified selection: from every stratum take exactly
+    ``floor(frac · n_g)`` rows (the largest-remainder correction is the
+    caller's policy; floor keeps the quota a pure per-stratum function),
+    choosing rows by md5-rank so the selection is a deterministic pure
+    function of (id, stratum sizes) — reproducible across engines and
+    partitionings.
+
+    ``stratified_sample`` keeps each row independently (realized counts
+    are binomial around the target); this variant GUARANTEES the quota —
+    what eval-set construction and per-domain token budgeting need.
+
+    Plan: one count aggregate (|strata| rows, broadcast back), one
+    shuffle on the stratum key for the md5-rank window. The window is
+    per-stratum, never global.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    quotas = F.broadcast(
+        docs.groupBy(strata_col).agg(
+            F.floor(F.count("*") * F.lit(frac)).cast("long").alias("_quota")
+        )
+    )
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        docs.join(quotas, strata_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
+def decayed_engagement(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    reference_ts: str,
+    half_life_sec: float = 86400.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially time-decayed totals as of ``reference_ts``
+    (an ISO timestamp literal): each event contributes
+    ``0.5 ^ (age_sec / half_life)`` to the decayed count and
+    ``value · 0.5^(...)`` to the decayed value — the frecency score
+    behind recommendation/ranking freshness and feature stores.
+
+    Map-side weight computation + ONE combinable aggregation; the
+    reference time is a literal so the whole expression constant-folds.
+    Events after the reference time are excluded (they do not exist yet
+    at scoring time).
+    """
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    # microsecond epoch math: events carry sub-second timestamps, and a
+    # truncating seconds cast would drift the weights vs any engine
+    # computing fractional ages
+    age_sec = (
+        epoch_us(F.lit(reference_ts).cast("timestamp"))
+        - epoch_us(F.col(ts_col))
+    ) / F.lit(1e6)
+    wgt = F.pow(F.lit(0.5), age_sec / F.lit(half_life_sec))
+    return (
+        events.filter(F.col(ts_col) <= F.lit(reference_ts).cast("timestamp"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(wgt), round_dp).alias("decayed_count"),
+            F.round(
+                F.sum(wgt * F.coalesce(F.col(value_col), F.lit(0.0))),
+                round_dp,
+            ).alias("decayed_value"),
+        )
+    )

@@ -237,3 +237,47 @@ def test_cms_merge_is_cell_sum(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_exact_stratified_split_hits_quota_exactly(spark):
+    from streaming_demos_spark.operators import curation as CU
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = CU.exact_stratified_split(df, "source", 0.25, id_col="doc_id")
+    by = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by == {"a": 10, "b": 15}  # floor(0.25*40), floor(0.25*60)
+
+
+def test_exact_stratified_split_partitioning_invariant(spark):
+    from streaming_demos_spark.operators import curation as CU
+
+    rows = [(i, str(i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    a = {r.doc_id for r in
+         CU.exact_stratified_split(df, "source", 0.5).collect()}
+    b = {r.doc_id for r in
+         CU.exact_stratified_split(df.repartition(7), "source", 0.5).collect()}
+    assert a == b and len(a) == 45
+
+
+def test_decayed_engagement_halves_per_half_life(spark):
+    import datetime
+
+    from streaming_demos_spark.operators import curation as CU
+
+    ref = "2024-01-03 00:00:00"
+    t0 = datetime.datetime(2024, 1, 1)  # 2 half-lives before ref
+    t1 = datetime.datetime(2024, 1, 2)  # 1 half-life
+    t2 = datetime.datetime(2024, 1, 3)  # at ref
+    t3 = datetime.datetime(2024, 1, 4)  # after ref -> excluded
+    df = spark.createDataFrame(
+        [(1, t0, 4.0), (1, t1, 4.0), (1, t2, 4.0), (1, t3, 100.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    row = CU.decayed_engagement(
+        df, "user_id", "ts", "value", ref, half_life_sec=86400.0
+    ).collect()[0]
+    assert row.n_events == 3  # future event excluded
+    assert abs(row.decayed_count - (0.25 + 0.5 + 1.0)) < 1e-6
+    assert abs(row.decayed_value - 4.0 * 1.75) < 1e-6

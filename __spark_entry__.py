@@ -2716,6 +2716,14 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_dataset_card(spark, sf_dir):
+    # One-row corpus composition card: size, dup rate, token volume,
+    # mean quality, language-mix entropy, exact median length — four
+    # column-pruned scans, all 1-row/edge-bounded aggregates
+    # (curation.py:dataset_card).
+    return CU.dataset_card(_t(spark, sf_dir, "documents"))
+
+
 def q_exact_stratified_split(spark, sf_dir):
     # Exact-quota stratified selection: exactly floor(0.25 * n_source)
     # docs per source, chosen by md5 rank — partitioning-independent
@@ -2983,6 +2991,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_dataset_card",
     "llm_exact_stratified_split",
     "ext_decayed_engagement",
     "ext_join_size_profile",
@@ -3079,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_dataset_card": q_dataset_card,
         "llm_exact_stratified_split": q_exact_stratified_split,
         "ext_decayed_engagement": q_decayed_engagement,
         "ext_join_size_profile": q_join_size_profile,
@@ -4543,6 +4553,50 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_dataset_card": """
+            WITH w AS (
+                SELECT doc_id, text, lang, n_chars,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            per AS (
+                SELECT md5(text) AS h, len(words) AS nw,
+                       round(
+                         least(len(words) / 64.0, 1.0) * 0.4
+                         + least((len(list_filter(words, x -> x IN
+                                  ('the','a','an','and','of','to','in','is','it','for')))
+                                  / len(words)) * 5.0, 1.0) * 0.2
+                         + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)) * 0.4,
+                       4) AS q
+                FROM w
+            ),
+            agg AS (
+                SELECT count(*) AS n_docs,
+                       count(DISTINCT h) AS n_unique_texts,
+                       sum(nw) AS total_tokens,
+                       round(avg(q), 6) AS mean_quality
+                FROM per
+            ),
+            l AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+            lt AS (SELECT sum(c)::DOUBLE AS t FROM l),
+            e AS (
+                SELECT round(-sum((c / lt.t) * log2(c / lt.t)), 6)
+                           AS lang_entropy
+                FROM l CROSS JOIN lt
+            ),
+            m AS (
+                SELECT round(quantile_cont(n_chars, 0.5), 6) AS p50_len
+                FROM documents
+            )
+            SELECT n_docs, n_unique_texts,
+                   round(1.0::DOUBLE - n_unique_texts / n_docs::DOUBLE, 6)
+                       AS dup_rate,
+                   total_tokens,
+                   round(total_tokens / n_docs::DOUBLE, 6) AS avg_tokens,
+                   mean_quality, lang_entropy, p50_len
+            FROM agg CROSS JOIN e CROSS JOIN m
+        """,
         "llm_exact_stratified_split": """
             WITH q AS (
                 SELECT source,

@@ -900,3 +900,69 @@ def decayed_engagement(
             ).alias("decayed_value"),
         )
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """One-row corpus "dataset card": the composition summary a corpus
+    release ships with — size, exact-duplicate rate, token volume, mean
+    quality, language-mix entropy, and the median document length.
+
+    Four independent column-pruned scans (per-doc stats, distinct-text
+    count, language histogram, exact median via distributed selection),
+    each a 1-row/edge-bounded aggregate cross-joined at the end — no
+    scan reads a column it doesn't use, and the exact median never
+    buffers the corpus in one task (``grouped_quantiles_selection``).
+    """
+    from streaming_demos_spark.operators import text as TXO
+    from streaming_demos_spark.operators.relational import (
+        grouped_quantiles_selection,
+    )
+
+    stats = TXO.text_stats(docs, text_col, id_col).agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+    uniq = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+    )
+    lc = docs.groupBy(lang_col).agg(F.count("*").alias("_c"))
+    tot = lc.agg(F.sum("_c").cast("double").alias("_t"))
+    ent = (
+        lc.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("_c") / F.col("_t"))
+                * F.log2(F.col("_c") / F.col("_t"))
+            ).alias("_e")
+        )
+        .agg(F.round(F.sum("_e"), 6).alias("lang_entropy"))
+    )
+    med = grouped_quantiles_selection(
+        docs.select(F.lit(1).alias("_g"), F.col(len_col)), "_g", len_col, [0.5]
+    ).select(F.col("p50").alias("p50_len"))
+    return (
+        uniq.crossJoin(stats)
+        .crossJoin(ent)
+        .crossJoin(med)
+        .select(
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias(
+                "avg_tokens"
+            ),
+            "mean_quality",
+            "lang_entropy",
+            "p50_len",
+        )
+    )

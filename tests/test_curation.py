@@ -338,3 +338,28 @@ def test_quality_drift_psi_flags_shifted_distribution(spark):
     assert psi > 0.2  # conventional "investigate" line
     # empty upper bins still yield finite terms (smoothing)
     assert all(r.psi_term is not None for r in out)
+
+
+def test_dataset_card_known_corpus(spark):
+    from streaming_demos_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en", 11),
+            (2, "the cat sat", "en", 11),  # exact dup
+            (3, "el gato", "es", 7),
+            (4, "the dog ran far", "en", 15),
+        ],
+        "doc_id int, text string, lang string, n_chars int",
+    )
+    row = C.dataset_card(docs).collect()[0]
+    assert row.n_docs == 4 and row.n_unique_texts == 3
+    assert row.dup_rate == 0.25
+    assert row.total_tokens == 3 + 3 + 2 + 4
+    # lang mix 3:1 -> H = -(0.75 log2 0.75 + 0.25 log2 0.25)
+    import math
+
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(row.lang_entropy - round(h, 6)) < 1e-9
+    # median of (11, 11, 7, 15) = 11
+    assert row.p50_len == 11.0

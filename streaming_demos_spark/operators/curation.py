@@ -955,12 +955,14 @@ def dataset_card(
             "n_docs",
             "n_unique_texts",
             F.round(
-                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 6
+                F.lit(1.0)
+                - F.try_divide(F.col("n_unique_texts"), F.col("n_docs")),
+                6,
             ).alias("dup_rate"),
             "total_tokens",
-            F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias(
-                "avg_tokens"
-            ),
+            F.round(
+                F.try_divide(F.col("total_tokens"), F.col("n_docs")), 6
+            ).alias("avg_tokens"),
             "mean_quality",
             "lang_entropy",
             "p50_len",

@@ -72,6 +72,8 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()  # one scalar; also materializes the persists
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge set (no nodes)")
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
@@ -188,8 +190,11 @@ def triangle_stats(
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
+    # coalesce: on an empty edge set sum() is NULL; the census should
+    # read all-zero, not NULL (and try_divide below keeps the
+    # clustering coefficient NULL-safe either way)
     n_wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0))
         .cast("long")
         .alias("n_wedges")
     )

@@ -1705,14 +1705,19 @@ def zipf_fit(
         F.log2(F.row_number().over(w).cast("double")).alias("_x"),
         F.log2(F.col("_f").cast("double")).alias("_y"),
     )
+    # try_divide: a single-term (or all-equal-frequency degenerate)
+    # vocabulary has var_pop = 0, which under ANSI mode would abort the
+    # whole query; the fit is undefined there -> NULL.
     return xy.agg(
         F.count("*").alias("n_terms"),
         F.round(
-            F.covar_pop("_x", "_y") / F.var_pop("_x"), round_dp
+            F.try_divide(F.covar_pop("_x", "_y"), F.var_pop("_x")), round_dp
         ).alias("zipf_slope"),
         F.round(
-            (F.covar_pop("_x", "_y") * F.covar_pop("_x", "_y"))
-            / (F.var_pop("_x") * F.var_pop("_y")),
+            F.try_divide(
+                F.covar_pop("_x", "_y") * F.covar_pop("_x", "_y"),
+                F.var_pop("_x") * F.var_pop("_y"),
+            ),
             round_dp,
         ).alias("r2"),
     )

@@ -189,3 +189,45 @@ def test_logreg_fit_empty_input_raises(spark):
     df = spark.createDataFrame([], "x1 double, y double")
     with pytest.raises(ValueError, match="empty training input"):
         TR.logreg_fit(df, ["x1"], "y", iters=1)
+
+
+def test_zipf_fit_single_term_yields_null_not_abort(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame([("only",)] * 5, "term string")
+    row = R.zipf_fit(df, "term").collect()[0]
+    assert row.n_terms == 1
+    assert row.zipf_slope is None and row.r2 is None
+
+
+def test_triangle_stats_empty_edges_all_zero(spark):
+    from streaming_demos_spark.operators import graph as G
+
+    e = spark.createDataFrame([], "src int, dst int")
+    row = G.triangle_stats(e).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        0, 0, 0, 0,
+    )
+    assert row.clustering_coeff is None
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest as _pytest
+
+    from streaming_demos_spark.operators import graph as G
+
+    e = spark.createDataFrame([], "src int, dst int")
+    with _pytest.raises(ValueError, match="empty edge set"):
+        G.pagerank(e)
+
+
+def test_dataset_card_single_doc_no_ansi_abort(spark):
+    from streaming_demos_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", 11)],
+        "doc_id int, text string, lang string, n_chars int",
+    )
+    row = CU.dataset_card(docs).collect()[0]
+    assert row.n_docs == 1 and row.dup_rate == 0.0
+    assert row.lang_entropy == 0.0  # single language

@@ -2716,6 +2716,27 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_minhash_lsh_eval(spark, sf_dir):
+    # Dedup-pipeline quality harness: MinHash-LSH verified pairs vs the
+    # exact inverted-index Jaccard join at the same threshold — recall
+    # of the banding as shipped (dedup.py:minhash_lsh_eval).
+    return D.minhash_lsh_eval(
+        _t(spark, sf_dir, "documents"), threshold=0.1
+    )
+
+
+def q_hybrid_rerank(spark, sf_dir):
+    # Hybrid retrieval: reciprocal-rank fusion of TF-IDF cosine and
+    # shingle-Jaccard rankings for query doc 0 — each side capped at 20
+    # candidates via TakeOrderedAndProject; the Jaccard side is fully
+    # map-side (tfidf.py:hybrid_rerank).
+    from streaming_demos_spark.functions import tfidf as TI
+
+    return TI.hybrid_rerank(
+        _t(spark, sf_dir, "documents"), query_id=0, k_candidates=20, k=10
+    )
+
+
 def q_dataset_card(spark, sf_dir):
     # One-row corpus composition card: size, dup rate, token volume,
     # mean quality, language-mix entropy, exact median length — four
@@ -2991,6 +3012,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_minhash_lsh_eval",
+    "llm_hybrid_rerank",
     "llm_dataset_card",
     "llm_exact_stratified_split",
     "ext_decayed_engagement",
@@ -3088,6 +3111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_minhash_lsh_eval": q_minhash_lsh_eval,
+        "llm_hybrid_rerank": q_hybrid_rerank,
         "llm_dataset_card": q_dataset_card,
         "llm_exact_stratified_split": q_exact_stratified_split,
         "ext_decayed_engagement": q_decayed_engagement,
@@ -4553,6 +4578,107 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_minhash_lsh_eval": f"""
+            WITH truth AS ({_sql_ngram_jaccard(threshold=0.1)}),
+            found AS ({_sql_minhash_pairs(threshold=0.1)}),
+            h AS (
+                SELECT count(*) AS n_hits
+                FROM found f JOIN truth t
+                  ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+            )
+            SELECT (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT count(*) FROM found) AS n_found,
+                   n_hits,
+                   round(n_hits::DOUBLE
+                         / nullif((SELECT count(*) FROM truth), 0), 6)
+                       AS recall
+            FROM h
+        """,
+        "llm_hybrid_rerank": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != '')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            sparse AS (
+                SELECT doc_id, term,
+                       round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 9)
+                           AS w_
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            norms AS (
+                SELECT doc_id, sqrt(sum(w_ * w_)) AS nrm
+                FROM sparse GROUP BY doc_id
+            ),
+            qv AS (SELECT term, w_ AS qw FROM sparse WHERE doc_id = 0),
+            dots AS (
+                SELECT s.doc_id, sum(s.w_ * q.qw) AS dot
+                FROM sparse s JOIN qv q USING (term)
+                WHERE s.doc_id <> 0
+                GROUP BY 1
+            ),
+            cos AS (
+                SELECT d.doc_id,
+                       round(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+                FROM dots d
+                JOIN norms n1 ON d.doc_id = n1.doc_id
+                JOIN norms n2 ON n2.doc_id = 0
+            ),
+            r1 AS (
+                SELECT doc_id, cosine,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id)
+                           AS rk1
+                FROM cos
+                QUALIFY rk1 <= 20
+            ),
+            w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(words) >= 3
+                           THEN list_transform(range(1, len(words)-1),
+                                i -> array_to_string(words[i:i+2], ' '))
+                           ELSE [array_to_string(words, ' ')] END) AS s
+                FROM w
+            ),
+            qs AS (SELECT s AS qsh FROM sh WHERE doc_id = 0),
+            jac AS (
+                SELECT sh.doc_id,
+                       round(len(list_intersect(s, qsh))::DOUBLE
+                             / (len(s) + len(qsh)
+                                - len(list_intersect(s, qsh))), 6)
+                           AS jaccard
+                FROM sh CROSS JOIN qs
+                WHERE sh.doc_id <> 0
+                  AND len(list_intersect(s, qsh)) > 0
+            ),
+            r2 AS (
+                SELECT doc_id, jaccard,
+                       row_number() OVER (ORDER BY jaccard DESC, doc_id)
+                           AS rk2
+                FROM jac
+                QUALIFY rk2 <= 20
+            )
+            SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+                   coalesce(cosine, 0.0::DOUBLE) AS cosine,
+                   coalesce(jaccard, 0.0::DOUBLE) AS jaccard,
+                   round(coalesce(1.0 / (60 + rk1), 0.0::DOUBLE)
+                         + coalesce(1.0 / (60 + rk2), 0.0::DOUBLE), 6)
+                       AS rrf_score
+            FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 10
+        """,
         "llm_dataset_card": """
             WITH w AS (
                 SELECT doc_id, text, lang, n_chars,

@@ -374,3 +374,81 @@ def tfidf_cosine_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", id_col, "cosine")
     )
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    query_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval for a query document: reciprocal-rank fusion of
+    two independent rankings — sparse TF-IDF cosine (the inverted-index
+    path) and word-3-shingle Jaccard overlap (the lexical/fuzzy-dup
+    path). ``rrf = Σ 1/(rrf_k + rank_i)`` over the lists the candidate
+    appears in; the standard zero-tuning fusion that beats either
+    ranking alone when their error modes differ.
+
+    Plan shape: each side produces at most ``k_candidates`` rows via
+    TakeOrderedAndProject (rank windows run on those tiny frames, never
+    the corpus); the Jaccard side is fully map-side — the query's
+    shingle set rides a 1-row broadcast crossJoin and overlap is
+    ``array_intersect`` per document, so no shingle-keyed shuffle
+    exists anywhere.
+    """
+    from pyspark.sql import Window
+
+    from streaming_demos_spark.operators.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    cos = tfidf_cosine_topk(
+        docs, [query_id], id_col, text_col, k=k_candidates
+    ).select(id_col, "cosine")
+    w_cos = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    r1 = cos.withColumn("_r1", F.row_number().over(w_cos))
+
+    sh = docs.select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("_w"), 3)).alias("_sh"),
+    )
+    qsh = F.broadcast(
+        sh.filter(F.col(id_col) == query_id).select(
+            F.col("_sh").alias("_qsh")
+        )
+    )
+    ov = F.size(F.array_intersect("_sh", "_qsh"))
+    jac = F.round(
+        ov / (F.size("_sh") + F.size("_qsh") - ov).cast("double"), 6
+    )
+    lex = (
+        sh.filter(F.col(id_col) != query_id)
+        .crossJoin(qsh)
+        .select(F.col(id_col), jac.alias("jaccard"))
+        .filter(F.col("jaccard") > 0)
+        .orderBy(F.desc("jaccard"), F.asc(id_col))
+        .limit(k_candidates)
+    )
+    w_lex = Window.orderBy(F.desc("jaccard"), F.asc(id_col))
+    r2 = lex.withColumn("_r2", F.row_number().over(w_lex))
+
+    # component scores coalesce to 0.0 when the candidate missed that
+    # list's top-k — a measured-score floor that keeps the output frame
+    # NULL-free (both metrics are nonnegative)
+    fused = r1.join(r2, id_col, "full").select(
+        F.col(id_col),
+        F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_r2")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

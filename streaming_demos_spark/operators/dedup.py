@@ -1096,3 +1096,50 @@ def duplicate_spans(
         .select(id_col, "span_start", "span_end", "n_windows")
         .orderBy(id_col, "span_start")
     )
+
+
+def minhash_lsh_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Quality harness for the MinHash-LSH dedup path: compare its
+    verified pairs against the EXACT inverted-index Jaccard join at the
+    same threshold and report recall — the fraction of true near-dup
+    pairs the banding actually surfaced (the `ann_recall` analog for
+    the dedup family).
+
+    The exact side cannot miss a qualifying pair (any such pair shares
+    >= 1 shingle), so it is the ground truth; the LSH side misses a
+    pair when no band's rows all collide (probability ``(1-J^r)^b``).
+    Both sides run their documented bucket caps, so the measured recall
+    is the recall of the pipelines AS SHIPPED, not an idealized bound.
+    One output row: n_truth, n_found, n_hits, recall.
+    """
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, shingle_k, threshold
+    ).select("doc_a", "doc_b")
+    found = minhash_near_dup_pairs(
+        docs, text_col, id_col, num_hashes, band_rows, shingle_k, threshold
+    ).select("doc_a", "doc_b")
+    hits = found.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nf = found.agg(F.count("*").alias("n_found"))
+    return (
+        nt.crossJoin(nf)
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hits",
+            F.round(
+                F.try_divide(F.col("n_hits"), F.col("n_truth")), 6
+            ).alias("recall"),
+        )
+    )

@@ -650,3 +650,58 @@ def test_duplicate_spans_short_docs_skipped(spark):
         ["doc_id", "text"],
     )
     assert D.duplicate_spans(df, k=15).count() == 0
+
+
+def test_hybrid_rerank_fuses_both_rankings(spark):
+    from streaming_demos_spark.functions import tfidf as TI
+
+    # doc 1 is lexically near-identical to the query (high jaccard +
+    # high cosine); doc 2 shares rare terms (cosine only, no common
+    # 3-shingle); doc 3 is unrelated.
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta zeta"),
+            (2, "epsilon delta unrelatedword1 unrelatedword2 alpha"),
+            (3, "totally different words here now"),
+        ],
+        "doc_id int, text string",
+    )
+    out = TI.hybrid_rerank(docs, query_id=0, k_candidates=5, k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # top of both lists -> highest RRF
+    assert 3 not in ids or out[-1].doc_id == 3
+    top = out[0]
+    assert top.jaccard > 0 and top.cosine > 0
+    # every emitted rrf score positive and non-increasing
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_minhash_lsh_eval_perfect_recall_on_identical_docs(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    # identical docs minhash-collide in every band -> recall 1.0
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+            (3, "seven eight nine ten eleven twelve"),
+        ],
+        "doc_id int, text string",
+    )
+    row = D.minhash_lsh_eval(docs, threshold=0.9).collect()[0]
+    assert row.n_truth == 1 and row.n_hits == 1
+    assert row.recall == 1.0
+
+
+def test_minhash_lsh_eval_no_truth_yields_null_recall(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")],
+        "doc_id int, text string",
+    )
+    row = D.minhash_lsh_eval(docs, threshold=0.9).collect()[0]
+    assert row.n_truth == 0 and row.recall is None

@@ -2716,6 +2716,31 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_word_vectors(spark, sf_dir):
+    # PPMI-SVD word embeddings (Levy & Goldberg 2014): directional
+    # windowed co-occurrence -> slot-hashed PPMI rows -> distributed
+    # gram + driver eigh + map-only projection. Non-SQL-expressible
+    # (eigendecomposition) -> rows-only check; numpy parity in
+    # tests/test_tfidf.py. Output unnested to scalar rows.
+    from streaming_demos_spark.functions import tfidf as TI
+
+    emb = TI.ppmi_word_vectors(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, dim=64, k=8
+    )
+    return emb.select(
+        "term", F.posexplode("embedding").alias("component_idx", "_v")
+    ).select(
+        "term", "component_idx", F.round(F.col("_v"), 9).alias("value")
+    )
+
+
+def q_auto_histogram(spark, sf_dir):
+    # Freedman-Diaconis auto-binned per-type value histogram: exact
+    # distributed IQR picks the width, then the same broadcast +
+    # map-side floor as value_histogram (relational.py:auto_histogram).
+    return R.auto_histogram(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 def q_minhash_lsh_eval(spark, sf_dir):
     # Dedup-pipeline quality harness: MinHash-LSH verified pairs vs the
     # exact inverted-index Jaccard join at the same threshold — recall
@@ -3012,6 +3037,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_word_vectors",
+    "ext_auto_histogram",
     "llm_minhash_lsh_eval",
     "llm_hybrid_rerank",
     "llm_dataset_card",
@@ -3111,6 +3138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_word_vectors": q_word_vectors,
+        "ext_auto_histogram": q_auto_histogram,
         "llm_minhash_lsh_eval": q_minhash_lsh_eval,
         "llm_hybrid_rerank": q_hybrid_rerank,
         "llm_dataset_card": q_dataset_card,
@@ -4578,6 +4607,42 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_auto_histogram": """
+            WITH q AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.25), 6) AS q1,
+                       round(quantile_cont(value, 0.75), 6) AS q3,
+                       count(*) AS n,
+                       min(value) AS lo, max(value) AS hi
+                FROM events GROUP BY 1
+            ),
+            meta AS (
+                SELECT event_type, lo, hi,
+                       CASE WHEN (2.0 * (q3 - q1) / pow(n, 1.0/3.0)) > 0
+                                 AND (hi - lo) > 0
+                            THEN least(64, greatest(1,
+                                 ceil((hi - lo)
+                                      / (2.0 * (q3 - q1)
+                                         / pow(n, 1.0/3.0)))))::INT
+                            ELSE 1 END AS nb
+                FROM q
+            ),
+            b AS (
+                SELECT e.event_type,
+                       CASE WHEN nb > 1
+                            THEN least(nb - 1,
+                                 floor((value - lo) / ((hi - lo) / nb))::INT)
+                            ELSE 0 END AS bin_idx,
+                       lo, hi, nb
+                FROM events e JOIN meta USING (event_type)
+            )
+            SELECT event_type, bin_idx,
+                   round(lo + bin_idx * (hi - lo) / nb, 6) AS bin_lo,
+                   round(lo + (bin_idx + 1) * (hi - lo) / nb, 6) AS bin_hi,
+                   count(*) AS n_rows
+            FROM b
+            GROUP BY event_type, bin_idx, lo, hi, nb
+        """,
         "llm_minhash_lsh_eval": f"""
             WITH truth AS ({_sql_ngram_jaccard(threshold=0.1)}),
             found AS ({_sql_minhash_pairs(threshold=0.1)}),

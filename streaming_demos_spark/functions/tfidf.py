@@ -452,3 +452,94 @@ def hybrid_rerank(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def ppmi_word_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 5,
+    dim: int = 64,
+    k: int = 8,
+) -> DataFrame:
+    """Count-based word embeddings: PPMI-weighted co-occurrence vectors
+    (hashing trick over context words, ``dim`` slots) factorized by the
+    same distributed-gram truncated SVD as the document embeddings —
+    the classic PPMI-SVD construction (Levy & Goldberg 2014) that
+    word2vec implicitly approximates.
+
+    Pipeline, all previously-proven pieces: directional co-occurrence
+    counts within ``window`` (map-side nested transform), slot-hashed
+    PPMI row vectors (one combinable (word, slot) shuffle, the context
+    vocabulary never joins densely), then ``svd_embed`` — distributed
+    D×D gram, driver ``eigh``, map-only projection. Only words with
+    marginal count >= ``min_count`` get vectors (vocabulary control).
+    Returns (term, embedding array<double>); callers unnest for
+    engine-portable comparison. Non-SQL-expressible (eigh) — verified
+    by numpy parity tests, not a DuckDB oracle.
+    """
+    from streaming_demos_spark.catalog import fan_out
+    from streaming_demos_spark.operators.text import tokens
+
+    tk = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        tokens(text_col).alias("tk")
+    )
+    n = F.size("tk")
+    # directional pairs: for position i, contexts at i+1..i+window, BOTH
+    # orientations (a word's context vector sees left and right).
+    pair = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.flatten(
+            F.transform(
+                F.slice("tk", i + 1, F.least(F.lit(window), n - i)),
+                lambda y: F.array(
+                    F.struct(
+                        F.element_at("tk", i).alias("w"), y.alias("c")
+                    ),
+                    F.struct(
+                        y.alias("w"), F.element_at("tk", i).alias("c")
+                    ),
+                ),
+            )
+        ),
+    )
+    pairs = tk.select(F.explode(F.flatten(pair)).alias("p")).select(
+        "p.w", "p.c"
+    )
+    bc = pairs.groupBy("w", "c").agg(F.count("*").alias("_n"))
+    marg = bc.groupBy("w").agg(F.sum("_n").alias("_m"))
+    total = bc.agg(F.sum("_n").cast("double").alias("_t"))
+    ppmi = F.greatest(
+        F.lit(0.0),
+        F.log2(
+            (F.col("_n") * F.col("_t"))
+            / (F.col("_mw").cast("double") * F.col("_mc"))
+        ),
+    )
+    weighted = (
+        bc.join(marg.select(F.col("w"), F.col("_m").alias("_mw")), "w")
+        .join(
+            marg.select(F.col("w").alias("c"), F.col("_m").alias("_mc")), "c"
+        )
+        .filter(F.col("_mw") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            F.pmod(F.xxhash64("c"), F.lit(dim)).cast("int").alias("slot"),
+            ppmi.alias("_p"),
+        )
+        .filter(F.col("_p") > 0)
+    )
+    slot_sum = weighted.groupBy("w", "slot").agg(F.sum("_p").alias("_v"))
+    as_map = slot_sum.groupBy("w").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "_v"))).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    vecs = as_map.select(
+        F.col("w").alias("term"),
+        F.transform(
+            idx, lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0))
+        ).alias("vec"),
+    )
+    return svd_embed(vecs, k=k, id_col="term")

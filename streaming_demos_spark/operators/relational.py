@@ -1721,3 +1721,90 @@ def zipf_fit(
             round_dp,
         ).alias("r2"),
     )
+
+
+def auto_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_bins: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group histogram with the Freedman–Diaconis bin width
+    ``2·IQR / n^(1/3)`` — the auto-binning a profiler uses when nobody
+    picked a bucket count. Returns (group, bin_idx, bin_lo, bin_hi,
+    n_rows) with the per-group bin count clamped to ``max_bins``.
+
+    IQR comes from ``grouped_quantiles_selection`` (exact, distributed,
+    no per-group buffering) alongside min/max/n in the same threshold
+    frame; bin assignment is then the same broadcast-join + map-side
+    floor as ``value_histogram``. A zero-IQR (>= half the mass on one
+    value) or single-row group degenerates to one bin, never a divide
+    error.
+    """
+    q = grouped_quantiles_selection(
+        df, group_col, value_col, [0.25, 0.75]
+    ).select(
+        group_col,
+        F.col("p25").alias("_q1"),
+        F.col("p75").alias("_q3"),
+        F.col("n_rows").alias("_n"),
+    )
+    rng = df.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    fd_width = (
+        F.lit(2.0)
+        * (F.col("_q3") - F.col("_q1"))
+        / F.pow(F.col("_n").cast("double"), 1.0 / 3.0)
+    )
+    span = F.col("_hi") - F.col("_lo")
+    # bins = clamp(ceil(span / fd_width), 1, max_bins); zero width or
+    # zero span -> 1 bin
+    n_bins = F.when(
+        (fd_width > 0) & (span > 0),
+        F.least(
+            F.lit(max_bins), F.greatest(F.lit(1), F.ceil(span / fd_width))
+        ),
+    ).otherwise(F.lit(1)).cast("int")
+    meta = F.broadcast(
+        q.join(rng, group_col).select(
+            group_col, "_lo", "_hi", n_bins.alias("_nb")
+        )
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.col("_nb")
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.col("_lo")) / width
+    ).cast("int")
+    idx = F.when(
+        F.col("_nb") > 1, F.least(F.col("_nb") - 1, raw)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(meta, group_col)
+        .withColumn("_b", idx)
+        .groupBy(group_col, "_b")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.first("_nb").alias("_nb"),
+        )
+        .select(
+            group_col,
+            F.col("_b").alias("bin_idx"),
+            F.round(
+                F.col("_lo")
+                + F.col("_b") * (F.col("_hi") - F.col("_lo")) / F.col("_nb"),
+                round_dp,
+            ).alias("bin_lo"),
+            F.round(
+                F.col("_lo")
+                + (F.col("_b") + 1)
+                * (F.col("_hi") - F.col("_lo"))
+                / F.col("_nb"),
+                round_dp,
+            ).alias("bin_hi"),
+            "n_rows",
+        )
+    )

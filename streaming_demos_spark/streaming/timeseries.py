@@ -84,3 +84,79 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_decayed_engagement(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_sec: float = 86400.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Streaming frecency: per-key half-life-decayed count/value
+    maintained in keyed state and re-emitted each micro-batch, decayed
+    AS OF the key's latest seen event time.
+
+    Duality contract with the batch ``curation.decayed_engagement``:
+    after processing rows in event-time order, the emitted row equals
+    the batch operator evaluated at ``reference_ts = max(ts seen)`` for
+    that key (asserted in ``tests/test_streaming_ewma.py``). State per
+    key is three numbers — (decayed_count, decayed_value, last_ts_us) —
+    regardless of stream length: each arrival decays the accumulators
+    by ``0.5^(Δt/half_life)`` and adds itself, which telescopes to the
+    batch sum exactly (the exponential's group property).
+    """
+    keyed = stream.select(
+        F.col(key_col), F.col(ts_col), F.col(value_col)
+    ).filter(F.col(ts_col).isNotNull())
+    fields = {f.name: f.dataType for f in keyed.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, fields[key_col]),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("decayed_count", T.DoubleType()),
+            T.StructField("decayed_value", T.DoubleType()),
+        ]
+    )
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, dc, dv, last_us = state.get
+        else:
+            n, dc, dv, last_us = 0, 0.0, 0.0, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None:
+                    decay = 0.5 ** (
+                        (t_us - last_us) / 1e6 / half_life_sec
+                    )
+                    dc *= decay
+                    dv *= decay
+                dc += 1.0
+                dv += float(v) if v is not None and not pd.isna(v) else 0.0
+                last_us = t_us
+                n += 1
+        state.update((n, dc, dv, last_us))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "decayed_count": [round(dc, round_dp)],
+                "decayed_value": [round(dv, round_dp)],
+            }
+        )
+
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        run,
+        outputStructType=out_schema,
+        stateStructType=(
+            "n long, dc double, dv double, last_us long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

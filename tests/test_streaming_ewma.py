@@ -119,3 +119,66 @@ def test_streaming_ewma_state_carries_across_batches(spark, dirs):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_decayed_engagement_matches_batch(spark, dirs):
+    """Streaming frecency state telescopes to the batch operator
+    evaluated at the key's final event time."""
+    import datetime
+
+    from streaming_demos_spark.operators import curation as CU
+    from streaming_demos_spark.streaming.timeseries import (
+        streaming_decayed_engagement,
+    )
+
+    src, chk = f"{dirs}/dec_src", f"{dirs}/dec_chk"
+    base = datetime.datetime(2024, 1, 1)
+    end = datetime.datetime(2024, 1, 4)
+    rows = []
+    for u in (1, 2):
+        for d in range(3):
+            rows.append(
+                (u, base + datetime.timedelta(days=d, hours=u), float(u * d))
+            )
+        rows.append((u, end, 1.0))  # both keys end at the same instant
+    schema = "user_id int, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    batch = {
+        r.user_id: (r.n_events, r.decayed_count, r.decayed_value)
+        for r in CU.decayed_engagement(
+            df, "user_id", "ts", "value", "2024-01-04 00:00:00"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_decayed_engagement(stream, "user_id", "ts", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dec_stream")
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.decayed_count, r.decayed_value)
+        for r in spark.sql(
+            "SELECT * FROM dec_stream ORDER BY n_events"
+        ).collect()
+    }
+    # memory sink in update mode may hold several emissions per key —
+    # keep the final (max n_events) per key
+    final = {}
+    for r in spark.sql("SELECT * FROM dec_stream").collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.decayed_count, r.decayed_value)
+    for u in batch:
+        bn, bdc, bdv = batch[u]
+        sn, sdc, sdv = final[u]
+        assert sn == bn
+        assert abs(sdc - bdc) < 2e-6
+        assert abs(sdv - bdv) < 2e-6

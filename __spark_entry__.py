@@ -2716,6 +2716,16 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_mm_phash_neardup(spark, sf_dir):
+    # Perceptual-hash near-dup pairs over opaque media payloads:
+    # aHash bits from the (fake-decoded) byte raster, SimHash-style
+    # band join, exact Hamming verify
+    # (multimodal.py:perceptual_hash/phash_near_dup_pairs).
+    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    hashes = MM.perceptual_hash(media, decoder="fake")
+    return MM.phash_near_dup_pairs(hashes, max_hamming=8)
+
+
 def q_word_vectors(spark, sf_dir):
     # PPMI-SVD word embeddings (Levy & Goldberg 2014): directional
     # windowed co-occurrence -> slot-hashed PPMI rows -> distributed
@@ -3037,6 +3047,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "mm_phash_neardup",
     "llm_word_vectors",
     "ext_auto_histogram",
     "llm_minhash_lsh_eval",
@@ -3138,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "mm_phash_neardup": q_mm_phash_neardup,
         "llm_word_vectors": q_word_vectors,
         "ext_auto_histogram": q_auto_histogram,
         "llm_minhash_lsh_eval": q_minhash_lsh_eval,
@@ -4607,6 +4619,56 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "mm_phash_neardup": """
+            WITH base AS (
+                SELECT doc_id AS media_id, text,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ),
+            cells AS (
+                SELECT media_id,
+                       CASE WHEN n = 0
+                            THEN list_transform(range(0, 64), i -> 0)
+                            ELSE list_transform(range(0, 64),
+                                 i -> ascii(substr(text,
+                                      ((i * n) // 64) + 1, 1)))
+                       END AS cs
+                FROM base
+            ),
+            hs AS (
+                SELECT media_id,
+                       array_to_string(list_transform(cs,
+                           c -> CASE WHEN c > list_sum(cs) / 64.0
+                                     THEN '1' ELSE '0' END), '') AS ahash
+                FROM cells
+            ),
+            bands AS (
+                SELECT media_id, ahash, b,
+                       substr(ahash, b * 16 + 1, 16) AS bv
+                FROM hs, range(0, 4) t(b)
+            ),
+            capped AS (
+                SELECT * FROM (
+                    SELECT *, count(*) OVER (PARTITION BY b, bv) AS bn
+                    FROM bands
+                ) WHERE bn <= 200
+            ),
+            cand AS (
+                SELECT DISTINCT a.media_id AS id_a, c2.media_id AS id_b,
+                       a.ahash AS ha, c2.ahash AS hb
+                FROM capped a JOIN capped c2
+                  ON a.b = c2.b AND a.bv = c2.bv
+                 AND a.media_id < c2.media_id
+            ),
+            scored AS (
+                SELECT id_a, id_b,
+                       len(list_filter(range(1, 65),
+                           i -> substr(ha, i, 1) <> substr(hb, i, 1)))
+                           AS hamming
+                FROM cand
+            )
+            SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 8
+        """,
         "ext_auto_histogram": """
             WITH q AS (
                 SELECT event_type,

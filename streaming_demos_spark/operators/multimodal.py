@@ -25,7 +25,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -206,3 +206,130 @@ def sample_frames(
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, schema=FRAME)
+
+
+AHASH_BITS = 64
+
+
+def _ahash_bytes(payload: bytes | None) -> str | None:
+    """Average-hash over the fake byte raster: nearest-neighbor resample
+    to ``AHASH_BITS`` bytes (the same index math as ``_resample_bytes``),
+    bit i = 1 iff cell i is strictly above the cell mean. Returned as a
+    '0'/'1' string so any engine can recompute and compare it."""
+    cells = _resample_bytes(payload, AHASH_BITS)
+    if cells is None:
+        return None
+    mean = sum(cells) / AHASH_BITS
+    return "".join("1" if c > mean else "0" for c in cells)
+
+
+def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Perceptual (average) hash per media item -> (media_id, ahash).
+
+    ``fake``: the hash is computed on the raw byte plane — identical
+    plumbing and bit math to a real aHash, minus the image decode
+    (which would just change what bytes the raster holds). Map-only
+    Arrow batches; real decoders raise until their library exists.
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder {decoder!r} needs image libraries not present in "
+            "this container; the 'fake' kernel exercises the same bit math"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("ahash", T.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        _ahash_bytes(p) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    band_count: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash distance: two items
+    are candidates iff they agree on at least one of ``band_count``
+    contiguous hash bands (any pair within ``max_hamming <= bits/bands``
+    distance must match some band exactly — pigeonhole, the SimHash
+    banding argument), then the exact Hamming distance filters.
+
+    Same scale posture as the text SimHash pairing: one equality join
+    on (band_id, band_value) with a hot-bucket cap — never an all-pairs
+    scan; Hamming is a JVM fold over the 64 character positions.
+    """
+    bits = AHASH_BITS
+    width = bits // band_count
+    h = hashes.filter(F.col(hash_col).isNotNull())
+    bands = h.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring(hash_col, b * width + 1, width).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(band_count)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, hash_col, "band.band_id", "band.band_val")
+    capped = bands.withColumn(
+        "_bn",
+        F.count("*").over(Window.partitionBy("band_id", "band_val")),
+    ).filter(F.col("_bn") <= max_bucket)
+    left = capped.select(
+        "band_id",
+        "band_val",
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("_ha"),
+    )
+    right = capped.select(
+        "band_id",
+        "band_val",
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("_hb"),
+    )
+    cand = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: (
+                F.col("_ha").substr(i, F.lit(1))
+                != F.col("_hb").substr(i, F.lit(1))
+            ).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

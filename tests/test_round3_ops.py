@@ -1118,3 +1118,43 @@ def test_robust_anomalies_constant_key_no_crash(spark):
         ["key", "v", "rid"],
     )
     assert R.robust_anomalies(df, "key", "v", "rid").count() == 0
+
+
+def test_perceptual_hash_identical_payloads_collide(spark):
+    from streaming_demos_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "same payload bytes"), (2, "same payload bytes"),
+         (3, "completely different content here")],
+        "doc_id int, text string",
+    )
+    media = MM.as_media(df, "doc_id", "text")
+    h = {r.media_id: r.ahash
+         for r in MM.perceptual_hash(media).collect()}
+    assert h[1] == h[2] and len(h[1]) == 64
+    assert set(h[1]) <= {"0", "1"}
+    assert h[1] != h[3]
+
+
+def test_phash_near_dup_pairs_banding_and_hamming(spark):
+    from streaming_demos_spark.operators import multimodal as MM
+
+    base = "0" * 64
+    one_flip = "1" + "0" * 63           # hamming 1, shares 3 bands
+    far = ("10" * 32)                   # hamming 32, no shared band
+    df = spark.createDataFrame(
+        [(1, base), (2, one_flip), (3, far)],
+        "media_id long, ahash string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in MM.phash_near_dup_pairs(df, max_hamming=8).collect()}
+    assert pairs == {(1, 2): 1}
+
+
+def test_phash_near_dup_null_hash_dropped(spark):
+    from streaming_demos_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "0" * 64), (2, None)], "media_id long, ahash string"
+    )
+    assert MM.phash_near_dup_pairs(df).count() == 0

@@ -2716,6 +2716,41 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_grouped_trend(spark, sf_dir):
+    # Per-type OLS trend of event values over time: closed-form moment
+    # aggregates, one combinable shuffle (relational.py:grouped_trend).
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    return R.grouped_trend(
+        ev, "event_type", epoch_us(F.col("ts")) / F.lit(1e6), "value"
+    )
+
+
+def q_mutual_info(spark, sf_dir):
+    # Column-dependence census: MI(lang; source) in bits + chi-squared
+    # + dof from one contingency aggregation
+    # (relational.py:mutual_information).
+    return R.mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def q_impute_mode(spark, sf_dir):
+    # Mode imputation: null out event_type on a deterministic stripe,
+    # refill with the user's modal type (relational.py:impute_mode).
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return R.impute_mode(ev, "user_id", "event_type").select(
+        "event_id",
+        "user_id",
+        "event_type_was_null",
+        "event_type_imputed",
+    )
+
+
 def q_mm_phash_neardup(spark, sf_dir):
     # Perceptual-hash near-dup pairs over opaque media payloads:
     # aHash bits from the (fake-decoded) byte raster, SimHash-style
@@ -3047,6 +3082,9 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_grouped_trend",
+    "ext_mutual_info",
+    "ext_impute_mode",
     "mm_phash_neardup",
     "llm_word_vectors",
     "ext_auto_histogram",
@@ -3149,6 +3187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_grouped_trend": q_grouped_trend,
+        "ext_mutual_info": q_mutual_info,
+        "ext_impute_mode": q_impute_mode,
         "mm_phash_neardup": q_mm_phash_neardup,
         "llm_word_vectors": q_word_vectors,
         "ext_auto_histogram": q_auto_histogram,
@@ -4619,6 +4660,79 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_grouped_trend": """
+            WITH b AS (
+                SELECT event_type,
+                       epoch_us(ts) / 1000000.0 AS x,
+                       value AS y
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            a AS (
+                SELECT event_type,
+                       count(*) AS n_rows,
+                       covar_pop(x, y) AS cxy,
+                       var_pop(x) AS vx,
+                       var_pop(y) AS vy,
+                       avg(x) AS mx,
+                       avg(y) AS my
+                FROM b GROUP BY 1
+            )
+            SELECT event_type, n_rows,
+                   round(cxy / vx, 6) AS slope,
+                   round(my - (cxy / vx) * mx, 6) AS intercept,
+                   round((cxy * cxy) / (vx * vy), 6) AS r2
+            FROM a
+        """,
+        "ext_mutual_info": """
+            WITH cells AS (
+                SELECT lang AS x, source AS y, count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            mx AS (SELECT x, sum(n) AS nx FROM cells GROUP BY 1),
+            my AS (SELECT y, sum(n) AS ny FROM cells GROUP BY 1),
+            tot AS (SELECT sum(n)::DOUBLE AS t FROM cells),
+            j AS (
+                SELECT n, nx, ny, t FROM cells
+                JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+            ),
+            s AS (
+                SELECT round(sum((n / t) * log2(n * t / (nx * ny))), 6)
+                           AS mutual_info_bits,
+                       round(sum(n * n / (nx * ny / t)) - any_value(t), 6)
+                           AS chi2
+                FROM j
+            )
+            SELECT mutual_info_bits, chi2,
+                   ((SELECT count(*) FROM mx) - 1)
+                   * ((SELECT count(*) FROM my) - 1) AS dof
+            FROM s
+        """,
+        "ext_impute_mode": """
+            WITH ev AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 97 = 0 THEN NULL
+                            ELSE event_type END AS event_type
+                FROM events
+            ),
+            freq AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM ev WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ),
+            modes AS (
+                SELECT user_id, event_type AS mode_val FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY n DESC, event_type ASC
+                    ) AS rn
+                    FROM freq
+                ) WHERE rn = 1
+            )
+            SELECT event_id, ev.user_id,
+                   event_type IS NULL AS event_type_was_null,
+                   coalesce(event_type, mode_val) AS event_type_imputed
+            FROM ev LEFT JOIN modes ON ev.user_id = modes.user_id
+        """,
         "mm_phash_neardup": """
             WITH base AS (
                 SELECT doc_id AS media_id, text,

@@ -1808,3 +1808,138 @@ def auto_histogram(
             "n_rows",
         )
     )
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend line: slope, intercept, and r² of ``y`` on
+    ``x`` via the closed-form moment aggregates — one combinable
+    shuffle regardless of group sizes, no iterative fitting, no
+    per-group buffering. Zero-variance groups (all x equal) yield NULL
+    via ``try_divide``, never an ANSI abort.
+
+    ``x_col`` may be a Column expression (e.g. an epoch-seconds cast)
+    so time trends need no pre-projection.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.select(F.col(group_col), x.alias("_x"), y.alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    agg = base.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.covar_pop("_x", "_y").alias("_cxy"),
+        F.var_pop("_x").alias("_vx"),
+        F.var_pop("_y").alias("_vy"),
+        F.avg("_x").alias("_mx"),
+        F.avg("_y").alias("_my"),
+    )
+    slope = F.try_divide(F.col("_cxy"), F.col("_vx"))
+    return agg.select(
+        group_col,
+        "n_rows",
+        F.round(slope, round_dp).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), round_dp).alias(
+            "intercept"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("_cxy") * F.col("_cxy"), F.col("_vx") * F.col("_vy")
+            ),
+            round_dp,
+        ).alias("r2"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Dependence census of two categorical columns in one row: mutual
+    information (bits), the chi-squared independence statistic, and its
+    degrees of freedom — the profiling step that decides whether a
+    column is redundant / leaks another.
+
+    One contingency-table aggregation (|X|·|Y| cells — tiny next to the
+    corpus), marginals derived FROM the cell table, the statistics as
+    cell-table aggregates: the corpus is scanned exactly once. NULL
+    categories count as their own level (SQL ``GROUP BY`` semantics).
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count("*").alias("_n"))
+    mx = cells.groupBy("_x").agg(F.sum("_n").alias("_nx"))
+    my = cells.groupBy("_y").agg(F.sum("_n").alias("_ny"))
+    tot = cells.agg(F.sum("_n").cast("double").alias("_t"))
+    joined = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_xy = F.col("_n") / F.col("_t")
+    expected = F.col("_nx") * F.col("_ny") / F.col("_t")
+    mi_term = p_xy * F.log2(
+        F.col("_n") * F.col("_t") / (F.col("_nx") * F.col("_ny"))
+    )
+    # chi2 = Σ_all (n-e)²/e over EVERY (x,y) cell — but the groupBy
+    # only yields observed cells. The identity Σ_all (n-e)²/e =
+    # Σ_observed n²/e − t absorbs the zero cells exactly (their n²/e
+    # term is 0 and their e is covered by the −t).
+    chi_term = F.col("_n") * F.col("_n") / expected
+    stats = joined.agg(
+        F.round(F.sum(mi_term), round_dp).alias("mutual_info_bits"),
+        F.round(F.sum(chi_term) - F.first("_t"), round_dp).alias("chi2"),
+    )
+    dof = (
+        mx.agg(F.count("*").alias("_cx"))
+        .crossJoin(my.agg(F.count("*").alias("_cy")))
+        .select(
+            ((F.col("_cx") - 1) * (F.col("_cy") - 1)).alias("dof")
+        )
+    )
+    return stats.crossJoin(F.broadcast(dof))
+
+
+def impute_mode(
+    df: DataFrame,
+    group_col: str,
+    target_col: str,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``target_col`` with the modal (most frequent)
+    non-NULL value of the row's group — deterministic (count desc,
+    value asc tie-break). Adds ``<target>_imputed`` and a was-null
+    flag; rows in groups with NO observed value stay NULL.
+
+    One count aggregation + a per-group argmax (both on the small
+    (group, value) frequency table) broadcast back — the corpus itself
+    is never shuffled.
+    """
+    freq = (
+        df.filter(F.col(target_col).isNotNull())
+        .groupBy(group_col, target_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_n"), F.asc(target_col)
+    )
+    modes = (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(group_col, F.col(target_col).alias("_mode"))
+    )
+    out = df.join(F.broadcast(modes), group_col, "left")
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col(target_col).isNull().alias(f"{target_col}_was_null"),
+        F.coalesce(F.col(target_col), F.col("_mode")).alias(
+            f"{target_col}_imputed"
+        ),
+    )

@@ -1158,3 +1158,63 @@ def test_phash_near_dup_null_hash_dropped(spark):
         [(1, "0" * 64), (2, None)], "media_id long, ahash string"
     )
     assert MM.phash_near_dup_pairs(df).count() == 0
+
+
+def test_grouped_trend_recovers_planted_line(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [("a", float(x), 3.0 * x + 7.0) for x in range(10)]
+    rows += [("b", float(x), 5.0) for x in range(4)]  # flat line
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in R.grouped_trend(df, "g", "x", "y").collect()}
+    assert out["a"].slope == 3.0 and out["a"].intercept == 7.0
+    assert out["a"].r2 == 1.0
+    assert out["b"].slope == 0.0 and out["b"].intercept == 5.0
+    # r2 of a flat y is 0/0 -> NULL, not an abort
+    assert out["b"].r2 is None
+
+
+def test_grouped_trend_constant_x_yields_null(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("g", 2.0, 1.0), ("g", 2.0, 9.0)], "g string, x double, y double"
+    )
+    row = R.grouped_trend(df, "g", "x", "y").collect()[0]
+    assert row.slope is None and row.intercept is None
+
+
+def test_mutual_information_independent_and_determined(spark):
+    import math
+
+    from streaming_demos_spark.operators import relational as R
+
+    # independent: uniform 2x2 -> MI 0, chi2 0, dof 1
+    ind = spark.createDataFrame(
+        [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")] * 5,
+        "x string, y string",
+    )
+    r = R.mutual_information(ind, "x", "y").collect()[0]
+    assert r.mutual_info_bits == 0.0 and r.chi2 == 0.0 and r.dof == 1
+    # fully determined: y == x -> MI = H(X) = 1 bit for uniform binary
+    det = spark.createDataFrame(
+        [("a", "a"), ("b", "b")] * 10, "x string, y string"
+    )
+    r2 = R.mutual_information(det, "x", "y").collect()[0]
+    assert abs(r2.mutual_info_bits - 1.0) < 1e-9
+    assert r2.chi2 == 20.0  # n * phi2 for perfect association
+
+
+def test_impute_mode_fills_with_group_mode(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [
+        (1, "g1", "x"), (2, "g1", "x"), (3, "g1", "y"), (4, "g1", None),
+        (5, "g2", None),  # group with no observed value stays NULL
+    ]
+    df = spark.createDataFrame(rows, "rid int, g string, v string")
+    out = {r.rid: r for r in R.impute_mode(df, "g", "v").collect()}
+    assert out[4].v_was_null and out[4].v_imputed == "x"
+    assert not out[1].v_was_null and out[1].v_imputed == "x"
+    assert out[3].v_imputed == "y"  # observed values never overwritten
+    assert out[5].v_imputed is None

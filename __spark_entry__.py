@@ -2716,6 +2716,20 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_changepoint(spark, sf_dir):
+    # Per-type mean-shift changepoint: CUSUM running sum, argmax |S| on
+    # the rounded statistic (relational.py:cusum_changepoint).
+    return R.cusum_changepoint(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id"
+    )
+
+
+def q_benford(spark, sf_dir):
+    # First-digit Benford screen on prices: integer-domain leading
+    # digit, one 9-key aggregation (relational.py:benford_profile).
+    return R.benford_profile(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def q_grouped_trend(spark, sf_dir):
     # Per-type OLS trend of event values over time: closed-form moment
     # aggregates, one combinable shuffle (relational.py:grouped_trend).
@@ -3082,6 +3096,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_changepoint",
+    "ext_benford",
     "ext_grouped_trend",
     "ext_mutual_info",
     "ext_impute_mode",
@@ -3187,6 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_changepoint": q_changepoint,
+        "ext_benford": q_benford,
         "ext_grouped_trend": q_grouped_trend,
         "ext_mutual_info": q_mutual_info,
         "ext_impute_mode": q_impute_mode,
@@ -4660,6 +4678,59 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_changepoint": """
+            WITH b AS (
+                SELECT event_type, ts, event_id, value
+                FROM events WHERE value IS NOT NULL
+            ),
+            st AS (
+                SELECT event_type, avg(value) AS mu,
+                       stddev_pop(value) AS sd, count(*) AS n
+                FROM b GROUP BY 1
+            ),
+            c AS (
+                SELECT b.event_type, ts, event_id, sd, n,
+                       round(abs(sum(value - mu) OVER (
+                           PARTITION BY b.event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)), 4) AS a_s
+                FROM b JOIN st USING (event_type)
+            ),
+            p AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY a_s DESC, ts, event_id
+                ) AS rn
+                FROM c
+            )
+            SELECT event_type, ts AS changepoint_ts,
+                   event_id AS changepoint_id,
+                   a_s AS peak_cusum,
+                   round(a_s / (sd * sqrt(n)), 4) AS shift_score
+            FROM p WHERE rn = 1
+        """,
+        "ext_benford": """
+            WITH d AS (
+                SELECT substr(CAST(CAST(round(abs(l_extendedprice) * 100)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND abs(l_extendedprice) > 0
+            ),
+            counts AS (
+                SELECT digit, count(*) AS n_values
+                FROM d WHERE digit <> '0' GROUP BY 1
+            ),
+            tot AS (SELECT sum(n_values)::DOUBLE AS t FROM counts)
+            SELECT digit, n_values,
+                   round(n_values / tot.t, 6) AS observed_share,
+                   round(log10(1 + 1.0 / digit::INT), 6) AS benford_share,
+                   round(pow(n_values - log10(1 + 1.0 / digit::INT) * tot.t,
+                             2)
+                         / (log10(1 + 1.0 / digit::INT) * tot.t), 6)
+                       AS chi2_term
+            FROM counts CROSS JOIN tot
+        """,
         "ext_grouped_trend": """
             WITH b AS (
                 SELECT event_type,

@@ -1943,3 +1943,127 @@ def impute_mode(
             f"{target_col}_imputed"
         ),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-key mean-shift changepoint via CUSUM: the running sum of
+    deviations from the key's mean, ``S_t = Σ_{i<=t} (x_i - x̄)``, peaks
+    in magnitude AT the shift point when a level change exists. Returns
+    one row per key: the argmax |S| position (ts + id), the peak |S|,
+    and the normalized statistic ``|S|_max / (σ·√n)`` (≈ the
+    Kolmogorov-style scan score; > ~1.4 is a strong shift signal).
+
+    One shuffle (mean join is a broadcast of the per-key aggregate),
+    one ts-ordered per-key window for the running sum, and a per-key
+    argmax — no quadratic scan over candidate split points, which is
+    the textbook formulation this replaces at scale. Zero-variance keys
+    yield NULL score via try_divide.
+    """
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+        F.count(value_col).alias("_n"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats), key_col)
+        .withColumn(
+            "_s", F.sum(F.col(value_col) - F.col("_mu")).over(w)
+        )
+    )
+    # rank on the ROUNDED |S|: engines may accumulate the running sum
+    # in different association orders (segment trees vs sequential), so
+    # raw doubles can differ in the last ulps; the 4-dp rank plus the
+    # (ts, id) tie-break makes the argmax engine-portable.
+    cum = cum.withColumn("_as", F.round(F.abs(F.col("_s")), 4))
+    pick = Window.partitionBy(key_col).orderBy(
+        F.desc("_as"), F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        cum.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key_col,
+            F.col(ts_col).alias("changepoint_ts"),
+            F.col(id_col).alias("changepoint_id"),
+            F.col("_as").alias("peak_cusum"),
+            F.round(
+                F.try_divide(
+                    F.col("_as"),
+                    F.col("_sd") * F.sqrt(F.col("_n").cast("double")),
+                ),
+                round_dp,
+            ).alias("shift_score"),
+        )
+    )
+
+
+import math as _math
+
+_BENFORD_P = [float(_math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column vs Benford's law — the forensic screen for fabricated or
+    truncated figures. One row per digit 1-9: observed count/share,
+    the Benford expectation ``log10(1 + 1/d)``, and the per-digit chi²
+    contribution (sum it for the test statistic).
+
+    The leading digit is extracted in INTEGER domain — first character
+    of ``bigint(round(|x| · 10^scale))`` — because float formatting and
+    log10-floor tricks both disagree across engines at representation
+    edges, while integer-to-string is exact everywhere. ``scale`` must
+    shift the column's full precision into bigint range (2 for
+    currency). Map-side, then one 9-key aggregation. Non-positive and
+    NULL values are excluded (Benford is defined on positive
+    magnitudes).
+    """
+    cents = F.round(F.abs(F.col(value_col).cast("double")) * F.lit(10**scale)).cast(
+        "bigint"
+    )
+    lead = F.substring(cents.cast("string"), 1, 1)
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0)
+    ).select(lead.alias("digit"))
+    counts = base.filter(F.col("digit") != "0").groupBy("digit").agg(
+        F.count("*").alias("n_values")
+    )
+    tot = counts.agg(F.sum("n_values").cast("double").alias("_t"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P]),
+        F.col("digit").cast("int"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            F.round(F.col("n_values") / F.col("_t"), round_dp).alias(
+                "observed_share"
+            ),
+            F.round(expected, round_dp).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n_values") - expected * F.col("_t"), 2)
+                / (expected * F.col("_t")),
+                round_dp,
+            ).alias("chi2_term"),
+        )
+    )

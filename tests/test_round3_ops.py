@@ -1218,3 +1218,56 @@ def test_impute_mode_fills_with_group_mode(spark):
     assert not out[1].v_was_null and out[1].v_imputed == "x"
     assert out[3].v_imputed == "y"  # observed values never overwritten
     assert out[5].v_imputed is None
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # level shifts from 0 to 10 at t=50 -> peak |CUSUM| lands at the
+    # last pre-shift row (t=49), where S = -50*mean_dev is extreme.
+    rows = [("k", t, t, 0.0 if t < 50 else 10.0) for t in range(100)]
+    df = spark.createDataFrame(rows, "k string, ts int, rid int, v double")
+    row = R.cusum_changepoint(df, "k", "ts", "v", "rid").collect()[0]
+    assert row.changepoint_ts == 49
+    # peak |S| = 50 * 5.0 (mean is 5.0) = 250
+    assert row.peak_cusum == 250.0
+    assert row.shift_score > 1.4  # strong-shift territory
+
+
+def test_cusum_constant_series_scores_null(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("k", t, t, 7.0) for t in range(10)],
+        "k string, ts int, rid int, v double",
+    )
+    row = R.cusum_changepoint(df, "k", "ts", "v", "rid").collect()[0]
+    assert row.peak_cusum == 0.0 and row.shift_score is None
+
+
+def test_benford_profile_on_benford_sample(spark):
+    import math
+
+    from streaming_demos_spark.operators import relational as R
+
+    # construct counts exactly proportional to Benford shares
+    rows = []
+    for d in range(1, 10):
+        n = int(round(1000 * math.log10(1 + 1 / d)))
+        rows += [(float(d) + 0.11,)] * n
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in R.benford_profile(df, "v").collect()}
+    assert set(out) == {str(d) for d in range(1, 10)}
+    # shares track the law closely -> every chi2 term small
+    assert all(r.chi2_term < 0.1 for r in out.values())
+    assert abs(out["1"].benford_share - round(math.log10(2), 6)) < 1e-9
+
+
+def test_benford_profile_excludes_nonpositive(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(0.0,), (-3.5,), (None,), (42.0,)], "v double"
+    )
+    out = {r.digit: r.n_values for r in R.benford_profile(df, "v").collect()}
+    assert out == {"3": 1, "4": 1}  # abs(-3.5) counts, 0/NULL excluded

@@ -2716,6 +2716,18 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_lsh_tuning(spark, sf_dir):
+    # Banding design tool: expected recall + candidate rate per (b, r)
+    # config from the measured Jaccard distribution, one pair-table
+    # pass for every config (dedup.py:lsh_tuning).
+    return D.lsh_tuning(
+        _t(spark, sf_dir, "documents"),
+        configs=((4, 3), (3, 4), (2, 6), (6, 2)),
+        pair_threshold=0.05,
+        target=0.5,
+    )
+
+
 def q_changepoint(spark, sf_dir):
     # Per-type mean-shift changepoint: CUSUM running sum, argmax |S| on
     # the rounded statistic (relational.py:cusum_changepoint).
@@ -3096,6 +3108,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_lsh_tuning",
     "ext_changepoint",
     "ext_benford",
     "ext_grouped_trend",
@@ -3203,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_lsh_tuning": q_lsh_tuning,
         "ext_changepoint": q_changepoint,
         "ext_benford": q_benford,
         "ext_grouped_trend": q_grouped_trend,
@@ -4678,6 +4692,23 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_lsh_tuning": f"""
+            WITH pj AS (
+                SELECT jaccard FROM ({_sql_ngram_jaccard(threshold=0.05)})
+            ),
+            cfg AS (
+                SELECT * FROM (VALUES (4, 3), (3, 4), (2, 6), (6, 2))
+                    t(bands, rows)
+            )
+            SELECT bands, rows, bands * rows AS num_hashes,
+                   round(avg(CASE WHEN jaccard >= 0.5 THEN
+                       1.0 - pow(1.0 - pow(jaccard, rows), bands) END), 6)
+                       AS expected_recall,
+                   round(avg(1.0 - pow(1.0 - pow(jaccard, rows), bands)), 6)
+                       AS expected_candidate_rate
+            FROM pj CROSS JOIN cfg
+            GROUP BY bands, rows
+        """,
         "ext_changepoint": """
             WITH b AS (
                 SELECT event_type, ts, event_id, value

@@ -1143,3 +1143,61 @@ def minhash_lsh_eval(
             ).alias("recall"),
         )
     )
+
+
+def lsh_tuning(
+    docs: DataFrame,
+    configs: list[tuple[int, int]] = ((4, 3), (3, 4), (2, 6), (6, 2)),
+    pair_threshold: float = 0.05,
+    target: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Banding-parameter design tool: for each candidate (bands b,
+    rows r) MinHash-LSH configuration, the EXPECTED recall on true
+    near-dups and the expected candidate rate, computed from the
+    corpus's own measured Jaccard distribution — pick the cheapest
+    config that meets the recall bar before paying for a full run.
+
+    A pair with similarity J survives banding with probability
+    ``1 - (1 - J^r)^b`` (the S-curve). Both expectations are
+    conditional means of that expression over the exact
+    inverted-index pair table (one pass): recall over pairs with
+    ``J >= target``, candidate rate over ALL measured pairs (the
+    false-candidate load proxy). One aggregation computes every
+    config's columns; the per-config rows come from a stack of that
+    single row — the pair table is scanned once no matter how many
+    configs are screened.
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, threshold=pair_threshold
+    ).select("jaccard")
+    aggs = []
+    for b, r in configs:
+        p = F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r))),
+            F.lit(float(b)),
+        )
+        aggs.append(
+            F.avg(F.when(F.col("jaccard") >= target, p)).alias(
+                f"_rec_{b}_{r}"
+            )
+        )
+        aggs.append(F.avg(p).alias(f"_cand_{b}_{r}"))
+    one = pairs.agg(*aggs)
+    stack_args = []
+    for b, r in configs:
+        stack_args += [
+            f"{b}", f"{r}", f"_rec_{b}_{r}", f"_cand_{b}_{r}",
+        ]
+    expr = "stack({n}, {args}) as (bands, rows, _rec, _cand)".format(
+        n=len(configs), args=", ".join(stack_args)
+    )
+    return one.selectExpr(expr).select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows").cast("int").alias("rows"),
+        (F.col("bands") * F.col("rows")).alias("num_hashes"),
+        F.round("_rec", round_dp).alias("expected_recall"),
+        F.round("_cand", round_dp).alias("expected_candidate_rate"),
+    )

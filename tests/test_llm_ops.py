@@ -705,3 +705,30 @@ def test_minhash_lsh_eval_no_truth_yields_null_recall(spark):
     )
     row = D.minhash_lsh_eval(docs, threshold=0.9).collect()[0]
     assert row.n_truth == 0 and row.recall is None
+
+
+def test_lsh_tuning_s_curve_properties(spark):
+    from streaming_demos_spark.operators import dedup as D
+
+    # two exact-dup pairs (J=1) and structure with moderate overlap
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+            (3, "one two three four seven eight"),
+            (4, "nine ten eleven twelve thirteen fourteen"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {(r.bands, r.rows): r for r in
+           D.lsh_tuning(docs, configs=((12, 1), (1, 12)),
+                        pair_threshold=0.05, target=0.9).collect()}
+    # b=12,r=1 is the most permissive config; b=1,r=12 the strictest:
+    # recall and candidate rate must both order accordingly
+    assert (out[(12, 1)].expected_recall
+            >= out[(1, 12)].expected_recall)
+    assert (out[(12, 1)].expected_candidate_rate
+            >= out[(1, 12)].expected_candidate_rate)
+    # a J=1 pair is always captured -> recall at target<=1 is 1.0
+    assert out[(12, 1)].expected_recall == 1.0
+    assert out[(1, 12)].expected_recall == 1.0

@@ -2716,6 +2716,19 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_gini(spark, sf_dir):
+    # Per-type inequality of event values (skew screen): sorted-rank
+    # Gini identity, per-group window (relational.py:gini_coefficient).
+    return R.gini_coefficient(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    # Corpus-order novelty: fraction of each doc's distinct 3-grams
+    # first seen in that doc — shingle-keyed first-occurrence join,
+    # no doc-vs-doc comparison (text.py:ngram_novelty).
+    return TX.ngram_novelty(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_lsh_tuning(spark, sf_dir):
     # Banding design tool: expected recall + candidate rate per (b, r)
     # config from the measured Jaccard distribution, one pair-table
@@ -3108,6 +3121,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_gini",
+    "llm_ngram_novelty",
     "llm_lsh_tuning",
     "ext_changepoint",
     "ext_benford",
@@ -3216,6 +3231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_gini": q_gini,
+        "llm_ngram_novelty": q_ngram_novelty,
         "llm_lsh_tuning": q_lsh_tuning,
         "ext_changepoint": q_changepoint,
         "ext_benford": q_benford,
@@ -4692,6 +4709,52 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_gini": """
+            WITH b AS (
+                SELECT event_type, value FROM events
+                WHERE value IS NOT NULL AND value >= 0
+            ),
+            r AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value
+                       ) AS i
+                FROM b
+            )
+            SELECT event_type, count(*) AS n_rows,
+                   round(2.0 * sum(i * value)
+                         / (count(*) * sum(value))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY 1
+        """,
+        "llm_ngram_novelty": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words)-1),
+                         i -> array_to_string(words[i:i+2], ' '))
+                    ELSE [array_to_string(words, ' ')] END AS shingles
+                FROM w
+            ),
+            po AS (
+                SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+                FROM sh
+            ),
+            f AS (
+                SELECT shingle, min(doc_id) AS first_id FROM po GROUP BY 1
+            )
+            SELECT doc_id,
+                   count(*) AS n_shingles,
+                   sum((first_id = po.doc_id)::INT)::BIGINT AS n_novel,
+                   round(sum((first_id = po.doc_id)::INT)
+                         / count(*)::DOUBLE, 6) AS novelty
+            FROM po JOIN f USING (shingle)
+            GROUP BY 1
+        """,
         "llm_lsh_tuning": f"""
             WITH pj AS (
                 SELECT jaccard FROM ({_sql_ngram_jaccard(threshold=0.05)})

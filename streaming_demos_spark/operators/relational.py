@@ -2067,3 +2067,48 @@ def benford_profile(
             ).alias("chi2_term"),
         )
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column — the
+    standard inequality summary (0 = uniform, →1 = one key holds all
+    mass), computed with the sorted-rank identity
+    ``G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` over the ascending in-group
+    rank. Useful as a skew screen: the Gini of per-key row counts says
+    how badly a join/groupBy on that key will hot-spot.
+
+    One key shuffle; the rank is a per-group window (never global).
+    Ties get deterministic ranks via the value-then-arbitrary ordering,
+    which leaves G unchanged (equal values commute in the sum).
+    All-zero groups return NULL via try_divide.
+    """
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(x.asc())
+    ranked = df.filter(x.isNotNull() & (x >= 0)).withColumn(
+        "_i", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(x).alias("_sx"),
+            F.sum(F.col("_i") * x).alias("_six"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            F.round(
+                F.try_divide(
+                    F.lit(2.0) * F.col("_six"),
+                    F.col("n_rows") * F.col("_sx"),
+                )
+                - (F.col("n_rows") + 1) / F.col("n_rows"),
+                round_dp,
+            ).alias("gini"),
+        )
+    )

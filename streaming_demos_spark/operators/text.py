@@ -776,3 +776,58 @@ def ppmi_cooccurrence(
         .orderBy(F.desc("ppmi"), F.asc("w1"), F.asc("w2"))
         .limit(top_n)
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document novelty in corpus order: the fraction of the doc's
+    DISTINCT word ``k``-grams never seen in any lower-id document — the
+    freshness curve a crawl/curation pipeline watches to decide when a
+    source is mined out (novelty → dup-rate complement over time).
+
+    Plan: one (shingle → min doc id) aggregation (the first-occurrence
+    index, same shape as duplicate_spans' canonical map), joined back
+    to the per-doc distinct shingle postings — a shingle is novel for
+    exactly the doc that owns its minimum. Both shuffles are
+    shingle-keyed and combinable; no doc ever compares against other
+    docs directly.
+    """
+    from streaming_demos_spark.operators.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    sh = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), tokens(text_col).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_w"), k))
+            ).alias("shingle"),
+        )
+    )
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("_first") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles"), round_dp
+            ).alias("novelty"),
+        )
+    )

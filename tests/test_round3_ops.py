@@ -1271,3 +1271,36 @@ def test_benford_profile_excludes_nonpositive(spark):
     )
     out = {r.digit: r.n_values for r in R.benford_profile(df, "v").collect()}
     assert out == {"3": 1, "4": 1}  # abs(-3.5) counts, 0/NULL excluded
+
+
+def test_gini_known_distributions(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [("uniform", 5.0)] * 10
+    rows += [("concentrated", 0.0)] * 9 + [("concentrated", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r.gini for r in
+           R.gini_coefficient(df, "g", "v").collect()}
+    assert out["uniform"] == 0.0
+    # one holder of all mass among n=10: G = (n-1)/n = 0.9
+    assert out["concentrated"] == 0.9
+
+
+def test_ngram_novelty_order_and_bounds(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # everything novel
+            (2, "a b c d e"),          # exact dup -> zero novelty
+            (3, "a b c x y z"),        # partial overlap
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in TX.ngram_novelty(docs, k=3).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    # doc 3 shares only the "a b c" 3-gram with doc 1
+    assert out[3].n_novel == out[3].n_shingles - 1
+    for r in out.values():
+        assert 0.0 <= r.novelty <= 1.0

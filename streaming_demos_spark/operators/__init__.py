@@ -15,5 +15,15 @@ Modules map to SURVEY.md §2 inventory sections:
 - curation     — decontamination (exact n-gram + fuzzy MinHash), quality gate,
                  sampling (stratified + weighted), mix weights + token-budget
                  planning, packing, chunking, repetition stats, PII redaction
-- multimodal   — opaque binary columns + mapInPandas feature plumbing (stubbed codecs)
+- multimodal   — opaque binary columns + mapInPandas feature plumbing
+                 (stubbed codecs) + perceptual-hash near-dup pairing
+- clustering   — k-means fit/assign (packed centroids), SemDeDup semantic dedup
+- selection    — DSIR importance weights/resampling (hashed-n-gram
+                 domain scores, Gumbel top-k), temperature mixing
+- sketches     — HLL distinct, Misra-Gries exact heavy hitters (batch +
+                 streaming), count-min sketch
+- training     — distributed-GD logistic quality classifier, shared-scan
+                 learning-rate sweeps, leakage-free cluster splits
+- graph        — weighted PageRank, degree profiles, degree-oriented
+                 triangle census
 """

@@ -29,8 +29,16 @@ def vhash(cols, data):
 
 
 def main():
+    # ORACLE_MASTER / ORACLE_SHUFFLE override the session shape for the
+    # partitioning-stress sweep (e.g. local[3] + 7 shuffle partitions):
+    # identical hashes under a different task layout prove no result
+    # depends on partition count, scheduling, or summation order.
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("ORACLE_MASTER", "local[8]"))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("ORACLE_SHUFFLE", "200"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

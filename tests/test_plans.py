@@ -147,3 +147,47 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
         spark.read.parquet(out).orderBy("o_orderkey").collect()
         == orders.orderBy("o_orderkey").collect()
     )
+
+
+def test_round3_batch_plans_have_no_cartesian_blowups(spark):
+    """Session-batch regression guards: none of the new pair-generating
+    queries may plan a CartesianProduct over row-scaled inputs (their
+    only crossJoins are 1-row broadcast scalar aggregates)."""
+    for key in [
+        "ext_triangle_count",
+        "llm_knn_label_noise",
+        "mm_phash_neardup",
+        "llm_minhash_lsh_eval",
+        "llm_ngram_novelty",
+    ]:
+        plan = plan_of(E.queries()[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+
+
+def test_pmi_totals_are_explode_free(spark):
+    """llm_pmi_collocations derives both totals from token-array sizes:
+    at most three distinct Generate nodes may exist (unigram path,
+    bigram path, and fan_out's row splitter) — never extra re-explodes
+    for the totals (the pre-optimization form had four)."""
+    import re
+
+    plan = plan_of(E.queries()["llm_pmi_collocations"](spark, SF))
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) <= 3, sorted(gen_ids)
+
+
+def test_hybrid_rerank_caps_with_take_ordered(spark):
+    plan = plan_of(E.queries()["llm_hybrid_rerank"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_thresholds_ride_broadcast(spark):
+    plan = plan_of(E.queries()["llm_winsorize"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_impute_mode_corpus_is_not_shuffled(spark):
+    """The mode table joins back via broadcast — the events scan feeds
+    the final join without an Exchange on the full corpus side."""
+    plan = plan_of(E.queries()["ext_impute_mode"](spark, SF))
+    assert "BroadcastHashJoin" in plan

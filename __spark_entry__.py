@@ -2716,6 +2716,32 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_autocorrelation(spark, sf_dir):
+    # Per-type ACF at lags 1..5: one ordered window makes every lag
+    # column, one aggregation computes all lags (shared-scan shape,
+    # relational.py:autocorrelation).
+    return R.autocorrelation(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id",
+        max_lag=5,
+    )
+
+
+def q_concentration(spark, sf_dir):
+    # Mass concentration: suppliers covering 90% of each nation's
+    # revenue + top-1 share; ranking runs on the per-key table, never
+    # rows (relational.py:concentration_profile).
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.join(
+        F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]
+    ).select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return R.concentration_profile(rev, "nationkey", "suppkey", "price")
+
+
 def q_gini(spark, sf_dir):
     # Per-type inequality of event values (skew screen): sorted-rank
     # Gini identity, per-group window (relational.py:gini_coefficient).
@@ -3121,6 +3147,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_autocorrelation",
+    "ext_concentration",
     "ext_gini",
     "llm_ngram_novelty",
     "llm_lsh_tuning",
@@ -3231,6 +3259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_autocorrelation": q_autocorrelation,
+        "ext_concentration": q_concentration,
         "ext_gini": q_gini,
         "llm_ngram_novelty": q_ngram_novelty,
         "llm_lsh_tuning": q_lsh_tuning,
@@ -4709,6 +4739,74 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_autocorrelation": """
+            WITH b AS (
+                SELECT event_type, ts, event_id, value
+                FROM events WHERE value IS NOT NULL
+            ),
+            lagged AS (
+                SELECT event_type, value AS x,
+                       lag(value, 1) OVER w AS l1,
+                       lag(value, 2) OVER w AS l2,
+                       lag(value, 3) OVER w AS l3,
+                       lag(value, 4) OVER w AS l4,
+                       lag(value, 5) OVER w AS l5
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            mu AS (SELECT event_type, avg(x) AS m FROM lagged GROUP BY 1),
+            agg AS (
+                SELECT lagged.event_type,
+                       count(*) AS n_rows,
+                       sum((x - m) * (x - m)) AS den,
+                       sum((x - m) * (l1 - m)) AS n1,
+                       sum((x - m) * (l2 - m)) AS n2,
+                       sum((x - m) * (l3 - m)) AS n3,
+                       sum((x - m) * (l4 - m)) AS n4,
+                       sum((x - m) * (l5 - m)) AS n5
+                FROM lagged JOIN mu USING (event_type)
+                GROUP BY 1
+            )
+            SELECT event_type, lag, n_rows, round(num / den, 6) AS acf
+            FROM (
+                SELECT event_type, n_rows, den,
+                       unnest([1, 2, 3, 4, 5]) AS lag,
+                       unnest([n1, n2, n3, n4, n5]) AS num
+                FROM agg
+            )
+        """,
+        "ext_concentration": """
+            WITH rev AS (
+                SELECT s_nationkey AS nationkey, l_suppkey AS suppkey,
+                       sum(l_extendedprice) AS v
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT nationkey, v,
+                       row_number() OVER (
+                           PARTITION BY nationkey
+                           ORDER BY v DESC, suppkey ASC
+                       ) AS rk,
+                       sum(v) OVER (
+                           PARTITION BY nationkey
+                           ORDER BY v DESC, suppkey ASC
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum,
+                       sum(v) OVER (PARTITION BY nationkey) AS tot,
+                       count(*) OVER (PARTITION BY nationkey) AS nk
+                FROM rev
+            ),
+            covering AS (
+                SELECT nationkey, min(rk) AS n_covering
+                FROM ranked WHERE round(cum / tot, 9) >= 0.9 GROUP BY 1
+            )
+            SELECT r.nationkey, nk AS n_keys, n_covering,
+                   round(n_covering / nk::DOUBLE, 6) AS covering_frac,
+                   round(v / tot, 6) AS top1_share
+            FROM ranked r JOIN covering c ON r.nationkey = c.nationkey
+            WHERE rk = 1
+        """,
         "ext_gini": """
             WITH b AS (
                 SELECT event_type, value FROM events

@@ -2112,3 +2112,125 @@ def gini_coefficient(
             ).alias("gini"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    max_lag: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key autocorrelation function at lags 1..``max_lag`` — the
+    seasonality/persistence screen of a time series
+    (``acf_k = Σ(x_t - x̄)(x_{t-k} - x̄) / Σ(x_t - x̄)²``, the standard
+    biased estimator over the key's full series).
+
+    Shared-scan shape (same trick as the learning-rate sweep): ONE
+    per-key ordered window produces every lag column via ``lag(k)``,
+    then ONE aggregation computes all numerators and the common
+    denominator — lag count adds columns, never passes. Output is one
+    row per (key, lag). Constant series yield NULL via try_divide.
+    """
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    base = df.filter(x.isNotNull()).select(
+        F.col(key_col), x.alias("_x"), *[
+            F.lag(x, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)
+        ]
+    )
+    mean = base.groupBy(key_col).agg(F.avg("_x").alias("_mu"))
+    dev = base.join(F.broadcast(mean), key_col)
+    aggs = [
+        F.sum((F.col("_x") - F.col("_mu")) * (F.col("_x") - F.col("_mu"))).alias("_den"),
+        F.count("*").alias("n_rows"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(
+                (F.col("_x") - F.col("_mu"))
+                * (F.col(f"_l{k}") - F.col("_mu"))
+            ).alias(f"_num{k}")
+        )
+    one = dev.groupBy(key_col).agg(*aggs)
+    stack = ", ".join(f"{k}, _num{k}" for k in range(1, max_lag + 1))
+    per_lag = one.selectExpr(
+        key_col,
+        "n_rows",
+        "_den",
+        f"stack({max_lag}, {stack}) as (lag, _num)",
+    )
+    return per_lag.select(
+        key_col,
+        F.col("lag").cast("int").alias("lag"),
+        "n_rows",
+        F.round(F.try_divide(F.col("_num"), F.col("_den")), round_dp).alias(
+            "acf"
+        ),
+    )
+
+
+def concentration_profile(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    share: float = 0.9,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group mass concentration: how many distinct keys cover
+    ``share`` of the group's total value, plus the top-1 key's share —
+    the "how many suppliers carry 90% of revenue" summary that pairs
+    with the Gini coefficient (Gini says HOW unequal; this says how FEW
+    heads the tail hides behind).
+
+    Keys aggregate first (corpus-sized shuffle, combinable), then the
+    per-group ranking window runs on the KEY table — bounded by
+    distinct keys, not rows. The covering count is the rank of the
+    first cumulative share >= ``share`` (always >= 1).
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_v")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_v"), F.asc(key_col)
+    )
+    tot = Window.partitionBy(group_col)
+    ranked = per_key.select(
+        F.col(group_col),
+        F.col("_v"),
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_v").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.sum("_v").over(tot).alias("_tot"),
+        F.count("*").over(tot).alias("_nk"),
+    )
+    # compare on the ROUNDED cumulative share: running-sum association
+    # order differs across engines at ~1e-12, and an unrounded >=
+    # boundary could flip which rank first crosses it
+    hit = ranked.filter(
+        F.round(F.try_divide(F.col("_cum"), F.col("_tot")), 9)
+        >= F.lit(share)
+    )
+    covering = hit.groupBy(group_col).agg(F.min("_rk").alias("n_covering"))
+    summary = ranked.filter(F.col("_rk") == 1).select(
+        group_col,
+        F.col("_nk").alias("n_keys"),
+        F.round(F.try_divide(F.col("_v"), F.col("_tot")), round_dp).alias(
+            "top1_share"
+        ),
+    )
+    return summary.join(covering, group_col).select(
+        group_col,
+        "n_keys",
+        "n_covering",
+        F.round(
+            F.col("n_covering") / F.col("n_keys"), round_dp
+        ).alias("covering_frac"),
+        "top1_share",
+    )

@@ -1304,3 +1304,48 @@ def test_ngram_novelty_order_and_bounds(spark):
     assert out[3].n_novel == out[3].n_shingles - 1
     for r in out.values():
         assert 0.0 <= r.novelty <= 1.0
+
+
+def test_autocorrelation_detects_alternating_series(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # perfect alternation: acf(1) = -1, acf(2) = +1 (biased estimator
+    # approaches these as n grows; use n=40 and a loose band)
+    rows = [("k", t, t, float(t % 2)) for t in range(40)]
+    df = spark.createDataFrame(rows, "k string, ts int, rid int, v double")
+    out = {r.lag: r.acf for r in
+           R.autocorrelation(df, "k", "ts", "v", "rid", max_lag=2).collect()}
+    assert out[1] < -0.9 and out[2] > 0.9
+
+
+def test_autocorrelation_constant_series_null(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("k", t, t, 5.0) for t in range(10)],
+        "k string, ts int, rid int, v double",
+    )
+    out = R.autocorrelation(df, "k", "ts", "v", "rid", max_lag=2).collect()
+    assert all(r.acf is None for r in out)
+
+
+def test_concentration_profile_counts_covering_keys(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # one group: key shares 70/20/5/5 -> 90% needs the top 2 keys
+    rows = [("g", "a", 70.0), ("g", "b", 20.0), ("g", "c", 5.0),
+            ("g", "d", 5.0)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    row = R.concentration_profile(df, "g", "k", "v", share=0.9).collect()[0]
+    assert row.n_keys == 4 and row.n_covering == 2
+    assert row.top1_share == 0.7
+    assert row.covering_frac == 0.5
+
+
+def test_concentration_uniform_needs_most_keys(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [("g", f"k{i}", 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    row = R.concentration_profile(df, "g", "k", "v", share=0.9).collect()[0]
+    assert row.n_covering == 9  # 9/10 keys to reach 90% of uniform mass

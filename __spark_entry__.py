@@ -2716,6 +2716,29 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_fair_allocation(spark, sf_dir):
+    # Max-min fair token-budget allocation across sources (caps =
+    # available chars): sorted water-filling closed form, one window
+    # over the per-source table (curation.py:fair_allocation).
+    caps = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("cap"))
+    )
+    return CU.fair_allocation(caps, "source", "cap", budget=200000.0)
+
+
+def q_cohens_kappa(spark, sf_dir):
+    # Agreement between two quality gates (length vs token-count)
+    # beyond chance (curation.py:cohens_kappa).
+    docs = _t(spark, sf_dir, "documents")
+    return CU.cohens_kappa(
+        docs,
+        F.col("n_chars") >= 250,
+        TX.token_count("text") >= 50,
+    )
+
+
 def q_autocorrelation(spark, sf_dir):
     # Per-type ACF at lags 1..5: one ordered window makes every lag
     # column, one aggregation computes all lags (shared-scan shape,
@@ -3147,6 +3170,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_fair_allocation",
+    "ext_cohens_kappa",
     "ext_autocorrelation",
     "ext_concentration",
     "ext_gini",
@@ -3259,6 +3284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_fair_allocation": q_fair_allocation,
+        "ext_cohens_kappa": q_cohens_kappa,
         "ext_autocorrelation": q_autocorrelation,
         "ext_concentration": q_concentration,
         "ext_gini": q_gini,
@@ -4739,6 +4766,59 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_fair_allocation": """
+            WITH caps AS (
+                SELECT source, sum(n_chars)::DOUBLE AS cap
+                FROM documents GROUP BY 1
+            ),
+            r AS (
+                SELECT source, cap,
+                       row_number() OVER (ORDER BY cap, source) AS i,
+                       coalesce(sum(cap) OVER (
+                           ORDER BY cap, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cumb,
+                       count(*) OVER () AS n
+                FROM caps
+            ),
+            lv AS (
+                SELECT *, (200000.0 - cumb) / (n - i + 1) AS li FROM r
+            ),
+            t AS (
+                SELECT coalesce(
+                    (SELECT li FROM lv WHERE li <= cap
+                     ORDER BY i LIMIT 1), 1e308) AS t
+            )
+            SELECT source, round(cap, 6) AS cap,
+                   round(least(cap, greatest(t.t, 0.0::DOUBLE)), 6)
+                       AS allocation
+            FROM lv CROSS JOIN t
+        """,
+        "ext_cohens_kappa": """
+            WITH f AS (
+                SELECT (n_chars >= 250)::INT AS a,
+                       (len(string_split_regex(lower(trim(text)), '\\s+'))
+                        >= 50)::INT AS b
+                FROM documents
+            ),
+            cells AS (SELECT a, b, count(*) AS n FROM f GROUP BY 1, 2),
+            tot AS (SELECT sum(n)::DOUBLE AS t FROM cells),
+            po AS (
+                SELECT coalesce(sum(n), 0) AS agree
+                FROM cells WHERE a = b
+            ),
+            ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+            mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+            pe AS (
+                SELECT sum((na / tot.t) * (nb / tot.t)) AS pe
+                FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN tot
+            )
+            SELECT tot.t::BIGINT AS n,
+                   round(agree / tot.t, 6) AS p_observed,
+                   round(pe, 6) AS p_expected,
+                   round((agree / tot.t - pe) / (1 - pe), 6) AS kappa
+            FROM tot CROSS JOIN po CROSS JOIN pe
+        """,
         "ext_autocorrelation": """
             WITH b AS (
                 SELECT event_type, ts, event_id, value

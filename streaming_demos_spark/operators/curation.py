@@ -968,3 +968,127 @@ def dataset_card(
             "p50_len",
         )
     )
+
+
+def fair_allocation(
+    df: DataFrame,
+    key_col: str,
+    cap_col: str,
+    budget: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global ``budget``
+    across keys, each capped at its ``cap_col``: every key gets the
+    common water level ``t`` except keys whose cap is below ``t``,
+    which get their cap — the allocator a token-budget mix uses when
+    small domains must not be starved and large ones must not drink
+    the pool (``Σ alloc = min(budget, Σ cap)``).
+
+    The textbook iterative water-filling is replaced by the sorted
+    closed form: with caps ascending, the level is
+    ``t_i = (B - cum_{<i}) / (n - i + 1)`` at the first i where
+    ``t_i <= cap_i``. One window pass over the KEY table (bounded by
+    distinct keys, not rows); every row then gets
+    ``min(cap, t)`` map-side. Deterministic for any cap distribution;
+    a budget >= Σ cap simply fills every cap.
+    """
+    w = Window.orderBy(F.col("_cap").asc(), F.col(key_col).asc())
+    ranked = df.select(
+        F.col(key_col),
+        F.col(cap_col).cast("double").alias("_cap"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("_i"),
+        F.sum("_cap").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("_cum_before"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    level_i = (F.lit(budget) - F.coalesce("_cum_before", F.lit(0.0))) / (
+        F.col("_n") - F.col("_i") + 1
+    )
+    # the FIRST ascending index with level_i <= cap_i freezes the level
+    # for every remaining key. A struct-min aggregation (ordered by _i)
+    # finds it in one row ALWAYS — when no index satisfies (budget >=
+    # Σcap) the min is NULL and the level coalesces to +inf, i.e.
+    # every cap fills.
+    with_level = ranked.withColumn("_li", level_i)
+    t_row = with_level.agg(
+        F.min(
+            F.when(
+                F.col("_li") <= F.col("_cap"),
+                F.struct(F.col("_i"), F.col("_li")),
+            )
+        ).alias("_m")
+    ).select(
+        F.coalesce(F.col("_m._li"), F.lit(float("inf"))).alias("_t")
+    )
+    return (
+        with_level.crossJoin(F.broadcast(t_row))
+        .select(
+            key_col,
+            F.round("_cap", round_dp).alias("cap"),
+            F.round(
+                F.least(F.col("_cap"), F.greatest(F.col("_t"), F.lit(0.0))),
+                round_dp,
+            ).alias("allocation"),
+        )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    flag_a,
+    flag_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Agreement between two binary judges/filters beyond chance:
+    Cohen's kappa ``(p_o - p_e) / (1 - p_e)`` from one contingency
+    aggregation — the standard check before swapping one quality gate
+    for another. ``flag_a``/``flag_b`` are boolean Column expressions.
+    Returns one row: n, p_observed, p_expected, kappa (NULL when
+    either judge is constant — chance agreement is 1).
+    """
+    a = flag_a.cast("int").alias("_a")
+    b = flag_b.cast("int").alias("_b")
+    cells = df.select(a, b).groupBy("_a", "_b").agg(
+        F.count("*").alias("_n")
+    )
+    tot = cells.agg(F.sum("_n").cast("double").alias("_t"))
+    po = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.sum("_n").alias("_agree")
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("_na") / F.col("_t")) * (F.col("_nb") / F.col("_t"))
+            ).alias("_pe")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("_t").cast("long").alias("n"),
+            F.round(
+                F.coalesce(F.col("_agree"), F.lit(0)) / F.col("_t"), round_dp
+            ).alias("p_observed"),
+            F.round(F.col("_pe"), round_dp).alias("p_expected"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("_agree"), F.lit(0)) / F.col("_t")
+                    - F.col("_pe"),
+                    F.lit(1.0) - F.col("_pe"),
+                ),
+                round_dp,
+            ).alias("kappa"),
+        )
+    )

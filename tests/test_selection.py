@@ -281,3 +281,57 @@ def test_decayed_engagement_halves_per_half_life(spark):
     assert row.n_events == 3  # future event excluded
     assert abs(row.decayed_count - (0.25 + 0.5 + 1.0)) < 1e-6
     assert abs(row.decayed_value - 4.0 * 1.75) < 1e-6
+
+
+def test_fair_allocation_water_filling(spark):
+    from streaming_demos_spark.operators import curation as CU
+
+    # caps 10, 20, 100 with budget 60: level t solves
+    # 10 + min(20,t) + t = 60 -> t = 30 > 20 -> 10 + 20 + t = 60 -> t=30
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 100.0)], "k string, cap double"
+    )
+    out = {r.k: r.allocation
+           for r in CU.fair_allocation(df, "k", "cap", 60.0).collect()}
+    assert out == {"a": 10.0, "b": 20.0, "c": 30.0}
+    assert abs(sum(out.values()) - 60.0) < 1e-9
+
+
+def test_fair_allocation_budget_exceeds_caps(spark):
+    from streaming_demos_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 7.0)], "k string, cap double"
+    )
+    out = {r.k: r.allocation
+           for r in CU.fair_allocation(df, "k", "cap", 1000.0).collect()}
+    assert out == {"a": 5.0, "b": 7.0}  # every cap fills, no crash
+
+
+def test_fair_allocation_uniform_split_under_high_caps(spark):
+    from streaming_demos_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(f"k{i}", 1000.0) for i in range(4)], "k string, cap double"
+    )
+    out = {r.k: r.allocation
+           for r in CU.fair_allocation(df, "k", "cap", 100.0).collect()}
+    assert all(v == 25.0 for v in out.values())
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators import curation as CU
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    perfect = CU.cohens_kappa(
+        df, F.col("x") % 2 == 0, F.col("x") % 2 == 0
+    ).collect()[0]
+    assert perfect.kappa == 1.0
+    # independent judges: x%2 vs x%5<... use x//50 (half/half) vs x%2 —
+    # p_o = 0.5 = p_e -> kappa 0
+    chance = CU.cohens_kappa(
+        df, F.col("x") < 50, F.col("x") % 2 == 0
+    ).collect()[0]
+    assert chance.kappa == 0.0

@@ -2716,6 +2716,41 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_kaplan_meier(spark, sf_dir):
+    # Time-to-first-error survival per user: duration = days from the
+    # user's first event to their first 'error' (observed) or to their
+    # last event (censored — no error yet). The KM product runs in log
+    # domain on the distinct-duration grid (relational.py:kaplan_meier).
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("_first"),
+        F.max(epoch_us(F.col("ts"))).alias("_last"),
+        F.min(
+            F.when(F.col("event_type") == "error", epoch_us(F.col("ts")))
+        ).alias("_err"),
+    )
+    spans = per_user.select(
+        (
+            (F.coalesce(F.col("_err"), F.col("_last")) - F.col("_first"))
+            / F.lit(86400 * 1000000)
+        ).cast("int").alias("duration_days"),
+        F.col("_err").isNotNull().alias("errored"),
+    )
+    return R.kaplan_meier(spans, "duration_days", "errored")
+
+
+def q_jackknife_ci(spark, sf_dir):
+    # Distribution-free CI for the mean event value: 32 md5 buckets,
+    # leave-one-out means recomputed algebraically from bucket
+    # aggregates — one scan, zero resampling passes
+    # (relational.py:jackknife_mean_ci).
+    return R.jackknife_mean_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id", n_buckets=32
+    )
+
+
 def q_fair_allocation(spark, sf_dir):
     # Max-min fair token-budget allocation across sources (caps =
     # available chars): sorted water-filling closed form, one window
@@ -3170,6 +3205,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_kaplan_meier",
+    "ext_jackknife_ci",
     "llm_fair_allocation",
     "ext_cohens_kappa",
     "ext_autocorrelation",
@@ -3284,6 +3321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_kaplan_meier": q_kaplan_meier,
+        "ext_jackknife_ci": q_jackknife_ci,
         "llm_fair_allocation": q_fair_allocation,
         "ext_cohens_kappa": q_cohens_kappa,
         "ext_autocorrelation": q_autocorrelation,
@@ -4766,6 +4805,83 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_kaplan_meier": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) AS f,
+                       max(epoch_us(ts)) AS l,
+                       min(CASE WHEN event_type = 'error'
+                                THEN epoch_us(ts) END) AS e
+                FROM events GROUP BY 1
+            ),
+            spans AS (
+                SELECT ((coalesce(e, l) - f) // 86400000000)::INT AS t,
+                       (e IS NOT NULL) AS errored
+                FROM pu
+            ),
+            per_t AS (
+                SELECT t, count(*) AS total,
+                       sum(errored::INT) AS n_events
+                FROM spans GROUP BY 1
+            ),
+            grid AS (
+                SELECT t, n_events,
+                       sum(total) OVER ()
+                       - coalesce(sum(total) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_at_risk
+                FROM per_t
+            ),
+            stepped AS (
+                SELECT t, n_at_risk, n_events,
+                       CASE WHEN min(1.0 - n_events / n_at_risk::DOUBLE)
+                                 OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) <= 0
+                            THEN 0.0::DOUBLE
+                            ELSE exp(sum(CASE WHEN 1.0 - n_events
+                                                   / n_at_risk::DOUBLE > 0
+                                         THEN ln(1.0 - n_events
+                                                 / n_at_risk::DOUBLE)
+                                         ELSE 0.0::DOUBLE END)
+                                     OVER (ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING))
+                       END AS s
+                FROM grid
+            )
+            SELECT t AS duration_days, n_at_risk,
+                   n_events::BIGINT AS n_events, round(s, 6) AS survival
+            FROM stepped WHERE n_events > 0
+        """,
+        "ext_jackknife_ci": """
+            WITH b AS (
+                SELECT (('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+                        ::BIGINT % 32) AS bk,
+                       value
+                FROM events WHERE value IS NOT NULL
+            ),
+            per_b AS (
+                SELECT bk, count(*) AS nb, sum(value) AS sb
+                FROM b GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(nb) AS n, sum(sb) AS s, count(*) AS k FROM per_b
+            ),
+            loo AS (
+                SELECT n, s, k, (s - sb) / (n - nb) AS m
+                FROM per_b CROSS JOIN tot
+            ),
+            st AS (
+                SELECT n, s, k, var_pop(m) AS vm
+                FROM loo GROUP BY 1, 2, 3
+            )
+            SELECT n::BIGINT AS n,
+                   round(s / n, 6) AS mean,
+                   round(sqrt((k - 1) * vm), 6) AS se,
+                   round(s / n - 1.96 * sqrt((k - 1) * vm), 6) AS ci_lo,
+                   round(s / n + 1.96 * sqrt((k - 1) * vm), 6) AS ci_hi
+            FROM st
+        """,
         "llm_fair_allocation": """
             WITH caps AS (
                 SELECT source, sum(n_chars)::DOUBLE AS cap

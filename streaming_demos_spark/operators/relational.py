@@ -2234,3 +2234,124 @@ def concentration_profile(
         ).alias("covering_frac"),
         "top1_share",
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over (duration, observed-event)
+    rows: at each distinct duration with ``d`` observed events out of
+    ``n`` still at risk, the survival probability multiplies by
+    ``1 - d/n``. Returns one row per distinct duration with at least
+    one observed event: (duration, n_at_risk, n_events, survival).
+
+    The running product is computed in LOG domain as a windowed sum
+    (``exp(Σ ln(1 - d/n))``) — a multiplicative window does not exist,
+    and the log-sum is the numerically standard form. A step where
+    ``d = n`` (everyone at risk dies) drives survival to exactly 0 via
+    a cumulative-flag window, never a ``ln(0)``. The windows run on the
+    DISTINCT-DURATION frame (bounded by the duration grid), not rows.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count("*").alias("_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    grid = per_t.select(
+        "t",
+        "n_events",
+        (
+            F.sum("_total").over(w_all)
+            - F.coalesce(F.sum("_total").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = grid.withColumn("_f", factor).select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        F.when(
+            F.min("_f").over(w_cum) <= 0, F.lit(0.0)
+        ).otherwise(
+            F.exp(
+                F.sum(
+                    F.when(F.col("_f") > 0, F.log("_f")).otherwise(F.lit(0.0))
+                ).over(w_cum)
+            )
+        ).alias("_s"),
+    )
+    return stepped.filter(F.col("n_events") > 0).select(
+        F.col("t").alias(duration_col),
+        "n_at_risk",
+        "n_events",
+        F.round("_s", round_dp).alias("survival"),
+    )
+
+
+def jackknife_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    z: float = 1.96,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mean with a delete-group jackknife confidence interval: rows are
+    hashed into ``n_buckets`` md5 buckets, each bucket's leave-it-out
+    mean is recomputed ALGEBRAICALLY from the bucket aggregates
+    (``(Σ - Σ_b) / (n - n_b)``), and the jackknife variance
+    ``(k-1)/k · Σ (m₍₋b₎ - m̄₍₋·₎)²`` gives the CI — distribution-free
+    uncertainty for any corpus mean at the cost of ONE aggregation
+    (the resampling never rescans the data, unlike a bootstrap).
+
+    Deterministic: the bucket assignment is a pure md5 function of the
+    row id, so the interval replays bit-for-bit on any engine or
+    partitioning. One output row: n, mean, se, ci_lo, ci_hi.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    per_b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("_b"))
+        .agg(
+            F.count("*").alias("_nb"),
+            F.sum(F.col(value_col).cast("double")).alias("_sb"),
+        )
+    )
+    tot = per_b.agg(
+        F.sum("_nb").alias("_n"),
+        F.sum("_sb").alias("_s"),
+        F.count("*").alias("_k"),
+    )
+    loo = per_b.crossJoin(F.broadcast(tot)).select(
+        "_n",
+        "_s",
+        "_k",
+        (
+            (F.col("_s") - F.col("_sb")) / (F.col("_n") - F.col("_nb"))
+        ).alias("_m"),
+    )
+    # Σ(m - m̄)² = k · var_pop(m), so se = sqrt((k-1)/k · k·var_pop)
+    # = sqrt((k-1) · var_pop) — one plain aggregate, no window
+    stats = loo.groupBy("_n", "_s", "_k").agg(
+        F.var_pop("_m").alias("_vm")
+    )
+    mean = F.col("_s") / F.col("_n")
+    se = F.sqrt((F.col("_k") - 1) * F.col("_vm"))
+    return stats.select(
+        F.col("_n").alias("n"),
+        F.round(mean, round_dp).alias("mean"),
+        F.round(se, round_dp).alias("se"),
+        F.round(mean - F.lit(z) * se, round_dp).alias("ci_lo"),
+        F.round(mean + F.lit(z) * se, round_dp).alias("ci_hi"),
+    )

@@ -1349,3 +1349,48 @@ def test_concentration_uniform_needs_most_keys(spark):
     df = spark.createDataFrame(rows, "g string, k string, v double")
     row = R.concentration_profile(df, "g", "k", "v", share=0.9).collect()[0]
     assert row.n_covering == 9  # 9/10 keys to reach 90% of uniform mass
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    # classic: events at t=1 (1 of 5), t=3 (1 of 3); censored at 2, 4, 5
+    rows = [(1, True), (2, False), (3, True), (4, False), (5, False)]
+    df = spark.createDataFrame(rows, "d int, ev boolean")
+    out = {r.d: r for r in R.kaplan_meier(df, "d", "ev").collect()}
+    assert set(out) == {1, 3}  # only event times emitted
+    assert out[1].n_at_risk == 5 and out[1].survival == 0.8
+    # S(3) = (1 - 1/5) * (1 - 1/3) = 0.8 * 2/3
+    assert abs(out[3].survival - round(0.8 * 2 / 3, 6)) < 1e-9
+
+
+def test_kaplan_meier_all_die_hits_zero(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, True), (1, True), (2, True)], "d int, ev boolean"
+    )
+    out = {r.d: r.survival for r in R.kaplan_meier(df, "d", "ev").collect()}
+    assert out[2] == 0.0  # last at-risk subject dies -> S = 0, no ln(0)
+
+
+def test_jackknife_ci_covers_true_mean_and_shrinks(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [(i, float((i * 37) % 101)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid int, v double")
+    r = R.jackknife_mean_ci(df, "v", "rid", n_buckets=32).collect()[0]
+    true_mean = sum(v for _, v in rows) / len(rows)
+    assert abs(r.mean - round(true_mean, 6)) < 1e-9
+    assert r.ci_lo < true_mean < r.ci_hi
+    assert r.se < 3.0  # ~sd/sqrt(n) scale, far below the raw sd (~29)
+
+
+def test_jackknife_ci_partitioning_invariant(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [(i, float(i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid int, v double")
+    a = R.jackknife_mean_ci(df, "v", "rid").collect()[0]
+    b = R.jackknife_mean_ci(df.repartition(7), "v", "rid").collect()[0]
+    assert (a.mean, a.se) == (b.mean, b.se)

@@ -2716,6 +2716,28 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    # Two-proportion z-test: does 'click' convert (value > 60) at a
+    # different rate than 'view'? Closed-form from one aggregation;
+    # erfc p-value via shared A-S 7.1.26 constants
+    # (relational.py:ab_test_proportions).
+    ev = _t(spark, sf_dir, "events")
+    return R.ab_test_proportions(
+        ev, "event_type", F.col("value") > 60, "click", "view"
+    )
+
+
+def q_whiten_embeddings(spark, sf_dir):
+    # ZCA whitening: mean/covariance via partition partial sums,
+    # driver eigh of the DxD, map-only projection. Rows-only
+    # (eigendecomposition); numpy parity in tests
+    # (similarity.py:whiten_embeddings).
+    out = SIM.whiten_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.posexplode("whitened").alias("component_idx", "value")
+    )
+
+
 def q_kaplan_meier(spark, sf_dir):
     # Time-to-first-error survival per user: duration = days from the
     # user's first event to their first 'error' (observed) or to their
@@ -3205,6 +3227,8 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_ab_test",
+    "llm_whiten_embeddings",
     "ext_kaplan_meier",
     "ext_jackknife_ci",
     "llm_fair_allocation",
@@ -3321,6 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_ab_test": q_ab_test,
+        "llm_whiten_embeddings": q_whiten_embeddings,
         "ext_kaplan_meier": q_kaplan_meier,
         "ext_jackknife_ci": q_jackknife_ci,
         "llm_fair_allocation": q_fair_allocation,
@@ -4805,6 +4831,47 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_ab_test": """
+            WITH agg AS (
+                SELECT event_type, count(*) AS n,
+                       sum((value > 60)::INT) AS c
+                FROM events WHERE event_type IN ('click', 'view')
+                GROUP BY 1
+            ),
+            j AS (
+                SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+                FROM (SELECT * FROM agg WHERE event_type = 'click') a
+                CROSS JOIN (SELECT * FROM agg WHERE event_type = 'view') b
+            ),
+            st AS (
+                SELECT n_a, n_b,
+                       c_a / n_a::DOUBLE AS pa,
+                       c_b / n_b::DOUBLE AS pb,
+                       (c_a + c_b) / (n_a + n_b)::DOUBLE AS pool
+                FROM j
+            ),
+            zt AS (
+                SELECT *,
+                       (pa - pb)
+                       / sqrt(pool * (1 - pool)
+                              * (1.0 / n_a + 1.0 / n_b)) AS z
+                FROM st
+            ),
+            pv AS (
+                SELECT *,
+                       1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t_
+                FROM zt
+            )
+            SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+                   round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+                   round(pa - pb, 6) AS lift, round(z, 6) AS z,
+                   round((t_ * (0.254829592 + t_ * (-0.284496736
+                         + t_ * (1.421413741 + t_ * (-1.453152027
+                         + t_ * 1.061405429)))))
+                         * exp(-(abs(z) / sqrt(2.0))
+                               * (abs(z) / sqrt(2.0))), 6) AS p_value
+            FROM pv
+        """,
         "ext_kaplan_meier": """
             WITH pu AS (
                 SELECT user_id,

@@ -2355,3 +2355,73 @@ def jackknife_mean_ci(
         F.round(mean - F.lit(z) * se, round_dp).alias("ci_lo"),
         F.round(mean + F.lit(z) * se, round_dp).alias("ci_hi"),
     )
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test between two named groups: conversion
+    rates, absolute lift, the pooled-variance z statistic, and a
+    normal-approximation two-sided p-value — the A/B readout every
+    event pipeline ends in. One aggregation; the statistic is closed
+    form. Degenerate pools (p̂ ∈ {0,1}) yield NULL z/p via try_divide.
+
+    Spark has no ``erfc``, so the p-value ``erfc(|z|/√2)`` is computed
+    with the Abramowitz–Stegun 7.1.26 polynomial (|error| < 1.5e-7,
+    far inside the 6-dp rounding); the oracle carries the identical
+    constants, so both engines agree digit for digit.
+    """
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    agg = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("_n"), F.sum(s).alias("_c"))
+    )
+    a = agg.filter(F.col(group_col) == group_a).select(
+        F.col("_n").alias("n_a"), F.col("_c").alias("c_a")
+    )
+    b = agg.filter(F.col(group_col) == group_b).select(
+        F.col("_n").alias("n_b"), F.col("_c").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("c_a") / F.col("n_a")
+    pb = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = F.try_divide(pa - pb, se)
+    # Abramowitz-Stegun 7.1.26 erfc for the two-sided p-value; the
+    # oracle carries the identical constants so both engines agree.
+    x = F.abs(z) / F.lit(float(2**0.5))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        t
+        * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+    )
+    p_val = poly * F.exp(-x * x)
+    return j.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        F.round(pa, round_dp).alias("rate_a"),
+        F.round(pb, round_dp).alias("rate_b"),
+        F.round(pa - pb, round_dp).alias("lift"),
+        F.round(z, round_dp).alias("z"),
+        F.round(p_val, round_dp).alias("p_value"),
+    )

@@ -24,6 +24,7 @@ DuckDB oracle hash-matches.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1298,3 +1299,72 @@ def knn_label_noise(
         F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
         "disagree_frac",
     )
+
+
+def whiten_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+    round_dp: int = 9,
+) -> DataFrame:
+    """ZCA-whiten an embedding column: subtract the corpus mean and
+    rotate by ``C^{-1/2}`` so components are decorrelated with unit
+    variance — the standard retrieval post-processing that removes the
+    dominant-direction bias of learned embeddings.
+
+    Distributed the same way as truncated SVD (`tfidf.gram_matrix`):
+    the D-vector mean and D×D covariance reach the driver as partition
+    partial sums (never rows), the inverse square root is a driver-side
+    ``eigh`` of the tiny D×D (eigenvalues floored at ``eps`` so
+    near-singular directions don't explode), and the transform itself
+    is a map-only Arrow-batched projection. Sign conventions inherit
+    from ``eigh`` deterministically (the rotation is symmetric, so no
+    per-column sign fix is needed). Non-SQL-expressible — verified by
+    numpy parity tests, not a DuckDB oracle.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    d_vec = _as_double(F.col(vec_col))
+    src = emb.select(F.col(id_col), d_vec.alias("_v")).persist()
+
+    def partial(it):
+        n, s, g = 0, None, None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X if g is None else g + X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    parts = src.select("_v").mapInPandas(partial, schema).collect()
+    if not parts:
+        raise ValueError("whiten_embeddings: empty input")
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    g = np.sum([np.asarray(r.g) for r in parts], axis=0)
+    d = int(np.sqrt(g.size))
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    w_mat = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T
+
+    @F.pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list(((X - mu) @ w_mat).round(round_dp)))
+
+    return src.select(id_col, project("_v").alias("whitened"))

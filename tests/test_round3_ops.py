@@ -1394,3 +1394,53 @@ def test_jackknife_ci_partitioning_invariant(spark):
     a = R.jackknife_mean_ci(df, "v", "rid").collect()[0]
     b = R.jackknife_mean_ci(df.repartition(7), "v", "rid").collect()[0]
     assert (a.mean, a.se) == (b.mean, b.se)
+
+
+def test_ab_test_detects_planted_difference(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [("a", i < 60) for i in range(100)]   # 60% convert
+    rows += [("b", i < 40) for i in range(100)]  # 40% convert
+    df = spark.createDataFrame(rows, "g string, conv boolean")
+    r = R.ab_test_proportions(df, "g", F.col("conv"), "a", "b").collect()[0]
+    assert r.rate_a == 0.6 and r.rate_b == 0.4 and r.lift == 0.2
+    # z = 0.2 / sqrt(0.5*0.5*(2/100)) = 2.828..., p ~ 0.0047
+    assert abs(r.z - 2.828427) < 1e-5
+    assert r.p_value < 0.01
+
+
+def test_ab_test_identical_groups_null_z(spark):
+    from streaming_demos_spark.operators import relational as R
+
+    rows = [("a", True)] * 10 + [("b", True)] * 10  # pool = 1 -> se 0
+    df = spark.createDataFrame(rows, "g string, conv boolean")
+    r = R.ab_test_proportions(df, "g", F.col("conv"), "a", "b").collect()[0]
+    assert r.lift == 0.0 and r.z is None
+
+
+def test_whiten_embeddings_numpy_parity_and_identity_cov(spark):
+    import numpy as np
+
+    from streaming_demos_spark.operators import similarity as SIM
+
+    rng_rows = [
+        (i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(4)])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id int, embedding array<double>")
+    out = {r.vec_id: np.asarray(r.whitened)
+           for r in SIM.whiten_embeddings(df).collect()}
+    W = np.stack([out[i] for i in range(64)])
+    # whitened covariance is (numerically) the identity on non-degenerate
+    # directions
+    cov = W.T @ W / 64
+    X = np.stack([np.asarray(v) for _, v in rng_rows])
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / 64
+    nondegen = np.linalg.eigvalsh(C) > 1e-6
+    assert np.allclose(np.diag(cov)[nondegen], 1.0, atol=1e-6)
+    # parity with a direct numpy recomputation
+    vals, vecs = np.linalg.eigh(C)
+    Wm = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 1e-6))) @ vecs.T
+    ref = (X - mu) @ Wm
+    assert np.allclose(W, ref.round(9), atol=1e-6)

@@ -2716,6 +2716,15 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_seasonal_profile(spark, sf_dir):
+    # Hour-of-day load shape per event type: seasonal offsets from the
+    # type mean + per-hour variance explained; two combinable
+    # aggregations (relational.py:seasonal_profile).
+    return R.seasonal_profile(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
 def q_ab_test(spark, sf_dir):
     # Two-proportion z-test: does 'click' convert (value > 60) at a
     # different rate than 'view'? Closed-form from one aggregation;
@@ -3227,6 +3236,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_seasonal_profile",
     "ext_ab_test",
     "llm_whiten_embeddings",
     "ext_kaplan_meier",
@@ -3345,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_seasonal_profile": q_seasonal_profile,
         "ext_ab_test": q_ab_test,
         "llm_whiten_embeddings": q_whiten_embeddings,
         "ext_kaplan_meier": q_kaplan_meier,
@@ -4831,6 +4842,27 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_seasonal_profile": """
+            WITH cells AS (
+                SELECT event_type, hour(ts) AS hour_of_day,
+                       count(*) AS n_rows,
+                       avg(value) AS hmean,
+                       avg(value * value) AS hm2
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            o AS (
+                SELECT event_type,
+                       sum(hmean * n_rows) / sum(n_rows) AS mu,
+                       sum(hm2 * n_rows) / sum(n_rows) AS m2
+                FROM cells GROUP BY 1
+            )
+            SELECT c.event_type, hour_of_day, n_rows,
+                   round(hmean - mu, 6) AS seasonal_offset,
+                   round(1.0 - (hm2 - hmean * hmean)
+                         / (m2 - mu * mu), 6) AS hour_explains
+            FROM cells c JOIN o ON c.event_type = o.event_type
+        """,
         "ext_ab_test": """
             WITH agg AS (
                 SELECT event_type, count(*) AS n,

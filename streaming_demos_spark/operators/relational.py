@@ -2425,3 +2425,60 @@ def ab_test_proportions(
         F.round(z, round_dp).alias("z"),
         F.round(p_val, round_dp).alias("p_value"),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Additive seasonal decomposition on a fixed calendar grid: per
+    (key, hour-of-day), the seasonal offset from the key's overall mean
+    plus the share of variance the hour explains — the load-shape
+    profile behind capacity planning and anomaly baselines
+    (``value ≈ key_mean + seasonal(hour) + residual``).
+
+    Two combinable aggregations (per (key, hour) and per key) joined on
+    the key — the calendar grid is at most 24 rows per key, so the join
+    frames stay tiny no matter the row count. Variance explained is
+    ``1 - E[residual²]/var`` computed from the same moments, never a
+    second scan.
+    """
+    hour = F.hour(F.col(ts_col)).alias("hour_of_day")
+    x = F.col(value_col).cast("double")
+    cells = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(key_col), hour)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.avg(x).alias("_hmean"),
+            F.avg(x * x).alias("_hm2"),
+        )
+    )
+    overall = cells.groupBy(key_col).agg(
+        (F.sum(F.col("_hmean") * F.col("n_rows")) / F.sum("n_rows")).alias(
+            "_mu"
+        ),
+        (F.sum(F.col("_hm2") * F.col("n_rows")) / F.sum("n_rows")).alias(
+            "_m2"
+        ),
+    )
+    joined = cells.join(F.broadcast(overall), key_col)
+    # residual second moment per cell: E[x²|h] - hmean²  (within-hour
+    # variance); weighted across hours = E[resid²] for the additive
+    # hour model
+    within = F.col("_hm2") - F.col("_hmean") * F.col("_hmean")
+    var_total = F.col("_m2") - F.col("_mu") * F.col("_mu")
+    return joined.select(
+        key_col,
+        "hour_of_day",
+        "n_rows",
+        F.round(F.col("_hmean") - F.col("_mu"), round_dp).alias(
+            "seasonal_offset"
+        ),
+        F.round(
+            F.lit(1.0) - F.try_divide(within, var_total), round_dp
+        ).alias("hour_explains"),
+    )

@@ -1444,3 +1444,22 @@ def test_whiten_embeddings_numpy_parity_and_identity_cov(spark):
     Wm = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 1e-6))) @ vecs.T
     ref = (X - mu) @ Wm
     assert np.allclose(W, ref.round(9), atol=1e-6)
+
+
+def test_seasonal_profile_recovers_planted_hour_shape(spark):
+    import datetime
+
+    from streaming_demos_spark.operators import relational as R
+
+    # value = 10 at hour 0, 20 at hour 12 (exactly, zero residual)
+    rows = []
+    for d in range(1, 11):
+        rows.append(("k", datetime.datetime(2024, 1, d, 0, 30), 10.0))
+        rows.append(("k", datetime.datetime(2024, 1, d, 12, 30), 20.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.hour_of_day: r for r in
+           R.seasonal_profile(df, "k", "ts", "v").collect()}
+    assert out[0].seasonal_offset == -5.0
+    assert out[12].seasonal_offset == 5.0
+    # hour explains everything: within-hour variance is 0
+    assert out[0].hour_explains == 1.0 and out[12].hour_explains == 1.0

@@ -2716,6 +2716,16 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_funnel_step_times(spark, sf_dir):
+    # Time-to-convert between funnel stages: the funnel fold extended
+    # to carry reach timestamps; exact medians via distributed
+    # selection (relational.py:funnel_step_times).
+    return R.funnel_step_times(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
 def q_seasonal_profile(spark, sf_dir):
     # Hour-of-day load shape per event type: seasonal offsets from the
     # type mean + per-hour variance explained; two combinable
@@ -3236,6 +3246,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_funnel_step_times",
     "ext_seasonal_profile",
     "ext_ab_test",
     "llm_whiten_embeddings",
@@ -3355,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_funnel_step_times": q_funnel_step_times,
         "ext_seasonal_profile": q_seasonal_profile,
         "ext_ab_test": q_ab_test,
         "llm_whiten_embeddings": q_whiten_embeddings,
@@ -4842,6 +4854,42 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_funnel_step_times": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       struct_pack(t := epoch_us(ts), i := event_id) AS st
+                FROM events
+            ),
+            s1 AS (
+                SELECT user_id, min(st) AS r1
+                FROM ev WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(st) AS r2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND st > r1
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(st) AS r3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND st > r2
+                GROUP BY 1
+            ),
+            d AS (
+                SELECT 'view->click' AS step_pair,
+                       (r2.t - r1.t) / 1000000.0 AS d
+                FROM s1 JOIN s2 USING (user_id)
+                UNION ALL
+                SELECT 'click->purchase',
+                       (r3.t - r2.t) / 1000000.0
+                FROM s2 JOIN s3 USING (user_id)
+            )
+            SELECT step_pair, count(*) AS n_converted,
+                   round(avg(d), 3) AS avg_sec,
+                   round(round(quantile_cont(d, 0.5), 6), 3) AS p50_sec
+            FROM d GROUP BY 1
+        """,
         "ext_seasonal_profile": """
             WITH cells AS (
                 SELECT event_type, hour(ts) AS hour_of_day,

@@ -2482,3 +2482,89 @@ def seasonal_profile(
             F.lit(1.0) - F.try_divide(within, var_total), round_dp
         ).alias("hour_explains"),
     )
+
+
+def funnel_step_times(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    stages: list[str],
+    id_col: str = "event_id",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel stages: for every key
+    that strictly reaches stage k+1 (same sequencing contract as
+    ``funnel_stages``), the seconds between the stage-k and stage-k+1
+    reach events, summarized per step pair as (n_converted, avg_sec,
+    p50_sec).
+
+    Same single-pass fold as ``funnel_stages``, extended to CARRY the
+    reach timestamps in the accumulator (one keyed shuffle, the whole
+    stage machine inside one JVM expression). The median comes from
+    ``grouped_quantiles_selection`` over the per-key delta frame —
+    exact, no per-pair buffering.
+    """
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    step = F.struct(
+        epoch_us(F.col(ts_col)).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(step_col).alias("s"),
+    )
+    per_key = events.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(step)).alias("_steps")
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("k"),
+        F.array().cast("array<long>").alias("rt"),
+    )
+
+    def advance(acc, x):
+        expr = acc
+        for k, name in enumerate(stages):
+            expr = F.when(
+                (acc["k"] == k) & (x["s"] == name),
+                F.struct(
+                    F.lit(k + 1).alias("k"),
+                    F.concat(acc["rt"], F.array(x["t"])).alias("rt"),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    reached = per_key.select(
+        key_col, F.aggregate("_steps", acc0, advance).alias("_r")
+    )
+    pairs = []
+    for k in range(1, len(stages)):
+        pairs.append(
+            reached.filter(F.col("_r.k") >= k + 1).select(
+                F.lit(f"{stages[k-1]}->{stages[k]}").alias("step_pair"),
+                (
+                    (
+                        F.element_at("_r.rt", k + 1)
+                        - F.element_at("_r.rt", k)
+                    )
+                    / F.lit(1e6)
+                ).alias("_d"),
+            )
+        )
+    deltas = pairs[0]
+    for p in pairs[1:]:
+        deltas = deltas.unionByName(p)
+    from pyspark import StorageLevel
+
+    deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
+    med = grouped_quantiles_selection(
+        deltas, "step_pair", "_d", [0.5]
+    ).select("step_pair", F.col("p50").alias("p50_sec"))
+    summary = deltas.groupBy("step_pair").agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("_d"), round_dp).alias("avg_sec"),
+    )
+    return summary.join(med, "step_pair").select(
+        "step_pair",
+        "n_converted",
+        "avg_sec",
+        F.round("p50_sec", round_dp).alias("p50_sec"),
+    )

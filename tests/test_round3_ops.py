@@ -1463,3 +1463,35 @@ def test_seasonal_profile_recovers_planted_hour_shape(spark):
     assert out[12].seasonal_offset == 5.0
     # hour explains everything: within-hour variance is 0
     assert out[0].hour_explains == 1.0 and out[12].hour_explains == 1.0
+
+
+def test_funnel_step_times_strict_sequencing(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1 converts: view@0 -> click@10 -> purchase@40
+        (1, t(0), 1, "view"), (1, t(10), 2, "click"),
+        (1, t(40), 3, "purchase"),
+        # user 2: click BEFORE view -> click never counts; converts
+        # view@5 -> click@25 (20s), no purchase
+        (2, t(1), 4, "click"), (2, t(5), 5, "view"), (2, t(25), 6, "click"),
+        # user 3: view only
+        (3, t(0), 7, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    out = {r.step_pair: r for r in R.funnel_step_times(
+        df, "user_id", "ts", "event_type",
+        stages=["view", "click", "purchase"]).collect()}
+    vc = out["view->click"]
+    assert vc.n_converted == 2
+    assert vc.avg_sec == 15.0  # (10 + 20) / 2
+    assert vc.p50_sec == 15.0  # interpolated median of {10, 20}
+    cp = out["click->purchase"]
+    assert cp.n_converted == 1 and cp.avg_sec == 30.0

@@ -2716,6 +2716,16 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_uncertainty_sample(spark, sf_dir):
+    # Active-learning batch: the 50 docs the learned quality filter is
+    # least sure about — annotate-next selection via
+    # TakeOrderedAndProject on the rounded margin
+    # (training.py:uncertainty_sample).
+    return TR.uncertainty_sample(
+        _t(spark, sf_dir, "documents"), k=50, iters=3, lr=1.0
+    )
+
+
 def q_funnel_step_times(spark, sf_dir):
     # Time-to-convert between funnel stages: the funnel fold extended
     # to carry reach timestamps; exact medians via distributed
@@ -3246,6 +3256,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_uncertainty_sample",
     "ext_funnel_step_times",
     "ext_seasonal_profile",
     "ext_ab_test",
@@ -3366,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_uncertainty_sample": q_uncertainty_sample,
         "ext_funnel_step_times": q_funnel_step_times,
         "ext_seasonal_profile": q_seasonal_profile,
         "ext_ab_test": q_ab_test,
@@ -4854,6 +4866,14 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_uncertainty_sample": f"""
+            WITH s AS ({TR.sql_logreg_quality(iters=3, lr=1.0)})
+            SELECT doc_id, quality_prob,
+                   round(abs(quality_prob - 0.5), 6) AS margin
+            FROM s
+            ORDER BY margin ASC, doc_id ASC
+            LIMIT 50
+        """,
         "ext_funnel_step_times": """
             WITH ev AS (
                 SELECT user_id, event_type,

@@ -499,3 +499,35 @@ def sql_logreg_lr_sweep(
     sql.append("\n        UNION ALL".join(finals))
     sql.append("\n        ORDER BY lr")
     return "".join(sql)
+
+
+def uncertainty_sample(
+    docs: DataFrame,
+    k: int = 50,
+    *,
+    iters: int = 3,
+    lr: float = 1.0,
+    label_lang: str = "en",
+    dp: int = 6,
+) -> DataFrame:
+    """Active-learning batch selection: the ``k`` documents the learned
+    quality classifier is LEAST sure about (``|p - 0.5|`` smallest) —
+    the examples whose labels buy the most model improvement in the
+    annotate → refit loop.
+
+    Composes the existing distributed-GD fit + map-only scoring; the
+    selection itself is TakeOrderedAndProject on (rounded margin asc,
+    doc_id) — no global sort. Ties on the rounded margin resolve by id
+    so the batch is engine-replayable.
+    """
+    scored = quality_classifier_scores(
+        docs, iters=iters, lr=lr, label_lang=label_lang, dp=dp
+    )
+    margin = F.round(F.abs(F.col("quality_prob") - 0.5), dp)
+    return (
+        scored.select(
+            "doc_id", "quality_prob", margin.alias("margin")
+        )
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(k)
+    )

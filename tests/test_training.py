@@ -266,3 +266,28 @@ def test_lr_sweep_single_scan_per_iteration(spark, docs):
                  enumerate(["x1", "x2", "x3"])] + [F.avg(err).alias(f"g{i}_b")]
     row = feats.agg(*aggs).first()
     assert len(row) == 16
+
+
+def test_uncertainty_sample_picks_boundary_docs(spark):
+    from streaming_demos_spark.operators import training as TR
+
+    # mixed-language corpus: en docs cluster high, others low; the
+    # least-confident batch must have margins no larger than any
+    # excluded doc's margin
+    rows = []
+    for i in range(40):
+        rows.append((i, "the quick brown fox and the dog " * (i % 5 + 1),
+                     "en" if i % 2 == 0 else "es", "web",
+                     30 * (i % 5 + 1)))
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    full = {r.doc_id: abs(r.quality_prob - 0.5)
+            for r in TR.quality_classifier_scores(docs).collect()}
+    picked = TR.uncertainty_sample(docs, k=10).collect()
+    assert len(picked) == 10
+    picked_ids = {r.doc_id for r in picked}
+    max_picked = max(round(abs(full[i] ), 6) for i in picked_ids)
+    min_rest = min(round(abs(full[i]), 6)
+                   for i in full if i not in picked_ids)
+    assert max_picked <= min_rest

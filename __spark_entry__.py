@@ -2716,6 +2716,21 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_duplicate_events(spark, sf_dir):
+    # Replay/double-submit detector: same user firing the same event
+    # type twice within 10 minutes — bounded bucket-expansion interval
+    # join, never a per-key cross join
+    # (relational.py:duplicate_events).
+    return R.duplicate_events(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        within_sec=600.0,
+    )
+
+
 def q_uncertainty_sample(spark, sf_dir):
     # Active-learning batch: the 50 docs the learned quality filter is
     # least sure about — annotate-next selection via
@@ -3256,6 +3271,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_duplicate_events",
     "llm_uncertainty_sample",
     "ext_funnel_step_times",
     "ext_seasonal_profile",
@@ -3377,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_duplicate_events": q_duplicate_events,
         "llm_uncertainty_sample": q_uncertainty_sample,
         "ext_funnel_step_times": q_funnel_step_times,
         "ext_seasonal_profile": q_seasonal_profile,
@@ -4866,6 +4883,18 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "ext_duplicate_events": """
+            SELECT DISTINCT a.user_id, a.event_type,
+                   least(a.event_id, b.event_id) AS id_a,
+                   greatest(a.event_id, b.event_id) AS id_b,
+                   round(abs(epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0,
+                         3) AS gap_sec
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND abs(epoch_us(b.ts) - epoch_us(a.ts)) < 600000000
+        """,
         "llm_uncertainty_sample": f"""
             WITH s AS ({TR.sql_logreg_quality(iters=3, lr=1.0)})
             SELECT doc_id, quality_prob,

@@ -2568,3 +2568,72 @@ def funnel_step_times(
         "avg_sec",
         F.round("p50_sec", round_dp).alias("p50_sec"),
     )
+
+
+def duplicate_events(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    within_sec: float = 60.0,
+    round_dp: int = 3,
+) -> DataFrame:
+    """Suspected duplicate submissions: pairs of events with the SAME
+    key and value landing within ``within_sec`` of each other — the
+    double-click / retry / replay detector every payment or ingestion
+    pipeline runs.
+
+    Scale shape: candidate pairs come from an equality join on
+    (key, value, time-bucket) with each LEFT row expanded to its own
+    and the next bucket (the bounded interval-join idiom — a raw
+    |Δt| < T predicate alone would be a full per-key cross join), then
+    the exact time filter. Bucket width = ``within_sec`` guarantees
+    every qualifying pair shares an expanded bucket; id ordering keeps
+    each pair once.
+    """
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    us = F.lit(int(within_sec * 1e6))
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(value_col),
+        epoch_us(F.col(ts_col)).alias("_t"),
+    ).filter(F.col(value_col).isNotNull())
+    bucket = F.floor(F.col("_t") / us)
+    left = base.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(id_col).alias("id_a"),
+        F.col("_t").alias("_ta"),
+        F.explode(F.array(bucket, bucket + 1)).alias("_b"),
+    )
+    right = base.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(id_col).alias("id_b"),
+        F.col("_t").alias("_tb"),
+        bucket.alias("_b"),
+    )
+    # canonicalize AFTER the time filter: the expansion only guarantees
+    # the earlier event's expanded buckets cover the later event's, so
+    # an id-ordered join predicate would drop boundary-straddling pairs
+    # whose later event has the smaller id
+    return (
+        left.join(right, [key_col, value_col, "_b"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("_tb") - F.col("_ta")) < us)
+        )
+        .select(
+            key_col,
+            F.col(value_col),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round(
+                F.abs(F.col("_tb") - F.col("_ta")) / F.lit(1e6), round_dp
+            ).alias("gap_sec"),
+        )
+        .distinct()
+    )

@@ -1495,3 +1495,36 @@ def test_funnel_step_times_strict_sequencing(spark):
     assert vc.p50_sec == 15.0  # interpolated median of {10, 20}
     cp = out["click->purchase"]
     assert cp.n_converted == 1 and cp.avg_sec == 30.0
+
+
+def test_duplicate_events_boundary_and_id_order(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        # pair straddling a 60s bucket boundary where the LATER event
+        # has the SMALLER id (the canonicalization regression case)
+        (1, t(59), 9, "x"),
+        (1, t(61), 2, "x"),
+        # same type but 100s apart -> not a duplicate
+        (1, t(200), 3, "x"),
+        # different type within 1s -> not a duplicate
+        (2, t(0), 4, "a"),
+        (2, t(1), 5, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    out = R.duplicate_events(
+        df, "user_id", "ts", "event_type", "event_id", within_sec=60.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (2, 9)
+    assert r.gap_sec == 2.0

@@ -2716,6 +2716,15 @@ def q_trade_degree(spark, sf_dir):
     )
 
 
+def q_distinctive_terms(spark, sf_dir):
+    # Per-source distinctive vocabulary: informative-Dirichlet weighted
+    # log-odds z-scores (Monroe et al. 2008), top-10 per source
+    # (text.py:distinctive_terms).
+    return TX.distinctive_terms(
+        _t(spark, sf_dir, "documents"), "source", min_count=5, top_n=10
+    )
+
+
 def q_duplicate_events(spark, sf_dir):
     # Replay/double-submit detector: same user firing the same event
     # type twice within 10 minutes — bounded bucket-expansion interval
@@ -3271,6 +3280,7 @@ def q_cluster_split(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_distinctive_terms",
     "ext_duplicate_events",
     "llm_uncertainty_sample",
     "ext_funnel_step_times",
@@ -3393,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_distinctive_terms": q_distinctive_terms,
         "ext_duplicate_events": q_duplicate_events,
         "llm_uncertainty_sample": q_uncertainty_sample,
         "ext_funnel_step_times": q_funnel_step_times,
@@ -4883,6 +4894,43 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
+        "llm_distinctive_terms": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            gt AS (
+                SELECT source, term, count(*) AS c
+                FROM tok GROUP BY 1, 2
+            ),
+            tt AS (SELECT term, sum(c) AS ct FROM gt GROUP BY 1),
+            gg AS (SELECT source, sum(c) AS cg FROM gt GROUP BY 1),
+            nn AS (SELECT sum(ct)::DOUBLE AS n FROM tt),
+            j AS (
+                SELECT gt.source, gt.term, c, ct, cg, n,
+                       0.01 * ct AS aw, 0.01 * n AS a0
+                FROM gt JOIN tt USING (term) JOIN gg USING (source)
+                CROSS JOIN nn
+                WHERE c >= 5
+            ),
+            z AS (
+                SELECT source, term, c AS n_in_group,
+                       round((ln((c + aw) / ((cg + a0) - (c + aw)))
+                              - ln(((ct - c) + aw)
+                                   / (((n - cg) + a0) - ((ct - c) + aw))))
+                             / sqrt(1.0 / (c + aw) + 1.0 / ((ct - c) + aw)),
+                             4) AS z
+                FROM j
+            )
+            SELECT source, term, n_in_group, z FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY z DESC, term
+                ) AS rk
+                FROM z
+            ) WHERE rk <= 10
+        """,
         "ext_duplicate_events": """
             SELECT DISTINCT a.user_id, a.event_type,
                    least(a.event_id, b.event_id) AS id_a,

@@ -831,3 +831,63 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    alpha: float = 0.01,
+    min_count: int = 5,
+    top_n: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group distinctive vocabulary via weighted log-odds with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008): for
+    each (group, term), the z-scored log-odds of the term in the group
+    versus the REST of the corpus, with the corpus-wide distribution as
+    the prior (``alpha · corpus_count``) so rare terms don't dominate.
+    Returns each group's ``top_n`` terms by z — "what words make this
+    source sound like itself", the corpus-comparison dual of PMI.
+
+    One (group, term) count shuffle; corpus totals and priors derive
+    from the count table (vocabulary-bounded), rest-counts by
+    subtraction — the corpus is scanned once. The final rank window
+    runs per group on the min_count-pruned vocabulary frame.
+    """
+    from pyspark import StorageLevel
+
+    tok = (
+        fan_out(docs.select(F.col(group_col), F.col(text_col)), group_col)
+        .select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+    )
+    gt = (
+        tok.groupBy(group_col, "term")
+        .agg(F.count("*").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    term_tot = gt.groupBy("term").agg(F.sum("_c").alias("_ct"))
+    grp_tot = gt.groupBy(group_col).agg(F.sum("_c").alias("_cg"))
+    corpus_tot = term_tot.agg(F.sum("_ct").alias("_n"))
+    j = (
+        gt.join(term_tot, "term")
+        .join(F.broadcast(grp_tot), group_col)
+        .crossJoin(F.broadcast(corpus_tot))
+        .filter(F.col("_c") >= min_count)
+    )
+    a_w = F.lit(alpha) * F.col("_ct")
+    a_0 = F.lit(alpha) * F.col("_n")
+    y_g = F.col("_c") + a_w
+    n_g = F.col("_cg") + a_0
+    y_r = (F.col("_ct") - F.col("_c")) + a_w
+    n_r = (F.col("_n") - F.col("_cg")) + a_0
+    delta = F.log(y_g / (n_g - y_g)) - F.log(y_r / (n_r - y_r))
+    var = 1.0 / y_g + 1.0 / y_r
+    z = F.round(delta / F.sqrt(var), round_dp)
+    w = Window.partitionBy(group_col).orderBy(F.desc("z"), F.asc("term"))
+    return (
+        j.select(group_col, "term", F.col("_c").alias("n_in_group"), z.alias("z"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .drop("_rk")
+    )

@@ -732,3 +732,22 @@ def test_lsh_tuning_s_curve_properties(spark):
     # a J=1 pair is always captured -> recall at target<=1 is 1.0
     assert out[(12, 1)].expected_recall == 1.0
     assert out[(1, 12)].expected_recall == 1.0
+
+
+def test_distinctive_terms_finds_group_marker(spark):
+    from streaming_demos_spark.operators import text as TX
+
+    # "zebra" appears only in group A; "common" is everywhere
+    rows = []
+    for i in range(10):
+        rows.append(("A", f"common words zebra here {i % 3}"))
+        rows.append(("B", f"common words other here {i % 3}"))
+    docs = spark.createDataFrame(rows, "source string, text string")
+    out = TX.distinctive_terms(docs, "source", min_count=5, top_n=3)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.source, []).append(r.term)
+    assert by["A"][0] == "zebra"
+    assert by["B"][0] == "other"
+    # the shared vocabulary never tops either list
+    assert "common" not in (by["A"][0], by["B"][0])

@@ -39,6 +39,7 @@ from streaming_demos_spark.operators import selection as SEL
 from streaming_demos_spark.operators import similarity as SIM
 from streaming_demos_spark.operators import sketches as SK
 from streaming_demos_spark.operators import text as TX
+from streaming_demos_spark.operators import tpch as TPCH
 from streaming_demos_spark.operators import training as TR
 from streaming_demos_spark.schemas import ORDERS
 from streaming_demos_spark.sources import cdc
@@ -3279,7 +3280,119 @@ def q_cluster_split(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_tpch_q3(spark, sf_dir):
+    # Classic shipping-priority: 3-table join + top-k (tpch.py).
+    return TPCH.q3_shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    # Semi-join with a non-equi lateness conjunct (tpch.py).
+    return TPCH.q4_order_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    # 6-table local-supply-chain join with broadcast dims (tpch.py).
+    return TPCH.q5_local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    # Pure pushdown probe: scan-filter-aggregate, no join (tpch.py).
+    return TPCH.q6_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q7(spark, sf_dir):
+    # Bilateral nation trade volume, dual-aliased broadcast dim (tpch.py).
+    return TPCH.q7_nation_volume(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    # Returned-item top-k with scan-side predicates (tpch.py).
+    return TPCH.q10_returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    # Conditional aggregation (promo revenue share) (tpch.py).
+    return TPCH.q14_promo_effect(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    # Aggregate-vs-global-max (top supplier) (tpch.py).
+    return TPCH.q15_top_supplier(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    # Correlated per-part mean as a single-shuffle window (tpch.py).
+    return TPCH.q17_small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    # HAVING-subquery aggregate computed once and reused (tpch.py).
+    return TPCH.q18_large_volume_customer(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    # Disjunctive multi-clause join predicate (tpch.py).
+    return TPCH.q19_discounted_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    # Scalar-subquery threshold + anti-join on recent orders (tpch.py).
+    return TPCH.q22_dormant_high_balance(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 _WINDOW_PRIORITY = [
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "llm_distinctive_terms",
     "ext_duplicate_events",
     "llm_uncertainty_sample",
@@ -3403,6 +3516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "llm_distinctive_terms": q_distinctive_terms,
         "ext_duplicate_events": q_duplicate_events,
         "llm_uncertainty_sample": q_uncertainty_sample,

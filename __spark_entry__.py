@@ -23,6 +23,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -646,11 +647,13 @@ def q_tfidf_top_terms(spark, sf_dir):
 def q_svd_embed(spark, sf_dir):
     # §2.10 truncated SVD (preprocessor.py:94-97's 10-component half):
     # hashed tf-idf vectors -> distributed gram matrix -> driver-side
-    # eigh of the small D×D -> map-only projection. Non-SQL-expressible
-    # (eigendecomposition) -> rows-only check; numpy parity is in
-    # tests/test_tfidf.py. The embedding is unnested to scalar
-    # (doc_id, component_idx, value) rows so the checker's canonical
-    # sort works (an array<double> column is unsortable pandas-side).
+    # eigh of the small D×D -> map-only projection. Hash-verified
+    # against an independent numpy implementation (functions/
+    # numpy_ref.py) via a VALUES-table oracle: the component-grid snap
+    # in tfidf.svd_components makes both engines project against the
+    # bit-identical V, and the 6-dp output round absorbs matmul-blocking
+    # ulps. The embedding is unnested to scalar (doc_id, component_idx,
+    # value) rows so the checker's canonical sort works.
     from streaming_demos_spark.functions import tfidf as TI
 
     docs = _t(spark, sf_dir, "documents")
@@ -661,7 +664,7 @@ def q_svd_embed(spark, sf_dir):
     ).select(
         "doc_id",
         "component_idx",
-        F.round(F.col("_v"), 9).alias("value"),
+        F.round(F.col("_v"), 6).alias("value"),
     )
 
 
@@ -1237,6 +1240,121 @@ def q_mmr_diversify(spark, sf_dir):
     return SIM.mmr_topk(
         _t(spark, sf_dir, "embeddings"), _pq_query_vec(), k=5, lam=0.7, pool=50
     )
+
+
+_EIGEN_ORACLE_CACHE: dict = {}
+
+
+def _eigen_oracle_sqls() -> dict[str, str]:
+    """Numpy-computed VALUES-table oracles for the three
+    eigendecomposition keys (``f_svd_embed``, ``llm_word_vectors``,
+    ``llm_whiten_embeddings``).
+
+    Eigendecomposition is not SQL-expressible, so these oracles are a
+    genuine *independent second implementation*: pure Python/numpy
+    (functions/numpy_ref.py — its own tokenizer, its own bit-exact
+    XXH64, exact integer counting, single-matmul gram) reading the same
+    parquet via DuckDB, materialized as a VALUES table for the driver's
+    hash compare. Both engines share only the published determinism
+    conventions (component grid + sign, see tfidf.svd_components), so a
+    hash match certifies the distributed pipeline end-to-end against a
+    single-node reference — the differential-testing analog of the
+    numpy parity tests, made driver-checkable.
+
+    The data dir defaults to the driver's comparison scale (sf0.01);
+    ``ORACLE_SF_DIR`` overrides for local sweeps. Fails soft: on any
+    error the keys are omitted and the driver falls back to its
+    rows-only check.
+    """
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf in _EIGEN_ORACLE_CACHE:
+        return _EIGEN_ORACLE_CACHE[sf]
+    out: dict[str, str] = {}
+    try:
+        import duckdb
+        import numpy as np
+
+        from streaming_demos_spark.functions import numpy_ref as NR
+        from streaming_demos_spark.functions.tfidf import svd_components
+
+        con = duckdb.connect()
+
+        def values_sql(rows, id_sql_type, cols):
+            body = ",\n".join(
+                "(%s, %d, %r)" % (r[0], r[1], float(r[2])) for r in rows
+            )
+            return (
+                "SELECT CAST(c0 AS %s) AS %s, CAST(c1 AS INT) AS %s,\n"
+                "       CAST(c2 AS DOUBLE) AS %s\n"
+                "FROM (VALUES\n%s\n) AS t(c0, c1, c2)"
+                % (id_sql_type, cols[0], cols[1], cols[2], body)
+            )
+
+        def project_rows(ids, vecs, V):
+            # mirror the Spark chain exactly: numpy round(9) inside the
+            # projection UDF, then JVM-HALF_UP F.round(6) in the query.
+            rows = []
+            for i in ids:
+                e = np.round(vecs[i] @ V, 9)
+                rows.extend(
+                    (i, j, NR.jvm_round(e[j], 6)) for j in range(V.shape[1])
+                )
+            return rows
+
+        # f_svd_embed: hashed tf-idf (dim 64) -> top-8 SVD projection.
+        docs = con.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+            " ORDER BY doc_id"
+        ).fetchall()
+        ids = [r[0] for r in docs]
+        texts = [r[1] for r in docs]
+        tv = NR.hashed_tfidf_vectors(ids, texts, dim=64)
+        X = np.stack([tv[i] for i in ids])
+        V = svd_components(X.T @ X, 8)
+        out["f_svd_embed"] = values_sql(
+            project_rows(ids, tv, V),
+            "BIGINT",
+            ("doc_id", "component_idx", "value"),
+        )
+
+        # llm_word_vectors: PPMI co-occurrence (window 3, min_count 5,
+        # dim 64) -> top-8 SVD projection, per term.
+        pv = NR.ppmi_vectors(texts, window=3, min_count=5, dim=64)
+        terms = sorted(pv)
+        Xp = np.stack([pv[t] for t in terms])
+        Vp = svd_components(Xp.T @ Xp, 8)
+        rows = []
+        for t in terms:
+            e = np.round(pv[t] @ Vp, 9)
+            rows.extend(
+                ("'%s'" % t.replace("'", "''"), j, NR.jvm_round(e[j], 6))
+                for j in range(8)
+            )
+        out["llm_word_vectors"] = values_sql(
+            rows, "VARCHAR", ("term", "component_idx", "value")
+        )
+
+        # llm_whiten_embeddings: ZCA whitening of the embeddings table.
+        emb = con.sql(
+            f"SELECT vec_id, embedding FROM"
+            f" read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        eids = [r[0] for r in emb]
+        Xe = np.array([r[1] for r in emb], dtype=np.float64)
+        mu, W = NR.whitening_transform(Xe)
+        white = np.round((Xe - mu) @ W, 6)
+        rows = [
+            (eids[i], j, white[i, j])
+            for i in range(len(eids))
+            for j in range(Xe.shape[1])
+        ]
+        out["llm_whiten_embeddings"] = values_sql(
+            rows, "BIGINT", ("vec_id", "component_idx", "value")
+        )
+    except Exception:
+        out = {}
+    _EIGEN_ORACLE_CACHE[sf] = out
+    return out
 
 
 def _sql_mmr(k: int = 5, lam: float = 0.7, pool: int = 50) -> str:
@@ -2783,10 +2901,12 @@ def q_ab_test(spark, sf_dir):
 
 def q_whiten_embeddings(spark, sf_dir):
     # ZCA whitening: mean/covariance via partition partial sums,
-    # driver eigh of the DxD, map-only projection. Rows-only
-    # (eigendecomposition); numpy parity in tests
+    # driver eigh of the DxD, map-only projection. Hash-verified
+    # against the independent numpy implementation (functions/
+    # numpy_ref.py): (mu, W) are snapped to a 1e-6 grid driver-side
+    # (W is sign-invariant — V f(L) V^T), outputs rounded at 6 dp
     # (similarity.py:whiten_embeddings).
-    out = SIM.whiten_embeddings(_t(spark, sf_dir, "embeddings"))
+    out = SIM.whiten_embeddings(_t(spark, sf_dir, "embeddings"), round_dp=6)
     return out.select(
         "vec_id", F.posexplode("whitened").alias("component_idx", "value")
     )
@@ -2963,9 +3083,10 @@ def q_mm_phash_neardup(spark, sf_dir):
 def q_word_vectors(spark, sf_dir):
     # PPMI-SVD word embeddings (Levy & Goldberg 2014): directional
     # windowed co-occurrence -> slot-hashed PPMI rows -> distributed
-    # gram + driver eigh + map-only projection. Non-SQL-expressible
-    # (eigendecomposition) -> rows-only check; numpy parity in
-    # tests/test_tfidf.py. Output unnested to scalar rows.
+    # gram + driver eigh + map-only projection. Hash-verified against
+    # the independent numpy implementation (functions/numpy_ref.py)
+    # via the component-grid convention (tfidf.svd_components) and a
+    # 6-dp output round. Output unnested to scalar rows.
     from streaming_demos_spark.functions import tfidf as TI
 
     emb = TI.ppmi_word_vectors(
@@ -2974,7 +3095,7 @@ def q_word_vectors(spark, sf_dir):
     return emb.select(
         "term", F.posexplode("embedding").alias("component_idx", "_v")
     ).select(
-        "term", "component_idx", F.round(F.col("_v"), 9).alias("value")
+        "term", "component_idx", F.round(F.col("_v"), 6).alias("value")
     )
 
 
@@ -3772,6 +3893,183 @@ _SQL_DSIR_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Eigendecomposition keys: independent numpy-reference
+        # VALUES tables (see _eigen_oracle_sqls) -- empty (-> driver
+        # rows-only fallback) only if the data dir is unreadable.
+        **_eigen_oracle_sqls(),
+        # --- TPC-H suite (operators/tpch.py) -- rounding and aliases
+        # mirror the Spark plans exactly; every LIMIT is preceded by a
+        # total order with a unique tie-breaker key.
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-15'
+              AND l.l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l.l_shipdate < TIMESTAMP '2000-01-01'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_14')
+                   OR (n1.n_name = 'NATION_14' AND n2.n_name = 'NATION_3'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0.0 END)
+                / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0),
+                4) AS promo_revenue_pct
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+              AND l.l_shipdate < TIMESTAMP '1998-04-01'
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q17": """
+            WITH brand_lines AS (
+                SELECT l.l_quantity, l.l_extendedprice,
+                       avg(l.l_quantity)
+                           OVER (PARTITION BY l.l_partkey) AS avg_qty
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#9'
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM brand_lines
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 1) AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 1) > 300.0
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1.0 AND 20.0)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                   AND l.l_quantity BETWEEN 10.0 AND 30.0)
+               OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+                   AND l.l_quantity BETWEEN 20.0 AND 50.0)
+        """,
+        "tpch_q22": """
+            SELECT n.n_name, count(*) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-08-01'
+              )
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
         "llm_dedup_report": _sql_dedup_report(threshold=0.1),
@@ -4146,10 +4444,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             binned AS (
                 SELECT l.l_returnflag, l.l_extendedprice,
-                       CASE WHEN r.hi > r.lo
+                       coalesce(CASE WHEN r.hi > r.lo
                             THEN least(9, floor((l.l_extendedprice - r.lo)
-                                                / ((r.hi - r.lo) / 10))::INT)
-                            ELSE 0 END AS bin
+                                   / nullif((r.hi - r.lo) / 10, 0))::INT)
+                            ELSE 0 END, 0) AS bin
                 FROM lineitem l JOIN rng r USING (l_returnflag)
             )
             SELECT l_returnflag, bin, count(*) AS n_rows,

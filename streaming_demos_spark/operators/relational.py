@@ -1015,12 +1015,22 @@ def value_histogram(
     rng = df.groupBy(group_col).agg(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )
+    # try_divide, not `/`: width can underflow to exactly 0.0 while
+    # hi > lo is still true (subnormal spans, e.g. {0.0, 5e-324}), and a
+    # `when(hi > lo, ...)` guard does NOT stop the raw division from
+    # evaluating inside hash-agg codegen under ANSI (DIVIDE_BY_ZERO).
+    # try_divide yields NULL there; coalesce collapses the group to bin 0.
     width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
-    raw_bin = F.floor((F.col(value_col) - F.col("_lo")) / width).cast("int")
-    bin_idx = F.when(
-        F.col("_hi") > F.col("_lo"),
-        F.least(F.lit(bins - 1), raw_bin),
-    ).otherwise(F.lit(0))
+    raw_bin = F.floor(
+        F.try_divide(F.col(value_col) - F.col("_lo"), width)
+    ).cast("int")
+    bin_idx = F.coalesce(
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(F.lit(bins - 1), raw_bin),
+        ).otherwise(F.lit(0)),
+        F.lit(0),
+    )
     return (
         df.join(F.broadcast(rng), group_col)
         .withColumn("bin", bin_idx)

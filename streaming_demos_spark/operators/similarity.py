@@ -1361,6 +1361,12 @@ def whiten_embeddings(
     cov = g.reshape(d, d) / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)
     w_mat = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T
+    # Component grid (see tfidf.svd_components): snap the driver-side
+    # (mu, W) to 1e-6 so every task layout — and the independent numpy
+    # reference (functions/numpy_ref.py) — projects against the
+    # bit-identical matrices. ZCA's W is symmetric in eigenvector sign,
+    # so no sign convention is needed.
+    mu, w_mat = np.round(mu, 6), np.round(w_mat, 6)
 
     @F.pandas_udf("array<double>")
     def project(vs: pd.Series) -> pd.Series:

@@ -40,7 +40,10 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    """Lazily-built revenue expression — must not evaluate F.col at
+    import time (pyspark asserts an active SparkContext)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def q3_shipping_priority(
@@ -68,7 +71,7 @@ def q3_shipping_priority(
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > _ts(pivot_date))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(k)
@@ -150,7 +153,7 @@ def q5_local_supplier_volume(
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -239,7 +242,7 @@ def q7_nation_volume(
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -275,7 +278,7 @@ def q10_returned_items(
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(k)
@@ -301,13 +304,13 @@ def q14_promo_effect(
         (F.col("l_shipdate") >= _ts(date_from))
         & (F.col("l_shipdate") < _ts(date_to))
     )
-    promo = F.when(F.col("p_type") == promo_type, _REVENUE).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == promo_type, _revenue()).otherwise(F.lit(0.0))
     return (
         month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.try_divide(F.sum(promo), F.sum(_REVENUE)),
+                * F.try_divide(F.sum(promo), F.sum(_revenue())),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -337,7 +340,7 @@ def q15_top_supplier(
             & (F.col("l_shipdate") < _ts(date_to))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
     return (
@@ -459,7 +462,7 @@ def q19_discounted_revenue(
     return (
         lineitem.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 

@@ -1438,12 +1438,19 @@ def test_whiten_embeddings_numpy_parity_and_identity_cov(spark):
     mu = X.mean(axis=0)
     C = (X - mu).T @ (X - mu) / 64
     nondegen = np.linalg.eigvalsh(C) > 1e-6
-    assert np.allclose(np.diag(cov)[nondegen], 1.0, atol=1e-6)
-    # parity with a direct numpy recomputation
-    vals, vecs = np.linalg.eigh(C)
-    Wm = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 1e-6))) @ vecs.T
-    ref = (X - mu) @ Wm
-    assert np.allclose(W, ref.round(9), atol=1e-6)
+    # the 1e-6 component-grid snap on (mu, W) perturbs the whitened
+    # covariance by ~|x|*d*1e-6 — identity within that budget
+    assert np.allclose(np.diag(cov)[nondegen], 1.0, atol=1e-4)
+    # parity with the independent numpy reference implementation
+    # (shares only the published grid/rounding conventions) — near
+    # bit-exact, not merely allclose
+    from streaming_demos_spark.functions.numpy_ref import (
+        whitening_transform,
+    )
+
+    mu_r, Wm = whitening_transform(X)
+    ref = ((X - mu_r) @ Wm).round(9)
+    assert np.allclose(W, ref, atol=1e-9)
 
 
 def test_seasonal_profile_recovers_planted_hour_shape(spark):

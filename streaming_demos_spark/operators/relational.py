@@ -464,11 +464,16 @@ def grouped_quantiles_selection(
     membership is decided by the SAME column expression in passes 2 and
     3, so float boundary ulps can never shift a row between passes.
 
-    Driver state is bounded by construction: |groups| stat rows,
-    |groups| * n_buckets histogram counts, 2 * |groups| * |probs| need
-    rows — a summary operator's contract (low-cardinality groups), with
-    no dependence on row count. Degenerate groups (all values equal)
-    take the same path with width clamped to 1.
+    Driver state is ZERO — every intermediate (per-group stats, the
+    cumulative histogram, the needed-rank table) stays a DataFrame, so
+    group cardinality is unbounded: the per-group frames are tiny
+    relative to the data (|groups| stat rows, <= |groups| * n_buckets
+    histogram rows, 2 * |groups| * |probs| need rows) and AQE promotes
+    their joins to broadcast at runtime when they fit; at extreme group
+    cardinality they degrade gracefully to ordinary key-partitioned
+    shuffle joins instead of a driver OOM. Degenerate groups (all
+    values equal, or a sub-normal span whose bucket width underflows to
+    0) take the same path with width clamped to 1.
     """
     from pyspark import StorageLevel
 
@@ -476,75 +481,108 @@ def grouped_quantiles_selection(
     # histogram, bucket selection) — materialize it once; at scale this
     # is the column-pruned scan a production run would cache anyway.
     base = df.select(group_col, value_col).persist(StorageLevel.MEMORY_AND_DISK)
-    stats = {
-        r["g"]: (r["lo"], r["hi"], r["n"])
-        for r in base.groupBy(F.col(group_col).alias("g")).agg(
-            F.min(value_col).alias("lo"),
-            F.max(value_col).alias("hi"),
-            F.count("*").alias("n"),
-        ).collect()
-    }
-    meta = [
-        (g, float(lo), (float(hi) - float(lo)) / n_buckets or 1.0, int(n))
-        for g, (lo, hi, n) in stats.items()
-    ]
-    key_type = df.schema[group_col].dataType.simpleString()
-    meta_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            meta, f"{group_col} {key_type}, _lo double, _w double, _n long"
+    v = F.col(value_col).cast("double")
+    raw_w = (F.col("_hi") - F.col("_lo")) / F.lit(n_buckets)
+    stats = (
+        base.groupBy(group_col)
+        .agg(
+            F.min(v).alias("_lo"),
+            F.max(v).alias("_hi"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            group_col,
+            "_lo",
+            "_n",
+            F.when(raw_w > 0, raw_w).otherwise(F.lit(1.0)).alias("_w"),
         )
     )
+    # Bucket membership is the SAME expression in the histogram and the
+    # selection pass, so float boundary ulps can never shift a row
+    # between passes.
     bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col(value_col) - F.col("_lo")) / F.col("_w")),
+        F.lit(n_buckets - 1), F.floor((v - F.col("_lo")) / F.col("_w"))
     ).cast("int")
     hist = (
-        base.join(meta_df, group_col)
-        .groupBy(F.col(group_col).alias("g"), bucket.alias("b"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()
+        base.join(stats, group_col)
+        .groupBy(group_col, bucket.alias("_b"))
+        .agg(F.count("*").alias("_cnt"))
     )
-    counts: dict[str, dict[int, int]] = {}
-    for r in hist:
-        counts.setdefault(r["g"], {})[r["b"]] = r["cnt"]
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist_cum = hist.withColumn("_cum", F.sum("_cnt").over(w_cum))
 
-    # (group, prob, which) -> bucket + residual rank for the floor/ceil
-    # order statistics of (n-1)*p, 1-based.
-    needs = []
-    for g, (_, _, n) in stats.items():
-        cum_buckets = sorted(counts[g].items())
-        for p in probs:
-            t = (n - 1) * p
-            frac = t - int(t)
-            for which, k in (("lo", int(t) + 1), ("hi", -(-t // 1) + 1)):
-                k = min(int(k), n)
-                cum = 0
-                for b, cnt in cum_buckets:
-                    if cum + cnt >= k:
-                        needs.append((g, float(p), which, frac, b, k - cum))
-                        break
-                    cum += cnt
-    needs_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            needs,
-            f"{group_col} {key_type}, _p double, _which string, _frac double,"
-            " _b int, _residual long",
+    # (group, prob, which) -> needed 1-based order statistics: the
+    # floor and ceil ranks of t = (n-1)*p (identical double math to
+    # Spark's Percentile), then the bucket holding each rank + the
+    # residual rank inside it — located by joining the need row to the
+    # one cumulative-histogram row whose (cum-cnt, cum] covers k.
+    t = (F.col("_n") - 1).cast("double") * F.col("_p")
+    needs = (
+        stats.select(
+            group_col,
+            "_n",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in probs])
+            ).alias("_p"),
+        )
+        .select(
+            group_col,
+            "_n",
+            "_p",
+            (t - F.floor(t)).alias("_frac"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("_which"),
+                        (F.floor(t).cast("long") + 1).alias("_k"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("_which"),
+                        (F.ceil(t).cast("long") + 1).alias("_k"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .select(
+            group_col,
+            "_p",
+            "_frac",
+            F.col("_e._which").alias("_which"),
+            F.least(F.col("_n"), F.col("_e._k")).alias("_k"),
+        )
+    )
+    located = (
+        needs.join(hist_cum, group_col)
+        .filter(
+            (F.col("_cum") >= F.col("_k"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
+        )
+        .select(
+            group_col,
+            "_p",
+            "_frac",
+            "_which",
+            F.col("_b").alias("_bucket"),
+            (F.col("_k") - (F.col("_cum") - F.col("_cnt"))).alias(
+                "_residual"
+            ),
         )
     )
     w = Window.partitionBy(group_col, "_p", "_which").orderBy(value_col)
     selected = (
-        base.join(meta_df, group_col)
+        base.join(stats, group_col)
         .withColumn("_bucket", bucket)
-        .join(
-            needs_df.withColumnRenamed("_b", "_bucket"),
-            [group_col, "_bucket"],
-        )
+        .join(located, [group_col, "_bucket"])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == F.col("_residual"))
     )
-    q = F.max(F.when(F.col("_which") == "lo", F.col(value_col))) + (
-        F.max(F.when(F.col("_which") == "hi", F.col(value_col)))
-        - F.max(F.when(F.col("_which") == "lo", F.col(value_col)))
+    q = F.max(F.when(F.col("_which") == "lo", v)) + (
+        F.max(F.when(F.col("_which") == "hi", v))
+        - F.max(F.when(F.col("_which") == "lo", v))
     ) * F.first("_frac")
     per_p = selected.groupBy(group_col, "_p").agg(q.alias("_q"))
     return per_p.groupBy(group_col).agg(
@@ -555,9 +593,7 @@ def grouped_quantiles_selection(
             ).alias(f"p{int(round(p * 100))}")
             for p in probs
         ]
-    ).join(
-        meta_df.select(group_col, F.col("_n").alias("n_rows")), group_col
-    )
+    ).join(stats.select(group_col, F.col("_n").alias("n_rows")), group_col)
 
 
 # --- O2: top-k (global and per-group) ---------------------------------------

@@ -304,15 +304,18 @@ def test_curriculum_bins_no_global_sort_or_window(spark):
         .executedPlan()
         .toString()
     )
-    # No rank-based global binning: the only Window is the quantile
-    # selection's own, partitioned by the ([group,] prob, which) probe key
-    # and bounded to one histogram bucket per partition — never an
-    # un-partitioned ntile.
+    # No rank-based global binning: every Window belongs to the
+    # quantile selection and is partitioned — by the ([group,] prob,
+    # which) probe key (bucket selection, one histogram bucket per
+    # partition) or by the group key (cumulative histogram,
+    # <= n_buckets rows per partition) — never an un-partitioned ntile
+    # or a global row_number.
     assert "ntile" not in plan
     import re
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
-        assert "_p#" in spec, f"un-probe-partitioned window: {spec}"
+        head = re.split(r" (?:ASC|DESC)", spec)[0]
+        assert "," in head, f"un-partitioned window: {spec}"
 
 
 def test_quality_drift_psi_zero_for_identical_snapshots(spark):

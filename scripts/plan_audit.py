@@ -50,9 +50,34 @@ def main() -> None:
         arrow = len(re.findall(
             r"MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython|MapInArrow", plan))
         rowpy = plan.count("BatchEvalPython")
-        rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy))
+        # un-partitioned windows: every global windowspec funnels its
+        # input through ONE task — only acceptable over frames bounded
+        # by construction (distinct-score grid, per-key table, candidate
+        # pool, fixed dims). The allowlist documents each bound; any
+        # NEW unpartitioned window is a red flag until justified here.
+        unpart = 0
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            if "," not in re.split(r" (?:ASC|DESC)", spec)[0]:
+                unpart += 1
+        bounded_window_ok = {
+            # frame the global window runs over (NOT the raw rows):
+            "ext_kaplan_meier": "distinct-duration grid",
+            "llm_fair_allocation": "per-key caps table",
+            "llm_hybrid_rerank": "query's candidate pool",
+            "llm_zipf_fit": "distinct term-frequency grid",
+            "ext_sequence_gaps": "incomplete-bucket boundary rows",
+            "llm_quality_eval": "distinct-score grid",
+            "eval_auc": "distinct-score grid",
+            "j4_zip_join": "fixed 25/5-row dims",
+        }
+        rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:
             flags.append(f"- `{key}`: {rowpy} row-at-a-time BatchEvalPython stage(s)")
+        if unpart and key not in bounded_window_ok:
+            flags.append(
+                f"- `{key}`: {unpart} un-partitioned window(s) not on the"
+                " bounded-frame allowlist"
+            )
 
     rows.sort(key=lambda r: (-r[1], r[0]))
     with open("PLAN_AUDIT.md", "w") as fh:
@@ -66,13 +91,17 @@ def main() -> None:
             "`arrow-py` = Arrow-batched Python stages (vectorized, the only\n"
             "acceptable Python in a data path); row-at-a-time Python must be\n"
             "(and is) zero everywhere — see Red flags.\n\n"
-            "| query | shuffles | broadcasts | 1-part | top-k | pushdown | arrow-py |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "`glob-win` = un-partitioned windows; allowed only over\n"
+            "frames bounded by construction (distinct-value grids,\n"
+            "per-key tables, candidate pools, fixed dims — allowlisted\n"
+            "in the script with the bound named); any other is a flag.\n\n"
+            "| query | shuffles | broadcasts | 1-part | top-k | pushdown | arrow-py | glob-win |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
-        for k, ex, bc, sp, tk, pd, ar, rp in rows:
+        for k, ex, bc, sp, tk, pd, ar, rp, up in rows:
             fh.write(
                 f"| {k} | {ex} | {bc} | {sp} | {'y' if tk else ''} | "
-                f"{'y' if pd else ''} | {ar or ''} |\n"
+                f"{'y' if pd else ''} | {ar or ''} | {up or ''} |\n"
             )
         fh.write("\n## Red flags\n\n")
         fh.write("\n".join(flags) if flags else "None.\n")

@@ -119,6 +119,19 @@ PROBE_KEYS = [
     "llm_quality_classifier",
     "llm_random_projection",
     "llm_cluster_split",
+    # round 4: the TPC-H suite (audited + probed this round)
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -3501,7 +3501,107 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    # Correlated-min supplier choice over the observed supply relation
+    # (tpch.py:q2_min_cost_supplier).
+    return TPCH.q2_min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    # Nation market share: conditional share over a 7-table join
+    # (tpch.py:q8_market_share).
+    return TPCH.q8_market_share(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    # Product profit by supplier nation and year (tpch.py:q9_product_profit).
+    return TPCH.q9_product_profit(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    # Fraction-of-total important parts (tpch.py:q11_important_stock).
+    return TPCH.q11_important_stock(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    # Ship-delay tiers vs order priority (tpch.py:q12_late_shipment_priority).
+    return TPCH.q12_late_shipment_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    # Customer order-count distribution incl. zero bucket
+    # (tpch.py:q13_customer_distribution).
+    return TPCH.q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    # Distinct supplier counts per part spec (tpch.py:q16_supplier_part_counts).
+    return TPCH.q16_supplier_part_counts(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    # Nested semi-join + correlated threshold (tpch.py:q20_excess_shippers).
+    return TPCH.q20_excess_shippers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    # Sole-late-supplier detection: exists + not-exists as ONE per-order
+    # aggregate (tpch.py:q21_waiting_orders).
+    return TPCH.q21_waiting_orders(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 _WINDOW_PRIORITY = [
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
@@ -3637,6 +3737,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
@@ -3900,6 +4009,187 @@ def oracle_sql() -> dict[str, str]:
         # --- TPC-H suite (operators/tpch.py) -- rounding and aliases
         # mirror the Spark plans exactly; every LIMIT is preceded by a
         # total order with a unique tie-breaker key.
+        "tpch_q2": """
+            WITH supply AS (
+                SELECT l_partkey, l_suppkey,
+                       floor(min(l_extendedprice
+                                 / nullif(l_quantity, 0)) * 10000 + 0.5)
+                           / 10000 AS supply_cost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            regional AS (
+                SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+                       n.n_name, sp.supply_cost,
+                       row_number() OVER (
+                           PARTITION BY p.p_partkey
+                           ORDER BY sp.supply_cost, s.s_suppkey) AS rk
+                FROM supply sp
+                JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                JOIN part p ON sp.l_partkey = p.p_partkey
+                WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+            )
+            SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+                   supply_cost
+            FROM regional WHERE rk = 1
+            ORDER BY supply_cost DESC, p_partkey
+            LIMIT 20
+        """,
+        "tpch_q8": """
+            SELECT year(o.o_orderdate) AS o_year,
+                   round(
+                       sum(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0.0::DOUBLE END)
+                       / nullif(sum(l.l_extendedprice * (1 - l.l_discount)),
+                                0),
+                       6) AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.6::DOUBLE * p.p_retailprice
+                               * l.l_quantity), 2) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE contains(p.p_name, 'red')
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH traded AS (
+                SELECT l.l_partkey,
+                       round(sum(l.l_extendedprice * l.l_quantity), 2)
+                           AS part_value
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_7'
+                GROUP BY l.l_partkey
+            )
+            SELECT l_partkey, part_value
+            FROM traded
+            WHERE part_value > (SELECT sum(part_value) * 0.001::DOUBLE
+                                FROM traded)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "tpch_q12": """
+            SELECT CASE
+                       WHEN date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)
+                            BETWEEN 30 AND 59 THEN '30-60d'
+                       ELSE '>60d'
+                   END AS delay_tier,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) >= 30
+            GROUP BY delay_tier
+            ORDER BY delay_tier
+        """,
+        "tpch_q13": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                  AND o.o_orderpriority <> '5-LOW'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT sp.l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+            JOIN part p ON sp.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#5'
+              AND p.p_size IN (1, 7, 14, 23, 36, 45, 49, 3)
+              AND sp.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "tpch_q20": """
+            WITH promo AS (
+                SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+            ),
+            yr AS (
+                SELECT l_suppkey, sum(l_quantity) AS q
+                FROM lineitem JOIN promo ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+            ),
+            alltime AS (
+                SELECT l_suppkey, sum(l_quantity) AS q
+                FROM lineitem JOIN promo ON l_partkey = p_partkey
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_2'
+              AND s.s_suppkey IN (
+                  SELECT yr.l_suppkey FROM yr
+                  JOIN alltime a ON yr.l_suppkey = a.l_suppkey
+                  WHERE yr.q > 0.18::DOUBLE * a.q)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q21": """
+            WITH li AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN l.l_shipdate
+                                 > o.o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late = 1
+                                           THEN l_suppkey END) AS n_late
+                FROM li GROUP BY l_orderkey
+            ),
+            sole AS (
+                SELECT DISTINCT li.l_orderkey, li.l_suppkey
+                FROM li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+                WHERE li.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM sole
+            JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_14'
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 100
+        """,
         "tpch_q3": """
             SELECT l.l_orderkey,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)

@@ -132,6 +132,15 @@ PROBE_KEYS = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

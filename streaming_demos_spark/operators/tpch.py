@@ -503,3 +503,503 @@ def q22_dormant_high_balance(
         )
         .orderBy("n_name")
     )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 (adapted): for each part of one size, the cheapest
+    supplier in one region — the correlated-min + join-back shape.
+
+    The spec's partsupp.ps_supplycost is trimmed from TESTDATA, so the
+    supply relation and its cost come from observed trade: the DISTINCT
+    (part, supplier) pairs in lineitem, costed at the supplier's
+    minimum observed unit price (min over that pair's lineitems of
+    l_extendedprice / l_quantity). The correlated subquery ("cost =
+    min cost over suppliers of this part in the region") is a window
+    min over p_partkey — one shuffle, strictly better than the spec's
+    self-join translation which scans the supply relation twice.
+
+    Plan shape: size filter prunes part at the scan; nation/region
+    broadcast; the supply relation aggregates once on (part, supplier);
+    ties on min cost break by s_suppkey via the rank window's full
+    ordering; orderBy+limit -> TakeOrderedAndProject.
+    """
+    # fixed-point quantization (floor(x*1e4+0.5)/1e4), NOT F.round:
+    # decimal HALF_UP vs binary rounding diverges exactly at 4-dp
+    # midpoints, while this chain is plain IEEE ops every engine
+    # computes bit-identically on the same doubles.
+    unit_cost = (
+        F.floor(
+            F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    supply = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(unit_cost.alias("supply_cost"))
+    )
+    regional = (
+        supply.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_size") == size).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supply_cost", "s_suppkey")
+    return (
+        regional.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("supply_cost"),
+        )
+        .orderBy(F.desc("supply_cost"), "p_partkey")
+        .limit(k)
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+    date_from: str = "1997-01-01",
+    date_to: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for one part
+    type, by order year — the conditional-share (sum(case)/sum) shape
+    over a 7-table join.
+
+    Plan shape: the market is defined by the CUSTOMER's region (nation
+    + region broadcast on the customer side), the share by the
+    SUPPLIER's nation (second broadcast of nation under an alias); the
+    type filter prunes part before its broadcast, and the date filter
+    prunes orders at the scan. One groupBy(year) aggregate computes
+    both the numerator and denominator — a single pass, no self-join.
+    """
+    cust_nat = nation.select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_regionkey").alias("_cn_region"),
+    )
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == p_type).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= _ts(date_from))
+                & (F.col("o_orderdate") < _ts(date_to))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("_cn_region") == F.col("r_regionkey"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("_sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.when(F.col("supp_nation") == target_nation, vol)
+                        .otherwise(F.lit(0.0))
+                    ),
+                    F.sum(vol),
+                ),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 (adapted): profit by supplier nation and order year for
+    parts whose name contains a token.
+
+    The spec's cost term (ps_supplycost * l_quantity) uses the trimmed
+    partsupp; the adapted cost — ``cost_factor * p_retailprice *
+    l_quantity`` — preserves the exact plan shape (the part dim joined
+    into the profit expression) with a deterministic stand-in.
+
+    Plan shape: the name filter prunes part before broadcast; profit is
+    computed inside the joined stream; one groupBy(nation, year)
+    aggregate; contains() cannot push to parquet but evaluates in the
+    scan stage before any shuffle.
+    """
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        cost_factor
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(
+                    F.contains(F.col("p_name"), F.lit(name_token))
+                ).select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_7",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 (adapted): parts representing an outsized share of one
+    nation's traded value — the fraction-of-global-scalar shape
+    (grouped sum vs a broadcast threshold derived from the SAME sum).
+
+    The spec's inventory value (ps_supplycost * ps_availqty) uses the
+    trimmed partsupp; traded value (l_extendedprice * l_quantity summed
+    over the nation's suppliers' lineitems) keeps the identical
+    aggregate-vs-scalar-subquery plan: one (partkey) shuffle for the
+    per-part sums, a 1-row aggregate over the same frame broadcast back
+    as the threshold — the per-part frame is computed ONCE and reused
+    for both sides, never two scans.
+    """
+    traded = (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("part_value")
+        )
+    )
+    threshold = traded.agg(
+        (F.sum("part_value") * F.lit(fraction)).alias("_thr")
+    )
+    return (
+        traded.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q12_late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    tiers: tuple = ((30, 60), (60, 100000)),
+) -> DataFrame:
+    """TPC-H Q12 (adapted): shipping-delay tiers vs order priority —
+    count high- and low-priority orders per lateness tier.
+
+    The spec groups by l_shipmode with a commit/receipt lateness test;
+    both columns are trimmed, so the adapted grouping is the ship-delay
+    tier (days between order and ship date, bucketed) and the lateness
+    window is a year of ship dates — the identical join + dual
+    conditional count shape.
+
+    Plan shape: one orderkey shuffle joins the year's lineitems to
+    orders; the tier expression and both CASE counts evaluate in the
+    joined stream; one small groupBy(tier) aggregate.
+    """
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    tier = None
+    for lo, hi in sorted(tiers):
+        label = f"{lo}-{hi}d" if hi < 100000 else f">{lo}d"
+        cond = (delay >= lo) & (delay < hi)
+        tier = (
+            F.when(cond, F.lit(label))
+            if tier is None
+            else tier.when(cond, F.lit(label))
+        )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(date_from))
+            & (F.col("l_shipdate") < _ts(date_to))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("delay_tier", tier)
+        .filter(F.col("delay_tier").isNotNull())
+        .groupBy("delay_tier")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("delay_tier")
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "5-LOW",
+) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, including
+    the zero-order bucket — the left-outer-join + double-aggregation
+    shape.
+
+    The spec excludes orders by a comment pattern (trimmed column); the
+    adaptation excludes one order priority, preserving the filtered
+    LEFT join exactly (the filter rides ON the join, not WHERE — a
+    WHERE would silently turn the join inner and lose the zero
+    bucket).
+
+    Plan shape: shuffle both sides on custkey once; count(o_orderkey)
+    (not count(*)) makes unmatched customers count 0; the second
+    aggregate runs on the |customers|-row frame, and its distribution
+    output is at most |distinct counts| rows.
+    """
+    kept = orders.filter(F.col("o_orderpriority") != exclude_priority)
+    per_cust = (
+        customer.join(
+            kept, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q16_supplier_part_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#5",
+    sizes: tuple = (1, 7, 14, 23, 36, 45, 49, 3),
+) -> DataFrame:
+    """TPC-H Q16 (adapted): how many distinct suppliers can deliver
+    each (brand, type, size) combination, excluding one brand and
+    excluding flagged suppliers — the distinct-count over a derived
+    supply relation + NOT IN shape.
+
+    Adaptations on the trimmed schema: the supply relation is the
+    DISTINCT (part, supplier) pairs observed in lineitem (partsupp is
+    trimmed); the spec's complaint-comment supplier blacklist becomes
+    s_acctbal < 0 (a deterministic flag that exercises the same
+    anti-join).
+
+    Plan shape: the part filter prunes at the scan and broadcasts; the
+    blacklist is a tiny anti-join build side; ONE shuffle on (brand,
+    type, size) computes the distinct supplier count (partial distinct
+    map-side).
+    """
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    pf = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & (F.col("p_size").isin(list(sizes)))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_excess_shippers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_2",
+    p_type: str = "PROMO",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    excess_factor: float = 0.18,
+) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers in one nation who shipped an
+    outsized share of their multi-year volume of one part type inside
+    one year — the nested semi-join + correlated-threshold shape.
+
+    The spec compares ps_availqty (trimmed) to half the year's shipped
+    quantity; the adaptation compares the year's shipped quantity to
+    ``excess_factor`` x the supplier's all-time shipped quantity of the
+    same part set — the same correlated aggregate comparison, built
+    from one (suppkey) aggregation per period, joined, filtered, then
+    SEMI-joined into supplier so each supplier appears once.
+
+    Plan shape: the part-type set broadcasts into both lineitem passes;
+    the two per-supplier aggregates shuffle on the same key (AQE
+    co-locates them); the final semi-join's build side is the small
+    qualifying-supplier set.
+    """
+    promo_parts = F.broadcast(
+        part.filter(F.col("p_type") == p_type).select("p_partkey")
+    )
+    year_qty = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(date_from))
+            & (F.col("l_shipdate") < _ts(date_to))
+        )
+        .join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_yr"))
+    )
+    all_qty = (
+        lineitem.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("_sk"))
+        .agg(F.sum("l_quantity").alias("_all"))
+    )
+    qualifying = (
+        year_qty.join(all_qty, F.col("l_suppkey") == F.col("_sk"))
+        .filter(F.col("_yr") > F.lit(excess_factor) * F.col("_all"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            qualifying,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_orders(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_14",
+    late_days: int = 60,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers who were the SOLE late supplier
+    on a multi-supplier order — the exists + not-exists pair over the
+    same fact table.
+
+    The spec's lateness (l_receiptdate > l_commitdate) uses trimmed
+    columns; shipped more than ``late_days`` after the order date is
+    the stand-in. The exists ("another supplier on the order") and
+    not-exists ("no OTHER late supplier") are restated over a
+    per-(order, supplier) pre-aggregation: one (orderkey, suppkey)
+    shuffle collapses lineitems to distinct pairs carrying a was-late
+    flag, so the per-order "distinct suppliers / distinct late
+    suppliers" are plain count/sum on the pair table — no
+    countDistinct Expand, no second distinct pass — and the pair⨝order
+    join re-uses the orderkey partitioning. This computes both
+    quantified subqueries in two co-partitioned shuffles instead of
+    the spec's triple self-join.
+
+    Plan shape: lineitem joins orders once (orderkey shuffle),
+    F-status prunes orders at the scan, the supplier dim joins after
+    the heavy filter; orderBy+limit -> TakeOrderedAndProject.
+    """
+    pairs = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {int(late_days)} DAYS")
+                ).cast("int")
+            ).alias("_late")
+        )
+    )
+    per_order = pairs.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+    )
+    sole_late = (
+        pairs.filter(F.col("_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

@@ -7,14 +7,19 @@ values. Runs at sf0.001 for speed; the driver does the same at sf0.01.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
-import __spark_entry__ as entrymod
-from streaming_demos_spark.schemas import TESTDATA_TABLES
-
 SF_DIR = "/root/testdata/sf0.001"
+# The eigendecomposition oracles are numpy-computed from the data dir
+# (__spark_entry__._eigen_oracle_sqls); they must read the SAME scale
+# this test queries at. Set before the first oracle_sql() call.
+os.environ["ORACLE_SF_DIR"] = SF_DIR
+
+import __spark_entry__ as entrymod  # noqa: E402
+from streaming_demos_spark.schemas import TESTDATA_TABLES  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -141,6 +141,9 @@ PROBE_KEYS = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
+    "llm_interleave_shards",
+    "llm_normalize_text",
+    "llm_contamination_matrix",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

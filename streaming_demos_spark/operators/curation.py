@@ -1092,3 +1092,113 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def interleave_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "ep0",
+) -> DataFrame:
+    """Deterministic training-order assignment: every document gets a
+    (shard, position) under a seeded content-keyed permutation — the
+    export step that turns a curated corpus into reproducible training
+    shards whose read order is a uniform global shuffle (domains and
+    time-adjacent crawls interleave instead of clumping).
+
+    Mechanics: shard = md5(seed || id) mod ``n_shards`` (the
+    ``shard_key`` contract — layout-independent, balanced regardless of
+    id distribution); position = rank of the SAME md5 hex within the
+    shard (lexicographic, id tie-break). Rotating ``seed`` re-shuffles
+    every epoch without touching the data.
+
+    Scale: one hash-partitioned shuffle on the shard key; each shard's
+    ordering is a per-partition sort of ~N/n_shards rows — exactly the
+    sequential write a shard export performs anyway. ``n_shards``
+    scales with the corpus (100 TB -> O(10^4..10^5) shards), keeping
+    the per-task sort bounded; the rank window is partitioned, never
+    global.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            h.alias("_h"),
+            shard_key(id_col, seed, n_shards).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def contamination_matrix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    bench_name_col: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Contamination REPORT: for every (corpus group x benchmark) cell,
+    how many documents leak >= ``min_hits`` distinct word k-grams into
+    that benchmark, and the group's leak rate — the triage view that
+    tells a curation run WHICH source to drop or re-filter, where
+    ``decontaminate`` only flags individual documents.
+
+    Scale shape: identical to ``decontaminate`` — the benchmark
+    (name, shingle) set broadcasts, the corpus is scanned once with a
+    map-side probe and shuffles only by (doc, benchmark) for the hit
+    count, never by shingle (stopword n-grams are the skew trap);
+    per-group totals come from a second tiny aggregate on the group
+    column, joined back for the rate.
+    """
+    # the benchmark name rides INSIDE the shingle pipeline (no join
+    # back to the benchmark table — that join re-shuffled the exploded
+    # shingle frame and dominated the runtime)
+    bench_sh = (
+        fan_out(
+            benchmark.select(
+                F.col(bench_name_col).alias("benchmark"), F.col(text_col)
+            ),
+            "benchmark",
+        )
+        .select("benchmark", tokens(text_col).alias("_w"))
+        .select(
+            "benchmark",
+            F.array_distinct(
+                shingles_from_tokens(F.col("_w"), k)
+            ).alias("_sh"),
+        )
+        .select("benchmark", F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        _doc_shingles(docs, text_col, id_col, k)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "benchmark")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+    )
+    cells = (
+        contaminated.join(docs.select(id_col, group_col), id_col)
+        .groupBy(group_col, "benchmark")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    return (
+        cells.join(totals, group_col)
+        .select(
+            group_col,
+            "benchmark",
+            "n_contaminated",
+            "n_docs",
+            F.round(
+                F.col("n_contaminated") / F.col("n_docs"), round_dp
+            ).alias("rate"),
+        )
+        .orderBy(group_col, "benchmark")
+    )

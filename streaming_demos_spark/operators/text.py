@@ -891,3 +891,36 @@ def distinctive_terms(
         .filter(F.col("_rk") <= top_n)
         .drop("_rk")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text cleanup — the map-only normalization pass every
+    training-data pipeline runs before hashing/dedup so that byte-level
+    noise (control chars, zero-width marks, ragged whitespace) doesn't
+    split otherwise-identical documents into distinct fingerprints.
+
+    Three JVM regex passes, no UDF, no shuffle:
+      1. strip control chars (C0 minus \\t\\n\\r, DEL) and zero-width
+         code points (ZWSP/ZWNJ/ZWJ/BOM);
+      2. collapse every whitespace run to one space;
+      3. trim.
+
+    Returns (id, norm_text, n_chars_raw, n_chars_norm, changed) — the
+    changed flag feeds a cheap "how dirty is this source" rollup.
+    """
+    c = F.col(text_col)
+    stripped = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("norm_text"),
+        F.length(c).alias("n_chars_raw"),
+        F.length(collapsed).alias("n_chars_norm"),
+        (c != collapsed).alias("changed"),
+    )

@@ -144,6 +144,8 @@ PROBE_KEYS = [
     "llm_interleave_shards",
     "llm_normalize_text",
     "llm_contamination_matrix",
+    "ext_gapfill",
+    "llm_textrank_keywords",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -2683,3 +2683,96 @@ def duplicate_events(
         )
         .distinct()
     )
+
+
+# --- Time-bucket gap-fill (the hypertable rollup with interpolation) --------
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Time-bucketed per-key rollup with GAP FILLING — the hypertable
+    ``time_bucket_gapfill`` shape: every (key, bucket) cell of the
+    observed time range gets a row, with missing cells filled by linear
+    interpolation between the neighboring observations (LOCF before the
+    first / after the last neighbor on the open ends).
+
+    Returns (key, bucket, observed, filled, method) where method is
+    observed | interpolated | locf | backfill.
+
+    Plan shape: one combinable (key, bucket) aggregate; the dense grid
+    is keys x sequence(lo..hi) built from a broadcast 1-row bounds
+    frame (never a driver loop); neighbor lookup is two
+    key-partitioned windows with IGNORE NULLS — rows per window
+    partition are bounded by the time span / bucket width, never by
+    event count. try_divide guards the zero-length interpolation span
+    on observed rows (coalesce takes the observation first).
+    """
+    from streaming_demos_spark.functions.scalars import epoch_sec
+
+    b = F.floor(
+        epoch_sec(F.col(ts_col)) / F.lit(bucket_seconds)
+    ).cast("long")
+    actual = df.groupBy(F.col(key_col), b.alias("bucket")).agg(
+        F.round(F.avg(value_col), round_dp).alias("observed")
+    )
+    bounds = actual.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = (
+        actual.select(key_col)
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"))
+            ).alias("bucket"),
+        )
+    )
+    g = grid.join(actual, [key_col, "bucket"], "left")
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    vp = F.last("observed", ignorenulls=True).over(wp)
+    tp = F.last(
+        F.when(F.col("observed").isNotNull(), F.col("bucket")),
+        ignorenulls=True,
+    ).over(wp)
+    vn = F.first("observed", ignorenulls=True).over(wn)
+    tn = F.first(
+        F.when(F.col("observed").isNotNull(), F.col("bucket")),
+        ignorenulls=True,
+    ).over(wn)
+    linear = vp + (vn - vp) * F.try_divide(
+        (F.col("bucket") - tp).cast("double"),
+        (tn - tp).cast("double"),
+    )
+    filled = F.coalesce(
+        F.col("observed"), F.round(linear, round_dp), vp, vn
+    )
+    method = (
+        F.when(F.col("observed").isNotNull(), F.lit("observed"))
+        .when(tp.isNotNull() & tn.isNotNull(), F.lit("interpolated"))
+        .when(tp.isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("backfill"))
+    )
+    return g.select(
+        key_col,
+        "bucket",
+        "observed",
+        filled.alias("filled"),
+        method.alias("method"),
+    ).orderBy(key_col, "bucket")

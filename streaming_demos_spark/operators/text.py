@@ -924,3 +924,67 @@ def normalize_text(
         F.length(collapsed).alias("n_chars_norm"),
         (c != collapsed).alias("changed"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 3,
+    iterations: int = 3,
+    k: int = 20,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    rank words by PageRank over the adjacency co-occurrence graph of the
+    stopword-filtered token stream.
+
+    Graph construction is wholly declarative: tokenize, drop stopwords
+    and short tokens, pair each surviving word with its successor
+    (window = 2 over the FILTERED sequence — the filter runs before
+    pairing, so a stopword between two content words does not break
+    their edge), count pairs as weights, mirror for the undirected
+    random walk. Ranking reuses ``graph.pagerank`` — per-round join +
+    aggregate, fixed iteration count so the DuckDB oracle can unroll the
+    identical rounds.
+
+    Scale: the edge list aggregates on (word, word') — vocabulary-
+    squared bounded in principle, adjacency-observed in practice (far
+    smaller); every PageRank round is one join + one combinable
+    aggregate on the word key. Top-k is TakeOrderedAndProject.
+    """
+    from streaming_demos_spark.catalog import fan_out
+    from streaming_demos_spark.operators.graph import pagerank
+
+    kept = F.filter(
+        tokens(text_col),
+        lambda t: (~t.isin(STOPWORDS_EN)) & (F.length(t) >= min_len),
+    )
+    pair = F.transform(
+        F.slice("_w", 1, F.greatest(F.lit(0), F.size("_w") - 1)),
+        lambda x, i: F.struct(
+            x.alias("src"), F.element_at("_w", i + 2).alias("dst")
+        ),
+    )
+    edges = (
+        fan_out(docs.select(text_col), text_col)
+        .select(kept.alias("_w"))
+        .select(F.explode(pair).alias("p"))
+        .select("p.src", "p.dst")
+    )
+    undirected = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = undirected.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    ranks = pagerank(
+        weighted, "src", "dst", "w", iterations=iterations
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("term"),
+            F.round("rank", round_dp).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "term")
+        .limit(k)
+    )

@@ -121,3 +121,64 @@ def test_contamination_matrix_hand_case(spark):
     assert ("s1", "benchB") not in out
     assert out[("s2", "benchB")] == (2, 2, 1.0)
     assert out[("s2", "benchA")] == (1, 2, 0.5)
+
+
+def test_gapfill_interpolation_hand_case(spark):
+    import datetime
+
+    from streaming_demos_spark.operators.relational import (
+        time_bucket_gapfill,
+    )
+
+    day = 86400
+
+    def ts(d):
+        return datetime.datetime(2024, 1, 1 + d)
+
+    rows = [
+        # key 'a': observed on days 0 and 3 -> days 1,2 interpolate
+        ("a", ts(0), 10.0),
+        ("a", ts(3), 40.0),
+        # key 'b': observed only on day 1 -> locf right, backfill left
+        ("b", ts(1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.bucket): (r.observed, r.filled, r.method)
+        for r in time_bucket_gapfill(df, "k", "ts", "v", day).collect()
+    }
+    base = min(b for (_, b) in out)
+    a = lambda d: out[("a", base + d)]  # noqa: E731
+    b = lambda d: out[("b", base + d)]  # noqa: E731
+    assert a(0) == (10.0, 10.0, "observed")
+    assert a(1) == (None, 20.0, "interpolated")
+    assert a(2) == (None, 30.0, "interpolated")
+    assert a(3) == (40.0, 40.0, "observed")
+    assert b(0) == (None, 7.0, "backfill")
+    assert b(1) == (7.0, 7.0, "observed")
+    assert b(2) == (None, 7.0, "locf")
+    assert b(3) == (None, 7.0, "locf")
+    # dense grid: every key covers the full observed range
+    assert len(out) == 8
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from streaming_demos_spark.operators.text import textrank_keywords
+
+    # 'hub' is adjacent to every other content word; stopwords and short
+    # tokens never appear as nodes
+    rows = [
+        (1, "hub alpha the hub beta"),
+        (2, "gamma hub of hub delta"),
+        (3, "alpha beta it gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(df, k=10).collect()
+    assert out[0].term == "hub"
+    terms = {r.term for r in out}
+    assert "the" not in terms and "of" not in terms and "it" not in terms
+    # deterministic across layouts
+    out2 = textrank_keywords(df.repartition(5), k=10).collect()
+    assert [(r.term, r.rank) for r in out] == [
+        (r.term, r.rank) for r in out2
+    ]

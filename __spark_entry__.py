@@ -1160,6 +1160,42 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(corpus, bench, k=3, min_hits=1)
 
 
+def q_pivot_revenue(spark, sf_dir):
+    # Wide pivot with a DECLARED value list -> one conditional-agg pass,
+    # stable schema, no distinct pre-scan (relational.py:pivot_metric).
+    return R.pivot_metric(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+        ["F", "O", "P"],
+    )
+
+
+def q_unpivot_profile(spark, sf_dir):
+    # Melt the per-order numeric columns into tidy (id, metric, value)
+    # rows — map-only stack, no shuffle (relational.py:unpivot_metrics).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return R.unpivot_metrics(
+        li.groupBy("l_orderkey").agg(
+            F.round(F.sum("l_quantity"), 1).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+            F.round(F.sum("l_discount"), 3).alias("discount"),
+        ),
+        "l_orderkey",
+        ["qty", "price", "discount"],
+    )
+
+
+def q_correlation_matrix(spark, sf_dir):
+    # Pairwise Pearson over the lineitem numerics in ONE aggregation
+    # pass (relational.py:correlation_matrix).
+    return R.correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_gapfill(spark, sf_dir):
     # Hypertable-style time_bucket_gapfill: daily per-type averages of
     # the SPARSE high-value events (value > 95 keeps ~2% of rows, so
@@ -3645,6 +3681,9 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_pivot_revenue",
+    "ext_unpivot_profile",
+    "ext_correlation_matrix",
     "ext_gapfill",
     "llm_textrank_keywords",
     "llm_interleave_shards",
@@ -3794,6 +3833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_pivot_revenue": q_pivot_revenue,
+        "ext_unpivot_profile": q_unpivot_profile,
+        "ext_correlation_matrix": q_correlation_matrix,
         "ext_gapfill": q_gapfill,
         "llm_textrank_keywords": q_textrank_keywords,
         "llm_interleave_shards": q_interleave_shards,
@@ -7358,6 +7400,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM hs
             )
             SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        "ext_pivot_revenue": """
+            SELECT o_orderpriority,
+                   coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+                                           THEN o_totalprice END), 2),
+                            0.0::DOUBLE) AS "F",
+                   coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+                                           THEN o_totalprice END), 2),
+                            0.0::DOUBLE) AS "O",
+                   coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+                                           THEN o_totalprice END), 2),
+                            0.0::DOUBLE) AS "P"
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "ext_unpivot_profile": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       round(sum(l_quantity), 1) AS qty,
+                       round(sum(l_extendedprice), 2) AS price,
+                       round(sum(l_discount), 3) AS discount
+                FROM lineitem WHERE l_orderkey <= 100
+                GROUP BY l_orderkey
+            )
+            SELECT l_orderkey, 'qty' AS metric, qty AS value FROM per_order
+            UNION ALL
+            SELECT l_orderkey, 'price', price FROM per_order
+            UNION ALL
+            SELECT l_orderkey, 'discount', discount FROM per_order
+            ORDER BY l_orderkey, metric
+        """,
+        "ext_correlation_matrix": """
+            WITH a AS (
+                SELECT
+                    round(corr(l_quantity, l_extendedprice), 6) AS c1,
+                    round(corr(l_quantity, l_discount), 6) AS c2,
+                    round(corr(l_quantity, l_tax), 6) AS c3,
+                    round(corr(l_extendedprice, l_discount), 6) AS c4,
+                    round(corr(l_extendedprice, l_tax), 6) AS c5,
+                    round(corr(l_discount, l_tax), 6) AS c6
+                FROM lineitem
+            )
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   c1 AS corr FROM a
+            UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM a
+            UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM a
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM a
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM a
+            UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM a
+            ORDER BY col_a, col_b
         """,
         "ext_gapfill": """
             WITH actual AS (

@@ -146,6 +146,9 @@ PROBE_KEYS = [
     "llm_contamination_matrix",
     "ext_gapfill",
     "llm_textrank_keywords",
+    "ext_pivot_revenue",
+    "ext_unpivot_profile",
+    "ext_correlation_matrix",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -2776,3 +2776,103 @@ def time_bucket_gapfill(
         filled.alias("filled"),
         method.alias("method"),
     ).orderBy(key_col, "bucket")
+
+
+# --- Pivot / unpivot (reshape surface) --------------------------------------
+
+
+def pivot_metric(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str],
+    round_dp: int = 2,
+) -> DataFrame:
+    """Wide pivot: one row per ``row_col``, one column per declared
+    ``pivot_values`` entry, cells = sum of ``value_col``.
+
+    ``pivot_values`` is EXPLICIT by contract: with the value list
+    declared, Spark plans a single pass of conditional aggregates (no
+    distinct-value pre-scan, no second job), the output schema is
+    stable for the oracle, and an unexpected category can't explode the
+    column count at 100 TB. Cells with no input rows are 0.0 (sum of
+    empty), matching warehouse pivot semantics.
+    """
+    pivoted = (
+        df.groupBy(row_col)
+        .pivot(pivot_col, pivot_values)
+        .agg(F.round(F.sum(value_col), round_dp))
+    )
+    return pivoted.select(
+        row_col,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0.0)).alias(v)
+            for v in pivot_values
+        ],
+    ).orderBy(row_col)
+
+
+def unpivot_metrics(
+    df: DataFrame,
+    id_col: str,
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Unpivot (melt): one (id, metric, value) row per listed column —
+    the inverse reshape, planned as a map-only ``stack`` expansion
+    (rows x |value_cols| output, no shuffle, no UDF)."""
+    return df.unpivot(
+        [id_col], value_cols, var_name, value_name
+    ).orderBy(id_col, var_name)
+
+
+# --- One-pass correlation matrix --------------------------------------------
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_dp: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations of the listed numeric columns in
+    ONE aggregation pass — D*(D-1)/2 ``corr`` aggregates computed
+    map-side-combinable over a single scan (column-pruned to exactly
+    ``cols``), then unnested to tidy (col_a, col_b, corr) rows. The
+    aggregate count is quadratic in the COLUMN list (a handful), never
+    in rows.
+
+    Pearson r is built as ``try_divide(covar_samp, stddev*stddev)``,
+    NOT ``F.corr``: corr's internal division aborts under ANSI mode
+    when a side is constant, while this form yields NULL there (the
+    conventional "correlation undefined" answer) — and covar/stddev
+    use the same stable co-moment accumulation, so the numbers match.
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+
+    def _r(a, b):
+        return F.round(
+            F.try_divide(
+                F.covar_samp(a, b),
+                F.stddev_samp(a) * F.stddev_samp(b),
+            ),
+            round_dp,
+        )
+
+    agg = df.agg(*[_r(a, b).alias(f"{a}__{b}") for a, b in pairs])
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        agg.select(F.explode(entries).alias("e"))
+        .select("e.col_a", "e.col_b", "e.corr")
+        .orderBy("col_a", "col_b")
+    )

@@ -182,3 +182,48 @@ def test_textrank_hub_word_ranks_first(spark):
     assert [(r.term, r.rank) for r in out] == [
         (r.term, r.rank) for r in out2
     ]
+
+
+def test_pivot_declared_values_and_zero_cells(spark):
+    from streaming_demos_spark.operators.relational import pivot_metric
+
+    rows = [("p1", "x", 1.0), ("p1", "x", 2.0), ("p2", "y", 5.0)]
+    df = spark.createDataFrame(rows, "r string, c string, v double")
+    out = {r.r: r for r in
+           pivot_metric(df, "r", "c", "v", ["x", "y", "z"]).collect()}
+    assert out["p1"].x == 3.0 and out["p1"].y == 0.0 and out["p1"].z == 0.0
+    assert out["p2"].y == 5.0 and out["p2"].x == 0.0
+    # an undeclared category is dropped, not a new column
+    assert set(out["p1"].asDict()) == {"r", "x", "y", "z"}
+
+
+def test_unpivot_roundtrip(spark):
+    from streaming_demos_spark.operators.relational import (
+        pivot_metric,
+        unpivot_metrics,
+    )
+
+    rows = [(1, 2.0, 3.0), (2, 5.0, 7.0)]
+    df = spark.createDataFrame(rows, "id long, m1 double, m2 double")
+    tidy = unpivot_metrics(df, "id", ["m1", "m2"])
+    assert tidy.count() == 4
+    back = pivot_metric(tidy, "id", "metric", "value", ["m1", "m2"])
+    got = {r.id: (r.m1, r.m2) for r in back.collect()}
+    assert got == {1: (2.0, 3.0), 2: (5.0, 7.0)}
+
+
+def test_correlation_matrix_known_values(spark):
+    from streaming_demos_spark.operators.relational import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, -3.0 * i, 4.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+    # constant column -> NULL corr, not an error
+    assert out[("a", "d")] is None
+    assert len(out) == 6

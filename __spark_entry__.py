@@ -2826,8 +2826,16 @@ def q_cms_term_counts(spark, sf_dir):
     # estimates for a fixed probe list vs exact counts — the one-sided
     # est >= exact guarantee is visible in the overcount column
     # (sketches.py:count_min_sketch/cms_estimates).
+    from streaming_demos_spark.catalog import fan_out
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(TX.tokens("text")).alias("term"))
+    # the token stream feeds BOTH the sketch and the exact probe
+    # counts — tokenize once (persist), don't re-run the regex scan
+    toks = (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select(F.explode(TX.tokens("text")).alias("term"))
+        .persist()
+    )
     sk = SK.count_min_sketch(toks, "term", depth=4, width=256)
     est = SK.cms_estimates(sk, _CMS_PROBES, depth=4, width=256)
     exact = (
@@ -6802,14 +6810,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             cells AS (
                 SELECT r.range AS row,
-                       ('0x' || substr(md5('cms' || r.range || ':' || term), 1, 6))::BIGINT % 256 AS bucket,
+                       ('0x' || substr(md5(term), 1 + 6 * r.range, 6))::BIGINT % 256 AS bucket,
                        count(*) AS cnt
                 FROM toks, range(4) r
                 GROUP BY 1, 2
             ),
             probes AS (
                 SELECT p.term, r.range AS row,
-                       ('0x' || substr(md5('cms' || r.range || ':' || p.term), 1, 6))::BIGINT % 256 AS bucket
+                       ('0x' || substr(md5(p.term), 1 + 6 * r.range, 6))::BIGINT % 256 AS bucket
                 FROM (SELECT unnest(['a','key','spark','table','value','zzz_absent']) AS term) p,
                      range(4) r
             ),

@@ -201,12 +201,20 @@ def heavy_hitter_terms(
 
 
 def cms_bucket(col: Column, row: int, width: int) -> Column:
-    """Row-``row`` CMS bucket of a string value: md5 over the salted
-    value, first 6 hex digits mod ``width`` — the hash_bucket
-    convention, one independent hash per sketch row."""
+    """Row-``row`` CMS bucket of a string value: hex digits
+    ``[6r, 6r+6)`` of ONE md5 over the value, mod ``width``.
+
+    One digest feeds every sketch row (segment scheme, depth <= 5 from
+    a 32-hex digest) instead of one salted digest per row — the md5
+    work per item drops by ``depth``x, and disjoint segments of a
+    cryptographic hash are independent for CMS purposes (the classic
+    practical stand-in for d independent hash functions).
+    """
+    if row >= 5:
+        raise ValueError("segment scheme supports depth <= 5")
     return (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), col)), 1, 6), 16, 10
+            F.substring(F.md5(col), 1 + 6 * row, 6), 16, 10
         ).cast("long")
         % F.lit(width)
     )
@@ -228,20 +236,26 @@ def count_min_sketch(
     """
     # All depth rows in ONE pass over the items (a union of per-row
     # selects re-scans — and re-tokenizes — the stream `depth` times):
-    # each item explodes into its d (row, bucket) cells inline.
+    # the md5 is materialized ONCE per item in a prior projection
+    # (segment scheme, see cms_bucket), then each item explodes into
+    # its d (row, bucket) cells inline.
+    seg = lambda r: (  # noqa: E731 - row-r segment of the one digest
+        F.conv(F.substring("_h", 1 + 6 * r, 6), 16, 10).cast("long")
+        % F.lit(width)
+    )
     entries = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(r).alias("row"),
-                    cms_bucket(F.col(value_col), r, width).alias("bucket"),
-                )
+                F.struct(F.lit(r).alias("row"), seg(r).alias("bucket"))
                 for r in range(depth)
             ]
         )
     )
+    if depth > 5:
+        raise ValueError("segment scheme supports depth <= 5")
     return (
-        items.select(entries.alias("e"))
+        items.select(F.md5(F.col(value_col)).alias("_h"))
+        .select(entries.alias("e"))
         .select("e.row", "e.bucket")
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -265,7 +279,10 @@ def cms_estimates(
         (
             p,
             r,
-            int(hashlib.md5(f"cms{r}:{p}".encode()).hexdigest()[:6], 16) % width,
+            int(
+                hashlib.md5(p.encode()).hexdigest()[6 * r : 6 * r + 6], 16
+            )
+            % width,
         )
         for p in probes
         for r in range(depth)

@@ -152,3 +152,66 @@ def read_json_with_corrupt_capture(
     good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = parsed.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    bad_rows: str = "drop",
+    **options,
+) -> DataFrame:
+    """JSON-lines scan with declared schema and the same bad-row
+    policy surface as ``read_csv`` — 'drop' (DROPMALFORMED),
+    'permissive' (nulls for broken fields), 'fail' (FAILFAST).
+    Schema stays declared (no sampling inference pass over 100 TB);
+    line-delimited JSON splits by newline, so the scan parallelizes
+    like CSV."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", _MODES[bad_rows])
+        .options(**options)
+        .json(path)
+    )
+
+
+def parse_json_lines(
+    df: DataFrame,
+    line_col: str,
+    schema: T.StructType,
+    bad_rows: str = "drop",
+) -> DataFrame:
+    """Parse raw JSON text lines already in a column (the Kafka-value
+    path and the testable in-engine path — mirror of
+    ``parse_csv_lines``). Malformed lines land in a corrupt-record
+    column: 'drop' filters them, 'permissive' keeps them with null
+    fields."""
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    parsed = df.select(
+        F.from_json(
+            F.col(line_col),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    ).select("r.*")
+    if bad_rows == "drop":
+        parsed = parsed.filter(F.col("_corrupt").isNull())
+    return parsed.drop("_corrupt")
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType,
+    **options,
+) -> DataFrame:
+    """Bounded JSON-lines file stream (trigger(availableNow=True) for
+    bounded-source semantics; DROPMALFORMED skips bad lines)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .options(**options)
+        .json(directory)
+    )

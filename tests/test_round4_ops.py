@@ -227,3 +227,77 @@ def test_correlation_matrix_known_values(spark):
     # constant column -> NULL corr, not an error
     assert out[("a", "d")] is None
     assert len(out) == 6
+
+
+def _jsonl_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+
+def test_read_jsonl_bad_row_policies(spark, tmp_path):
+    from streaming_demos_spark.sources.files import read_jsonl
+
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 0.5}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "b", "score": 1.5}\n'
+        '{"id": "notanint", "name": "c", "score": 2.5}\n'
+    )
+    sch = _jsonl_schema()
+    dropped = read_jsonl(spark, str(p), sch, bad_rows="drop").collect()
+    assert sorted(r.id for r in dropped) == [1, 2]
+    perm = read_jsonl(spark, str(p), sch, bad_rows="permissive").collect()
+    assert len(perm) == 4  # broken lines kept, fields null
+    assert sum(1 for r in perm if r.id is None) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(p), sch, bad_rows="fail").collect()
+
+
+def test_parse_json_lines_matches_file_scan(spark):
+    from streaming_demos_spark.sources.files import parse_json_lines
+
+    lines = [
+        ('{"id": 7, "name": "x", "score": 9.0}',),
+        ("garbage",),
+        ('{"id": 8, "name": "y", "score": null}',),
+    ]
+    df = spark.createDataFrame(lines, "line string")
+    out = parse_json_lines(df, "line", _jsonl_schema(), bad_rows="drop")
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {7: ("x", 9.0), 8: ("y", None)}
+    kept = parse_json_lines(
+        df, "line", _jsonl_schema(), bad_rows="permissive"
+    )
+    assert kept.count() == 3
+
+
+def test_read_jsonl_stream_bounded(spark, tmp_path):
+    from streaming_demos_spark.sources.files import read_jsonl_stream
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "part1.jsonl").write_text(
+        '{"id": 1, "name": "a", "score": 0.1}\nbad line\n'
+        '{"id": 2, "name": "b", "score": 0.2}\n'
+    )
+    stream = read_jsonl_stream(spark, str(d), _jsonl_schema())
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_bounded")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM jsonl_bounded").collect()
+    assert sorted(r.id for r in got) == [1, 2]

@@ -1160,6 +1160,17 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(corpus, bench, k=3, min_hits=1)
 
 
+def q_preference_pairs(spark, sf_dir):
+    # DPO/reward-model pair construction: per (source, lang) prompt
+    # bucket, highest- vs lowest-scoring doc by a quality proxy
+    # (n_chars), deterministic struct-max/min, one aggregation
+    # (curation.py:preference_pairs).
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.concat_ws("|", "source", "lang")
+    )
+    return CU.preference_pairs(docs, "bucket", "n_chars", min_margin=1.0)
+
+
 def q_pivot_revenue(spark, sf_dir):
     # Wide pivot with a DECLARED value list -> one conditional-agg pass,
     # stable schema, no distinct pre-scan (relational.py:pivot_metric).
@@ -3689,6 +3700,7 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_preference_pairs",
     "ext_pivot_revenue",
     "ext_unpivot_profile",
     "ext_correlation_matrix",
@@ -3841,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_preference_pairs": q_preference_pairs,
         "ext_pivot_revenue": q_pivot_revenue,
         "ext_unpivot_profile": q_unpivot_profile,
         "ext_correlation_matrix": q_correlation_matrix,
@@ -7408,6 +7421,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM hs
             )
             SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        "llm_preference_pairs": """
+            WITH b AS (
+                SELECT source || '|' || lang AS bucket, doc_id,
+                       round(n_chars::DOUBLE, 6) AS s
+                FROM documents
+            ),
+            agg AS (
+                SELECT bucket,
+                       max(struct_pack(s := s, i := doc_id)) AS mx,
+                       min(struct_pack(s := s, i := doc_id)) AS mn,
+                       count(*) AS n_docs
+                FROM b GROUP BY bucket
+            )
+            SELECT bucket, mx.i AS chosen_id, mn.i AS rejected_id,
+                   mx.s AS chosen_score, mn.s AS rejected_score,
+                   round(mx.s - mn.s, 6) AS margin, n_docs
+            FROM agg
+            WHERE n_docs >= 2 AND round(mx.s - mn.s, 6) >= 1.0
+              AND mx.i <> mn.i
+            ORDER BY bucket
         """,
         "ext_pivot_revenue": """
             SELECT o_orderpriority,

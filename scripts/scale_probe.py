@@ -149,6 +149,7 @@ PROBE_KEYS = [
     "ext_pivot_revenue",
     "ext_unpivot_profile",
     "ext_correlation_matrix",
+    "llm_preference_pairs",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -1202,3 +1202,50 @@ def contamination_matrix(
         )
         .orderBy(group_col, "benchmark")
     )
+
+
+def preference_pairs(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    min_margin: float = 0.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training:
+    per group (prompt bucket, topic, source), emit the highest-scoring
+    document as ``chosen`` and the lowest as ``rejected``, with the
+    score margin — the standard top-vs-bottom pairing when only
+    pointwise quality scores exist.
+
+    One aggregation, no window, no join: chosen/rejected are
+    struct-max/min over (score, id), so ties break deterministically on
+    the id (max takes the LARGEST id among score-ties, min the
+    smallest — an engine-portable convention). Groups with fewer than
+    two documents, or a margin below ``min_margin``, produce no pair
+    (a chosen==rejected row trains nothing).
+    """
+    s = F.round(F.col(score_col).cast("double"), round_dp)
+    pair = F.struct(s.alias("s"), F.col(id_col).alias("i"))
+    agg = docs.groupBy(group_col).agg(
+        F.max(pair).alias("_mx"),
+        F.min(pair).alias("_mn"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .select(
+            group_col,
+            F.col("_mx.i").alias("chosen_id"),
+            F.col("_mn.i").alias("rejected_id"),
+            F.col("_mx.s").alias("chosen_score"),
+            F.col("_mn.s").alias("rejected_score"),
+            F.round(F.col("_mx.s") - F.col("_mn.s"), round_dp).alias(
+                "margin"
+            ),
+            "n_docs",
+        )
+        .filter(F.col("margin") >= min_margin)
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .orderBy(group_col)
+    )

@@ -283,3 +283,60 @@ def test_zorder_key_is_injective_on_quantized_inputs(spark, vals):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=12),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gapfill_grid_dense_and_bounded(spark, rows):
+    """time_bucket_gapfill invariants on arbitrary sparse series:
+    dense grid per key, observed rows pass through, every filled value
+    lies within [min, max] of the key's observations (interpolation
+    and LOCF/backfill cannot extrapolate)."""
+    import datetime
+
+    from streaming_demos_spark.operators.relational import (
+        time_bucket_gapfill,
+    )
+
+    day = 86400
+    data = [
+        (k, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), v)
+        for k, d, v in rows
+    ]
+    df = spark.createDataFrame(data, "k string, ts timestamp, v double")
+    out = time_bucket_gapfill(df, "k", "ts", "v", day).collect()
+    buckets = sorted({r.bucket for r in out})
+    assert buckets == list(range(buckets[0], buckets[-1] + 1))
+    keys = {r.k for r in out}
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    lo_all, hi_all = buckets[0], buckets[-1]
+    for k, rs in by_key.items():
+        assert sorted(r.bucket for r in rs) == list(
+            range(lo_all, hi_all + 1)
+        )
+        obs = [r.filled for r in rs if r.method == "observed"]
+        lo, hi = min(obs), max(obs)
+        for r in rs:
+            assert r.filled is not None
+            assert lo - 1e-6 <= r.filled <= hi + 1e-6, (k, r)
+            if r.observed is not None:
+                assert r.method == "observed" and r.filled == r.observed

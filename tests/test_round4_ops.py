@@ -301,3 +301,28 @@ def test_read_jsonl_stream_bounded(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT * FROM jsonl_bounded").collect()
     assert sorted(r.id for r in got) == [1, 2]
+
+
+def test_preference_pairs_hand_case_and_ties(spark):
+    from streaming_demos_spark.operators.curation import preference_pairs
+
+    rows = [
+        # g1: clear best/worst
+        (1, "g1", 9.0), (2, "g1", 1.0), (3, "g1", 5.0),
+        # g2: tie on max score -> larger id wins chosen slot
+        (4, "g2", 7.0), (5, "g2", 7.0), (6, "g2", 2.0),
+        # g3: singleton -> no pair
+        (7, "g3", 4.0),
+        # g4: all equal -> margin 0, dropped at min_margin > 0
+        (8, "g4", 3.0), (9, "g4", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    out = {r.g: r for r in
+           preference_pairs(df, "g", "s", min_margin=0.5).collect()}
+    assert out["g1"].chosen_id == 1 and out["g1"].rejected_id == 2
+    assert out["g1"].margin == 8.0 and out["g1"].n_docs == 3
+    assert out["g2"].chosen_id == 5 and out["g2"].rejected_id == 6
+    assert "g3" not in out and "g4" not in out
+    # margin 0 pairs allowed at min_margin=0 ONLY when ids differ
+    z = {r.g: r for r in preference_pairs(df, "g", "s").collect()}
+    assert z["g4"].chosen_id == 9 and z["g4"].rejected_id == 8

@@ -1251,8 +1251,8 @@ def q_contamination_matrix(spark, sf_dir):
 
 def q_normalize_text(spark, sf_dir):
     # Map-only canonical cleanup (control/zero-width strip, whitespace
-    # collapse) + per-source dirtiness rollup (text.py:normalize_text).
-    norm = TX.normalize_text(_t(spark, sf_dir, "documents"))
+    # collapse) + per-source dirtiness rollup (text.py:normalize_documents).
+    norm = TX.normalize_documents(_t(spark, sf_dir, "documents"))
     return norm.select(
         "doc_id", "n_chars_raw", "n_chars_norm", "changed",
         F.md5("norm_text").alias("norm_fingerprint"),

@@ -893,7 +893,7 @@ def distinctive_terms(
     )
 
 
-def normalize_text(
+def normalize_documents(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",

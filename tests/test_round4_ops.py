@@ -22,7 +22,7 @@ def spark():
 
 
 def test_normalize_text_strips_and_collapses(spark):
-    from streaming_demos_spark.operators.text import normalize_text
+    from streaming_demos_spark.operators.text import normalize_documents
 
     rows = [
         (1, "plain text"),
@@ -32,7 +32,7 @@ def test_normalize_text_strips_and_collapses(spark):
         (5, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    out = {r.doc_id: r for r in normalize_documents(df).collect()}
     assert out[1].norm_text == "plain text" and not out[1].changed
     assert out[2].norm_text == "ragged whitespace" and out[2].changed
     assert out[3].norm_text == "zerowidth and bom" and out[3].changed
@@ -45,12 +45,12 @@ def test_normalize_text_strips_and_collapses(spark):
 def test_normalize_then_hash_merges_noise_variants(spark):
     # the motivating property: byte-noise variants of one document get
     # ONE fingerprint after normalization
-    from streaming_demos_spark.operators.text import normalize_text
+    from streaming_demos_spark.operators.text import normalize_documents
 
     rows = [(1, "the same doc"), (2, " the\tsame  doc "), (3, "the same​ doc")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fps = (
-        normalize_text(df)
+        normalize_documents(df)
         .select(F.md5("norm_text").alias("fp"))
         .distinct()
         .count()

@@ -1160,6 +1160,19 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(corpus, bench, k=3, min_hits=1)
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    # Deterministic Poissonized bootstrap: 95% CI for the per-type mean
+    # event value, 100 md5-seeded replicates, nearest-rank cut of the
+    # sorted replicate means (relational.py:bootstrap_mean_ci).
+    return R.bootstrap_mean_ci(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        "event_id",
+        n_replicates=100,
+    )
+
+
 def q_preference_pairs(spark, sf_dir):
     # DPO/reward-model pair construction: per (source, lang) prompt
     # bucket, highest- vs lowest-scoring doc by a quality proxy
@@ -3700,6 +3713,7 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_bootstrap_ci",
     "llm_preference_pairs",
     "ext_pivot_revenue",
     "ext_unpivot_profile",
@@ -3853,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_bootstrap_ci": q_bootstrap_ci,
         "llm_preference_pairs": q_preference_pairs,
         "ext_pivot_revenue": q_pivot_revenue,
         "ext_unpivot_profile": q_unpivot_profile,
@@ -7421,6 +7436,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM hs
             )
             SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        "ext_bootstrap_ci": """
+            WITH reps AS (
+                -- one md5 per (row, block of 4); each replicate reads
+                -- its own 8-hex segment (mirrors bootstrap_mean_ci)
+                SELECT e.event_type, e.event_id, e.value,
+                       b.range * 4 + s.range AS r,
+                       substr(md5(e.event_id::VARCHAR || ':' || b.range),
+                              1 + 8 * s.range, 8) AS h
+                FROM events e, range(25) b, range(4) s
+            ),
+            weighted AS (
+                SELECT event_type, r, value,
+                       CASE
+                           WHEN h < '5e2d58d9' THEN 0
+                           WHEN h < 'bc5ab1b1' THEN 1
+                           WHEN h < 'eb715e1e' THEN 2
+                           WHEN h < 'fb239797' THEN 3
+                           WHEN h < 'ff1025f6' THEN 4
+                           WHEN h < 'ffd90f3c' THEN 5
+                           WHEN h < 'fffa8b72' THEN 6
+                           WHEN h < 'ffff540c' THEN 7
+                           ELSE 8
+                       END AS w
+                FROM reps
+            ),
+            rep_means AS (
+                SELECT event_type, r,
+                       round(sum(w * value) / nullif(sum(w), 0), 6) AS m
+                FROM weighted GROUP BY event_type, r
+            ),
+            ci AS (
+                SELECT event_type,
+                       list_sort(list(m) FILTER (m IS NOT NULL)) AS ms,
+                       count(m) AS n_used
+                FROM rep_means GROUP BY event_type
+            ),
+            base AS (
+                SELECT event_type, round(avg(value), 6) AS mean
+                FROM events GROUP BY event_type
+            )
+            SELECT ci.event_type, base.mean,
+                   ms[greatest(1, ceil(0.025 * len(ms))::INT)] AS ci_lo,
+                   ms[ceil(0.975 * len(ms))::INT] AS ci_hi,
+                   n_used
+            FROM ci JOIN base USING (event_type)
+            ORDER BY ci.event_type
         """,
         "llm_preference_pairs": """
             WITH b AS (

@@ -150,6 +150,7 @@ PROBE_KEYS = [
     "ext_unpivot_profile",
     "ext_correlation_matrix",
     "llm_preference_pairs",
+    "ext_bootstrap_ci",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -2876,3 +2876,121 @@ def correlation_matrix(
         .select("e.col_a", "e.col_b", "e.corr")
         .orderBy("col_a", "col_b")
     )
+
+
+# --- Deterministic Poissonized bootstrap CI ---------------------------------
+
+# Poisson(1) inverse-CDF thresholds over a 32-bit uniform: weight k iff
+# u32 < _POIS_TH[k] (k = 8 in the residual tail, P ~ 1e-5). Integer
+# literals -> the draw is exact and engine-portable (no float compare).
+_POIS_TH = [
+    1580030169, 3160060337, 3950075422, 4213413783,
+    4279248374, 4292415292, 4294609778, 4294923276,
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+    level: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean — the
+    Poissonized (online) bootstrap: replicate r re-weights every row by
+    an independent Poisson(1) draw, which at corpus scale is
+    indistinguishable from multinomial resampling but needs no global
+    coordination (Oza & Russell 2001; Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams").
+
+    Deterministic by construction: the draw for (row, replicate) is the
+    md5-uniform of ``id:replicate`` cut against integer inverse-CDF
+    thresholds — reproducible across runs, engines, and partitionings,
+    so a DuckDB oracle replays it bit-for-bit.
+
+    Plan shape: each row explodes into ``n_replicates`` weighted
+    copies (map-side, no shuffle); ONE combinable aggregation on
+    (group, replicate) forms the replicate means; the CI is a
+    nearest-rank cut of the sorted replicate-mean array per group —
+    bounded at ``n_replicates`` values per group, never row-scaled.
+    The digest work is amortized 4x: one md5 per (row, replicate
+    BLOCK of 4), with each replicate reading its own disjoint 8-hex
+    segment (independent uniforms from one cryptographic digest — the
+    same segment scheme as the count-min sketch). try_divide guards
+    all-zero-weight replicates (excluded from the cut, reported in
+    n_used).
+    """
+    n_blocks = (n_replicates + 3) // 4
+    blocks = F.explode(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    ).alias("_b")
+    segs = F.explode(
+        F.array(*[F.lit(s) for s in range(4)])
+    ).alias("_s")
+    # weight via LEXICOGRAPHIC hex comparison: lowercase 8-hex string
+    # order equals numeric order, so the segment compares directly
+    # against hex-literal thresholds — no conv() parse per row, and the
+    # identical string compare runs in DuckDB.
+    h = F.substring("_hx", F.lit(1) + F.col("_s") * 8, 8)
+    w = F.lit(len(_POIS_TH))
+    for k in range(len(_POIS_TH) - 1, -1, -1):
+        w = F.when(
+            h < F.lit(format(_POIS_TH[k], "08x")), F.lit(k)
+        ).otherwise(w)
+    rep_means = (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(value_col).cast("double").alias("_v"),
+            blocks,
+        )
+        .select(
+            group_col,
+            "_v",
+            "_b",
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.col("_b"))
+            ).alias("_hx"),
+        )
+        .select(group_col, "_v", "_b", "_hx", segs)
+        .select(
+            group_col,
+            "_v",
+            (F.col("_b") * 4 + F.col("_s")).alias("_r"),
+            w.alias("_w"),
+        )
+        .filter(F.col("_r") < n_replicates)
+        .groupBy(group_col, "_r")
+        .agg(
+            F.round(
+                F.try_divide(F.sum(F.col("_w") * F.col("_v")), F.sum("_w")),
+                round_dp,
+            ).alias("_m")
+        )
+    )
+    alpha = (1.0 - level) / 2.0
+    # nulls (all-zero-weight replicates) are dropped by collect_list
+    ci = rep_means.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("_m")).alias("_ms"),
+        F.count("_m").alias("n_used"),
+    )
+    lo_idx = F.ceil(F.lit(alpha) * F.size("_ms")).cast("int")
+    hi_idx = F.ceil(F.lit(1.0 - alpha) * F.size("_ms")).cast("int")
+    base = df.groupBy(group_col).agg(
+        F.round(F.avg(F.col(value_col).cast("double")), round_dp).alias(
+            "mean"
+        )
+    )
+    return (
+        ci.join(base, group_col)
+        .select(
+            group_col,
+            "mean",
+            F.element_at("_ms", F.greatest(F.lit(1), lo_idx)).alias("ci_lo"),
+            F.element_at("_ms", hi_idx).alias("ci_hi"),
+            "n_used",
+        )
+        .orderBy(group_col)
+    )

@@ -326,3 +326,26 @@ def test_preference_pairs_hand_case_and_ties(spark):
     # margin 0 pairs allowed at min_margin=0 ONLY when ids differ
     z = {r.g: r for r in preference_pairs(df, "g", "s").collect()}
     assert z["g4"].chosen_id == 9 and z["g4"].rejected_id == 8
+
+
+def test_bootstrap_ci_sanity(spark):
+    from streaming_demos_spark.operators.relational import bootstrap_mean_ci
+
+    rows = [(i, "g", float(50 + (i * 37) % 11)) for i in range(400)]
+    rows += [(1000 + i, "const", 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.g: r for r in
+           bootstrap_mean_ci(df, "g", "v", "id", n_replicates=100).collect()}
+    g = out["g"]
+    # CI brackets the sample mean and is a genuine interval
+    assert g.ci_lo <= g.mean <= g.ci_hi
+    assert g.ci_lo < g.ci_hi
+    assert g.n_used == 100
+    # constant data -> every replicate mean equals the value
+    c = out["const"]
+    assert c.ci_lo == 5.0 and c.ci_hi == 5.0 and c.mean == 5.0
+    # layout-independent (content-keyed draws)
+    out2 = {r.g: r for r in
+            bootstrap_mean_ci(df.repartition(13), "g", "v", "id",
+                              n_replicates=100).collect()}
+    assert out2["g"].ci_lo == g.ci_lo and out2["g"].ci_hi == g.ci_hi

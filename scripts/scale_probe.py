@@ -151,6 +151,7 @@ PROBE_KEYS = [
     "ext_correlation_matrix",
     "llm_preference_pairs",
     "ext_bootstrap_ci",
+    "ext_grouped_ols",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

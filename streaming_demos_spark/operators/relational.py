@@ -2994,3 +2994,79 @@ def bootstrap_mean_ci(
         )
         .orderBy(group_col)
     )
+
+
+# --- Grouped multivariate OLS (closed form, no driver state) ----------------
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group two-feature linear regression
+    ``y ~ b0 + b1*x1 + b2*x2`` with R² — solved in CLOSED FORM from
+    centered sufficient statistics, entirely as column algebra.
+
+    Two combinable aggregation passes (means, then centered
+    cross-moments — centering first keeps the normal equations
+    well-conditioned instead of differencing huge raw sums), then
+    Cramer's rule on the 2x2 centered system inside one projection:
+
+        [S11 S12] [b1]   [S1y]
+        [S12 S22] [b2] = [S2y],   b0 = ybar - b1*x1bar - b2*x2bar
+
+    No window, no driver state, no per-group matrix solve outside the
+    plan — group cardinality is unbounded. Singular groups (collinear
+    or constant features, n < 3) yield NULL coefficients via
+    try_divide, never an ANSI abort. R² = 1 - SSE/SST with
+    SSE = Syy - b1*S1y - b2*S2y (the normal-equation identity on
+    centered data); SST = 0 (constant y) also yields NULL.
+    """
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    means = df.groupBy(group_col).agg(
+        F.avg(y).alias("_my"),
+        F.avg(x1).alias("_m1"),
+        F.avg(x2).alias("_m2"),
+        F.count("*").alias("n_rows"),
+    )
+    cy, c1, c2 = y - F.col("_my"), x1 - F.col("_m1"), x2 - F.col("_m2")
+    stats = (
+        df.join(means, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("_my").alias("_my"),
+            F.first("_m1").alias("_m1"),
+            F.first("_m2").alias("_m2"),
+            F.first("n_rows").alias("n_rows"),
+            F.sum(c1 * c1).alias("_s11"),
+            F.sum(c2 * c2).alias("_s22"),
+            F.sum(c1 * c2).alias("_s12"),
+            F.sum(c1 * cy).alias("_s1y"),
+            F.sum(c2 * cy).alias("_s2y"),
+            F.sum(cy * cy).alias("_syy"),
+        )
+    )
+    det = F.col("_s11") * F.col("_s22") - F.col("_s12") * F.col("_s12")
+    b1 = F.try_divide(
+        F.col("_s1y") * F.col("_s22") - F.col("_s2y") * F.col("_s12"), det
+    )
+    b2 = F.try_divide(
+        F.col("_s2y") * F.col("_s11") - F.col("_s1y") * F.col("_s12"), det
+    )
+    sse = F.col("_syy") - b1 * F.col("_s1y") - b2 * F.col("_s2y")
+    r2 = F.lit(1.0) - F.try_divide(sse, F.col("_syy"))
+    b0 = F.col("_my") - b1 * F.col("_m1") - b2 * F.col("_m2")
+    return stats.select(
+        group_col,
+        F.round(b0, round_dp).alias("b0"),
+        F.round(b1, round_dp).alias("b1"),
+        F.round(b2, round_dp).alias("b2"),
+        F.round(r2, round_dp).alias("r2"),
+        "n_rows",
+    ).orderBy(group_col)

@@ -349,3 +349,35 @@ def test_bootstrap_ci_sanity(spark):
             bootstrap_mean_ci(df.repartition(13), "g", "v", "id",
                               n_replicates=100).collect()}
     assert out2["g"].ci_lo == g.ci_lo and out2["g"].ci_hi == g.ci_hi
+
+
+def test_grouped_ols_recovers_planted_coefficients(spark):
+    import numpy as np
+
+    from streaming_demos_spark.operators.relational import grouped_ols
+
+    rng = [(i * 37) % 11 - 5.0 for i in range(60)]
+    rows = []
+    for i in range(60):
+        x1, x2 = float(i % 7), rng[i]
+        # exact linear: y = 3 + 2*x1 - 0.5*x2  (R^2 = 1)
+        rows.append(("exact", x1, x2, 3.0 + 2.0 * x1 - 0.5 * x2, i))
+        # singular: x2 = 2*x1 (collinear) -> NULL coefficients
+        rows.append(("collinear", x1, 2.0 * x1, 1.0 + x1, i))
+        # constant y -> R^2 NULL (SST = 0)
+        rows.append(("const_y", x1, x2, 42.0, i))
+    df = spark.createDataFrame(
+        rows, "g string, x1 double, x2 double, y double, i long"
+    )
+    out = {r.g: r for r in grouped_ols(df, "g", "y", "x1", "x2").collect()}
+    e = out["exact"]
+    assert abs(e.b0 - 3.0) < 1e-5 and abs(e.b1 - 2.0) < 1e-5
+    assert abs(e.b2 + 0.5) < 1e-5 and abs(e.r2 - 1.0) < 1e-6
+    assert out["collinear"].b1 is None and out["collinear"].b2 is None
+    c = out["const_y"]
+    assert c.r2 is None
+    # numpy cross-check on the exact group
+    X = np.array([[1.0, r[1], r[2]] for r in rows if r[0] == "exact"])
+    yv = np.array([r[3] for r in rows if r[0] == "exact"])
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert np.allclose([e.b0, e.b1, e.b2], beta, atol=1e-5)

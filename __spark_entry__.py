@@ -1160,6 +1160,18 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(corpus, bench, k=3, min_hits=1)
 
 
+def q_histogram_2d(spark, sf_dir):
+    # Density heatmap: quantity x discount cell counts, broadcast
+    # bounds + map-side binning (relational.py:histogram_2d).
+    return R.histogram_2d(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_discount",
+        bins_x=10,
+        bins_y=8,
+    )
+
+
 def q_grouped_ols(spark, sf_dir):
     # Closed-form grouped OLS: price ~ quantity + discount per
     # returnflag, centered sufficient statistics + Cramer solve, all
@@ -3726,6 +3738,7 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_histogram_2d",
     "ext_grouped_ols",
     "ext_bootstrap_ci",
     "llm_preference_pairs",
@@ -3881,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_histogram_2d": q_histogram_2d,
         "ext_grouped_ols": q_grouped_ols,
         "ext_bootstrap_ci": q_bootstrap_ci,
         "llm_preference_pairs": q_preference_pairs,
@@ -7451,6 +7465,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM hs
             )
             SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        "ext_histogram_2d": """
+            WITH rng AS (
+                SELECT min(l_quantity::DOUBLE) AS xlo,
+                       max(l_quantity::DOUBLE) AS xhi,
+                       min(l_discount::DOUBLE) AS ylo,
+                       max(l_discount::DOUBLE) AS yhi
+                FROM lineitem
+            ),
+            binned AS (
+                SELECT
+                    coalesce(CASE WHEN r.xhi > r.xlo
+                        THEN least(9, floor((l.l_quantity - r.xlo)
+                               / nullif((r.xhi - r.xlo) / 10, 0))::INT)
+                        ELSE 0 END, 0) AS bin_x,
+                    coalesce(CASE WHEN r.yhi > r.ylo
+                        THEN least(7, floor((l.l_discount - r.ylo)
+                               / nullif((r.yhi - r.ylo) / 8, 0))::INT)
+                        ELSE 0 END, 0) AS bin_y,
+                    r.xlo, r.xhi, r.ylo, r.yhi
+                FROM lineitem l CROSS JOIN rng r
+            )
+            SELECT bin_x, bin_y, count(*) AS n_rows,
+                   round(xlo + bin_x * (xhi - xlo) / 10, 6) AS x_lo,
+                   round(xlo + (bin_x + 1) * (xhi - xlo) / 10, 6) AS x_hi,
+                   round(ylo + bin_y * (yhi - ylo) / 8, 6) AS y_lo,
+                   round(ylo + (bin_y + 1) * (yhi - ylo) / 8, 6) AS y_hi
+            FROM binned
+            GROUP BY bin_x, bin_y, xlo, xhi, ylo, yhi
+            ORDER BY bin_x, bin_y
         """,
         "ext_grouped_ols": """
             WITH m AS (

@@ -152,6 +152,7 @@ PROBE_KEYS = [
     "llm_preference_pairs",
     "ext_bootstrap_ci",
     "ext_grouped_ols",
+    "ext_histogram_2d",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

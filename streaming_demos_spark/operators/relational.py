@@ -3070,3 +3070,70 @@ def grouped_ols(
         F.round(r2, round_dp).alias("r2"),
         "n_rows",
     ).orderBy(group_col)
+
+
+def histogram_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bins_x: int = 20,
+    bins_y: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """2-D equi-width histogram (density heatmap) over two numeric
+    columns: (bin_x, bin_y, n_rows, x_lo, x_hi, y_lo, y_hi) for every
+    NON-EMPTY cell.
+
+    Same scale contract as ``value_histogram``: one tiny min/max
+    aggregate broadcasts back, bin assignment is a map-side expression,
+    and the only data-sized shuffle is the combinable cell count
+    (bounded at bins_x * bins_y cells). Degenerate axes (constant, or
+    sub-normal spans whose width underflows to 0) collapse to bin 0 via
+    try_divide + coalesce — never an ANSI abort.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    rng = df.agg(
+        F.min(x).alias("_xlo"),
+        F.max(x).alias("_xhi"),
+        F.min(y).alias("_ylo"),
+        F.max(y).alias("_yhi"),
+    )
+
+    def bin_of(v, lo, hi, n):
+        width = (F.col(hi) - F.col(lo)) / F.lit(n)
+        raw = F.floor(F.try_divide(v - F.col(lo), width)).cast("int")
+        return F.coalesce(
+            F.when(
+                F.col(hi) > F.col(lo),
+                F.least(F.lit(n - 1), raw),
+            ).otherwise(F.lit(0)),
+            F.lit(0),
+        )
+
+    wx = (F.col("_xhi") - F.col("_xlo")) / F.lit(bins_x)
+    wy = (F.col("_yhi") - F.col("_ylo")) / F.lit(bins_y)
+    return (
+        df.join(F.broadcast(rng))
+        .withColumn("bin_x", bin_of(x, "_xlo", "_xhi", bins_x))
+        .withColumn("bin_y", bin_of(y, "_ylo", "_yhi", bins_y))
+        .groupBy("bin_x", "bin_y")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.first(F.col("_xlo") + F.col("bin_x") * wx), round_dp
+            ).alias("x_lo"),
+            F.round(
+                F.first(F.col("_xlo") + (F.col("bin_x") + 1) * wx),
+                round_dp,
+            ).alias("x_hi"),
+            F.round(
+                F.first(F.col("_ylo") + F.col("bin_y") * wy), round_dp
+            ).alias("y_lo"),
+            F.round(
+                F.first(F.col("_ylo") + (F.col("bin_y") + 1) * wy),
+                round_dp,
+            ).alias("y_hi"),
+        )
+        .orderBy("bin_x", "bin_y")
+    )

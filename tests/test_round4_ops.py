@@ -381,3 +381,24 @@ def test_grouped_ols_recovers_planted_coefficients(spark):
     yv = np.array([r[3] for r in rows if r[0] == "exact"])
     beta = np.linalg.lstsq(X, yv, rcond=None)[0]
     assert np.allclose([e.b0, e.b1, e.b2], beta, atol=1e-5)
+
+
+def test_histogram_2d_cells_and_degenerate_axis(spark):
+    from streaming_demos_spark.operators.relational import histogram_2d
+
+    rows = [(float(i % 10), float(i % 4), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double, i long")
+    out = histogram_2d(df, "x", "y", bins_x=3, bins_y=2).collect()
+    # totals conserved; max-value rows land in the LAST bin, not out
+    assert sum(r.n_rows for r in out) == 200
+    assert max(r.bin_x for r in out) == 2 and max(r.bin_y for r in out) == 1
+    for r in out:
+        assert 0 <= r.bin_x <= 2 and 0 <= r.bin_y <= 1
+        assert r.x_lo < r.x_hi and r.y_lo < r.y_hi
+    # constant y axis -> everything in bin_y 0, no divide error
+    dfc = spark.createDataFrame(
+        [(float(i), 5.0, i) for i in range(50)], "x double, y double, i long"
+    )
+    outc = histogram_2d(dfc, "x", "y", bins_x=4, bins_y=4).collect()
+    assert {r.bin_y for r in outc} == {0}
+    assert sum(r.n_rows for r in outc) == 50

@@ -62,6 +62,7 @@ def main() -> None:
         bounded_window_ok = {
             # frame the global window runs over (NOT the raw rows):
             "ext_kaplan_meier": "distinct-duration grid",
+            "ext_nelson_aalen": "distinct-duration grid",
             "llm_fair_allocation": "per-key caps table",
             "llm_hybrid_rerank": "query's candidate pool",
             "llm_zipf_fit": "distinct term-frequency grid",

@@ -153,6 +153,7 @@ PROBE_KEYS = [
     "ext_bootstrap_ci",
     "ext_grouped_ols",
     "ext_histogram_2d",
+    "ext_nelson_aalen",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -3137,3 +3137,54 @@ def histogram_2d(
         )
         .orderBy("bin_x", "bin_y")
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over (duration,
+    observed-event) rows: H(t) = Σ_{t_i <= t} d_i / n_i — the additive
+    companion to ``kaplan_meier`` (H plots hazard accumulation
+    directly and behaves better than -ln(S) at small risk sets).
+    Returns one row per distinct duration with at least one observed
+    event: (duration, n_at_risk, n_events, cum_hazard).
+
+    Same scale shape as the KM curve: one per-duration aggregate, then
+    windows over the DISTINCT-DURATION grid only (bounded by the
+    duration range, never row-scaled). The running sum needs no
+    log-domain trick — hazard increments are plain d/n terms.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count("*").alias("_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    grid = per_t.select(
+        "t",
+        "n_events",
+        (
+            F.sum("_total").over(w_all)
+            - F.coalesce(F.sum("_total").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    hazard = F.sum(
+        F.col("n_events") / F.col("n_at_risk")
+    ).over(w_cum)
+    return (
+        grid.withColumn("_h", hazard)
+        .filter(F.col("n_events") > 0)
+        .select(
+            F.col("t").alias(duration_col),
+            "n_at_risk",
+            "n_events",
+            F.round("_h", round_dp).alias("cum_hazard"),
+        )
+        .orderBy(duration_col)
+    )

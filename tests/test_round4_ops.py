@@ -402,3 +402,18 @@ def test_histogram_2d_cells_and_degenerate_axis(spark):
     outc = histogram_2d(dfc, "x", "y", bins_x=4, bins_y=4).collect()
     assert {r.bin_y for r in outc} == {0}
     assert sum(r.n_rows for r in outc) == 50
+
+
+def test_nelson_aalen_hand_case(spark):
+    from streaming_demos_spark.operators.relational import nelson_aalen
+
+    # durations: t=1 (2 events of 5 at risk), t=2 (1 censored),
+    # t=3 (1 event of 2 at risk), t=4 (1 censored)
+    rows = [(1, True), (1, True), (2, False), (3, True), (4, False)]
+    df = spark.createDataFrame(rows, "t int, ev boolean")
+    out = {r.t: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert set(out) == {1, 3}  # censored-only steps emit no row
+    assert out[1].n_at_risk == 5 and out[1].n_events == 2
+    assert abs(out[1].cum_hazard - 2 / 5) < 1e-9
+    assert out[3].n_at_risk == 2 and out[3].n_events == 1
+    assert abs(out[3].cum_hazard - (2 / 5 + 1 / 2)) < 1e-9

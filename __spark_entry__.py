@@ -39,6 +39,7 @@ from streaming_demos_spark.operators import relational as R
 from streaming_demos_spark.operators import selection as SEL
 from streaming_demos_spark.operators import similarity as SIM
 from streaming_demos_spark.operators import sketches as SK
+from streaming_demos_spark.operators import stats as ST
 from streaming_demos_spark.operators import text as TX
 from streaming_demos_spark.operators import tpch as TPCH
 from streaming_demos_spark.operators import training as TR
@@ -3106,6 +3107,120 @@ def q_nelson_aalen(spark, sf_dir):
     return R.nelson_aalen(spans, "duration_days", "errored")
 
 
+def q_welch_ttest(spark, sf_dir):
+    # Inferential layer over the reference's descriptive event metrics
+    # (product-demos/streamlit/utils.py:25-29): is the purchase value
+    # distribution actually different from clicks? Two-level moment
+    # aggregation, closed-form t (stats.py:welch_ttest).
+    ev = _t(spark, sf_dir, "events")
+    return ST.welch_ttest(ev, "event_type", "value", "purchase", "click")
+
+
+def q_anova(spark, sf_dir):
+    # One-way ANOVA F across ALL event types: per-group sufficient
+    # statistics then one combine — the tree-aggregation shape that
+    # holds at any group count (stats.py:one_way_anova).
+    ev = _t(spark, sf_dir, "events")
+    return ST.one_way_anova(ev, "event_type", "value")
+
+
+def q_mann_whitney(spark, sf_dir):
+    # Rank-sum test without a global sort: midranks from the distinct-
+    # value grid (values pre-rounded to 2dp to bound the grid at scale),
+    # tie-corrected normal approximation (stats.py:mann_whitney_u).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("value")
+    )
+    return ST.mann_whitney_u(ev, "event_type", "value", "purchase", "view")
+
+
+def q_ks_test(spark, sf_dir):
+    # Two-sample Kolmogorov-Smirnov distribution drift check between
+    # purchase and click values — ECDFs as grid running sums, sup as a
+    # max over jump points (stats.py:ks_two_sample).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("value")
+    )
+    return ST.ks_two_sample(ev, "event_type", "value", "purchase", "click")
+
+
+def q_chi_square(spark, sf_dir):
+    # Independence of customer nation x market segment (25 x 5 cells):
+    # cell-count agg, marginals re-aggregated from the CELLS and
+    # broadcast back (stats.py:chi_square_independence).
+    cust = _t(spark, sf_dir, "customer")
+    return ST.chi_square_independence(cust, "c_nationkey", "c_mktsegment")
+
+
+def q_spearman(spark, sf_dir):
+    # Monotone association between a user's activity volume and total
+    # event value — midranks via the value-grid device per column, then
+    # Pearson on ranks in moment form (stats.py:spearman_correlation).
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return ST.spearman_correlation(per_user, "n_events", "total_value")
+
+
+def q_log_rank(spark, sf_dir):
+    # A/A sanity test for the survival family: log-rank over the same
+    # time-to-first-error spans as the KM/Nelson-Aalen curves, cohorted
+    # by a randomized user-id parity split (every behavioural cohort in
+    # this dense corpus is degenerate — ~66 events/user means everyone
+    # purchases — so the null split is the honest demonstration;
+    # stats.py:log_rank_test).
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("_first"),
+        F.max(epoch_us(F.col("ts"))).alias("_last"),
+        F.min(
+            F.when(F.col("event_type") == "error", epoch_us(F.col("ts")))
+        ).alias("_err"),
+    )
+    spans = per_user.select(
+        (
+            (F.coalesce(F.col("_err"), F.col("_last")) - F.col("_first"))
+            / F.lit(86400 * 1000000)
+        ).cast("int").alias("duration_days"),
+        F.col("_err").isNotNull().alias("errored"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("cohort"),
+    )
+    return ST.log_rank_test(spans, "duration_days", "errored", "cohort", "even")
+
+
+def q_fdr_screen(spark, sf_dir):
+    # Which nations' account-balance means deviate from the global mean
+    # after multiple-testing control? Per-nation z-tests (broadcast
+    # global moments) -> Benjamini-Hochberg suffix-min over the 25-row
+    # TESTS frame (stats.py:bh_adjust).
+    cust = _t(spark, sf_dir, "customer")
+    per = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.sum("c_acctbal").alias("s1")
+    )
+    glob = cust.agg(
+        F.avg("c_acctbal").alias("_mu"),
+        F.var_samp("c_acctbal").alias("_var"),
+    )
+    z = F.try_divide(
+        F.col("s1") / F.col("n") - F.col("_mu"),
+        F.sqrt(F.col("_var") / F.col("n")),
+    )
+    tests = per.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        F.round(ST.norm_sf_2sided(z), 9).alias("p_value"),
+    )
+    out = ST.bh_adjust(tests, ["c_nationkey"], "p_value")
+    return out.select(
+        "c_nationkey", "p_value", "p_rank", "q_value"
+    ).orderBy("p_rank")
+
+
 def q_jackknife_ci(spark, sf_dir):
     # Distribution-free CI for the mean event value: 32 md5 buckets,
     # leave-one-out means recomputed algebraically from bucket
@@ -3762,6 +3877,14 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_welch_ttest",
+    "ext_anova",
+    "ext_mann_whitney",
+    "ext_ks_test",
+    "ext_chi_square",
+    "ext_spearman",
+    "ext_log_rank",
+    "ext_fdr_screen",
     "ext_nelson_aalen",
     "ext_histogram_2d",
     "ext_grouped_ols",
@@ -3919,6 +4042,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_welch_ttest": q_welch_ttest,
+        "ext_anova": q_anova,
+        "ext_mann_whitney": q_mann_whitney,
+        "ext_ks_test": q_ks_test,
+        "ext_chi_square": q_chi_square,
+        "ext_spearman": q_spearman,
+        "ext_log_rank": q_log_rank,
+        "ext_fdr_screen": q_fdr_screen,
         "ext_nelson_aalen": q_nelson_aalen,
         "ext_histogram_2d": q_histogram_2d,
         "ext_grouped_ols": q_grouped_ols,
@@ -4201,6 +4332,368 @@ def oracle_sql() -> dict[str, str]:
         # VALUES tables (see _eigen_oracle_sqls) -- empty (-> driver
         # rows-only fallback) only if the data dir is unreadable.
         **_eigen_oracle_sqls(),
+        # --- Hypothesis tests (operators/stats.py). The normal-CDF
+        # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
+        # the same association order as the Spark columns, so both
+        # engines evaluate the identical FP expression.
+        "ext_welch_ttest": """
+            WITH per AS (
+                SELECT event_type, count(value) AS n,
+                       sum(value) AS s1, sum(value*value) AS s2
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY 1
+            ),
+            st AS (
+                SELECT event_type, n, s1 / n AS mean,
+                       greatest(0.0, (s2 - s1*s1/n) / (n - 1)) AS var
+                FROM per
+            ),
+            j AS (
+                SELECT a.n AS n_a, a.mean AS ma, a.var AS va,
+                       b.n AS n_b, b.mean AS mb, b.var AS vb
+                FROM st a, st b
+                WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+            ),
+            c AS (
+                SELECT n_a, n_b, ma, mb,
+                       (ma - mb) / sqrt(va/n_a + vb/n_b) AS t_stat,
+                       (va/n_a + vb/n_b) * (va/n_a + vb/n_b)
+                       / ((va/n_a)*(va/n_a)/(n_a - 1)
+                          + (vb/n_b)*(vb/n_b)/(n_b - 1)) AS dfw
+                FROM j
+            ),
+            e1 AS (SELECT *, abs(t_stat)/sqrt(2.0) AS x FROM c),
+            e2 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS tt FROM e1),
+            e3 AS (SELECT *,
+                       1.0 - (0.254829592*tt - 0.284496736*tt*tt
+                              + 1.421413741*tt*tt*tt
+                              - 1.453152027*tt*tt*tt*tt
+                              + 1.061405429*tt*tt*tt*tt*tt)
+                             * exp(-x*x) AS erf
+                   FROM e2)
+            SELECT n_a, n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round(t_stat, 6) AS t_stat, round(dfw, 6) AS df_welch,
+                   round(1.0 - erf, 6) AS p_normal
+            FROM e3
+        """,
+        "ext_anova": """
+            WITH per AS (
+                SELECT event_type, count(value) AS n,
+                       sum(value) AS s1, sum(value*value) AS s2
+                FROM events GROUP BY 1
+            ),
+            tot AS (
+                SELECT count(*) AS k_groups,
+                       sum(n)::BIGINT AS n_total,
+                       sum(s1*s1/n) AS sb_raw,
+                       sum(s1) AS S1, sum(s2) AS S2
+                FROM per
+            ),
+            c AS (
+                SELECT k_groups, n_total,
+                       greatest(0.0, sb_raw - S1*S1/n_total) AS ssb,
+                       greatest(0.0, S2 - sb_raw) AS ssw
+                FROM tot
+            )
+            SELECT k_groups, n_total,
+                   round(ssb, 3) AS ss_between,
+                   round(ssw, 3) AS ss_within,
+                   round((ssb / (k_groups - 1))
+                         / (ssw / (n_total - k_groups)), 6) AS f_stat
+            FROM c
+        """,
+        "ext_mann_whitney": """
+            WITH two AS (
+                SELECT round(value, 2) AS v, event_type
+                FROM events
+                WHERE event_type IN ('purchase', 'view')
+            ),
+            per AS (
+                SELECT v, count(*) AS t,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS ta
+                FROM two GROUP BY 1
+            ),
+            g AS (
+                SELECT t, ta,
+                       coalesce(sum(t) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS midrank
+                FROM per
+            ),
+            a AS (
+                SELECT sum(ta) AS n_a, sum(t - ta) AS n_b,
+                       sum(ta * midrank) AS ra,
+                       sum(t::DOUBLE * t * t - t) AS ties
+                FROM g
+            ),
+            c AS (
+                SELECT n_a, n_b,
+                       ra - n_a * (n_a + 1) / 2.0 AS u_a,
+                       (ra - n_a * (n_a + 1) / 2.0 - n_a*n_b/2.0)
+                       / sqrt(n_a*n_b/12.0
+                              * ((n_a + n_b + 1)
+                                 - ties / ((n_a + n_b)
+                                           * (n_a + n_b - 1)))) AS z
+                FROM a
+            ),
+            e1 AS (SELECT *, abs(z)/sqrt(2.0) AS x FROM c),
+            e2 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS tt FROM e1),
+            e3 AS (SELECT *,
+                       1.0 - (0.254829592*tt - 0.284496736*tt*tt
+                              + 1.421413741*tt*tt*tt
+                              - 1.453152027*tt*tt*tt*tt
+                              + 1.061405429*tt*tt*tt*tt*tt)
+                             * exp(-x*x) AS erf
+                   FROM e2)
+            SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   round(u_a, 6) AS u_stat, round(z, 6) AS z_stat,
+                   round(1.0 - erf, 6) AS p_normal
+            FROM e3
+        """,
+        "ext_ks_test": """
+            WITH two AS (
+                SELECT round(value, 2) AS v, event_type
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+            ),
+            per AS (
+                SELECT v,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS cb
+                FROM two GROUP BY 1
+            ),
+            ecdf AS (
+                SELECT
+                    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        / (sum(ca) OVER ())::DOUBLE AS fa,
+                    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        / (sum(cb) OVER ())::DOUBLE AS fb,
+                    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+                FROM per
+            ),
+            a AS (
+                SELECT max(abs(fa - fb)) AS d,
+                       max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b
+                FROM ecdf
+            )
+            SELECT n_a, n_b, round(d, 6) AS d_stat,
+                   round(least(1.0, 2.0 * exp(
+                       -2.0 * (n_a::DOUBLE * n_b / (n_a + n_b)) * d * d
+                   )), 6) AS p_asymptotic
+            FROM a
+        """,
+        "ext_chi_square": """
+            WITH cells AS (
+                SELECT c_nationkey AS a, c_mktsegment AS b,
+                       count(*) AS o
+                FROM customer GROUP BY 1, 2
+            ),
+            rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+            cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+            tot AS (
+                SELECT sum(o)::BIGINT AS n,
+                       count(DISTINCT a) AS ka,
+                       count(DISTINCT b) AS kb
+                FROM cells
+            ),
+            x AS (
+                SELECT (c.o - rm.ra::DOUBLE * cm.cb / t.n)
+                       * (c.o - rm.ra::DOUBLE * cm.cb / t.n)
+                       / (rm.ra::DOUBLE * cm.cb / t.n) AS x2,
+                       t.n, t.ka, t.kb
+                FROM cells c
+                JOIN rm ON c.a = rm.a
+                JOIN cm ON c.b = cm.b
+                CROSS JOIN tot t
+            ),
+            agg AS (
+                SELECT n, ka, kb, sum(x2) AS chi2
+                FROM x GROUP BY 1, 2, 3
+            )
+            SELECT n AS n_rows,
+                   ((ka - 1) * (kb - 1))::BIGINT AS dof,
+                   round(chi2, 6) AS chi2,
+                   round(sqrt(chi2 / (n * least(ka - 1, kb - 1))), 6)
+                       AS cramers_v
+            FROM agg
+        """,
+        "ext_spearman": """
+            WITH rows_in AS (
+                SELECT count(*)::DOUBLE AS rx_in, user_id,
+                       count(*) AS n_events,
+                       round(sum(value), 2) AS total_value
+                FROM events GROUP BY user_id
+            ),
+            base AS (
+                SELECT n_events::DOUBLE AS x, total_value AS y
+                FROM rows_in
+            ),
+            gx AS (
+                SELECT x AS v, count(*) AS t FROM base GROUP BY 1
+            ),
+            mx AS (
+                SELECT v,
+                       coalesce(sum(t) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS r
+                FROM gx
+            ),
+            gy AS (
+                SELECT y AS v, count(*) AS t FROM base GROUP BY 1
+            ),
+            my AS (
+                SELECT v,
+                       coalesce(sum(t) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS r
+                FROM gy
+            ),
+            ranked AS (
+                SELECT mx.r AS rx, my.r AS ry
+                FROM base
+                JOIN mx ON base.x = mx.v
+                JOIN my ON base.y = my.v
+            ),
+            a AS (
+                SELECT count(*) AS n_rows,
+                       sum(rx) AS sx, sum(ry) AS sy,
+                       sum(rx*ry) AS sxy,
+                       sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+                FROM ranked
+            )
+            SELECT n_rows,
+                   round((sxy - sx*sy/n_rows)
+                         / sqrt(greatest(0.0,
+                               (sxx - sx*sx/n_rows)
+                               * (syy - sy*sy/n_rows))), 6)
+                       AS spearman_rho
+            FROM a
+        """,
+        "ext_log_rank": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) AS f,
+                       max(epoch_us(ts)) AS l,
+                       min(CASE WHEN event_type = 'error'
+                                THEN epoch_us(ts) END) AS e
+                FROM events GROUP BY 1
+            ),
+            spans AS (
+                SELECT ((coalesce(e, l) - f) // 86400000000)::INT AS t,
+                       (e IS NOT NULL)::INT AS ev,
+                       CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+                           AS in_a
+                FROM pu
+            ),
+            per_t AS (
+                SELECT t, count(*) AS tot,
+                       sum(in_a) AS tot_a,
+                       sum(ev) AS d,
+                       sum(CASE WHEN in_a = 1 THEN ev ELSE 0 END) AS da
+                FROM spans GROUP BY 1
+            ),
+            grid AS (
+                SELECT d, da,
+                       sum(tot) OVER ()
+                       - coalesce(sum(tot) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n,
+                       sum(tot_a) OVER ()
+                       - coalesce(sum(tot_a) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS na
+                FROM per_t
+            ),
+            terms AS (
+                SELECT da - d * (na::DOUBLE / n) AS oe,
+                       coalesce(d * (na::DOUBLE / n)
+                                * (1.0 - na::DOUBLE / n)
+                                * (n - d)
+                                / nullif((n - 1)::DOUBLE, 0.0),
+                                0.0) AS v
+                FROM grid WHERE d > 0
+            ),
+            a AS (
+                SELECT sum(oe) AS soe, sum(v) AS sv,
+                       count(*) AS n_event_times
+                FROM terms
+            ),
+            c AS (
+                SELECT n_event_times, soe,
+                       coalesce(soe * soe / nullif(sv, 0.0), 0.0) AS chi2,
+                       coalesce(soe / nullif(sqrt(sv), 0.0), 0.0) AS z
+                FROM a
+            ),
+            e1 AS (SELECT *, abs(z)/sqrt(2.0) AS x FROM c),
+            e2 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS tt FROM e1),
+            e3 AS (SELECT *,
+                       1.0 - (0.254829592*tt - 0.284496736*tt*tt
+                              + 1.421413741*tt*tt*tt
+                              - 1.453152027*tt*tt*tt*tt
+                              + 1.061405429*tt*tt*tt*tt*tt)
+                             * exp(-x*x) AS erf
+                   FROM e2)
+            SELECT n_event_times,
+                   round(soe, 6) AS observed_minus_expected,
+                   round(chi2, 6) AS chi2,
+                   round(1.0 - erf, 6) AS p_normal
+            FROM e3
+        """,
+        "ext_fdr_screen": """
+            WITH per AS (
+                SELECT c_nationkey, count(*) AS n,
+                       sum(c_acctbal) AS s1
+                FROM customer GROUP BY 1
+            ),
+            gl AS (
+                SELECT avg(c_acctbal) AS mu,
+                       var_samp(c_acctbal) AS var
+                FROM customer
+            ),
+            c AS (
+                SELECT c_nationkey,
+                       (s1 / n - mu) / sqrt(var / n) AS z
+                FROM per CROSS JOIN gl
+            ),
+            e1 AS (SELECT *, abs(z)/sqrt(2.0) AS x FROM c),
+            e2 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS tt FROM e1),
+            e3 AS (SELECT *,
+                       1.0 - (0.254829592*tt - 0.284496736*tt*tt
+                              + 1.421413741*tt*tt*tt
+                              - 1.453152027*tt*tt*tt*tt
+                              + 1.061405429*tt*tt*tt*tt*tt)
+                             * exp(-x*x) AS erf
+                   FROM e2),
+            tests AS (
+                SELECT c_nationkey, round(1.0 - erf, 9) AS p_value
+                FROM e3
+            ),
+            ranked AS (
+                SELECT c_nationkey, p_value,
+                       row_number() OVER (
+                           ORDER BY p_value, c_nationkey) AS p_rank,
+                       count(*) OVER () AS m
+                FROM tests
+            )
+            SELECT c_nationkey, p_value, p_rank,
+                   round(least(1.0, min(p_value * m / p_rank) OVER (
+                       ORDER BY p_rank
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)), 6) AS q_value
+            FROM ranked
+            ORDER BY p_rank
+        """,
         # --- TPC-H suite (operators/tpch.py) -- rounding and aliases
         # mirror the Spark plans exactly; every LIMIT is preceded by a
         # total order with a unique tie-breaker key.

@@ -70,6 +70,11 @@ def main() -> None:
             "llm_quality_eval": "distinct-score grid",
             "eval_auc": "distinct-score grid",
             "j4_zip_join": "fixed 25/5-row dims",
+            "ext_mann_whitney": "distinct-value grid (2dp-rounded)",
+            "ext_ks_test": "distinct-value grid (2dp-rounded)",
+            "ext_spearman": "distinct-value grids per column",
+            "ext_log_rank": "distinct-duration grid",
+            "ext_fdr_screen": "25-row tests frame",
         }
         rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:

@@ -1,0 +1,545 @@
+"""Distributed hypothesis tests and inferential statistics.
+
+The reference ships dashboard-grade descriptive stats (see
+product-demos/streamlit/utils.py:25-104 for the metric rollups these
+extend); a 100 TB curation pipeline additionally needs the *inferential*
+layer — "is this shard's quality distribution actually different?",
+"which n groups survive an FDR screen?" — computed without ever pulling
+a sample to the driver.
+
+Every test here reduces to one of two Catalyst-friendly shapes:
+
+1. **Moment tests** (Welch t, one-way ANOVA, chi-square): one or two
+   hash aggregations producing per-group sufficient statistics (n, Σx,
+   Σx²or cell counts), combined by closed-form column arithmetic on a
+   frame whose size is the number of GROUPS, not rows. Map-side partial
+   aggregation does the heavy lifting; no window functions at all.
+
+2. **Rank / ECDF tests** (Mann-Whitney U, Kolmogorov-Smirnov, Spearman,
+   log-rank): the classical formulation sorts all N rows, which on a
+   cluster would be a global window — a single-task scale-killer. Each
+   is re-planned onto the DISTINCT-VALUE GRID: aggregate per distinct
+   value first (hash shuffle, combiner-friendly), then run the
+   cumulative window over the grid only. Average ranks, ECDFs and
+   at-risk counts are all exact functions of (value, per-value counts),
+   so results are bit-identical to the sorted-row formulation while the
+   window input is bounded by value cardinality (ties collapse; for
+   continuous data a pre-rounding step bounds the grid explicitly).
+
+Normal-CDF p-values use the Abramowitz & Stegun 7.1.26 erf polynomial
+(max abs error 1.5e-7) written as plain column arithmetic so the DuckDB
+oracles can evaluate the *identical* polynomial — neither engine has a
+built-in erf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "welch_ttest",
+    "one_way_anova",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "chi_square_independence",
+    "spearman_correlation",
+    "log_rank_test",
+    "bh_adjust",
+]
+
+
+def norm_sf_2sided(z: Column) -> Column:
+    """Two-sided normal tail probability ``2 * (1 - Phi(|z|))`` via the
+    Abramowitz & Stegun 7.1.26 erf polynomial (|err| < 1.5e-7). Plain
+    column arithmetic — evaluates inside whole-stage codegen, and the
+    same five coefficients are re-stated verbatim in the SQL oracles.
+    """
+    x = F.abs(z) / F.lit(2.0 ** 0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    return F.lit(1.0) - erf
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two named groups.
+
+    One hash aggregation produces (n, mean, m2) per group via the
+    textbook sufficient statistics (n, Σx, Σx²); the t statistic and
+    Welch-Satterthwaite degrees of freedom are closed-form arithmetic
+    on a two-row frame. ``try_divide`` guards the degenerate cases
+    (n < 2 or zero variance in both samples) by yielding NULL-free
+    zeros rather than an ANSI abort.
+    """
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(
+            F.count(v).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+        .select(
+            group_col,
+            "n",
+            (F.col("s1") / F.col("n")).alias("mean"),
+            # Sample variance from the moment form; clamp the tiny
+            # negative residue catastrophic cancellation can leave.
+            F.greatest(
+                F.lit(0.0),
+                F.try_divide(
+                    F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"),
+                    F.col("n") - F.lit(1),
+                ),
+            ).alias("var"),
+        )
+    )
+    a = per.filter(F.col(group_col) == group_a).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = per.filter(F.col(group_col) == group_b).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    j = a.crossJoin(b)  # 1 x 1 rows: the two scalar stat frames
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t_stat = F.coalesce(
+        F.try_divide(F.col("mean_a") - F.col("mean_b"), F.sqrt(se2)),
+        F.lit(0.0),
+    )
+    # Products, not pow(): Math.pow(x, 2) is allowed 1 ulp off x*x and
+    # the oracles spell these as products.
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    df_w = F.coalesce(
+        F.try_divide(
+            se2 * se2,
+            F.try_divide(va_n * va_n, F.col("n_a") - F.lit(1))
+            + F.try_divide(vb_n * vb_n, F.col("n_b") - F.lit(1)),
+        ),
+        F.lit(0.0),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", round_dp).alias("mean_a"),
+        F.round("mean_b", round_dp).alias("mean_b"),
+        F.round(t_stat, round_dp).alias("t_stat"),
+        F.round(df_w, round_dp).alias("df_welch"),
+        F.round(norm_sf_2sided(t_stat), round_dp).alias("p_normal"),
+    )
+
+
+def one_way_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups of ``group_col``.
+
+    Two chained aggregations: per-group (n, Σx, Σx²), then a single
+    global combine of those sufficient statistics into SS_between /
+    SS_within — the canonical two-level tree aggregation, never a
+    second pass over the rows. Output is one row:
+    (k_groups, n_total, ss_between, ss_within, f_stat).
+    """
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(group_col).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    tot = per.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n").alias("n_total"),
+        # Σ_g n_g * (mean_g - grand)^2  ==  Σ_g s1_g^2/n_g - S1^2/N
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("_sb_raw"),
+        F.sum("s1").alias("_S1"),
+        F.sum("s2").alias("_S2"),
+    )
+    ssb = F.greatest(
+        F.lit(0.0),
+        F.col("_sb_raw") - F.col("_S1") * F.col("_S1") / F.col("n_total"),
+    )
+    ssw = F.greatest(F.lit(0.0), F.col("_S2") - F.col("_sb_raw"))
+    f_stat = F.coalesce(
+        F.try_divide(
+            F.try_divide(ssb, F.col("k_groups") - F.lit(1)),
+            F.try_divide(ssw, F.col("n_total") - F.col("k_groups")),
+        ),
+        F.lit(0.0),
+    )
+    # SS terms are O(Σx²)-magnitude; 3dp keeps the rounding well above
+    # summation-order ulp noise while the O(1) F statistic gets full dp.
+    return tot.select(
+        "k_groups",
+        "n_total",
+        F.round(ssb, 3).alias("ss_between"),
+        F.round(ssw, 3).alias("ss_within"),
+        F.round(f_stat, round_dp).alias("f_stat"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with tie correction and the
+    normal approximation z / p.
+
+    Average ranks never touch per-row windows: for a distinct value v
+    with cum_less(v) rows strictly below it and t(v) total rows tied at
+    it, every tied row's midrank is ``cum_less + (t + 1) / 2``. So the
+    plan is: per-distinct-value counts (hash agg) → running sum over
+    the VALUE GRID (window bounded by value cardinality) → one global
+    combine for R_a, the tie-correction Σ(t³ - t), and the closed-form
+    U, z, p. Bit-identical to scipy's tie-corrected statistic.
+    """
+    v = F.col(value_col).cast("double")
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per_v = two.groupBy(v.alias("_v")).agg(
+        F.count("*").alias("_t"),
+        F.sum(
+            F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("_ta"),
+    )
+    w_prev = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "_t",
+        "_ta",
+        (
+            F.coalesce(F.sum("_t").over(w_prev), F.lit(0))
+            + (F.col("_t") + F.lit(1)) / F.lit(2.0)
+        ).alias("_midrank"),
+    )
+    t_d = F.col("_t").cast("double")
+    agg = ranked.agg(
+        F.sum("_ta").alias("n_a"),
+        F.sum(F.col("_t") - F.col("_ta")).alias("n_b"),
+        F.sum(F.col("_ta") * F.col("_midrank")).alias("_ra"),
+        F.sum(t_d * t_d * t_d - t_d).alias("_ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u_a = F.col("_ra") - n_a * (n_a + F.lit(1)) / F.lit(2.0)
+    var_u = (
+        n_a * n_b / F.lit(12.0)
+        * ((n + F.lit(1)) - F.try_divide(F.col("_ties"), n * (n - F.lit(1))))
+    )
+    z = F.coalesce(
+        F.try_divide(u_a - n_a * n_b / F.lit(2.0), F.sqrt(var_u)), F.lit(0.0)
+    )
+    return agg.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(u_a, round_dp).alias("u_stat"),
+        F.round(z, round_dp).alias("z_stat"),
+        F.round(norm_sf_2sided(z), round_dp).alias("p_normal"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D with the asymptotic first-term
+    p approximation ``2 * exp(-2 * m * D^2)``, m = n_a*n_b/(n_a+n_b).
+
+    Both ECDFs are running sums over the distinct-value grid (the KS
+    statistic is constant between jumps, so evaluating at jump points
+    is exact); the sup becomes a max over the grid. No per-row window.
+    """
+    v = F.col(value_col).cast("double")
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per_v = two.groupBy(v.alias("_v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("_ca"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("_cb"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select(
+        (F.sum("_ca").over(w_cum) / F.sum("_ca").over(w_all)).alias("_fa"),
+        (F.sum("_cb").over(w_cum) / F.sum("_cb").over(w_all)).alias("_fb"),
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    agg = ecdf.agg(
+        F.max(F.abs(F.col("_fa") - F.col("_fb"))).alias("_d"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    m = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * m * F.col("_d") * F.col("_d")),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("_d", round_dp).alias("d_stat"),
+        F.round(p, round_dp).alias("p_asymptotic"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size.
+
+    One cell-count aggregation (|A| x |B| cells), then the row / column
+    marginals are re-aggregated FROM THE CELLS (grids, not rows) and
+    joined back — AQE broadcasts both marginal frames. Output one row:
+    (n_rows, dof, chi2, cramers_v).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").alias("_o"))
+    row_m = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    col_m = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_a").alias("_ka"),
+        F.countDistinct("_b").alias("_kb"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "_a")
+        .join(F.broadcast(col_m), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra").cast("double") * F.col("_cb") / F.col("_n")
+    per_cell = joined.select(
+        ((F.col("_o") - e) * (F.col("_o") - e) / e).alias("_x2"),
+        "_n",
+        "_ka",
+        "_kb",
+    )
+    agg = per_cell.groupBy("_n", "_ka", "_kb").agg(
+        F.sum("_x2").alias("_chi2")
+    )
+    dof = (F.col("_ka") - F.lit(1)) * (F.col("_kb") - F.lit(1))
+    v = F.sqrt(
+        F.coalesce(
+            F.try_divide(
+                F.col("_chi2"),
+                F.col("_n")
+                * F.least(F.col("_ka") - F.lit(1), F.col("_kb") - F.lit(1)),
+            ),
+            F.lit(0.0),
+        )
+    )
+    return agg.select(
+        F.col("_n").alias("n_rows"),
+        dof.cast("long").alias("dof"),
+        F.round("_chi2", round_dp).alias("chi2"),
+        F.round(v, round_dp).alias("cramers_v"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation with average-rank tie handling.
+
+    Midranks come from the same distinct-value-grid device as the
+    rank-sum test, once per column: per-value counts → grid running sum
+    → midrank, joined back to the rows by VALUE (equi join, AQE
+    broadcasts the grid when small). Pearson on the midranks is then a
+    single aggregation in moment form. No per-row window anywhere.
+    """
+    rows = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def midranks(col_name: str, out: str) -> DataFrame:
+        per_v = rows.groupBy(F.col(col_name).alias("_v")).agg(
+            F.count("*").alias("_t")
+        )
+        w_prev = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return per_v.select(
+            F.col("_v").alias(col_name),
+            (
+                F.coalesce(F.sum("_t").over(w_prev), F.lit(0))
+                + (F.col("_t") + F.lit(1)) / F.lit(2.0)
+            ).alias(out),
+        )
+
+    ranked = rows.join(midranks("_x", "_rx"), "_x").join(
+        midranks("_y", "_ry"), "_y"
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    rho = F.coalesce(
+        F.try_divide(cov, F.sqrt(F.greatest(F.lit(0.0), vx * vy))),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_rows", F.round(rho, round_dp).alias("spearman_rho")
+    )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test on (duration, observed-event, group)
+    rows — the standard companion to the Kaplan-Meier curves this
+    module's survival family already draws.
+
+    At each distinct event time j: d_j events out of n_j at risk, of
+    which n_aj at risk in group A contribute expectation
+    ``e_aj = d_j * n_aj / n_j`` and hypergeometric variance
+    ``v_j = d_j * (n_aj/n_j) * (1 - n_aj/n_j) * (n_j - d_j)/(n_j - 1)``.
+    Chi2 = (Σ(d_aj - e_aj))² / Σ v_j. At-risk counts are suffix sums
+    over the distinct-duration grid (the kaplan_meier device), so the
+    whole test is two hash aggs + one bounded grid window.
+    """
+    is_a = F.col(group_col) == group_a
+    per_t = df.groupBy(F.col(duration_col).alias("_t")).agg(
+        F.count("*").alias("_tot"),
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("_tot_a"),
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.sum(
+            F.when(is_a, F.col(event_col).cast("long")).otherwise(F.lit(0))
+        ).alias("_da"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    grid = per_t.select(
+        "_d",
+        "_da",
+        (
+            F.sum("_tot").over(w_all)
+            - F.coalesce(F.sum("_tot").over(w_prev), F.lit(0))
+        ).alias("_n"),
+        (
+            F.sum("_tot_a").over(w_all)
+            - F.coalesce(F.sum("_tot_a").over(w_prev), F.lit(0))
+        ).alias("_na"),
+    ).filter(F.col("_d") > 0)
+    p_a = F.col("_na").cast("double") / F.col("_n")
+    e_a = F.col("_d") * p_a
+    v_j = F.coalesce(
+        F.try_divide(
+            F.col("_d") * p_a * (F.lit(1.0) - p_a) * (F.col("_n") - F.col("_d")),
+            (F.col("_n") - F.lit(1)).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    agg = grid.select(
+        (F.col("_da") - e_a).alias("_oe"), v_j.alias("_v")
+    ).agg(
+        F.sum("_oe").alias("_soe"),
+        F.sum("_v").alias("_sv"),
+        F.count("*").alias("n_event_times"),
+    )
+    chi2 = F.coalesce(
+        F.try_divide(F.col("_soe") * F.col("_soe"), F.col("_sv")), F.lit(0.0)
+    )
+    z = F.coalesce(
+        F.try_divide(F.col("_soe"), F.sqrt(F.col("_sv"))), F.lit(0.0)
+    )
+    return agg.select(
+        "n_event_times",
+        F.round("_soe", round_dp).alias("observed_minus_expected"),
+        F.round(chi2, round_dp).alias("chi2"),
+        F.round(norm_sf_2sided(z), round_dp).alias("p_normal"),
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    key_cols: list,
+    p_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a frame of per-test
+    p-values: q_i = min over j >= i of (p_(j) * m / j), computed as a
+    suffix running-min window over the TESTS frame (one row per
+    hypothesis — bounded by the number of tests, which is a
+    group-cardinality frame, never the raw rows).
+
+    Ties on p are ranked by row_number with the key columns as a
+    deterministic tiebreak, which leaves q-values invariant (equal p →
+    equal q after the suffix min).
+    """
+    m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordered = df.withColumn(
+        "_rank",
+        F.row_number().over(Window.orderBy(F.col(p_col), *key_cols)),
+    ).withColumn("_m", F.count("*").over(m))
+    w_suffix = Window.orderBy("_rank").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    q = F.least(
+        F.lit(1.0),
+        F.min(
+            F.col(p_col) * F.col("_m") / F.col("_rank")
+        ).over(w_suffix),
+    )
+    return ordered.select(
+        *key_cols,
+        F.col(p_col),
+        F.col("_rank").alias("p_rank"),
+        F.round(q, round_dp).alias("q_value"),
+    )

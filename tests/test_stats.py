@@ -1,0 +1,211 @@
+"""Hypothesis-test operators vs independent numpy references.
+
+Each test builds a tiny crafted frame (ties, unbalanced groups,
+censoring — the cases the synthetic corpus can't pin down), computes
+the statistic with plain numpy using the textbook formulation (full
+sort / explicit contingency table — NOT the distributed grid re-plan),
+and checks the Spark operator agrees to 1e-6. That cross-checks the
+distinct-value-grid device against the classical definition.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_demos_spark.operators import stats as ST
+
+
+def _midranks(values):
+    """Textbook average ranks (1-based) with ties, via full sort."""
+    v = np.asarray(values, dtype=float)
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v))
+    i = 0
+    sv = v[order]
+    while i < len(v):
+        j = i
+        while j < len(v) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # avg of i+1 .. j
+        i = j
+    return ranks
+
+
+A = [3.1, 4.5, 4.5, 2.2, 5.0, 3.3, 4.4, 6.1]
+B = [1.0, 2.2, 3.3, 2.5, 2.2, 1.9]
+
+
+@pytest.fixture(scope="module")
+def two_groups(spark):
+    rows = [("a", v) for v in A] + [("b", v) for v in B]
+    return spark.createDataFrame(rows, ["g", "v"])
+
+
+def test_welch_vs_numpy(two_groups):
+    row = ST.welch_ttest(two_groups, "g", "v", "a", "b").collect()[0]
+    a, b = np.array(A), np.array(B)
+    se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row.n_a == len(A) and row.n_b == len(B)
+    assert row.t_stat == pytest.approx(t, abs=1e-6)
+    assert row.df_welch == pytest.approx(df, abs=1e-6)
+    assert 0.0 < row.p_normal < 0.05  # clearly separated samples
+
+
+def test_anova_vs_numpy(spark):
+    groups = {"x": [1.0, 2.0, 3.0], "y": [2.0, 4.0, 6.0, 8.0], "z": [5.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    out = ST.one_way_anova(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    allv = np.array([v for vs in groups.values() for v in vs])
+    grand = allv.mean()
+    ssb = sum(len(vs) * (np.mean(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum(((np.array(vs) - np.mean(vs)) ** 2).sum() for vs in groups.values())
+    f = (ssb / 2) / (ssw / (len(allv) - 3))
+    assert out.k_groups == 3 and out.n_total == 8
+    assert out.ss_between == pytest.approx(ssb, abs=1e-3)
+    assert out.ss_within == pytest.approx(ssw, abs=1e-3)
+    assert out.f_stat == pytest.approx(f, abs=1e-6)
+
+
+def test_mann_whitney_vs_numpy(two_groups):
+    row = ST.mann_whitney_u(two_groups, "g", "v", "a", "b").collect()[0]
+    pooled = A + B
+    ranks = _midranks(pooled)
+    ra = ranks[: len(A)].sum()
+    u = ra - len(A) * (len(A) + 1) / 2
+    n, na, nb = len(pooled), len(A), len(B)
+    _, counts = np.unique(pooled, return_counts=True)
+    ties = float((counts.astype(float) ** 3 - counts).sum())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    assert row.u_stat == pytest.approx(u, abs=1e-6)
+    assert row.z_stat == pytest.approx(z, abs=1e-6)
+    p = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2.0))))
+    assert row.p_normal == pytest.approx(p, abs=1e-5)  # A&S poly ~1.5e-7
+
+
+def test_ks_vs_numpy(two_groups):
+    row = ST.ks_two_sample(two_groups, "g", "v", "a", "b").collect()[0]
+    grid = sorted(set(A + B))
+    a, b = np.array(A), np.array(B)
+    d = max(
+        abs((a <= t).mean() - (b <= t).mean()) for t in grid
+    )
+    assert row.d_stat == pytest.approx(d, abs=1e-6)
+    m = len(A) * len(B) / (len(A) + len(B))
+    assert row.p_asymptotic == pytest.approx(
+        min(1.0, 2.0 * math.exp(-2.0 * m * d * d)), abs=1e-6
+    )
+
+
+def test_chi_square_vs_numpy(spark):
+    rows = (
+        [("u", "x")] * 20 + [("u", "y")] * 10
+        + [("w", "x")] * 5 + [("w", "y")] * 25
+    )
+    out = ST.chi_square_independence(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    obs = np.array([[20, 10], [5, 25]], dtype=float)
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert out.n_rows == 60 and out.dof == 1
+    assert out.chi2 == pytest.approx(chi2, abs=1e-6)
+    assert out.cramers_v == pytest.approx(math.sqrt(chi2 / 60), abs=1e-6)
+
+
+def test_spearman_perfect_monotone(spark):
+    # y = x^3 is a nonlinear but strictly monotone map: rho must be 1.
+    df = spark.createDataFrame(
+        [(float(x), float(x**3)) for x in range(1, 9)], ["x", "y"]
+    )
+    row = ST.spearman_correlation(df, "x", "y").collect()[0]
+    assert row.spearman_rho == pytest.approx(1.0, abs=1e-9)
+
+
+def test_spearman_ties_vs_numpy(spark):
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0]
+    row = ST.spearman_correlation(
+        spark.createDataFrame(list(zip(xs, ys)), ["x", "y"]), "x", "y"
+    ).collect()[0]
+    rx, ry = _midranks(xs), _midranks(ys)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert row.spearman_rho == pytest.approx(rho, abs=1e-6)
+
+
+def test_log_rank_identical_cohorts_is_zero(spark):
+    # Two copies of the same survival experience: chi2 exactly 0.
+    base = [(1, True), (2, True), (3, False), (5, True), (8, False)]
+    rows = [(t, e, "a") for t, e in base] + [(t, e, "b") for t, e in base]
+    out = ST.log_rank_test(
+        spark.createDataFrame(rows, ["t", "e", "g"]), "t", "e", "g", "a"
+    ).collect()[0]
+    assert out.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert out.p_normal == pytest.approx(1.0, abs=1e-6)
+
+
+def test_log_rank_vs_hand_formula(spark):
+    rows = [
+        (1, True, "a"), (2, True, "a"), (4, False, "a"), (6, True, "a"),
+        (1, True, "b"), (3, True, "b"), (3, True, "b"), (7, False, "b"),
+    ]
+    out = ST.log_rank_test(
+        spark.createDataFrame(rows, ["t", "e", "g"]), "t", "e", "g", "a"
+    ).collect()[0]
+    # Hand-rolled textbook computation over event times.
+    data = [(t, e, g) for t, e, g in rows]
+    times = sorted({t for t, e, _ in data if e})
+    soe = sv = 0.0
+    for tj in times:
+        at_risk = [(t, e, g) for t, e, g in data if t >= tj]
+        n = len(at_risk)
+        na = sum(1 for *_, g in at_risk if g == "a")
+        d = sum(1 for t, e, _ in data if t == tj and e)
+        da = sum(1 for t, e, g in data if t == tj and e and g == "a")
+        soe += da - d * na / n
+        if n > 1:
+            sv += d * (na / n) * (1 - na / n) * (n - d) / (n - 1)
+    assert out.n_event_times == len(times)
+    assert out.observed_minus_expected == pytest.approx(soe, abs=1e-6)
+    assert out.chi2 == pytest.approx(soe * soe / sv, abs=1e-6)
+
+
+def test_bh_adjust_known_example(spark):
+    # Classic worked example: q = min suffix of p*m/rank.
+    ps = [("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.005)]
+    out = {
+        r.k: (r.p_rank, r.q_value)
+        for r in ST.bh_adjust(
+            spark.createDataFrame(ps, ["k", "p"]), ["k"], "p"
+        ).collect()
+    }
+    # sorted p: .005(1) .01(2) .03(3) .04(4); m=4
+    # raw p*m/rank: .02 .02 .04 .04 -> suffix mins: .02 .02 .04 .04
+    assert out["t4"] == (1, pytest.approx(0.02))
+    assert out["t1"] == (2, pytest.approx(0.02))
+    assert out["t3"] == (3, pytest.approx(0.04))
+    assert out["t2"] == (4, pytest.approx(0.04))
+
+
+def test_norm_sf_accuracy(spark):
+    # A&S 7.1.26 vs math.erf across the useful z range.
+    df = spark.range(1).select(
+        *[
+            ST.norm_sf_2sided(F.lit(z)).alias(f"p{i}")
+            for i, z in enumerate([0.0, 0.5, 1.0, 1.96, 2.58, 4.0])
+        ]
+    )
+    got = df.collect()[0]
+    for i, z in enumerate([0.0, 0.5, 1.0, 1.96, 2.58, 4.0]):
+        exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(z / math.sqrt(2.0))))
+        assert got[f"p{i}"] == pytest.approx(exact, abs=2e-7)

@@ -3221,6 +3221,29 @@ def q_fdr_screen(spark, sf_dir):
     ).orderBy("p_rank")
 
 
+def q_association_rules(spark, sf_dir):
+    # Frequently-bought-together: directional brand pair rules per
+    # order, ranked by lift (relational.py:association_rules). The
+    # basket self-join co-locates by order key; item marginals ride a
+    # broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return R.association_rules(baskets, "l_orderkey", "p_brand", top_n=20)
+
+
+def q_rfm_segmentation(spark, sf_dir):
+    # Classic RFM quartile segmentation of the customer base from the
+    # orders fact: broadcast percentile boundaries, comparison scoring,
+    # no ntile window (relational.py:rfm_segmentation).
+    orders = _t(spark, sf_dir, "orders")
+    return R.rfm_segmentation(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
 def q_jackknife_ci(spark, sf_dir):
     # Distribution-free CI for the mean event value: 32 md5 buckets,
     # leave-one-out means recomputed algebraically from bucket
@@ -3877,6 +3900,8 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_association_rules",
+    "ext_rfm_segmentation",
     "ext_welch_ttest",
     "ext_anova",
     "ext_mann_whitney",
@@ -4042,6 +4067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_association_rules": q_association_rules,
+        "ext_rfm_segmentation": q_rfm_segmentation,
         "ext_welch_ttest": q_welch_ttest,
         "ext_anova": q_anova,
         "ext_mann_whitney": q_mann_whitney,
@@ -4336,6 +4363,79 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_association_rules": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            tot AS (SELECT count(DISTINCT bk) AS nb FROM items),
+            cnt AS (SELECT it, count(*) AS c FROM items GROUP BY 1),
+            pairs AS (
+                SELECT a.it AS item_a, b.it AS item_b,
+                       count(*) AS pair_n
+                FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it <> b.it
+                GROUP BY 1, 2
+            ),
+            rules AS (
+                SELECT item_a, item_b, pair_n,
+                       round(pair_n / nb::DOUBLE, 6) AS support,
+                       round(pair_n / ca.c::DOUBLE, 6) AS confidence,
+                       round((pair_n / ca.c::DOUBLE)
+                             / (cb.c / nb::DOUBLE), 6) AS lift
+                FROM pairs
+                JOIN cnt ca ON pairs.item_a = ca.it
+                JOIN cnt cb ON pairs.item_b = cb.it
+                CROSS JOIN tot
+            )
+            SELECT item_a, item_b, pair_n, support, confidence, lift
+            FROM rules
+            ORDER BY lift DESC, item_a, item_b
+            LIMIT 20
+        """,
+        "ext_rfm_segmentation": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       max(o_orderdate) AS last_o,
+                       count(*) AS freq,
+                       round(sum(o_totalprice), 2) AS money
+                FROM orders GROUP BY 1
+            ),
+            ref AS (SELECT max(last_o) AS r FROM per_c),
+            rfm AS (
+                SELECT date_diff('day', last_o::DATE, r::DATE) AS rec,
+                       freq, money
+                FROM per_c CROSS JOIN ref
+            ),
+            q AS (
+                -- boundaries rounded at 6dp to mirror the Spark
+                -- selection operator's round_dp=6 output
+                SELECT list_transform(
+                           quantile_cont(rec, [0.25, 0.5, 0.75]),
+                           x -> round(x, 6)) AS qr,
+                       list_transform(
+                           quantile_cont(freq, [0.25, 0.5, 0.75]),
+                           x -> round(x, 6)) AS qf,
+                       list_transform(
+                           quantile_cont(money, [0.25, 0.5, 0.75]),
+                           x -> round(x, 6)) AS qm
+                FROM rfm
+            ),
+            scored AS (
+                SELECT (5 - (1 + (rec > qr[1])::INT + (rec > qr[2])::INT
+                             + (rec > qr[3])::INT)) AS r_score,
+                       (1 + (freq > qf[1])::INT + (freq > qf[2])::INT
+                        + (freq > qf[3])::INT) AS f_score,
+                       (1 + (money > qm[1])::INT + (money > qm[2])::INT
+                        + (money > qm[3])::INT) AS m_score,
+                       money
+                FROM rfm CROSS JOIN q
+            )
+            SELECT r_score, f_score, m_score,
+                   count(*) AS n_customers,
+                   round(avg(money), 2) AS avg_monetary
+            FROM scored GROUP BY 1, 2, 3
+        """,
         "ext_welch_ttest": """
             WITH per AS (
                 SELECT event_type, count(value) AS n,

@@ -3188,3 +3188,142 @@ def nelson_aalen(
         )
         .orderBy(duration_col)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_n: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over (basket, item) rows — the co-occurrence profile behind
+    "frequently bought together" panels, which the reference's
+    recommender surfaces from its model store
+    (product-recommender/recsys-engine/local_recommender.py:108-110).
+
+    Candidate generation is a self equi-join on the BASKET key, so the
+    pair count per basket is O(k²) in items-per-basket (a small, data-
+    model-bounded k — never corpus-scaled), and the join co-locates by
+    basket hash. Item marginals are re-aggregated from the deduplicated
+    item list and broadcast. Directional rules (a→b and b→a both
+    emitted) ranked by rounded lift with a unique (a, b) tie-break
+    through a single TakeOrderedAndProject.
+    """
+    items = df.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    tot = items.agg(F.countDistinct("_bk").alias("_nb"))
+    cnt = items.groupBy("_it").agg(F.count("*").alias("_c"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), on="_bk")
+        .filter(F.col("a._it") != F.col("b._it"))
+        .groupBy(
+            F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b")
+        )
+        .agg(F.count("*").alias("pair_n"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("_it").alias("item_a"),
+                                   F.col("_c").alias("_ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("_it").alias("item_b"),
+                                   F.col("_c").alias("_cb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    support = F.col("pair_n") / F.col("_nb").cast("double")
+    confidence = F.col("pair_n") / F.col("_ca").cast("double")
+    lift = confidence / (F.col("_cb") / F.col("_nb").cast("double"))
+    scored = joined.select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        F.round(support, round_dp).alias("support"),
+        F.round(confidence, round_dp).alias("confidence"),
+        F.round(lift, round_dp).alias("lift"),
+    )
+    return scored.orderBy(
+        F.desc("lift"), "item_a", "item_b"
+    ).limit(top_n)
+
+
+def rfm_segmentation(
+    df: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation over
+    an order fact table, reported as segment-level counts.
+
+    Per-customer metrics are one hash aggregation. The three quartile
+    boundary sets are EXACT interpolated percentiles computed by the
+    distributed histogram-selection machinery
+    (``grouped_quantiles_selection`` with the stacked metric name as
+    the group key) — never a single-task ``percentile`` gather of the
+    whole customer dimension. The 3-row boundary frame pivots to one
+    broadcast row; scores are plain comparisons against it. Recency
+    scores invert (most recent = 4); frequency/monetary score 1-4
+    ascending. Output: one row per populated (r, f, m) cell with
+    customer count and mean monetary value.
+    """
+    from pyspark import StorageLevel
+
+    per_c = df.groupBy(F.col(cust_col).alias("_cust")).agg(
+        F.max(F.col(date_col)).alias("_last"),
+        F.count("*").alias("_freq"),
+        F.round(F.sum(amount_col), 2).alias("_money"),
+    )
+    ref = per_c.agg(F.max("_last").alias("_ref"))
+    rfm = (
+        per_c.crossJoin(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("_ref"), F.col("_last")).alias("_rec"),
+            "_freq",
+            "_money",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stacked = rfm.selectExpr(
+        "stack(3, 'rec', cast(_rec as double),"
+        " 'freq', cast(_freq as double),"
+        " 'money', _money) as (_m, _v)"
+    )
+    gq = grouped_quantiles_selection(
+        stacked, "_m", "_v", [0.25, 0.5, 0.75], round_dp=6
+    )
+    qs = gq.agg(
+        *[
+            F.max(
+                F.when(F.col("_m") == m, F.col(f"p{p}"))
+            ).alias(f"_q{m[0]}{p}")
+            for m in ("rec", "freq", "money")
+            for p in (25, 50, 75)
+        ]
+    )
+
+    def _asc(col, pfx):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"_q{pfx}25")).cast("int")
+            + (F.col(col) > F.col(f"_q{pfx}50")).cast("int")
+            + (F.col(col) > F.col(f"_q{pfx}75")).cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(qs)).select(
+        (F.lit(5) - _asc("_rec", "r")).alias("r_score"),
+        _asc("_freq", "f").alias("f_score"),
+        _asc("_money", "m").alias("m_score"),
+        "_money",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("_money"), 2).alias("avg_monetary"),
+    )

@@ -417,3 +417,61 @@ def test_nelson_aalen_hand_case(spark):
     assert abs(out[1].cum_hazard - 2 / 5) < 1e-9
     assert out[3].n_at_risk == 2 and out[3].n_events == 1
     assert abs(out[3].cum_hazard - (2 / 5 + 1 / 2)) < 1e-9
+
+
+def test_association_rules_hand_case(spark):
+    from streaming_demos_spark.operators.relational import association_rules
+
+    # 4 baskets: {a,b} {a,b} {a,c} {b}; duplicate item rows collapse.
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, "bk", "it", top_n=10).collect()
+    }
+    # counts: a=3 b=3 c=1 baskets; pairs: ab=2, ac=1 (directional)
+    ab = out[("a", "b")]
+    assert ab.pair_n == 2
+    assert ab.support == pytest.approx(2 / 4)
+    assert ab.confidence == pytest.approx(2 / 3)
+    assert ab.lift == pytest.approx((2 / 3) / (3 / 4))
+    ac = out[("a", "c")]
+    assert ac.confidence == pytest.approx(1 / 3)
+    assert ac.lift == pytest.approx((1 / 3) / (1 / 4), abs=1e-6)
+    # both directions emitted, lift symmetric
+    assert out[("b", "a")].lift == ab.lift
+    assert out[("c", "a")].pair_n == 1
+
+
+def test_rfm_segmentation_scores(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import rfm_segmentation
+
+    # 4 customers with strictly increasing recency/frequency/monetary:
+    # each quartile boundary separates them into distinct scores.
+    rows = []
+    for c, (days_ago, n_orders, amount) in enumerate(
+        [(0, 8, 800.0), (10, 4, 400.0), (20, 2, 200.0), (30, 1, 100.0)]
+    ):
+        for i in range(n_orders):
+            rows.append(
+                (c, dt.datetime(2024, 3, 1) - dt.timedelta(days=days_ago + i),
+                 amount / n_orders)
+            )
+    df = spark.createDataFrame(rows, "cust int, d timestamp, amt double")
+    out = rfm_segmentation(df, "cust", "d", "amt").collect()
+    # 4 distinct customers -> 4 populated cells, one customer each
+    assert len(out) == 4 and all(r.n_customers == 1 for r in out)
+    cells = {(r.r_score, r.f_score, r.m_score) for r in out}
+    # the best customer is (4,4,4), the worst (1,1,1)
+    assert (4, 4, 4) in cells and (1, 1, 1) in cells
+    for r in out:
+        assert 1 <= r.r_score <= 4
+        # scores agree across the three dimensions by construction
+        assert r.r_score == r.f_score == r.m_score

@@ -3244,6 +3244,24 @@ def q_rfm_segmentation(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    # Sub-document duplication: asymmetric shingle containment pairs
+    # (fragment-of detection) via the inverted-postings join with no
+    # length prune (dedup.py:containment_pairs).
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    # Character-level Levenshtein verification under prefix +
+    # length-band blocking; JVM levenshtein on capped heads
+    # (dedup.py:edit_distance_pairs).
+    docs = _t(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(docs).orderBy("doc_a", "doc_b")
+
+
 def q_jackknife_ci(spark, sf_dir):
     # Distribution-free CI for the mean event value: 32 md5 buckets,
     # leave-one-out means recomputed algebraically from bucket
@@ -3900,6 +3918,8 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "llm_dedup_containment",
+    "llm_dedup_edit_distance",
     "ext_association_rules",
     "ext_rfm_segmentation",
     "ext_welch_ttest",
@@ -4067,6 +4087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "llm_dedup_containment": q_containment_pairs,
+        "llm_dedup_edit_distance": q_edit_distance_pairs,
         "ext_association_rules": q_association_rules,
         "ext_rfm_segmentation": q_rfm_segmentation,
         "ext_welch_ttest": q_welch_ttest,
@@ -4363,6 +4385,60 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "llm_dedup_containment": """
+            WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents),
+            sh AS (
+                SELECT doc_id, CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words)-1),
+                                        i -> array_to_string(words[i:i+2], ' '))
+                    ELSE [array_to_string(words, ' ')] END AS shingles
+                FROM w
+            ),
+            ss AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+            postings AS (
+                SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM ss
+            ),
+            capped AS (
+                SELECT * FROM (
+                    SELECT *, count(*) OVER (PARTITION BY shingle)
+                        AS bucket_n
+                    FROM postings
+                ) WHERE bucket_n <= 50
+            ),
+            agg AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS n_a, b.n AS n_b, count(*) AS isect
+                FROM capped a JOIN capped b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ),
+            scored AS (
+                SELECT doc_a, doc_b,
+                       round(isect / n_a, 4) AS containment_a,
+                       round(isect / n_b, 4) AS containment_b
+                FROM agg
+            )
+            SELECT * FROM scored
+            WHERE greatest(containment_a, containment_b) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "llm_dedup_edit_distance": """
+            WITH blocked AS (
+                SELECT doc_id,
+                       md5(substr(lower(trim(text)), 1, 32)) AS blk,
+                       length(lower(trim(text))) // 64 AS band,
+                       substr(lower(trim(text)), 1, 256) AS head
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.head, b.head) AS edit_dist
+            FROM blocked a
+            JOIN blocked b
+              ON a.blk = b.blk AND a.band = b.band
+             AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.head, b.head) <= 24
+            ORDER BY doc_a, doc_b
+        """,
         "ext_association_rules": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS bk, p_brand AS it

@@ -1201,3 +1201,116 @@ def lsh_tuning(
         F.round("_rec", round_dp).alias("expected_recall"),
         F.round("_cand", round_dp).alias("expected_candidate_rate"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT ``C(A->B) = |A∩B| / |A|`` — the
+    sub-document duplication detector Jaccard misses: a short document
+    wholly embedded in a long one has high containment but low Jaccard
+    (|A∩B| / |A∪B| is dragged down by the big union). The classic use
+    is boilerplate/quote detection and "this doc is a fragment of that
+    one" curation calls.
+
+    Same inverted-postings plan as ``ngram_jaccard_pairs`` (explode
+    distinct shingles, hot-shingle bucket cap, equality join, per-pair
+    intersection count) MINUS the symmetric length-ratio prune — a tiny
+    document legitimately nests inside a huge one, so no |A|/|B| bound
+    exists. The bucket cap is therefore the only candidate limiter;
+    emits one row per unordered pair with both directions' containment,
+    kept when EITHER direction clears the threshold (on the rounded
+    value, so an oracle replay keeps the identical row set).
+    """
+    sh = _shingled(docs, text_col, id_col, shingle_k).select(
+        F.col(id_col), F.array_distinct(F.col("shingles")).alias("s")
+    )
+    postings = sh.select(
+        F.col(id_col), F.size("s").alias("n"), F.explode("s").alias("shingle")
+    )
+    capped = postings.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    left = capped.select(
+        "shingle", F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")
+    )
+    right = capped.select(
+        "shingle", F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")
+    )
+    return (
+        left.join(right, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("_isect"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_isect") / F.col("n_a"), 4).alias(
+                "containment_a"
+            ),
+            F.round(F.col("_isect") / F.col("n_b"), 4).alias(
+                "containment_b"
+            ),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 32,
+    band_chars: int = 64,
+    cap_chars: int = 256,
+    max_dist: int = 24,
+) -> DataFrame:
+    """Character-level Levenshtein verification of near-duplicate
+    candidates under prefix + length-band blocking.
+
+    MinHash/Jaccard work on word shingles; character edit distance
+    catches the near-dups they blur (small in-word edits, OCR noise).
+    Exact all-pairs Levenshtein is O(n² · L²) — unusable — so
+    candidates are blocked on ``(md5(normalized prefix), length
+    band)``: only pairs agreeing on their first ``prefix_chars``
+    normalized characters and sitting in the same ``band_chars``
+    length band are compared. The JVM ``levenshtein`` then runs on the
+    first ``cap_chars`` characters only, bounding per-pair cost to
+    O(cap²) regardless of document length. Both the block join and the
+    distance are whole-stage-codegen column work; per-block pair count
+    is bounded by block occupancy (prefix collisions), never corpus
+    size.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    blocked = docs.select(
+        F.col(id_col),
+        F.md5(F.substring(norm, 1, prefix_chars)).alias("_blk"),
+        F.floor(F.length(norm) / band_chars).alias("_band"),
+        F.substring(norm, 1, cap_chars).alias("_head"),
+    )
+    a = blocked.select(
+        "_blk", "_band",
+        F.col(id_col).alias("doc_a"), F.col("_head").alias("_ha"),
+    )
+    b = blocked.select(
+        "_blk", "_band",
+        F.col(id_col).alias("doc_b"), F.col("_head").alias("_hb"),
+    )
+    return (
+        a.join(b, on=["_blk", "_band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_ha"), F.col("_hb")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

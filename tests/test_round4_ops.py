@@ -475,3 +475,72 @@ def test_rfm_segmentation_scores(spark):
         assert 1 <= r.r_score <= 4
         # scores agree across the three dimensions by construction
         assert r.r_score == r.f_score == r.m_score
+
+
+def test_containment_pairs_fragment_detection(spark):
+    from streaming_demos_spark.operators.dedup import containment_pairs
+
+    # doc 2 is a verbatim fragment of doc 1: containment(2->1) = 1.0
+    # but Jaccard is low (union dominated by doc 1's extra shingles).
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    frag = "gamma delta epsilon zeta"
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, long_text), (2, frag), (3, other)], "doc_id int, text string"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in containment_pairs(df, threshold=0.5).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # frag has 2 3-shingles, both inside doc 1 (8 shingles)
+    assert r.containment_b == pytest.approx(1.0)
+    assert r.containment_a == pytest.approx(2 / 8)
+    # symmetric Jaccard would be 2/8 = 0.25 — below threshold; the
+    # asymmetric measure is what surfaces the pair
+    assert max(r.containment_a, r.containment_b) >= 0.5
+
+
+def test_containment_pairs_threshold_excludes(spark):
+    from streaming_demos_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
+        "doc_id int, text string",
+    )
+    # docs 1,2 share shingle "a b c" only: containment 1/3 each side
+    assert containment_pairs(df, threshold=0.5).count() == 0
+    low = {(r.doc_a, r.doc_b) for r in containment_pairs(df, threshold=0.3).collect()}
+    assert low == {(1, 2)}
+
+
+def test_edit_distance_pairs_blocking_and_distance(spark):
+    from streaming_demos_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    # edits must land PAST the 32-char blocking prefix (prefix blocking
+    # deliberately trades recall on early-char noise for scale)
+    ocr = base[:44] + base[44:].replace("jumps", "junps").replace("lazy", "1azy")
+    unrelated = "completely different content here " * 4
+    # same-prefix different-length-band doc must NOT be compared
+    longer = base + "x" * 300
+    df = spark.createDataFrame(
+        [(1, base), (2, ocr), (3, unrelated), (4, longer)],
+        "doc_id int, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.edit_dist for r in edit_distance_pairs(df).collect()}
+    assert (1, 2) in out
+    # two single-char substitutions per repeat within the 256-char cap
+    assert 0 < out[(1, 2)] <= 24
+    assert all(3 not in pair for pair in out)
+    assert all(4 not in pair for pair in out)  # length band excludes
+
+
+def test_edit_distance_pairs_identical_docs_zero(spark):
+    from streaming_demos_spark.operators.dedup import edit_distance_pairs
+
+    t = "identical text body for exact duplicate detection " * 2
+    df = spark.createDataFrame(
+        [(7, t), (9, "  " + t.upper() + " ")], "doc_id int, text string"
+    )
+    # normalization (lower+trim) makes them equal -> distance 0
+    out = edit_distance_pairs(df).collect()
+    assert len(out) == 1 and out[0].edit_dist == 0

@@ -3262,6 +3262,142 @@ def q_edit_distance_pairs(spark, sf_dir):
     return D.edit_distance_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+def q_link_prediction(spark, sf_dir):
+    # Adamic-Adar link prediction on the part co-purchase graph (same
+    # support>=2 edge set as the triangle census): top-20 absent pairs
+    # by summed 1/ln(deg) over common neighbors, hub middles capped
+    # (graph.py:link_prediction).
+    from streaming_demos_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return (
+        G.link_prediction(edges, "p1", "p2", max_degree=1000)
+        .orderBy(F.desc("aa_score"), "node_a", "node_b")
+        .limit(20)
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    # Re-identification audit of the customer table: equivalence
+    # classes over (nation, whole-dollar balance) smaller than k=5,
+    # with market-segment l-diversity (curation.py:k_anonymity_profile).
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round("c_acctbal", 0).alias("bal_dollars"),
+        "c_mktsegment",
+    )
+    return CU.k_anonymity_profile(
+        cust,
+        ["c_nationkey", "bal_dollars"],
+        sensitive_col="c_mktsegment",
+        k=5,
+    ).orderBy("c_nationkey", "bal_dollars")
+
+
+def q_fs_linkage(spark, sf_dir):
+    # Fellegi-Sunter probabilistic linkage over (nation, segment)
+    # blocked customer pairs: name-edit / balance / balance-sign
+    # agreement weighted by log2(m/u), top-200 of the match +
+    # review queue (relational.py:fs_match_scores).
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    pairs = (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
+                "bal_agree"
+            ),
+            (
+                (F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)
+            ).alias("sign_agree"),
+        )
+    )
+    scored = R.fs_match_scores(
+        pairs,
+        {
+            "name_agree": (0.95, 0.02),
+            "bal_agree": (0.9, 0.02),
+            "sign_agree": (0.98, 0.7),
+        },
+        upper=8.0,
+        lower=2.0,
+    )
+    return (
+        scored.filter(F.col("decision") != "non_match")
+        .orderBy(F.desc("match_weight"), "id_a", "id_b")
+        .limit(200)
+    )
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    # Bloom-filter semi-join reduction: bits built over the parts
+    # shipped in 1995-03, every part probed, exact membership joined
+    # back to count false positives — one summary row with the
+    # realized FP rate (sketches.py:bloom_bits/bloom_probe).
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-03-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    bits = SK.bloom_bits(li, "l_partkey", num_hashes=3, num_bits=4096)
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    probed = SK.bloom_probe(bits, part, "p_partkey", num_hashes=3,
+                            num_bits=4096)
+    actual = li.select(
+        F.col("l_partkey").alias("p_partkey")
+    ).distinct().withColumn("is_member", F.lit(True))
+    return (
+        probed.join(actual, "p_partkey", "left")
+        .select(
+            "bloom_hit",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.col("is_member").cast("int")).alias("n_members"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_hits"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("is_member")).cast("int")
+            ).alias("n_false_pos"),
+            F.round(
+                F.sum(
+                    (F.col("bloom_hit") & ~F.col("is_member")).cast(
+                        "int"
+                    )
+                )
+                / F.sum((~F.col("is_member")).cast("int")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
 def q_jackknife_ci(spark, sf_dir):
     # Distribution-free CI for the mean event value: 32 md5 buckets,
     # leave-one-out means recomputed algebraically from bucket
@@ -3918,6 +4054,10 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_link_prediction",
+    "ext_k_anonymity",
+    "ext_fs_linkage",
+    "ext_bloom_semijoin",
     "llm_dedup_containment",
     "llm_dedup_edit_distance",
     "ext_association_rules",
@@ -4087,6 +4227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_link_prediction": q_link_prediction,
+        "ext_k_anonymity": q_k_anonymity,
+        "ext_fs_linkage": q_fs_linkage,
+        "ext_bloom_semijoin": q_bloom_semijoin,
         "llm_dedup_containment": q_containment_pairs,
         "llm_dedup_edit_distance": q_edit_distance_pairs,
         "ext_association_rules": q_association_rules,
@@ -4385,6 +4529,139 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_link_prediction": """
+            WITH e0 AS (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            edges AS (
+                SELECT p1, p2 FROM e0 GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            adj AS (
+                SELECT p1 AS u, p2 AS z FROM edges
+                UNION ALL
+                SELECT p2 AS u, p1 AS z FROM edges
+            ),
+            deg AS (SELECT z, count(*) AS dz FROM adj GROUP BY z),
+            mid AS (
+                SELECT adj.u, adj.z, deg.dz
+                FROM adj JOIN deg USING (z) WHERE deg.dz <= 1000
+            ),
+            scored AS (
+                SELECT l.u AS node_a, r.u AS node_b,
+                       count(*) AS common_neighbors,
+                       round(sum(1.0::DOUBLE / ln(l.dz)), 6) AS aa_score
+                FROM mid l JOIN mid r ON l.z = r.z AND l.u < r.u
+                GROUP BY 1, 2
+            )
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM edges e
+                WHERE e.p1 = s.node_a AND e.p2 = s.node_b
+            )
+            ORDER BY aa_score DESC, node_a, node_b
+            LIMIT 20
+        """,
+        "ext_k_anonymity": """
+            WITH c AS (
+                SELECT c_nationkey, round(c_acctbal, 0) AS bal_dollars,
+                       c_mktsegment
+                FROM customer
+            )
+            SELECT c_nationkey, bal_dollars,
+                   count(*) AS class_size,
+                   count(DISTINCT c_mktsegment) AS l_diversity,
+                   round(1.0::DOUBLE / count(*), 6) AS max_reident_risk
+            FROM c GROUP BY 1, 2 HAVING count(*) < 5
+            ORDER BY c_nationkey, bal_dollars
+        """,
+        "ext_fs_linkage": """
+            WITH p AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                       levenshtein(a.c_name, b.c_name) <= 2 AS name_agree,
+                       abs(a.c_acctbal - b.c_acctbal) < 500.0 AS bal_agree,
+                       (a.c_acctbal < 0.0) = (b.c_acctbal < 0.0)
+                           AS sign_agree
+                FROM customer a JOIN customer b
+                  ON a.c_nationkey = b.c_nationkey
+                 AND a.c_mktsegment = b.c_mktsegment
+                 AND a.c_custkey < b.c_custkey
+            ),
+            w AS (
+                SELECT *,
+                    CASE WHEN name_agree
+                         THEN log2(0.95::DOUBLE / 0.02::DOUBLE)
+                         ELSE log2((1.0::DOUBLE - 0.95::DOUBLE) / (1.0::DOUBLE - 0.02::DOUBLE))
+                    END AS w_name_agree,
+                    CASE WHEN bal_agree
+                         THEN log2(0.9::DOUBLE / 0.02::DOUBLE)
+                         ELSE log2((1.0::DOUBLE - 0.9::DOUBLE) / (1.0::DOUBLE - 0.02::DOUBLE))
+                    END AS w_bal_agree,
+                    CASE WHEN sign_agree
+                         THEN log2(0.98::DOUBLE / 0.7::DOUBLE)
+                         ELSE log2((1.0::DOUBLE - 0.98::DOUBLE) / (1.0::DOUBLE - 0.7::DOUBLE))
+                    END AS w_sign_agree
+                FROM p
+            ),
+            s AS (
+                SELECT *, round(w_name_agree + w_bal_agree + w_sign_agree, 6)
+                          AS match_weight
+                FROM w
+            ),
+            d AS (
+                SELECT *,
+                    CASE WHEN match_weight >= 8.0 THEN 'match'
+                         WHEN match_weight < 2.0 THEN 'non_match'
+                         ELSE 'possible_match' END AS decision
+                FROM s
+            )
+            SELECT * FROM d WHERE decision <> 'non_match'
+            ORDER BY match_weight DESC, id_a, id_b
+            LIMIT 200
+        """,
+        "ext_bloom_semijoin": """
+            WITH li AS (
+                SELECT l_partkey FROM lineitem
+                WHERE l_shipdate >= '1995-03-01'
+                  AND l_shipdate < '1995-04-01'
+            ),
+            bits AS (
+                SELECT DISTINCT
+                    ('0x' || substr(md5(l_partkey::VARCHAR),
+                                    1 + 6 * r.range, 6))::BIGINT % 4096
+                        AS bit
+                FROM li, range(3) r
+            ),
+            probe_bits AS (
+                SELECT p_partkey,
+                       ('0x' || substr(md5(p_partkey::VARCHAR),
+                                       1 + 6 * r.range, 6))::BIGINT % 4096
+                           AS bit
+                FROM part, range(3) r
+            ),
+            probed AS (
+                SELECT pb.p_partkey,
+                       min(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) = 1
+                           AS bloom_hit
+                FROM probe_bits pb LEFT JOIN bits USING (bit)
+                GROUP BY 1
+            ),
+            actual AS (SELECT DISTINCT l_partkey AS p_partkey FROM li),
+            flagged AS (
+                SELECT probed.bloom_hit,
+                       actual.p_partkey IS NOT NULL AS is_member
+                FROM probed LEFT JOIN actual USING (p_partkey)
+            )
+            SELECT count(*) AS n_probes,
+                   sum(is_member::INT) AS n_members,
+                   sum(bloom_hit::INT) AS n_hits,
+                   sum((bloom_hit AND NOT is_member)::INT) AS n_false_pos,
+                   round(sum((bloom_hit AND NOT is_member)::INT)
+                         / sum((NOT is_member)::INT), 6) AS fp_rate
+            FROM flagged
+        """,
         "llm_dedup_containment": """
             WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents),
             sh AS (

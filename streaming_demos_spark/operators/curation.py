@@ -1249,3 +1249,41 @@ def preference_pairs(
         .filter(F.col("chosen_id") != F.col("rejected_id"))
         .orderBy(group_col)
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit before releasing (or training on) a
+    table: group records into equivalence classes over the
+    quasi-identifier columns and return the classes that violate
+    k-anonymity (fewer than ``k`` indistinguishable records — each of
+    those records is re-identifiable by linking the quasi-identifiers
+    to an outside source). When ``sensitive_col`` is given, each class
+    also reports its l-diversity (distinct sensitive values): a class
+    can be k-anonymous yet still leak the attribute if every member
+    shares one sensitive value (homogeneity attack, l = 1).
+
+    The output is the suppression/generalization worklist: rows a
+    release pipeline must coarsen or drop. One hash aggregation on the
+    quasi-identifier key — map-side combinable, no skew beyond the
+    class-size distribution itself, scales like any groupBy-count.
+    """
+    aggs = [F.count("*").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("l_diversity")
+        )
+    out = (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(*aggs)
+        .filter(F.col("class_size") < F.lit(k))
+        .withColumn(
+            "max_reident_risk",
+            F.round(F.lit(1.0) / F.col("class_size"), 6),
+        )
+    )
+    return out

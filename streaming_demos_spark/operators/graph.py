@@ -215,3 +215,64 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction: for every NON-adjacent node pair
+    (u, v) with at least one common neighbor, the score
+    ``Σ_{z ∈ N(u)∩N(v)} 1 / ln(deg(z))`` — common neighbors weighted
+    by how selective they are (a shared niche contact is strong
+    evidence; a shared hub is nearly none).
+
+    Plan: canonicalize to an undirected, deduplicated edge set; one
+    degree aggregation; a wedge self-join of the (node, neighbor,
+    deg(neighbor)) adjacency on the shared neighbor ``z``; one
+    groupBy(u, v) summing the per-wedge weights; and a left-anti join
+    against the edge set to keep only *predicted* (absent) links.
+
+    Scale posture: the wedge join through ``z`` is O(deg(z)²), so hubs
+    above ``max_degree`` are excluded from the middle position — the
+    standard cut for distributed Adamic-Adar, and principled here
+    because a hub's weight ``1/ln(deg)`` is the least informative
+    signal in the sum. With the cap, per-``z`` work is bounded by a
+    constant and the whole plan is three hash shuffles on node keys.
+    A common neighbor has deg ≥ 2 by construction, so ``ln(deg)`` is
+    never 0.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("z")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("z"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").alias("_dz"))
+    mid = adj.join(deg, "z").filter(F.col("_dz") <= F.lit(max_degree))
+    left = mid.select("z", F.col("u").alias("node_a"), "_dz")
+    right = mid.select("z", F.col("u").alias("node_b"))
+    scored = (
+        left.join(right, "z")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("_dz"))), round_dp).alias(
+                "aa_score"
+            ),
+        )
+    )
+    existing = e.select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b")
+    )
+    return scored.join(existing, ["node_a", "node_b"], "left_anti")

@@ -3327,3 +3327,51 @@ def rfm_segmentation(
         F.count("*").alias("n_customers"),
         F.round(F.avg("_money"), 2).alias("avg_monetary"),
     )
+
+
+def fs_match_scores(
+    pairs: DataFrame,
+    mu: dict[str, tuple[float, float]],
+    upper: float = 4.0,
+    lower: float = 0.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969) over a candidate-pair frame: each boolean agreement
+    column ``f`` (key of ``mu``) contributes ``log2(m/u)`` when the
+    fields agree and ``log2((1-m)/(1-u))`` when they disagree, where
+    ``m = P(agree | same entity)`` and ``u = P(agree | different
+    entities)``. The summed match weight is thresholded into the
+    classic three-way decision: ``match`` (>= ``upper``),
+    ``possible_match`` (review queue), ``non_match`` (< ``lower``).
+
+    Composes with ``blocked_similarity_pairs``-style candidate
+    generation: blocking bounds the pair count, this operator is pure
+    column arithmetic on the pair frame — no shuffle of its own, fully
+    whole-stage-codegen, so the linkage decision costs nothing beyond
+    the candidate join that produced the pairs.
+    """
+    import math
+
+    out = pairs
+    weight_cols = []
+    for field, (m, u) in mu.items():
+        w_agree = math.log2(m / u)
+        w_disagree = math.log2((1.0 - m) / (1.0 - u))
+        wc = f"w_{field}"
+        out = out.withColumn(
+            wc,
+            F.when(F.col(field), F.lit(w_agree)).otherwise(
+                F.lit(w_disagree)
+            ),
+        )
+        weight_cols.append(wc)
+    total = F.round(
+        sum(F.col(c) for c in weight_cols), round_dp
+    )
+    return out.withColumn("match_weight", total).withColumn(
+        "decision",
+        F.when(F.col("match_weight") >= F.lit(upper), F.lit("match"))
+        .when(F.col("match_weight") < F.lit(lower), F.lit("non_match"))
+        .otherwise(F.lit("possible_match")),
+    )

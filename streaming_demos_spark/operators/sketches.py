@@ -300,3 +300,86 @@ def cms_estimates(
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .orderBy("term")
     )
+
+
+def bloom_bits(items: DataFrame, value_col: str, num_hashes: int = 4,
+               num_bits: int = 4096) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of distinct set-bit
+    positions — the distributed-native representation: two filters
+    (two shards, two days) merge by ``union + distinct``, and the
+    build is one projection + one distinct, both map-side combinable.
+
+    Bit positions reuse the CMS segment scheme (``cms_bucket``): hex
+    digits ``[6h, 6h+6)`` of ONE md5 per item, mod ``num_bits`` — one
+    digest serves all ``num_hashes`` positions (depth <= 5).
+
+    At 100 TB the bit-position frame for a well-sized filter is at
+    most ``num_bits`` rows regardless of item count — a broadcastable
+    summary of an arbitrarily large key set, which is the whole point:
+    probe-side membership tests become a broadcast join, never a
+    shuffle of the big build side.
+    """
+    if num_hashes > 5:
+        raise ValueError("segment scheme supports num_hashes <= 5")
+    seg = lambda h: (  # noqa: E731
+        F.conv(F.substring("_h", 1 + 6 * h, 6), 16, 10).cast("long")
+        % F.lit(num_bits)
+    )
+    return (
+        items.select(F.md5(F.col(value_col).cast("string")).alias("_h"))
+        .select(
+            F.explode(
+                F.array(*[seg(h) for h in range(num_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, value_col: str,
+                num_hashes: int = 4, num_bits: int = 4096) -> DataFrame:
+    """Membership test of ``probes[value_col]`` against a Bloom
+    bit-position frame: a probe is a HIT iff all ``num_hashes`` of its
+    positions are set (no false negatives; false-positive rate
+    ``(1 - e^{-kn/m})^k``). Adds a boolean ``bloom_hit`` per probe row.
+
+    The bit frame is broadcast (<= ``num_bits`` rows by construction),
+    so the probe side — the potentially huge one — is never shuffled:
+    explode to (probe, bit), broadcast-left-join, count matched bits
+    per probe. This is the semi-join-reduction shape Bloom filters
+    exist for.
+    """
+    if num_hashes > 5:
+        raise ValueError("segment scheme supports num_hashes <= 5")
+    seg = lambda h: (  # noqa: E731
+        F.conv(F.substring("_h", 1 + 6 * h, 6), 16, 10).cast("long")
+        % F.lit(num_bits)
+    )
+    exploded = (
+        probes.withColumn(
+            "_h", F.md5(F.col(value_col).cast("string"))
+        )
+        .withColumn(
+            "bit",
+            F.explode(F.array(*[seg(h) for h in range(num_hashes)])),
+        )
+    )
+    marked = exploded.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    probe_cols = [c for c in probes.columns]
+    # "hit iff EVERY position is set" as a min over per-bit indicators —
+    # robust to duplicate probe rows collapsing in the groupBy (a count
+    # of matched rows would double for them) and to two hash segments
+    # landing on the same bit.
+    return (
+        marked.groupBy(*probe_cols)
+        .agg(
+            (
+                F.min(
+                    F.when(F.col("_set").isNotNull(), 1).otherwise(0)
+                )
+                == F.lit(1)
+            ).alias("bloom_hit")
+        )
+    )

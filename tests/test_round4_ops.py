@@ -544,3 +544,125 @@ def test_edit_distance_pairs_identical_docs_zero(spark):
     # normalization (lower+trim) makes them equal -> distance 0
     out = edit_distance_pairs(df).collect()
     assert len(out) == 1 and out[0].edit_dist == 0
+
+
+def test_link_prediction_hand_case(spark):
+    from streaming_demos_spark.operators.graph import link_prediction
+
+    import math
+
+    # path graph 1-2-3 plus 2-4: common neighbor 2 (deg 3) for pairs
+    # (1,3), (1,4), (3,4); no pair is adjacent.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src int, dst int"
+    )
+    out = {(r.node_a, r.node_b): r for r in link_prediction(edges).collect()}
+    assert set(out) == {(1, 3), (1, 4), (3, 4)}
+    for r in out.values():
+        assert r.common_neighbors == 1
+        assert r.aa_score == pytest.approx(1 / math.log(3), abs=1e-6)
+
+
+def test_link_prediction_excludes_existing_and_hubs(spark):
+    from streaming_demos_spark.operators.graph import link_prediction
+
+    # triangle 1-2-3: every 2-path closes into an existing edge ->
+    # nothing to predict
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    assert link_prediction(tri).count() == 0
+    # star around hub 9: max_degree below the hub degree kills all wedges
+    star = spark.createDataFrame(
+        [(9, i) for i in range(1, 6)], "src int, dst int"
+    )
+    assert link_prediction(star, max_degree=4).count() == 0
+    assert link_prediction(star, max_degree=5).count() == 10
+
+
+def test_k_anonymity_profile_hand_case(spark):
+    from streaming_demos_spark.operators.curation import k_anonymity_profile
+
+    rows = [
+        ("us", 30, "a"), ("us", 30, "a"), ("us", 30, "b"),
+        ("us", 40, "a"),
+        ("de", 30, "b"), ("de", 30, "b"),
+    ]
+    df = spark.createDataFrame(rows, "country string, age int, diag string")
+    out = {
+        (r.country, r.age): r
+        for r in k_anonymity_profile(
+            df, ["country", "age"], sensitive_col="diag", k=3
+        ).collect()
+    }
+    # ("us", 30) has 3 records -> k-anonymous at k=3, excluded
+    assert set(out) == {("us", 40), ("de", 30)}
+    assert out[("us", 40)].class_size == 1
+    assert out[("us", 40)].max_reident_risk == pytest.approx(1.0)
+    # ("de", 30): 2 records, but l_diversity 1 -> homogeneity leak
+    assert out[("de", 30)].class_size == 2
+    assert out[("de", 30)].l_diversity == 1
+
+
+def test_fs_match_scores_weights_and_decisions(spark):
+    import math
+
+    from streaming_demos_spark.operators.relational import fs_match_scores
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True), (1, 3, True, False), (1, 4, False, False)],
+        "id_a int, id_b int, name_agree boolean, bal_agree boolean",
+    )
+    mu = {"name_agree": (0.9, 0.1), "bal_agree": (0.8, 0.2)}
+    out = {(r.id_a, r.id_b): r for r in fs_match_scores(
+        pairs, mu, upper=5.0, lower=0.0
+    ).collect()}
+    w_n, w_b = math.log2(9.0), math.log2(4.0)
+    wn_dis = math.log2(0.1 / 0.9)
+    wb_dis = math.log2(0.2 / 0.8)
+    assert out[(1, 2)].match_weight == pytest.approx(w_n + w_b, abs=1e-6)
+    assert out[(1, 2)].decision == "match"
+    assert out[(1, 3)].match_weight == pytest.approx(w_n + wb_dis, abs=1e-6)
+    assert out[(1, 3)].decision == "possible_match"
+    assert out[(1, 4)].match_weight == pytest.approx(
+        wn_dis + wb_dis, abs=1e-6
+    )
+    assert out[(1, 4)].decision == "non_match"
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from streaming_demos_spark.operators.sketches import bloom_bits, bloom_probe
+
+    build = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    bits = bloom_bits(build, "k", num_hashes=3, num_bits=4096)
+    probes = spark.createDataFrame([(i,) for i in range(200)], "k int")
+    out = {r.k: r.bloom_hit for r in bloom_probe(
+        bits, probes, "k", num_hashes=3, num_bits=4096
+    ).collect()}
+    # every built key MUST hit (no false negatives)
+    assert all(out[i] for i in range(100))
+    # fp rate among the 100 absent keys stays near (1-e^{-kn/m})^k ~ 0.04%
+    fps = sum(out[i] for i in range(100, 200))
+    assert fps <= 5
+    # merging two filters = union of bit frames
+    b2 = bloom_bits(
+        spark.createDataFrame([(i,) for i in range(100, 200)], "k int"),
+        "k", num_hashes=3, num_bits=4096,
+    )
+    merged = bits.union(b2).distinct()
+    out2 = {r.k: r.bloom_hit for r in bloom_probe(
+        merged, probes, "k", num_hashes=3, num_bits=4096
+    ).collect()}
+    assert all(out2[i] for i in range(200))
+
+
+def test_bloom_probe_duplicate_rows_still_hit(spark):
+    from streaming_demos_spark.operators.sketches import bloom_bits, bloom_probe
+
+    build = spark.createDataFrame([(1,), (2,)], "k int")
+    bits = bloom_bits(build, "k")
+    # duplicate probe rows collapse in the groupBy; the all-bits-set
+    # test must not double-count
+    probes = spark.createDataFrame([(1,), (1,), (3,), (3,)], "k int")
+    out = {r.k: r.bloom_hit for r in bloom_probe(bits, probes, "k").collect()}
+    assert out[1] is True

@@ -3398,6 +3398,56 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_kruskal_wallis(spark, sf_dir):
+    # Rank-based one-way ANOVA across ALL event types: per-(value,
+    # group) cells + midranks from the distinct-value grid (values
+    # pre-rounded to 2dp to bound the grid at scale), tie-corrected
+    # closed-form H (stats.py:kruskal_wallis).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("value")
+    )
+    return ST.kruskal_wallis(ev, "event_type", "value")
+
+
+def q_brown_forsythe(spark, sf_dir):
+    # Variance-homogeneity test across event types: ANOVA on |x -
+    # group median|, the median taken from the engine-portable value-
+    # grid selection so both engines subtract bit-identical centers
+    # (stats.py:brown_forsythe, grid_group_median).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("value")
+    )
+    return ST.brown_forsythe(ev, "event_type", "value")
+
+
+def q_ohlc_bars(spark, sf_dir):
+    # Hourly OHLC candlesticks of event value per event type — open /
+    # close via min_by/max_by over a (ts, event_id) struct, the whole
+    # bar one hash aggregation with map-side combine
+    # (relational.py:ohlc_bars).
+    ev = _t(spark, sf_dir, "events")
+    return R.ohlc_bars(
+        ev, "ts", "value", "event_type", "event_id", bucket="hour"
+    ).orderBy("event_type", "bucket_ts")
+
+
+def q_target_encoding(spark, sf_dir):
+    # Leakage-safe leave-one-out target encoding of the customer
+    # market segment against order value, shrunk toward the global
+    # prior (m=20) — per-category aggregate broadcast back, singleton
+    # categories fall back to the prior (training.py:target_encode_loo).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = o.select("o_orderkey", "o_custkey", "o_totalprice").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        TR.target_encode_loo(rows, "c_mktsegment", "o_totalprice")
+        .select("o_orderkey", "c_mktsegment", "loo_enc")
+        .orderBy("o_orderkey")
+    )
+
+
 def q_jackknife_ci(spark, sf_dir):
     # Distribution-free CI for the mean event value: 32 md5 buckets,
     # leave-one-out means recomputed algebraically from bucket
@@ -4054,6 +4104,10 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_kruskal_wallis",
+    "ext_brown_forsythe",
+    "ext_ohlc_bars",
+    "ext_target_encoding",
     "ext_link_prediction",
     "ext_k_anonymity",
     "ext_fs_linkage",
@@ -4227,6 +4281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_kruskal_wallis": q_kruskal_wallis,
+        "ext_brown_forsythe": q_brown_forsythe,
+        "ext_ohlc_bars": q_ohlc_bars,
+        "ext_target_encoding": q_target_encoding,
         "ext_link_prediction": q_link_prediction,
         "ext_k_anonymity": q_k_anonymity,
         "ext_fs_linkage": q_fs_linkage,
@@ -4529,6 +4587,138 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_kruskal_wallis": """
+            WITH cells AS (
+                SELECT round(value, 2) AS v, event_type AS g,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            per_v AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+            grid AS (
+                SELECT v, t,
+                       coalesce(sum(t) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS midrank
+                FROM per_v
+            ),
+            per_g AS (
+                SELECT g, sum(c) AS n, sum(c * midrank) AS r
+                FROM cells JOIN grid USING (v) GROUP BY 1
+            ),
+            ties AS (
+                SELECT sum(t::DOUBLE * t * t - t) AS ties FROM grid
+            ),
+            tot AS (
+                SELECT count(*) AS k_groups, sum(n)::BIGINT AS n_total,
+                       sum(r * r / n) AS rr
+                FROM per_g
+            ),
+            h AS (
+                SELECT k_groups, n_total, ties,
+                       12.0 / (n_total::DOUBLE * (n_total + 1)) * rr
+                       - 3.0 * (n_total + 1) AS h_stat,
+                       1.0 - ties / (n_total::DOUBLE * n_total * n_total
+                                     - n_total) AS corr
+                FROM tot, ties
+            )
+            SELECT k_groups, n_total,
+                   round(h_stat, 6) AS h_stat,
+                   round(h_stat / corr, 6) AS h_corrected,
+                   (k_groups - 1)::BIGINT AS dof
+            FROM h
+        """,
+        "ext_brown_forsythe": """
+            WITH ev AS (
+                SELECT event_type AS g, round(value, 2) AS x FROM events
+            ),
+            grid AS (
+                SELECT g, x AS v, count(*) AS c FROM ev GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT g, v,
+                       sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       sum(c) OVER (PARTITION BY g) AS n
+                FROM grid
+            ),
+            med AS (
+                SELECT g,
+                       (min(CASE WHEN cum >= ((n + 1) // 2) THEN v END)
+                        + min(CASE WHEN cum >= (n // 2 + 1) THEN v END)
+                       ) / 2.0 AS med
+                FROM cum GROUP BY 1
+            ),
+            z AS (
+                SELECT ev.g, abs(ev.x - med.med) AS z
+                FROM ev JOIN med USING (g)
+            ),
+            per AS (
+                SELECT g, count(z) AS n, sum(z) AS s1, sum(z*z) AS s2
+                FROM z GROUP BY 1
+            ),
+            tot AS (
+                SELECT count(*) AS k_groups,
+                       sum(n)::BIGINT AS n_total,
+                       sum(s1*s1/n) AS sb_raw,
+                       sum(s1) AS S1, sum(s2) AS S2
+                FROM per
+            ),
+            c AS (
+                SELECT k_groups, n_total,
+                       greatest(0.0, sb_raw - S1*S1/n_total) AS ssb,
+                       greatest(0.0, S2 - sb_raw) AS ssw
+                FROM tot
+            )
+            SELECT k_groups, n_total,
+                   round(ssb, 3) AS ss_between,
+                   round(ssw, 3) AS ss_within,
+                   round((ssb / (k_groups - 1))
+                         / (ssw / (n_total - k_groups)), 6) AS f_stat
+            FROM c
+        """,
+        "ext_ohlc_bars": """
+            WITH ranked AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            )
+            SELECT event_type, bucket_ts,
+                   min(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   min(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   round(avg(value), 6) AS mean_price,
+                   count(*) AS n_ticks
+            FROM ranked GROUP BY 1, 2
+            ORDER BY event_type, bucket_ts
+        """,
+        "ext_target_encoding": """
+            WITH rws AS (
+                SELECT o.o_orderkey, c.c_mktsegment,
+                       o.o_totalprice::DOUBLE AS y
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+            ),
+            per AS (
+                SELECT c_mktsegment, count(y) AS n, sum(y) AS s
+                FROM rws GROUP BY 1
+            ),
+            prior AS (SELECT avg(y) AS prior FROM rws)
+            SELECT r.o_orderkey, r.c_mktsegment,
+                   round((s - y + 20.0 * prior) / (n - 1 + 20.0), 6)
+                       AS loo_enc
+            FROM rws r JOIN per USING (c_mktsegment), prior
+            ORDER BY o_orderkey
+        """,
         "ext_link_prediction": """
             WITH e0 AS (
                 SELECT a.l_partkey AS p1, b.l_partkey AS p2

@@ -3375,3 +3375,42 @@ def fs_match_scores(
         .when(F.col("match_weight") < F.lit(lower), F.lit("non_match"))
         .otherwise(F.lit("possible_match")),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    price_col: str,
+    key_col: str,
+    tiebreak_col: str,
+    bucket: str = "hour",
+    round_dp: int = 6,
+) -> DataFrame:
+    """OHLC candlestick bars per (key, time bucket) — the classic
+    financial rollup of a tick stream (open / high / low / close /
+    mean / count).
+
+    Open and close are ``min_by`` / ``max_by`` over a (timestamp,
+    tiebreak) struct, so the whole bar is ONE hash aggregation with
+    map-side partial combine — no per-row window, no secondary sort.
+    Ties on the timestamp are broken by ``tiebreak_col`` (an event id),
+    making the bar deterministic under any partitioning. At 100 TB the
+    output cardinality is |keys| x |buckets|, independent of tick
+    volume.
+    """
+    p = F.col(price_col).cast("double")
+    pos = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.min_by(p, pos).alias("open"),
+            F.max(p).alias("high"),
+            F.min(p).alias("low"),
+            F.max_by(p, pos).alias("close"),
+            F.round(F.avg(p), round_dp).alias("mean_price"),
+            F.count("*").alias("n_ticks"),
+        )
+    )

@@ -46,6 +46,9 @@ __all__ = [
     "spearman_correlation",
     "log_rank_test",
     "bh_adjust",
+    "kruskal_wallis",
+    "grid_group_median",
+    "brown_forsythe",
 ]
 
 
@@ -543,3 +546,140 @@ def bh_adjust(
         F.col("_rank").alias("p_rank"),
         F.round(q, round_dp).alias("q_value"),
     )
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test (rank-based one-way ANOVA) across ALL
+    groups of ``group_col``, with the standard tie correction.
+
+    Same distinct-value-grid device as the rank-sum test, extended to k
+    groups: per-(value, group) cell counts (hash agg), per-value totals
+    for the midrank running sum over the GRID, cells joined back to the
+    grid by value (equi join, AQE broadcast), per-group rank sums, then
+    one closed-form combine:
+
+        H  = 12 / (N (N+1)) * SUM_g R_g^2 / n_g  -  3 (N+1)
+        C  = 1 - SUM_v (t_v^3 - t_v) / (N^3 - N)
+        Hc = H / C
+
+    No global row sort anywhere; the only window runs over the distinct
+    value grid (pre-round continuous values to bound it). Output one
+    row: (k_groups, n_total, h_stat, h_corrected, dof).
+    """
+    v = F.col(value_col).cast("double")
+    cells = df.groupBy(
+        v.alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count("*").alias("_c"))
+    per_v = cells.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    w_prev = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    grid = per_v.select(
+        "_v",
+        "_t",
+        (
+            F.coalesce(F.sum("_t").over(w_prev), F.lit(0))
+            + (F.col("_t") + F.lit(1)) / F.lit(2.0)
+        ).alias("_midrank"),
+    )
+    per_g = (
+        cells.join(grid.select("_v", "_midrank"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.col("_midrank")).alias("_r"),
+        )
+    )
+    t_d = F.col("_t").cast("double")
+    ties = grid.agg(F.sum(t_d * t_d * t_d - t_d).alias("_ties"))
+    tot = per_g.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("_n").alias("n_total"),
+        F.sum(F.col("_r") * F.col("_r") / F.col("_n")).alias("_rr"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = F.lit(12.0) / (n * (n + F.lit(1))) * F.col("_rr") - F.lit(3.0) * (
+        n + F.lit(1)
+    )
+    c = F.lit(1.0) - F.col("_ties") / (n * n * n - n)
+    h_c = F.coalesce(F.try_divide(h, c), F.lit(0.0))
+    return tot.select(
+        "k_groups",
+        "n_total",
+        F.round(h, round_dp).alias("h_stat"),
+        F.round(h_c, round_dp).alias("h_corrected"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("dof"),
+    )
+
+
+def grid_group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group median via the distinct-value grid — engine-
+    portable by construction.
+
+    Built-in medians interpolate even-count middles as ``lo + (hi-lo)*f``
+    vs ``(lo+hi)/2`` depending on the engine, which differs in the last
+    ulp and poisons cross-engine hash comparison. Here both engines run
+    the IDENTICAL selection: per-(group, value) counts, a running count
+    over the per-group value grid, lo = first value whose cumulative
+    count reaches floor((n+1)/2), hi = first reaching floor(n/2)+1,
+    median = (lo + hi) / 2. The window is partitioned by group and runs
+    over distinct values only. Returns (group_col, _med).
+    """
+    v = F.col(value_col).cast("double")
+    grid = df.groupBy(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = grid.select(
+        "_g",
+        "_v",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    k_lo = F.floor((F.col("_n") + F.lit(1)) / F.lit(2))
+    k_hi = F.floor(F.col("_n") / F.lit(2)) + F.lit(1)
+    return cum.groupBy(F.col("_g").alias(group_col)).agg(
+        (
+            (
+                F.min(F.when(F.col("_cum") >= k_lo, F.col("_v")))
+                + F.min(F.when(F.col("_cum") >= k_hi, F.col("_v")))
+            )
+            / F.lit(2.0)
+        ).alias("_med")
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity: one-way ANOVA on
+    the absolute deviations from each group's MEDIAN (the robust Levene
+    variant).
+
+    Medians come from :func:`grid_group_median` (engine-portable exact
+    selection); the group-median frame is an equi join back to the rows
+    (AQE broadcasts the group-cardinality frame), and the deviations
+    feed the same two-level moment aggregation as
+    :func:`one_way_anova`. Output one row:
+    (k_groups, n_total, ss_between, ss_within, f_stat).
+    """
+    med = grid_group_median(df, group_col, value_col)
+    z = df.join(med, group_col).select(
+        group_col,
+        F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_z"),
+    )
+    return one_way_anova(z, group_col, "_z", round_dp)

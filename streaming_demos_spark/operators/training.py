@@ -531,3 +531,45 @@ def uncertainty_sample(
         .orderBy(F.asc("margin"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding with additive
+    smoothing — the standard high-cardinality categorical feature for
+    tabular model training.
+
+    Each row's encoding excludes its OWN target (so the feature never
+    memorizes the label) and shrinks toward the global prior:
+
+        enc_i = (sum_g - y_i + m * prior) / (n_g - 1 + m)
+
+    Plan: one per-category aggregation (n, sum) joined back to the rows
+    by the category key (AQE broadcasts the category-cardinality
+    frame), the global prior cross-joined as a 1-row broadcast, and the
+    encoding is pure map-side arithmetic. Singleton categories
+    (n_g = 1) fall back to the prior exactly. Appends ``loo_enc``.
+    """
+    y = F.col(target_col).cast("double")
+    per = df.groupBy(cat_col).agg(
+        F.count(y).alias("_n"), F.sum(y).alias("_s")
+    )
+    prior = df.agg(F.avg(y).alias("_prior"))
+    enc = F.coalesce(
+        F.try_divide(
+            F.col("_s") - y + F.lit(smoothing) * F.col("_prior"),
+            F.col("_n") - F.lit(1) + F.lit(smoothing),
+        ),
+        F.col("_prior"),
+    )
+    return (
+        df.join(per, cat_col)
+        .crossJoin(F.broadcast(prior))
+        .withColumn("loo_enc", F.round(enc, round_dp))
+        .drop("_n", "_s", "_prior")
+    )

@@ -666,3 +666,141 @@ def test_bloom_probe_duplicate_rows_still_hit(spark):
     probes = spark.createDataFrame([(1,), (1,), (3,), (3,)], "k int")
     out = {r.k: r.bloom_hit for r in bloom_probe(bits, probes, "k").collect()}
     assert out[1] is True
+
+
+def test_grid_group_median_odd_even_and_ties(spark):
+    from streaming_demos_spark.operators.stats import grid_group_median
+
+    rows = [
+        ("odd", 1.0), ("odd", 5.0), ("odd", 3.0),
+        ("even", 1.0), ("even", 2.0), ("even", 10.0), ("even", 20.0),
+        ("tied", 4.0), ("tied", 4.0), ("tied", 4.0), ("tied", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r["_med"] for r in grid_group_median(df, "g", "v").collect()}
+    assert out["odd"] == 3.0
+    assert out["even"] == 6.0  # (2 + 10) / 2
+    assert out["tied"] == 4.0  # both middles inside the tie run
+
+
+def _py_midranks(values):
+    # average-rank reference, O(n log n), for micro-data only
+    s = sorted(values)
+    first = {}
+    for i, v in enumerate(s):
+        first.setdefault(v, i + 1)
+    count = {}
+    for v in s:
+        count[v] = count.get(v, 0) + 1
+    return {v: first[v] + (count[v] - 1) / 2.0 for v in count}
+
+
+def test_kruskal_wallis_matches_textbook_formula(spark):
+    from streaming_demos_spark.operators.stats import kruskal_wallis
+
+    groups = {
+        "a": [2.0, 4.0, 4.0, 7.0],
+        "b": [1.0, 4.0, 9.0],
+        "c": [3.0, 5.0, 8.0, 8.0, 12.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    everything = [v for vs in groups.values() for v in vs]
+    mid = _py_midranks(everything)
+    n = len(everything)
+    rr = sum(
+        sum(mid[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * rr - 3.0 * (n + 1)
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(everything).values())
+    h_c = h / (1.0 - ties / (n**3 - n))
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    assert row.k_groups == 3 and row.n_total == n and row.dof == 2
+    assert abs(row.h_stat - round(h, 6)) < 1e-9
+    assert abs(row.h_corrected - round(h_c, 6)) < 1e-9
+
+
+def test_brown_forsythe_matches_anova_on_abs_deviations(spark):
+    from streaming_demos_spark.operators.stats import brown_forsythe
+
+    groups = {
+        "lo": [1.0, 2.0, 3.0, 4.0],        # tight spread
+        "hi": [0.0, 10.0, 20.0, 50.0],     # wide spread
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+
+    def med(vs):
+        s = sorted(vs)
+        m = len(s)
+        return (s[(m - 1) // 2] + s[m // 2]) / 2.0
+
+    z = {g: [abs(v - med(vs)) for v in vs] for g, vs in groups.items()}
+    allz = [x for xs in z.values() for x in xs]
+    n = len(allz)
+    k = len(z)
+    grand = sum(allz) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in z.values())
+    ssw = sum(
+        (x - sum(xs) / len(xs)) ** 2 for xs in z.values() for x in xs
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = brown_forsythe(df, "g", "v").collect()[0]
+    assert row.k_groups == k and row.n_total == n
+    assert abs(row.ss_between - round(ssb, 3)) < 1e-6
+    assert abs(row.ss_within - round(ssw, 3)) < 1e-6
+    assert abs(row.f_stat - round(f, 6)) < 1e-6
+
+
+def test_ohlc_bars_tiebreak_and_extremes(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # same timestamp twice at the bar open: event_id breaks the tie
+        ("x", t0, 1, 100.0),
+        ("x", t0, 2, 105.0),
+        ("x", t0 + dt.timedelta(minutes=10), 3, 90.0),
+        ("x", t0 + dt.timedelta(minutes=59), 4, 103.0),
+        # same timestamp twice at the bar close
+        ("x", t0 + dt.timedelta(minutes=59), 5, 101.0),
+        # second bar, single tick
+        ("x", t0 + dt.timedelta(hours=1), 6, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, price double"
+    )
+    out = {
+        r.bucket_ts: r
+        for r in ohlc_bars(df, "ts", "price", "k", "event_id").collect()
+    }
+    bar = out[t0]
+    assert bar.open == 100.0  # event_id 1 beats 2 at the tied open
+    assert bar.close == 101.0  # event_id 5 beats 4 at the tied close
+    assert bar.high == 105.0 and bar.low == 90.0 and bar.n_ticks == 5
+    assert out[t0 + dt.timedelta(hours=1)].open == 50.0
+    assert out[t0 + dt.timedelta(hours=1)].n_ticks == 1
+
+
+def test_target_encode_loo_formula_and_singleton_prior(spark):
+    from streaming_demos_spark.operators.training import target_encode_loo
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", 30.0),
+        ("b", 100.0),  # singleton: must fall back to the prior exactly
+    ]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    m = 4.0
+    prior = (10.0 + 20.0 + 30.0 + 100.0) / 4.0
+    out = target_encode_loo(df, "cat", "y", smoothing=m).collect()
+    by = {(r.cat, r.y): r.loo_enc for r in out}
+    assert by[("a", 10.0)] == round((60.0 - 10.0 + m * prior) / (3 - 1 + m), 6)
+    assert by[("a", 30.0)] == round((60.0 - 30.0 + m * prior) / (3 - 1 + m), 6)
+    # n_g = 1: numerator (s - y + m*prior) = m*prior, denominator = m
+    assert by[("b", 100.0)] == round(prior, 6)

@@ -3398,6 +3398,67 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_pareto_skyline(spark, sf_dir):
+    # Skyline of the part catalog: cheapest / smallest / best-selling
+    # Pareto frontier. Local skylines via Arrow-batched sum-ordered
+    # dominance scans, then a broadcast dominance anti-join over the
+    # small candidate union (relational.py:pareto_skyline). Objectives
+    # are exact values (raw price/size, integer-valued quantity sum) so
+    # dominance is ulp-safe across engines.
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    part = _t(spark, sf_dir, "part")
+    prof = part.join(li, part.p_partkey == li.l_partkey).select(
+        "p_partkey", "p_retailprice", "p_size", "total_qty"
+    )
+    return R.pareto_skyline(
+        prof,
+        {"p_retailprice": "min", "p_size": "min", "total_qty": "max"},
+    ).orderBy("p_partkey")
+
+
+def q_k_core(spark, sf_dir):
+    # 2-core of the part co-purchase graph (same support>=2 edge set as
+    # the triangle census): iterative degree peeling, one aggregation +
+    # two semi joins per round, raises on non-convergence so the
+    # fixed-round oracle replay is exact (graph.py:k_core).
+    from streaming_demos_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
+
+
+def q_weighted_median(spark, sf_dir):
+    # Exact quantity-weighted median line price per return flag — the
+    # 50% point of the weight mass from a per-group value-grid running
+    # sum, split-interpolated at exact-half boundaries
+    # (relational.py:grouped_weighted_median).
+    li = _t(spark, sf_dir, "lineitem")
+    return R.grouped_weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+def q_feature_hash(spark, sf_dir):
+    # Signed hashing-trick vectorizer (Weinberger et al. 2009) over a
+    # 1-in-7 document sample: token -> md5 bucket mod 64 with an
+    # independent sign bit, signs summed per (doc, idx) so collisions
+    # cancel in expectation (selection.py:feature_hash_signed).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return SEL.feature_hash_signed(docs, dim=64).orderBy("doc_id", "idx")
+
+
 def q_kruskal_wallis(spark, sf_dir):
     # Rank-based one-way ANOVA across ALL event types: per-(value,
     # group) cells + midranks from the distinct-value grid (values
@@ -4104,6 +4165,10 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_pareto_skyline",
+    "ext_k_core",
+    "ext_weighted_median",
+    "llm_feature_hash",
     "ext_kruskal_wallis",
     "ext_brown_forsythe",
     "ext_ohlc_bars",
@@ -4281,6 +4346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_pareto_skyline": q_pareto_skyline,
+        "ext_k_core": q_k_core,
+        "ext_weighted_median": q_weighted_median,
+        "llm_feature_hash": q_feature_hash,
         "ext_kruskal_wallis": q_kruskal_wallis,
         "ext_brown_forsythe": q_brown_forsythe,
         "ext_ohlc_bars": q_ohlc_bars,
@@ -4577,6 +4646,40 @@ _SQL_DSIR_CTE = """
 """
 
 
+def _k_core_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Fixed-round replay of the k-core peel as chained CTEs — exact
+    because graph.py:k_core RAISES unless it converges within the same
+    budget, and peeling is idempotent once stable."""
+    # MATERIALIZED is load-bearing: each s{i} is referenced twice by
+    # round i+1, and DuckDB inlines plain CTEs — the replay would
+    # otherwise expand to 2^rounds copies of the base scan.
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )""",
+        "s0 AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM e0"
+        " UNION ALL SELECT p2 AS a, p1 AS b FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM s{i-1} GROUP BY a"
+            f" HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.a, s.b FROM s{i-1} s"
+            f" JOIN k{i} ka ON s.a = ka.a JOIN k{i} kb ON s.b = kb.a)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a AS node, count(*) AS core_degree FROM s{rounds}"
+        + " GROUP BY 1 ORDER BY node"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # --- Eigendecomposition keys: independent numpy-reference
@@ -4587,6 +4690,67 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_k_core": _k_core_oracle_sql(2, 12),
+        "ext_pareto_skyline": """
+            WITH prof AS (
+                SELECT p_partkey, p_retailprice, p_size,
+                       sum(l_quantity) AS total_qty
+                FROM part JOIN lineitem ON p_partkey = l_partkey
+                GROUP BY 1, 2, 3
+            )
+            SELECT s.p_partkey, s.p_retailprice, s.p_size, s.total_qty
+            FROM prof s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM prof d
+                WHERE d.p_retailprice <= s.p_retailprice
+                  AND d.p_size <= s.p_size
+                  AND d.total_qty >= s.total_qty
+                  AND (d.p_retailprice < s.p_retailprice
+                       OR d.p_size < s.p_size
+                       OR d.total_qty > s.total_qty)
+            )
+            ORDER BY s.p_partkey
+        """,
+        "ext_weighted_median": """
+            WITH grid AS (
+                SELECT l_returnflag AS g, l_extendedprice AS v,
+                       sum(l_quantity) AS w
+                FROM lineitem GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT g, v,
+                       sum(w) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumw,
+                       sum(w) OVER (PARTITION BY g) AS tw
+                FROM grid
+            )
+            SELECT g AS l_returnflag,
+                   round((min(CASE WHEN cumw >= tw / 2.0 THEN v END)
+                          + min(CASE WHEN cumw > tw / 2.0 THEN v END)
+                         ) / 2.0, 6) AS weighted_median,
+                   max(tw) AS total_weight
+            FROM cum GROUP BY 1 ORDER BY 1
+        """,
+        "llm_feature_hash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS t
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 6))::BIGINT % 64 AS idx,
+                       CASE WHEN ('0x' || substr(md5(t), 7, 1))::BIGINT
+                                 % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM toks
+            )
+            SELECT doc_id, idx, sum(s)::BIGINT AS val
+            FROM h GROUP BY 1, 2 HAVING sum(s) != 0
+            ORDER BY doc_id, idx
+        """,
         "ext_kruskal_wallis": """
             WITH cells AS (
                 SELECT round(value, 2) AS v, event_type AS g,

@@ -276,3 +276,55 @@ def link_prediction(
         F.col("a").alias("node_a"), F.col("b").alias("node_b")
     )
     return scored.join(existing, ["node_a", "node_b"], "left_anti")
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph in which every node
+    has degree >= k — with their in-core degree.
+
+    Iterative peeling (Seidman 1983): each round drops every node whose
+    CURRENT degree is < k, then drops edges that lost an endpoint;
+    converged when an edge-count round changes nothing. Every round is
+    one degree aggregation plus two semi joins — plain shuffles that
+    scale out at any graph size — and the surviving edge set is
+    localCheckpoint-ed per round to cut the lineage, like
+    ``dedup.connected_components``.
+
+    Raises on non-convergence rather than returning a half-peeled
+    graph; within the budget the result equals replaying EXACTLY
+    ``max_rounds`` peels (peeling is idempotent once stable), which is
+    what the SQL oracle does.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    cur = sym.localCheckpoint(eager=True)
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("a")
+        )
+        nxt = cur.join(keep, "a", "semi").join(
+            keep.withColumnRenamed("a", "b"), "b", "semi"
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return (
+                cur.groupBy(F.col("a").alias("node"))
+                .agg(F.count("*").alias("core_degree"))
+            )
+        cur, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"k_core: no convergence after {max_rounds} peel rounds; raise "
+        f"max_rounds (the oracle replays the same fixed round count)"
+    )

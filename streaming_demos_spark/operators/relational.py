@@ -3414,3 +3414,142 @@ def ohlc_bars(
             F.count("*").alias("n_ticks"),
         )
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    objectives: dict[str, str],
+    max_candidates: int = 200_000,
+) -> DataFrame:
+    """Pareto-optimal rows under multi-objective dominance — the
+    skyline operator (Börzsönyi et al., ICDE 2001).
+
+    Row d dominates row s when d is at-least-as-good on EVERY objective
+    ("min" or "max" per column) and strictly better on at least one.
+    The skyline is the set of undominated rows; it is unique, so the
+    result is partition-layout independent.
+
+    Two-stage distributed plan:
+
+    1. **Local skylines** via Arrow-batched ``mapInPandas``: each
+       partition streams its batches through a sum-ordered dominance
+       scan (a dominator always has a strictly smaller minimization
+       sum, so scanning in ascending-sum order only ever compares
+       against already-kept rows — O(rows x |local skyline|), never
+       O(rows²)). The GLOBAL skyline is a subset of every union of
+       local skylines, so stage 1 is a pure candidate reducer.
+    2. **Global skyline** over the (small) candidate union: a
+       broadcast dominance LEFT ANTI self-join. The candidate count is
+       materialized first and guarded by ``max_candidates`` — a
+       skyline-shaped workload with more candidates than that needs a
+       grid-partitioned variant, and silently attempting the broadcast
+       would be the scale bug.
+    """
+    for c, d in objectives.items():
+        if d not in ("min", "max"):
+            raise ValueError(f"objective {c!r}: want 'min'/'max', got {d!r}")
+    obj = list(objectives.items())
+    schema = df.schema
+
+    def local_skyline(batches):
+        import numpy as np
+        import pandas as pd
+
+        sky = None
+        for pdf in batches:
+            allp = (
+                pd.concat([sky, pdf], ignore_index=True)
+                if sky is not None
+                else pdf
+            )
+            if not len(allp):
+                continue
+            m = np.column_stack(
+                [
+                    allp[c].to_numpy(dtype="float64")
+                    * (1.0 if d == "min" else -1.0)
+                    for c, d in obj
+                ]
+            )
+            order = np.argsort(m.sum(axis=1), kind="stable")
+            kept_rows = []
+            kept = np.empty((0, m.shape[1]))
+            for i in order:
+                p = m[i]
+                if kept.size and (
+                    (kept <= p).all(axis=1) & (kept < p).any(axis=1)
+                ).any():
+                    continue
+                kept = np.vstack([kept, p])
+                kept_rows.append(i)
+            sky = allp.iloc[sorted(kept_rows)]
+        if sky is not None:  # empty partition: yield nothing (dtype-safe)
+            yield sky
+
+    cand = df.mapInPandas(local_skyline, schema=schema).persist()
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        cand.unpersist()
+        raise RuntimeError(
+            f"pareto_skyline: {n_cand} local-skyline candidates exceed "
+            f"max_candidates={max_candidates}; use a grid-partitioned "
+            f"skyline for this objective mix"
+        )
+    left, right = cand.alias("_l"), cand.alias("_r")
+    weak, strict = None, None
+    for c, d in obj:
+        lcol, rcol = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        w = rcol <= lcol if d == "min" else rcol >= lcol
+        s = rcol < lcol if d == "min" else rcol > lcol
+        weak = w if weak is None else (weak & w)
+        strict = s if strict is None else (strict | s)
+    return left.join(F.broadcast(right), weak & strict, "left_anti")
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact weighted median per group via the distinct-value grid —
+    the 50% point of the weight mass, split-interpolated at exact-half
+    boundaries ((lo + hi) / 2, like the unweighted even-count case).
+
+    Plan: per-(group, value) weight sums (hash agg, map-side combine),
+    a running weight sum over the per-group VALUE GRID (window bounded
+    by value cardinality, partitioned by group), then lo = first value
+    whose cumulative weight reaches W/2 and hi = first strictly past
+    W/2, combined in one group aggregation. No per-row window; engine-
+    portable by construction (no interpolation-formula ambiguity).
+    """
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    grid = df.groupBy(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    ).agg(F.sum(w).alias("_w"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = grid.select(
+        "_g",
+        "_v",
+        F.sum("_w").over(w_cum).alias("_cum"),
+        F.sum("_w").over(w_all).alias("_W"),
+    )
+    half = F.col("_W") / F.lit(2.0)
+    return cum.groupBy(F.col("_g").alias(group_col)).agg(
+        F.round(
+            (
+                F.min(F.when(F.col("_cum") >= half, F.col("_v")))
+                + F.min(F.when(F.col("_cum") > half, F.col("_v")))
+            )
+            / F.lit(2.0),
+            round_dp,
+        ).alias("weighted_median"),
+        F.max("_W").alias("total_weight"),
+    )

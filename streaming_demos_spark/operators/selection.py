@@ -254,3 +254,41 @@ def temperature_mix(
         )
         .orderBy(group_col)
     )
+
+
+def feature_hash_signed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """Signed hashing-trick vectorizer (Weinberger et al., ICML 2009):
+    ``(id, idx, val)`` sparse rows where each whitespace token lands in
+    bucket ``h(w) mod dim`` with sign ``±1`` from an independent hash
+    bit, and ``val`` sums the signs.
+
+    The sign makes hash collisions cancel in expectation (the inner
+    product between hashed vectors is an unbiased estimate of the
+    original), which the unsigned ``doc_bucket_counts`` cannot claim.
+    Both hashes read disjoint md5 hex slices — index from digits 1-6,
+    sign from the parity of digit 7 — so DuckDB reproduces them
+    verbatim. The aggregation is keyed by (doc, idx): hot tokens fold
+    into per-doc partial sums map-side and never become hot shuffle
+    keys. Zero-sum buckets are dropped (they carry no vector mass),
+    keeping the output a true sparse representation.
+    """
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+    exploded = base.select(F.col(id_col), F.explode("_w").alias("_t"))
+    h = F.md5(F.col("_t"))
+    idx = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % F.lit(dim)
+    sign = F.when(
+        F.conv(F.substring(h, 7, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        exploded.select(F.col(id_col), idx.alias("idx"), sign.alias("_s"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("_s").alias("val"))
+        .filter(F.col("val") != 0)
+    )

@@ -804,3 +804,114 @@ def test_target_encode_loo_formula_and_singleton_prior(spark):
     assert by[("a", 30.0)] == round((60.0 - 30.0 + m * prior) / (3 - 1 + m), 6)
     # n_g = 1: numerator (s - y + m*prior) = m*prior, denominator = m
     assert by[("b", 100.0)] == round(prior, 6)
+
+
+def test_pareto_skyline_dominance_and_layout_independence(spark):
+    from streaming_demos_spark.operators.relational import pareto_skyline
+
+    rows = [
+        (1, 10.0, 5.0),   # skyline (cheapest)
+        (2, 20.0, 9.0),   # skyline (best quality)
+        (3, 15.0, 7.0),   # skyline (trade-off point)
+        (4, 20.0, 7.0),   # dominated by 3 (worse price, equal quality)
+        (5, 15.0, 5.0),   # dominated by 1 (equal quality view) -> check:
+                          # price 15>10, qual 5=5 -> dominated by 1
+        (6, 10.0, 5.0),   # duplicate of 1: ties never dominate, kept
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, qual double")
+    out = pareto_skyline(df, {"price": "min", "qual": "max"})
+    got = sorted(r.id for r in out.collect())
+    assert got == [1, 2, 3, 6]
+    # layout independence: same set under a different partitioning
+    got2 = sorted(
+        r.id
+        for r in pareto_skyline(
+            df.repartition(7, "qual"), {"price": "min", "qual": "max"}
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_pareto_skyline_candidate_guard(spark):
+    from streaming_demos_spark.operators.relational import pareto_skyline
+
+    # an anti-diagonal: EVERY point is on the skyline -> candidates
+    # exceed the cap and the guard must trip rather than broadcast
+    rows = [(i, float(i), float(100 - i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    with pytest.raises(RuntimeError, match="candidates exceed"):
+        pareto_skyline(df, {"a": "min", "b": "min"}, max_candidates=10)
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    from streaming_demos_spark.operators.graph import k_core
+
+    # triangle (1,2,3) with a pendant chain 3-4-5: the 2-core is the
+    # triangle alone, and peeling must CASCADE down the chain (5 goes,
+    # then 4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    with pytest.raises(RuntimeError, match="no convergence"):
+        k_core(edges, k=2, max_rounds=1)
+
+
+def test_k_core_empty_when_overpeeled(spark):
+    from streaming_demos_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_core(edges, k=2, max_rounds=5).count() == 0
+
+
+def test_grouped_weighted_median_boundaries(spark):
+    from streaming_demos_spark.operators.relational import (
+        grouped_weighted_median,
+    )
+
+    rows = [
+        # g1: cum weights 1,3,6 of total 6 -> half=3 hits exactly at
+        # v=2 (cum=3): lo=2, hi=first cum>3 -> 3, median 2.5
+        ("g1", 1.0, 1.0), ("g1", 2.0, 2.0), ("g1", 3.0, 3.0),
+        # g2: dominant weight on 7 -> half=2.5 inside v=7's mass
+        ("g2", 5.0, 1.0), ("g2", 7.0, 4.0),
+        # g3: singleton
+        ("g3", 42.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r.g: (r.weighted_median, r.total_weight)
+        for r in grouped_weighted_median(df, "g", "v", "w").collect()
+    }
+    assert out["g1"] == (2.5, 6.0)
+    assert out["g2"] == (7.0, 5.0)
+    assert out["g3"] == (42.0, 9.0)
+
+
+def test_feature_hash_signed_matches_reference_hash(spark):
+    import hashlib
+
+    from streaming_demos_spark.operators.selection import (
+        feature_hash_signed,
+    )
+
+    def ref(word, dim=64):
+        h = hashlib.md5(word.encode()).hexdigest()
+        return int(h[:6], 16) % dim, 1 if int(h[6], 16) % 2 == 0 else -1
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.idx): r.val
+        for r in feature_hash_signed(docs, dim=64).collect()
+    }
+    ia, sa = ref("alpha")
+    ib, sb = ref("beta")
+    ig, sg = ref("gamma")
+    if ia == ib:  # rare in-bucket collision between the two tokens
+        assert out[(1, ia)] == 2 * sa + sb
+    else:
+        assert out[(1, ia)] == 2 * sa and out[(1, ib)] == sb
+    assert out[(2, ig)] == sg

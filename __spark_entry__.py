@@ -3398,6 +3398,65 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    # Robust monthly revenue trend per nation: median of pairwise
+    # slopes over the ~80-point monthly series (bounded pair join),
+    # slope median via the engine-portable grid selection
+    # (stats.py:theil_sen_slope). Monthly revenue pre-rounded so both
+    # engines divide identical numerators.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+            ).alias("mon"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    return ST.theil_sen_slope(monthly, "n_name", "mon", "rev").orderBy(
+        "n_name"
+    )
+
+
+def q_grouped_mad(spark, sf_dir):
+    # Robust scale of event values per type: median absolute deviation
+    # via two passes of the grid-median selection, scaled by 1.4826
+    # (stats.py:grouped_mad).
+    ev = _t(spark, sf_dir, "events")
+    return ST.grouped_mad(ev, "event_type", "value").orderBy("event_type")
+
+
+def q_multi_touch(spark, sf_dir):
+    # First/last/linear multi-touch attribution of purchase value to
+    # the preceding 7 days of touches: user-keyed interval join (the
+    # batch analog of the streaming attribution join), per-conversion
+    # window bounded by the lookback horizon
+    # (relational.py:multi_touch_attribution).
+    ev = _t(spark, sf_dir, "events")
+    return R.multi_touch_attribution(
+        ev, "user_id", "ts", "event_type", "value", "event_id",
+        conversion_channel="purchase", lookback_days=7,
+    ).orderBy("channel")
+
+
+def q_quantile_normalize(spark, sf_dir):
+    # Cross-source score calibration: each document's length score
+    # mapped to its within-source midrank percentile, making scores
+    # comparable across sources before mixing
+    # (curation.py:quantile_normalize).
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return CU.quantile_normalize(docs, "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 def q_pareto_skyline(spark, sf_dir):
     # Skyline of the part catalog: cheapest / smallest / best-selling
     # Pareto frontier. Local skylines via Arrow-batched sum-ordered
@@ -4165,6 +4224,10 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_theil_sen",
+    "ext_grouped_mad",
+    "ext_multi_touch",
+    "llm_quantile_normalize",
     "ext_pareto_skyline",
     "ext_k_core",
     "ext_weighted_median",
@@ -4346,6 +4409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_theil_sen": q_theil_sen,
+        "ext_grouped_mad": q_grouped_mad,
+        "ext_multi_touch": q_multi_touch,
+        "llm_quantile_normalize": q_quantile_normalize,
         "ext_pareto_skyline": q_pareto_skyline,
         "ext_k_core": q_k_core,
         "ext_weighted_median": q_weighted_median,
@@ -4690,6 +4757,149 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_theil_sen": """
+            WITH monthly AS (
+                SELECT n_name,
+                       extract(year FROM o_orderdate) * 12
+                       + extract(month FROM o_orderdate) AS mon,
+                       round(sum(o_totalprice), 4) AS rev
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            ),
+            slopes AS (
+                SELECT a.n_name AS g,
+                       (b.rev - a.rev) / (b.mon - a.mon) AS s
+                FROM monthly a JOIN monthly b
+                  ON a.n_name = b.n_name AND a.mon < b.mon
+            ),
+            grid AS (SELECT g, s AS v, count(*) AS c FROM slopes
+                     GROUP BY 1, 2),
+            cum AS (
+                SELECT g, v,
+                       sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       sum(c) OVER (PARTITION BY g) AS n
+                FROM grid
+            ),
+            med AS (
+                SELECT g,
+                       (min(CASE WHEN cum >= ((n + 1) // 2) THEN v END)
+                        + min(CASE WHEN cum >= (n // 2 + 1) THEN v END)
+                       ) / 2.0 AS med
+                FROM cum GROUP BY 1
+            ),
+            np AS (SELECT g, count(*) AS n_pairs FROM slopes GROUP BY 1)
+            SELECT g AS n_name, round(med, 6) AS ts_slope, n_pairs
+            FROM med JOIN np USING (g) ORDER BY n_name
+        """,
+        "ext_grouped_mad": """
+            WITH ev AS (
+                SELECT event_type AS g, value::DOUBLE AS x FROM events
+            ),
+            g1 AS (SELECT g, x AS v, count(*) AS c FROM ev GROUP BY 1, 2),
+            c1 AS (
+                SELECT g, v,
+                       sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       sum(c) OVER (PARTITION BY g) AS n
+                FROM g1
+            ),
+            m1 AS (
+                SELECT g,
+                       (min(CASE WHEN cum >= ((n + 1) // 2) THEN v END)
+                        + min(CASE WHEN cum >= (n // 2 + 1) THEN v END)
+                       ) / 2.0 AS med
+                FROM c1 GROUP BY 1
+            ),
+            dev AS (
+                SELECT ev.g, abs(ev.x - m1.med) AS d
+                FROM ev JOIN m1 USING (g)
+            ),
+            g2 AS (SELECT g, d AS v, count(*) AS c FROM dev GROUP BY 1, 2),
+            c2 AS (
+                SELECT g, v,
+                       sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       sum(c) OVER (PARTITION BY g) AS n
+                FROM g2
+            ),
+            m2 AS (
+                SELECT g,
+                       (min(CASE WHEN cum >= ((n + 1) // 2) THEN v END)
+                        + min(CASE WHEN cum >= (n // 2 + 1) THEN v END)
+                       ) / 2.0 AS mad
+                FROM c2 GROUP BY 1
+            )
+            SELECT m1.g AS event_type,
+                   round(m1.med, 6) AS median,
+                   round(m2.mad, 6) AS mad,
+                   round(m2.mad * 1.4826, 6) AS sigma_robust
+            FROM m1 JOIN m2 ON m1.g = m2.g
+            ORDER BY 1
+        """,
+        "ext_multi_touch": """
+            WITH conv AS (
+                SELECT user_id AS u, ts AS cts, event_id AS cid,
+                       value::DOUBLE AS cval
+                FROM events WHERE event_type = 'purchase'
+            ),
+            touch AS (
+                SELECT user_id AS u, ts AS tts, event_id AS tid,
+                       event_type AS channel
+                FROM events WHERE event_type <> 'purchase'
+            ),
+            pairs AS (
+                SELECT c.cid, c.cval, t.channel, t.tts, t.tid
+                FROM conv c JOIN touch t
+                  ON c.u = t.u
+                 AND t.tts <= c.cts
+                 AND t.tts > c.cts - INTERVAL 7 DAY
+            ),
+            ranked AS (
+                SELECT cid, cval, channel,
+                       row_number() OVER (PARTITION BY cid
+                           ORDER BY tts, tid) AS ra,
+                       row_number() OVER (PARTITION BY cid
+                           ORDER BY tts DESC, tid DESC) AS rd,
+                       count(*) OVER (PARTITION BY cid) AS n
+                FROM pairs
+            )
+            SELECT channel,
+                   round(sum(CASE WHEN ra = 1 THEN cval
+                                  ELSE 0.0::DOUBLE END), 4)
+                       AS first_touch_value,
+                   round(sum(CASE WHEN rd = 1 THEN cval
+                                  ELSE 0.0::DOUBLE END), 4)
+                       AS last_touch_value,
+                   round(sum(cval / n), 4) AS linear_value,
+                   count(DISTINCT cid) AS n_conversions_touched
+            FROM ranked GROUP BY 1 ORDER BY 1
+        """,
+        "llm_quantile_normalize": """
+            WITH grid AS (
+                SELECT source AS g, n_chars::DOUBLE AS v, count(*) AS t
+                FROM documents GROUP BY 1, 2
+            ),
+            ranks AS (
+                SELECT g, v,
+                       (coalesce(sum(t) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        + (t + 1) / 2.0)
+                       / sum(t) OVER (PARTITION BY g) AS pct
+                FROM grid
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   round(r.pct, 6) AS pct_rank
+            FROM documents d JOIN ranks r
+              ON d.source = r.g AND d.n_chars::DOUBLE = r.v
+            ORDER BY d.doc_id
+        """,
         "ext_k_core": _k_core_oracle_sql(2, 12),
         "ext_pareto_skyline": """
             WITH prof AS (

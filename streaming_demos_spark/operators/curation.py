@@ -1287,3 +1287,50 @@ def k_anonymity_profile(
         )
     )
     return out
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Within-group midrank percentile of a score — the calibration
+    step that makes quality scores COMPARABLE ACROSS SOURCES before
+    mixing (each source's classifier has its own scale; its quantiles
+    don't).
+
+    Midranks come from the per-group distinct-value grid (per-(group,
+    value) counts, running sum over the grid partitioned by group),
+    joined back to the rows by (group, value) — the rank shuffle is
+    bounded by value cardinality per group, never a global row sort.
+    Appends ``pct_rank`` in (0, 1]: midrank / n_group.
+    """
+    v = F.col(score_col).cast("double")
+    grid = docs.groupBy(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    ).agg(F.count("*").alias("_t"))
+    w_prev = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_g")
+    ranks = grid.select(
+        "_g",
+        "_v",
+        (
+            (
+                F.coalesce(F.sum("_t").over(w_prev), F.lit(0))
+                + (F.col("_t") + F.lit(1)) / F.lit(2.0)
+            )
+            / F.sum("_t").over(w_all)
+        ).alias("_pct"),
+    )
+    return docs.join(
+        ranks,
+        (F.col(group_col) == F.col("_g")) & (v == F.col("_v")),
+    ).select(
+        *docs.columns,
+        F.round("_pct", round_dp).alias("pct_rank"),
+    )

@@ -3553,3 +3553,80 @@ def grouped_weighted_median(
         ).alias("weighted_median"),
         F.max("_W").alias("total_weight"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    value_col: str,
+    id_col: str,
+    conversion_channel: str,
+    lookback_days: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Marketing-style multi-touch attribution: every conversion's
+    value is credited to the touch events that preceded it within the
+    lookback window, under the three standard models at once —
+    first-touch (100% to the earliest touch), last-touch (100% to the
+    latest), and linear (1/n to each).
+
+    Plan: conversions ⋈ touches is an EQUI join on the user plus a
+    bounded range predicate (touch in ``(conv_ts - lookback, conv_ts]``)
+    — the same watermark-bounded shape as the streaming attribution
+    join, so per-key state never exceeds the lookback horizon. Touch
+    order within a conversion comes from a window partitioned by the
+    CONVERSION id (bounded by touches-per-window, never global), with
+    the touch id as a deterministic tie-break. One final hash agg per
+    channel emits all three models. Conversions with no touch in the
+    window drop out (standard "unattributed" bucket — count them by
+    differencing against the conversion total).
+    """
+    conv = events.filter(F.col(channel_col) == conversion_channel).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+        F.col(value_col).cast("double").alias("_cval"),
+    )
+    touch = events.filter(F.col(channel_col) != conversion_channel).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(channel_col).alias("channel"),
+    )
+    lb = F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+    pairs = conv.join(
+        touch,
+        (conv["_u"] == touch["_u"])
+        & (touch["_tts"] <= conv["_cts"])
+        & (touch["_tts"] > conv["_cts"] - lb),
+    ).select("_cid", "_cval", "channel", "_tts", "_tid")
+    w = Window.partitionBy("_cid")
+    w_asc = w.orderBy("_tts", "_tid")
+    w_desc = w.orderBy(F.desc("_tts"), F.desc("_tid"))
+    ranked = pairs.select(
+        "_cid",
+        "_cval",
+        "channel",
+        F.row_number().over(w_asc).alias("_ra"),
+        F.row_number().over(w_desc).alias("_rd"),
+        F.count("*").over(w).alias("_n"),
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("_ra") == 1, F.col("_cval")).otherwise(F.lit(0.0))),
+                round_dp,
+            ).alias("first_touch_value"),
+            F.round(
+                F.sum(F.when(F.col("_rd") == 1, F.col("_cval")).otherwise(F.lit(0.0))),
+                round_dp,
+            ).alias("last_touch_value"),
+            F.round(
+                F.sum(F.col("_cval") / F.col("_n")), round_dp
+            ).alias("linear_value"),
+            F.countDistinct("_cid").alias("n_conversions_touched"),
+        )
+    )

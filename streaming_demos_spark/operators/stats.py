@@ -683,3 +683,87 @@ def brown_forsythe(
         F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_z"),
     )
     return one_way_anova(z, group_col, "_z", round_dp)
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i) over x_i < x_j — a 29%-breakdown
+    alternative to the OLS slope that one outlier month cannot drag.
+
+    The pair generation is a per-group equi self-join (x_i < x_j), so
+    the pair count is O(points²) PER GROUP — this operator is for
+    per-group SERIES (daily/monthly rollups, bounded points), not raw
+    rows; aggregate first. The slope median reuses the engine-portable
+    value-grid selection (:func:`grid_group_median`), never a sort of
+    all pairs. Output: (group, ts_slope, n_pairs).
+    """
+    pts = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a = pts.select("_g", F.col("_x").alias("_x1"), F.col("_y").alias("_y1"))
+    b = pts.select("_g", F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    slopes = (
+        a.join(b, "_g")
+        .filter(F.col("_x1") < F.col("_x2"))
+        .select(
+            "_g",
+            (
+                (F.col("_y2") - F.col("_y1"))
+                / (F.col("_x2") - F.col("_x1"))
+            ).alias("_s"),
+        )
+    )
+    med = grid_group_median(slopes, "_g", "_s")
+    n = slopes.groupBy("_g").agg(F.count("*").alias("n_pairs"))
+    return (
+        med.join(n, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.round("_med", round_dp).alias("ts_slope"),
+            "n_pairs",
+        )
+    )
+
+
+def grouped_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust scale estimate
+    (consistency-scaled by 1.4826 to estimate sigma under normality).
+
+    Two passes of the engine-portable grid-median selection: the group
+    median, joined back (AQE broadcast of the group-cardinality frame)
+    to form |x - med|, then the median of the deviations. Output:
+    (group, median, mad, sigma_robust).
+    """
+    med = grid_group_median(df, group_col, value_col)
+    dev = df.join(med, group_col).select(
+        group_col,
+        F.col("_med"),
+        F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_d"),
+    )
+    mad = grid_group_median(dev, group_col, "_d").withColumnRenamed(
+        "_med", "_mad"
+    )
+    return (
+        dev.select(group_col, "_med").distinct()
+        .join(mad, group_col)
+        .select(
+            group_col,
+            F.round("_med", round_dp).alias("median"),
+            F.round("_mad", round_dp).alias("mad"),
+            F.round(F.col("_mad") * F.lit(1.4826), round_dp).alias(
+                "sigma_robust"
+            ),
+        )
+    )

@@ -915,3 +915,87 @@ def test_feature_hash_signed_matches_reference_hash(spark):
     else:
         assert out[(1, ia)] == 2 * sa and out[(1, ib)] == sb
     assert out[(2, ig)] == sg
+
+
+def test_theil_sen_resists_outlier(spark):
+    from streaming_demos_spark.operators.stats import theil_sen_slope
+
+    # y = 2x exactly, except one wild outlier at x=5; the pairwise-
+    # slope median must stay at 2 while OLS would be dragged
+    rows = [("s", float(x), 2.0 * x) for x in range(1, 5)]
+    rows.append(("s", 5.0, 500.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = theil_sen_slope(df, "g", "x", "y").collect()[0]
+    assert out.ts_slope == 2.0
+    assert out.n_pairs == 10  # C(5,2)
+
+
+def test_grouped_mad_known_values(spark):
+    from streaming_demos_spark.operators.stats import grouped_mad
+
+    # classic example: {1,1,2,2,4,6,9} -> median 2, deviations
+    # {1,1,0,0,2,4,7} -> MAD 1
+    vals = [1.0, 1.0, 2.0, 2.0, 4.0, 6.0, 9.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = grouped_mad(df, "g", "v").collect()[0]
+    assert out.median == 2.0 and out.mad == 1.0
+    assert out.sigma_robust == round(1.4826, 6)
+
+
+def test_multi_touch_attribution_models(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import (
+        multi_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: view -> click -> purchase(100): first=view,
+        # last=click, linear 50/50
+        (1, t0 - dt.timedelta(days=2), "view", 0.0, 1),
+        (1, t0 - dt.timedelta(days=1), "click", 0.0, 2),
+        (1, t0, "purchase", 100.0, 3),
+        # user 2: touch OUTSIDE the 7-day lookback -> unattributed
+        (2, t0 - dt.timedelta(days=8), "view", 0.0, 4),
+        (2, t0, "purchase", 50.0, 5),
+        # user 3: single click -> all three models give it everything
+        (3, t0 - dt.timedelta(hours=1), "click", 0.0, 6),
+        (3, t0, "purchase", 30.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+        "value double, event_id long"
+    )
+    out = {
+        r.channel: r
+        for r in multi_touch_attribution(
+            df, "user_id", "ts", "event_type", "value", "event_id",
+            conversion_channel="purchase", lookback_days=7,
+        ).collect()
+    }
+    assert out["view"].first_touch_value == 100.0
+    assert out["view"].last_touch_value == 0.0
+    assert out["view"].linear_value == 50.0
+    assert out["click"].first_touch_value == 30.0
+    assert out["click"].last_touch_value == 130.0
+    assert out["click"].linear_value == 80.0
+    assert out["click"].n_conversions_touched == 2
+
+
+def test_quantile_normalize_midranks_and_groups(spark):
+    from streaming_demos_spark.operators.curation import quantile_normalize
+
+    rows = [
+        ("a", 10, 1), ("a", 20, 2), ("a", 20, 3), ("a", 30, 4),
+        ("b", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "source string, s long, doc_id long")
+    out = {
+        r.doc_id: r.pct_rank
+        for r in quantile_normalize(df, "source", "s").collect()
+    }
+    assert out[1] == 0.25          # rank 1 of 4
+    assert out[2] == out[3] == 0.625  # midrank 2.5 of 4
+    assert out[4] == 1.0
+    assert out[5] == 1.0           # singleton group

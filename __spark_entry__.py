@@ -3398,6 +3398,48 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_kendall_tau(spark, sf_dir):
+    # Is part size rank-associated with price? Kendall tau-b from the
+    # joint CELL GRID (price bucketed to $100 to bound it): the
+    # inequality self-join runs over cells, never row pairs
+    # (stats.py:kendall_tau_b).
+    p = _t(spark, sf_dir, "part").select(
+        "p_size", F.round("p_retailprice", -2).alias("price_bucket")
+    )
+    return ST.kendall_tau_b(p, "p_size", "price_bucket")
+
+
+def q_grouped_moments(spark, sf_dir):
+    # Shape profile of event values per type: mean / variance /
+    # skewness / excess kurtosis from raw power sums in one combinable
+    # aggregation (stats.py:grouped_moments).
+    ev = _t(spark, sf_dir, "events")
+    return ST.grouped_moments(ev, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+def q_roc_curve(spark, sf_dir):
+    # Full ROC curve for "does event value predict a purchase?":
+    # TPR/FPR at every distinct 2dp score from cumulative sums down
+    # the score grid (stats.py:roc_curve).
+    ev = _t(spark, sf_dir, "events").select(
+        F.round("value", 2).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return ST.roc_curve(ev, "score", "label").orderBy(F.desc("threshold"))
+
+
+def q_cohort_ltv(spark, sf_dir):
+    # Cohort LTV triangle: customers by first-order month, revenue by
+    # months-since-cohort with a per-cohort running total — window
+    # bounded by the month count (relational.py:cohort_ltv).
+    o = _t(spark, sf_dir, "orders")
+    return R.cohort_ltv(
+        o, "o_custkey", "o_orderdate", "o_totalprice"
+    ).orderBy("cohort_mon", "age_mon")
+
+
 def q_theil_sen(spark, sf_dir):
     # Robust monthly revenue trend per nation: median of pairwise
     # slopes over the ~80-point monthly series (bounded pair join),
@@ -4224,6 +4266,10 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_kendall_tau",
+    "ext_grouped_moments",
+    "ext_roc_curve",
+    "ext_cohort_ltv",
     "ext_theil_sen",
     "ext_grouped_mad",
     "ext_multi_touch",
@@ -4409,6 +4455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_kendall_tau": q_kendall_tau,
+        "ext_grouped_moments": q_grouped_moments,
+        "ext_roc_curve": q_roc_curve,
+        "ext_cohort_ltv": q_cohort_ltv,
         "ext_theil_sen": q_theil_sen,
         "ext_grouped_mad": q_grouped_mad,
         "ext_multi_touch": q_multi_touch,
@@ -4757,6 +4807,115 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_kendall_tau": """
+            WITH cells AS (
+                SELECT p_size AS x, round(p_retailprice, -2) AS y,
+                       count(*) AS c
+                FROM part GROUP BY 1, 2
+            ),
+            cd AS (
+                SELECT sum(CASE WHEN a.y < b.y THEN a.c * b.c
+                                ELSE 0 END) AS C,
+                       sum(CASE WHEN a.y > b.y THEN a.c * b.c
+                                ELSE 0 END) AS D
+                FROM cells a JOIN cells b
+                  ON a.x < b.x AND a.y <> b.y
+            ),
+            tx AS (
+                SELECT sum(t * (t - 1) / 2) AS n1, sum(t) AS n
+                FROM (SELECT sum(c) AS t FROM cells GROUP BY x)
+            ),
+            ty AS (
+                SELECT sum(t * (t - 1) / 2) AS n2
+                FROM (SELECT sum(c) AS t FROM cells GROUP BY y)
+            )
+            SELECT n::BIGINT AS n_rows,
+                   C::BIGINT AS concordant,
+                   D::BIGINT AS discordant,
+                   round((C - D)::DOUBLE
+                         / sqrt((n::DOUBLE * (n - 1) / 2.0 - n1)
+                                * (n::DOUBLE * (n - 1) / 2.0 - n2)),
+                         6) AS tau_b
+            FROM cd, tx, ty
+        """,
+        "ext_grouped_moments": """
+            WITH per AS (
+                SELECT event_type,
+                       count(value) AS n_rows,
+                       sum(value) AS s1,
+                       sum(value*value) AS s2,
+                       sum(value*value*value) AS s3,
+                       sum(value*value*value*value) AS s4
+                FROM events GROUP BY 1
+            ),
+            m AS (
+                SELECT event_type, n_rows,
+                       s1 / n_rows AS mean,
+                       s2 / n_rows - (s1/n_rows) * (s1/n_rows) AS m2,
+                       s3 / n_rows
+                         - 3.0 * (s1/n_rows) * (s2 / n_rows)
+                         + 2.0 * (s1/n_rows) * (s1/n_rows) * (s1/n_rows)
+                         AS m3,
+                       s4 / n_rows
+                         - 4.0 * (s1/n_rows) * (s3 / n_rows)
+                         + 6.0 * (s1/n_rows) * (s1/n_rows) * (s2 / n_rows)
+                         - 3.0 * (s1/n_rows) * (s1/n_rows)
+                               * (s1/n_rows) * (s1/n_rows)
+                         AS m4
+                FROM per
+            )
+            SELECT event_type, n_rows,
+                   round(mean, 6) AS mean,
+                   round(m2, 6) AS var_pop,
+                   round(m3 / sqrt(m2*m2*m2), 6) AS skewness,
+                   round(m4 / (m2*m2) - 3.0, 6) AS kurtosis_excess
+            FROM m ORDER BY event_type
+        """,
+        "ext_roc_curve": """
+            WITH per AS (
+                SELECT round(value, 2) AS threshold,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS p,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 0 ELSE 1 END) AS neg
+                FROM events GROUP BY 1
+            )
+            SELECT threshold,
+                   round(sum(p) OVER (ORDER BY threshold DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)::DOUBLE
+                         / sum(p) OVER (), 6) AS tpr,
+                   round(sum(neg) OVER (ORDER BY threshold DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)::DOUBLE
+                         / sum(neg) OVER (), 6) AS fpr
+            FROM per ORDER BY threshold DESC
+        """,
+        "ext_cohort_ltv": """
+            WITH base AS (
+                SELECT o_custkey AS cust,
+                       extract(year FROM o_orderdate) * 12
+                       + extract(month FROM o_orderdate) AS mon,
+                       o_totalprice::DOUBLE AS val
+                FROM orders
+            ),
+            cohorts AS (
+                SELECT cust, min(mon) AS cohort FROM base GROUP BY 1
+            ),
+            cells AS (
+                SELECT cohort AS cohort_mon, mon - cohort AS age_mon,
+                       count(DISTINCT base.cust) AS n_active,
+                       round(sum(val), 4) AS revenue
+                FROM base JOIN cohorts ON base.cust = cohorts.cust
+                GROUP BY 1, 2
+            )
+            SELECT cohort_mon, age_mon, n_active, revenue,
+                   round(sum(revenue) OVER (PARTITION BY cohort_mon
+                         ORDER BY age_mon
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 4) AS cum_revenue
+            FROM cells ORDER BY cohort_mon, age_mon
+        """,
         "ext_theil_sen": """
             WITH monthly AS (
                 SELECT n_name,

@@ -3630,3 +3630,53 @@ def multi_touch_attribution(
             F.countDistinct("_cid").alias("n_conversions_touched"),
         )
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by their
+    FIRST-purchase month, revenue accumulated by months-since-cohort —
+    the classic retention-economics rollup.
+
+    Plan: one aggregation finds each customer's cohort month (min
+    month), broadcast-joined back (customer-cardinality frame, AQE
+    decides), then a (cohort, age) revenue aggregation and a running
+    sum over AGE within each cohort — a window bounded by the number
+    of months, never rows. Output one row per (cohort_mon, age_mon):
+    active customers, period revenue, cumulative revenue per cohort.
+    """
+    mon = (F.year(F.col(ts_col)) * F.lit(12) + F.month(F.col(ts_col)))
+    base = orders.select(
+        F.col(customer_col).alias("_cust"),
+        mon.alias("_mon"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    cohorts = base.groupBy("_cust").agg(F.min("_mon").alias("_cohort"))
+    cells = (
+        base.join(cohorts, "_cust")
+        .groupBy(
+            F.col("_cohort").alias("cohort_mon"),
+            (F.col("_mon") - F.col("_cohort")).alias("age_mon"),
+        )
+        .agg(
+            F.countDistinct("_cust").alias("n_active"),
+            F.round(F.sum("_val"), round_dp).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_mon")
+        .orderBy("age_mon")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_mon",
+        "age_mon",
+        "n_active",
+        "revenue",
+        F.round(F.sum("revenue").over(w), round_dp).alias("cum_revenue"),
+    )

@@ -767,3 +767,158 @@ def grouped_mad(
             ),
         )
     )
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kendall tau-b rank correlation with tie correction, computed
+    from the JOINT CELL GRID rather than row pairs.
+
+    Concordant/discordant counts only depend on the contingency of
+    distinct (x, y) values: for cells a, b with a.x < b.x, the
+    ``n_a * n_b`` row pairs are all concordant (a.y < b.y) or all
+    discordant (a.y > b.y). So the plan is one cell-count aggregation,
+    then a broadcast inequality self-join over CELLS — O(cells²)
+    comparisons, independent of row count. Pre-round/bucket continuous
+    columns to bound the grid (same contract as the rank tests).
+
+        tau_b = (C - D) / sqrt((n0 - n1) (n0 - n2)),
+        n0 = n(n-1)/2,  n1 = Σ_x t_x(t_x-1)/2,  n2 = Σ_y t_y(t_y-1)/2
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count("*").alias("_c"))
+    a, b = cells.alias("_a"), cells.alias("_b")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("_a._x") < F.col("_b._x"))
+            & (F.col("_a._y") != F.col("_b._y")),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_a._y") < F.col("_b._y"),
+                    F.col("_a._c") * F.col("_b._c"),
+                ).otherwise(F.lit(0))
+            ).alias("_C"),
+            F.sum(
+                F.when(
+                    F.col("_a._y") > F.col("_b._y"),
+                    F.col("_a._c") * F.col("_b._c"),
+                ).otherwise(F.lit(0))
+            ).alias("_D"),
+        )
+    )
+    tx = cells.groupBy("_x").agg(F.sum("_c").alias("_t")).agg(
+        F.sum(F.col("_t") * (F.col("_t") - F.lit(1)) / F.lit(2)).alias("_n1"),
+        F.sum("_t").alias("_n"),
+    )
+    ty = cells.groupBy("_y").agg(F.sum("_c").alias("_t")).agg(
+        F.sum(F.col("_t") * (F.col("_t") - F.lit(1)) / F.lit(2)).alias("_n2")
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("_n").cast("double")
+    n0 = n * (n - F.lit(1)) / F.lit(2.0)
+    tau = F.coalesce(
+        F.try_divide(
+            (F.col("_C") - F.col("_D")).cast("double"),
+            F.sqrt((n0 - F.col("_n1")) * (n0 - F.col("_n2"))),
+        ),
+        F.lit(0.0),
+    )
+    return j.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_C").cast("long").alias("concordant"),
+        F.col("_D").cast("long").alias("discordant"),
+        F.round(tau, round_dp).alias("tau_b"),
+    )
+
+
+def grouped_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Higher-moment profile per group — mean, population variance,
+    skewness g1 and excess kurtosis g2 — from raw power sums in ONE
+    hash aggregation (fully map-side combinable; the central-moment
+    algebra is closed-form column arithmetic the oracle restates in
+    the identical association order).
+    """
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(group_col).agg(
+        F.count(v).alias("n_rows"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.sum(v * v * v).alias("_s3"),
+        F.sum(v * v * v * v).alias("_s4"),
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("_s1") / n
+    m2 = F.col("_s2") / n - mean * mean
+    m3 = F.col("_s3") / n - F.lit(3.0) * mean * (F.col("_s2") / n) \
+        + F.lit(2.0) * mean * mean * mean
+    m4 = F.col("_s4") / n - F.lit(4.0) * mean * (F.col("_s3") / n) \
+        + F.lit(6.0) * mean * mean * (F.col("_s2") / n) \
+        - F.lit(3.0) * mean * mean * mean * mean
+    skew = F.coalesce(F.try_divide(m3, F.sqrt(m2 * m2 * m2)), F.lit(0.0))
+    kurt = F.coalesce(F.try_divide(m4, m2 * m2), F.lit(0.0)) - F.lit(3.0)
+    return per.select(
+        group_col,
+        "n_rows",
+        F.round(mean, round_dp).alias("mean"),
+        F.round(m2, round_dp).alias("var_pop"),
+        F.round(skew, round_dp).alias("skewness"),
+        F.round(kurt, round_dp).alias("kurtosis_excess"),
+    )
+
+
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ROC curve points (threshold, tpr, fpr) at every distinct score,
+    descending — predict positive when ``score >= threshold``.
+
+    The curve is a pure function of the per-distinct-score (positives,
+    negatives) counts: cumulative sums DOWN the score grid give TP and
+    FP at each threshold. Window input is bounded by score cardinality
+    (pre-round continuous scores), never the row count.
+    """
+    lab = F.col(label_col).cast("int")
+    per = df.groupBy(
+        F.col(score_col).cast("double").alias("threshold")
+    ).agg(
+        F.sum(lab).alias("_p"),
+        F.sum(F.lit(1) - lab).alias("_n"),
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "threshold",
+        F.round(
+            F.coalesce(
+                F.try_divide(F.sum("_p").over(w), F.sum("_p").over(w_all)),
+                F.lit(0.0),
+            ),
+            round_dp,
+        ).alias("tpr"),
+        F.round(
+            F.coalesce(
+                F.try_divide(F.sum("_n").over(w), F.sum("_n").over(w_all)),
+                F.lit(0.0),
+            ),
+            round_dp,
+        ).alias("fpr"),
+    )

@@ -999,3 +999,90 @@ def test_quantile_normalize_midranks_and_groups(spark):
     assert out[2] == out[3] == 0.625  # midrank 2.5 of 4
     assert out[4] == 1.0
     assert out[5] == 1.0           # singleton group
+
+
+def test_kendall_tau_b_known_values(spark):
+    from streaming_demos_spark.operators.stats import kendall_tau_b
+
+    # perfect agreement
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "x long, y long"
+    )
+    assert kendall_tau_b(df, "x", "y").collect()[0].tau_b == 1.0
+    # perfect reversal
+    df2 = spark.createDataFrame(
+        [(i, 6 - i) for i in range(1, 6)], "x long, y long"
+    )
+    assert kendall_tau_b(df2, "x", "y").collect()[0].tau_b == -1.0
+    # tie-corrected case: x=(1,1,2,3), y=(1,2,1,3):
+    # pairs with distinct x and y: C=4 ((1,1)-(2,?)no y1<... compute),
+    # checked against scipy.stats.kendalltau(variant='b') = 0.5477...
+    df3 = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (3, 3)], "x long, y long"
+    )
+    r = kendall_tau_b(df3, "x", "y").collect()[0]
+    # n0=6, n1=1 (x tie pair), n2=1 (y tie pair), C=3, D=1
+    # tau_b = 2 / sqrt(5*5) = 0.4
+    assert r.concordant == 3 and r.discordant == 1
+    assert r.tau_b == 0.4
+
+
+def test_grouped_moments_against_numpy(spark):
+    import numpy as np
+
+    from streaming_demos_spark.operators.stats import grouped_moments
+
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0, 4.0, 4.5]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = grouped_moments(df, "g", "v").collect()[0]
+    a = np.array(vals)
+    m2 = ((a - a.mean()) ** 2).mean()
+    m3 = ((a - a.mean()) ** 3).mean()
+    m4 = ((a - a.mean()) ** 4).mean()
+    assert out.n_rows == len(vals)
+    assert abs(out.mean - round(a.mean(), 6)) < 1e-9
+    assert abs(out.var_pop - round(m2, 6)) < 1e-6
+    assert abs(out.skewness - round(m3 / m2**1.5, 6)) < 1e-6
+    assert abs(out.kurtosis_excess - round(m4 / m2**2 - 3.0, 6)) < 1e-6
+
+
+def test_roc_curve_steps(spark):
+    from streaming_demos_spark.operators.stats import roc_curve
+
+    # scores: positives at 0.9, 0.7; negatives at 0.8, 0.1
+    rows = [(0.9, 1), (0.7, 1), (0.8, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    pts = {
+        r.threshold: (r.tpr, r.fpr)
+        for r in roc_curve(df, "score", "label").collect()
+    }
+    assert pts[0.9] == (0.5, 0.0)
+    assert pts[0.8] == (0.5, 0.5)
+    assert pts[0.7] == (1.0, 0.5)
+    assert pts[0.1] == (1.0, 1.0)
+
+
+def test_cohort_ltv_triangle(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import cohort_ltv
+
+    d = lambda m, day: dt.datetime(2024, m, day)
+    rows = [
+        # cust 1: cohort Jan, buys Jan + Mar
+        (1, d(1, 5), 10.0), (1, d(3, 5), 30.0),
+        # cust 2: cohort Jan, buys Jan only
+        (2, d(1, 20), 5.0),
+        # cust 3: cohort Feb
+        (3, d(2, 1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "cust long, ts timestamp, val double")
+    out = {
+        (r.cohort_mon, r.age_mon): r
+        for r in cohort_ltv(df, "cust", "ts", "val").collect()
+    }
+    jan = 2024 * 12 + 1
+    assert out[(jan, 0)].n_active == 2 and out[(jan, 0)].revenue == 15.0
+    assert out[(jan, 2)].n_active == 1 and out[(jan, 2)].revenue == 30.0
+    assert out[(jan, 2)].cum_revenue == 45.0
+    assert out[(jan + 1, 0)].revenue == 7.0

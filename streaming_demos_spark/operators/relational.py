@@ -3680,3 +3680,73 @@ def cohort_ltv(
         "revenue",
         F.round(F.sum("revenue").over(w), round_dp).alias("cum_revenue"),
     )
+
+
+def price_volume_mix(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    qty_col: str,
+    revenue_col: str,
+    period_a,
+    period_b,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Price-volume-mix bridge: decompose the revenue change between
+    two periods into the five classic finance effects —
+
+        price  = (p2 - p1) * q1        (same units, new price)
+        volume = (q2 - q1) * p1        (new units, old price)
+        mix    = (p2 - p1) * (q2 - q1) (interaction)
+        new          = full revenue of keys absent in period A
+        discontinued = -revenue of keys absent in period B
+
+    with ``p = revenue / qty`` the realized per-key price. The five
+    amounts sum EXACTLY to (rev_B - rev_A) by construction. One hash
+    aggregation per key with conditional sums (no self-join), then a
+    5-row unpivot of the effect totals; per-key revenue is rounded
+    before the division so both engines derive identical prices.
+    """
+    is_a = F.col(period_col) == F.lit(period_a)
+    is_b = F.col(period_col) == F.lit(period_b)
+    per = (
+        df.filter(is_a | is_b)
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.when(is_a, F.col(qty_col)).otherwise(F.lit(0.0))).alias("_q1"),
+            F.round(
+                F.sum(F.when(is_a, F.col(revenue_col)).otherwise(F.lit(0.0))),
+                round_dp,
+            ).alias("_r1"),
+            F.sum(F.when(is_b, F.col(qty_col)).otherwise(F.lit(0.0))).alias("_q2"),
+            F.round(
+                F.sum(F.when(is_b, F.col(revenue_col)).otherwise(F.lit(0.0))),
+                round_dp,
+            ).alias("_r2"),
+        )
+    )
+    both = (F.col("_q1") > 0) & (F.col("_q2") > 0)
+    p1 = F.col("_r1") / F.col("_q1")
+    p2 = F.col("_r2") / F.col("_q2")
+    z = F.lit(0.0)
+    effects = per.agg(
+        F.sum(F.when(both, (p2 - p1) * F.col("_q1")).otherwise(z)).alias("price"),
+        F.sum(
+            F.when(both, (F.col("_q2") - F.col("_q1")) * p1).otherwise(z)
+        ).alias("volume"),
+        F.sum(
+            F.when(
+                both, (p2 - p1) * (F.col("_q2") - F.col("_q1"))
+            ).otherwise(z)
+        ).alias("mix"),
+        F.sum(
+            F.when(~(F.col("_q1") > 0), F.col("_r2")).otherwise(z)
+        ).alias("new"),
+        F.sum(
+            F.when(~(F.col("_q2") > 0), -F.col("_r1")).otherwise(z)
+        ).alias("discontinued"),
+    )
+    return effects.selectExpr(
+        "stack(5, 'price', price, 'volume', volume, 'mix', mix, "
+        "'new', new, 'discontinued', discontinued) AS (effect, amount)"
+    ).select("effect", F.round("amount", round_dp).alias("amount"))

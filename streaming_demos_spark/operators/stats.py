@@ -922,3 +922,75 @@ def roc_curve(
             round_dp,
         ).alias("fpr"),
     )
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Theil-T inequality index decomposed by group — the additive
+    property that makes Theil (unlike Gini) the inequality measure for
+    drill-downs: total = Σ_g share_g·T_g (within) + Σ_g share_g·ln(μ_g/μ)
+    (between).
+
+    One per-group aggregation of (n, Σx, Σ x·ln x) — all combinable —
+    plus a 1-row global frame cross-joined back; every index is then
+    closed-form column arithmetic:
+
+        T_g = Σ_g(x ln x) / (n_g μ_g) - ln μ_g
+
+    Values must be positive (log of the value). Output one row per
+    group: (group, n_rows, mean, income_share, theil_within,
+    between_term).
+    """
+    v = F.col(value_col).cast("double")
+    per = df.filter(v > 0).groupBy(group_col).agg(
+        F.count(v).alias("n_rows"),
+        F.sum(v).alias("_s"),
+        F.sum(v * F.log(v)).alias("_sl"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("_tot_n"), F.sum("_s").alias("_tot_s")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mu_g = F.col("_s") / F.col("n_rows")
+    mu = F.col("_tot_s") / F.col("_tot_n")
+    share = F.col("_s") / F.col("_tot_s")
+    t_g = F.col("_sl") / F.col("_s") - F.log(mu_g)
+    return j.select(
+        group_col,
+        "n_rows",
+        F.round(mu_g, round_dp).alias("mean"),
+        F.round(share, round_dp).alias("income_share"),
+        F.round(t_g, round_dp).alias("theil_within"),
+        F.round(share * F.log(mu_g / mu), round_dp).alias("between_term"),
+    )
+
+
+def pythagorean_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Arithmetic, geometric, and harmonic means per group in one
+    combinable aggregation (Σx, Σ ln x, Σ 1/x over positive values).
+    AM >= GM >= HM always; the GM/AM ratio is a scale-free evenness
+    signal (1 = perfectly even).
+    """
+    v = F.col(value_col).cast("double")
+    per = df.filter(v > 0).groupBy(group_col).agg(
+        F.count(v).alias("n_rows"),
+        F.sum(v).alias("_s"),
+        F.sum(F.log(v)).alias("_sl"),
+        F.sum(F.lit(1.0) / v).alias("_si"),
+    )
+    n = F.col("n_rows").cast("double")
+    return per.select(
+        group_col,
+        "n_rows",
+        F.round(F.col("_s") / n, round_dp).alias("mean_arith"),
+        F.round(F.exp(F.col("_sl") / n), round_dp).alias("mean_geom"),
+        F.round(n / F.col("_si"), round_dp).alias("mean_harm"),
+    )

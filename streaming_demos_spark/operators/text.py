@@ -988,3 +988,49 @@ def textrank_keywords(
         .orderBy(F.desc("rank"), "term")
         .limit(k)
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document from
+    the classic vowel-group syllable proxy (each maximal ``[aeiouy]+``
+    run ≈ one syllable — the standard cheap approximation when no
+    pronunciation dictionary is in the loop).
+
+    Three regex counts per document, all JVM column expressions inside
+    one projection (no UDF, no explode):
+
+        flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syll/words)
+        fk     = 0.39·(words/sentences) + 11.8·(syll/words) - 15.59
+
+    Sentences are ``[.!?]+`` runs clamped to >= 1 so headline-style
+    fragments score as one sentence instead of dividing by zero.
+    """
+    t = F.col(text_col)
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0)))
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    wps = words.cast("double") / sentences
+    spw = syllables.cast("double") / words
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            round_dp,
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            round_dp,
+        ).alias("fk_grade"),
+    )

@@ -1086,3 +1086,80 @@ def test_cohort_ltv_triangle(spark):
     assert out[(jan, 2)].n_active == 1 and out[(jan, 2)].revenue == 30.0
     assert out[(jan, 2)].cum_revenue == 45.0
     assert out[(jan + 1, 0)].revenue == 7.0
+
+
+def test_price_volume_mix_bridges_exactly(spark):
+    from streaming_demos_spark.operators.relational import price_volume_mix
+
+    rows = [
+        # key A: price 10->12, qty 5->7
+        ("A", 1, 5.0, 50.0), ("A", 2, 7.0, 84.0),
+        # key B: only in period 1 (discontinued, rev 20)
+        ("B", 1, 2.0, 20.0),
+        # key C: only in period 2 (new, rev 9)
+        ("C", 2, 3.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, per int, q double, r double")
+    out = {
+        r.effect: r.amount
+        for r in price_volume_mix(df, "k", "per", "q", "r", 1, 2).collect()
+    }
+    assert out["price"] == 10.0        # (12-10)*5
+    assert out["volume"] == 20.0       # (7-5)*10
+    assert out["mix"] == 4.0           # (12-10)*(7-5)
+    assert out["new"] == 9.0
+    assert out["discontinued"] == -20.0
+    # bridge identity: effects sum to rev2 - rev1 = 93 - 70
+    assert sum(out.values()) == 23.0
+
+
+def test_theil_decomposition_identity(spark):
+    import math
+
+    from streaming_demos_spark.operators.stats import theil_decomposition
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [10.0, 10.0], "c": [5.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = theil_decomposition(df, "g", "v").collect()
+    # reconstruct total Theil from the decomposition and compare to
+    # the direct definition
+    total = sum(
+        r.income_share * r.theil_within + r.between_term for r in out
+    )
+    allv = [v for vs in groups.values() for v in vs]
+    mu = sum(allv) / len(allv)
+    direct = sum((x / mu) * math.log(x / mu) for x in allv) / len(allv)
+    assert abs(total - direct) < 1e-5
+    # a group with all-equal values has zero within-inequality
+    assert {r.g: r.theil_within for r in out}["b"] == 0.0
+
+
+def test_pythagorean_means_ordering_and_values(spark):
+    import math
+
+    from streaming_demos_spark.operators.stats import pythagorean_means
+
+    vals = [1.0, 4.0, 16.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = pythagorean_means(df, "g", "v").collect()[0]
+    assert r.mean_arith == 7.0
+    assert r.mean_geom == 4.0  # (1*4*16)^(1/3)
+    assert abs(r.mean_harm - round(3 / (1 + 0.25 + 0.0625), 6)) < 1e-9
+    assert r.mean_arith >= r.mean_geom >= r.mean_harm
+
+
+def test_readability_scores_counts(spark):
+    from streaming_demos_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "no punctuation here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert out[1].n_words == 6 and out[1].n_sentences == 2
+    # syllable proxy: e/a/a/e/o/a -> 6 vowel groups
+    assert out[1].n_syllables == 6
+    assert out[2].n_sentences == 1  # clamped
+    wps, spw = 6 / 2.0, 6 / 6.0
+    assert out[1].flesch_ease == round(206.835 - 1.015 * wps - 84.6 * spw, 4)

@@ -3398,6 +3398,44 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_assortativity(spark, sf_dir):
+    # Degree assortativity of the part co-purchase graph: Pearson of
+    # endpoint degrees over directed-both-ways edges, integer-exact
+    # moment sums (graph.py:degree_assortativity).
+    from streaming_demos_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    return G.degree_assortativity(edges, "p1", "p2")
+
+
+def q_fd_violations(spark, sf_dir):
+    # Functional-dependency audit of the part catalog: where does
+    # p_brand -> p_type break, and how many rows would a repair touch
+    # (relational.py:fd_violations).
+    p = _t(spark, sf_dir, "part")
+    return R.fd_violations(p, ["p_brand"], "p_type").orderBy("p_brand")
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    # Events z-scored against their own (type, hour-of-day) baseline —
+    # a 3am spike is judged against 3am, not the daily mean
+    # (relational.py:seasonal_anomalies).
+    ev = _t(spark, sf_dir, "events")
+    return R.seasonal_anomalies(
+        ev, "event_type", "ts", "value", "event_id"
+    ).orderBy("event_id")
+
+
 def q_price_volume_mix(spark, sf_dir):
     # Revenue bridge 1995 -> 1996 decomposed into price / volume /
     # mix / new / discontinued effects per part — one conditional
@@ -4318,6 +4356,9 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_assortativity",
+    "ext_fd_violations",
+    "ext_seasonal_anomalies",
     "ext_price_volume_mix",
     "ext_theil_index",
     "ext_pythagorean_means",
@@ -4511,6 +4552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_assortativity": q_assortativity,
+        "ext_fd_violations": q_fd_violations,
+        "ext_seasonal_anomalies": q_seasonal_anomalies,
         "ext_price_volume_mix": q_price_volume_mix,
         "ext_theil_index": q_theil_index,
         "ext_pythagorean_means": q_pythagorean_means,
@@ -4867,6 +4911,82 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_assortativity": """
+            WITH e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            s AS MATERIALIZED (
+                SELECT p1 AS a, p2 AS b FROM e0
+                UNION ALL SELECT p2 AS a, p1 AS b FROM e0
+            ),
+            deg AS MATERIALIZED (
+                SELECT a, count(*) AS d FROM s GROUP BY 1
+            ),
+            dec AS (
+                SELECT da.d AS dx, db.d AS dy
+                FROM s JOIN deg da ON s.a = da.a
+                       JOIN deg db ON s.b = db.a
+            ),
+            agg AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(dx) AS sx, sum(dy) AS sy,
+                       sum(dx*dy) AS sxy,
+                       sum(dx*dx) AS sxx, sum(dy*dy) AS syy
+                FROM dec
+            )
+            SELECT n::BIGINT AS n_edge_ends,
+                   round((sxy - sx*sy/n)
+                         / sqrt(greatest(0.0,
+                               (sxx - sx*sx/n) * (syy - sy*sy/n))),
+                         6) AS assortativity
+            FROM agg
+        """,
+        "ext_fd_violations": """
+            WITH cells AS (
+                SELECT p_brand, p_type, count(*) AS c
+                FROM part GROUP BY 1, 2
+            ),
+            per AS (
+                SELECT p_brand,
+                       count(DISTINCT p_type) AS n_rhs_values,
+                       sum(c)::BIGINT AS n_rows,
+                       max(c) AS dom
+                FROM cells GROUP BY 1
+            )
+            SELECT p_brand, n_rhs_values, n_rows,
+                   (n_rows - dom)::BIGINT AS n_violating_rows,
+                   round(dom::DOUBLE / n_rows, 6) AS dominant_share
+            FROM per WHERE n_rhs_values > 1
+            ORDER BY p_brand
+        """,
+        "ext_seasonal_anomalies": """
+            WITH base AS (
+                SELECT event_type AS k, extract(hour FROM ts) AS h,
+                       count(value) AS n, sum(value) AS s1,
+                       sum(value*value) AS s2
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT k, h, s1 / n AS mean,
+                       sqrt(greatest(0.0,
+                           (s2 - s1*s1/n) / (n - 1))) AS std
+                FROM base
+            ),
+            z AS (
+                SELECT e.event_id, e.event_type, e.ts, e.value,
+                       round((e.value - s.mean) / s.std, 6)
+                           AS z_seasonal
+                FROM events e JOIN stats s
+                  ON e.event_type = s.k
+                 AND extract(hour FROM e.ts) = s.h
+            )
+            SELECT * FROM z WHERE abs(z_seasonal) > 3.0
+            ORDER BY event_id
+        """,
         "ext_price_volume_mix": """
             WITH per AS (
                 SELECT l_partkey,
@@ -4993,12 +5113,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT sum(c) AS t FROM cells GROUP BY y)
             )
             SELECT n::BIGINT AS n_rows,
-                   C::BIGINT AS concordant,
-                   D::BIGINT AS discordant,
-                   round((C - D)::DOUBLE
-                         / sqrt((n::DOUBLE * (n - 1) / 2.0 - n1)
+                   coalesce(C, 0)::BIGINT AS concordant,
+                   coalesce(D, 0)::BIGINT AS discordant,
+                   round(coalesce(
+                       (coalesce(C, 0) - coalesce(D, 0))::DOUBLE
+                       / nullif(sqrt((n::DOUBLE * (n - 1) / 2.0 - n1)
                                 * (n::DOUBLE * (n - 1) / 2.0 - n2)),
-                         6) AS tau_b
+                                0.0),
+                       0.0::DOUBLE), 6) AS tau_b
             FROM cd, tx, ty
         """,
         "ext_grouped_moments": """

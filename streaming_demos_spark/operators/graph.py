@@ -328,3 +328,49 @@ def k_core(
         f"k_core: no convergence after {max_rounds} peel rounds; raise "
         f"max_rounds (the oracle replays the same fixed round count)"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all (directed-both-ways)
+    edges. Positive = hubs attach to hubs; negative = hub-and-spoke.
+
+    One degree aggregation, two equi joins to decorate each edge end
+    (AQE broadcasts the node-cardinality degree frame), then Pearson
+    in moment form — all sums are INTEGER-exact until the final
+    division, so the statistic is bit-identical across engines.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("_d"))
+    decorated = (
+        sym.join(deg.withColumnsRenamed({"a": "a", "_d": "_da"}), "a")
+        .join(
+            deg.withColumnsRenamed({"a": "b", "_d": "_db"}), "b"
+        )
+    )
+    agg = decorated.agg(
+        F.count("*").alias("n_edge_ends"),
+        F.sum("_da").alias("_sx"),
+        F.sum("_db").alias("_sy"),
+        F.sum(F.col("_da") * F.col("_db")).alias("_sxy"),
+        F.sum(F.col("_da") * F.col("_da")).alias("_sxx"),
+        F.sum(F.col("_db") * F.col("_db")).alias("_syy"),
+    )
+    n = F.col("n_edge_ends").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    r = F.coalesce(
+        F.try_divide(cov, F.sqrt(F.greatest(F.lit(0.0), vx * vy))),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_edge_ends", F.round(r, round_dp).alias("assortativity")
+    )

@@ -3750,3 +3750,90 @@ def price_volume_mix(
         "stack(5, 'price', price, 'volume', volume, 'mix', mix, "
         "'new', new, 'discontinued', discontinued) AS (effect, amount)"
     ).select("effect", F.round("amount", round_dp).alias("amount"))
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Functional-dependency audit: report every LHS group where
+    ``lhs -> rhs`` is violated (more than one distinct RHS value),
+    with the violation mass — the data-profiling primitive behind
+    "is this column derivable?" and key-discovery checks.
+
+    One (lhs, rhs) cell aggregation, re-aggregated per LHS (grids, not
+    rows): distinct RHS count, group size, and the dominant value's
+    share (``max cell / group``). Rows whose RHS differs from the
+    dominant value are the repair cost (Holoclean-style minimality).
+    """
+    cells = df.groupBy(
+        *[F.col(c) for c in lhs_cols], F.col(rhs_col)
+    ).agg(F.count("*").alias("_c"))
+    per = cells.groupBy(*lhs_cols).agg(
+        F.countDistinct(rhs_col).alias("n_rhs_values"),
+        F.sum("_c").alias("n_rows"),
+        F.max("_c").alias("_dom"),
+    )
+    return per.filter(F.col("n_rhs_values") > 1).select(
+        *lhs_cols,
+        "n_rhs_values",
+        "n_rows",
+        (F.col("n_rows") - F.col("_dom")).alias("n_violating_rows"),
+        F.round(
+            F.col("_dom").cast("double") / F.col("n_rows"), round_dp
+        ).alias("dominant_share"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags: each value is z-scored against
+    its OWN (key, hour-of-day) baseline, so a 3am spike isn't excused
+    by the daily average — the refinement ``ext_zscore_anomalies``
+    lacks.
+
+    One (key, hour) moment aggregation (count, Σx, Σx²) broadcast back
+    to the rows; the z-score and threshold filter are map-side
+    arithmetic. Returns the anomalous rows with their z.
+    """
+    hour = F.hour(F.col(ts_col))
+    x = F.col(value_col).cast("double")
+    base = df.groupBy(
+        F.col(key_col).alias("_k"), hour.alias("_h")
+    ).agg(
+        F.count(x).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.greatest(
+        F.lit(0.0),
+        F.try_divide(
+            F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"),
+            F.col("_n") - F.lit(1),
+        ),
+    )
+    stats = base.select(
+        "_k", "_h", mean.alias("_mean"), F.sqrt(var).alias("_std")
+    )
+    z = F.coalesce(
+        F.try_divide(x - F.col("_mean"), F.col("_std")), F.lit(0.0)
+    )
+    return (
+        df.join(
+            stats,
+            (F.col(key_col) == F.col("_k")) & (hour == F.col("_h")),
+        )
+        .withColumn("z_seasonal", F.round(z, round_dp))
+        .filter(F.abs(F.col("z_seasonal")) > F.lit(z_threshold))
+        .select(id_col, key_col, ts_col, value_col, "z_seasonal")
+    )

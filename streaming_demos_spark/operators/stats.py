@@ -998,3 +998,59 @@ def pythagorean_means(
         F.round(F.exp(F.col("_sl") / n), round_dp).alias("mean_geom"),
         F.round(n / F.col("_si"), round_dp).alias("mean_harm"),
     )
+
+def pairwise_mean_contrasts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """All pairwise group-mean contrasts with Welch standard errors —
+    the post-hoc table read after an ANOVA rejects (which pairs
+    actually differ?).
+
+    One per-group moment aggregation, then an inequality self-join
+    over the GROUP frame (k groups -> k(k-1)/2 rows — group
+    cardinality, never rows). Each row: mean difference, Welch SE,
+    z = diff/se, and the A&S normal two-sided p. Pair identity is
+    canonical (group_a < group_b) so output is layout-independent.
+    """
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(v).alias("_n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+    ).select(
+        "_g",
+        "_n",
+        (F.col("_s1") / F.col("_n")).alias("_mean"),
+        F.greatest(
+            F.lit(0.0),
+            F.try_divide(
+                F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"),
+                F.col("_n") - F.lit(1),
+            ),
+        ).alias("_var"),
+    )
+    a = per.select(
+        F.col("_g").alias("group_a"), F.col("_n").alias("_na"),
+        F.col("_mean").alias("_ma"), F.col("_var").alias("_va"),
+    )
+    b = per.select(
+        F.col("_g").alias("group_b"), F.col("_n").alias("_nb"),
+        F.col("_mean").alias("_mb"), F.col("_var").alias("_vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    se = F.sqrt(
+        F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb")
+    )
+    diff = F.col("_ma") - F.col("_mb")
+    z = F.coalesce(F.try_divide(diff, se), F.lit(0.0))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(diff, round_dp).alias("mean_diff"),
+        F.round(se, round_dp).alias("welch_se"),
+        F.round(z, round_dp).alias("z_stat"),
+        F.round(norm_sf_2sided(z), round_dp).alias("p_normal"),
+    )

@@ -1250,3 +1250,143 @@ def test_fixed_width_parser_policies(spark, tmp_path):
     rows = perm.collect()
     assert len(rows) == 4
     assert sum(0 if r._valid else 1 for r in rows) == 2
+
+
+def test_period_end_balance_takes_last_not_sum(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import period_end_balance
+
+    d = dt.datetime
+    rows = [
+        # user 1 on Jan 1: balance moves 10 -> 30; only 30 counts
+        (1, d(2024, 1, 1, 9), 1, 10.0),
+        (1, d(2024, 1, 1, 17), 2, 30.0),
+        # user 2 on Jan 1: tied timestamps, event_id 4 wins
+        (2, d(2024, 1, 1, 12), 3, 100.0),
+        (2, d(2024, 1, 1, 12), 4, 70.0),
+        # Jan 2: only user 1 reports
+        (1, d(2024, 1, 2, 8), 5, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r.bucket_ts: (r.n_entities, r.total_balance)
+        for r in period_end_balance(
+            df, "user_id", "ts", "value", "event_id", bucket="day"
+        ).collect()
+    }
+    assert out[d(2024, 1, 1)] == (2, 100.0)  # 30 + 70, NOT 10+30+100+70
+    assert out[d(2024, 1, 2)] == (1, 40.0)
+
+
+def test_ratio_to_parent_shares_sum_to_one(spark):
+    from streaming_demos_spark.operators.relational import ratio_to_parent
+
+    rows = [
+        ("r1", "a", 10.0), ("r1", "a", 20.0), ("r1", "b", 70.0),
+        ("r2", "c", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "parent string, child string, v double")
+    out = {
+        (r.parent, r.child): r.share_of_parent
+        for r in ratio_to_parent(df, "parent", "child", "v").collect()
+    }
+    assert out[("r1", "a")] == 0.3
+    assert out[("r1", "b")] == 0.7
+    assert out[("r2", "c")] == 1.0
+
+
+def test_pairwise_contrasts_match_welch(spark):
+    from streaming_demos_spark.operators.stats import (
+        pairwise_mean_contrasts,
+        welch_ttest,
+    )
+
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0, 4.0)]
+        + [("b", v) for v in (10.0, 12.0, 14.0)]
+        + [("c", v) for v in (5.0, 5.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r.group_a, r.group_b): r
+        for r in pairwise_mean_contrasts(df, "g", "v").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # the (a, b) contrast must agree with the dedicated Welch test
+    w = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    ab = out[("a", "b")]
+    assert abs(ab.z_stat - w.t_stat) < 1e-9
+    assert ab.p_normal == w.p_normal
+    # zero-variance pair: se collapses against c only via a's variance
+    assert out[("a", "c")].welch_se > 0
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """Batch-stream duality for the OHLC bar: the identical
+    min_by/max_by aggregation over a time window, run as a Structured
+    Streaming query in complete mode, converges to the batch bars."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark.operators.relational import ohlc_bars
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    b1 = [
+        ("x", t0, 1, 100.0),
+        ("x", t0, 2, 105.0),
+        ("x", t0 + dt.timedelta(minutes=30), 3, 90.0),
+    ]
+    b2 = [
+        ("x", t0 + dt.timedelta(minutes=59), 4, 103.0),
+        ("x", t0 + dt.timedelta(hours=1), 5, 50.0),
+        ("y", t0, 6, 7.0),
+    ]
+    src = str(tmp_path / "ticks")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch = {
+        (r.k, r.bucket_ts): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in ohlc_bars(
+            spark.read.parquet(src), "ts", "price", "k", "event_id"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    pos = F.struct("ts", "event_id")
+    agg = stream.groupBy(
+        "k", F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.min_by("price", pos).alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", pos).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.w.start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    assert got == batch

@@ -3398,6 +3398,73 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_holt_forecast(spark, sf_dir):
+    # Holt double-exponential level/trend per nation over the monthly
+    # revenue series, one-month-ahead forecast — the recursion is a
+    # JVM aggregate fold over the sorted per-group array, no Python,
+    # no window (relational.py:holt_linear_forecast).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+            ).alias("mon"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    return R.holt_linear_forecast(
+        monthly, "n_name", "mon", "rev", alpha=0.5, beta=0.3, horizon=1
+    ).orderBy("n_name")
+
+
+def q_fs_em(spark, sf_dir):
+    # Unsupervised EM calibration of the Fellegi-Sunter m/u
+    # probabilities from the same blocked customer-pair agreement
+    # vectors ext_fs_linkage scores — the 2^3 pattern table is the
+    # bounded sufficient statistic (relational.py:fs_em_params).
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"), "c_nationkey", "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"), "c_nationkey", "c_mktsegment",
+    )
+    pairs = (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
+                "bal_agree"
+            ),
+            ((F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)).alias(
+                "sign_agree"
+            ),
+        )
+    )
+    return R.fs_em_params(
+        pairs, ["name_agree", "bal_agree", "sign_agree"], iterations=10
+    ).orderBy("field")
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    # Monotone calibration of "event value -> purchase probability":
+    # PAVA over the distributed (score, n, positives) grid, block
+    # means exact integer ratios (training.py:isotonic_calibration).
+    ev = _t(spark, sf_dir, "events").select(
+        F.round("value", 0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return TR.isotonic_calibration(ev, "score", "label").orderBy("score")
+
+
 def q_period_end_balance(spark, sf_dir):
     # Semi-additive rollup: each user's LAST event value per day
     # (max_by over a (ts, id) struct), summed across users — the
@@ -4396,6 +4463,9 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_holt_forecast",
+    "ext_fs_em",
+    "llm_isotonic_calibration",
     "ext_period_end_balance",
     "ext_ratio_to_parent",
     "ext_pairwise_contrasts",
@@ -4595,6 +4665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_holt_forecast": q_holt_forecast,
+        "ext_fs_em": q_fs_em,
+        "llm_isotonic_calibration": q_isotonic_calibration,
         "ext_period_end_balance": q_period_end_balance,
         "ext_ratio_to_parent": q_ratio_to_parent,
         "ext_pairwise_contrasts": q_pairwise_contrasts,
@@ -4913,6 +4986,186 @@ _SQL_DSIR_CTE = """
 """
 
 
+_NUMERIC_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _numeric_oracle_sqls() -> dict[str, str]:
+    """Pure-Python reference oracles (VALUES tables) for the three
+    sequential-recursion keys — Holt smoothing, Fellegi-Sunter EM, and
+    isotonic PAVA — which no SQL window can express. Same device as
+    ``_eigen_oracle_sqls``: the reference reads the SAME parquet via
+    DuckDB, re-derives the sufficient statistics with its own SQL, and
+    replays the recursion in plain Python. Determinism is by
+    construction: the recursions consume exact inputs (4dp-rounded
+    sums, integer counts), block/EM means are ratios of exact sums,
+    and fsum-free accumulations run in one canonical (sorted) order in
+    BOTH implementations. Fails soft to the driver's rows-only check.
+    """
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf in _NUMERIC_ORACLE_CACHE:
+        return _NUMERIC_ORACLE_CACHE[sf]
+    out: dict[str, str] = {}
+    try:
+        import duckdb
+
+        from streaming_demos_spark.functions.numpy_ref import jvm_round
+
+        con = duckdb.connect()
+
+        # --- ext_holt_forecast: replay the level/trend fold ---------
+        monthly = con.sql(f"""
+            SELECT n_name,
+                   extract(year FROM o_orderdate) * 12
+                   + extract(month FROM o_orderdate) AS mon,
+                   round(sum(o_totalprice), 4) AS rev
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/customer.parquet') c
+              ON o_custkey = c_custkey
+            JOIN read_parquet('{sf}/nation.parquet') n
+              ON c_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY n_name, mon
+        """).fetchall()
+        series: dict[str, list[float]] = {}
+        for name, _, rev in monthly:
+            series.setdefault(name, []).append(float(rev))
+        a, b = 0.5, 0.3
+        holt_rows = []
+        for name in sorted(series):
+            ys = series[name]
+            if len(ys) < 2:
+                continue
+            level, trend = ys[0], ys[1] - ys[0]
+            for y in ys[1:]:
+                lvl = a * y + (1.0 - a) * (level + trend)
+                trend = b * (lvl - level) + (1.0 - b) * trend
+                level = lvl
+            holt_rows.append(
+                "(%r, %d, %r, %r, %r)" % (
+                    name, len(ys), jvm_round(level, 6),
+                    jvm_round(trend, 6),
+                    jvm_round(level + 1.0 * trend, 6),
+                )
+            )
+        out["ext_holt_forecast"] = (
+            "SELECT c0 AS n_name, CAST(c1 AS INT) AS n_points,"
+            " CAST(c2 AS DOUBLE) AS level, CAST(c3 AS DOUBLE) AS trend,"
+            " CAST(c4 AS DOUBLE) AS forecast FROM (VALUES\n"
+            + ",\n".join(holt_rows)
+            + "\n) AS t(c0, c1, c2, c3, c4) ORDER BY n_name"
+        )
+
+        # --- ext_fs_em: replay EM on the 2^3 pattern table -----------
+        patt = con.sql(f"""
+            SELECT (levenshtein(a.c_name, b.c_name) <= 2)::INT AS g0,
+                   (abs(a.c_acctbal - b.c_acctbal) < 500.0)::INT AS g1,
+                   ((a.c_acctbal < 0.0) = (b.c_acctbal < 0.0))::INT AS g2,
+                   count(*) AS n
+            FROM read_parquet('{sf}/customer.parquet') a
+            JOIN read_parquet('{sf}/customer.parquet') b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """).fetchall()
+        counts = sorted(((r[0], r[1], r[2]), int(r[3])) for r in patt)
+        fields = ["name_agree", "bal_agree", "sign_agree"]
+        k = 3
+        m = [0.9] * k
+        u = [0.1] * k
+        lam = 0.1
+        for _ in range(10):
+            num_m = [0.0] * k
+            num_u = [0.0] * k
+            w_sum = 0.0
+            n_sum = 0.0
+            for g, n in counts:
+                pm, pu = lam, 1.0 - lam
+                for j in range(k):
+                    pm *= m[j] if g[j] else (1.0 - m[j])
+                    pu *= u[j] if g[j] else (1.0 - u[j])
+                w = pm / (pm + pu)
+                w_sum += w * n
+                n_sum += n
+                for j in range(k):
+                    if g[j]:
+                        num_m[j] += w * n
+                        num_u[j] += (1.0 - w) * n
+            m = [num_m[j] / w_sum for j in range(k)]
+            u = [num_u[j] / (n_sum - w_sum) for j in range(k)]
+            lam = w_sum / n_sum
+        import math as _math
+
+        em_rows = [
+            "(%r, %r, %r, %r, %r, %r)" % (
+                fields[j], round(m[j], 6), round(u[j], 6),
+                round(_math.log2(m[j] / u[j]), 6),
+                round(_math.log2((1.0 - m[j]) / (1.0 - u[j])), 6),
+                round(lam, 6),
+            )
+            for j in range(k)
+        ]
+        out["ext_fs_em"] = (
+            "SELECT c0 AS field, CAST(c1 AS DOUBLE) AS m_prob,"
+            " CAST(c2 AS DOUBLE) AS u_prob,"
+            " CAST(c3 AS DOUBLE) AS w_agree,"
+            " CAST(c4 AS DOUBLE) AS w_disagree,"
+            " CAST(c5 AS DOUBLE) AS match_prior FROM (VALUES\n"
+            + ",\n".join(em_rows)
+            + "\n) AS t(c0, c1, c2, c3, c4, c5) ORDER BY field"
+        )
+
+        # --- llm_isotonic_calibration: independent PAVA --------------
+        grid = con.sql(f"""
+            SELECT round(value, 0) AS score, count(*) AS n,
+                   sum((event_type = 'purchase')::INT) AS n_pos
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1 ORDER BY 1
+        """).fetchall()
+        # O(n^2) re-scan PAVA (different style from the operator's
+        # stack form; block means are exact integer ratios so any
+        # correct PAVA lands on identical probabilities)
+        blocks = [
+            [int(n_pos), int(n), [float(score)]]
+            for score, n, n_pos in grid
+        ]
+        changed = True
+        while changed:
+            changed = False
+            i = 0
+            while i + 1 < len(blocks):
+                s1, w1, sc1 = blocks[i]
+                s2, w2, sc2 = blocks[i + 1]
+                if s1 * w2 >= s2 * w1:  # mean_i >= mean_{i+1}: pool
+                    blocks[i] = [s1 + s2, w1 + w2, sc1 + sc2]
+                    del blocks[i + 1]
+                    changed = True
+                else:
+                    i += 1
+        iso_rows = []
+        per_score = {
+            float(score): (int(n), int(n_pos))
+            for score, n, n_pos in grid
+        }
+        for s, w, scores in blocks:
+            p = round(s / w, 6)
+            for sc in scores:
+                n, n_pos = per_score[sc]
+                iso_rows.append(
+                    "('all', %r, %d, %d, %r)" % (sc, n, n_pos, p)
+                )
+        out["llm_isotonic_calibration"] = (
+            "SELECT c0 AS \"group\", CAST(c1 AS DOUBLE) AS score,"
+            " CAST(c2 AS BIGINT) AS n, CAST(c3 AS BIGINT) AS n_pos,"
+            " CAST(c4 AS DOUBLE) AS iso_prob FROM (VALUES\n"
+            + ",\n".join(iso_rows)
+            + "\n) AS t(c0, c1, c2, c3, c4) ORDER BY score"
+        )
+    except Exception:
+        out = {}
+    _NUMERIC_ORACLE_CACHE[sf] = out
+    return out
+
+
 def _k_core_oracle_sql(k: int = 3, rounds: int = 8) -> str:
     """Fixed-round replay of the k-core peel as chained CTEs — exact
     because graph.py:k_core RAISES unless it converges within the same
@@ -4953,6 +5206,9 @@ def oracle_sql() -> dict[str, str]:
         # VALUES tables (see _eigen_oracle_sqls) -- empty (-> driver
         # rows-only fallback) only if the data dir is unreadable.
         **_eigen_oracle_sqls(),
+        # --- Sequential-recursion keys: pure-Python reference replays
+        # (Holt fold, FS-EM, isotonic PAVA) as VALUES tables.
+        **_numeric_oracle_sqls(),
         # --- Hypothesis tests (operators/stats.py). The normal-CDF
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both

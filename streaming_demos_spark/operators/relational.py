@@ -3905,3 +3905,152 @@ def ratio_to_parent(
             round_dp,
         ).alias("share_of_parent"),
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing per group (level + trend),
+    forecast ``horizon`` steps past the last observation.
+
+    The recursion is inherently sequential, but the SERIES PER GROUP is
+    bounded (monthly/daily rollups), so it runs as a JVM-side
+    ``aggregate`` fold over the time-sorted value array — one
+    collect_list per group, zero Python, zero windows:
+
+        level' = a·x + (1-a)·(level + trend)
+        trend' = b·(level' - level) + (1-b)·trend
+
+    Initialization: level = x0, trend = x1 - x0 (fold starts at the
+    second point). Output: (group, n_points, level, trend, forecast).
+    """
+    a, b_ = float(alpha), float(beta)
+    pts = df.select(
+        F.col(group_col).alias("_g"),
+        F.struct(
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        ).alias("_p"),
+    )
+    series = pts.groupBy("_g").agg(
+        F.array_sort(F.collect_list("_p")).alias("_s")
+    )
+    ys = F.transform(F.col("_s"), lambda p: p["y"])
+    init = F.struct(
+        F.element_at(ys, 1).alias("level"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("trend"),
+    )
+    def step(st, x):
+        lvl = (
+            F.lit(a) * x
+            + F.lit(1.0 - a) * (st["level"] + st["trend"])
+        )
+        tr = (
+            F.lit(b_) * (lvl - st["level"])
+            + F.lit(1.0 - b_) * st["trend"]
+        )
+        return F.struct(lvl.alias("level"), tr.alias("trend"))
+
+    fitted = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))), init, step
+    )
+    return series.filter(F.size("_s") >= 2).select(
+        F.col("_g").alias(group_col),
+        F.size("_s").alias("n_points"),
+        F.round(fitted["level"], round_dp).alias("level"),
+        F.round(fitted["trend"], round_dp).alias("trend"),
+        F.round(
+            fitted["level"] + F.lit(float(horizon)) * fitted["trend"],
+            round_dp,
+        ).alias("forecast"),
+    )
+
+
+def fs_em_params(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    iterations: int = 10,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Unsupervised EM estimation of the Fellegi-Sunter m/u
+    probabilities from agreement-pattern counts (Winkler 1988) — the
+    companion that makes :func:`fs_match_scores` self-calibrating
+    instead of hand-tuned.
+
+    The sufficient statistic is the 2^k AGREEMENT-PATTERN table (k =
+    comparison fields), produced by one distributed aggregation. EM
+    then runs on those 2^k counts — a driver step bounded by
+    construction (k fields -> at most 2^k rows, independent of pair
+    volume), the same bounded-driver pattern as the MMR pool. Under
+    conditional independence each iteration is exact. Output one row
+    per field: (field, m_prob, u_prob, w_agree, w_disagree,
+    match_prior).
+    """
+    k = len(agreement_cols)
+    if k > 16:
+        raise ValueError("fs_em_params: >16 comparison fields")
+    patt = (
+        pairs.groupBy(
+            *[F.col(c).cast("int").alias(c) for c in agreement_cols]
+        )
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    # Sorted pattern order makes the float accumulation below
+    # layout-independent (collect() order is not deterministic).
+    counts = sorted(
+        (tuple(int(r[c]) for c in agreement_cols), int(r["_n"]))
+        for r in patt
+    )
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    lam = float(init_lambda)
+    for _ in range(int(iterations)):
+        num_m = [0.0] * k
+        num_u = [0.0] * k
+        w_sum = 0.0
+        n_sum = 0.0
+        for g, n in counts:
+            pm, pu = lam, 1.0 - lam
+            for j in range(k):
+                pm *= m[j] if g[j] else (1.0 - m[j])
+                pu *= u[j] if g[j] else (1.0 - u[j])
+            w = pm / (pm + pu)
+            w_sum += w * n
+            n_sum += n
+            for j in range(k):
+                if g[j]:
+                    num_m[j] += w * n
+                    num_u[j] += (1.0 - w) * n
+        m = [num_m[j] / w_sum for j in range(k)]
+        u = [num_u[j] / (n_sum - w_sum) for j in range(k)]
+        lam = w_sum / n_sum
+    import math
+
+    spark = pairs.sparkSession
+    rows = [
+        (
+            agreement_cols[j],
+            round(m[j], round_dp),
+            round(u[j], round_dp),
+            round(math.log2(m[j] / u[j]), round_dp),
+            round(math.log2((1.0 - m[j]) / (1.0 - u[j])), round_dp),
+            round(lam, round_dp),
+        )
+        for j in range(k)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field string, m_prob double, u_prob double, w_agree double, "
+        "w_disagree double, match_prior double",
+    )

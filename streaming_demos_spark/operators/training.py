@@ -573,3 +573,63 @@ def target_encode_loo(
         .withColumn("loo_enc", F.round(enc, round_dp))
         .drop("_n", "_s", "_prior")
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve via
+    pool-adjacent-violators — the non-parametric answer to "what
+    probability does score s actually mean?", fit per group.
+
+    Stage 1 is a distributed (group, score) grid aggregation (count,
+    positives) — the sufficient statistic, bounded by distinct-score
+    cardinality. Stage 2 runs PAVA over each group's grid with
+    Arrow-batched ``applyInPandas`` (the pool merge is sequential in
+    score order, but the GRID per group is small by construction).
+    Block means are ratios of exact integer sums, so the fit is
+    bit-deterministic under any partitioning. Output: (group, score,
+    n, n_pos, iso_prob).
+    """
+    g = F.lit("all").alias("_g") if group_col is None else F.col(
+        group_col
+    ).alias("_g")
+    lab = F.col(label_col).cast("int")
+    grid = df.groupBy(
+        g, F.col(score_col).cast("double").alias("score")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(lab).alias("n_pos"),
+    )
+
+    def pava(pdf):
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # stack of blocks: [sum_pos, weight, count_of_grid_rows]
+        blocks: list[list[float]] = []
+        for _, row in pdf.iterrows():
+            blocks.append([float(row.n_pos), float(row.n), 1])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                s2, w2, c2 = blocks.pop()
+                blocks[-1][0] += s2
+                blocks[-1][1] += w2
+                blocks[-1][2] += c2
+        probs = []
+        for s, w, c in blocks:
+            probs.extend([s / w] * int(c))
+        pdf["iso_prob"] = [round(p, round_dp) for p in probs]
+        return pdf
+
+    out_schema = (
+        "_g string, score double, n long, n_pos long, iso_prob double"
+    )
+    fitted = grid.groupBy("_g").applyInPandas(pava, schema=out_schema)
+    name = group_col if group_col is not None else "group"
+    return fitted.withColumnRenamed("_g", name)

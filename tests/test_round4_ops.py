@@ -1390,3 +1390,66 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ohlc_stream").collect()
     }
     assert got == batch
+
+
+def test_holt_forecast_exact_on_linear_series(spark):
+    from streaming_demos_spark.operators.relational import (
+        holt_linear_forecast,
+    )
+
+    # y = 3 + 2x: level tracks y exactly, trend locks to 2, and the
+    # 1-step forecast is the true next point — for ANY alpha/beta
+    rows = [("g", float(x), 3.0 + 2.0 * x) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = holt_linear_forecast(df, "g", "x", "y", horizon=1).collect()[0]
+    assert out.n_points == 8
+    assert out.level == 3.0 + 2.0 * 8
+    assert out.trend == 2.0
+    assert out.forecast == 3.0 + 2.0 * 9
+    # groups with < 2 points are dropped (no trend is definable)
+    one = spark.createDataFrame([("h", 1.0, 5.0)], "g string, x double, y double")
+    assert holt_linear_forecast(one, "g", "x", "y").count() == 0
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 200 true-match pairs: fields agree with p=0.9/0.85/0.95
+    for _ in range(200):
+        rows.append(tuple(rng.random() < p for p in (0.9, 0.85, 0.95)))
+    # 1800 non-match pairs: agree with p=0.05/0.2/0.5
+    for _ in range(1800):
+        rows.append(tuple(rng.random() < p for p in (0.05, 0.2, 0.5)))
+    from streaming_demos_spark.operators.relational import fs_em_params
+
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean, f3 boolean")
+    out = {r.field: r for r in fs_em_params(df, ["f1", "f2", "f3"]).collect()}
+    assert all(out[f].m_prob > out[f].u_prob for f in ("f1", "f2"))
+    assert 0.02 < out["f1"].match_prior < 0.4  # planted 10%
+    # layout independence: identical params under a different partitioning
+    out2 = {
+        r.field: r
+        for r in fs_em_params(df.repartition(13), ["f1", "f2", "f3"]).collect()
+    }
+    assert all(out[f].m_prob == out2[f].m_prob for f in out)
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    from streaming_demos_spark.operators.training import isotonic_calibration
+
+    # per-score positive fractions 0.2, 0.6, 0.4, 1.0 (10 rows each):
+    # scores 2 and 3 violate monotonicity -> pooled to 0.5
+    rows = []
+    for score, pos in ((1.0, 2), (2.0, 6), (3.0, 4), (4.0, 10)):
+        rows += [(score, 1)] * pos + [(score, 0)] * (10 - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {
+        r.score: r.iso_prob
+        for r in isotonic_calibration(df, "score", "label").collect()
+    }
+    assert out == {1.0: 0.2, 2.0: 0.5, 3.0: 0.5, 4.0: 1.0}
+    # monotone by construction
+    probs = [out[s] for s in sorted(out)]
+    assert probs == sorted(probs)

@@ -75,6 +75,8 @@ def main() -> None:
             "ext_spearman": "distinct-value grids per column",
             "ext_log_rank": "distinct-duration grid",
             "ext_fdr_screen": "25-row tests frame",
+            "ext_kruskal_wallis": "distinct-value grid (2dp-rounded)",
+            "ext_roc_curve": "distinct-score grid (2dp-rounded)",
         }
         rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:

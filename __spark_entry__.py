@@ -3398,6 +3398,74 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_diff_in_diff(spark, sf_dir):
+    # DiD over a synthetic 2x2: even-user "treatment" x month-half
+    # "period" on event value — all four cells from ONE conditional
+    # aggregation (stats.py:diff_in_diff).
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.dayofmonth("ts") > 15).alias("post"),
+        "value",
+    )
+    return ST.diff_in_diff(ev, "treat", "post", "value")
+
+
+def q_cuped(spark, sf_dir):
+    # CUPED variance reduction: per-user pre-period value adjusts the
+    # post-period metric; theta from one global moment pass, per-arm
+    # adjusted variance by pure algebra (stats.py:cuped_adjusted).
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            4,
+        ).alias("pre"),
+        F.round(
+            F.sum(
+                F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            4,
+        ).alias("post"),
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("arm"), "pre", "post"
+    )
+    return ST.cuped_adjusted(units, "arm", "pre", "post").orderBy("arm")
+
+
+def q_power_analysis(spark, sf_dir):
+    # How many users per arm to re-detect the observed high-value-user
+    # rate gap at alpha=5% / power=80% — the experiment-duration
+    # calculator (stats.py:proportion_power).
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        # "high-value user": mean event value above 50 — stated as
+        # rounded-sum > 50*n so the boundary is ulp-exact cross-engine
+        (
+            F.round(F.sum("value"), 4) > F.lit(50.0) * F.count("*")
+        ).cast("int").alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "converted",
+    )
+    return ST.proportion_power(users, "arm", "converted", "A", "B")
+
+
+def q_compression_ratio(spark, sf_dir):
+    # Tokenizer economy per source: chars per whitespace token and per
+    # BPE-ish regex token — the mix-budgeting proxy
+    # (text.py:compression_ratio).
+    docs = _t(spark, sf_dir, "documents")
+    return TX.compression_ratio(docs).orderBy("source")
+
+
 def q_holt_forecast(spark, sf_dir):
     # Holt double-exponential level/trend per nation over the monthly
     # revenue series, one-month-ahead forecast — the recursion is a
@@ -4463,6 +4531,10 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_diff_in_diff",
+    "ext_cuped",
+    "ext_power_analysis",
+    "llm_compression_ratio",
     "ext_holt_forecast",
     "ext_fs_em",
     "llm_isotonic_calibration",
@@ -4665,6 +4737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_diff_in_diff": q_diff_in_diff,
+        "ext_cuped": q_cuped,
+        "ext_power_analysis": q_power_analysis,
+        "llm_compression_ratio": q_compression_ratio,
         "ext_holt_forecast": q_holt_forecast,
         "ext_fs_em": q_fs_em,
         "llm_isotonic_calibration": q_isotonic_calibration,
@@ -5213,6 +5289,156 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_diff_in_diff": """
+            WITH rws AS (
+                SELECT (user_id % 2 = 0) AS t,
+                       (extract(day FROM ts) > 15) AS p,
+                       value::DOUBLE AS x
+                FROM events
+            ),
+            agg AS (
+                SELECT
+                    sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS ntp,
+                    sum(CASE WHEN t AND p THEN x ELSE 0.0::DOUBLE END) AS stp,
+                    sum(CASE WHEN t AND p THEN x*x ELSE 0.0::DOUBLE END) AS qtp,
+                    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS nt0,
+                    sum(CASE WHEN t AND NOT p THEN x ELSE 0.0::DOUBLE END) AS st0,
+                    sum(CASE WHEN t AND NOT p THEN x*x ELSE 0.0::DOUBLE END) AS qt0,
+                    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS ncp,
+                    sum(CASE WHEN NOT t AND p THEN x ELSE 0.0::DOUBLE END) AS scp,
+                    sum(CASE WHEN NOT t AND p THEN x*x ELSE 0.0::DOUBLE END) AS qcp,
+                    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS nc0,
+                    sum(CASE WHEN NOT t AND NOT p THEN x ELSE 0.0::DOUBLE END) AS sc0,
+                    sum(CASE WHEN NOT t AND NOT p THEN x*x ELSE 0.0::DOUBLE END) AS qc0
+                FROM rws
+            ),
+            c AS (
+                SELECT stp/ntp AS mtp, st0/nt0 AS mt0,
+                       scp/ncp AS mcp, sc0/nc0 AS mc0,
+                       greatest(0.0, (qtp - stp*stp/ntp)/(ntp-1))/ntp AS vtp,
+                       greatest(0.0, (qt0 - st0*st0/nt0)/(nt0-1))/nt0 AS vt0,
+                       greatest(0.0, (qcp - scp*scp/ncp)/(ncp-1))/ncp AS vcp,
+                       greatest(0.0, (qc0 - sc0*sc0/nc0)/(nc0-1))/nc0 AS vc0
+                FROM agg
+            )
+            SELECT round(mt0, 6) AS treat_pre,
+                   round(mtp, 6) AS treat_post,
+                   round(mc0, 6) AS control_pre,
+                   round(mcp, 6) AS control_post,
+                   round((mtp - mt0) - (mcp - mc0), 6) AS did_estimate,
+                   round(sqrt(vtp + vt0 + vcp + vc0), 6) AS did_se,
+                   round(((mtp - mt0) - (mcp - mc0))
+                         / sqrt(vtp + vt0 + vcp + vc0), 6) AS z_stat
+            FROM c
+        """,
+        "ext_cuped": """
+            WITH units AS (
+                SELECT (user_id % 2 = 0) AS arm,
+                       round(sum(CASE WHEN extract(day FROM ts) <= 15
+                                 THEN value ELSE 0.0::DOUBLE END), 4) AS pre,
+                       round(sum(CASE WHEN extract(day FROM ts) > 15
+                                 THEN value ELSE 0.0::DOUBLE END), 4) AS post
+                FROM events GROUP BY user_id
+            ),
+            gm AS (
+                SELECT count(*)::DOUBLE AS gn, sum(pre) AS gx,
+                       sum(post) AS gy, sum(pre*post) AS gxy,
+                       sum(pre*pre) AS gxx
+                FROM units
+            ),
+            g AS (
+                SELECT (gxy - gx*gy/gn) / (gxx - gx*gx/gn) AS theta,
+                       gx / gn AS mpre
+                FROM gm
+            ),
+            per AS (
+                SELECT arm, count(*) AS n_units,
+                       sum(pre) AS x, sum(post) AS y,
+                       sum(pre*post) AS xy, sum(pre*pre) AS xx,
+                       sum(post*post) AS yy
+                FROM units GROUP BY 1
+            ),
+            c AS (
+                SELECT arm, n_units, theta,
+                       y / n_units AS my, x / n_units AS mx, mpre,
+                       yy / n_units - (y/n_units)*(y/n_units) AS vy,
+                       xx / n_units - (x/n_units)*(x/n_units) AS vxa,
+                       xy / n_units - (x/n_units)*(y/n_units) AS cxy
+                FROM per, g
+            )
+            SELECT arm, n_units,
+                   round(my, 6) AS mean_post,
+                   round(my - theta * (mx - mpre), 6) AS mean_adjusted,
+                   round(vy, 6) AS var_post,
+                   round(vy + theta*theta*vxa - 2.0*theta*cxy, 6)
+                       AS var_adjusted,
+                   round((1.0 - (vy + theta*theta*vxa - 2.0*theta*cxy)
+                                / vy) * 100.0, 6) AS var_reduction_pct
+            FROM c ORDER BY arm
+        """,
+        "ext_power_analysis": """
+            WITH users AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                           AS arm,
+                       (round(sum(value), 4) > 50.0 * count(*))::INT
+                           AS converted
+                FROM events GROUP BY user_id
+            ),
+            agg AS (
+                SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                           AS sa,
+                       sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+                       sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                           AS sb
+                FROM users
+            ),
+            c AS (
+                SELECT na, nb,
+                       sa::DOUBLE / na AS p1, sb::DOUBLE / nb AS p2,
+                       (sa + sb)::DOUBLE / (na + nb) AS pbar
+                FROM agg
+            ),
+            f AS (
+                SELECT na, nb, p1, p2,
+                       1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                       + 0.841621 * sqrt(p1 * (1.0 - p1)
+                                         + p2 * (1.0 - p2)) AS num,
+                       p1 - p2 AS diff
+                FROM c
+            )
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+                   round(diff, 6) AS observed_diff,
+                   ceil(round(coalesce(num * num
+                              / nullif(diff * diff, 0.0), 0.0::DOUBLE),
+                        6))::BIGINT AS n_required_per_arm
+            FROM f
+        """,
+        "llm_compression_ratio": """
+            WITH per AS (
+                SELECT source, length(text) AS chars,
+                       len(string_split_regex(lower(trim(text)),
+                           '\\s+')) AS ws,
+                       len(regexp_extract_all(lower(text),
+                           '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS bpe
+                FROM documents
+            ),
+            agg AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(chars)::BIGINT AS total_chars,
+                       sum(ws)::BIGINT AS total_ws_tokens,
+                       sum(bpe)::BIGINT AS total_bpe_tokens
+                FROM per GROUP BY 1
+            )
+            SELECT source, n_docs, total_chars, total_ws_tokens,
+                   total_bpe_tokens,
+                   round(total_chars::DOUBLE / total_ws_tokens, 4)
+                       AS chars_per_ws_token,
+                   round(total_chars::DOUBLE / total_bpe_tokens, 4)
+                       AS chars_per_bpe_token
+            FROM agg ORDER BY source
+        """,
         "ext_period_end_balance": """
             WITH ranked AS (
                 SELECT user_id,

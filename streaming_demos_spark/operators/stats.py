@@ -1054,3 +1054,191 @@ def pairwise_mean_contrasts(
         F.round(z, round_dp).alias("z_stat"),
         F.round(norm_sf_2sided(z), round_dp).alias("p_normal"),
     )
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator over a 2x2 (treatment x
+    period) design: DiD = (T_post - T_pre) - (C_post - C_pre), with
+    the pooled standard error from the four cell variances.
+
+    ONE conditional-sum aggregation produces all four cells' (n, Σx,
+    Σx²); everything after is closed-form arithmetic on a 1-row frame.
+    Output: the four cell means, the DiD estimate, its SE, and z.
+    """
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    x = F.col(value_col).cast("double")
+
+    def cell(tag, cond):
+        z = F.lit(0.0)
+        return [
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"_n{tag}"),
+            F.sum(F.when(cond, x).otherwise(z)).alias(f"_s{tag}"),
+            F.sum(F.when(cond, x * x).otherwise(z)).alias(f"_q{tag}"),
+        ]
+
+    agg = df.agg(
+        *cell("tp", t & p), *cell("t0", t & ~p),
+        *cell("cp", ~t & p), *cell("c0", ~t & ~p),
+    )
+
+    def mean(tag):
+        return F.col(f"_s{tag}") / F.col(f"_n{tag}")
+
+    def var_over_n(tag):
+        n = F.col(f"_n{tag}")
+        v = F.greatest(
+            F.lit(0.0),
+            F.try_divide(
+                F.col(f"_q{tag}") - F.col(f"_s{tag}") * F.col(f"_s{tag}") / n,
+                n - F.lit(1),
+            ),
+        )
+        return v / n
+
+    did = (mean("tp") - mean("t0")) - (mean("cp") - mean("c0"))
+    se = F.sqrt(
+        var_over_n("tp") + var_over_n("t0")
+        + var_over_n("cp") + var_over_n("c0")
+    )
+    z = F.coalesce(F.try_divide(did, se), F.lit(0.0))
+    return agg.select(
+        F.round(mean("t0"), round_dp).alias("treat_pre"),
+        F.round(mean("tp"), round_dp).alias("treat_post"),
+        F.round(mean("c0"), round_dp).alias("control_pre"),
+        F.round(mean("cp"), round_dp).alias("control_post"),
+        F.round(did, round_dp).alias("did_estimate"),
+        F.round(se, round_dp).alias("did_se"),
+        F.round(z, round_dp).alias("z_stat"),
+    )
+
+
+
+def cuped_adjusted(
+    units: DataFrame,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    unit's experiment-period metric by its pre-period covariate,
+    ``adj = post - theta (pre - mean_pre)`` with
+    ``theta = cov(pre, post) / var(pre)`` — same means, (much) tighter
+    confidence intervals.
+
+    One GLOBAL moment aggregation gives theta (1-row broadcast); the
+    per-arm adjusted mean and variance then come from per-arm moments
+    (incl. the Σ pre·post cross term) by pure algebra — the rows are
+    never revisited with the adjusted value materialized. Output one
+    row per arm: n, mean_post, mean_adjusted, var_post, var_adjusted,
+    var_reduction_pct.
+    """
+    pre = F.col(pre_col).cast("double")
+    post = F.col(post_col).cast("double")
+    glob = units.agg(
+        F.count("*").alias("_gn"),
+        F.sum(pre).alias("_gx"),
+        F.sum(post).alias("_gy"),
+        F.sum(pre * post).alias("_gxy"),
+        F.sum(pre * pre).alias("_gxx"),
+    )
+    gn = F.col("_gn").cast("double")
+    cov = F.col("_gxy") - F.col("_gx") * F.col("_gy") / gn
+    vx = F.col("_gxx") - F.col("_gx") * F.col("_gx") / gn
+    theta = F.coalesce(F.try_divide(cov, vx), F.lit(0.0))
+    mean_pre = F.col("_gx") / gn
+    g = glob.select(
+        theta.alias("_theta"), mean_pre.alias("_mpre")
+    )
+    per = units.groupBy(arm_col).agg(
+        F.count("*").alias("n_units"),
+        F.sum(pre).alias("_x"),
+        F.sum(post).alias("_y"),
+        F.sum(pre * post).alias("_xy"),
+        F.sum(pre * pre).alias("_xx"),
+        F.sum(post * post).alias("_yy"),
+    ).crossJoin(F.broadcast(g))
+    n = F.col("n_units").cast("double")
+    my = F.col("_y") / n
+    mx = F.col("_x") / n
+    th = F.col("_theta")
+    # adjusted mean: my - theta (mx - mean_pre)
+    madj = my - th * (mx - F.col("_mpre"))
+    # per-arm central second moments
+    vy = F.col("_yy") / n - my * my
+    vxa = F.col("_xx") / n - mx * mx
+    cxy = F.col("_xy") / n - mx * my
+    vadj = vy + th * th * vxa - F.lit(2.0) * th * cxy
+    red = F.coalesce(
+        F.lit(1.0) - F.try_divide(vadj, vy), F.lit(0.0)
+    ) * F.lit(100.0)
+    return per.select(
+        arm_col,
+        "n_units",
+        F.round(my, round_dp).alias("mean_post"),
+        F.round(madj, round_dp).alias("mean_adjusted"),
+        F.round(vy, round_dp).alias("var_post"),
+        F.round(vadj, round_dp).alias("var_adjusted"),
+        F.round(red, round_dp).alias("var_reduction_pct"),
+    )
+
+
+def proportion_power(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Required sample size per arm to re-detect the OBSERVED
+    two-proportion difference at alpha=5% / power=80% (classic normal-
+    approximation formula) — the "how long must this experiment run"
+    calculator, computed from the live rates.
+
+        n = (z_a sqrt(2 pbar qbar) + z_b sqrt(p1 q1 + p2 q2))² / (p1-p2)²
+
+    One conditional aggregation; the formula is 1-row arithmetic.
+    """
+    s = F.col(success_col).cast("int")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    agg = df.agg(
+        F.sum(F.when(in_a, F.lit(1)).otherwise(F.lit(0))).alias("_na"),
+        F.sum(F.when(in_a, s).otherwise(F.lit(0))).alias("_sa"),
+        F.sum(F.when(in_b, F.lit(1)).otherwise(F.lit(0))).alias("_nb"),
+        F.sum(F.when(in_b, s).otherwise(F.lit(0))).alias("_sb"),
+    )
+    p1 = F.col("_sa").cast("double") / F.col("_na")
+    p2 = F.col("_sb").cast("double") / F.col("_nb")
+    pbar = (F.col("_sa") + F.col("_sb")).cast("double") / (
+        F.col("_na") + F.col("_nb")
+    )
+    num = (
+        F.lit(z_alpha) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + F.lit(z_power)
+        * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+    )
+    diff = p1 - p2
+    n_req = F.ceil(
+        F.round(
+            F.coalesce(F.try_divide(num * num, diff * diff), F.lit(0.0)),
+            round_dp,
+        )
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(p1, round_dp).alias("rate_a"),
+        F.round(p2, round_dp).alias("rate_b"),
+        F.round(diff, round_dp).alias("observed_diff"),
+        n_req.cast("long").alias("n_required_per_arm"),
+    )

@@ -1034,3 +1034,64 @@ def readability_scores(
             round_dp,
         ).alias("fk_grade"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Tokenizer-economy profile per corpus slice: characters per
+    whitespace token and per BPE-ish regex token — the cheap proxy for
+    "how many model tokens does a byte of this source cost", which
+    drives mix budgeting before a real tokenizer enters the loop.
+
+    Three integer counts per document inside one map-only projection
+    (length, whitespace splits, regex token count), then one exact
+    integer aggregation per slice.
+    """
+    t = F.col(text_col)
+    per = docs.select(
+        F.col(by_col),
+        F.length(t).alias("_chars"),
+        F.size(F.split(F.lower(F.trim(t)), r"\s+")).alias("_ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(t), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1)
+            )
+        ).alias("_bpe"),
+    )
+    agg = per.groupBy(by_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_ws").alias("total_ws_tokens"),
+        F.sum("_bpe").alias("total_bpe_tokens"),
+    )
+    return agg.select(
+        by_col,
+        "n_docs",
+        "total_chars",
+        "total_ws_tokens",
+        "total_bpe_tokens",
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    F.col("total_chars").cast("double"),
+                    F.col("total_ws_tokens"),
+                ),
+                F.lit(0.0),
+            ),
+            round_dp,
+        ).alias("chars_per_ws_token"),
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    F.col("total_chars").cast("double"),
+                    F.col("total_bpe_tokens"),
+                ),
+                F.lit(0.0),
+            ),
+            round_dp,
+        ).alias("chars_per_bpe_token"),
+    )

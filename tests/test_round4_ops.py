@@ -1453,3 +1453,75 @@ def test_isotonic_calibration_pools_violators(spark):
     # monotone by construction
     probs = [out[s] for s in sorted(out)]
     assert probs == sorted(probs)
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    # additive model: base 10, period adds 5 to everyone, treatment
+    # adds 7 only in the post period -> DiD must isolate exactly 7
+    rows = []
+    for unit in range(40):
+        treat = unit % 2 == 0
+        for post in (False, True):
+            noise = (unit % 5) * 0.1  # unit fixed effect, differenced out
+            v = 10.0 + noise + (5.0 if post else 0.0) + (
+                7.0 if treat and post else 0.0
+            )
+            rows.append((treat, post, v))
+    from streaming_demos_spark.operators.stats import diff_in_diff
+
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+    out = diff_in_diff(df, "t", "p", "v").collect()[0]
+    assert out.did_estimate == 7.0
+    assert out.treat_post - out.treat_pre == 12.0
+
+
+def test_cuped_preserves_means_and_cuts_variance(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for unit in range(400):
+        pre = rng.gauss(100.0, 20.0)
+        post = 0.9 * pre + rng.gauss(10.0, 5.0)  # strongly correlated
+        rows.append(("A" if unit % 2 == 0 else "B", round(pre, 4),
+                     round(post, 4)))
+    from streaming_demos_spark.operators.stats import cuped_adjusted
+
+    df = spark.createDataFrame(rows, "arm string, pre double, post double")
+    out = {r.arm: r for r in cuped_adjusted(df, "arm", "pre", "post").collect()}
+    for arm in ("A", "B"):
+        # big variance reduction with rho ~ 0.96
+        assert out[arm].var_reduction_pct > 70.0
+        # adjusted mean stays near the raw mean (theta centers on the
+        # GLOBAL pre mean, so per-arm shift is bounded by arm imbalance)
+        assert abs(out[arm].mean_adjusted - out[arm].mean_post) < 5.0
+
+
+def test_proportion_power_textbook_case(spark):
+    # p1=0.10, p2=0.15 -> classic two-proportion n ~ 686 per arm at
+    # alpha=5%, power=80%
+    rows = [("A", 1)] * 100 + [("A", 0)] * 900 + [("B", 1)] * 150 + [
+        ("B", 0)
+    ] * 850
+    from streaming_demos_spark.operators.stats import proportion_power
+
+    df = spark.createDataFrame(rows, "arm string, s int")
+    out = proportion_power(df, "arm", "s", "A", "B").collect()[0]
+    assert out.rate_a == 0.1 and out.rate_b == 0.15
+    assert 650 <= out.n_required_per_arm <= 730
+
+
+def test_compression_ratio_counts(spark):
+    from streaming_demos_spark.operators.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [("s1", 1, "ab cd"), ("s1", 2, "hello, world")],
+        "source string, doc_id long, text string",
+    )
+    out = compression_ratio(docs).collect()[0]
+    assert out.n_docs == 2
+    assert out.total_chars == 5 + 12
+    assert out.total_ws_tokens == 2 + 2
+    # "ab","cd" = 2 bpe; "hello",",","world" = 3 bpe
+    assert out.total_bpe_tokens == 2 + 3
+    assert out.chars_per_ws_token == round(17 / 4, 4)

@@ -3398,6 +3398,52 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_harmonic_2hop(spark, sf_dir):
+    # Radius-2 harmonic centrality on the co-purchase graph: 1-hop
+    # degree + half-weighted exactly-distance-2 count, all equality
+    # joins (graph.py:harmonic_centrality_2hop). Top-100 by centrality.
+    from streaming_demos_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    return (
+        G.harmonic_centrality_2hop(edges, "p1", "p2")
+        .orderBy(F.desc("harmonic_c2"), "node")
+        .limit(100)
+    )
+
+
+def q_cumulative_users(spark, sf_dir):
+    # Audience-growth curve: first-seen users per day + running total
+    # over the 30-day calendar frame (relational.py:cumulative_new_users).
+    ev = _t(spark, sf_dir, "events")
+    return R.cumulative_new_users(ev, "user_id", "ts", bucket="day").orderBy(
+        "bucket_ts"
+    )
+
+
+def q_binseg_changepoints(spark, sf_dir):
+    # Top-3 mean-shift changepoints in the daily event-value series by
+    # binary segmentation (depth 2) over prefix sums of the 30-point
+    # daily grid (relational.py:binseg_changepoints).
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.dayofmonth("ts").cast("double").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    return R.binseg_changepoints(daily, "day", "total", depth=2).orderBy(
+        "split_rank"
+    )
+
+
 def q_diff_in_diff(spark, sf_dir):
     # DiD over a synthetic 2x2: even-user "treatment" x month-half
     # "period" on event value — all four cells from ONE conditional
@@ -4531,6 +4577,9 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_harmonic_2hop",
+    "ext_cumulative_users",
+    "ext_binseg_changepoints",
     "ext_diff_in_diff",
     "ext_cuped",
     "ext_power_analysis",
@@ -4737,6 +4786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_harmonic_2hop": q_harmonic_2hop,
+        "ext_cumulative_users": q_cumulative_users,
+        "ext_binseg_changepoints": q_binseg_changepoints,
         "ext_diff_in_diff": q_diff_in_diff,
         "ext_cuped": q_cuped,
         "ext_power_analysis": q_power_analysis,
@@ -5236,6 +5288,64 @@ def _numeric_oracle_sqls() -> dict[str, str]:
             + ",\n".join(iso_rows)
             + "\n) AS t(c0, c1, c2, c3, c4) ORDER BY score"
         )
+        # --- ext_binseg_changepoints: replay binary segmentation -----
+        daily = con.sql(f"""
+            SELECT extract(day FROM ts)::DOUBLE AS day,
+                   round(sum(value), 4) AS total
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1 ORDER BY 1
+        """).fetchall()
+        xs = [float(r[0]) for r in daily]
+        cn, cs = [], []
+        run_n, run_s = 0.0, 0.0
+        for _, y in daily:
+            run_n += 1.0
+            run_s += float(y)
+            cn.append(run_n)
+            cs.append(run_s)
+        big_n, big_s = cn[-1], cs[-1]
+
+        def bs_best(lo_n, lo_s, hi_n, hi_s):
+            best = None
+            seg_term = (hi_s - lo_s) * (hi_s - lo_s) / (hi_n - lo_n)
+            for i in range(len(xs)):
+                if not (lo_n < cn[i] < hi_n):
+                    continue
+                nl, sl = cn[i] - lo_n, cs[i] - lo_s
+                nr, sr = hi_n - cn[i], hi_s - cs[i]
+                gain = sl * sl / nl + sr * sr / nr - seg_term
+                if best is None or gain > best[1] or (
+                    gain == best[1] and xs[i] < best[0]
+                ):
+                    best = (xs[i], gain, cn[i], cs[i])
+            return best
+
+        segs = [(0.0, 0.0, big_n, big_s)]
+        found = []
+        for _ in range(2):
+            nxt = []
+            for lo_n, lo_s, hi_n, hi_s in segs:
+                if hi_n - lo_n < 2:
+                    continue
+                bb = bs_best(lo_n, lo_s, hi_n, hi_s)
+                if bb is None:
+                    continue
+                found.append((bb[0], bb[1]))
+                nxt.append((lo_n, lo_s, bb[2], bb[3]))
+                nxt.append((bb[2], bb[3], hi_n, hi_s))
+            segs = nxt
+        found.sort(key=lambda t: -t[1])
+        bs_rows = [
+            "(%d, %r, %r)" % (i + 1, x, round(g, 4))
+            for i, (x, g) in enumerate(found)
+        ]
+        out["ext_binseg_changepoints"] = (
+            "SELECT CAST(c0 AS INT) AS split_rank,"
+            " CAST(c1 AS DOUBLE) AS x_split,"
+            " CAST(c2 AS DOUBLE) AS gain FROM (VALUES\n"
+            + ",\n".join(bs_rows)
+            + "\n) AS t(c0, c1, c2) ORDER BY split_rank"
+        )
     except Exception:
         out = {}
     _NUMERIC_ORACLE_CACHE[sf] = out
@@ -5289,6 +5399,59 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_harmonic_2hop": """
+            WITH e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            sym AS MATERIALIZED (
+                SELECT p1 AS a, p2 AS b FROM e0
+                UNION ALL SELECT p2 AS a, p1 AS b FROM e0
+            ),
+            n1 AS MATERIALIZED (
+                SELECT a, count(*) AS n1 FROM sym GROUP BY 1
+            ),
+            mid AS (SELECT a FROM n1 WHERE n1 <= 64),
+            h2 AS MATERIALIZED (
+                SELECT DISTINCT e1.a, e2.b AS c
+                FROM sym e1
+                JOIN mid ON e1.b = mid.a
+                JOIN sym e2 ON e1.b = e2.a
+                WHERE e1.a <> e2.b
+            ),
+            h2x AS (
+                SELECT h2.a, h2.c
+                FROM h2 LEFT JOIN sym s
+                  ON h2.a = s.a AND h2.c = s.b
+                WHERE s.a IS NULL
+            ),
+            n2 AS (SELECT a, count(*) AS n2 FROM h2x GROUP BY 1)
+            SELECT n1.a AS node, n1.n1 AS n_1hop,
+                   coalesce(n2.n2, 0) AS n_2hop,
+                   round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6)
+                       AS harmonic_c2
+            FROM n1 LEFT JOIN n2 ON n1.a = n2.a
+            ORDER BY harmonic_c2 DESC, node LIMIT 100
+        """,
+        "ext_cumulative_users": """
+            WITH fst AS (
+                SELECT user_id,
+                       min(date_trunc('day', ts))::TIMESTAMP AS bucket_ts
+                FROM events GROUP BY 1
+            ),
+            per AS (
+                SELECT bucket_ts, count(*) AS new_users
+                FROM fst GROUP BY 1
+            )
+            SELECT bucket_ts, new_users,
+                   sum(new_users) OVER (ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumulative_users
+            FROM per ORDER BY bucket_ts
+        """,
         "ext_diff_in_diff": """
             WITH rws AS (
                 SELECT (user_id % 2 = 0) AS t,

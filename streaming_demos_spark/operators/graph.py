@@ -374,3 +374,62 @@ def degree_assortativity(
     return agg.select(
         "n_edge_ends", F.round(r, round_dp).alias("assortativity")
     )
+
+
+def harmonic_centrality_2hop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Harmonic centrality truncated at radius 2:
+    ``C(v) = |N1(v)| + |N2(v)| / 2`` where N2 is the set of nodes at
+    distance exactly 2 — the standard scalable stand-in for full
+    closeness (which needs all-pairs BFS) on large graphs.
+
+    Two equi joins: the symmetric edge list composed with itself gives
+    2-hop candidates; distance-2 membership is ``distinct minus self
+    minus direct neighbors`` — an anti join, still equality-keyed.
+    The 2-hop expansion is Σ deg(intermediate)² pairs, so paths are
+    only routed THROUGH intermediates with degree <= ``max_degree``
+    (the same hub cap as :func:`link_prediction`): a mega-hub stops
+    amplifying candidate pairs quadratically, at the documented cost
+    of under-counting N2 for pairs whose ONLY connection is that hub.
+    Output: (node, n_1hop, n_2hop, harmonic_c2).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    n1 = sym.groupBy("a").agg(F.count("*").alias("n_1hop"))
+    mid_ok = n1.filter(F.col("n_1hop") <= F.lit(max_degree)).select(
+        F.col("a").alias("_mid")
+    )
+    routed = sym.join(mid_ok, sym["b"] == mid_ok["_mid"], "semi")
+    hop2 = (
+        routed.alias("e1")
+        .join(sym.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
+        .filter(F.col("a") != F.col("c"))
+        .distinct()
+        .join(
+            sym.select(F.col("a"), F.col("b").alias("c")),
+            ["a", "c"],
+            "left_anti",
+        )
+        .groupBy("a")
+        .agg(F.count("*").alias("n_2hop"))
+    )
+    return (
+        n1.join(hop2, "a", "left")
+        .select(
+            F.col("a").alias("node"),
+            "n_1hop",
+            F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
+            F.round(
+                F.col("n_1hop")
+                + F.coalesce("n_2hop", F.lit(0)) / F.lit(2.0),
+                round_dp,
+            ).alias("harmonic_c2"),
+        )
+    )

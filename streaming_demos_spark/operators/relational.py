@@ -4054,3 +4054,115 @@ def fs_em_params(
         "field string, m_prob double, u_prob double, w_agree double, "
         "w_disagree double, match_prior double",
     )
+
+
+def cumulative_new_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """User-acquisition curve: first-seen users per period plus the
+    running total — the "how big is our audience" chart.
+
+    First-seen period is one per-user MIN aggregation (map-side
+    combinable); the running total is a window over the PERIOD frame
+    (bounded by the calendar, never rows). Output:
+    (bucket_ts, new_users, cumulative_users).
+    """
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.date_trunc(bucket, F.col(ts_col))).alias("bucket_ts")
+    )
+    per = first.groupBy("bucket_ts").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        "bucket_ts",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    depth: int = 2,
+) -> DataFrame:
+    """Multiple mean-shift changepoints by binary segmentation: find
+    the split maximizing the between-segment sum-of-squares gain, then
+    recurse into each side ``depth`` times.
+
+    Each candidate evaluation is CLOSED-FORM over the series' prefix
+    sums — one cumulative window over the ORDERED GRID builds
+    (cum_n, cum_s) once, and every depth level is a bounded argmax over
+    the grid frame (ties break on the earlier x). The recursion is a
+    driver loop of ``2^depth - 1`` tiny aggregations on segment
+    boundaries, not data passes. Intended for per-series grids
+    (daily/monthly rollups). Output: (split_rank, x_split, gain).
+    """
+    pts = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    w = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    pref = pts.select(
+        "_x",
+        F.count("*").over(w).cast("double").alias("_cn"),
+        F.sum("_y").over(w).alias("_cs"),
+    ).persist()
+    total = pref.agg(
+        F.max("_cn").alias("_N"), F.max("_cs").alias("_S")
+    ).collect()[0]
+
+    def best_split(lo_n, lo_s, hi_n, hi_s):
+        """argmax over candidate splits inside (lo_n, hi_n]: gain of
+        splitting the segment at x (prefix counts are global, so the
+        segment's left part is cum - lo)."""
+        seg = pref.filter(
+            (F.col("_cn") > lo_n) & (F.col("_cn") < hi_n)
+        )
+        nl = F.col("_cn") - F.lit(lo_n)
+        sl = F.col("_cs") - F.lit(lo_s)
+        nr = F.lit(hi_n) - F.col("_cn")
+        sr = F.lit(hi_s) - F.col("_cs")
+        n_seg = hi_n - lo_n
+        s_seg = hi_s - lo_s
+        gain = (
+            sl * sl / nl + sr * sr / nr
+            - F.lit(s_seg * s_seg / n_seg)
+        )
+        row = (
+            seg.select("_x", "_cn", "_cs", gain.alias("_gain"))
+            .orderBy(F.desc("_gain"), F.asc("_x"))
+            .limit(1)
+            .collect()
+        )
+        return row[0] if row else None
+
+    segments = [(0.0, 0.0, float(total["_N"]), float(total["_S"]))]
+    found = []
+    for _ in range(depth):
+        nxt = []
+        for lo_n, lo_s, hi_n, hi_s in segments:
+            if hi_n - lo_n < 2:
+                continue
+            b = best_split(lo_n, lo_s, hi_n, hi_s)
+            if b is None:
+                continue
+            found.append((float(b["_x"]), float(b["_gain"])))
+            nxt.append((lo_n, lo_s, float(b["_cn"]), float(b["_cs"])))
+            nxt.append((float(b["_cn"]), float(b["_cs"]), hi_n, hi_s))
+        segments = nxt
+    pref.unpersist()
+    spark = df.sparkSession
+    found.sort(key=lambda t: -t[1])
+    rows = [
+        (i + 1, x, round(g, 4)) for i, (x, g) in enumerate(found)
+    ]
+    return spark.createDataFrame(
+        rows, "split_rank int, x_split double, gain double"
+    )

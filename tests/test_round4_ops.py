@@ -1525,3 +1525,81 @@ def test_compression_ratio_counts(spark):
     # "ab","cd" = 2 bpe; "hello",",","world" = 3 bpe
     assert out.total_bpe_tokens == 2 + 3
     assert out.chars_per_ws_token == round(17 / 4, 4)
+
+
+def test_harmonic_2hop_path_graph(spark):
+    from streaming_demos_spark.operators.graph import harmonic_centrality_2hop
+
+    # path 1-2-3-4-5: node 3 sees {2,4} at d1 and {1,5} at d2 -> 3.0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {
+        r.node: (r.n_1hop, r.n_2hop, r.harmonic_c2)
+        for r in harmonic_centrality_2hop(edges).collect()
+    }
+    assert out[3] == (2, 2, 3.0)
+    assert out[1] == (1, 1, 1.5)  # sees 2, then 3
+    assert out[2] == (2, 1, 2.5)  # sees 1,3 then 4
+
+
+def test_cumulative_new_users_counts_first_seen_once(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import cumulative_new_users
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 2, 5)),  # u1 new on day 1
+        (2, d(2024, 1, 1, 9)),                          # u2 new on day 1
+        (3, d(2024, 1, 3, 1)), (3, d(2024, 1, 3, 2)),   # u3 new on day 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.bucket_ts: (r.new_users, r.cumulative_users)
+        for r in cumulative_new_users(df, "user_id", "ts").collect()
+    }
+    assert out[d(2024, 1, 1)] == (2, 2)
+    assert out[d(2024, 1, 3)] == (1, 3)
+    assert d(2024, 1, 2) not in out  # no NEW users that day
+
+
+def test_binseg_finds_planted_mean_shifts(spark):
+    from streaming_demos_spark.operators.relational import binseg_changepoints
+
+    # three regimes: 10 (x 1-10), 50 (x 11-20), 20 (x 21-30)
+    rows = (
+        [(float(x), 10.0) for x in range(1, 11)]
+        + [(float(x), 50.0) for x in range(11, 21)]
+        + [(float(x), 20.0) for x in range(21, 31)]
+    )
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = binseg_changepoints(df, "x", "y", depth=2).collect()
+    splits = {r.x_split for r in out}
+    # the two regime boundaries must be among the found splits
+    assert 10.0 in splits and 20.0 in splits
+    # the strongest split carries the largest gain
+    assert out[0].gain >= out[-1].gain
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Hive-partitioned parquet layout: a filter on the partition
+    column must show up as PartitionFilters at the scan (pruned
+    directories, not scanned-then-filtered rows)."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", float(i)) for i in range(100)],
+        "event_id long, event_type string, value double",
+    )
+    out = str(tmp_path / "by_type")
+    df.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    assert back.count() == 50
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]

@@ -1374,3 +1374,75 @@ def whiten_embeddings(
         return pd.Series(list(((X - mu) @ w_mat).round(round_dp)))
 
     return src.select(id_col, project("_v").alias("whitened"))
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine ranking against the
+    full-dimension ranking — the evaluation behind Matryoshka-style
+    embeddings (Kusupati et al. 2022), where serving at a prefix of
+    the dimensions buys memory/speed at a measured recall cost.
+
+    One scored frame per requested dim over (corpus x broadcast query
+    panel): ranking is on the 6dp-rounded sliced cosine with id
+    tie-break (both engines order identically); ground truth is the
+    full-dim ranking from the same frame family. Output one row per
+    dim: (dim, n_queries, avg_recall).
+    """
+    panel = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    base = (
+        emb.crossJoin(F.broadcast(panel))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, F.col(vec_col).alias("_v"), "_qv")
+    )
+
+    def topk(frame, d):
+        sliced_v = F.slice(F.col("_v"), 1, d)
+        sliced_q = F.slice(F.col("_qv"), 1, d)
+        scored = frame.select(
+            "qid",
+            id_col,
+            F.round(cosine(sliced_v, sliced_q), 6).alias("_cos"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("_cos"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= k)
+            .select("qid", id_col)
+        )
+
+    full_dim = emb.select(F.size(F.col(vec_col)).alias("_d")).limit(
+        1
+    ).collect()[0]["_d"]
+    truth = topk(base, full_dim).persist()
+    out = None
+    for d in dims:
+        hits = (
+            truth.join(topk(base, d), ["qid", id_col])
+            .groupBy("qid")
+            .agg(F.count("*").alias("_hit"))
+        )
+        per = panel.join(hits, panel["qid"] == hits["qid"], "left").agg(
+            F.lit(d).alias("dim"),
+            F.count("*").alias("n_queries"),
+            # (Σ hits / k) / n — exact integer numerator, one fixed
+            # division order, so both engines emit identical doubles
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.lit(float(k))
+                / F.count("*"),
+                6,
+            ).alias("avg_recall"),
+        )
+        out = per if out is None else out.unionByName(per)
+    return out

@@ -1242,3 +1242,113 @@ def proportion_power(
         F.round(diff, round_dp).alias("observed_diff"),
         n_req.cast("long").alias("n_required_per_arm"),
     )
+
+def yuen_trimmed_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    trim: float = 0.2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Yuen's trimmed-mean t-test (Yuen 1974): compare 20%-trimmed
+    means with winsorized variances — robust where Welch's t is
+    dragged by heavy tails.
+
+    The order statistics never sort rows: everything reduces to the
+    per-group DISTINCT-VALUE GRID with cumulative counts. The trimmed
+    window (ranks g+1 .. n-g, g = floor(trim·n)) intersects each grid
+    value's rank interval, so trimmed/winsorized sums are overlap-
+    weighted grid aggregations; the winsorizing boundary values are
+    two grid selections (first value reaching rank g+1 / rank n-g).
+
+        t = (mt_a - mt_b) / sqrt(d_a + d_b),
+        d = (n-1)·s²_win / (h·(h-1)),  h = n - 2g
+    """
+    v = F.col(value_col).cast("double")
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    grid = two.groupBy(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    w_prev = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = grid.select(
+        "_g",
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_cb"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    g_cnt = F.floor(F.lit(float(trim)) * F.col("_n"))
+    lo_rank = g_cnt + F.lit(1)
+    hi_rank = F.col("_n") - g_cnt
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cb") + F.col("_c"), hi_rank)
+        - F.greatest(F.col("_cb"), lo_rank - F.lit(1)),
+    )
+    per = cum.groupBy("_g").agg(
+        F.max("_n").alias("_n_rows"),
+        F.max(g_cnt).alias("_trim_g"),
+        F.sum(F.col("_v") * overlap).alias("_st"),
+        F.sum(F.col("_v") * F.col("_v") * overlap).alias("_sst"),
+        F.min(
+            F.when(F.col("_cb") + F.col("_c") >= lo_rank, F.col("_v"))
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("_cb") + F.col("_c") >= hi_rank, F.col("_v"))
+        ).alias("_hi"),
+    )
+    gd = F.col("_trim_g").cast("double")
+    n = F.col("_n_rows").cast("double")
+    h = n - F.lit(2.0) * gd
+    win_sum = F.col("_st") + gd * F.col("_lo") + gd * F.col("_hi")
+    win_ss = (
+        F.col("_sst")
+        + gd * F.col("_lo") * F.col("_lo")
+        + gd * F.col("_hi") * F.col("_hi")
+    )
+    s2w = F.greatest(
+        F.lit(0.0),
+        F.try_divide(win_ss - win_sum * win_sum / n, n - F.lit(1)),
+    )
+    stats = per.select(
+        "_g",
+        F.col("_n_rows"),
+        h.alias("_h"),
+        (F.col("_st") / h).alias("_tmean"),
+        F.try_divide(
+            (n - F.lit(1)) * s2w, F.col("_h") * (F.col("_h") - F.lit(1))
+        ).alias("_d"),
+    )
+    a = stats.filter(F.col("_g") == group_a).select(
+        F.col("_n_rows").alias("n_a"), F.col("_h").alias("h_a"),
+        F.col("_tmean").alias("_ma"), F.col("_d").alias("_da"),
+    )
+    b = stats.filter(F.col("_g") == group_b).select(
+        F.col("_n_rows").alias("n_b"), F.col("_h").alias("h_b"),
+        F.col("_tmean").alias("_mb"), F.col("_d").alias("_db"),
+    )
+    j = a.crossJoin(b)
+    t = F.coalesce(
+        F.try_divide(
+            F.col("_ma") - F.col("_mb"),
+            F.sqrt(F.col("_da") + F.col("_db")),
+        ),
+        F.lit(0.0),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.col("h_a").cast("long").alias("h_a"),
+        F.col("h_b").cast("long").alias("h_b"),
+        F.round("_ma", round_dp).alias("tmean_a"),
+        F.round("_mb", round_dp).alias("tmean_b"),
+        F.round(t, round_dp).alias("t_stat"),
+        F.round(norm_sf_2sided(t), round_dp).alias("p_normal"),
+    )

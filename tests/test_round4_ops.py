@@ -1603,3 +1603,49 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_yuen_trimmed_ttest_hand_case(spark):
+    # group a: {0,1,2,3,4,5,6,7,8,100} n=10, g=2 -> trimmed window is
+    # ranks 3..8 = {2,3,4,5,6,7}, trimmed mean 4.5 (outlier 100 gone);
+    # winsorized sample: {2,2,2,3,4,5,6,7,7,7}
+    a_vals = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    b_vals = [10.0, 11.0, 12.0, 13.0, 14.0]  # n=5, g=1 -> ranks 2..4
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    from streaming_demos_spark.operators.stats import yuen_trimmed_ttest
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = yuen_trimmed_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert out.n_a == 10 and out.h_a == 6
+    assert out.tmean_a == 4.5
+    assert out.n_b == 5 and out.h_b == 3
+    assert out.tmean_b == 12.0
+    # winsorized a: {2,2,2,3,4,5,6,7,7,7}, SS = 42.5, var = 42.5/9
+    # d_a = 9*(42.5/9)/(6*5) = 42.5/30 ; b: wins {11,11,12,13,13}
+    # var 1.0, d_b = 4*1/(3*2) -> t = -7.5/sqrt(42.5/30 + 2/3)
+    import math
+
+    expect_t = (4.5 - 12.0) / math.sqrt(42.5 / 30.0 + 4.0 / 6.0)
+    assert abs(out.t_stat - round(expect_t, 6)) < 1e-6
+
+
+def test_matryoshka_recall_full_dim_is_one(spark):
+    import random
+
+    from streaming_demos_spark.operators.similarity import matryoshka_recall
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.dim: r.avg_recall
+        for r in matryoshka_recall(
+            df, [0, 5, 9], dims=[4, 16], k=5
+        ).collect()
+    }
+    assert out[16] == 1.0       # truncating to the full dim = truth
+    assert 0.0 <= out[4] <= 1.0  # heavy truncation loses recall
+    assert out[4] < 1.0          # 4 of 16 random dims cannot preserve top-5

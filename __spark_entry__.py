@@ -3398,6 +3398,27 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_sax_symbols(spark, sf_dir):
+    # SAX discretization of each event type's daily-revenue series:
+    # 6 PAA segments z-normalized per series, 4-letter Gaussian
+    # alphabet (relational.py:sax_symbols).
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    return R.sax_symbols(
+        daily, "event_type", "day", "total", n_segments=6
+    ).orderBy("event_type", "segment")
+
+
+def q_charclass_profile(spark, sf_dir):
+    # Character-class composition per source (alpha/digit/space/other)
+    # - the wrong-script / binary-garbage crawl monitor
+    # (text.py:charclass_profile).
+    docs = _t(spark, sf_dir, "documents")
+    return TX.charclass_profile(docs).orderBy("source")
+
+
 def q_yuen_ttest(spark, sf_dir):
     # Robust two-sample comparison of purchase vs view values: Yuen's
     # 20%-trimmed t with winsorized variance, all order statistics
@@ -4598,6 +4619,8 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_sax_symbols",
+    "llm_charclass_profile",
     "ext_yuen_ttest",
     "llm_matryoshka_eval",
     "ext_harmonic_2hop",
@@ -4809,6 +4832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_sax_symbols": q_sax_symbols,
+        "llm_charclass_profile": q_charclass_profile,
         "ext_yuen_ttest": q_yuen_ttest,
         "llm_matryoshka_eval": q_matryoshka_eval,
         "ext_harmonic_2hop": q_harmonic_2hop,
@@ -5464,6 +5489,76 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_sax_symbols": """
+            WITH daily AS (
+                SELECT event_type,
+                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       round(sum(value), 4) AS total
+                FROM events GROUP BY 1, 2
+            ),
+            seg AS (
+                SELECT event_type, total AS y,
+                       ntile(6) OVER (PARTITION BY event_type
+                           ORDER BY day) - 1 AS segment
+                FROM daily
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n, sum(y) AS s1,
+                       sum(y*y) AS s2
+                FROM seg GROUP BY 1
+            ),
+            mm AS (
+                SELECT event_type, s1 / n AS mean,
+                       sqrt(greatest(0.0,
+                           (s2 - s1*s1/n) / (n - 1))) AS std
+                FROM m
+            ),
+            paa AS (
+                SELECT event_type, segment, avg(y) AS paa
+                FROM seg GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT paa.event_type, segment,
+                       round(paa, 6) AS paa_mean,
+                       round((paa - mean) / std, 6) AS z
+                FROM paa JOIN mm ON paa.event_type = mm.event_type
+            )
+            SELECT event_type, segment, paa_mean, z,
+                   CASE WHEN z < -0.6745 THEN 'a'
+                        WHEN z < 0.0 THEN 'b'
+                        WHEN z < 0.6745 THEN 'c'
+                        ELSE 'd' END AS letter
+            FROM j ORDER BY event_type, segment
+        """,
+        "llm_charclass_profile": """
+            WITH per AS (
+                SELECT source,
+                       length(lower(text)) AS chars,
+                       length(lower(text))
+                       - length(regexp_replace(lower(text),
+                           '[a-z]', '', 'g')) AS a,
+                       length(lower(text))
+                       - length(regexp_replace(lower(text),
+                           '[0-9]', '', 'g')) AS d,
+                       length(lower(text))
+                       - length(regexp_replace(lower(text),
+                           '\\s', '', 'g')) AS s
+                FROM documents
+            ),
+            agg AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(chars)::BIGINT AS total_chars,
+                       sum(a) AS sa, sum(d) AS sd, sum(s) AS ss
+                FROM per GROUP BY 1
+            )
+            SELECT source, n_docs, total_chars,
+                   round(sa / total_chars::DOUBLE, 4) AS alpha_ratio,
+                   round(sd / total_chars::DOUBLE, 4) AS digit_ratio,
+                   round(ss / total_chars::DOUBLE, 4) AS space_ratio,
+                   round((total_chars - sa - sd - ss)
+                         / total_chars::DOUBLE, 4) AS other_ratio
+            FROM agg ORDER BY source
+        """,
         "ext_yuen_ttest": """
             WITH two AS (
                 SELECT event_type AS g, round(value, 2) AS v

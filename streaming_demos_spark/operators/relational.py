@@ -4166,3 +4166,70 @@ def binseg_changepoints(
     return spark.createDataFrame(
         rows, "split_rank int, x_split double, gain double"
     )
+
+
+def sax_symbols(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_segments: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): each per-key series is
+    compressed to ``n_segments`` PAA segment means, z-normalized
+    against the series' own moments, and mapped to a 4-letter alphabet
+    at the standard Gaussian breakpoints (-0.6745, 0, 0.6745) — the
+    discretization behind motif discovery and series indexing.
+
+    Segment assignment is rank-based (ntile over the per-key series —
+    a window bounded by points-per-key), PAA means and series moments
+    are two hash aggregations, and the letter is a CASE over the
+    6dp-rounded z so both engines discretize identical values. Output:
+    (key, segment, paa_mean, z, letter).
+    """
+    w = Window.partitionBy(key_col).orderBy(x_col)
+    seg = df.select(
+        F.col(key_col),
+        F.col(y_col).cast("double").alias("_y"),
+        (F.ntile(n_segments).over(w) - F.lit(1)).alias("segment"),
+    )
+    moments = seg.groupBy(key_col).agg(
+        F.count("*").alias("_n"),
+        F.sum("_y").alias("_s1"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    std = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.try_divide(
+                F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"),
+                F.col("_n") - F.lit(1),
+            ),
+        )
+    )
+    m = moments.select(key_col, mean.alias("_mean"), std.alias("_std"))
+    paa = seg.groupBy(key_col, "segment").agg(
+        F.avg("_y").alias("_paa")
+    )
+    z = F.round(
+        F.coalesce(
+            F.try_divide(F.col("_paa") - F.col("_mean"), F.col("_std")),
+            F.lit(0.0),
+        ),
+        round_dp,
+    )
+    joined = paa.join(F.broadcast(m), key_col).select(
+        key_col,
+        "segment",
+        F.round("_paa", round_dp).alias("paa_mean"),
+        z.alias("z"),
+    )
+    letter = (
+        F.when(F.col("z") < F.lit(-0.6745), F.lit("a"))
+        .when(F.col("z") < F.lit(0.0), F.lit("b"))
+        .when(F.col("z") < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return joined.withColumn("letter", letter)

@@ -1095,3 +1095,57 @@ def compression_ratio(
             round_dp,
         ).alias("chars_per_bpe_token"),
     )
+
+
+def charclass_profile(
+    docs: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Character-class composition per corpus slice: alpha / digit /
+    whitespace / other ratios — the cheap script-and-noise monitor
+    that catches a binary-garbage or wrong-script crawl before
+    tokenization does.
+
+    Four regexp_replace length-counts per document in one map-only
+    projection, aggregated as exact integers per slice.
+    """
+    t = F.lower(F.col(text_col))
+
+    def n_of(pattern: str) -> Column:
+        return F.length(F.regexp_replace(t, pattern, ""))
+
+    total = F.length(t)
+    per = docs.select(
+        F.col(by_col),
+        total.alias("_chars"),
+        (total - n_of(r"[a-z]")).alias("_alpha"),
+        (total - n_of(r"[0-9]")).alias("_digit"),
+        (total - n_of(r"\s")).alias("_space"),
+    )
+    agg = per.groupBy(by_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_alpha").alias("_a"),
+        F.sum("_digit").alias("_d"),
+        F.sum("_space").alias("_s"),
+    )
+    tc = F.col("total_chars").cast("double")
+
+    def ratio(c: Column) -> Column:
+        return F.round(
+            F.coalesce(F.try_divide(c, tc), F.lit(0.0)), round_dp
+        )
+
+    return agg.select(
+        by_col,
+        "n_docs",
+        "total_chars",
+        ratio(F.col("_a")).alias("alpha_ratio"),
+        ratio(F.col("_d")).alias("digit_ratio"),
+        ratio(F.col("_s")).alias("space_ratio"),
+        ratio(
+            F.col("total_chars") - F.col("_a") - F.col("_d") - F.col("_s")
+        ).alias("other_ratio"),
+    )

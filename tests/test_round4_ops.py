@@ -1649,3 +1649,37 @@ def test_matryoshka_recall_full_dim_is_one(spark):
     assert out[16] == 1.0       # truncating to the full dim = truth
     assert 0.0 <= out[4] <= 1.0  # heavy truncation loses recall
     assert out[4] < 1.0          # 4 of 16 random dims cannot preserve top-5
+
+
+def test_sax_symbols_letters_and_segments(spark):
+    from streaming_demos_spark.operators.relational import sax_symbols
+
+    # 12-point series with a step: 6 low then 6 high -> first 3
+    # segments letter 'a'/'b', last 3 'c'/'d'; z-normalized per series
+    rows = [("k", float(x), 10.0 if x <= 6 else 50.0) for x in range(1, 13)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {
+        r.segment: r.letter
+        for r in sax_symbols(df, "k", "x", "y", n_segments=6).collect()
+    }
+    assert len(out) == 6
+    assert out[0] in ("a", "b") and out[5] in ("c", "d")
+    low = [out[i] for i in range(3)]
+    high = [out[i] for i in range(3, 6)]
+    assert all(l in ("a", "b") for l in low)
+    assert all(h in ("c", "d") for h in high)
+
+
+def test_charclass_profile_ratios(spark):
+    from streaming_demos_spark.operators.text import charclass_profile
+
+    docs = spark.createDataFrame(
+        [("s", 1, "ab 12!")],  # 2 alpha, 2 digit, 1 space, 1 other of 6
+        "source string, doc_id long, text string",
+    )
+    r = charclass_profile(docs).collect()[0]
+    assert r.total_chars == 6
+    assert r.alpha_ratio == round(2 / 6, 4)
+    assert r.digit_ratio == round(2 / 6, 4)
+    assert r.space_ratio == round(1 / 6, 4)
+    assert r.other_ratio == round(1 / 6, 4)

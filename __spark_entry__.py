@@ -3270,15 +3270,7 @@ def q_link_prediction(spark, sf_dir):
     from streaming_demos_spark.operators import graph as G
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    edges = G.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     return (
         G.link_prediction(edges, "p1", "p2", max_degree=1000)
         .orderBy(F.desc("aa_score"), "node_a", "node_b")
@@ -3447,16 +3439,7 @@ def q_harmonic_2hop(spark, sf_dir):
     from streaming_demos_spark.operators import graph as G
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("p1", "p2")
-    )
+    edges = G.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     return (
         G.harmonic_centrality_2hop(edges, "p1", "p2")
         .orderBy(F.desc("harmonic_c2"), "node")
@@ -3668,16 +3651,7 @@ def q_assortativity(spark, sf_dir):
     from streaming_demos_spark.operators import graph as G
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("p1", "p2")
-    )
+    edges = G.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     return G.degree_assortativity(edges, "p1", "p2")
 
 
@@ -3880,16 +3854,7 @@ def q_k_core(spark, sf_dir):
     from streaming_demos_spark.operators import graph as G
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("p1", "p2")
-    )
+    edges = G.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
 
 

@@ -440,6 +440,7 @@ def co_occurrence_pairs(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    keep_support: bool = False,
 ) -> DataFrame:
     """Support-filtered co-occurrence edges (item pairs sharing a
     basket) — the shared edge generator for the co-purchase graph
@@ -474,9 +475,9 @@ def co_occurrence_pairs(
             )
         ).alias("_e")
     ).select("_e.p1", "_e.p2").filter(F.col("p1") < F.col("p2"))
-    return (
+    out = (
         pairs.groupBy("p1", "p2")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
-        .select("p1", "p2")
     )
+    return out if keep_support else out.select("p1", "p2")

@@ -3216,14 +3216,25 @@ def association_rules(
     ).distinct()
     tot = items.agg(F.countDistinct("_bk").alias("_nb"))
     cnt = items.groupBy("_it").agg(F.count("*").alias("_c"))
-    pairs = (
-        items.alias("a")
-        .join(items.alias("b"), on="_bk")
-        .filter(F.col("a._it") != F.col("b._it"))
-        .groupBy(
-            F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b")
+    # unordered pair counts from per-basket sorted arrays (one shuffle
+    # of the distinct item list, half the pair aggregation), mirrored
+    # into both rule directions — items are distinct per basket, so the
+    # directed co-basket count equals the unordered one
+    from streaming_demos_spark.operators.graph import co_occurrence_pairs
+
+    unordered = co_occurrence_pairs(
+        items, "_bk", "_it", min_support=1, keep_support=True
+    )
+    pairs = unordered.select(
+        F.col("p1").alias("item_a"),
+        F.col("p2").alias("item_b"),
+        F.col("support").alias("pair_n"),
+    ).unionByName(
+        unordered.select(
+            F.col("p2").alias("item_a"),
+            F.col("p1").alias("item_b"),
+            F.col("support").alias("pair_n"),
         )
-        .agg(F.count("*").alias("pair_n"))
     )
     joined = (
         pairs.join(

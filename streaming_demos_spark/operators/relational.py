@@ -3334,9 +3334,16 @@ def rfm_segmentation(
         _asc("_money", "m").alias("m_score"),
         "_money",
     )
+    # Mean monetary from exact integer CENTS: a float sum of the 2dp
+    # customer totals can straddle a half-cent rounding boundary
+    # differently per engine/layout (seen at sf0.001: .365 -> .36/.37);
+    # Σcents / (100 n) is one deterministic division.
+    cents = F.round(F.col("_money") * F.lit(100.0)).cast("long")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.avg("_money"), 2).alias("avg_monetary"),
+        F.round(
+            F.sum(cents) / (F.count("*") * F.lit(100.0)), 2
+        ).alias("avg_monetary"),
     )
 
 
@@ -4244,3 +4251,46 @@ def sax_symbols(
         .otherwise(F.lit("d"))
     )
     return joined.withColumn("letter", letter)
+
+
+def imr_control_chart(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Individuals / moving-range (I-MR) control chart per key — the
+    SPC monitor for one-observation-per-period processes: limits at
+    ``center ± 2.66 · mean(MR)`` (the d2-based constant for n=2
+    moving ranges), points outside flagged out-of-control.
+
+    The moving range is a lag window PARTITIONED BY KEY (bounded by
+    points-per-series); center and mean-MR are one aggregation joined
+    back (AQE broadcast). Output one row per point:
+    (key, x, y, ucl, lcl, out_of_control).
+    """
+    y = F.col(y_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(x_col)
+    pts = df.select(
+        F.col(key_col),
+        F.col(x_col),
+        y.alias("_y"),
+        F.abs(y - F.lag(y).over(w)).alias("_mr"),
+    )
+    lims = pts.groupBy(key_col).agg(
+        (F.sum("_y") / F.count("_y")).alias("_center"),
+        (F.sum("_mr") / F.count("_mr")).alias("_mrbar"),
+    )
+    ucl = F.col("_center") + F.lit(2.66) * F.col("_mrbar")
+    lcl = F.col("_center") - F.lit(2.66) * F.col("_mrbar")
+    return pts.join(F.broadcast(lims), key_col).select(
+        key_col,
+        x_col,
+        F.round("_y", round_dp).alias("y"),
+        F.round(ucl, round_dp).alias("ucl"),
+        F.round(lcl, round_dp).alias("lcl"),
+        ((F.col("_y") > ucl) | (F.col("_y") < lcl)).alias(
+            "out_of_control"
+        ),
+    )

@@ -1149,3 +1149,51 @@ def charclass_profile(
             F.col("total_chars") - F.col("_a") - F.col("_d") - F.col("_s")
         ).alias("other_ratio"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate per corpus slice: the fraction of a
+    slice's token OCCURRENCES whose type appears in NO other slice —
+    the lexical-overlap signal behind "will a tokenizer/LM trained on
+    the rest transfer to this source".
+
+    One (slice, token) occurrence aggregation; per-token slice counts
+    are re-aggregated FROM that grid and joined back on the token key
+    (a token of slice s is OOV iff exactly one slice — s itself —
+    contains it). Output: (slice, total_tokens, oov_tokens, oov_rate).
+    """
+    toks = docs.select(
+        F.col(by_col).alias("_src"),
+        F.explode(tokens(text_col)).alias("_t"),
+    )
+    grid = toks.groupBy("_src", "_t").agg(F.count("*").alias("_occ"))
+    spread = grid.groupBy("_t").agg(
+        F.count("*").alias("_n_src")
+    )
+    j = grid.join(spread, "_t")
+    agg = j.groupBy(F.col("_src").alias(by_col)).agg(
+        F.sum("_occ").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("_n_src") == 1, F.col("_occ")).otherwise(F.lit(0))
+        ).alias("oov_tokens"),
+    )
+    return agg.select(
+        by_col,
+        "total_tokens",
+        "oov_tokens",
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    F.col("oov_tokens").cast("double"),
+                    F.col("total_tokens"),
+                ),
+                F.lit(0.0),
+            ),
+            round_dp,
+        ).alias("oov_rate"),
+    )

@@ -1683,3 +1683,35 @@ def test_charclass_profile_ratios(spark):
     assert r.digit_ratio == round(2 / 6, 4)
     assert r.space_ratio == round(1 / 6, 4)
     assert r.other_ratio == round(1 / 6, 4)
+
+
+def test_imr_control_chart_flags_spike(spark):
+    from streaming_demos_spark.operators.relational import imr_control_chart
+
+    # stable series around 10 with one wild spike at x=7
+    rows = [("k", float(x), 10.0 + (x % 2) * 0.5) for x in range(1, 11)]
+    rows[6] = ("k", 7.0, 60.0)
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.x: r for r in imr_control_chart(df, "k", "x", "y").collect()}
+    assert out[7.0].out_of_control
+    flagged = [x for x, r in out.items() if r.out_of_control]
+    assert flagged == [7.0]
+    assert out[1.0].ucl > out[1.0].lcl
+
+
+def test_oov_rate_isolated_vocabulary(spark):
+    from streaming_demos_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "shared words here"),
+            ("s2", "shared words there"),
+            ("s3", "utterly unique lexicon"),
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in oov_rate(docs).collect()}
+    # s3 shares nothing -> 100% OOV; s1/s2 share 2 of 3 occurrences
+    assert out["s3"].oov_rate == 1.0
+    assert out["s1"].oov_rate == round(1 / 3, 6)
+    assert out["s2"].oov_rate == round(1 / 3, 6)

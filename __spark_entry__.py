@@ -3390,6 +3390,32 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_rmst(spark, sf_dir):
+    # Restricted mean time-to-first-error (tau = 30 days): area under
+    # the same KM curve ext_kaplan_meier publishes, integrated exactly
+    # over the event grid (relational.py:restricted_mean_survival).
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("_first"),
+        F.max(epoch_us(F.col("ts"))).alias("_last"),
+        F.min(
+            F.when(F.col("event_type") == "error", epoch_us(F.col("ts")))
+        ).alias("_err"),
+    )
+    spans = per_user.select(
+        (
+            (F.coalesce(F.col("_err"), F.col("_last")) - F.col("_first"))
+            / F.lit(86400 * 1000000)
+        ).cast("int").alias("duration_days"),
+        F.col("_err").isNotNull().alias("errored"),
+    )
+    return R.restricted_mean_survival(
+        spans, "duration_days", "errored", tau=30.0
+    )
+
+
 def q_control_chart(spark, sf_dir):
     # I-MR control chart of daily event value per type: limits at
     # center +/- 2.66 * mean moving range, out-of-control points
@@ -4624,6 +4650,7 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_rmst",
     "ext_control_chart",
     "llm_oov_rate",
     "ext_price_elasticity",
@@ -4840,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_rmst": q_rmst,
         "ext_control_chart": q_control_chart,
         "llm_oov_rate": q_oov_rate,
         "ext_price_elasticity": q_price_elasticity,
@@ -5500,6 +5528,66 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_rmst": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) AS f,
+                       max(epoch_us(ts)) AS l,
+                       min(CASE WHEN event_type = 'error'
+                                THEN epoch_us(ts) END) AS e
+                FROM events GROUP BY 1
+            ),
+            spans AS (
+                SELECT ((coalesce(e, l) - f) // 86400000000)::INT AS t,
+                       (e IS NOT NULL) AS errored
+                FROM pu
+            ),
+            per_t AS (
+                SELECT t, count(*) AS total,
+                       sum(errored::INT) AS n_events
+                FROM spans GROUP BY 1
+            ),
+            grid AS (
+                SELECT t, n_events,
+                       sum(total) OVER ()
+                       - coalesce(sum(total) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_at_risk
+                FROM per_t
+            ),
+            stepped AS (
+                SELECT t, n_events,
+                       CASE WHEN min(1.0 - n_events / n_at_risk::DOUBLE)
+                                 OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) <= 0
+                            THEN 0.0::DOUBLE
+                            ELSE exp(sum(CASE WHEN 1.0 - n_events
+                                                   / n_at_risk::DOUBLE > 0
+                                         THEN ln(1.0 - n_events
+                                                 / n_at_risk::DOUBLE)
+                                         ELSE 0.0::DOUBLE END)
+                                     OVER (ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING))
+                       END AS s
+                FROM grid
+            ),
+            km AS (
+                SELECT t::DOUBLE AS t, round(s, 6) AS survival
+                FROM stepped WHERE n_events > 0
+            ),
+            seg AS (
+                SELECT t,
+                       survival * (least(coalesce(lead(t) OVER (ORDER BY t),
+                                                  30.0), 30.0)
+                                   - least(t, 30.0)) AS sg
+                FROM km
+            )
+            SELECT 30.0::DOUBLE AS tau,
+                   count(*) AS n_steps,
+                   round(least(min(t), 30.0) + sum(sg), 4) AS rmst
+            FROM seg
+        """,
         "ext_control_chart": """
             WITH daily AS (
                 SELECT event_type,

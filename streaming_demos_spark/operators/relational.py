@@ -4294,3 +4294,47 @@ def imr_control_chart(
             "out_of_control"
         ),
     )
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan-Meier
+    curve up to horizon ``tau`` — the clinically-standard effect size
+    when hazards aren't proportional ("average days survived out of
+    the first tau").
+
+    Integrates the step function exactly over the KM event grid (a
+    lead window on the bounded distinct-duration frame): the head
+    segment survives at 1.0 until the first event, each step i
+    contributes ``S_i * (min(t_{i+1}, tau) - min(t_i, tau))``.
+    Survival probabilities enter at their published 6dp rounding, so
+    the integral is a deterministic function of the KM output. Output
+    one row: (tau, n_steps, rmst).
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    t = F.col(duration_col).cast("double")
+    w = Window.orderBy(duration_col)
+    nxt = F.coalesce(F.lead(t).over(w), F.lit(float(tau)))
+    stepped = km.select(
+        t.alias("_t"),
+        (
+            F.col("survival")
+            * (
+                F.least(nxt, F.lit(float(tau)))
+                - F.least(t, F.lit(float(tau)))
+            )
+        ).alias("_seg"),
+    )
+    return stepped.agg(
+        F.lit(float(tau)).alias("tau"),
+        F.count("*").alias("n_steps"),
+        F.round(
+            F.least(F.min("_t"), F.lit(float(tau))) + F.sum("_seg"),
+            round_dp,
+        ).alias("rmst"),
+    )

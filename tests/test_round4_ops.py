@@ -1715,3 +1715,21 @@ def test_oov_rate_isolated_vocabulary(spark):
     assert out["s3"].oov_rate == 1.0
     assert out["s1"].oov_rate == round(1 / 3, 6)
     assert out["s2"].oov_rate == round(1 / 3, 6)
+
+
+def test_rmst_hand_integral(spark):
+    from streaming_demos_spark.operators.relational import (
+        restricted_mean_survival,
+    )
+
+    # 4 subjects, events at t=2 (1 death of 4) and t=5 (1 of 3),
+    # 2 censored at t=8. S=0.75 on [2,5), S=0.5 on [5, tau).
+    rows = [(2, True), (5, True), (8, False), (8, False)]
+    df = spark.createDataFrame(rows, "d int, e boolean")
+    out = restricted_mean_survival(df, "d", "e", tau=10.0).collect()[0]
+    # integral: 1.0*2 + 0.75*(5-2) + 0.5*(10-5) = 2 + 2.25 + 2.5
+    assert out.rmst == 6.75
+    assert out.n_steps == 2 and out.tau == 10.0
+    # tau below the first event: curve is 1.0 throughout
+    out2 = restricted_mean_survival(df, "d", "e", tau=1.5).collect()[0]
+    assert out2.rmst == 1.5

@@ -77,6 +77,8 @@ def main() -> None:
             "ext_fdr_screen": "25-row tests frame",
             "ext_kruskal_wallis": "distinct-value grid (2dp-rounded)",
             "ext_roc_curve": "distinct-score grid (2dp-rounded)",
+            "ext_rmst": "distinct-duration grid (KM device + lead)",
+            "ext_cumulative_users": "calendar frame (first-seen days)",
         }
         rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:

@@ -3390,6 +3390,39 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_quantile_shift(spark, sf_dir):
+    # Quantile treatment effects: the purchase-vs-view value shift at
+    # every decile (effect heterogeneity a mean test hides), from the
+    # distributed histogram-selection percentiles; the shift subtracts
+    # the published 6dp quantiles, so it is exact
+    # (relational.py:grouped_quantiles_selection).
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(["purchase", "view"])
+    ).select("event_type", F.round("value", 2).alias("value"))
+    gq = R.grouped_quantiles_selection(
+        ev, "event_type", "value", [i / 10 for i in range(1, 10)]
+    )
+    a = gq.filter(F.col("event_type") == "purchase").select(
+        *[F.col(f"p{p}").alias(f"_a{p}") for p in range(10, 100, 10)]
+    )
+    b = gq.filter(F.col("event_type") == "view").select(
+        *[F.col(f"p{p}").alias(f"_b{p}") for p in range(10, 100, 10)]
+    )
+    stacked = a.crossJoin(b).selectExpr(
+        "stack(9, "
+        + ", ".join(
+            f"{p}, _a{p}, _b{p}" for p in range(10, 100, 10)
+        )
+        + ") AS (pct, q_treat, q_control)"
+    )
+    return stacked.select(
+        "pct",
+        "q_treat",
+        "q_control",
+        F.round(F.col("q_treat") - F.col("q_control"), 6).alias("shift"),
+    ).orderBy("pct")
+
+
 def q_rmst(spark, sf_dir):
     # Restricted mean time-to-first-error (tau = 30 days): area under
     # the same KM curve ext_kaplan_meier publishes, integrated exactly
@@ -4650,6 +4683,7 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    "ext_quantile_shift",
     "ext_rmst",
     "ext_control_chart",
     "llm_oov_rate",
@@ -4867,6 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification yet), the r2-red f_svd_embed, then r2 judge-verified
     # (but never driver-green) keys; driver-green r2 keys come last.
     d = {
+        "ext_quantile_shift": q_quantile_shift,
         "ext_rmst": q_rmst,
         "ext_control_chart": q_control_chart,
         "llm_oov_rate": q_oov_rate,
@@ -5528,6 +5563,29 @@ def oracle_sql() -> dict[str, str]:
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
         # engines evaluate the identical FP expression.
+        "ext_quantile_shift": """
+            WITH two AS (
+                SELECT event_type, round(value, 2) AS v
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ),
+            q AS (
+                SELECT event_type,
+                       round(quantile_cont(v, 0.1), 6) AS q10, round(quantile_cont(v, 0.2), 6) AS q20, round(quantile_cont(v, 0.3), 6) AS q30, round(quantile_cont(v, 0.4), 6) AS q40, round(quantile_cont(v, 0.5), 6) AS q50, round(quantile_cont(v, 0.6), 6) AS q60, round(quantile_cont(v, 0.7), 6) AS q70, round(quantile_cont(v, 0.8), 6) AS q80, round(quantile_cont(v, 0.9), 6) AS q90
+                FROM two GROUP BY 1
+            ),
+            a AS (SELECT * FROM q WHERE event_type = 'purchase'),
+            b AS (SELECT * FROM q WHERE event_type = 'view')
+            SELECT 10 AS pct, a.q10 AS q_treat, b.q10 AS q_control, round(a.q10 - b.q10, 6) AS shift FROM a, b
+            UNION ALL SELECT 20 AS pct, a.q20 AS q_treat, b.q20 AS q_control, round(a.q20 - b.q20, 6) AS shift FROM a, b
+            UNION ALL SELECT 30 AS pct, a.q30 AS q_treat, b.q30 AS q_control, round(a.q30 - b.q30, 6) AS shift FROM a, b
+            UNION ALL SELECT 40 AS pct, a.q40 AS q_treat, b.q40 AS q_control, round(a.q40 - b.q40, 6) AS shift FROM a, b
+            UNION ALL SELECT 50 AS pct, a.q50 AS q_treat, b.q50 AS q_control, round(a.q50 - b.q50, 6) AS shift FROM a, b
+            UNION ALL SELECT 60 AS pct, a.q60 AS q_treat, b.q60 AS q_control, round(a.q60 - b.q60, 6) AS shift FROM a, b
+            UNION ALL SELECT 70 AS pct, a.q70 AS q_treat, b.q70 AS q_control, round(a.q70 - b.q70, 6) AS shift FROM a, b
+            UNION ALL SELECT 80 AS pct, a.q80 AS q_treat, b.q80 AS q_control, round(a.q80 - b.q80, 6) AS shift FROM a, b
+            UNION ALL SELECT 90 AS pct, a.q90 AS q_treat, b.q90 AS q_control, round(a.q90 - b.q90, 6) AS shift FROM a, b
+            ORDER BY pct
+        """,
         "ext_rmst": """
             WITH pu AS (
                 SELECT user_id,

@@ -1733,3 +1733,18 @@ def test_rmst_hand_integral(spark):
     # tau below the first event: curve is 1.0 throughout
     out2 = restricted_mean_survival(df, "d", "e", tau=1.5).collect()[0]
     assert out2.rmst == 1.5
+
+
+def test_quantile_shift_is_decile_difference(spark):
+    """QTE wrapper sanity on the real micro-SF data: 9 deciles,
+    shift == q_treat - q_control at each, monotone quantiles."""
+    import __spark_entry__ as E
+
+    out = E.queries()["ext_quantile_shift"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.pct for r in out] == list(range(10, 100, 10))
+    for r in out:
+        assert r.shift == round(r.q_treat - r.q_control, 6)
+    qt = [r.q_treat for r in out]
+    assert qt == sorted(qt)

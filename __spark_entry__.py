@@ -6765,7 +6765,8 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS high,
                    min(value) AS low,
                    min(CASE WHEN rn_d = 1 THEN value END) AS close,
-                   round(avg(value), 6) AS mean_price,
+                   round(sum(round(value * 10000.0)::BIGINT)
+                         / (count(*) * 10000.0), 6) AS mean_price,
                    count(*) AS n_ticks
             FROM ranked GROUP BY 1, 2
             ORDER BY event_type, bucket_ts
@@ -10073,8 +10074,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS nation,
                    coalesce(out_deg, 0) AS out_deg,
                    coalesce(in_deg, 0) AS in_deg,
-                   round(coalesce(out_w, 0), 6) AS out_w,
-                   round(coalesce(in_w, 0), 6) AS in_w
+                   round(coalesce(out_w, 0), 2) AS out_w,
+                   round(coalesce(in_w, 0), 2) AS in_w
             FROM o FULL JOIN i USING (node)
             JOIN nation ON node = n_nationkey
         """,

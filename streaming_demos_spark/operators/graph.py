@@ -125,8 +125,10 @@ def degree_profile(
             "node",
             F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-            F.round(F.coalesce("out_w", F.lit(0.0)), 6).alias("out_w"),
-            F.round(F.coalesce("in_w", F.lit(0.0)), 6).alias("in_w"),
+            # O(Σ)-magnitude strength sums round at 2dp: at ~1e9 the
+            # sum-order ulp (~2e-7) sits ON the 6dp rounding grid
+            F.round(F.coalesce("out_w", F.lit(0.0)), 2).alias("out_w"),
+            F.round(F.coalesce("in_w", F.lit(0.0)), 2).alias("in_w"),
         )
     )
 

@@ -3428,7 +3428,14 @@ def ohlc_bars(
             F.max(p).alias("high"),
             F.min(p).alias("low"),
             F.max_by(p, pos).alias("close"),
-            F.round(F.avg(p), round_dp).alias("mean_price"),
+            # mean from exact 4dp fixed-point units: a float sum of raw
+            # prices can straddle the 6dp rounding boundary differently
+            # per engine; Σunits/(1e4 n) is one deterministic division
+            F.round(
+                F.sum(F.round(p * F.lit(1e4)).cast("long"))
+                / (F.count("*") * F.lit(1e4)),
+                round_dp,
+            ).alias("mean_price"),
             F.count("*").alias("n_ticks"),
         )
     )

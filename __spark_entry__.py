@@ -144,9 +144,11 @@ def q_grouped_revenue_segment(spark, sf_dir):
 
 def q_metric_deltas(spark, sf_dir):
     # A4 metric delta vs previous tick, as lag() over daily ticks.
+    # to_date, not date_trunc: date_trunc returns a session-tz
+    # TIMESTAMP, which shifts under a non-UTC harness.
     events = _t(spark, sf_dir, "events")
     daily = events.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
+        F.to_date("ts").alias("day"), "event_type"
     ).agg(F.round(F.sum("value"), 2).alias("value"))
     return R.metric_deltas(daily, "day", "event_type", "value")
 
@@ -317,7 +319,10 @@ def q_debezium_unwrap(spark, sf_dir):
     raw = cdc.make_envelopes(orders, op="c", db="demo", table="orders")
     out = cdc.debezium_unwrap(raw, "value", ORDERS)
     return out.select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        # the JSON round trip parses o_orderdate in the session tz;
+        # to_date renders it back in the same zone — tz-proof DATE out
+        F.to_date("o_orderdate").alias("o_orderdate"),
         "o_orderpriority", "op", "table", "lsn",
     )
 
@@ -766,7 +771,7 @@ def q_hierarchical_rollup(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.sum("value").alias("v"), F.count("*").alias("n"))
     return (
-        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        hourly.groupBy(F.to_date("hour").alias("day"), "event_type")
         .agg(F.round(F.sum("v"), 2).alias("total_value"), F.sum("n").alias("n"))
     )
 
@@ -3377,15 +3382,13 @@ def q_bloom_semijoin(spark, sf_dir):
             F.sum(
                 (F.col("bloom_hit") & ~F.col("is_member")).cast("int")
             ).alias("n_false_pos"),
-            F.round(
-                F.sum(
-                    (F.col("bloom_hit") & ~F.col("is_member")).cast(
-                        "int"
-                    )
-                )
-                / F.sum((~F.col("is_member")).cast("int")),
-                6,
-            ).alias("fp_rate"),
+            # exact integer denominator instead of a rounded ratio —
+            # integer/integer quotients land ON decimal midpoints,
+            # where Spark (HALF_UP on binary) and DuckDB (shortest-
+            # decimal repr) disagree by the final digit
+            F.sum((~F.col("is_member")).cast("int")).alias(
+                "n_non_members"
+            ),
         )
     )
 
@@ -3455,7 +3458,7 @@ def q_control_chart(spark, sf_dir):
     # flagged (relational.py:imr_control_chart).
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+        "event_type", F.to_date("ts").alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("total"))
     return R.imr_control_chart(
         daily, "event_type", "day", "total"
@@ -3495,7 +3498,7 @@ def q_sax_symbols(spark, sf_dir):
     # alphabet (relational.py:sax_symbols).
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+        "event_type", F.to_date("ts").alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("total"))
     return R.sax_symbols(
         daily, "event_type", "day", "total", n_segments=6
@@ -3514,10 +3517,14 @@ def q_yuen_ttest(spark, sf_dir):
     # Robust two-sample comparison of purchase vs view values: Yuen's
     # 20%-trimmed t with winsorized variance, all order statistics
     # from the per-group value grid (stats.py:yuen_trimmed_ttest).
+    # int_scale=100: exact integer-cents sums (no partition-order float
+    # noise) and exact scaled-integer trimmed means — environment-proof.
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.round("value", 2).alias("value")
     )
-    return ST.yuen_trimmed_ttest(ev, "event_type", "value", "purchase", "view")
+    return ST.yuen_trimmed_ttest(
+        ev, "event_type", "value", "purchase", "view", int_scale=100
+    )
 
 
 def q_matryoshka_eval(spark, sf_dir):
@@ -5649,7 +5656,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_control_chart": """
             WITH daily AS (
                 SELECT event_type,
-                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       date_trunc('day', ts)::DATE AS day,
                        round(sum(value), 4) AS total
                 FROM events GROUP BY 1, 2
             ),
@@ -5745,7 +5752,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_sax_symbols": """
             WITH daily AS (
                 SELECT event_type,
-                       date_trunc('day', ts)::TIMESTAMP AS day,
+                       date_trunc('day', ts)::DATE AS day,
                        round(sum(value), 4) AS total
                 FROM events GROUP BY 1, 2
             ),
@@ -5814,7 +5821,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ext_yuen_ttest": """
             WITH two AS (
-                SELECT event_type AS g, round(value, 2) AS v
+                SELECT event_type AS g,
+                       round(round(value, 2) * 100)::BIGINT AS v
                 FROM events WHERE event_type IN ('purchase', 'view')
             ),
             grid AS (SELECT g, v, count(*) AS c FROM two GROUP BY 1, 2),
@@ -5822,43 +5830,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT g, v, c,
                        coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING), 0) AS cb,
-                       sum(c) OVER (PARTITION BY g) AS n
+                                    AND 1 PRECEDING), 0)::BIGINT AS cb,
+                       (sum(c) OVER (PARTITION BY g))::BIGINT AS n
                 FROM grid
             ),
             per AS (
                 SELECT g, max(n) AS n_rows,
-                       max(floor(0.2 * n)) AS tg,
-                       sum(v * greatest(0,
-                           least(cb + c, n - floor(0.2 * n))
-                           - greatest(cb, floor(0.2 * n)))) AS st,
-                       sum(v * v * greatest(0,
-                           least(cb + c, n - floor(0.2 * n))
-                           - greatest(cb, floor(0.2 * n)))) AS sst,
-                       min(CASE WHEN cb + c >= floor(0.2 * n) + 1
+                       max(floor(0.2 * n)::BIGINT) AS tg,
+                       sum(v * greatest(0::BIGINT,
+                           least(cb + c, n - floor(0.2 * n)::BIGINT)
+                           - greatest(cb, floor(0.2 * n)::BIGINT)
+                           ))::BIGINT AS st,
+                       sum(v * v * greatest(0::BIGINT,
+                           least(cb + c, n - floor(0.2 * n)::BIGINT)
+                           - greatest(cb, floor(0.2 * n)::BIGINT)
+                           ))::BIGINT AS sst,
+                       min(CASE WHEN cb + c >= floor(0.2 * n)::BIGINT + 1
                                 THEN v END) AS lo,
-                       min(CASE WHEN cb + c >= n - floor(0.2 * n)
+                       min(CASE WHEN cb + c >= n - floor(0.2 * n)::BIGINT
                                 THEN v END) AS hi
                 FROM cum GROUP BY 1
             ),
             w AS (
-                SELECT g, n_rows, st, n_rows - 2.0 * tg AS h,
-                       st + tg * lo + tg * hi AS win_sum,
-                       sst + tg * lo * lo + tg * hi * hi AS win_ss
+                SELECT g, n_rows, st, (n_rows - 2 * tg)::BIGINT AS h,
+                       (st + tg * lo + tg * hi)::DOUBLE AS win_sum,
+                       (sst + tg * lo * lo + tg * hi * hi)::DOUBLE
+                           AS win_ss
                 FROM per
             ),
             stats AS (
-                SELECT g, n_rows, h, st / h AS tmean,
-                       (n_rows - 1) * greatest(0.0,
-                           (win_ss - win_sum * win_sum / n_rows)
-                           / (n_rows - 1))
-                       / (h * (h - 1)) AS d
+                SELECT g, n_rows, st, h,
+                       st::DOUBLE / h::DOUBLE AS tmean,
+                       (n_rows::DOUBLE - 1) * greatest(0.0::DOUBLE,
+                           (win_ss - win_sum * win_sum / n_rows::DOUBLE)
+                           / (n_rows::DOUBLE - 1))
+                       / (h::DOUBLE * (h::DOUBLE - 1)) AS d
                 FROM w
             ),
             ab AS (
                 SELECT a.n_rows AS n_a, b.n_rows AS n_b,
                        a.h AS h_a, b.h AS h_b,
-                       a.tmean AS ma, b.tmean AS mb,
+                       a.st AS st_a, b.st AS st_b,
                        (a.tmean - b.tmean) / sqrt(a.d + b.d) AS t
                 FROM stats a, stats b
                 WHERE a.g = 'purchase' AND b.g = 'view'
@@ -5873,7 +5885,8 @@ def oracle_sql() -> dict[str, str]:
                              * exp(-x*x) AS erf
                    FROM e2)
             SELECT n_a, n_b, h_a::BIGINT AS h_a, h_b::BIGINT AS h_b,
-                   round(ma, 6) AS tmean_a, round(mb, 6) AS tmean_b,
+                   (st_a * 10000) // h_a AS tmean_a_e6,
+                   (st_b * 10000) // h_b AS tmean_b_e6,
                    round(t, 6) AS t_stat,
                    round(1.0 - erf, 6) AS p_normal
             FROM e3
@@ -5921,7 +5934,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_cumulative_users": """
             WITH fst AS (
                 SELECT user_id,
-                       min(date_trunc('day', ts))::TIMESTAMP AS bucket_ts
+                       min(date_trunc('day', ts))::DATE AS bucket_ts
                 FROM events GROUP BY 1
             ),
             per AS (
@@ -6087,7 +6100,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_period_end_balance": """
             WITH ranked AS (
                 SELECT user_id,
-                       date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+                       date_trunc('day', ts)::DATE AS bucket_ts,
                        value,
                        row_number() OVER (
                            PARTITION BY user_id, date_trunc('day', ts)
@@ -6750,7 +6763,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ext_ohlc_bars": """
             WITH ranked AS (
-                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                SELECT event_type,
+                       strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                        value,
                        row_number() OVER (
                            PARTITION BY event_type, date_trunc('hour', ts)
@@ -6918,8 +6933,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(is_member::INT) AS n_members,
                    sum(bloom_hit::INT) AS n_hits,
                    sum((bloom_hit AND NOT is_member)::INT) AS n_false_pos,
-                   round(sum((bloom_hit AND NOT is_member)::INT)
-                         / sum((NOT is_member)::INT), 6) AS fp_rate
+                   sum((NOT is_member)::INT) AS n_non_members
             FROM flagged
         """,
         "llm_dedup_containment": """
@@ -8337,9 +8351,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a4_metric_deltas": """
             WITH daily AS (
-                -- DuckDB date_trunc('day') yields DATE; cast back to
-                -- TIMESTAMP to match Spark's date_trunc.
-                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                SELECT date_trunc('day', CAST(ts AS TIMESTAMP))::DATE AS day,
                        event_type,
                        round(sum(value), 2) AS value
                 FROM events GROUP BY 1, 2
@@ -8471,7 +8483,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "s10_debezium_unwrap": """
-            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate::DATE AS o_orderdate,
                    o_orderpriority,
                    'c' AS op, 'orders' AS "table", o_orderkey * 10 AS lsn
             FROM orders
@@ -8788,8 +8801,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_hierarchical_rollup": """
             -- oracle computes the daily level straight from raw rows;
             -- the engine's hourly->daily reaggregation must agree
-            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
-                       AS day,
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP))::DATE AS day,
                    event_type,
                    round(sum(value), 2) AS total_value,
                    count(*) AS n

@@ -3415,13 +3415,22 @@ def ohlc_bars(
     making the bar deterministic under any partitioning. At 100 TB the
     output cardinality is |keys| x |buckets|, independent of tick
     volume.
+
+    ``bucket_ts`` is a formatted STRING (``yyyy-MM-dd HH:mm:ss``): a
+    raw ``date_trunc`` TIMESTAMP renders in the session timezone, so a
+    non-UTC harness would shift every bar; ``date_format`` renders the
+    truncated instant back in the same session zone — the wall-clock
+    bucket — under any timezone. Lexicographic order == time order.
     """
     p = F.col(price_col).cast("double")
     pos = F.struct(F.col(ts_col), F.col(tiebreak_col))
     return (
         df.groupBy(
             F.col(key_col),
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            F.date_format(
+                F.date_trunc(bucket, F.col(ts_col)),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_ts"),
         )
         .agg(
             F.min_by(p, pos).alias("open"),
@@ -3882,12 +3891,17 @@ def period_end_balance(
     Plan: one hash aggregation takes ``max_by`` over a (ts, tiebreak)
     struct per (entity, period) — map-side combinable, no window —
     then a second aggregation sums the period-end values per period.
-    Output: (bucket_ts, n_entities, total_balance).
+    Output: (bucket_ts DATE, n_entities, total_balance); the bucket is
+    a DATE (period start), not a session-tz TIMESTAMP — ``date_trunc``
+    alone shifts under a non-UTC session while ``to_date`` round-trips
+    to the wall-clock date.
     """
     pos = F.struct(F.col(ts_col), F.col(tiebreak_col))
     per = df.groupBy(
         F.col(entity_col).alias("_e"),
-        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        F.to_date(F.date_trunc(bucket, F.col(ts_col))).alias(
+            "bucket_ts"
+        ),
     ).agg(F.max_by(F.col(value_col).cast("double"), pos).alias("_last"))
     return (
         per.groupBy("bucket_ts")
@@ -4093,10 +4107,18 @@ def cumulative_new_users(
     First-seen period is one per-user MIN aggregation (map-side
     combinable); the running total is a window over the PERIOD frame
     (bounded by the calendar, never rows). Output:
-    (bucket_ts, new_users, cumulative_users).
+    (bucket_ts DATE, new_users, cumulative_users).
+
+    The bucket is emitted as DATE, not TIMESTAMP: ``date_trunc`` on a
+    TIMESTAMP_NTZ column returns a session-timezone TIMESTAMP, so a
+    non-UTC harness would shift every bucket; ``to_date`` round-trips
+    through the same session zone and lands on the wall-clock date,
+    which collects as a tz-free ``datetime.date`` in every harness.
     """
     first = df.groupBy(F.col(user_col).alias("_u")).agg(
-        F.min(F.date_trunc(bucket, F.col(ts_col))).alias("bucket_ts")
+        F.min(F.to_date(F.date_trunc(bucket, F.col(ts_col)))).alias(
+            "bucket_ts"
+        )
     )
     per = first.groupBy("bucket_ts").agg(
         F.count("*").alias("new_users")

@@ -1251,6 +1251,7 @@ def yuen_trimmed_ttest(
     group_b,
     trim: float = 0.2,
     round_dp: int = 6,
+    int_scale: int | None = None,
 ) -> DataFrame:
     """Yuen's trimmed-mean t-test (Yuen 1974): compare 20%-trimmed
     means with winsorized variances — robust where Welch's t is
@@ -1265,8 +1266,24 @@ def yuen_trimmed_ttest(
 
         t = (mt_a - mt_b) / sqrt(d_a + d_b),
         d = (n-1)·s²_win / (h·(h-1)),  h = n - 2g
+
+    ``int_scale`` (e.g. 100 for 2dp money) switches to the exact
+    fixed-point form: values become BIGINT units (cents), all trimmed
+    and winsorized sums are exact integers (no partition-order float
+    noise), the trimmed means are emitted as exact scaled integers
+    ``tmean_{a,b}_e6`` (value·1e6, integer division — never a rounded
+    terminating-decimal quotient, which straddles midpoints across
+    engines), and t (scale-invariant) is computed from the exact
+    integer sums. ``int_scale`` must divide 1_000_000.
     """
-    v = F.col(value_col).cast("double")
+    if int_scale is not None and 1_000_000 % int_scale != 0:
+        raise ValueError("int_scale must divide 1_000_000")
+    if int_scale is not None:
+        v = F.round(F.col(value_col).cast("double") * int_scale).cast(
+            "long"
+        )
+    else:
+        v = F.col(value_col).cast("double")
     two = df.filter(F.col(group_col).isin([group_a, group_b]))
     grid = two.groupBy(
         F.col(group_col).alias("_g"), v.alias("_v")
@@ -1304,15 +1321,32 @@ def yuen_trimmed_ttest(
             F.when(F.col("_cb") + F.col("_c") >= hi_rank, F.col("_v"))
         ).alias("_hi"),
     )
-    gd = F.col("_trim_g").cast("double")
     n = F.col("_n_rows").cast("double")
-    h = n - F.lit(2.0) * gd
-    win_sum = F.col("_st") + gd * F.col("_lo") + gd * F.col("_hi")
-    win_ss = (
-        F.col("_sst")
-        + gd * F.col("_lo") * F.col("_lo")
-        + gd * F.col("_hi") * F.col("_hi")
-    )
+    if int_scale is not None:
+        # exact integer winsorized sums (BIGINT), doubles only in the
+        # final scalar arithmetic — deterministic op order both engines
+        gl = F.col("_trim_g")
+        h_long = F.col("_n_rows") - F.lit(2) * gl
+        h = h_long.cast("double")
+        win_sum = (
+            F.col("_st") + gl * F.col("_lo") + gl * F.col("_hi")
+        ).cast("double")
+        win_ss = (
+            F.col("_sst")
+            + gl * F.col("_lo") * F.col("_lo")
+            + gl * F.col("_hi") * F.col("_hi")
+        ).cast("double")
+        tmean = F.col("_st").cast("double") / h
+    else:
+        gd = F.col("_trim_g").cast("double")
+        h = n - F.lit(2.0) * gd
+        win_sum = F.col("_st") + gd * F.col("_lo") + gd * F.col("_hi")
+        win_ss = (
+            F.col("_sst")
+            + gd * F.col("_lo") * F.col("_lo")
+            + gd * F.col("_hi") * F.col("_hi")
+        )
+        tmean = F.col("_st") / h
     s2w = F.greatest(
         F.lit(0.0),
         F.try_divide(win_ss - win_sum * win_sum / n, n - F.lit(1)),
@@ -1320,18 +1354,21 @@ def yuen_trimmed_ttest(
     stats = per.select(
         "_g",
         F.col("_n_rows"),
+        F.col("_st"),
         h.alias("_h"),
-        (F.col("_st") / h).alias("_tmean"),
+        tmean.alias("_tmean"),
         F.try_divide(
             (n - F.lit(1)) * s2w, F.col("_h") * (F.col("_h") - F.lit(1))
         ).alias("_d"),
     )
     a = stats.filter(F.col("_g") == group_a).select(
         F.col("_n_rows").alias("n_a"), F.col("_h").alias("h_a"),
+        F.col("_st").alias("_sta"),
         F.col("_tmean").alias("_ma"), F.col("_d").alias("_da"),
     )
     b = stats.filter(F.col("_g") == group_b).select(
         F.col("_n_rows").alias("n_b"), F.col("_h").alias("h_b"),
+        F.col("_st").alias("_stb"),
         F.col("_tmean").alias("_mb"), F.col("_d").alias("_db"),
     )
     j = a.crossJoin(b)
@@ -1342,6 +1379,24 @@ def yuen_trimmed_ttest(
         ),
         F.lit(0.0),
     )
+    if int_scale is not None:
+        # trimmed means as EXACT scaled integers (value·1e6): integer
+        # division of the exact trimmed cent-sum — no double rounding
+        mul = 1_000_000 // int_scale
+        return j.select(
+            "n_a",
+            "n_b",
+            F.col("h_a").cast("long").alias("h_a"),
+            F.col("h_b").cast("long").alias("h_b"),
+            F.expr(f"(_sta * {mul}) div cast(h_a as bigint)").alias(
+                "tmean_a_e6"
+            ),
+            F.expr(f"(_stb * {mul}) div cast(h_b as bigint)").alias(
+                "tmean_b_e6"
+            ),
+            F.round(t, round_dp).alias("t_stat"),
+            F.round(norm_sf_2sided(t), round_dp).alias("p_normal"),
+        )
     return j.select(
         "n_a",
         "n_b",

@@ -780,12 +780,15 @@ def test_ohlc_bars_tiebreak_and_extremes(spark):
         r.bucket_ts: r
         for r in ohlc_bars(df, "ts", "price", "k", "event_id").collect()
     }
-    bar = out[t0]
+    # tz-proof contract: the bucket is a formatted string, never a
+    # session-tz TIMESTAMP
+    key = lambda t: t.strftime("%Y-%m-%d %H:%M:%S")  # noqa: E731
+    bar = out[key(t0)]
     assert bar.open == 100.0  # event_id 1 beats 2 at the tied open
     assert bar.close == 101.0  # event_id 5 beats 4 at the tied close
     assert bar.high == 105.0 and bar.low == 90.0 and bar.n_ticks == 5
-    assert out[t0 + dt.timedelta(hours=1)].open == 50.0
-    assert out[t0 + dt.timedelta(hours=1)].n_ticks == 1
+    assert out[key(t0 + dt.timedelta(hours=1))].open == 50.0
+    assert out[key(t0 + dt.timedelta(hours=1))].n_ticks == 1
 
 
 def test_target_encode_loo_formula_and_singleton_prior(spark):
@@ -1277,8 +1280,8 @@ def test_period_end_balance_takes_last_not_sum(spark):
             df, "user_id", "ts", "value", "event_id", bucket="day"
         ).collect()
     }
-    assert out[d(2024, 1, 1)] == (2, 100.0)  # 30 + 70, NOT 10+30+100+70
-    assert out[d(2024, 1, 2)] == (1, 40.0)
+    assert out[dt.date(2024, 1, 1)] == (2, 100.0)  # 30+70, NOT 10+30+100+70
+    assert out[dt.date(2024, 1, 2)] == (1, 40.0)
 
 
 def test_ratio_to_parent_shares_sum_to_one(spark):
@@ -1386,7 +1389,9 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r.k, r.w.start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        (r.k, r.w.start.strftime("%Y-%m-%d %H:%M:%S")): (
+            r.open, r.high, r.low, r.close, r.n_ticks,
+        )
         for r in spark.sql("SELECT * FROM ohlc_stream").collect()
     }
     assert got == batch
@@ -1555,13 +1560,16 @@ def test_cumulative_new_users_counts_first_seen_once(spark):
         (3, d(2024, 1, 3, 1)), (3, d(2024, 1, 3, 2)),   # u3 new on day 3
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out_df = cumulative_new_users(df, "user_id", "ts")
+    # tz-proof contract: the bucket is a DATE, never a session-tz TIMESTAMP
+    assert dict(out_df.dtypes)["bucket_ts"] == "date"
     out = {
         r.bucket_ts: (r.new_users, r.cumulative_users)
-        for r in cumulative_new_users(df, "user_id", "ts").collect()
+        for r in out_df.collect()
     }
-    assert out[d(2024, 1, 1)] == (2, 2)
-    assert out[d(2024, 1, 3)] == (1, 3)
-    assert d(2024, 1, 2) not in out  # no NEW users that day
+    assert out[dt.date(2024, 1, 1)] == (2, 2)
+    assert out[dt.date(2024, 1, 3)] == (1, 3)
+    assert dt.date(2024, 1, 2) not in out  # no NEW users that day
 
 
 def test_binseg_finds_planted_mean_shifts(spark):

@@ -3300,40 +3300,85 @@ def q_k_anonymity(spark, sf_dir):
     ).orderBy("c_nationkey", "bal_dollars")
 
 
-def q_fs_linkage(spark, sf_dir):
-    # Fellegi-Sunter probabilistic linkage over (nation, segment)
-    # blocked customer pairs: name-edit / balance / balance-sign
-    # agreement weighted by log2(m/u), top-200 of the match +
-    # review queue (relational.py:fs_match_scores).
-    c = _t(spark, sf_dir, "customer")
-    a = c.select(
+_FS_MAX_BLOCK = 256
+
+
+def _fs_blocked_pairs(c):
+    # Shared Fellegi-Sunter candidate generator. The blocking key is
+    # (nation, segment, name-prefix band): the band (all but the last
+    # 3 name characters) has cardinality PROPORTIONAL TO THE DATA, so
+    # pair volume grows linearly with rows — a fixed (nation, segment)
+    # key alone is 125 blocks forever and goes quadratic at scale (the
+    # 10x probe hit 10.4x before this band existed). A 256-record
+    # hot-block guard (the blocked_similarity_pairs contract,
+    # relational.py) skips degenerate bands on top.
+    band = F.expr("substring(c_name, 1, length(c_name) - 3)")
+    keyed = c.select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey",
+        "c_mktsegment", band.alias("name_band"),
+    )
+    block_cols = ["c_nationkey", "c_mktsegment", "name_band"]
+    sizes = keyed.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
+    keyed = keyed.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= _FS_MAX_BLOCK)),
+        block_cols,
+    ).drop("_bn")
+    a = keyed.select(
+        *block_cols,
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_acctbal").alias("bal_a"),
-        "c_nationkey",
-        "c_mktsegment",
     )
-    b = c.select(
+    b = keyed.select(
+        *block_cols,
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_acctbal").alias("bal_b"),
-        "c_nationkey",
-        "c_mktsegment",
     )
-    pairs = (
-        a.join(b, ["c_nationkey", "c_mktsegment"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
-            (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
-                "bal_agree"
+    return a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+
+
+_FS_ORACLE_PAIRS = """
+            keyed AS (
+                SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                       c_mktsegment,
+                       substr(c_name, 1, length(c_name) - 3) AS name_band
+                FROM {customer}
             ),
-            (
-                (F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)
-            ).alias("sign_agree"),
-        )
+            ok AS (
+                SELECT c_nationkey, c_mktsegment, name_band
+                FROM keyed GROUP BY 1, 2, 3 HAVING count(*) <= 256
+            ),
+            kept AS (SELECT keyed.* FROM keyed JOIN ok
+                     USING (c_nationkey, c_mktsegment, name_band)),
+            fs_pairs AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                       a.c_name AS name_a, b.c_name AS name_b,
+                       a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+                FROM kept a JOIN kept b
+                  ON a.c_nationkey = b.c_nationkey
+                 AND a.c_mktsegment = b.c_mktsegment
+                 AND a.name_band = b.name_band
+                 AND a.c_custkey < b.c_custkey
+            )
+"""
+
+
+def q_fs_linkage(spark, sf_dir):
+    # Fellegi-Sunter probabilistic linkage over (nation, segment,
+    # name-band) blocked customer pairs: name-edit / balance /
+    # balance-sign agreement weighted by log2(m/u), top-200 of the
+    # match + review queue (relational.py:fs_match_scores).
+    pairs = _fs_blocked_pairs(_t(spark, sf_dir, "customer")).select(
+        "id_a",
+        "id_b",
+        (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
+            "bal_agree"
+        ),
+        (
+            (F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)
+        ).alias("sign_agree"),
     )
     scored = R.fs_match_scores(
         pairs,
@@ -3672,27 +3717,16 @@ def q_fs_em(spark, sf_dir):
     # probabilities from the same blocked customer-pair agreement
     # vectors ext_fs_linkage scores — the 2^3 pattern table is the
     # bounded sufficient statistic (relational.py:fs_em_params).
-    c = _t(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
-        F.col("c_acctbal").alias("bal_a"), "c_nationkey", "c_mktsegment",
-    )
-    b = c.select(
-        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
-        F.col("c_acctbal").alias("bal_b"), "c_nationkey", "c_mktsegment",
-    )
-    pairs = (
-        a.join(b, ["c_nationkey", "c_mktsegment"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
-            (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
-                "bal_agree"
-            ),
-            ((F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)).alias(
-                "sign_agree"
-            ),
-        )
+    # Candidates come from the shared capped (nation, segment,
+    # name-band) generator — linear pair growth, never quadratic.
+    pairs = _fs_blocked_pairs(_t(spark, sf_dir, "customer")).select(
+        (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
+            "bal_agree"
+        ),
+        ((F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)).alias(
+            "sign_agree"
+        ),
     )
     return R.fs_em_params(
         pairs, ["name_agree", "bal_agree", "sign_agree"], iterations=10
@@ -4200,7 +4234,12 @@ def q_auto_histogram(spark, sf_dir):
     # Freedman-Diaconis auto-binned per-type value histogram: exact
     # distributed IQR picks the width, then the same broadcast +
     # map-side floor as value_histogram (relational.py:auto_histogram).
-    return R.auto_histogram(_t(spark, sf_dir, "events"), "event_type", "value")
+    # int_scale=100: whole-cent ceil bin widths and integer bin
+    # assignment — the float span/nb width rounded 6dp straddled a
+    # 1-ulp midpoint at sf0.1.
+    return R.auto_histogram(
+        _t(spark, sf_dir, "events"), "event_type", "value", int_scale=100
+    )
 
 
 def q_minhash_lsh_eval(spark, sf_dir):
@@ -4338,10 +4377,14 @@ def q_dup_spans(spark, sf_dir):
 def q_robust_anomalies(spark, sf_dir):
     # Median/MAD outlier flags per event type (modified z-score > 3.5)
     # — exact medians via distributed selection, no per-key buffering
-    # (relational.py:robust_anomalies).
+    # (relational.py:robust_anomalies). int_scale=100: the z-score is
+    # an exact half-up integer (z*1e4) and the flag is a pure integer
+    # predicate — the float 0.6745*dev/MAD rounded 4dp lands ON decimal
+    # midpoints at sf0.1.
     ev = _t(spark, sf_dir, "events")
     return R.robust_anomalies(
-        ev, "event_type", "value", "event_id", threshold=3.5
+        ev, "event_type", "value", "event_id", threshold=3.5,
+        int_scale=100,
     ).orderBy("event_id")
 
 
@@ -5354,16 +5397,19 @@ def _numeric_oracle_sqls() -> dict[str, str]:
         )
 
         # --- ext_fs_em: replay EM on the 2^3 pattern table -----------
-        patt = con.sql(f"""
-            SELECT (levenshtein(a.c_name, b.c_name) <= 2)::INT AS g0,
-                   (abs(a.c_acctbal - b.c_acctbal) < 500.0)::INT AS g1,
-                   ((a.c_acctbal < 0.0) = (b.c_acctbal < 0.0))::INT AS g2,
+        # same capped (nation, segment, name-band) candidate generator
+        # as the Spark side (_fs_blocked_pairs)
+        patt = con.sql(
+            "WITH "
+            + _FS_ORACLE_PAIRS.format(
+                customer=f"read_parquet('{sf}/customer.parquet')"
+            )
+            + """
+            SELECT (levenshtein(name_a, name_b) <= 2)::INT AS g0,
+                   (abs(bal_a - bal_b) < 500.0)::INT AS g1,
+                   ((bal_a < 0.0) = (bal_b < 0.0))::INT AS g2,
                    count(*) AS n
-            FROM read_parquet('{sf}/customer.parquet') a
-            JOIN read_parquet('{sf}/customer.parquet') b
-              ON a.c_nationkey = b.c_nationkey
-             AND a.c_mktsegment = b.c_mktsegment
-             AND a.c_custkey < b.c_custkey
+            FROM fs_pairs
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """).fetchall()
         counts = sorted(((r[0], r[1], r[2]), int(r[3])) for r in patt)
@@ -6853,16 +6899,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_nationkey, bal_dollars
         """,
         "ext_fs_linkage": """
-            WITH p AS (
-                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                       levenshtein(a.c_name, b.c_name) <= 2 AS name_agree,
-                       abs(a.c_acctbal - b.c_acctbal) < 500.0 AS bal_agree,
-                       (a.c_acctbal < 0.0) = (b.c_acctbal < 0.0)
-                           AS sign_agree
-                FROM customer a JOIN customer b
-                  ON a.c_nationkey = b.c_nationkey
-                 AND a.c_mktsegment = b.c_mktsegment
-                 AND a.c_custkey < b.c_custkey
+            WITH """ + _FS_ORACLE_PAIRS.format(customer="customer") + """,
+            p AS (
+                SELECT id_a, id_b,
+                       levenshtein(name_a, name_b) <= 2 AS name_agree,
+                       abs(bal_a - bal_b) < 500.0 AS bal_agree,
+                       (bal_a < 0.0) = (bal_b < 0.0) AS sign_agree
+                FROM fs_pairs
             ),
             w AS (
                 SELECT *,
@@ -9614,40 +9657,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 8
         """,
         "ext_auto_histogram": """
+            -- exact fixed-point mirror of auto_histogram(int_scale=100):
+            -- cent units, quarter-fraction quantiles scaled 4x onto
+            -- exact integers, whole-cent ceil widths, integer division
             WITH q AS (
                 SELECT event_type,
-                       round(quantile_cont(value, 0.25), 6) AS q1,
-                       round(quantile_cont(value, 0.75), 6) AS q3,
+                       round(quantile_cont(value, 0.25) * 400) AS q1_u4,
+                       round(quantile_cont(value, 0.75) * 400) AS q3_u4,
                        count(*) AS n,
-                       min(value) AS lo, max(value) AS hi
+                       min(round(value * 100)::BIGINT) AS lo_u,
+                       max(round(value * 100)::BIGINT) AS hi_u
                 FROM events GROUP BY 1
             ),
             meta AS (
-                SELECT event_type, lo, hi,
-                       CASE WHEN (2.0 * (q3 - q1) / pow(n, 1.0/3.0)) > 0
-                                 AND (hi - lo) > 0
+                SELECT event_type, lo_u, hi_u,
+                       CASE WHEN (2.0 * (q3_u4 - q1_u4)
+                                  / pow(n, 1.0/3.0)) > 0
+                                 AND (hi_u - lo_u) > 0
                             THEN least(64, greatest(1,
-                                 ceil((hi - lo)
-                                      / (2.0 * (q3 - q1)
-                                         / pow(n, 1.0/3.0)))))::INT
+                                 ceil(((hi_u - lo_u) * 4)::DOUBLE
+                                      / (2.0 * (q3_u4 - q1_u4)
+                                         / pow(n, 1.0/3.0)))))::BIGINT
                             ELSE 1 END AS nb
                 FROM q
+            ),
+            meta2 AS (
+                SELECT event_type, lo_u, nb,
+                       greatest(1, (hi_u - lo_u + nb - 1) // nb) AS w_u
+                FROM meta
             ),
             b AS (
                 SELECT e.event_type,
                        CASE WHEN nb > 1
                             THEN least(nb - 1,
-                                 floor((value - lo) / ((hi - lo) / nb))::INT)
+                                 (round(e.value * 100)::BIGINT - lo_u)
+                                     // w_u)
                             ELSE 0 END AS bin_idx,
-                       lo, hi, nb
-                FROM events e JOIN meta USING (event_type)
+                       lo_u, w_u
+                FROM events e JOIN meta2 USING (event_type)
             )
-            SELECT event_type, bin_idx,
-                   round(lo + bin_idx * (hi - lo) / nb, 6) AS bin_lo,
-                   round(lo + (bin_idx + 1) * (hi - lo) / nb, 6) AS bin_hi,
+            SELECT event_type, bin_idx::INT AS bin_idx,
+                   (lo_u + bin_idx * w_u) / 100.0 AS bin_lo,
+                   (lo_u + (bin_idx + 1) * w_u) / 100.0 AS bin_hi,
                    count(*) AS n_rows
             FROM b
-            GROUP BY event_type, bin_idx, lo, hi, nb
+            GROUP BY event_type, bin_idx, lo_u, w_u
         """,
         "llm_minhash_lsh_eval": f"""
             WITH truth AS ({_sql_ngram_jaccard(threshold=0.1)}),
@@ -10182,24 +10236,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, span_start
         """,
         "ext_robust_anomalies": """
+            -- exact fixed-point mirror of robust_anomalies(int_scale=
+            -- 100): median on 2x units (interpolates onto halves), MAD
+            -- on 4x, z*1e4 as a half-up integer, integer flag predicate
             WITH med AS (
-                SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+                SELECT event_type,
+                       round(quantile_cont(value, 0.5) * 200)::BIGINT
+                           AS med2
                 FROM events GROUP BY event_type
             ),
             dev AS (
                 SELECT e.event_id, e.event_type, e.value,
-                       abs(e.value - med.m) AS absdev, med.m
+                       round(e.value * 200)::BIGINT - med.med2 AS dev2
                 FROM events e JOIN med USING (event_type)
             ),
             mad AS (
-                SELECT event_type, round(quantile_cont(absdev, 0.5), 6) AS md
+                SELECT event_type,
+                       round(quantile_cont(abs(dev2), 0.5) * 2)::BIGINT
+                           AS mad4
                 FROM dev GROUP BY event_type
             )
             SELECT d.event_id, d.event_type, d.value,
-                   round(0.6745 * (d.value - d.m) / mad.md, 4) AS robust_z
+                   (CASE WHEN dev2 < 0 THEN -1 ELSE 1 END)
+                   * ((26980 * abs(dev2) + mad4) // (2 * mad4))
+                       AS robust_z_e4
             FROM dev d JOIN mad USING (event_type)
-            WHERE mad.md > 0
-              AND abs(round(0.6745 * (d.value - d.m) / mad.md, 4)) > 3.5
+            WHERE mad4 > 0 AND 134900 * abs(dev2) > 350000 * mad4
             ORDER BY d.event_id
         """,
         "llm_lr_sweep": TR.sql_logreg_lr_sweep(

@@ -154,6 +154,9 @@ PROBE_KEYS = [
     "ext_grouped_ols",
     "ext_histogram_2d",
     "ext_nelson_aalen",
+    # round 5: capped FS pair generation (was the 10.4x outlier)
+    "ext_fs_linkage",
+    "ext_fs_em",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
@@ -185,6 +188,14 @@ def build(spark, dst: str, n: int) -> None:
             c = base
             for col, unit_key in shifts.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * units[unit_key]))
+            if t == "customer":
+                # keep TPC-H's name<-custkey invariant: without this,
+                # every copy reuses the SAME names and any name-keyed
+                # blocking (fs linkage bands) collides 10-way — an
+                # artifact real corpora don't have
+                c = c.withColumn(
+                    "c_name", F.format_string("Customer#%09d", "c_custkey")
+                )
             if t == "documents":
                 # per-copy word prefix: every shingle differs across
                 # copies -> no artificial 10-way near-dup explosion

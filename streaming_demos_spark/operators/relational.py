@@ -1548,6 +1548,7 @@ def robust_anomalies(
     id_col: str,
     threshold: float = 3.5,
     round_dp: int = 4,
+    int_scale: int | None = None,
 ) -> DataFrame:
     """Median/MAD outlier detection — the robust sibling of
     ``zscore_anomalies``: mean/stddev move with the outliers they are
@@ -1562,7 +1563,60 @@ def robust_anomalies(
     itself is map-side. Keys whose MAD is 0 (>= half the values
     identical) yield NULL scores via try_divide and are never flagged —
     not an ANSI abort.
+
+    ``int_scale`` (100 for 2dp inputs) switches to the exact
+    fixed-point form: values, median (which interpolates onto halves,
+    so internal scale 2x), deviations, and MAD (halves again, 4x) are
+    all exact BIGINTs; the modified z is emitted as the exact
+    half-up-rounded integer ``robust_z_e4`` (z·1e4), and the flag
+    predicate is a pure integer comparison — ``0.6745·dev/MAD`` is a
+    rational whose 4dp rounding digit lands ON midpoints, where Spark
+    (HALF_UP on binary) and DuckDB (shortest-repr) disagree by the
+    final digit under sum/layout ulps.
     """
+    if int_scale is not None:
+        s2 = 2 * int_scale   # median granularity: halves of 1/scale
+        s4 = 4 * int_scale   # MAD granularity: halves of 1/(2*scale)
+        v2 = F.round(F.col(value_col).cast("double") * s2).cast("long")
+        med = grouped_quantiles_selection(
+            df, key_col, value_col, [0.5]
+        ).select(
+            key_col,
+            F.round(F.col("p50") * s2).cast("long").alias("_med2"),
+        )
+        dev = (
+            df.select(id_col, key_col, value_col)
+            .join(F.broadcast(med), key_col)
+            .withColumn("_dev2", v2 - F.col("_med2"))
+            .withColumn("_absdev", F.abs(F.col("_dev2")))
+        )
+        mad = grouped_quantiles_selection(
+            dev, key_col, "_absdev", [0.5]
+        ).select(
+            key_col,
+            F.round(F.col("p50") * 2).cast("long").alias("_mad4"),
+        )
+        # |0.6745 * dev / MAD| > threshold as exact integers:
+        # dev = _dev2/s2, MAD = _mad4/s4 = _mad4/(2*s2)
+        # -> z*1e4 = 13490*_dev2 / _mad4
+        thr_i = int(round(threshold * 100000))  # threshold*1e5, exact
+        flagged = (
+            dev.join(F.broadcast(mad), key_col)
+            .filter(
+                (F.col("_mad4") > 0)
+                & (
+                    F.lit(134900) * F.abs(F.col("_dev2"))
+                    > F.lit(thr_i) * F.col("_mad4")
+                )
+            )
+        )
+        z_e4 = F.expr(
+            "(case when _dev2 < 0 then -1 else 1 end)"
+            " * ((26980 * abs(_dev2) + _mad4) div (2 * _mad4))"
+        ).cast("long")
+        return flagged.select(
+            id_col, key_col, F.col(value_col), z_e4.alias("robust_z_e4")
+        )
     med = grouped_quantiles_selection(df, key_col, value_col, [0.5]).select(
         key_col, F.col("p50").alias("_med")
     )
@@ -1775,6 +1829,7 @@ def auto_histogram(
     value_col: str,
     max_bins: int = 64,
     round_dp: int = 6,
+    int_scale: int | None = None,
 ) -> DataFrame:
     """Per-group histogram with the Freedman–Diaconis bin width
     ``2·IQR / n^(1/3)`` — the auto-binning a profiler uses when nobody
@@ -1787,6 +1842,17 @@ def auto_histogram(
     floor as ``value_histogram``. A zero-IQR (>= half the mass on one
     value) or single-row group degenerates to one bin, never a divide
     error.
+
+    ``int_scale`` (100 for 2dp money) switches the bin geometry to
+    exact fixed-point: min/max/edges/width live in BIGINT units, the
+    bin width is ``ceil(span/n_bins)`` WHOLE units, bin assignment is
+    one integer division, and the emitted edges are exact
+    ``units/scale`` doubles — no float quotient ever reaches a rounding
+    boundary, so Spark and DuckDB agree at every SF (a float
+    ``span/n_bins`` width rounds 6dp onto decimal midpoints where the
+    engines disagree by one ulp). Only the bin COUNT still uses the FD
+    float formula (mirrored op-for-op; ``n^(1/3)`` keeps it off exact
+    integers).
     """
     q = grouped_quantiles_selection(
         df, group_col, value_col, [0.25, 0.75]
@@ -1796,60 +1862,128 @@ def auto_histogram(
         F.col("p75").alias("_q3"),
         F.col("n_rows").alias("_n"),
     )
+    if int_scale is None:
+        rng = df.groupBy(group_col).agg(
+            F.min(F.col(value_col).cast("double")).alias("_lo"),
+            F.max(F.col(value_col).cast("double")).alias("_hi"),
+        )
+        fd_width = (
+            F.lit(2.0)
+            * (F.col("_q3") - F.col("_q1"))
+            / F.pow(F.col("_n").cast("double"), 1.0 / 3.0)
+        )
+        span = F.col("_hi") - F.col("_lo")
+        # bins = clamp(ceil(span / fd_width), 1, max_bins); zero width
+        # or zero span -> 1 bin
+        n_bins = F.when(
+            (fd_width > 0) & (span > 0),
+            F.least(
+                F.lit(max_bins),
+                F.greatest(F.lit(1), F.ceil(span / fd_width)),
+            ),
+        ).otherwise(F.lit(1)).cast("int")
+        meta = F.broadcast(
+            q.join(rng, group_col).select(
+                group_col, "_lo", "_hi", n_bins.alias("_nb")
+            )
+        )
+        width = (F.col("_hi") - F.col("_lo")) / F.col("_nb")
+        raw = F.floor(
+            (F.col(value_col).cast("double") - F.col("_lo")) / width
+        ).cast("int")
+        idx = F.when(
+            F.col("_nb") > 1, F.least(F.col("_nb") - 1, raw)
+        ).otherwise(F.lit(0))
+        return (
+            df.join(meta, group_col)
+            .withColumn("_b", idx)
+            .groupBy(group_col, "_b")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.first("_lo").alias("_lo"),
+                F.first("_hi").alias("_hi"),
+                F.first("_nb").alias("_nb"),
+            )
+            .select(
+                group_col,
+                F.col("_b").alias("bin_idx"),
+                F.round(
+                    F.col("_lo")
+                    + F.col("_b")
+                    * (F.col("_hi") - F.col("_lo"))
+                    / F.col("_nb"),
+                    round_dp,
+                ).alias("bin_lo"),
+                F.round(
+                    F.col("_lo")
+                    + (F.col("_b") + 1)
+                    * (F.col("_hi") - F.col("_lo"))
+                    / F.col("_nb"),
+                    round_dp,
+                ).alias("bin_hi"),
+                "n_rows",
+            )
+        )
+    # --- exact fixed-point path ---------------------------------------
+    v_u = F.round(F.col(value_col).cast("double") * int_scale).cast("long")
     rng = df.groupBy(group_col).agg(
-        F.min(F.col(value_col).cast("double")).alias("_lo"),
-        F.max(F.col(value_col).cast("double")).alias("_hi"),
+        F.min(v_u).alias("_lo_u"), F.max(v_u).alias("_hi_u")
     )
-    fd_width = (
-        F.lit(2.0)
-        * (F.col("_q3") - F.col("_q1"))
-        / F.pow(F.col("_n").cast("double"), 1.0 / 3.0)
+    # FD count on scaled units: span/width ratio is scale-invariant.
+    # Quantiles of k/scale values interpolate on QUARTER fractions, so
+    # 4*scale puts them on exact integers — round() never sees a
+    # midpoint (scale alone would land on .25/.5/.75).
+    iqr_u = F.round((F.col("_q3") - F.col("_q1")) * (4 * int_scale))
+    fd_width_u = (
+        F.lit(2.0) * iqr_u / F.pow(F.col("_n").cast("double"), 1.0 / 3.0)
     )
-    span = F.col("_hi") - F.col("_lo")
-    # bins = clamp(ceil(span / fd_width), 1, max_bins); zero width or
-    # zero span -> 1 bin
+    span_u = ((F.col("_hi_u") - F.col("_lo_u")) * 4).cast("double")
     n_bins = F.when(
-        (fd_width > 0) & (span > 0),
+        (fd_width_u > 0) & (span_u > 0),
         F.least(
-            F.lit(max_bins), F.greatest(F.lit(1), F.ceil(span / fd_width))
+            F.lit(max_bins),
+            F.greatest(F.lit(1), F.ceil(span_u / fd_width_u)),
         ),
-    ).otherwise(F.lit(1)).cast("int")
+    ).otherwise(F.lit(1)).cast("long")
     meta = F.broadcast(
         q.join(rng, group_col).select(
-            group_col, "_lo", "_hi", n_bins.alias("_nb")
+            group_col,
+            "_lo_u",
+            "_hi_u",
+            n_bins.alias("_nb"),
+            # whole-unit ceil width: (span + nb - 1) div nb, min 1
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(_hi_u - _lo_u + _nb - 1) div _nb"),
+            ).alias("_w_u"),
         )
     )
-    width = (F.col("_hi") - F.col("_lo")) / F.col("_nb")
-    raw = F.floor(
-        (F.col(value_col).cast("double") - F.col("_lo")) / width
-    ).cast("int")
     idx = F.when(
-        F.col("_nb") > 1, F.least(F.col("_nb") - 1, raw)
-    ).otherwise(F.lit(0))
+        F.col("_nb") > 1,
+        F.least(F.col("_nb") - 1, F.expr("(_v_u - _lo_u) div _w_u")),
+    ).otherwise(F.lit(0).cast("long"))
     return (
-        df.join(meta, group_col)
+        df.select(F.col(group_col), v_u.alias("_v_u"))
+        .join(meta, group_col)
         .withColumn("_b", idx)
         .groupBy(group_col, "_b")
         .agg(
             F.count("*").alias("n_rows"),
-            F.first("_lo").alias("_lo"),
-            F.first("_hi").alias("_hi"),
-            F.first("_nb").alias("_nb"),
+            F.first("_lo_u").alias("_lo_u"),
+            F.first("_w_u").alias("_w_u"),
         )
         .select(
             group_col,
-            F.col("_b").alias("bin_idx"),
-            F.round(
-                F.col("_lo")
-                + F.col("_b") * (F.col("_hi") - F.col("_lo")) / F.col("_nb"),
-                round_dp,
+            F.col("_b").cast("int").alias("bin_idx"),
+            # exact integer units / scale: one deterministic division,
+            # identical binary double in both engines — no rounding
+            (
+                (F.col("_lo_u") + F.col("_b") * F.col("_w_u"))
+                / F.lit(float(int_scale))
             ).alias("bin_lo"),
-            F.round(
-                F.col("_lo")
-                + (F.col("_b") + 1)
-                * (F.col("_hi") - F.col("_lo"))
-                / F.col("_nb"),
-                round_dp,
+            (
+                (F.col("_lo_u") + (F.col("_b") + 1) * F.col("_w_u"))
+                / F.lit(float(int_scale))
             ).alias("bin_hi"),
             "n_rows",
         )

@@ -4733,26 +4733,76 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
+    # Round-5 window (first 50): the three round-4 driver-red keys
+    # (fixed this round - the driver must re-prove them), every key
+    # whose output or candidate generation changed this round, then
+    # keys that have never had a driver CORRECTNESS row (round-4
+    # continuation stats/ops and the TPC-H suite). Least-verified
+    # first, as directed in VERDICT r3#3/r4#5.
+    "ext_yuen_ttest",
+    "ext_cumulative_users",
+    "ext_bloom_semijoin",
+    "ext_fs_linkage",
+    "ext_fs_em",
+    "ext_auto_histogram",
+    "ext_robust_anomalies",
+    "ext_ohlc_bars",
+    "ext_period_end_balance",
+    "ext_control_chart",
+    "a4_metric_deltas",
+    "s10_debezium_unwrap",
+    "ext_hierarchical_rollup",
+    "ext_sax_symbols",
+    "llm_dedup_edit_distance",
+    "ext_association_rules",
+    "ext_rfm_segmentation",
+    "ext_welch_ttest",
+    "ext_anova",
+    "ext_mann_whitney",
+    "ext_ks_test",
+    "ext_chi_square",
+    "ext_spearman",
+    "ext_log_rank",
+    "ext_fdr_screen",
+    "ext_grouped_ols",
+    "ext_histogram_2d",
+    "ext_bootstrap_ci",
+    "llm_preference_pairs",
+    "ext_gapfill",
+    "llm_textrank_keywords",
+    "ext_nelson_aalen",
+    "ext_pivot_revenue",
+    "ext_unpivot_profile",
+    "ext_correlation_matrix",
+    "llm_interleave_shards",
+    "llm_contamination_matrix",
+    "llm_normalize_text",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
     "ext_quantile_shift",
     "ext_rmst",
-    "ext_control_chart",
     "llm_oov_rate",
     "ext_price_elasticity",
-    "ext_sax_symbols",
     "llm_charclass_profile",
-    "ext_yuen_ttest",
     "llm_matryoshka_eval",
     "ext_harmonic_2hop",
-    "ext_cumulative_users",
     "ext_binseg_changepoints",
     "ext_diff_in_diff",
     "ext_cuped",
     "ext_power_analysis",
     "llm_compression_ratio",
     "ext_holt_forecast",
-    "ext_fs_em",
     "llm_isotonic_calibration",
-    "ext_period_end_balance",
     "ext_ratio_to_parent",
     "ext_pairwise_contrasts",
     "ext_assortativity",
@@ -4776,49 +4826,10 @@ _WINDOW_PRIORITY = [
     "llm_feature_hash",
     "ext_kruskal_wallis",
     "ext_brown_forsythe",
-    "ext_ohlc_bars",
     "ext_target_encoding",
     "ext_link_prediction",
     "ext_k_anonymity",
-    "ext_fs_linkage",
-    "ext_bloom_semijoin",
     "llm_dedup_containment",
-    "llm_dedup_edit_distance",
-    "ext_association_rules",
-    "ext_rfm_segmentation",
-    "ext_welch_ttest",
-    "ext_anova",
-    "ext_mann_whitney",
-    "ext_ks_test",
-    "ext_chi_square",
-    "ext_spearman",
-    "ext_log_rank",
-    "ext_fdr_screen",
-    "ext_nelson_aalen",
-    "ext_histogram_2d",
-    "ext_grouped_ols",
-    "ext_bootstrap_ci",
-    "llm_preference_pairs",
-    "ext_pivot_revenue",
-    "ext_unpivot_profile",
-    "ext_correlation_matrix",
-    "ext_gapfill",
-    "llm_textrank_keywords",
-    "llm_interleave_shards",
-    "llm_contamination_matrix",
-    "llm_normalize_text",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
     "tpch_q6",
     "tpch_q7",
     "tpch_q10",
@@ -4851,7 +4862,6 @@ _WINDOW_PRIORITY = [
     "ext_impute_mode",
     "mm_phash_neardup",
     "llm_word_vectors",
-    "ext_auto_histogram",
     "llm_minhash_lsh_eval",
     "llm_hybrid_rerank",
     "llm_dataset_card",
@@ -4870,7 +4880,6 @@ _WINDOW_PRIORITY = [
     "llm_embedding_pool",
     "ext_cms_term_counts",
     "llm_dup_spans",
-    "ext_robust_anomalies",
     "llm_lr_sweep",
     "llm_quality_drift",
     "ext_sequence_gaps",

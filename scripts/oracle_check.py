@@ -20,8 +20,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# ORACLE_NORM_DP tightens the float normalizer (default 9dp — the
+# driver's); the 12dp sweep is the environment-sensitivity gate for
+# final-digit-of-a-double outputs.
+NORM_DP = int(os.environ.get("ORACLE_NORM_DP", "9"))
+
+
 def norm(v):
-    return ("NaN" if math.isnan(v) else round(v, 9)) if isinstance(v, float) else str(v)
+    return (
+        ("NaN" if math.isnan(v) else round(v, NORM_DP))
+        if isinstance(v, float)
+        else str(v)
+    )
 
 
 def vhash(cols, data):
@@ -44,7 +54,13 @@ def main():
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.session.timeZone", "UTC")
+        # ORACLE_TZ != UTC is the timezone-sensitivity gate: outputs
+        # must not depend on the harness session zone (DuckDB stays
+        # naive/UTC, so any session-tz leak into an output hash-fails).
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("ORACLE_TZ", "UTC"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

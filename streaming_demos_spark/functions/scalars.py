@@ -20,16 +20,26 @@ from pyspark.sql import functions as F
 
 
 def epoch_us(col: Column | str) -> Column:
-    """Epoch microseconds from TIMESTAMP **or** TIMESTAMP_NTZ.
+    """Epoch microseconds of the WALL CLOCK from TIMESTAMP or
+    TIMESTAMP_NTZ — session-timezone-proof.
 
     Spark 4 reads parquet TIMESTAMP(NANOS) (the driver's ``events.ts``)
     as TIMESTAMP_NTZ, which ``unix_micros`` / ``cast('long')`` reject.
-    ``to_utc_timestamp(x, 'UTC')`` re-interprets the naive wall time as
-    UTC (an identity for TIMESTAMP under a UTC session), after which
-    ``unix_micros`` is legal for both types — matching DuckDB's
-    ``epoch_us(CAST(ts AS TIMESTAMP))`` on the same naive value."""
+    The obvious bridge ``unix_micros(to_utc_timestamp(x, 'UTC'))`` is
+    only correct under a UTC session: the implicit NTZ→TIMESTAMP cast
+    goes through the SESSION zone, so a non-UTC harness shifts every
+    epoch (and every derived bucket) by the zone offset. Wall-clock
+    difference between two NTZ values is pure calendar arithmetic with
+    no zone anywhere: ``timestamp_diff(MICROSECOND, NTZ epoch, x)`` —
+    identical under UTC, Seoul, and New York for both input types, and
+    matching DuckDB's ``epoch_us(CAST(ts AS TIMESTAMP))`` on the same
+    naive value."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
 
 
 def epoch_sec(col: Column | str) -> Column:

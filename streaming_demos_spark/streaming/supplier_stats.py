@@ -376,7 +376,12 @@ def attribution_join(
 
     Works unchanged on batch frames (watermarks skipped — batch sees all
     data, so eviction is moot), keeping the batch ≡ stream duality
-    testable.
+    testable. State expiry is PROVEN, not assumed:
+    tests/test_streaming.py::test_stream_stream_join_state_expires
+    replays three micro-batches ~100s apart at the supplier-stats
+    cadence and asserts on the state-store metrics (numRowsRemoved > 0,
+    numRowsTotal never reaches the inserted-row count) — the property
+    that keeps this join's memory bounded on an unbounded stream.
 
     Pass-through columns keep their names when unambiguous; a name
     appearing on BOTH sides (two event streams sharing 'value' or

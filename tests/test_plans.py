@@ -91,6 +91,68 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_scan_prunes_buckets_and_join_skips_sort(spark):
+    """The other two bucketing payoffs beyond shuffle elimination:
+    (1) bucket PRUNING — an equality predicate on the bucket key scans
+    one bucket, not the table (SelectedBucketsCount: 1 out of N);
+    (2) sort-free SMJ — tables bucketed AND sorted on the join key
+    (one file per bucket) join with neither an Exchange nor a Sort.
+    At 100 TB this is the write-once/join-and-point-lookup-many layout:
+    the sort is paid once at write time, never per query."""
+    from streaming_demos_spark.catalog import write_bucketed
+
+    orders = E.queries.__globals__["_t"](spark, SF, "orders")
+    lineitem = E.queries.__globals__["_t"](spark, SF, "lineitem")
+    # single input partition -> exactly one file per bucket, the
+    # layout Spark requires to skip the per-query sort
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice").coalesce(1),
+        "bs_orders", ["o_orderkey"], num_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity").coalesce(1),
+        "bs_lineitem", ["l_orderkey"], num_buckets=4,
+        sort_cols=["l_orderkey"],
+    )
+    try:
+        # (1) bucket pruning on an equality probe. autoBucketedScan
+        # rewrites a JOINLESS scan of a bucketed table as a plain file
+        # scan (no distribution needed), which also discards the
+        # pruning — turn it off to exercise the bucketed path.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false",
+        )
+        try:
+            key = orders.select("o_orderkey").limit(1).collect()[0][0]
+            probe = spark.table("bs_orders").filter(
+                F.col("o_orderkey") == key
+            )
+            plan = plan_of(probe)
+            assert "SelectedBucketsCount: 1 out of 4" in plan
+            assert probe.count() == 1
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+
+        # (2) exchange-free AND sort-free join on the bucket+sort key
+        joined = spark.table("bs_lineitem").hint("merge").join(
+            spark.table("bs_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        jplan = plan_of(joined)
+        assert "SortMergeJoin" in jplan
+        assert "Exchange" not in jplan
+        assert "Sort [" not in jplan  # bucket files already sorted
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bs_orders")
+        spark.sql("DROP TABLE IF EXISTS bs_lineitem")
+
+
 def test_jdbc_scan_filter_reaches_remote(spark, tmp_path):
     from streaming_demos_spark.sources import jdbc as J
 

@@ -558,6 +558,85 @@ def test_stream_stream_attribution_join(spark, stream_dirs):
     assert [(r.k, r.imp_time.second, r.click_time.second) for r in batch] == got
 
 
+def test_stream_stream_join_state_expires(spark, stream_dirs):
+    """Watermark-expiry proof for the two-sided interval join at the
+    supplier-stats cadence (5s attribution window, 10s watermark —
+    reference T2/T5 semantics): three micro-batches arrive ~100s apart,
+    so by the time batch N processes, the watermark has passed every
+    batch-(N-1) row's eviction bound. The assertion is on the join's
+    STATE METRICS across batches: rows are actually removed and the
+    final state never accumulates the whole history — the property that
+    lets this join run forever at 100 TB/day.
+    """
+    import json
+    import time
+
+    left_src = f"{stream_dirs}/exp_left"
+    right_src = f"{stream_dirs}/exp_right"
+    chk = f"{stream_dirs}/exp_chk"
+
+    def mk(side, ts_col, offsets):
+        rows = [(f"k{i}", f"2024-01-01 00:{o // 60:02d}:{o % 60:02d}")
+                for i, o in enumerate(offsets)]
+        return spark.createDataFrame(rows, f"k string, s string").select(
+            "k", F.to_timestamp("s").alias(ts_col)
+        )
+
+    # 3 time regions ~100s apart; right events 2s after their left
+    regions = [(0, 2, 4), (100, 102, 104), (200, 202, 204)]
+    for i, reg in enumerate(regions):
+        mk("l", "l_time", reg).coalesce(1).write.mode("append").parquet(
+            left_src
+        )
+        mk("r", "r_time", tuple(o + 2 for o in reg)).coalesce(1).write.mode(
+            "append"
+        ).parquet(right_src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    sch_l = spark.read.parquet(left_src).schema
+    sch_r = spark.read.parquet(right_src).schema
+    s_l = (
+        spark.readStream.schema(sch_l)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(left_src)
+    )
+    s_r = (
+        spark.readStream.schema(sch_r)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(right_src)
+    )
+    joined = SS.attribution_join(
+        s_l, s_r, key="k", left_ts="l_time", right_ts="r_time",
+        within="5 seconds", watermark="10 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("exp_join")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # every in-window pair attributed despite the eviction
+    assert spark.sql("SELECT count(*) c FROM exp_join").collect()[0].c == 9
+
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    states = [
+        (p["stateOperators"][0]["numRowsTotal"],
+         p["stateOperators"][0]["numRowsRemoved"])
+        for p in progs
+        if p.get("stateOperators")
+    ]
+    assert len(states) >= 3  # really ran as multiple micro-batches
+    total_inserted = 18  # 9 left + 9 right rows pass through the state
+    # expiry happened: some batch physically removed state rows...
+    assert sum(rm for _, rm in states) > 0
+    # ...and no batch ever held the full history in state
+    assert max(n for n, _ in states) < total_inserted
+
+
 def test_streaming_agg_refresh_matches_recompute(spark, tmp_path):
     """Retraction-stream MV maintenance under Structured Streaming:
     inserts then a batch of deletes/updates arrive as file micro-batches;

@@ -3998,6 +3998,60 @@ def q_k_core(spark, sf_dir):
     return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
 
 
+def q_seasonal_mase(spark, sf_dir):
+    # Seasonal-naive backtest of daily revenue per event type: last-7
+    # observations held out, forecast = value one week earlier, scale =
+    # in-sample one-step naive; exact integer-cents numerators, no
+    # rounded quotient (relational.py:seasonal_naive_mase).
+    ev = _t(spark, sf_dir, "events")
+    return R.seasonal_naive_mase(
+        ev, "event_type", "ts", "value", season=7
+    ).orderBy("event_type")
+
+
+def q_span_corruption(spark, sf_dir):
+    # T5 span-corruption dry run over the corpus: hash-deterministic
+    # span starts/lengths, merged-run sentinel counts - the denoising
+    # mask profile a mixture designer monitors
+    # (curation.py:span_corruption_plan).
+    return CU.span_corruption_plan(_t(spark, sf_dir, "documents"))
+
+
+def q_hll_set_overlap(spark, sf_dir):
+    # Pairwise audience overlap of the five event types over sketch
+    # bytes: per-type HLL built once, every |A|/|B|/union/intersection
+    # estimate is scalar arithmetic on the 10-pair sketch frame;
+    # exact counts + bound flags exist for the gate only
+    # (relational.py:hll_set_overlap).
+    ev = _t(spark, sf_dir, "events")
+    return R.hll_set_overlap(ev, "event_type", "user_id")
+
+
+def q_conformal_interval(spark, sf_dir):
+    # Split-conformal prediction interval per event type: md5-parity
+    # calibration/test split, conformal radius = the ceil((n+1)(1-a))-th
+    # smallest |calibration residual| from the distinct-value grid,
+    # coverage counted on the test half - all exact BIGINT arithmetic
+    # scaled by n_cal, no division anywhere (stats.py:conformal_interval).
+    ev = _t(spark, sf_dir, "events")
+    return ST.conformal_interval(
+        ev, "event_type", "value", "event_id", alpha=0.1
+    ).orderBy("event_type")
+
+
+def q_label_propagation(spark, sf_dir):
+    # Communities of the part co-purchase graph by 3 rounds of
+    # synchronous label propagation — per-round join + count + argmax,
+    # ties to the smallest label so the fixed-round replay is exact
+    # (graph.py:label_propagation). Oracle unrolls the identical
+    # rounds as chained MATERIALIZED CTE layers.
+    from streaming_demos_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = G.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+    return G.label_propagation(edges, "p1", "p2", rounds=3).orderBy("node")
+
+
 def q_weighted_median(spark, sf_dir):
     # Exact quantity-weighted median line price per return flag — the
     # 50% point of the weight mass from a per-group value-grid running
@@ -4777,6 +4831,11 @@ _WINDOW_PRIORITY = [
     "llm_interleave_shards",
     "llm_contamination_matrix",
     "llm_normalize_text",
+    "ext_label_propagation",
+    "ext_conformal_interval",
+    "ext_hll_set_overlap",
+    "llm_span_corruption",
+    "ext_seasonal_mase",
     "tpch_q2",
     "tpch_q8",
     "tpch_q9",
@@ -4999,6 +5058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quantile_normalize": q_quantile_normalize,
         "ext_pareto_skyline": q_pareto_skyline,
         "ext_k_core": q_k_core,
+        "ext_label_propagation": q_label_propagation,
+        "ext_conformal_interval": q_conformal_interval,
+        "ext_hll_set_overlap": q_hll_set_overlap,
+        "llm_span_corruption": q_span_corruption,
+        "ext_seasonal_mase": q_seasonal_mase,
         "ext_weighted_median": q_weighted_median,
         "llm_feature_hash": q_feature_hash,
         "ext_kruskal_wallis": q_kruskal_wallis,
@@ -6664,6 +6728,200 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "ext_k_core": _k_core_oracle_sql(2, 12),
+        "ext_seasonal_mase": """
+            WITH daily AS (
+                SELECT event_type,
+                       date_trunc('day', ts)::DATE AS d,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS y
+                FROM events GROUP BY 1, 2
+            ),
+            marked AS (
+                SELECT event_type, y,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY d) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       lag(y, 7) OVER (PARTITION BY event_type
+                           ORDER BY d) AS ys,
+                       lag(y, 1) OVER (PARTITION BY event_type
+                           ORDER BY d) AS y1
+                FROM daily
+            ),
+            agg AS (
+                SELECT event_type,
+                       max(n) AS n_obs,
+                       count(CASE WHEN rn > n - 7
+                                  THEN abs(y - ys) END) AS n_test,
+                       sum(CASE WHEN rn > n - 7
+                                THEN abs(y - ys) END)::BIGINT AS sae_units,
+                       count(CASE WHEN rn >= 2 AND rn <= n - 7
+                                  THEN abs(y - y1) END) AS n_scale,
+                       sum(CASE WHEN rn >= 2 AND rn <= n - 7
+                                THEN abs(y - y1) END)::BIGINT AS snd_units
+                FROM marked GROUP BY event_type
+            )
+            SELECT * FROM agg WHERE n_obs >= 9 ORDER BY event_type
+        """,
+        "llm_span_corruption": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(range(len(ws)))::BIGINT AS pos FROM w
+            ),
+            h AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                            || pos::VARCHAR), 1, 8))::BIGINT AS hv
+                FROM toks
+            ),
+            starts AS (
+                SELECT doc_id, pos AS sp, 2 + hv % 3 AS ln
+                FROM h WHERE hv % 20 = 0
+            ),
+            covered AS (
+                SELECT DISTINCT t.doc_id, t.pos
+                FROM toks t JOIN starts s
+                  ON t.doc_id = s.doc_id
+                 AND t.pos >= s.sp AND t.pos < s.sp + s.ln
+            ),
+            runs AS (
+                SELECT doc_id,
+                       (coalesce(lag(pos) OVER (PARTITION BY doc_id
+                            ORDER BY pos), -2) != pos - 1)::INT AS nr
+                FROM covered
+            ),
+            m AS (
+                SELECT doc_id, count(*) AS n_masked,
+                       sum(nr)::BIGINT AS n_spans
+                FROM runs GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+            )
+            SELECT tot.doc_id, n_tokens,
+                   coalesce(n_masked, 0) AS n_masked,
+                   coalesce(n_spans, 0) AS n_spans
+            FROM tot LEFT JOIN m USING (doc_id) ORDER BY doc_id
+        """,
+        "ext_hll_set_overlap": """
+            -- exact set algebra; the sketch-estimate bound flags are
+            -- gate-constant TRUE (the estimates live only in Spark,
+            -- same contract as ext_hll_distinct)
+            WITH vals AS (
+                SELECT DISTINCT event_type AS s, user_id AS v FROM events
+            ),
+            ex AS (SELECT s, count(*) AS n FROM vals GROUP BY s),
+            inter AS (
+                SELECT a.s AS set_a, b.s AS set_b, count(*) AS exact_inter
+                FROM vals a JOIN vals b
+                  ON a.v = b.v AND a.s < b.s
+                GROUP BY 1, 2
+            )
+            SELECT a.s AS set_a, b.s AS set_b,
+                   a.n AS exact_a, b.n AS exact_b,
+                   a.n + b.n - coalesce(i.exact_inter, 0) AS exact_union,
+                   coalesce(i.exact_inter, 0) AS exact_inter,
+                   TRUE AS est_a_ok, TRUE AS est_b_ok,
+                   TRUE AS est_union_ok, TRUE AS est_inter_ok
+            FROM ex a JOIN ex b ON a.s < b.s
+            LEFT JOIN inter i ON i.set_a = a.s AND i.set_b = b.s
+            ORDER BY set_a, set_b
+        """,
+        "ext_conformal_interval": """
+            WITH base AS (
+                SELECT event_type AS g,
+                       round(value * 100)::BIGINT AS v,
+                       (('0x' || substr(md5(event_id::VARCHAR), 1, 4))
+                            ::BIGINT % 2 = 0) AS cal
+                FROM events
+            ),
+            cs AS (
+                SELECT g, sum(v)::BIGINT AS s, count(*) AS n_cal
+                FROM base WHERE cal GROUP BY g
+            ),
+            dev AS (
+                SELECT b.g, b.cal, cs.n_cal,
+                       abs(b.v * cs.n_cal - cs.s)::BIGINT AS r
+                FROM base b JOIN cs USING (g)
+            ),
+            ks AS (
+                SELECT g,
+                       least(n_cal,
+                             ((n_cal + 1) * 900 + 999) // 1000) AS k_rank
+                FROM cs
+            ),
+            grid AS (
+                SELECT g, r, count(*) AS c
+                FROM dev WHERE cal GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT g, r,
+                       sum(c) OVER (PARTITION BY g ORDER BY r
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cm
+                FROM grid
+            ),
+            q AS (
+                SELECT cum.g, min(r) AS q_num, max(k_rank) AS k_rank
+                FROM cum JOIN ks USING (g)
+                WHERE cm >= k_rank GROUP BY cum.g
+            )
+            SELECT d.g AS event_type,
+                   max(d.n_cal) AS n_cal,
+                   count(*) AS n_test,
+                   max(q.k_rank) AS k_rank,
+                   max(q.q_num) AS q_num,
+                   sum((d.r <= q.q_num)::INT)::BIGINT AS n_covered
+            FROM dev d JOIN q ON d.g = q.g
+            WHERE NOT d.cal
+            GROUP BY d.g ORDER BY event_type
+        """,
+        "ext_label_propagation": """
+            WITH e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            sym AS MATERIALIZED (
+                SELECT p1 AS a, p2 AS b FROM e0
+                UNION ALL SELECT p2 AS a, p1 AS b FROM e0
+            ),
+            l0 AS MATERIALIZED (
+                SELECT DISTINCT a AS node, a AS lbl FROM sym
+            ),
+            r1 AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                    SELECT s.a AS node, l.lbl, count(*) AS c,
+                           row_number() OVER (PARTITION BY s.a
+                               ORDER BY count(*) DESC, l.lbl) AS rn
+                    FROM sym s JOIN l0 l ON s.b = l.node
+                    GROUP BY s.a, l.lbl
+                ) WHERE rn = 1
+            ),
+            r2 AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                    SELECT s.a AS node, l.lbl, count(*) AS c,
+                           row_number() OVER (PARTITION BY s.a
+                               ORDER BY count(*) DESC, l.lbl) AS rn
+                    FROM sym s JOIN r1 l ON s.b = l.node
+                    GROUP BY s.a, l.lbl
+                ) WHERE rn = 1
+            ),
+            r3 AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                    SELECT s.a AS node, l.lbl, count(*) AS c,
+                           row_number() OVER (PARTITION BY s.a
+                               ORDER BY count(*) DESC, l.lbl) AS rn
+                    FROM sym s JOIN r2 l ON s.b = l.node
+                    GROUP BY s.a, l.lbl
+                ) WHERE rn = 1
+            )
+            SELECT node, lbl AS community FROM r3 ORDER BY node
+        """,
         "ext_pareto_skyline": """
             WITH prof AS (
                 SELECT p_partkey, p_retailprice, p_size,

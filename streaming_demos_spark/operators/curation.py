@@ -1334,3 +1334,89 @@ def quantile_normalize(
         *docs.columns,
         F.round("_pct", round_dp).alias("pct_rank"),
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_rate_denom: int = 20,
+    max_extra: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4): pick
+    deterministic token spans to mask for a denoising objective and
+    report the per-document corruption profile — the dry-run a
+    training-data pipeline executes before burning tokens, and the
+    statistics (mask rate, span count) the mixture designer monitors.
+
+    Span selection is a pure hash function of (doc, position): token i
+    STARTS a span iff ``md5(doc_id:i) % start_rate_denom == 0``; the
+    span covers ``2 + md5(...) % max_extra`` tokens; overlapping spans
+    merge (maximal masked runs are counted as one sentinel each, the
+    T5 sentinel-token count). No RNG state anywhere, so any engine —
+    and any partitioning — reproduces the identical mask.
+
+    Plan shape: whitespace split + posexplode (one pass), the start
+    set is a filter, coverage is a bounded range join (span length <=
+    2+max_extra-1), run-counting is one lag window PARTITIONED BY doc
+    (frame bounded by document length). Output: (doc_id, n_tokens,
+    n_masked, n_spans) — exact integers.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "_w"),
+    ).select("doc_id", "pos")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = toks.select(
+        "doc_id",
+        F.col("pos").alias("_sp"),
+        (F.lit(2) + h % F.lit(max_extra)).alias("_len"),
+    ).filter(h % F.lit(start_rate_denom) == 0)
+    max_len = 2 + max_extra - 1
+    covered = (
+        toks.join(starts, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("_sp"))
+            & (F.col("pos") < F.col("_sp") + F.col("_len"))
+            & (F.col("pos") < F.col("_sp") + F.lit(max_len))
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = covered.select(
+        "doc_id",
+        (
+            F.coalesce(F.lag("pos").over(w), F.lit(-2)) != F.col("pos") - 1
+        ).cast("long").alias("_new_run"),
+    )
+    masked = runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_masked"),
+        F.sum("_new_run").alias("n_spans"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(masked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+        .orderBy("doc_id")
+    )

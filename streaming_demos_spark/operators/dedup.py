@@ -1126,22 +1126,30 @@ def minhash_lsh_eval(
     found = minhash_near_dup_pairs(
         docs, text_col, id_col, num_hashes, band_rows, shingle_k, threshold
     ).select("doc_a", "doc_b")
-    hits = found.join(truth, ["doc_a", "doc_b"]).agg(
-        F.count("*").alias("n_hits")
-    )
-    nt = truth.agg(F.count("*").alias("n_truth"))
-    nf = found.agg(F.count("*").alias("n_found"))
-    return (
-        nt.crossJoin(nf)
-        .crossJoin(F.broadcast(hits))
-        .select(
-            "n_truth",
-            "n_found",
-            "n_hits",
-            F.round(
-                F.try_divide(F.col("n_hits"), F.col("n_truth")), 6
-            ).alias("recall"),
+    # tagged union -> each expensive side (exact postings join, LSH
+    # banding) is computed ONCE; a join+count+count form would run the
+    # truth subplan twice and the found subplan twice
+    tagged = truth.select(
+        "doc_a", "doc_b", F.lit(1).alias("_t"), F.lit(0).alias("_f")
+    ).unionByName(
+        found.select(
+            "doc_a", "doc_b", F.lit(0).alias("_t"), F.lit(1).alias("_f")
         )
+    )
+    pairs = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max("_t").alias("_t"), F.max("_f").alias("_f")
+    )
+    return pairs.agg(
+        F.sum("_t").alias("n_truth"),
+        F.sum("_f").alias("n_found"),
+        F.sum(F.col("_t") * F.col("_f")).alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_found",
+        "n_hits",
+        F.round(
+            F.try_divide(F.col("n_hits"), F.col("n_truth")), 6
+        ).alias("recall"),
     )
 
 

@@ -483,3 +483,51 @@ def co_occurrence_pairs(
         .filter(F.col("support") >= min_support)
     )
     return out if keep_support else out.select("p1", "p2")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made fully deterministic: every node starts with its
+    own id as label; each round EVERY node simultaneously adopts the
+    most frequent label among its neighbors, ties broken by the
+    smallest label. A FIXED round count (no convergence test) keeps the
+    result an exact function of the edge set — the SQL oracle replays
+    the identical rounds as chained CTE layers.
+
+    Each round is one join (neighbor labels) + one (node, label) count
+    + one argmax aggregation — plain key shuffles that scale out with
+    the edge count; the label frame is localCheckpoint-ed per round to
+    cut lineage like ``pagerank``/``k_core``. Output: (node, community)
+    where community is the final label.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("b"), "lbl"), "b"
+        ).select(F.col("a"), "lbl")
+        cnt = nbr.groupBy("a", "lbl").agg(F.count("*").alias("_c"))
+        # argmax label by (count DESC, label ASC): maximize the
+        # (count, -label) struct — deterministic under any layout
+        labels = (
+            cnt.groupBy(F.col("a").alias("node"))
+            .agg(
+                F.max_by(
+                    F.col("lbl"), F.struct(F.col("_c"), -F.col("lbl"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -991,6 +991,110 @@ def hll_distinct_rollup(
     )
 
 
+def hll_set_overlap(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    lg_k: int = 14,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """Set algebra over mergeable HLL sketches: for every unordered
+    pair of sets (audiences, sources, shards) estimate |A|, |B|,
+    |A∪B| (sketch union) and |A∩B| (inclusion-exclusion:
+    |A|+|B|−|A∪B|) — the "how much do these two corpora overlap"
+    question answered from BYTES-per-set sketches instead of a
+    re-shuffle of the raw values per pair.
+
+    At 100 TB the per-set sketches are built once (one pass, one
+    shuffle on the set key); every pairwise overlap is then scalar
+    arithmetic on a |sets|²-row frame of sketch bytes. The exact
+    distinct/overlap counts and the ``*_ok`` bound checks exist for
+    the correctness gate only (same contract as
+    ``hll_distinct_rollup``); intersection tolerance is stated against
+    the UNION size — inclusion-exclusion compounds the additive errors
+    of three estimates, so a small true overlap inherits the union's
+    absolute error, not its own.
+    """
+    per = df.groupBy(F.col(set_col).alias("_s")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
+    )
+    a = per.select(
+        F.col("_s").alias("set_a"), F.col("_sk").alias("_ska")
+    )
+    b = per.select(
+        F.col("_s").alias("set_b"), F.col("_sk").alias("_skb")
+    )
+    pairs = a.join(b, F.col("set_a") < F.col("set_b")).select(
+        "set_a",
+        "set_b",
+        F.hll_sketch_estimate("_ska").alias("_ea"),
+        F.hll_sketch_estimate("_skb").alias("_eb"),
+        F.hll_sketch_estimate(
+            F.hll_union(F.col("_ska"), F.col("_skb"))
+        ).alias("_eu"),
+    )
+    vals = df.select(
+        F.col(set_col).alias("_s"), F.col(value_col).alias("_v")
+    ).distinct()
+    ex = vals.groupBy("_s").agg(F.count("*").alias("_n"))
+    inter = (
+        vals.join(
+            vals.select(
+                F.col("_s").alias("_s2"), F.col("_v").alias("_v")
+            ),
+            "_v",
+        )
+        .filter(F.col("_s") < F.col("_s2"))
+        .groupBy(F.col("_s").alias("set_a"), F.col("_s2").alias("set_b"))
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    exact = (
+        ex.select(F.col("_s").alias("set_a"), F.col("_n").alias("exact_a"))
+        .join(
+            ex.select(
+                F.col("_s").alias("set_b"), F.col("_n").alias("exact_b")
+            ),
+            F.col("set_a") < F.col("set_b"),
+        )
+        .join(inter, ["set_a", "set_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .withColumn(
+            "exact_union",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"),
+        )
+    )
+    tol = lambda c: F.col(c).cast("double") * F.lit(rel_err) + F.lit(2.0)  # noqa: E731
+    return (
+        pairs.join(exact, ["set_a", "set_b"])
+        .select(
+            "set_a",
+            "set_b",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            (F.abs(F.col("_ea") - F.col("exact_a")) <= tol("exact_a")).alias(
+                "est_a_ok"
+            ),
+            (F.abs(F.col("_eb") - F.col("exact_b")) <= tol("exact_b")).alias(
+                "est_b_ok"
+            ),
+            (
+                F.abs(F.col("_eu") - F.col("exact_union"))
+                <= tol("exact_union")
+            ).alias("est_union_ok"),
+            (
+                F.abs(
+                    (F.col("_ea") + F.col("_eb") - F.col("_eu"))
+                    - F.col("exact_inter")
+                )
+                <= tol("exact_union")
+            ).alias("est_inter_ok"),
+        )
+        .orderBy("set_a", "set_b")
+    )
+
+
 # --- Key-skew profiler (shuffle-planning diagnostic) ------------------------
 
 
@@ -4500,4 +4604,70 @@ def restricted_mean_survival(
             F.least(F.min("_t"), F.lit(float(tau))) + F.sum("_seg"),
             round_dp,
         ).alias("rmst"),
+    )
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    int_scale: int = 100,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest with the MASE scale
+    (Hyndman & Koehler 2006): per key, the last ``season`` daily
+    observations are held out, each forecast is the value one season
+    earlier, and the error is reported against the in-sample one-step
+    naive — the standard "is this model better than doing nothing"
+    yardstick every forecasting pipeline needs before anything fancier.
+
+    Holdout/season indexing is OBSERVATION-based over the per-key daily
+    grid (bounded rows per key — the calendar), so the windows are
+    bounded lag frames, never row-count-scaled. All sums are exact
+    integer units (2dp money -> cents): the output is the exact
+    rational MASE as integer numerator parts
+    (sae = Σ|y - y_{t-season}| over the holdout, snd = Σ|y - y_{t-1}|
+    over the training prefix) plus their counts — no rounded quotient
+    of terminating decimals anywhere. Keys shorter than
+    ``season + 2`` observations are dropped (no definable scale).
+    Output: (key, n_obs, n_test, sae_units, n_scale, snd_units).
+    """
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(
+        F.sum(
+            F.round(F.col(value_col).cast("double") * int_scale).cast(
+                "long"
+            )
+        ).alias("_y")
+    )
+    w = Window.partitionBy(key_col).orderBy("_d")
+    wa = Window.partitionBy(key_col)
+    marked = daily.select(
+        F.col(key_col),
+        "_y",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wa).alias("_n"),
+        F.lag("_y", season).over(w).alias("_ys"),
+        F.lag("_y", 1).over(w).alias("_y1"),
+    )
+    test_err = F.when(
+        F.col("_rn") > F.col("_n") - season,
+        F.abs(F.col("_y") - F.col("_ys")),
+    )
+    train_diff = F.when(
+        (F.col("_rn") >= 2) & (F.col("_rn") <= F.col("_n") - season),
+        F.abs(F.col("_y") - F.col("_y1")),
+    )
+    return (
+        marked.groupBy(F.col(key_col))
+        .agg(
+            F.max("_n").alias("n_obs"),
+            F.count(test_err).alias("n_test"),
+            F.sum(test_err).alias("sae_units"),
+            F.count(train_diff).alias("n_scale"),
+            F.sum(train_diff).alias("snd_units"),
+        )
+        .filter(F.col("n_obs") >= season + 2)
     )

@@ -366,3 +366,36 @@ def test_dataset_card_known_corpus(spark):
     assert abs(row.lang_entropy - round(h, 6)) < 1e-9
     # median of (11, 11, 7, 15) = 11
     assert row.p50_len == 11.0
+
+
+def test_span_corruption_plan_hand_replay(spark):
+    """Replicate the md5 span scheme in plain Python on a tiny doc and
+    demand identical (n_tokens, n_masked, n_spans)."""
+    import hashlib
+
+    from streaming_demos_spark.operators.curation import (
+        span_corruption_plan,
+    )
+
+    text = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = span_corruption_plan(df).collect()[0]
+
+    starts = {}
+    for pos in range(200):
+        hv = int(
+            hashlib.md5(f"7:{pos}".encode()).hexdigest()[:8], 16
+        )
+        if hv % 20 == 0:
+            starts[pos] = 2 + hv % 3
+    covered = sorted(
+        {p for sp, ln in starts.items() for p in range(sp, sp + ln)
+         if p < 200}
+    )
+    n_spans = sum(
+        1 for i, p in enumerate(covered) if i == 0 or covered[i - 1] != p - 1
+    )
+    assert got.n_tokens == 200
+    assert got.n_masked == len(covered)
+    assert got.n_spans == n_spans
+    assert got.n_masked > 0  # scheme actually fires at this length

@@ -279,3 +279,41 @@ def test_zipf_fit_exact_on_true_powerlaw(spark):
     # slope between -2 and -1 (bracketing the generating family).
     assert -2.5 < out.zipf_slope < -1.0
     assert out.r2 > 0.95
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: 3 synchronous rounds
+    with min-label ties converge each triangle to one community (hand-
+    replayed: clique {1,2,3} -> label 1, clique {10,11,12} -> 3 via the
+    bridge's one-round label leak)."""
+    from streaming_demos_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_label_propagation_is_layout_invariant(spark):
+    """Same answer under a repartitioned edge frame — the argmax
+    tie-break is (count DESC, label ASC), never arrival order."""
+    from streaming_demos_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(20) for j in range(i + 1, 20)
+         if (i * 7 + j) % 5 != 0],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, rounds=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(13), rounds=2).collect(),
+        )
+    )
+    assert a == b

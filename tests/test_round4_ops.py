@@ -1756,3 +1756,54 @@ def test_quantile_shift_is_decile_difference(spark):
         assert r.shift == round(r.q_treat - r.q_control, 6)
     qt = [r.q_treat for r in out]
     assert qt == sorted(qt)
+
+
+def test_hll_set_overlap_exact_algebra_and_bounds(spark):
+    from streaming_demos_spark.operators.relational import hll_set_overlap
+
+    rows = [("x", i) for i in range(1, 101)] + [
+        ("y", i) for i in range(51, 151)
+    ] + [("z", i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {
+        (r.set_a, r.set_b): r for r in hll_set_overlap(df, "s", "v").collect()
+    }
+    xy = out[("x", "y")]
+    assert (xy.exact_a, xy.exact_b, xy.exact_union, xy.exact_inter) == (
+        100, 100, 150, 50,
+    )
+    xz = out[("x", "z")]
+    assert (xz.exact_union, xz.exact_inter) == (100, 10)
+    yz = out[("y", "z")]
+    assert (yz.exact_union, yz.exact_inter) == (110, 0)  # disjoint pair
+    for r in out.values():  # sketches are exact-ish at this cardinality
+        assert r.est_a_ok and r.est_b_ok and r.est_union_ok and r.est_inter_ok
+
+
+def test_seasonal_naive_mase_hand_series(spark):
+    """Perfectly 7-periodic series: holdout errors are ZERO while the
+    in-sample one-step scale is not — the exact integer parts expose
+    that directly. A second, too-short key is dropped."""
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import (
+        seasonal_naive_mase,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    pattern = [10.0, 12.5, 11.0, 20.0, 7.25, 9.0, 30.0]
+    rows = [
+        ("k", base + dt.timedelta(days=i), pattern[i % 7])
+        for i in range(21)
+    ] + [("short", base + dt.timedelta(days=i), 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in seasonal_naive_mase(df, "k", "ts", "v").collect()}
+    assert "short" not in out  # < season + 2 observations
+    r = out["k"]
+    assert (r.n_obs, r.n_test) == (21, 7)
+    assert r.sae_units == 0  # periodic -> seasonal naive is exact
+    # scale: one-step diffs over rn 2..14 of the repeating pattern
+    cents = [round(p * 100) for p in pattern]
+    series = [cents[i % 7] for i in range(14)]
+    snd = sum(abs(series[i] - series[i - 1]) for i in range(1, 14))
+    assert (r.n_scale, r.snd_units) == (13, snd)

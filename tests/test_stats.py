@@ -209,3 +209,33 @@ def test_norm_sf_accuracy(spark):
     for i, z in enumerate([0.0, 0.5, 1.0, 1.96, 2.58, 4.0]):
         exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(z / math.sqrt(2.0))))
         assert got[f"p{i}"] == pytest.approx(exact, abs=2e-7)
+
+
+def test_conformal_interval_matches_hand_replay(spark):
+    """Replicate the md5 split + exact integer arithmetic in plain
+    Python and demand bit-identical (q_num, k_rank, coverage)."""
+    import hashlib
+    import math
+
+    from streaming_demos_spark.operators.stats import conformal_interval
+
+    rows = [(i, "g", 0.25 * i) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    got = conformal_interval(df, "g", "value", "event_id", alpha=0.1).collect()[0]
+
+    cal, test = [], []
+    for i, _, v in rows:
+        vu = round(v * 100)
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 2
+        (cal if bucket == 0 else test).append(vu)
+    n_cal, s = len(cal), sum(cal)
+    resid = sorted(abs(v * n_cal - s) for v in cal)
+    k = min(n_cal, math.ceil((n_cal + 1) * 0.9))
+    q = resid[k - 1]
+    covered = sum(1 for v in test if abs(v * n_cal - s) <= q)
+
+    assert got.n_cal == n_cal and got.n_test == len(test)
+    assert got.k_rank == k and got.q_num == q
+    assert got.n_covered == covered
+    # sanity: the guarantee direction on this symmetric sample
+    assert covered / len(test) >= 0.7

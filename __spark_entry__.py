@@ -3998,6 +3998,54 @@ def q_k_core(spark, sf_dir):
     return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    # Per-language tokenizer cost model: sub-word pieces (4-char BPE
+    # proxy) per word and per 100 chars, exact integer totals and
+    # half-up e3 ratios - the fertility table token-budget mixture
+    # planning consumes (text.py:tokenizer_fertility).
+    return TX.tokenizer_fertility(_t(spark, sf_dir, "documents")).orderBy(
+        "slice"
+    )
+
+
+def q_gains_table(spark, sf_dir):
+    # Targeting readout: decile gains table of event value as a
+    # purchase-propensity score - distributed decile cuts broadcast
+    # back, integer-safe boundary comparison, cumulative capture over
+    # the 10-row frame (relational.py:gains_table).
+    ev = _t(spark, sf_dir, "events").select(
+        F.round("value", 2).alias("value"),
+        (F.col("event_type") == "purchase").alias("resp"),
+    )
+    return R.gains_table(ev, "value", "resp").orderBy("bin")
+
+
+def q_stratified_ate(spark, sf_dir):
+    # Observational treatment read: even-custkey "treated" orders vs
+    # control within market-segment strata; exact integer counts and
+    # cent-sums, treated-control mean gap as a half-up e4 integer
+    # (stats.py:stratified_ate).
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", (F.col("o_custkey") % 2 == 0).alias("treat")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    return ST.stratified_ate(
+        rows, "c_mktsegment", "treat", "o_totalprice"
+    ).orderBy("stratum")
+
+
+def q_mann_kendall(spark, sf_dir):
+    # Monotonic-trend screen of each event type's daily revenue:
+    # Mann-Kendall S over the calendar-bounded daily grid (grid x grid
+    # pair join, never row-scaled), tie-corrected variance, exact
+    # BIGINT S/ties (stats.py:mann_kendall_trend).
+    ev = _t(spark, sf_dir, "events")
+    return ST.mann_kendall_trend(ev, "event_type", "ts", "value").orderBy(
+        "event_type"
+    )
+
+
 def q_seasonal_mase(spark, sf_dir):
     # Seasonal-naive backtest of daily revenue per event type: last-7
     # observations held out, forecast = value one week earlier, scale =
@@ -4836,6 +4884,10 @@ _WINDOW_PRIORITY = [
     "ext_hll_set_overlap",
     "llm_span_corruption",
     "ext_seasonal_mase",
+    "ext_mann_kendall",
+    "ext_stratified_ate",
+    "ext_gains_table",
+    "llm_tokenizer_fertility",
     "tpch_q2",
     "tpch_q8",
     "tpch_q9",
@@ -5063,6 +5115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_hll_set_overlap": q_hll_set_overlap,
         "llm_span_corruption": q_span_corruption,
         "ext_seasonal_mase": q_seasonal_mase,
+        "ext_mann_kendall": q_mann_kendall,
+        "ext_stratified_ate": q_stratified_ate,
+        "ext_gains_table": q_gains_table,
+        "llm_tokenizer_fertility": q_tokenizer_fertility,
         "ext_weighted_median": q_weighted_median,
         "llm_feature_hash": q_feature_hash,
         "ext_kruskal_wallis": q_kruskal_wallis,
@@ -6728,6 +6784,148 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "ext_k_core": _k_core_oracle_sql(2, 12),
+        "llm_tokenizer_fertility": """
+            WITH w AS (
+                SELECT lang AS slice,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws,
+                       length(text)::BIGINT AS c
+                FROM documents
+            ),
+            per AS (
+                SELECT slice, c,
+                       len(ws)::BIGINT AS nw,
+                       list_sum(list_transform(ws,
+                           t -> (length(t) + 3) // 4))::BIGINT AS np
+                FROM w
+            ),
+            agg AS (
+                SELECT slice, count(*) AS n_docs,
+                       sum(nw)::BIGINT AS n_words,
+                       sum(c)::BIGINT AS n_chars,
+                       sum(np)::BIGINT AS n_pieces
+                FROM per GROUP BY slice
+            )
+            SELECT slice, n_docs, n_words, n_chars, n_pieces,
+                   (n_pieces * 1000 * 2 + n_words) // (2 * n_words)
+                       AS pieces_per_word_e3,
+                   (n_pieces * 100000 * 2 + n_chars) // (2 * n_chars)
+                       AS pieces_per_100chars_e3
+            FROM agg ORDER BY slice
+        """,
+        "ext_gains_table": """
+            WITH src AS (
+                SELECT round(value, 2) AS s,
+                       (event_type = 'purchase') AS r
+                FROM events
+            ),
+            cuts AS (
+                SELECT """ + ",\n                       ".join(
+                    "round(quantile_cont(s, %s) * 1000)::BIGINT AS c%d"
+                    % (i / 10.0, i - 1) for i in range(1, 10)
+                ) + """
+                FROM src
+            ),
+            binned AS (
+                SELECT 1 + """ + "\n                         + ".join(
+                    "(round(src.s * 100)::BIGINT * 10 > cuts.c%d)::INT"
+                    % i for i in range(9)
+                ) + """ AS bin, r
+                FROM src, cuts
+            ),
+            per AS (
+                SELECT bin, count(*) AS n,
+                       sum(r::INT)::BIGINT AS n_resp
+                FROM binned GROUP BY bin
+            )
+            SELECT bin, n, n_resp,
+                   sum(n) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cum_n,
+                   sum(n_resp) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cum_resp
+            FROM per ORDER BY bin
+        """,
+        "ext_stratified_ate": """
+            WITH rows_ AS (
+                SELECT c_mktsegment AS stratum,
+                       (o_custkey % 2 = 0) AS t,
+                       round(o_totalprice * 100)::BIGINT AS y
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            per AS (
+                SELECT stratum,
+                       sum(t::INT)::BIGINT AS n_t,
+                       sum((NOT t)::INT)::BIGINT AS n_c,
+                       sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT
+                           AS sum_t_units,
+                       sum(CASE WHEN NOT t THEN y ELSE 0 END)::BIGINT
+                           AS sum_c_units
+                FROM rows_ GROUP BY stratum
+            )
+            SELECT stratum, n_t, n_c, sum_t_units, sum_c_units,
+                   (CASE WHEN sum_t_units * n_c - sum_c_units * n_t < 0
+                         THEN -1 ELSE 1 END)
+                   * ((abs(sum_t_units * n_c - sum_c_units * n_t)
+                       * 100 * 2 + n_t * n_c) // (2 * n_t * n_c))
+                       AS diff_e4
+            FROM per
+            WHERE n_t > 0 AND n_c > 0
+            ORDER BY stratum
+        """,
+        "ext_mann_kendall": """
+            WITH daily AS (
+                SELECT event_type AS g,
+                       date_trunc('day', ts)::DATE AS d,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.g,
+                       sum(CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1
+                                ELSE 0 END)::BIGINT AS s_stat
+                FROM daily a JOIN daily b
+                  ON a.g = b.g AND a.d < b.d
+                GROUP BY a.g
+            ),
+            ties AS (
+                SELECT g,
+                       sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term,
+                       sum(t)::BIGINT AS n_days
+                FROM (SELECT g, y, count(*) AS t FROM daily GROUP BY 1, 2)
+                GROUP BY g
+            ),
+            j AS (
+                SELECT s.g, n_days, s_stat, tie_term,
+                       (n_days::DOUBLE * (n_days::DOUBLE - 1)
+                        * (2 * n_days::DOUBLE + 5)
+                        - tie_term::DOUBLE) / 18.0 AS v
+                FROM s JOIN ties ON s.g = ties.g
+            ),
+            z0 AS (
+                SELECT g, n_days, s_stat, tie_term,
+                       CASE WHEN s_stat > 0
+                            THEN (s_stat::DOUBLE - 1) / sqrt(v)
+                            WHEN s_stat < 0
+                            THEN (s_stat::DOUBLE + 1) / sqrt(v)
+                            ELSE 0.0::DOUBLE END AS z
+                FROM j
+            ),
+            e1 AS (SELECT *, abs(z)/sqrt(2.0) AS x FROM z0),
+            e2 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS tt FROM e1),
+            e3 AS (SELECT *,
+                       1.0 - (0.254829592*tt - 0.284496736*tt*tt
+                              + 1.421413741*tt*tt*tt
+                              - 1.453152027*tt*tt*tt*tt
+                              + 1.061405429*tt*tt*tt*tt*tt)
+                             * exp(-x*x) AS erf
+                   FROM e2)
+            SELECT g AS event_type, n_days, s_stat, tie_term,
+                   round(z, 6) AS z,
+                   round(1.0 - erf, 6) AS p_normal
+            FROM e3 ORDER BY event_type
+        """,
         "ext_seasonal_mase": """
             WITH daily AS (
                 SELECT event_type,

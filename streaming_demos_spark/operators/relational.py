@@ -4671,3 +4671,72 @@ def seasonal_naive_mase(
         )
         .filter(F.col("n_obs") >= season + 2)
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    response_col,
+    n_bins: int = 10,
+    int_scale: int = 100,
+) -> DataFrame:
+    """Gains / lift table: rank rows into score deciles and report the
+    response capture per decile plus the cumulative capture — the
+    "call the top 20%" targeting readout every propensity or quality
+    score gets before deployment.
+
+    NO global ntile window (a single-task sort at scale): decile cuts
+    come from the distributed histogram-selection quantiles (one
+    bounded frame), broadcast back, and bucket assignment is a
+    map-side integer comparison. Cut comparison happens on
+    round(cut·scale·10) INTEGERS — interpolated quantiles differ by
+    1 ulp between engines depending on the interpolation op order, and
+    a raw float ``score > cut`` flips boundary rows; rounding both
+    sides to exact tenth-of-a-unit integers collapses the ulp noise
+    (the true products are integers, so no rounding midpoint exists).
+    Output: (bin, n, n_resp, cum_n, cum_resp) — exact integers.
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    src = df.select(
+        F.lit(1).alias("_g"),
+        F.col(score_col).alias("_s"),
+        (
+            F.col(response_col)
+            if not isinstance(response_col, str)
+            else F.col(response_col)
+        ).cast("boolean").alias("_r"),
+    )
+    cuts = grouped_quantiles_selection(src, "_g", "_s", probs).select(
+        "_g",
+        *[
+            F.round(F.col(f"p{int(p * 100)}") * (int_scale * 10))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    s_e = F.round(
+        F.col("_s").cast("double") * int_scale
+    ).cast("long") * F.lit(10)
+    binned = src.join(F.broadcast(cuts), "_g").select(
+        (
+            F.lit(1)
+            + sum(
+                (s_e > F.col(f"_c{i}")).cast("int")
+                for i in range(len(probs))
+            )
+        ).alias("bin"),
+        "_r",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_r").cast("long")).alias("n_resp"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "bin",
+        "n",
+        "n_resp",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_resp").over(w).alias("cum_resp"),
+    )

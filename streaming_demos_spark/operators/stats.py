@@ -1504,3 +1504,139 @@ def conformal_interval(
             ).alias("n_covered"),
         )
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    int_scale: int = 100,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per group (Mann 1945; Kendall
+    1975) over the DAILY aggregate series — "is this metric drifting"
+    without assuming linearity or a distribution.
+
+        S = Σ_{i<j} sign(y_j − y_i)   over the time-ordered series
+        var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie groups)
+
+    The pair sum runs on the per-group DAILY GRID (calendar-bounded —
+    ≤ |days| rows per group), so the i<j self-join is grid×grid, never
+    row-scaled; ties are counted from the grid's value multiplicities.
+    Values are exact integer units (2dp → cents), so S, the tie term,
+    and n are EXACT BIGINTs; the only double is the final z =
+    (S ∓ 1)/sqrt(var) (continuity-corrected), whose rounding digit is
+    irrational-noise (sqrt), not a decimal midpoint. Output:
+    (group, n_days, s_stat, tie_term, z, p_normal).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("_g"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(
+        F.sum(
+            F.round(F.col(value_col).cast("double") * int_scale).cast(
+                "long"
+            )
+        ).alias("_y")
+    )
+    a = daily.select("_g", F.col("_d").alias("_da"), F.col("_y").alias("_ya"))
+    b = daily.select("_g", F.col("_d").alias("_db"), F.col("_y").alias("_yb"))
+    s = (
+        a.join(b, "_g")
+        .filter(F.col("_da") < F.col("_db"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("_yb") - F.col("_ya")).cast("double")
+                ).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("_g", "_y")
+        .agg(F.count("*").alias("_t"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("tie_term"),
+            F.sum("_t").alias("n_days"),
+        )
+    )
+    j = s.join(ties, "_g")
+    n = F.col("n_days").cast("double")
+    var = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat").cast("double") - 1) / F.sqrt(var),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat").cast("double") + 1) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        "s_stat",
+        "tie_term",
+        F.round(z, 6).alias("z"),
+        F.round(norm_sf_2sided(z), 6).alias("p_normal"),
+    )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    int_scale: int = 100,
+) -> DataFrame:
+    """Stratified average-treatment-effect table (the workhorse of
+    observational A/B reads): within each stratum of a confounder,
+    compare treated vs control outcome means; the stratum table is what
+    a weighted ATE, a Cochran-Mantel-Haenszel read, or a balance audit
+    consumes. One conditional hash aggregation per stratum — a frame of
+    |strata| rows, never a re-scan per arm.
+
+    Exact fixed-point outputs: per-stratum counts and cent-sums are
+    BIGINTs, and the treated−control mean difference is the exact
+    half-up integer ``diff_e4`` (outcome·1e4), computed as a
+    sign-split integer division — cross-engine-safe where a rounded
+    float quotient of terminating decimals is not. Strata missing an
+    arm are dropped (no defined contrast).
+    """
+    y = F.round(F.col(outcome_col).cast("double") * int_scale).cast(
+        "long"
+    )
+    t = F.col(treat_col).cast("boolean")
+    per = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.sum(t.cast("long")).alias("n_t"),
+            F.sum((~t).cast("long")).alias("n_c"),
+            F.sum(F.when(t, y).otherwise(F.lit(0))).alias("sum_t_units"),
+            F.sum(F.when(~t, y).otherwise(F.lit(0))).alias(
+                "sum_c_units"
+            ),
+        )
+        .filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    )
+    num = (
+        F.col("sum_t_units") * F.col("n_c")
+        - F.col("sum_c_units") * F.col("n_t")
+    )
+    return per.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        "sum_t_units",
+        "sum_c_units",
+        (
+            F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "((abs(sum_t_units * n_c - sum_c_units * n_t) * 100 * 2"
+                " + n_t * n_c) div (2 * n_t * n_c))"
+            )
+        ).cast("long").alias("diff_e4"),
+    )

@@ -1197,3 +1197,59 @@ def oov_rate(
             round_dp,
         ).alias("oov_rate"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    by_col: str = "lang",
+    text_col: str = "text",
+    bpe_chunk: int = 4,
+) -> DataFrame:
+    """Tokenizer-fertility profile per corpus slice: how many
+    sub-word tokens a tokenizer spends per whitespace word and per 100
+    characters — the per-language cost model behind token-budget
+    mixture planning (a high-fertility language eats budget faster
+    than its byte share suggests).
+
+    The sub-word proxy is the ``ceil(len(word)/bpe_chunk)`` chunk
+    count (a BPE with a ~``bpe_chunk``-char average piece), computed
+    JVM-side from the token-length array — no explode, no Python. All
+    outputs are exact integers: totals plus half-up scaled ratios
+    (pieces per word ·1e3, pieces per 100 chars ·1e3) via sign-free
+    integer division. One map-only projection + one hash aggregation.
+    """
+    toks = tokens(F.col(text_col))
+    pieces = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: (F.length(w) + F.lit(bpe_chunk - 1)).cast("long")
+            / F.lit(bpe_chunk),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x).cast("long"),
+    )
+    base = docs.select(
+        F.col(by_col).alias("slice"),
+        F.size(toks).cast("long").alias("_w"),
+        F.length(F.col(text_col)).cast("long").alias("_c"),
+        pieces.alias("_p"),
+    )
+    agg = base.groupBy("slice").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_c").alias("n_chars"),
+        F.sum("_p").alias("n_pieces"),
+    )
+    return agg.select(
+        "slice",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_pieces",
+        F.expr(
+            "(n_pieces * 1000 * 2 + n_words) div (2 * n_words)"
+        ).alias("pieces_per_word_e3"),
+        F.expr(
+            "(n_pieces * 100000 * 2 + n_chars) div (2 * n_chars)"
+        ).alias("pieces_per_100chars_e3"),
+    )

@@ -1807,3 +1807,37 @@ def test_seasonal_naive_mase_hand_series(spark):
     series = [cents[i % 7] for i in range(14)]
     snd = sum(abs(series[i] - series[i - 1]) for i in range(1, 14))
     assert (r.n_scale, r.snd_units) == (13, snd)
+
+
+def test_gains_table_counts_and_cumulative(spark):
+    from streaming_demos_spark.operators.relational import gains_table
+
+    # 100 rows, scores 0.01..1.00; responders are the top-30 scores
+    rows = [(i / 100.0, i > 70) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "value double, resp boolean")
+    out = {r.bin: r for r in gains_table(df, "value", "resp").collect()}
+    assert sum(r.n for r in out.values()) == 100
+    assert sum(r.n_resp for r in out.values()) == 30
+    # responders live in the top bins only
+    assert out[10].n_resp == out[10].n
+    assert out[1].n_resp == 0
+    # cumulative capture is monotone and ends at the totals
+    cums = [out[b].cum_resp for b in sorted(out)]
+    assert cums == sorted(cums) and cums[-1] == 30
+    assert out[max(out)].cum_n == 100
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    from streaming_demos_spark.operators.text import tokenizer_fertility
+
+    # "abcd" -> 1 piece, "abcdefgh" -> 2, "ab" -> 1 (ceil(len/4))
+    df = spark.createDataFrame(
+        [(1, "en", "abcd abcdefgh ab")], "doc_id long, lang string, text string"
+    )
+    r = tokenizer_fertility(df).collect()[0]
+    assert (r.slice, r.n_docs, r.n_words, r.n_chars) == ("en", 1, 3, 16)
+    assert r.n_pieces == 4
+    # 4 pieces / 3 words = 1.333... -> 1333 at e3 (half-up)
+    assert r.pieces_per_word_e3 == 1333
+    # 4 pieces / 16 chars * 100 = 25.0 -> 25000 at e3
+    assert r.pieces_per_100chars_e3 == 25000

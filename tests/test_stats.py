@@ -239,3 +239,45 @@ def test_conformal_interval_matches_hand_replay(spark):
     assert got.n_covered == covered
     # sanity: the guarantee direction on this symmetric sample
     assert covered / len(test) >= 0.7
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.stats import mann_kendall_trend
+
+    base = dt.datetime(2024, 1, 1, 10)
+    rows = (
+        # strictly increasing daily series: S = C(10,2) = 45, p small
+        [("up", base + dt.timedelta(days=i), 1.0 + i) for i in range(10)]
+        # constant series: S = 0, all ties
+        + [("flat", base + dt.timedelta(days=i), 5.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r.g: r for r in mann_kendall_trend(df, "g", "ts", "v").collect()}
+    up = out["up"]
+    assert (up.n_days, up.s_stat, up.tie_term) == (10, 45, 0)
+    assert up.z > 2.5 and up.p_normal < 0.01
+    flat = out["flat"]
+    assert flat.s_stat == 0 and flat.z == 0.0
+    # one tie group of 10: 10*9*25
+    assert flat.tie_term == 10 * 9 * 25
+
+
+def test_stratified_ate_exact_parts(spark):
+    from streaming_demos_spark.operators.stats import stratified_ate
+
+    rows = [
+        # stratum A: treated mean 10.00 (2 rows), control mean 7.50 (2)
+        ("A", True, 9.0), ("A", True, 11.0),
+        ("A", False, 7.0), ("A", False, 8.0),
+        # stratum B: only treated -> dropped
+        ("B", True, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    out = stratified_ate(df, "s", "t", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.stratum, r.n_t, r.n_c) == ("A", 2, 2)
+    assert (r.sum_t_units, r.sum_c_units) == (2000, 1500)
+    assert r.diff_e4 == 25000  # (10.00 - 7.50) * 1e4

@@ -3998,6 +3998,28 @@ def q_k_core(spark, sf_dir):
     return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
 
 
+def q_cusum_drift(spark, sf_dir):
+    # Upward-drift monitor of daily revenue per event type: one-sided
+    # CUSUM in its closed prefix form (cumsum + running-min windows over
+    # the calendar grid, no sequential fold), trained on the first 20
+    # days, alarm at 50% of the training mean - all exact BIGINTs
+    # (relational.py:cusum_drift).
+    ev = _t(spark, sf_dir, "events")
+    return R.cusum_drift(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "day"
+    )
+
+
+def q_pinball_eval(spark, sf_dir):
+    # P90 capacity-planning backtest: per-type train-quantile forecast
+    # scored by exact-integer pinball loss on the holdout days
+    # (relational.py:quantile_forecast_pinball).
+    ev = _t(spark, sf_dir, "events")
+    return R.quantile_forecast_pinball(
+        ev, "event_type", "ts", "value"
+    ).orderBy("event_type")
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     # Per-language tokenizer cost model: sub-word pieces (4-char BPE
     # proxy) per word and per 100 chars, exact integer totals and
@@ -4888,6 +4910,8 @@ _WINDOW_PRIORITY = [
     "ext_stratified_ate",
     "ext_gains_table",
     "llm_tokenizer_fertility",
+    "ext_cusum_drift",
+    "ext_pinball_eval",
     "tpch_q2",
     "tpch_q8",
     "tpch_q9",
@@ -5119,6 +5143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stratified_ate": q_stratified_ate,
         "ext_gains_table": q_gains_table,
         "llm_tokenizer_fertility": q_tokenizer_fertility,
+        "ext_cusum_drift": q_cusum_drift,
+        "ext_pinball_eval": q_pinball_eval,
         "ext_weighted_median": q_weighted_median,
         "llm_feature_hash": q_feature_hash,
         "ext_kruskal_wallis": q_kruskal_wallis,
@@ -6784,6 +6810,82 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "ext_k_core": _k_core_oracle_sql(2, 12),
+        "ext_cusum_drift": """
+            WITH daily AS (
+                SELECT event_type AS k,
+                       date_trunc('day', ts)::DATE AS day,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS y
+                FROM events GROUP BY 1, 2
+            ),
+            marked AS (
+                SELECT k, day, y,
+                       row_number() OVER (PARTITION BY k ORDER BY day)
+                           AS rn
+                FROM daily
+            ),
+            train AS (
+                SELECT k, sum(y)::BIGINT AS ts, count(*) AS tn
+                FROM marked WHERE rn <= 20
+                GROUP BY k HAVING count(*) = 20
+            ),
+            dev AS (
+                SELECT m.k, m.day, m.rn, t.ts,
+                       (m.y * t.tn - t.ts)::BIGINT AS d
+                FROM marked m JOIN train t ON m.k = t.k
+            ),
+            pref AS (
+                SELECT k, day, rn, ts,
+                       sum(d) OVER (PARTITION BY k ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)::BIGINT AS p
+                FROM dev
+            ),
+            s AS (
+                SELECT k, day, rn, ts,
+                       p - least(0, min(p) OVER (PARTITION BY k
+                           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW))::BIGINT
+                           AS su
+                FROM pref
+            )
+            SELECT k AS event_type, day, su AS cusum_units,
+                   su * 100 > 50 * ts AS alarm
+            FROM s WHERE rn > 20
+            ORDER BY event_type, day
+        """,
+        "ext_pinball_eval": """
+            WITH daily AS (
+                SELECT event_type AS k,
+                       date_trunc('day', ts)::DATE AS d,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS y
+                FROM events GROUP BY 1, 2
+            ),
+            marked AS (
+                SELECT k, d, y,
+                       row_number() OVER (PARTITION BY k ORDER BY d)
+                           AS rn
+                FROM daily
+            ),
+            qh AS (
+                SELECT k,
+                       round(quantile_cont(y, 0.9) * 10)::BIGINT
+                           AS yhat_e1
+                FROM marked WHERE rn <= 20 GROUP BY k
+            ),
+            test AS (
+                SELECT m.k, qh.yhat_e1,
+                       m.y * 10 - qh.yhat_e1 AS dd
+                FROM marked m JOIN qh ON m.k = qh.k
+                WHERE m.rn > 20
+            )
+            SELECT k AS event_type,
+                   count(*) AS n_test,
+                   max(yhat_e1) AS yhat_e1,
+                   sum(greatest(9 * dd, -1 * dd))::BIGINT
+                       AS pinball_units,
+                   sum((dd <= 0)::INT)::BIGINT AS n_under
+            FROM test GROUP BY k ORDER BY event_type
+        """,
         "llm_tokenizer_fertility": """
             WITH w AS (
                 SELECT lang AS slice,

@@ -4740,3 +4740,140 @@ def gains_table(
         F.sum("n").over(w).alias("cum_n"),
         F.sum("n_resp").over(w).alias("cum_resp"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    train_days: int = 20,
+    h_mul_e2: int = 50,
+    int_scale: int = 100,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per key over the daily series —
+    the classic "has this metric shifted upward" monitor (Page 1954).
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + x_t − μ)`` is
+    sequential, but it has the closed prefix form
+    ``S_t = P_t − min(0, min_{j<=t} P_j)`` with ``P_t = Σ(x_i − μ)`` —
+    one cumulative-sum window and one running-min window over the
+    calendar-bounded daily grid, fully declarative, no fold.
+
+    μ is the mean of the first ``train_days`` observations. Everything
+    is scaled by ``n_train`` so it stays EXACT BIGINT arithmetic:
+    deviations are ``x_c·n_train − Σtrain`` (cents·n units), S is their
+    prefix-max form, and the alarm threshold is ``h_mul_e2 % of the
+    training mean`` — an integer comparison
+    ``S·100 > h_mul_e2·Σtrain``. Output: monitoring rows
+    (key, day, cusum_units, alarm) for the post-training window.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col(value_col).cast("double") * int_scale).cast(
+                "long"
+            )
+        ).alias("_y")
+    )
+    w = Window.partitionBy("_k").orderBy("day")
+    marked = daily.select(
+        "_k", "day", "_y", F.row_number().over(w).alias("_rn")
+    )
+    train = (
+        marked.filter(F.col("_rn") <= train_days)
+        .groupBy("_k")
+        .agg(F.sum("_y").alias("_ts"), F.count("*").alias("_tn"))
+        .filter(F.col("_tn") == train_days)
+    )
+    dev = marked.join(F.broadcast(train), "_k").select(
+        "_k",
+        "day",
+        "_rn",
+        "_ts",
+        (F.col("_y") * F.col("_tn") - F.col("_ts")).alias("_d"),
+    )
+    wc = Window.partitionBy("_k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = dev.withColumn("_p", F.sum("_d").over(wc))
+    s = pref.withColumn(
+        "_s",
+        F.col("_p")
+        - F.least(F.lit(0).cast("long"), F.min("_p").over(wc)),
+    )
+    return (
+        s.filter(F.col("_rn") > train_days)
+        .select(
+            F.col("_k").alias(key_col),
+            "day",
+            F.col("_s").alias("cusum_units"),
+            (
+                F.col("_s") * F.lit(100)
+                > F.lit(h_mul_e2) * F.col("_ts")
+            ).alias("alarm"),
+        )
+    )
+
+
+def quantile_forecast_pinball(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    train_days: int = 20,
+    q_num: int = 9,
+    q_den: int = 10,
+    int_scale: int = 100,
+) -> DataFrame:
+    """Quantile-forecast backtest under PINBALL (quantile) loss: the
+    per-key q-quantile of the first ``train_days`` daily totals is the
+    forecast; the holdout score is the pinball loss
+    ``Σ max(q·(y−ŷ), (q−1)·(y−ŷ))`` — the proper scoring rule for
+    quantile forecasts (what "P90 capacity planning" is graded on).
+
+    Exact fixed-point: daily totals are cent BIGINTs; the train
+    quantile interpolates on tenths (q = 9/10), so ×10 scaling makes
+    ŷ an exact integer; deviations d = 10·y − ŷ are BIGINTs and the
+    pinball term is ``max(q_num·d, (q_num−q_den)·d)`` — pure integer
+    max, summed exactly. Output per key: (key, n_test, yhat_e1,
+    pinball_units, n_under) where n_under counts y ≤ ŷ (empirical
+    coverage of the quantile, exact integers).
+    """
+    # NB: the per-key column is named _pbk, not _k — the quantile
+    # selection machinery uses _k internally for rank columns and a
+    # caller-side _k would be AMBIGUOUS after its joins.
+    daily = df.groupBy(
+        F.col(key_col).alias("_pbk"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(
+        F.sum(
+            F.round(F.col(value_col).cast("double") * int_scale).cast(
+                "long"
+            )
+        ).alias("_pby")
+    )
+    w = Window.partitionBy("_pbk").orderBy("_d")
+    marked = daily.select(
+        "_pbk", "_d", "_pby", F.row_number().over(w).alias("_rn")
+    )
+    train = marked.filter(F.col("_rn") <= train_days)
+    qhat = grouped_quantiles_selection(
+        train, "_pbk", "_pby", [q_num / q_den]
+    ).select(
+        "_pbk",
+        F.round(F.col(f"p{int(q_num / q_den * 100)}") * q_den)
+        .cast("long")
+        .alias("yhat_e1"),
+    )
+    test = marked.filter(F.col("_rn") > train_days).join(
+        F.broadcast(qhat), "_pbk"
+    )
+    d = F.col("_pby") * F.lit(q_den) - F.col("yhat_e1")
+    pin = F.greatest(F.lit(q_num) * d, F.lit(q_num - q_den) * d)
+    return test.groupBy(F.col("_pbk").alias(key_col)).agg(
+        F.count("*").alias("n_test"),
+        F.max("yhat_e1").alias("yhat_e1"),
+        F.sum(pin).alias("pinball_units"),
+        F.sum((d <= 0).cast("long")).alias("n_under"),
+    )

@@ -1841,3 +1841,56 @@ def test_tokenizer_fertility_exact_counts(spark):
     assert r.pieces_per_word_e3 == 1333
     # 4 pieces / 16 chars * 100 = 25.0 -> 25000 at e3
     assert r.pieces_per_100chars_e3 == 25000
+
+
+def test_cusum_drift_closed_form_equals_recursion(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import cusum_drift
+
+    base = dt.datetime(2024, 1, 1, 8)
+    # 20 flat train days at 10.00, then a +50% shift
+    vals = [10.0] * 20 + [15.0, 15.0, 9.0, 15.0, 15.0]
+    rows = [
+        ("k", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r.day.isoformat(): (r.cusum_units, r.alarm)
+        for r in cusum_drift(df, "k", "ts", "v").collect()
+    }
+    # hand recursion in scaled units (cents * n_train, mu = 1000c):
+    # d = (y_c - 1000) * 20
+    s, exp = 0, {}
+    for i, v in enumerate(vals[20:], start=20):
+        d = (round(v * 100) - 1000) * 20
+        s = max(0, s + d)
+        day = (base + dt.timedelta(days=i)).date().isoformat()
+        exp[day] = (s, s * 100 > 50 * 20000)  # ts = 20000 cents
+    assert got == exp
+    # the shift alarms by the second shifted day
+    assert got["2024-01-22"][1]
+
+
+def test_quantile_forecast_pinball_hand_case(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import (
+        quantile_forecast_pinball,
+    )
+
+    base = dt.datetime(2024, 1, 1, 8)
+    train = [float(i) for i in range(1, 21)]  # p90 of 1..20 = 18.1
+    test = [18.0, 19.0, 18.1]
+    rows = [
+        ("k", base + dt.timedelta(days=i), v)
+        for i, v in enumerate(train + test)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = quantile_forecast_pinball(df, "k", "ts", "v").collect()[0]
+    assert r.n_test == 3
+    assert r.yhat_e1 == 18100  # 18.1 in cents*10
+    # d (cents*10): 18.0 -> -100, 19.0 -> +900, 18.1 -> 0
+    # pinball: max(9d, -d): 100, 8100, 0
+    assert r.pinball_units == 8200
+    assert r.n_under == 2  # 18.0 and 18.1 are <= the P90

@@ -3998,6 +3998,15 @@ def q_k_core(spark, sf_dir):
     return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
 
 
+def q_srm_check(spark, sf_dir):
+    # Experiment guardrail: sample-ratio-mismatch chi-square over a
+    # 3-arm md5-free assignment (user_id % 3), distinct units counted
+    # once; exact integer numerator/denominator + half-up chi2*1e6
+    # (stats.py:srm_check).
+    ev = _t(spark, sf_dir, "events")
+    return ST.srm_check(ev, "user_id", F.col("user_id") % 3, n_arms=3)
+
+
 def q_cusum_drift(spark, sf_dir):
     # Upward-drift monitor of daily revenue per event type: one-sided
     # CUSUM in its closed prefix form (cumsum + running-min windows over
@@ -4912,6 +4921,7 @@ _WINDOW_PRIORITY = [
     "llm_tokenizer_fertility",
     "ext_cusum_drift",
     "ext_pinball_eval",
+    "ext_srm_check",
     "tpch_q2",
     "tpch_q8",
     "tpch_q9",
@@ -5145,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_tokenizer_fertility": q_tokenizer_fertility,
         "ext_cusum_drift": q_cusum_drift,
         "ext_pinball_eval": q_pinball_eval,
+        "ext_srm_check": q_srm_check,
         "ext_weighted_median": q_weighted_median,
         "llm_feature_hash": q_feature_hash,
         "ext_kruskal_wallis": q_kruskal_wallis,
@@ -6810,6 +6821,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "ext_k_core": _k_core_oracle_sql(2, 12),
+        "ext_srm_check": """
+            WITH units AS (
+                SELECT DISTINCT user_id AS u, user_id % 3 AS a
+                FROM events
+            ),
+            per AS (SELECT a, count(*) AS o FROM units GROUP BY a),
+            tot AS (
+                SELECT sum(o)::BIGINT AS n_units,
+                       min(o)::BIGINT AS min_arm,
+                       max(o)::BIGINT AS max_arm,
+                       sum((3 * o) * (3 * o))::BIGINT AS skoo
+                FROM per
+            )
+            SELECT n_units, 3 AS n_arms, min_arm, max_arm,
+                   (skoo - 3 * n_units * n_units)::BIGINT AS chi2_num,
+                   (3 * n_units)::BIGINT AS chi2_den,
+                   ((skoo - 3 * n_units * n_units) * 1000000 * 2
+                    + 3 * n_units) // (2 * 3 * n_units) AS chi2_e6
+            FROM tot
+        """,
         "ext_cusum_drift": """
             WITH daily AS (
                 SELECT event_type AS k,

@@ -124,7 +124,12 @@ def main() -> None:
     # 3.4s..132s). Min-of-N with INTERLEAVED passes (whole suite per
     # pass) is the noise-robust estimator: a stall window would have to
     # hit the same query in every pass to survive into the minimum.
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    # min-of-3 (was 2): this box's multi-minute steal windows routinely
+    # cover both passes of neighboring queries in a 2-pass sweep (the
+    # r5 mid-round sweep measured a 1.1x median inflation vs r4); a
+    # third interleaved pass costs ~6 min and stays far inside the
+    # budget guard below.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     timings, failures = _state["timings"], _state["failures"]
     out_of_time = False
     for rep in range(reps):

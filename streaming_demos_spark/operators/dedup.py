@@ -1140,9 +1140,14 @@ def minhash_lsh_eval(
         F.max("_t").alias("_t"), F.max("_f").alias("_f")
     )
     return pairs.agg(
-        F.sum("_t").alias("n_truth"),
-        F.sum("_f").alias("n_found"),
-        F.sum(F.col("_t") * F.col("_f")).alias("n_hits"),
+        # coalesce: an empty pair set must report 0s (sum of an empty
+        # frame is NULL), matching both the old join+count form and the
+        # SQL oracle's count(*)
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum("_f"), F.lit(0)).alias("n_found"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_f")), F.lit(0)).alias(
+            "n_hits"
+        ),
     ).select(
         "n_truth",
         "n_found",

@@ -1640,3 +1640,66 @@ def stratified_ate(
             )
         ).cast("long").alias("diff_e4"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    arm_col,
+    n_arms: int,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for an equal-allocation
+    experiment: compare per-arm UNIT counts against the uniform
+    expectation with the chi-square goodness-of-fit statistic — the
+    first thing to check before reading any A/B result (a biased
+    assignment invalidates everything downstream).
+
+    One distinct-unit aggregation + one |arms|-row combine. With
+    ``e = n/k``, ``χ² = Σ(o−e)²/e = Σ(k·o−n)² / (k·n)`` — the exact
+    integer numerator ``Σ(k·o−n)²`` and denominator ``k·n`` are
+    emitted as BIGINTs alongside the half-up scaled statistic
+    ``chi2_e6`` (χ²·1e6 by integer division), so no engine ever rounds
+    a rational on a midpoint. Output: one row
+    (n_units, n_arms, min_arm, max_arm, chi2_num, chi2_den, chi2_e6).
+    """
+    units = df.select(
+        F.col(unit_col).alias("_u"),
+        (arm_col if not isinstance(arm_col, str) else F.col(arm_col))
+        .cast("long")
+        .alias("_a"),
+    ).distinct()
+    per = units.groupBy("_a").agg(F.count("*").alias("_o"))
+    tot = per.agg(
+        F.sum("_o").alias("n_units"),
+        F.count("*").alias("k_obs"),
+        F.min("_o").alias("min_arm"),
+        F.max("_o").alias("max_arm"),
+        F.sum(
+            (F.lit(n_arms) * F.col("_o")) * (F.lit(n_arms) * F.col("_o"))
+        ).alias("_skoo"),
+    )
+    # Σ over ALL k arms of (k·o−n)² telescopes to k²Σo² − k·n² via
+    # Σo = n — and the identity survives empty arms (a missing arm's
+    # (0−n)² is exactly the term the expansion re-adds).
+    pre = tot.select(
+        "n_units",
+        F.lit(n_arms).alias("n_arms"),
+        "min_arm",
+        "max_arm",
+        (
+            F.col("_skoo")
+            - F.lit(n_arms) * F.col("n_units") * F.col("n_units")
+        ).alias("chi2_num"),
+        (F.lit(n_arms) * F.col("n_units")).alias("chi2_den"),
+    )
+    return pre.select(
+        "n_units",
+        "n_arms",
+        "min_arm",
+        "max_arm",
+        "chi2_num",
+        "chi2_den",
+        F.expr(
+            "(chi2_num * 1000000 * 2 + chi2_den) div (2 * chi2_den)"
+        ).alias("chi2_e6"),
+    )

@@ -281,3 +281,27 @@ def test_stratified_ate_exact_parts(spark):
     assert (r.stratum, r.n_t, r.n_c) == ("A", 2, 2)
     assert (r.sum_t_units, r.sum_c_units) == (2000, 1500)
     assert r.diff_e4 == 25000  # (10.00 - 7.50) * 1e4
+
+
+def test_srm_check_exact_chi2_parts(spark):
+    from streaming_demos_spark.operators.stats import srm_check
+    from pyspark.sql import functions as F
+
+    # 3 arms with 10/10/13 units (unit 99 duplicated rows count once)
+    rows = (
+        [(i, i % 100) for i in range(10)]          # arm pattern via id
+    )
+    # build explicit arms: 10 units arm0, 10 arm1, 13 arm2
+    data = (
+        [(i, 0) for i in range(10)]
+        + [(100 + i, 1) for i in range(10)]
+        + [(200 + i, 2) for i in range(13)]
+        + [(200, 2)] * 3  # duplicate unit rows must not inflate counts
+    )
+    df = spark.createDataFrame(data, "user_id long, arm long")
+    r = srm_check(df, "user_id", "arm", n_arms=3).collect()[0]
+    assert (r.n_units, r.n_arms, r.min_arm, r.max_arm) == (33, 3, 10, 13)
+    # chi2 = sum(3o-n)^2/(3n): o = 10,10,13, n = 33
+    num = sum((3 * o - 33) ** 2 for o in (10, 10, 13))
+    assert (r.chi2_num, r.chi2_den) == (num, 99)
+    assert r.chi2_e6 == round(num * 1_000_000 / 99)

@@ -79,6 +79,7 @@ def main() -> None:
             "ext_roc_curve": "distinct-score grid (2dp-rounded)",
             "ext_rmst": "distinct-duration grid (KM device + lead)",
             "ext_cumulative_users": "calendar frame (first-seen days)",
+            "ext_gains_table": "n_bins-row decile frame (cum capture)",
         }
         rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:

@@ -3998,6 +3998,29 @@ def q_k_core(spark, sf_dir):
     return G.k_core(edges, "p1", "p2", k=2, max_rounds=12).orderBy("node")
 
 
+def q_funnel_conversion_ci(spark, sf_dir):
+    # Uncertainty-aware funnel: view->click->purchase step conversions
+    # with Wilson 95% intervals - exact integer counts + half-up e4
+    # conversion, bounds are deterministic closed-form doubles
+    # (relational.py:funnel_conversion_ci).
+    ev = _t(spark, sf_dir, "events")
+    return R.funnel_conversion_ci(
+        ev, "user_id", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step")
+
+
+def q_abc_classification(spark, sf_dir):
+    # Pareto/ABC split of parts by revenue: per-part totals collapse
+    # onto the distinct-total grid, the cumulative runs over that grid
+    # (value cardinality, not parts), class cut is an exact integer
+    # predicate (relational.py:abc_classification).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return R.abc_classification(li, "l_partkey", "rev")
+
+
 def q_srm_check(spark, sf_dir):
     # Experiment guardrail: sample-ratio-mismatch chi-square over a
     # 3-arm md5-free assignment (user_id % 3), distinct units counted
@@ -4922,6 +4945,8 @@ _WINDOW_PRIORITY = [
     "ext_cusum_drift",
     "ext_pinball_eval",
     "ext_srm_check",
+    "ext_abc_classification",
+    "ext_funnel_conversion_ci",
     "tpch_q2",
     "tpch_q8",
     "tpch_q9",
@@ -5156,6 +5181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_cusum_drift": q_cusum_drift,
         "ext_pinball_eval": q_pinball_eval,
         "ext_srm_check": q_srm_check,
+        "ext_abc_classification": q_abc_classification,
+        "ext_funnel_conversion_ci": q_funnel_conversion_ci,
         "ext_weighted_median": q_weighted_median,
         "llm_feature_hash": q_feature_hash,
         "ext_kruskal_wallis": q_kruskal_wallis,
@@ -6821,6 +6848,81 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "ext_k_core": _k_core_oracle_sql(2, 12),
+        "ext_funnel_conversion_ci": """
+            WITH flags AS (
+                SELECT user_id,
+                       max((event_type = 'view')::INT) AS s0,
+                       max((event_type = 'click')::INT) AS s1,
+                       max((event_type = 'purchase')::INT) AS s2
+                FROM events GROUP BY user_id
+            ),
+            one AS (
+                SELECT sum(s0)::BIGINT AS n0,
+                       sum(s0 * s1)::BIGINT AS k0,
+                       sum(s1)::BIGINT AS n1,
+                       sum(s1 * s2)::BIGINT AS k1
+                FROM flags
+            ),
+            rows_ AS (
+                SELECT 'view->click' AS step, n0 AS n, k0 AS k FROM one
+                UNION ALL
+                SELECT 'click->purchase', n1, k1 FROM one
+            ),
+            w AS (
+                SELECT step, n, k,
+                       (k * 10000 * 2 + n) // (2 * n) AS conv_e4,
+                       k::DOUBLE / n::DOUBLE AS p,
+                       1.0 + (1.96 * 1.96) / n::DOUBLE AS denom,
+                       (k::DOUBLE / n::DOUBLE
+                        + (1.96 * 1.96) / (2.0 * n::DOUBLE))
+                       / (1.0 + (1.96 * 1.96) / n::DOUBLE) AS center,
+                       1.96 * sqrt((k::DOUBLE / n::DOUBLE)
+                           * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                           + (1.96 * 1.96)
+                             / (4.0 * n::DOUBLE * n::DOUBLE))
+                       / (1.0 + (1.96 * 1.96) / n::DOUBLE) AS half
+                FROM rows_
+            )
+            SELECT step, n, k, conv_e4,
+                   round(center - half, 6) AS wilson_lo,
+                   round(center + half, 6) AS wilson_hi
+            FROM w ORDER BY step
+        """,
+        "ext_abc_classification": """
+            WITH per AS (
+                SELECT l_partkey AS k,
+                       sum(round(l_extendedprice * (1 - l_discount)
+                                 * 100))::BIGINT AS v
+                FROM lineitem GROUP BY 1
+            ),
+            grid AS (SELECT v, count(*) AS nk FROM per GROUP BY v),
+            tot AS (SELECT sum(v)::BIGINT AS t FROM per),
+            cum AS (
+                SELECT v, nk,
+                       sum(v * nk) OVER (ORDER BY v DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)::BIGINT AS c,
+                       t
+                FROM grid, tot
+            ),
+            cls AS (
+                SELECT CASE WHEN c * 100 <= 80 * t THEN 'A'
+                            WHEN c * 100 <= 95 * t THEN 'B'
+                            ELSE 'C' END AS abc_class,
+                       nk, v, t
+                FROM cum
+            ),
+            agg AS (
+                SELECT abc_class,
+                       sum(nk)::BIGINT AS n_keys,
+                       sum(v * nk)::BIGINT AS total_units,
+                       max(t) AS t
+                FROM cls GROUP BY abc_class
+            )
+            SELECT abc_class, n_keys, total_units,
+                   (total_units * 10000 * 2 + t) // (2 * t) AS share_e4
+            FROM agg ORDER BY abc_class
+        """,
         "ext_srm_check": """
             WITH units AS (
                 SELECT DISTINCT user_id AS u, user_id % 3 AS a

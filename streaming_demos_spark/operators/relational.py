@@ -4877,3 +4877,140 @@ def quantile_forecast_pinball(
         F.sum(pin).alias("pinball_units"),
         F.sum((d <= 0).cast("long")).alias("n_under"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+    int_scale: int = 100,
+) -> DataFrame:
+    """ABC (Pareto) classification: rank keys by revenue and split
+    them into A (first ``a_pct``% of cumulative value), B (to
+    ``b_pct``%), C (rest) — the inventory-analytics staple behind
+    "20% of parts are 80% of revenue".
+
+    NO global row sort: per-key totals (one shuffle) collapse onto the
+    DISTINCT-TOTAL GRID with per-value key counts, the cumulative value
+    runs over that bounded grid (value cardinality, not keys), and the
+    class cut is an exact integer predicate
+    ``cum·100 <= pct·total`` on cent BIGINTs — no float share ever
+    rounds. Keys sharing a grid value class together (deterministic
+    under any layout — per-key ordering inside a tied value is
+    arbitrary, so the tie must not straddle a class). Output:
+    (abc_class, n_keys, total_units, share_e4) with share_e4 the
+    half-up integer of class-share·1e4.
+    """
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(
+            F.round(F.col(value_col).cast("double") * int_scale).cast(
+                "long"
+            )
+        ).alias("_v")
+    )
+    grid = per.groupBy("_v").agg(
+        F.count("*").alias("_nk"),
+    )
+    w = Window.orderBy(F.desc("_v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("_v").alias("_tot"))
+    cum = grid.withColumn(
+        "_cum", F.sum(F.col("_v") * F.col("_nk")).over(w)
+    ).join(F.broadcast(tot))
+    cls = cum.withColumn(
+        "abc_class",
+        F.when(
+            F.col("_cum") * 100 <= F.lit(a_pct) * F.col("_tot"), "A"
+        )
+        .when(
+            F.col("_cum") * 100 <= F.lit(b_pct) * F.col("_tot"), "B"
+        )
+        .otherwise("C"),
+    )
+    out = cls.groupBy("abc_class").agg(
+        F.sum("_nk").alias("n_keys"),
+        F.sum(F.col("_v") * F.col("_nk")).alias("total_units"),
+        F.max("_tot").alias("_tot"),
+    )
+    return out.select(
+        "abc_class",
+        "n_keys",
+        "total_units",
+        F.expr(
+            "(total_units * 10000 * 2 + _tot) div (2 * _tot)"
+        ).alias("share_e4"),
+    ).orderBy("abc_class")
+
+
+def funnel_conversion_ci(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    steps: list[str],
+    z_e2: int = 196,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Step-to-step funnel conversion with Wilson 95% intervals: for
+    each adjacent step pair, the share of step-i users who also reached
+    step i+1, plus the Wilson score bounds — the uncertainty-aware
+    funnel read (a 3-user funnel step saying "33%" is noise; Wilson
+    says so).
+
+    One conditional aggregation builds per-user step flags (no joins,
+    no ordering — presence semantics); the step table is |steps|−1
+    rows. Counts are exact BIGINTs, the conversion is the half-up
+    integer ``conv_e4``, and the Wilson bounds (the only doubles) are
+    deterministic closed-form arithmetic on exact integers, rounded at
+    ``round_dp`` where the digit is sqrt-noise, not a midpoint.
+    """
+    flags = df.groupBy(F.col(user_col).alias("_u")).agg(
+        *[
+            F.max((F.col(type_col) == s).cast("int")).alias(f"_s{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    aggs = []
+    for i in range(len(steps) - 1):
+        aggs.append(
+            F.sum(F.col(f"_s{i}").cast("long")).alias(f"_n{i}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col(f"_s{i}") * F.col(f"_s{i + 1}")).cast("long")
+            ).alias(f"_k{i}")
+        )
+    one = flags.agg(*aggs)
+    z = z_e2 / 100.0
+    parts = []
+    for i in range(len(steps) - 1):
+        n = F.col(f"_n{i}").cast("double")
+        k = F.col(f"_k{i}").cast("double")
+        p = k / n
+        denom = F.lit(1.0) + F.lit(z * z) / n
+        center = (p + F.lit(z * z) / (F.lit(2.0) * n)) / denom
+        half = (
+            F.lit(z)
+            * F.sqrt(
+                p * (F.lit(1.0) - p) / n
+                + F.lit(z * z) / (F.lit(4.0) * n * n)
+            )
+            / denom
+        )
+        parts.append(
+            F.struct(
+                F.lit(f"{steps[i]}->{steps[i + 1]}").alias("step"),
+                F.col(f"_n{i}").alias("n"),
+                F.col(f"_k{i}").alias("k"),
+                F.expr(
+                    f"(_k{i} * 10000 * 2 + _n{i}) div (2 * _n{i})"
+                ).alias("conv_e4"),
+                F.round(center - half, round_dp).alias("wilson_lo"),
+                F.round(center + half, round_dp).alias("wilson_hi"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*parts)).alias("_r")
+    ).select("_r.*")

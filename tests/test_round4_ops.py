@@ -1894,3 +1894,49 @@ def test_quantile_forecast_pinball_hand_case(spark):
     # pinball: max(9d, -d): 100, 8100, 0
     assert r.pinball_units == 8200
     assert r.n_under == 2  # 18.0 and 18.1 are <= the P90
+
+
+def test_abc_classification_pareto_split(spark):
+    from streaming_demos_spark.operators.relational import abc_classification
+
+    # one dominant key (80 units), one middle (15), three tail (5/3...)
+    rows = (
+        [(1, 80.0)] + [(2, 15.0)] + [(3, 3.0), (4, 1.5), (5, 0.5)]
+    )
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = {r.abc_class: r for r in abc_classification(df, "k", "v").collect()}
+    # total = 100.00 -> cum: 80 (<=80% -> A), 95 (<=95% -> B), rest C
+    assert (out["A"].n_keys, out["A"].total_units) == (1, 8000)
+    assert (out["B"].n_keys, out["B"].total_units) == (1, 1500)
+    assert (out["C"].n_keys, out["C"].total_units) == (3, 500)
+    assert out["A"].share_e4 == 8000  # 0.80 * 1e4
+    assert out["C"].share_e4 == 500
+
+
+def test_funnel_conversion_ci_counts_and_bounds(spark):
+    from streaming_demos_spark.operators.relational import (
+        funnel_conversion_ci,
+    )
+
+    rows = (
+        [(u, "view") for u in range(10)]
+        + [(u, "click") for u in range(6)]      # 6 of 10 viewers click
+        + [(u, "purchase") for u in range(3)]   # 3 of 6 clickers buy
+        + [(99, "purchase")]                    # buyer with no view/click
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        r.step: r
+        for r in funnel_conversion_ci(
+            df, "user_id", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    vc = out["view->click"]
+    assert (vc.n, vc.k, vc.conv_e4) == (10, 6, 6000)
+    cp = out["click->purchase"]
+    assert (cp.n, cp.k, cp.conv_e4) == (6, 3, 5000)
+    # Wilson sanity: bounds bracket p-hat, stay in [0,1], and are wide
+    # at these tiny n
+    for r in (vc, cp):
+        assert 0.0 <= r.wilson_lo < r.k / r.n < r.wilson_hi <= 1.0
+        assert r.wilson_hi - r.wilson_lo > 0.3

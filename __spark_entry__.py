@@ -4889,12 +4889,69 @@ def q_tpch_q21(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
-    # Round-5 window (first 50): the three round-4 driver-red keys
-    # (fixed this round - the driver must re-prove them), every key
-    # whose output or candidate generation changed this round, then
-    # keys that have never had a driver CORRECTNESS row (round-4
-    # continuation stats/ops and the TPC-H suite). Least-verified
-    # first, as directed in VERDICT r3#3/r4#5.
+    # Round-6 window (first 50), per VERDICT r5 #4: the three round-5
+    # driver-red keys first (root cause fixed this round — NS-parquet
+    # bridge now rebuilds TIMESTAMP_NTZ, nelson-aalen emits exact
+    # integer ppm — the driver must re-prove them), then the two keys
+    # ADVICE flagged as appended outside the r5 window, then 45 keys
+    # that have NEVER had a driver CORRECTNESS row, prioritizing the
+    # ones whose inputs/outputs involve timestamps (the NS/LTZ class)
+    # or rounded doubles (the last-ulp class). Duplicates later in
+    # this list are ignored (first occurrence wins).
+    "ext_cumulative_users",
+    "ext_bloom_semijoin",
+    "ext_nelson_aalen",
+    "ext_abc_classification",
+    "ext_funnel_conversion_ci",
+    # never-driver-verified, date/timestamp-sensitive (o_orderdate /
+    # l_shipdate / events.ts are NS-typed on the driver's box)
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "ext_funnel_step_times",
+    "ext_seasonal_profile",
+    "ext_autocorrelation",
+    "ext_changepoint",
+    "ext_decayed_engagement",
+    "ext_ewma_smooth",
+    "ext_sequence_gaps",
+    "ext_incremental_agg",
+    "ext_user_journeys",
+    "ext_funnel",
+    "ext_retention",
+    "ext_event_transitions",
+    "o4_per_key_time_split",
+    "ext_duplicate_events",
+    "s10_cdc_scd2_history",
+    "s10_cdc_snapshot_at",
+    "s10_snapshot_diff",
+    "ext_window_suite",
+    "ext_grouped_trend",
+    # never-driver-verified, rounded-double / float-arith outputs
+    "ext_ab_test",
+    "ext_kaplan_meier",
+    "ext_jackknife_ci",
+    "ext_cohens_kappa",
+    "ext_gini",
+    "ext_benford",
+    "ext_mutual_info",
+    "llm_zipf_fit",
+    "eval_ndcg",
+    "eval_calibration",
+    "llm_tfidf_cosine_topk",
+    "ext_concentration",
+    "ext_heavy_hitters",
+    "ext_hll_distinct",
+    "ext_cms_term_counts",
+    "ext_quantile_summary",
+    # --- end round-6 window (50) ---
     "ext_yuen_ttest",
     "ext_cumulative_users",
     "ext_bloom_semijoin",
@@ -8197,13 +8254,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q8": """
             SELECT year(o.o_orderdate) AS o_year,
-                   round(
-                       sum(CASE WHEN n2.n_name = 'NATION_3'
-                                THEN l.l_extendedprice * (1 - l.l_discount)
-                                ELSE 0.0::DOUBLE END)
-                       / nullif(sum(l.l_extendedprice * (1 - l.l_discount)),
-                                0),
-                       6) AS mkt_share
+                   sum(CASE WHEN n2.n_name = 'NATION_3'
+                            THEN cast(round(l.l_extendedprice
+                                 * (1 - l.l_discount) * 10000) as bigint)
+                            ELSE 0 END)::BIGINT AS nation_volume_e4,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint))::BIGINT
+                       AS total_volume_e4
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -8220,9 +8277,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q9": """
             SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)
-                             - 0.6::DOUBLE * p.p_retailprice
-                               * l.l_quantity), 2) AS sum_profit
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)
+                       - cast(round(0.6 * p.p_retailprice * l.l_quantity
+                                    * 10000) as bigint)) AS sum_profit_e4
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -8235,19 +8293,19 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11": """
             WITH traded AS (
                 SELECT l.l_partkey,
-                       round(sum(l.l_extendedprice * l.l_quantity), 2)
-                           AS part_value
+                       sum(cast(round(l.l_extendedprice * l.l_quantity
+                                      * 100) as bigint)) AS part_value_cents
                 FROM lineitem l
                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
                 JOIN nation n ON s.s_nationkey = n.n_nationkey
                 WHERE n.n_name = 'NATION_7'
                 GROUP BY l.l_partkey
             )
-            SELECT l_partkey, part_value
+            SELECT l_partkey, part_value_cents::BIGINT AS part_value_cents
             FROM traded
-            WHERE part_value > (SELECT sum(part_value) * 0.001::DOUBLE
-                                FROM traded)
-            ORDER BY part_value DESC, l_partkey
+            WHERE part_value_cents * 1000 > (SELECT sum(part_value_cents)
+                                             FROM traded)
+            ORDER BY part_value_cents DESC, l_partkey
         """,
         "tpch_q12": """
             SELECT CASE
@@ -8351,8 +8409,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l.l_orderkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) AS revenue_e4,
                    o.o_orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -8361,7 +8419,7 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-06-15'
               AND l.l_shipdate > TIMESTAMP '1998-06-15'
             GROUP BY l.l_orderkey, o.o_orderdate
-            ORDER BY revenue DESC, l.l_orderkey
+            ORDER BY revenue_e4 DESC, l.l_orderkey
             LIMIT 10
         """,
         "tpch_q4": """
@@ -8379,8 +8437,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5": """
             SELECT n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) AS revenue_e4
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -8392,10 +8450,11 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1997-01-01'
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
-            ORDER BY revenue DESC, n.n_name
+            ORDER BY revenue_e4 DESC, n.n_name
         """,
         "tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT sum(cast(round(l_extendedprice * l_discount * 10000)
+                            as bigint)) AS revenue_e4
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -8405,8 +8464,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l.l_shipdate) AS l_year,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) AS revenue_e4
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
@@ -8422,8 +8481,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q10": """
             SELECT c.c_custkey, c.c_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) AS revenue_e4,
                    c.c_acctbal, n.n_name
             FROM orders o
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -8433,16 +8492,17 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
               AND l.l_returnflag = 'R'
             GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-            ORDER BY revenue DESC, c.c_custkey
+            ORDER BY revenue_e4 DESC, c.c_custkey
             LIMIT 20
         """,
         "tpch_q14": """
-            SELECT round(
-                100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                 THEN l.l_extendedprice * (1 - l.l_discount)
-                                 ELSE 0.0 END)
-                / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0),
-                4) AS promo_revenue_pct
+            SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN cast(round(l.l_extendedprice
+                                 * (1 - l.l_discount) * 10000) as bigint)
+                            ELSE 0 END)::BIGINT AS promo_revenue_e4,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint))::BIGINT
+                       AS total_revenue_e4
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
@@ -8451,17 +8511,19 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": """
             WITH rev AS (
                 SELECT l_suppkey,
-                       round(sum(l_extendedprice * (1 - l_discount)), 2)
-                           AS total_revenue
+                       sum(cast(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) as bigint))
+                           AS total_revenue_e4
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-07-01'
                   AND l_shipdate < TIMESTAMP '1997-10-01'
                 GROUP BY l_suppkey
             )
-            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            SELECT s.s_suppkey, s.s_name,
+                   r.total_revenue_e4::BIGINT AS total_revenue_e4
             FROM rev r
             JOIN supplier s ON r.l_suppkey = s.s_suppkey
-            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+            WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
             ORDER BY s.s_suppkey
         """,
         "tpch_q17": """
@@ -8473,7 +8535,9 @@ def oracle_sql() -> dict[str, str]:
                 JOIN part p ON l.l_partkey = p.p_partkey
                 WHERE p.p_brand = 'Brand#9'
             )
-            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            SELECT sum(cast(round(l_extendedprice * 100) as bigint))
+                       AS total_revenue_cents,
+                   7.0::DOUBLE AS years
             FROM brand_lines
             WHERE l_quantity < 0.2 * avg_qty
         """,
@@ -8493,8 +8557,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "tpch_q19": """
-            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue
+            SELECT sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) AS revenue_e4
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -8506,11 +8570,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q22": """
             SELECT n.n_name, count(*) AS numcust,
-                   round(sum(c.c_acctbal), 2) AS totacctbal
+                   sum(cast(round(c.c_acctbal * 100) as bigint))
+                       AS totacctbal_cents
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
-            WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                                 WHERE c_acctbal > 0)
+            WHERE cast(round(c.c_acctbal * 100) as bigint)
+                  * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+                  > (SELECT sum(cast(round(c_acctbal * 100) as bigint))
+                     FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (
                   SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
@@ -11502,15 +11569,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_t
             ),
             h AS (
+                -- half-up ppm increment, pure BIGINT (build-portable);
+                -- integer running sum = exact cumulative hazard in ppm
                 SELECT t, n_at_risk, n_events,
-                       sum(n_events / n_at_risk::DOUBLE)
+                       sum((2 * n_events::BIGINT * 1000000 + n_at_risk)
+                           // (2 * n_at_risk))
                            OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-                           AS ch
+                           AS ch_ppm
                 FROM grid
             )
             SELECT t AS duration_days, n_at_risk,
                    n_events::BIGINT AS n_events,
-                   round(ch, 6) AS cum_hazard
+                   ch_ppm::BIGINT AS cum_hazard_ppm
             FROM h WHERE n_events > 0
             ORDER BY duration_days
         """,

@@ -5,13 +5,17 @@ select/filter benefits from pushdown + pruning because loading declares
 no projection here (Catalyst prunes per-query).
 
 Physical-schema normalization: the driver's ``events.parquet`` stores
-``ts`` as parquet ``TIMESTAMP(NANOS)``. Spark 4.1 reads that natively as
-``TIMESTAMP_NTZ`` (naive wall time — exactly DuckDB's timestamp model,
-so oracle comparisons need no timezone reasoning) and the column passes
-through unchanged. Two fallbacks keep older readers working: the
-``nanosAsLong`` legacy conf is still set (ignored on 4.1, honored by
-3.x), and a column read as a nanos-long is rebuilt into a proper
-timestamp below. Epoch math on NTZ columns must use
+``ts`` as parquet ``TIMESTAMP(NANOS)``. pyspark 4.1.2 cannot read
+NANOS natively (``PARQUET_TYPE_ILLEGAL``); the ``nanosAsLong`` legacy
+conf IS honored and surfaces the column as a nanos ``bigint``, which
+the loader rebuilds into ``TIMESTAMP_NTZ`` (naive wall time — exactly
+DuckDB's timestamp model, so oracle comparisons need no timezone
+reasoning) via ``timestampadd`` on a ``timestamp_ntz`` epoch literal.
+The rebuild MUST be NTZ: ``timestamp_micros`` yields a session-zone
+TIMESTAMP (LTZ) that shifts dates/filters under non-UTC sessions —
+the verified root cause of two rounds of driver-only failures. µs-typed
+parquet (isAdjustedToUTC=false) already reads as NTZ and passes
+through unchanged. Epoch math on NTZ columns must use
 ``functions.scalars.epoch_us``/``epoch_sec`` — ``unix_micros`` and
 ``cast('long')`` reject NTZ.
 """
@@ -52,14 +56,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     actual = {f.name: f.dataType for f in df.schema.fields}
     for field in declared.fields:
         # Column read as a nanos-long but declared as a timestamp:
-        # truncate to µs with exact integer division.
+        # truncate to µs with exact integer division and rebuild as
+        # TIMESTAMP_NTZ (naive wall time, session-zone-independent).
         if (
             isinstance(field.dataType, T.TimestampType)
             and isinstance(actual.get(field.name), T.LongType)
         ):
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{field.name}` div 1000, "
+                    "timestamp_ntz'1970-01-01 00:00:00')"
+                ),
             )
     _TABLE_CACHE[cache_key] = df
     return df

@@ -3381,14 +3381,21 @@ def nelson_aalen(
     df: DataFrame,
     duration_col: str,
     event_col: str,
-    round_dp: int = 6,
 ) -> DataFrame:
     """Nelson–Aalen cumulative-hazard estimator over (duration,
     observed-event) rows: H(t) = Σ_{t_i <= t} d_i / n_i — the additive
     companion to ``kaplan_meier`` (H plots hazard accumulation
     directly and behaves better than -ln(S) at small risk sets).
     Returns one row per distinct duration with at least one observed
-    event: (duration, n_at_risk, n_events, cum_hazard).
+    event: (duration, n_at_risk, n_events, cum_hazard_ppm).
+
+    ``cum_hazard_ppm`` is an EXACT integer: each per-duration increment
+    d_i/n_i is half-up-rounded to parts-per-million in pure BIGINT
+    arithmetic — ``(2·d·10⁶ + n) div (2·n)`` — and the cumulative
+    hazard is the integer running sum of the increments. A float
+    running sum rounded to 6dp can straddle the final ulp across
+    engine builds; the ppm device is build-portable (same trick as the
+    Yuen/OHLC fixed-point outputs).
 
     Same scale shape as the KM curve: one per-duration aggregate, then
     windows over the DISTINCT-DURATION grid only (bounded by the
@@ -3412,17 +3419,20 @@ def nelson_aalen(
         ).alias("n_at_risk"),
     )
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    hazard = F.sum(
-        F.col("n_events") / F.col("n_at_risk")
-    ).over(w_cum)
+    # Half-up ppm increment in BIGINT; zero-event durations contribute
+    # exactly 0, so the cumsum can run over the full grid pre-filter.
+    inc_ppm = F.expr(
+        "(2 * n_events * 1000000 + n_at_risk) div (2 * n_at_risk)"
+    )
+    hazard_ppm = F.sum(inc_ppm).over(w_cum)
     return (
-        grid.withColumn("_h", hazard)
+        grid.withColumn("_h_ppm", hazard_ppm)
         .filter(F.col("n_events") > 0)
         .select(
             F.col("t").alias(duration_col),
             "n_at_risk",
             "n_events",
-            F.round("_h", round_dp).alias("cum_hazard"),
+            F.col("_h_ppm").cast("long").alias("cum_hazard_ppm"),
         )
         .orderBy(duration_col)
     )

@@ -25,9 +25,19 @@ Scale posture (100 TB):
 - Date-range and category predicates are plain column comparisons ->
   pushed to the parquet scan.
 
-Determinism: every output double is rounded in-plan (the DuckDB oracles
-round identically); every LIMIT is preceded by a total order with a
-unique tie-breaker key.
+Determinism: revenue/value outputs are EXACT e4/e2-scaled BIGINTs —
+l_extendedprice / l_discount / c_acctbal are 2-dp decimals stored as
+doubles, so ``round(x * 1e4)`` per ROW recovers an exact integer (a
+fixed sequence of correctly-rounded IEEE ops, bit-identical in any
+engine) and the aggregate is an order-independent integer sum. A
+rounded float SUM, by contrast, can straddle its last ulp across
+engine builds (the Nelson–Aalen driver-red class). Ratio outputs emit
+numerator+denominator instead of the quotient. Every LIMIT is preceded
+by a total order with a unique tie-breaker key.
+
+BIGINT headroom: an e4-scaled revenue sum holds to ~9.2e18, i.e.
+~9e14 currency units — beyond TPC-H sf100k total revenue; per-group
+sums are orders of magnitude smaller still.
 """
 
 from __future__ import annotations
@@ -44,6 +54,19 @@ def _revenue():
     """Lazily-built revenue expression — must not evaluate F.col at
     import time (pyspark asserts an active SparkContext)."""
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _revenue_e4():
+    """Per-row revenue as an EXACT e4-scaled BIGINT:
+    ``round(l_extendedprice * (1 - l_discount) * 10000)``. Price and
+    discount are 2-dp decimals, so the true product is an integer at
+    scale 1e4; the three IEEE ops keep the double within ~4e-7 of it
+    and round() recovers it exactly — deterministically, in any
+    engine. Summing BIGINTs is then order-independent, unlike a float
+    SUM whose rounded value can straddle an ulp across engine builds."""
+    return F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"
+    )
 
 
 def q3_shipping_priority(
@@ -71,9 +94,9 @@ def q3_shipping_priority(
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > _ts(pivot_date))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate")
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
         .limit(k)
     )
 
@@ -153,8 +176,8 @@ def q5_local_supplier_volume(
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
     )
 
 
@@ -181,9 +204,12 @@ def q6_forecast_revenue(
             & (F.col("l_quantity") < qty_below)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * l_discount * 10000)"
+                    " as bigint)"
+                )
+            ).alias("revenue_e4")
         )
     )
 
@@ -242,7 +268,7 @@ def q7_nation_volume(
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -278,9 +304,9 @@ def q10_returned_items(
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+        .select("c_custkey", "c_name", "revenue_e4", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
         .limit(k)
     )
 
@@ -304,15 +330,14 @@ def q14_promo_effect(
         (F.col("l_shipdate") >= _ts(date_from))
         & (F.col("l_shipdate") < _ts(date_to))
     )
-    promo = F.when(F.col("p_type") == promo_type, _revenue()).otherwise(F.lit(0.0))
+    promo = F.when(
+        F.col("p_type") == promo_type, _revenue_e4()
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
         month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.try_divide(F.sum(promo), F.sum(_revenue())),
-                4,
-            ).alias("promo_revenue_pct")
+            F.sum(promo).alias("promo_revenue_e4"),
+            F.sum(_revenue_e4()).alias("total_revenue_e4"),
         )
     )
 
@@ -340,14 +365,14 @@ def q15_top_supplier(
             & (F.col("l_shipdate") < _ts(date_to))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .agg(F.sum(_revenue_e4()).alias("total_revenue_e4"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    mx = rev.agg(F.max("total_revenue_e4").alias("_max_rev"))
     return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
+        rev.join(F.broadcast(mx), F.col("total_revenue_e4") == F.col("_max_rev"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue_e4")
         )
         .orderBy("s_suppkey")
     )
@@ -382,7 +407,10 @@ def q17_small_quantity_revenue(
         .withColumn("_avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < qty_fraction * F.col("_avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / years, 2).alias("avg_yearly")
+            F.sum(
+                F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            ).alias("total_revenue_cents"),
+            F.lit(float(years)).alias("years"),
         )
     )
 
@@ -462,7 +490,7 @@ def q19_discounted_revenue(
     return (
         lineitem.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
     )
 
 
@@ -485,21 +513,27 @@ def q22_dormant_high_balance(
     the anti-join's build side shrinks with the predicate instead of
     carrying the whole history.
     """
+    # Threshold compare in pure BIGINT: bal_cents * n > total_cents is
+    # bal > avg with no float average to straddle across engine builds.
+    bal_cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        F.sum(bal_cents).alias("_sum_cents"),
+        F.count("*").alias("_n_pos"),
     )
     recent = orders.filter(F.col("o_orderdate") >= _ts(dormant_since)).select(
         "o_custkey"
     )
     return (
         customer.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .filter(bal_cents * F.col("_n_pos") > F.col("_sum_cents"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(F.expr("cast(round(c_acctbal * 100) as bigint)")).alias(
+                "totacctbal_cents"
+            ),
         )
         .orderBy("n_name")
     )
@@ -639,16 +673,11 @@ def q8_market_share(
         .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("_sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.try_divide(
-                    F.sum(
-                        F.when(F.col("supp_nation") == target_nation, vol)
-                        .otherwise(F.lit(0.0))
-                    ),
-                    F.sum(vol),
-                ),
-                6,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, _revenue_e4())
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("nation_volume_e4"),
+            F.sum(_revenue_e4()).alias("total_volume_e4"),
         )
         .orderBy("o_year")
     )
@@ -676,9 +705,10 @@ def q9_product_profit(
     aggregate; contains() cannot push to parquet but evaluates in the
     scan stage before any shuffle.
     """
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        cost_factor
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    profit_e4 = _revenue_e4() - F.expr(
+        f"cast(round({cost_factor} * p_retailprice * l_quantity * 10000)"
+        " as bigint)"
+    )
     return (
         lineitem.join(
             F.broadcast(
@@ -695,7 +725,7 @@ def q9_product_profit(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.sum(profit_e4).alias("sum_profit_e4"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -727,19 +757,28 @@ def q11_important_stock(
         )
         .groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
-            ).alias("part_value")
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * l_quantity * 100)"
+                    " as bigint)"
+                )
+            ).alias("part_value_cents")
         )
     )
-    threshold = traded.agg(
-        (F.sum("part_value") * F.lit(fraction)).alias("_thr")
-    )
+    # fraction is a terminating decimal: compare part * denom > total *
+    # numer in pure BIGINT (no float threshold to straddle).
+    from fractions import Fraction
+
+    frac = Fraction(str(fraction))
+    threshold = traded.agg(F.sum("part_value_cents").alias("_tot"))
     return (
         traded.join(F.broadcast(threshold))
-        .filter(F.col("part_value") > F.col("_thr"))
-        .select("l_partkey", "part_value")
-        .orderBy(F.desc("part_value"), "l_partkey")
+        .filter(
+            F.col("part_value_cents") * F.lit(frac.denominator)
+            > F.col("_tot") * F.lit(frac.numerator)
+        )
+        .select("l_partkey", "part_value_cents")
+        .orderBy(F.desc("part_value_cents"), "l_partkey")
     )
 
 

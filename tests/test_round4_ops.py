@@ -414,9 +414,9 @@ def test_nelson_aalen_hand_case(spark):
     out = {r.t: r for r in nelson_aalen(df, "t", "ev").collect()}
     assert set(out) == {1, 3}  # censored-only steps emit no row
     assert out[1].n_at_risk == 5 and out[1].n_events == 2
-    assert abs(out[1].cum_hazard - 2 / 5) < 1e-9
+    assert out[1].cum_hazard_ppm == 400000  # 2/5 in ppm, exact
     assert out[3].n_at_risk == 2 and out[3].n_events == 1
-    assert abs(out[3].cum_hazard - (2 / 5 + 1 / 2)) < 1e-9
+    assert out[3].cum_hazard_ppm == 900000  # 2/5 + 1/2 in ppm, exact
 
 
 def test_association_rules_hand_case(spark):

@@ -436,3 +436,50 @@ def test_json_corrupt_capture_routes_bad_lines(spark, tmp_path):
     assert {r.k for r in good.collect()} == {1, 2}
     bad_rows = [r[0] for r in bad.collect()]
     assert bad_rows == ["this is not json"]
+
+
+def test_ns_parquet_loads_as_ntz_under_non_utc_session(spark, tmp_path):
+    """Regression: the driver's parquet stores timestamps as
+    TIMESTAMP(NANOS). pyspark 4.1.2 honors `nanosAsLong` (the native
+    read throws PARQUET_TYPE_ILLEGAL), so `catalog.load_table` sees a
+    nanos bigint and must rebuild it as TIMESTAMP_NTZ — the old
+    `timestamp_micros` bridge produced a session-zone LTZ that shifted
+    dates under non-UTC sessions (two rounds of driver-only reds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from streaming_demos_spark import catalog
+
+    sf_dir = str(tmp_path / "nssf")
+    os.makedirs(sf_dir)
+    # 2024-03-01T12:00:00 naive, as nanos-of-epoch — crosses the date
+    # line in America/New_York only if read as LTZ at 00:30.
+    wall = ["2024-03-01 00:30:00", "2024-06-15 12:00:00"]
+    arr = pa.array([f"{w}" for w in wall]).cast(pa.timestamp("us")).cast(
+        pa.timestamp("ns")
+    )
+    tbl = pa.table({"event_id": pa.array([1, 2], pa.int64()), "ts": arr,
+                    "user_id": pa.array([1, 1], pa.int64()),
+                    "event_type": pa.array(["view", "view"]),
+                    "value": pa.array([1.0, 2.0]),
+                    "props": pa.array(["{}", "{}"])})
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"),
+                   store_schema=False)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = catalog.load_table(spark, sf_dir, "events")
+        dtype = dict(df.dtypes)["ts"]
+        assert dtype == "timestamp_ntz", dtype
+        dates = sorted(
+            r.d.isoformat()
+            for r in df.select(F.to_date("ts").alias("d")).collect()
+        )
+        # Naive wall dates must survive the non-UTC session zone: the
+        # old LTZ bridge rendered 2024-03-01 00:30 as 2024-02-29 EST.
+        assert dates == ["2024-03-01", "2024-06-15"], dates
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        catalog._TABLE_CACHE.pop((spark, sf_dir, "events"), None)

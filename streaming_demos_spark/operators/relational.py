@@ -4711,7 +4711,7 @@ def gains_table(
         F.lit(1).alias("_g"),
         F.col(score_col).alias("_s"),
         (
-            F.col(response_col)
+            response_col
             if not isinstance(response_col, str)
             else F.col(response_col)
         ).cast("boolean").alias("_r"),
@@ -4949,8 +4949,13 @@ def abc_classification(
         "abc_class",
         "n_keys",
         "total_units",
+        # DECIMAL(38,0) intermediate: total_units*20000 would overflow
+        # BIGINT once total cents exceed ~4.6e14 (~sf200); the decimal
+        # product holds to 1e38 and the quotient (<=1e4) casts back
+        # exactly. DuckDB's HUGEINT side is already 128-bit.
         F.expr(
-            "(total_units * 10000 * 2 + _tot) div (2 * _tot)"
+            "cast((cast(total_units as decimal(38,0)) * 10000 * 2 + _tot)"
+            " div (2 * _tot) as bigint)"
         ).alias("share_e4"),
     ).orderBy("abc_class")
 
@@ -5009,16 +5014,27 @@ def funnel_conversion_ci(
             )
             / denom
         )
+        # A step absent from the data has n=0: emit NULL conversion /
+        # bounds instead of dividing by zero (ANSI mode aborts the
+        # whole query otherwise).
+        has_n = F.col(f"_n{i}") > 0
         parts.append(
             F.struct(
                 F.lit(f"{steps[i]}->{steps[i + 1]}").alias("step"),
                 F.col(f"_n{i}").alias("n"),
                 F.col(f"_k{i}").alias("k"),
-                F.expr(
-                    f"(_k{i} * 10000 * 2 + _n{i}) div (2 * _n{i})"
+                F.when(
+                    has_n,
+                    F.expr(
+                        f"(_k{i} * 10000 * 2 + _n{i}) div (2 * _n{i})"
+                    ),
                 ).alias("conv_e4"),
-                F.round(center - half, round_dp).alias("wilson_lo"),
-                F.round(center + half, round_dp).alias("wilson_hi"),
+                F.when(has_n, F.round(center - half, round_dp)).alias(
+                    "wilson_lo"
+                ),
+                F.when(has_n, F.round(center + half, round_dp)).alias(
+                    "wilson_hi"
+                ),
             )
         )
     return one.select(

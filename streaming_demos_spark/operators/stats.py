@@ -1632,10 +1632,14 @@ def stratified_ate(
         "n_c",
         "sum_t_units",
         "sum_c_units",
+        # DECIMAL(38,0) intermediates: sum·count cross-products overflow
+        # BIGINT once stratum unit-sums reach ~1e14·1e5; decimal holds
+        # to 1e38 and the e4 ratio casts back exactly.
         (
             F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
             * F.expr(
-                "((abs(sum_t_units * n_c - sum_c_units * n_t) * 100 * 2"
+                "((abs(cast(sum_t_units as decimal(38,0)) * n_c"
+                " - cast(sum_c_units as decimal(38,0)) * n_t) * 100 * 2"
                 " + n_t * n_c) div (2 * n_t * n_c))"
             )
         ).cast("long").alias("diff_e4"),
@@ -1674,8 +1678,11 @@ def srm_check(
         F.count("*").alias("k_obs"),
         F.min("_o").alias("min_arm"),
         F.max("_o").alias("max_arm"),
+        # DECIMAL(38,0) intermediate: (k·o)² overflows BIGINT once an
+        # arm holds ~2.3e9/k units; decimal holds to 1e38 (n ≤ ~1e17).
         F.sum(
-            (F.lit(n_arms) * F.col("_o")) * (F.lit(n_arms) * F.col("_o"))
+            (F.lit(n_arms) * F.col("_o").cast("decimal(38,0)"))
+            * (F.lit(n_arms) * F.col("_o"))
         ).alias("_skoo"),
     )
     # Σ over ALL k arms of (k·o−n)² telescopes to k²Σo² − k·n² via
@@ -1688,18 +1695,25 @@ def srm_check(
         "max_arm",
         (
             F.col("_skoo")
-            - F.lit(n_arms) * F.col("n_units") * F.col("n_units")
-        ).alias("chi2_num"),
+            - F.lit(n_arms)
+            * F.col("n_units").cast("decimal(38,0)")
+            * F.col("n_units")
+        ).alias("_num_dec"),
         (F.lit(n_arms) * F.col("n_units")).alias("chi2_den"),
     )
+    # Outputs stay BIGINT (|chi2_num| fits to ~9.2e18 — holds for any
+    # n ≤ 1e14 with χ² ≤ 1e4; only a pathologically total imbalance at
+    # n > ~9e8 would exceed it); the arithmetic above runs in
+    # DECIMAL(38,0) so no intermediate wraps on the way there.
     return pre.select(
         "n_units",
         "n_arms",
         "min_arm",
         "max_arm",
-        "chi2_num",
+        F.col("_num_dec").cast("long").alias("chi2_num"),
         "chi2_den",
         F.expr(
-            "(chi2_num * 1000000 * 2 + chi2_den) div (2 * chi2_den)"
+            "cast((_num_dec * 1000000 * 2 + chi2_den) div (2 * chi2_den)"
+            " as bigint)"
         ).alias("chi2_e6"),
     )

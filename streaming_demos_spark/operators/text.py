@@ -1246,10 +1246,16 @@ def tokenizer_fertility(
         "n_words",
         "n_chars",
         "n_pieces",
+        # DECIMAL(38,0) intermediates: n_pieces*2e5 would overflow
+        # BIGINT at ~4.6e13 pieces (a few 10s of TB of text); the
+        # decimal product holds to 1e38 and the per-word/char ratios
+        # cast back to BIGINT exactly.
         F.expr(
-            "(n_pieces * 1000 * 2 + n_words) div (2 * n_words)"
+            "cast((cast(n_pieces as decimal(38,0)) * 1000 * 2 + n_words)"
+            " div (2 * n_words) as bigint)"
         ).alias("pieces_per_word_e3"),
         F.expr(
-            "(n_pieces * 100000 * 2 + n_chars) div (2 * n_chars)"
+            "cast((cast(n_pieces as decimal(38,0)) * 100000 * 2 + n_chars)"
+            " div (2 * n_chars) as bigint)"
         ).alias("pieces_per_100chars_e3"),
     )

@@ -1940,3 +1940,36 @@ def test_funnel_conversion_ci_counts_and_bounds(spark):
     for r in (vc, cp):
         assert 0.0 <= r.wilson_lo < r.k / r.n < r.wilson_hi <= 1.0
         assert r.wilson_hi - r.wilson_lo > 0.3
+
+def test_funnel_conversion_ci_missing_step_yields_nulls(spark):
+    from streaming_demos_spark.operators.relational import (
+        funnel_conversion_ci,
+    )
+
+    # 'signup' never occurs: the signup->view row must report n=0 with
+    # NULL conversion/bounds instead of aborting on divide-by-zero.
+    rows = [(1, "view"), (2, "view"), (1, "click")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        r.step: r
+        for r in funnel_conversion_ci(
+            df, "user_id", "event_type", ["signup", "view", "click"]
+        ).collect()
+    }
+    sv = out["signup->view"]
+    assert (sv.n, sv.k) == (0, 0)
+    assert sv.conv_e4 is None and sv.wilson_lo is None and sv.wilson_hi is None
+    vc = out["view->click"]
+    assert (vc.n, vc.k, vc.conv_e4) == (2, 1, 5000)
+
+
+def test_gains_table_accepts_column_response(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.relational import gains_table
+
+    rows = [(float(i), i % 2) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "value double, resp int")
+    by_name = gains_table(df, "value", "resp").collect()
+    by_col = gains_table(df, "value", F.col("resp") == 1).collect()
+    assert [tuple(r) for r in by_name] == [tuple(r) for r in by_col]

@@ -348,6 +348,41 @@ def run_supplier_stats(
     return writer.start()
 
 
+def run_supplier_stats_update(
+    stats: DataFrame,
+    query_name: str,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    sink_format: str = "memory",
+):
+    """Update-mode pane re-fire — the Flink ``allowedLateness`` analog
+    (DataStreamApp.kt:105): Flink re-FIRES a window's updated result
+    when a late-but-in-grace record arrives after the first firing.
+    Spark's append mode cannot re-emit (a pane is final once the
+    watermark closes it), but ``outputMode("update")`` on the SAME
+    windowed aggregate emits every changed pane at every trigger — a
+    late record that lands inside the watermark (ooo + grace) produces
+    a second, corrected row for its window downstream.
+
+    Downstream contract matches Flink's retract/upsert stream: the sink
+    must upsert on (window_start, window_end, key) — the latest row per
+    pane wins (a KV/Redis sink or compacted Kafka topic does this
+    natively). State is still watermark-bounded: once the watermark
+    passes window end + grace, the pane's state is evicted and can
+    never re-fire again, exactly Flink's allowedLateness cutoff.
+    """
+    writer = (
+        stats.writeStream.outputMode("update")
+        .format(sink_format)
+        .queryName(query_name)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 # --- stream-stream join (extension: watermark-bounded two-stream state) ------
 
 

@@ -722,3 +722,61 @@ def test_streaming_cms_equals_batch_cms(spark, tmp_path):
         map(tuple, SK.count_min_sketch(batch_df, "term", depth=3, width=32).collect())
     )
     assert streamed == batch
+
+
+def test_update_mode_refires_window_on_in_grace_late_record(spark, stream_dirs):
+    """T5 re-fire analog: Flink's allowedLateness re-emits a window's
+    UPDATED result when a late-but-in-grace record arrives after the
+    first firing (DataStreamApp.kt:105). Spark's single-knob append
+    mapping silently folds such a record into the not-yet-emitted pane;
+    update mode is the semantic match — the pane fires once per trigger
+    it changes in. Assert the memory sink holds BOTH firings of the
+    same window: (10.0, 1) then the corrected (15.0, 2)."""
+    import os
+    import time
+
+    src = f"{stream_dirs}/upd_src"
+    chk = f"{stream_dirs}/upd_chk"
+    os.makedirs(src, exist_ok=True)
+    schema = "order_id string, bid_time string, price double, item string, supplier string"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema)
+        tmp = f"{stream_dirs}/tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        import glob
+
+        part = glob.glob(f"{tmp}/part-*.json")[0]
+        dst = f"{src}/{name}.json"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # trigger 1: one on-time record -> pane [00:00,00:05)x sup1 fires
+    # with (10.0, 1); watermark stays near epoch (delay 10s).
+    write_file("f1", [("o1", "2024-01-01 00:00:01", 10.0, "beer", "sup1")], 1_000_000)
+    # trigger 2: a record for the SAME window arriving later in
+    # processing time but inside the watermark -> the pane RE-FIRES
+    # with the corrected (15.0, 2). Append mode can never do this.
+    write_file("f2", [("o2", "2024-01-01 00:00:02", 5.0, "wine", "sup1")], 2_000_000)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    )
+    stats = SS.supplier_stats(SS.with_event_time(stream))
+    q = SS.run_supplier_stats_update(
+        stats,
+        query_name="upd_stats",
+        checkpoint_dir=chk,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    time.sleep(0.5)
+    rows = spark.sql(
+        "SELECT * FROM upd_stats WHERE supplier = 'sup1' ORDER BY count"
+    ).collect()
+    firings = [(r.window_start, r.total_price, r["count"]) for r in rows]
+    assert len(firings) == 2, firings
+    # same pane, two firings: initial then corrected
+    assert firings[0][0] == firings[1][0]
+    assert (firings[0][1], firings[0][2]) == (10.0, 1)
+    assert (firings[1][1], firings[1][2]) == (15.0, 2)

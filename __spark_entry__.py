@@ -4888,6 +4888,66 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_mcnemar(spark, sf_dir):
+    # Paired funnel shift: per-user click vs purchase flags; only the
+    # discordant users carry signal. Exact integer counts + half-up
+    # chi2*1e6 in DECIMAL intermediates (stats.py:mcnemar_test).
+    ev = _t(spark, sf_dir, "events")
+    return ST.mcnemar_test(
+        ev,
+        "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
+def q_cramers_v(spark, sf_dir):
+    # Feature-vs-label association screen: order priority x status.
+    # chi2 as exact e6 integer (per-cell DECIMAL divisions), V through
+    # IEEE-exact divide+sqrt only (stats.py:cramers_v).
+    return ST.cramers_v(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    # Multi-rater agreement: lineitems "rate" their part with a return
+    # flag; variable raters per item, e6 integer agreement/chance/kappa
+    # with sign device (stats.py:fleiss_kappa).
+    return ST.fleiss_kappa(_t(spark, sf_dir, "lineitem"), "l_partkey", "l_returnflag")
+
+
+def q_iptw_ate(spark, sf_dir):
+    # Observational uplift: IPW ATE of click exposure on purchase value
+    # with a clipped-LINEAR propensity (250*n_events at e4, clamped to
+    # [0.05, 0.95]) - the whole estimator is exact integer arithmetic,
+    # no transcendental (stats.py:iptw_ate).
+    ev = _t(spark, sf_dir, "events")
+    return ST.iptw_ate(
+        ev,
+        "user_id",
+        treated=F.col("event_type") == "click",
+        outcome_cents=F.when(
+            F.col("event_type") == "purchase",
+            F.expr("cast(round(value * 100) as bigint)"),
+        ).otherwise(F.lit(0).cast("bigint")),
+        exposure_count=F.lit(1).cast("long"),
+    )
+
+
+def q_kneser_ney(spark, sf_dir):
+    # Production n-gram smoothing: KN bigram probabilities with d=3/4,
+    # computed entirely as e9 integers (continuation counts from the
+    # bigram table, never row-scaled) (text.py:kneser_ney_bigram).
+    return TX.kneser_ney_bigram(_t(spark, sf_dir, "documents"))
+
+
+def q_heavy_changes(spark, sf_dir):
+    # Corpus drift: top relative-frequency movers between even/odd doc
+    # slices, ranked by an exact e9 integer |delta| with explicit sign
+    # (text.py:heavy_changes).
+    return TX.heavy_changes(_t(spark, sf_dir, "documents"))
+
+
+
 _WINDOW_PRIORITY = [
     # Round-6 window (first 50), per VERDICT r5 #4: the three round-5
     # driver-red keys first (root cause fixed this round — NS-parquet
@@ -4932,7 +4992,6 @@ _WINDOW_PRIORITY = [
     "s10_cdc_scd2_history",
     "s10_cdc_snapshot_at",
     "s10_snapshot_diff",
-    "ext_window_suite",
     "ext_grouped_trend",
     # never-driver-verified, rounded-double / float-arith outputs
     "ext_ab_test",
@@ -4946,12 +5005,20 @@ _WINDOW_PRIORITY = [
     "eval_ndcg",
     "eval_calibration",
     "llm_tfidf_cosine_topk",
+    # new this round (no driver row yet - windowed per ADVICE r5):
+    "ext_mcnemar",
+    "ext_cramers_v",
+    "ext_fleiss_kappa",
+    "ext_iptw_ate",
+    "llm_kneser_ney_bigram",
+    "llm_heavy_changes",
+    # --- end round-6 window (50) ---
     "ext_concentration",
     "ext_heavy_hitters",
     "ext_hll_distinct",
     "ext_cms_term_counts",
     "ext_quantile_summary",
-    # --- end round-6 window (50) ---
+    "ext_window_suite",
     "ext_yuen_ttest",
     "ext_cumulative_users",
     "ext_bloom_semijoin",
@@ -5490,6 +5557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_cube_revenue": q_cube_revenue,
         "ext_argmax_per_group": q_argmax_part_per_brand,
         "llm_weighted_sample": q_weighted_sample,
+        "ext_mcnemar": q_mcnemar,
+        "ext_cramers_v": q_cramers_v,
+        "ext_fleiss_kappa": q_fleiss_kappa,
+        "ext_iptw_ate": q_iptw_ate,
+        "llm_kneser_ney_bigram": q_kneser_ney,
+        "llm_heavy_changes": q_heavy_changes,
     }
     _pri = [k for k in _WINDOW_PRIORITY if k in d]
     return {k: d[k] for k in _pri + [k for k in d if k not in set(_pri)]}
@@ -8585,6 +8658,212 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        "ext_mcnemar": """
+            WITH per AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT count(*) AS n_units,
+                       sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS b01,
+                       sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS b10
+                FROM per
+            )
+            SELECT n_units, b01::BIGINT AS b01, b10::BIGINT AS b10,
+                   CASE WHEN b01 + b10 > 0 THEN
+                       (((b01 - b10) * (b01 - b10) * 1000000 * 2
+                         + (b01 + b10)) // (2 * (b01 + b10)))::BIGINT
+                   END AS chi2_e6
+            FROM t
+        """,
+        "ext_cramers_v": """
+            WITH cells AS (
+                SELECT o_orderpriority AS x, o_orderstatus AS y,
+                       count(*) AS obs
+                FROM orders GROUP BY 1, 2
+            ),
+            rm AS (SELECT x, sum(obs) AS ri FROM cells GROUP BY 1),
+            cm AS (SELECT y, sum(obs) AS cj FROM cells GROUP BY 1),
+            tt AS (
+                SELECT sum(obs) AS n, count(DISTINCT x) AS r,
+                       count(DISTINCT y) AS c
+                FROM cells
+            ),
+            -- full r x c grid: unobserved cells still contribute (0-E)^2/E
+            grid AS (
+                SELECT rm.x, cm.y, rm.ri, cm.cj,
+                       coalesce(cells.obs, 0) AS nij
+                FROM rm CROSS JOIN cm
+                LEFT JOIN cells ON cells.x = rm.x AND cells.y = cm.y
+            ),
+            terms AS (
+                SELECT ((n * nij - ri * cj) * (n * nij - ri * cj) * 1000000)
+                       // (n * ri * cj) AS term, n, r, c
+                FROM grid CROSS JOIN tt
+            ),
+            agg AS (
+                SELECT max(n) AS n, max(r) AS nx, max(c) AS ny,
+                       sum(term) AS chi2_e6
+                FROM terms
+            )
+            SELECT n::BIGINT AS n, nx::BIGINT AS n_x_cats,
+                   ny::BIGINT AS n_y_cats, chi2_e6::BIGINT AS chi2_e6,
+                   round(sqrt((chi2_e6::DOUBLE / 1000000.0)
+                              / (n::DOUBLE * least(nx - 1, ny - 1)::DOUBLE)),
+                         6) AS cramers_v
+            FROM agg
+        """,
+        "ext_fleiss_kappa": """
+            WITH cell AS (
+                SELECT l_partkey AS i, l_returnflag AS j, count(*) AS nij
+                FROM lineitem GROUP BY 1, 2
+            ),
+            per_item AS (
+                SELECT i, sum(nij) AS ni, sum(nij * (nij - 1)) AS agree
+                FROM cell GROUP BY 1 HAVING sum(nij) >= 2
+            ),
+            items AS (
+                SELECT i, ni,
+                       ((agree * 1000000 * 2 + ni * (ni - 1))
+                        // (2 * ni * (ni - 1)))::BIGINT AS pi_e6
+                FROM per_item
+            ),
+            cat AS (
+                SELECT j, sum(nij) AS cj FROM cell
+                WHERE i IN (SELECT i FROM per_item) GROUP BY 1
+            ),
+            sc AS (
+                SELECT count(*) AS n_items, sum(ni) AS n_ratings,
+                       sum(pi_e6) AS sum_pi
+                FROM items
+            ),
+            pe AS (
+                SELECT max(n_items) AS n_items, max(n_ratings) AS n_ratings,
+                       max(sum_pi) AS sum_pi, sum(cj * cj) AS sum_cj2
+                FROM cat CROSS JOIN sc
+            ),
+            o AS (
+                SELECT n_items, n_ratings,
+                       ((sum_pi * 2 + n_items) // (2 * n_items))::BIGINT
+                           AS pbar_e6,
+                       ((sum_cj2 * 1000000 * 2 + n_ratings * n_ratings)
+                        // (2 * n_ratings * n_ratings))::BIGINT AS pe_e6
+                FROM pe
+            )
+            SELECT n_items::BIGINT AS n_items, n_ratings::BIGINT AS n_ratings,
+                   pbar_e6, pe_e6,
+                   CASE WHEN 1000000 - pe_e6 > 0 THEN
+                       ((CASE WHEN pbar_e6 < pe_e6 THEN -1 ELSE 1 END)
+                        * ((abs(pbar_e6 - pe_e6) * 1000000 * 2
+                            + (1000000 - pe_e6))
+                           // (2 * (1000000 - pe_e6))))::BIGINT
+                   END AS kappa_e6
+            FROM o
+        """,
+        "ext_iptw_ate": """
+            WITH per AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           AS t,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN cast(round(value * 100) as bigint)
+                                ELSE 0 END) AS y,
+                       count(*) AS x
+                FROM events GROUP BY 1
+            ),
+            sc AS (
+                SELECT t, y,
+                       least(9500, greatest(500, 250 * x)) AS p
+                FROM per
+            ),
+            tot AS (
+                SELECT sum(t) AS n_treated, sum(1 - t) AS n_control,
+                       sum(CASE WHEN t = 1
+                                THEN (y * 10000 * 2 + p) // (2 * p)
+                                ELSE 0 END) AS wt,
+                       sum(CASE WHEN t = 0
+                                THEN (y * 10000 * 2 + (10000 - p))
+                                     // (2 * (10000 - p))
+                                ELSE 0 END) AS wc,
+                       count(*) AS n
+                FROM sc
+            )
+            SELECT n_treated::BIGINT AS n_treated,
+                   n_control::BIGINT AS n_control,
+                   wt::BIGINT AS wsum_treated_cents,
+                   wc::BIGINT AS wsum_control_cents,
+                   ((CASE WHEN wt < wc THEN -1 ELSE 1 END)
+                    * ((abs(wt - wc) * 2 + n) // (2 * n)))::BIGINT
+                       AS ate_cents
+            FROM tot
+        """,
+        "llm_kneser_ney_bigram": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ),
+            big AS (
+                SELECT w[i] || ' ' || w[i + 1] AS bigram
+                FROM toks, unnest(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2
+            ),
+            cab AS (SELECT bigram, count(*) AS c_ab FROM big GROUP BY 1),
+            typed AS (
+                SELECT bigram, c_ab,
+                       string_split(bigram, ' ')[1] AS a,
+                       string_split(bigram, ' ')[2] AS b
+                FROM cab
+            ),
+            ctx AS (
+                SELECT a, sum(c_ab) AS c_a, count(*) AS n1p_fwd
+                FROM typed GROUP BY 1
+            ),
+            cont AS (SELECT b, count(*) AS n1p_cont FROM typed GROUP BY 1),
+            sc AS (SELECT count(*) AS d FROM cab),
+            scored AS (
+                SELECT bigram, c_ab, c_a,
+                       ((greatest(4 * c_ab - 3, 0) * 1000000000)
+                        // (4 * c_a))::BIGINT
+                       + ((3 * n1p_fwd * n1p_cont * 1000000000)
+                          // (4 * c_a * d))::BIGINT AS p_kn_e9
+                FROM typed JOIN ctx USING (a) JOIN cont USING (b)
+                CROSS JOIN sc
+            )
+            SELECT bigram, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
+                   p_kn_e9
+            FROM scored ORDER BY c_ab DESC, bigram LIMIT 20
+        """,
+        "llm_heavy_changes": """
+            WITH ts AS (
+                SELECT term,
+                       sum(CASE WHEN firsthalf THEN 1 ELSE 0 END) AS c_first,
+                       sum(CASE WHEN firsthalf THEN 0 ELSE 1 END) AS c_second
+                FROM (
+                    SELECT (doc_id % 2 = 0) AS firsthalf,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents
+                ) GROUP BY 1
+                HAVING count(*) >= 5
+            ),
+            tt AS (SELECT sum(c_first) AS t1, sum(c_second) AS t2 FROM ts),
+            scored AS (
+                SELECT term, c_first, c_second,
+                       CASE WHEN c_first * t2 < c_second * t1
+                            THEN -1 ELSE 1 END AS direction,
+                       ((abs(c_first * t2 - c_second * t1)
+                         * 1000000000 * 2 + t1 * t2)
+                        // (2 * t1 * t2))::BIGINT AS abs_delta_e9
+                FROM ts CROSS JOIN tt
+            )
+            SELECT term, c_first::BIGINT AS c_first,
+                   c_second::BIGINT AS c_second,
+                   direction::INT AS direction, abs_delta_e9
+            FROM scored ORDER BY abs_delta_e9 DESC, term LIMIT 20
         """,
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),

@@ -80,6 +80,7 @@ def main() -> None:
             "ext_rmst": "distinct-duration grid (KM device + lead)",
             "ext_cumulative_users": "calendar frame (first-seen days)",
             "ext_gains_table": "n_bins-row decile frame (cum capture)",
+            "ext_abc_classification": "distinct per-key-total grid (cum value)",
         }
         rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:

@@ -49,6 +49,10 @@ __all__ = [
     "kruskal_wallis",
     "grid_group_median",
     "brown_forsythe",
+    "mcnemar_test",
+    "cramers_v",
+    "fleiss_kappa",
+    "iptw_ate",
 ]
 
 
@@ -1716,4 +1720,275 @@ def srm_check(
             "cast((_num_dec * 1000000 * 2 + chi2_den) div (2 * chi2_den)"
             " as bigint)"
         ).alias("chi2_e6"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    unit_col: str,
+    flag_a: Column,
+    flag_b: Column,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes on the SAME units —
+    "did the same users who do A also do B?" (conversion funnel change,
+    before/after feature exposure). Only the DISCORDANT pairs carry
+    information: with b01 = units with A but not B and b10 = the
+    reverse, χ² = (b01 − b10)² / (b01 + b10).
+
+    One distinct-unit aggregation (per-unit flag OR — combinable), one
+    1-row combine. The statistic is emitted as the half-up integer
+    ``chi2_e6`` computed in DECIMAL(38,0) (the squared difference wraps
+    BIGINT past ~3e9 discordant units), with the exact integer counts
+    beside it; no float is ever rounded. Zero discordant pairs yield a
+    NULL statistic rather than a divide-by-zero (ANSI-safe).
+    """
+    per = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.max(flag_a.cast("int")).alias("_a"),
+        F.max(flag_b.cast("int")).alias("_b"),
+    )
+    tot = per.agg(
+        F.count("*").alias("n_units"),
+        F.sum(((F.col("_a") == 1) & (F.col("_b") == 0)).cast("long")).alias(
+            "b01"
+        ),
+        F.sum(((F.col("_a") == 0) & (F.col("_b") == 1)).cast("long")).alias(
+            "b10"
+        ),
+    )
+    return tot.select(
+        "n_units",
+        "b01",
+        "b10",
+        F.when(
+            F.col("b01") + F.col("b10") > 0,
+            F.expr(
+                "cast(((b01 - b10) * cast((b01 - b10) as decimal(38,0))"
+                " * 1000000 * 2 + (b01 + b10)) div (2 * (b01 + b10))"
+                " as bigint)"
+            ),
+        ).alias("chi2_e6"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    normalized chi-square (0 = independent, 1 = perfectly associated)
+    every feature-vs-label screen runs before modeling.
+
+    One (x, y)-keyed count (hash shuffle, combinable), then the margins
+    reduce from the CELL table (category-product-sized, never
+    row-scaled) and broadcast back. χ² = Σ (n·n_ij − r_i·c_j)² /
+    (n·r_i·c_j): each cell term is a DECIMAL(38,0) integer division at
+    e6 scale — identical integer arithmetic in any engine — and
+    ``chi2_e6`` is their exact integer sum. V itself follows through
+    IEEE-exact ops only (one divide chain + sqrt, both correctly
+    rounded by spec), so the 6dp rounding digit is noise, not a
+    midpoint.
+    """
+    cells = df.groupBy(
+        F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
+    ).agg(F.count("*").alias("_obs"))
+    rm = cells.groupBy("_x").agg(F.sum("_obs").alias("_ri"))
+    cm = cells.groupBy("_y").agg(F.sum("_obs").alias("_cj"))
+    tot = cells.agg(
+        F.sum("_obs").alias("_n"),
+        F.count_distinct("_x").alias("_r"),
+        F.count_distinct("_y").alias("_c"),
+    )
+    # χ² sums over the FULL r×c grid — an unobserved cell still
+    # contributes (0 − E)²/E. The grid is the margin cross-join
+    # (category-product-sized, tiny) with observed counts left-joined.
+    grid = (
+        rm.crossJoin(cm)
+        .join(cells, ["_x", "_y"], "left")
+        .withColumn("_nij", F.coalesce(F.col("_obs"), F.lit(0)))
+    )
+    term = F.expr(
+        "cast(((cast(_n as decimal(38,0)) * _nij - cast(_ri as"
+        " decimal(38,0)) * _cj) * (cast(_n as decimal(38,0)) * _nij"
+        " - cast(_ri as decimal(38,0)) * _cj) * 1000000)"
+        " div (cast(_n as decimal(38,0)) * _ri * _cj) as bigint)"
+    )
+    agg = (
+        grid.join(F.broadcast(tot))
+        .agg(
+            F.max("_n").alias("n"),
+            F.max("_r").alias("n_x_cats"),
+            F.max("_c").alias("n_y_cats"),
+            F.sum(term).alias("chi2_e6"),
+        )
+    )
+    v = F.sqrt(
+        (F.col("chi2_e6").cast("double") / F.lit(1000000.0))
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("n_x_cats") - 1, F.col("n_y_cats") - 1).cast(
+                "double"
+            )
+        )
+    )
+    return agg.select(
+        "n",
+        "n_x_cats",
+        "n_y_cats",
+        "chi2_e6",
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    min_raters: int = 2,
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement when MANY raters
+    assign items to categories (label-quality audits of crowdsourced or
+    multi-model annotations) — the multi-rater generalization of
+    Cohen's kappa, in the variable-raters-per-item form: per-item
+    agreement P_i = Σ_j n_ij(n_ij−1) / (n_i(n_i−1)), chance agreement
+    P_e = Σ_j p_j², κ = (P̄ − P_e)/(1 − P_e).
+
+    Plan: one (item, category)-keyed count, one item-keyed combine
+    (both hash-shuffled, combinable), then 1-row scalars. Every ratio
+    is a half-up integer at e6 scale computed with DECIMAL(38,0)
+    intermediates (Σ C_j² wraps BIGINT past ~3e9 ratings/category);
+    the final κ keeps its sign via an explicit sign factor so the
+    integer division is always on non-negative operands (floor-vs-
+    truncate divergence between engines never engages).
+
+    Output: (n_items, n_ratings, pbar_e6, pe_e6, kappa_e6) — exact
+    integers.
+    """
+    cell = df.groupBy(
+        F.col(item_col).alias("_i"), F.col(category_col).alias("_j")
+    ).agg(F.count("*").alias("_nij"))
+    per_item = cell.groupBy("_i").agg(
+        F.sum("_nij").alias("_ni"),
+        F.sum(F.expr("_nij * cast(_nij - 1 as decimal(38,0))")).alias(
+            "_agree"
+        ),
+    ).filter(F.col("_ni") >= min_raters)
+    items = per_item.select(
+        "_i",
+        "_ni",
+        F.expr(
+            "cast((_agree * 1000000 * 2 + _ni * (_ni - 1))"
+            " div (2 * _ni * cast(_ni - 1 as decimal(38,0))) as bigint)"
+        ).alias("_pi_e6"),
+    )
+    kept = items.select("_i").distinct()
+    cat_tot = (
+        cell.join(kept, "_i")
+        .groupBy("_j")
+        .agg(F.sum("_nij").alias("_cj"))
+    )
+    scalars = items.agg(
+        F.count("*").alias("n_items"),
+        F.sum("_ni").alias("n_ratings"),
+        F.sum("_pi_e6").alias("_sum_pi"),
+    )
+    pe = cat_tot.join(F.broadcast(scalars)).agg(
+        F.max("n_items").alias("n_items"),
+        F.max("n_ratings").alias("n_ratings"),
+        F.max("_sum_pi").alias("_sum_pi"),
+        F.sum(F.expr("_cj * cast(_cj as decimal(38,0))")).alias("_sum_cj2"),
+    )
+    out = pe.select(
+        "n_items",
+        "n_ratings",
+        F.expr(
+            "cast((_sum_pi * 2 + n_items) div (2 * n_items) as bigint)"
+        ).alias("pbar_e6"),
+        F.expr(
+            "cast((_sum_cj2 * 1000000 * 2 + n_ratings *"
+            " cast(n_ratings as decimal(38,0)))"
+            " div (2 * n_ratings * cast(n_ratings as decimal(38,0)))"
+            " as bigint)"
+        ).alias("pe_e6"),
+    )
+    num = F.col("pbar_e6") - F.col("pe_e6")
+    den = F.lit(1000000) - F.col("pe_e6")
+    return out.select(
+        "n_items",
+        "n_ratings",
+        "pbar_e6",
+        "pe_e6",
+        F.when(
+            den > 0,
+            F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(pbar_e6 - pe_e6) * 1000000 * 2"
+                " + (1000000 - pe_e6)) div (2 * (1000000 - pe_e6))"
+            ),
+        ).cast("long").alias("kappa_e6"),
+    )
+
+
+def iptw_ate(
+    df: DataFrame,
+    unit_col: str,
+    treated: Column,
+    outcome_cents: Column,
+    exposure_count: Column,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    LINEAR probability model — the observational-data companion to the
+    randomized-experiment estimators (CUPED/DiD/stratified ATE):
+    weight treated units by 1/p and control units by 1/(1−p), where the
+    propensity p comes from a monotone clipped-linear score of the
+    exposure covariate. A linear (not logistic) propensity keeps the
+    whole estimator in EXACT integer arithmetic: p_e4 =
+    clamp(500 + 250·exposure, 500, 9500) — clipping bounds the weights
+    (the standard positivity guard) and no transcendental ever enters,
+    so there is no libm to disagree across engine builds.
+
+    One distinct-unit aggregation; per-unit weighted outcomes are
+    half-up integer divisions at e4 scale; the ATE keeps its sign via
+    an explicit sign factor. Output: (n_treated, n_control,
+    wsum_treated_cents, wsum_control_cents, ate_cents) — exact BIGINTs.
+    """
+    per = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.max(treated.cast("int")).alias("_t"),
+        F.sum(outcome_cents).alias("_y"),
+        F.sum(exposure_count).alias("_x"),
+    )
+    p_e4 = F.least(F.lit(9500), F.greatest(F.lit(500), F.lit(250) * F.col("_x")))
+    scored = per.select(
+        "_t",
+        "_y",
+        p_e4.cast("long").alias("_p"),
+    )
+    # per-unit weighted outcome: y/p (treated) or y/(1-p) (control),
+    # half-up at the e4 propensity scale -> exact integer cents.
+    w_t = F.expr("(_y * 10000 * 2 + _p) div (2 * _p)")
+    w_c = F.expr("(_y * 10000 * 2 + (10000 - _p)) div (2 * (10000 - _p))")
+    tot = scored.agg(
+        F.sum(F.col("_t").cast("long")).alias("n_treated"),
+        F.sum((1 - F.col("_t")).cast("long")).alias("n_control"),
+        F.sum(F.when(F.col("_t") == 1, w_t).otherwise(F.lit(0))).alias(
+            "wsum_treated_cents"
+        ),
+        F.sum(F.when(F.col("_t") == 0, w_c).otherwise(F.lit(0))).alias(
+            "wsum_control_cents"
+        ),
+        F.count("*").alias("_n"),
+    )
+    num = F.col("wsum_treated_cents") - F.col("wsum_control_cents")
+    return tot.select(
+        "n_treated",
+        "n_control",
+        "wsum_treated_cents",
+        "wsum_control_cents",
+        (
+            F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(wsum_treated_cents - wsum_control_cents) * 2 + _n)"
+                " div (2 * _n)"
+            )
+        ).cast("long").alias("ate_cents"),
     )

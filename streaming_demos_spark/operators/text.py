@@ -1259,3 +1259,158 @@ def tokenizer_fertility(
             " div (2 * n_chars) as bigint)"
         ).alias("pieces_per_100chars_e3"),
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Kneser–Ney-smoothed bigram probabilities (absolute discount
+    d = 0.75) for the corpus's top bigrams — the production-grade
+    n-gram LM smoothing (KN beats add-α because the backoff weight is
+    the CONTINUATION count "how many contexts does w2 follow?", not the
+    raw frequency — 'francisco' is frequent but only ever follows
+    'san').
+
+        P_KN(b|a) = max(c(ab) − d, 0)/c(a·)
+                    + d·N1+(a·)/c(a·) · N1+(·b)/|bigrams|
+
+    With d = 3/4 every term is a ratio of integers scaled by 4, so the
+    whole probability is computed as EXACT integer arithmetic at e9
+    scale (two floor divisions + a sum — identical in any engine; no
+    float is ever rounded). DECIMAL(38,0) guards the triple products.
+
+    Plan: one bigram-keyed count (hash, combinable); context and
+    continuation counts reduce from the BIGRAM table (vocab-scaled, not
+    row-scaled); the |bigrams| scalar broadcasts; TakeOrdered top-k.
+    """
+    toks = fan_out(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), tokens(text_col).alias("_w"))
+    n = F.size("_w")
+    big = toks.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat(
+                        F.element_at("_w", i),
+                        F.lit(" "),
+                        F.element_at("_w", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    c_ab = big.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    typed = c_ab.select(
+        "bigram",
+        "c_ab",
+        F.split("bigram", " ").getItem(0).alias("_a"),
+        F.split("bigram", " ").getItem(1).alias("_b"),
+    )
+    ctx = typed.groupBy("_a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count("*").alias("n1p_fwd"),  # N1+(a.) distinct continuations
+    )
+    cont = typed.groupBy("_b").agg(
+        F.count("*").alias("n1p_cont"),  # N1+(.b) distinct left contexts
+    )
+    scal = c_ab.agg(F.count("*").alias("_D"))  # |distinct bigrams|
+    scored = (
+        typed.join(ctx, "_a")
+        .join(cont, "_b")
+        .join(F.broadcast(scal))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "n1p_fwd",
+            "n1p_cont",
+            # max(c_ab - 3/4, 0)/c_a at e9: (4c_ab - 3)*1e9 div (4*c_a)
+            F.expr(
+                "cast((greatest(4 * cast(c_ab as decimal(38,0)) - 3, 0)"
+                " * 1000000000) div (4 * cast(c_a as decimal(38,0)))"
+                " as bigint)"
+            ).alias("disc_e9"),
+            # (3/4)*(n1p_fwd/c_a)*(n1p_cont/D) at e9
+            F.expr(
+                "cast((3 * cast(n1p_fwd as decimal(38,0)) * n1p_cont"
+                " * 1000000000) div (4 * cast(c_a as decimal(38,0)) * _D)"
+                " as bigint)"
+            ).alias("backoff_e9"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "p_kn_e9", F.col("disc_e9") + F.col("backoff_e9")
+        )
+        .select("bigram", "c_ab", "c_a", "p_kn_e9")
+        .orderBy(F.desc("c_ab"), "bigram")
+        .limit(top_k)
+    )
+
+
+def heavy_changes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Heavy CHANGERS between two corpus slices (here: even/odd doc
+    ids; in production: yesterday/today, shard A/B): terms whose
+    RELATIVE frequency moved most — the drift detector behind "did the
+    crawl's vocabulary shift?" that absolute counts can't answer when
+    slice sizes differ.
+
+    |Δ| = |c₁/T₁ − c₂/T₂| is ranked as the exact half-up integer
+    ``abs_delta_e9 = (|c₁·T₂ − c₂·T₁|·1e9*2 + T₁T₂) div (2·T₁·T₂)``
+    (DECIMAL(38,0) cross-products — c·T wraps BIGINT at web scale),
+    with the direction as a separate sign column, so ordering is
+    identical in every engine and no float is rounded.
+
+    Plan: one term-keyed count per slice computed in a SINGLE pass
+    (conditional sums on the slice flag — no second scan, no join of
+    two aggregates); slice totals broadcast; TakeOrdered top-k.
+    """
+    term_slice = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
+            (F.col(id_col) % 2 == 0).alias("_first"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("_first").cast("long")).alias("c_first"),
+            F.sum((~F.col("_first")).cast("long")).alias("c_second"),
+        )
+        .filter(F.col("c_first") + F.col("c_second") >= min_count)
+    )
+    tot = term_slice.agg(
+        F.sum("c_first").alias("_t1"),
+        F.sum("c_second").alias("_t2"),
+    )
+    scored = term_slice.join(F.broadcast(tot)).select(
+        "term",
+        "c_first",
+        "c_second",
+        F.when(
+            F.expr("c_first * cast(_t2 as decimal(38,0))")
+            < F.expr("c_second * cast(_t1 as decimal(38,0))"),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("direction"),
+        F.expr(
+            "cast((abs(c_first * cast(_t2 as decimal(38,0))"
+            " - c_second * cast(_t1 as decimal(38,0))) * 1000000000 * 2"
+            " + cast(_t1 as decimal(38,0)) * _t2)"
+            " div (2 * cast(_t1 as decimal(38,0)) * _t2) as bigint)"
+        ).alias("abs_delta_e9"),
+    )
+    return scored.orderBy(F.desc("abs_delta_e9"), "term").limit(top_k)

@@ -751,3 +751,45 @@ def test_distinctive_terms_finds_group_marker(spark):
     assert by["B"][0] == "other"
     # the shared vocabulary never tops either list
     assert "common" not in (by["A"][0], by["B"][0])
+
+
+def test_kneser_ney_bigram_hand_case(spark):
+    from streaming_demos_spark.operators.text import kneser_ney_bigram
+
+    # corpus: "a b a b a c" -> bigrams: ab, ba, ab, ba, ac
+    # c(ab)=2, c(ba)=2, c(ac)=1; c(a.)=3, c(b.)=2
+    # distinct bigrams D=3; N1+(a.)=2, N1+(b.)=1
+    # N1+(.b)=1 (only 'a b'), N1+(.a)=1, N1+(.c)=1
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    out = {r.bigram: r for r in kneser_ney_bigram(docs).collect()}
+    ab = out["a b"]
+    assert (ab.c_ab, ab.c_a) == (2, 3)
+    # disc: (4*2-3)*1e9 // (4*3) = 5e9//12 = 416666666
+    # backoff: 3*2*1 *1e9 // (4*3*3) = 6e9//36 = 166666666
+    assert ab.p_kn_e9 == 416666666 + 166666666
+    ac = out["a c"]
+    # disc: (4-3)*1e9 // 12 = 83333333; backoff same as ab (N1+(.c)=1)
+    assert ac.p_kn_e9 == 83333333 + 166666666
+
+
+def test_heavy_changes_hand_case(spark):
+    from streaming_demos_spark.operators.text import heavy_changes
+
+    # even docs (first): "x" * 6; odd docs (second): "y" * 6
+    docs = spark.createDataFrame(
+        [(0, "x x x x x x"), (1, "y y y y y y")],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in heavy_changes(docs, min_count=5).collect()}
+    assert set(out) == {"x", "y"}
+    x = out["x"]
+    # c1=6, c2=0, T1=T2=6 -> |delta| = 1.0 -> 1e9, direction +1
+    assert (x.c_first, x.c_second, x.direction, x.abs_delta_e9) == (
+        6, 0, 1, 1000000000,
+    )
+    y = out["y"]
+    assert (y.c_first, y.c_second, y.direction, y.abs_delta_e9) == (
+        0, 6, -1, 1000000000,
+    )

@@ -305,3 +305,112 @@ def test_srm_check_exact_chi2_parts(spark):
     num = sum((3 * o - 33) ** 2 for o in (10, 10, 13))
     assert (r.chi2_num, r.chi2_den) == (num, 99)
     assert r.chi2_e6 == round(num * 1_000_000 / 99)
+
+
+def test_mcnemar_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import mcnemar_test
+
+    # u1: A only, u2: A only, u3: B only, u4: both, u5: neither
+    rows = [
+        (1, "a"), (2, "a"), (3, "b"), (4, "a"), (4, "b"), (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ev string")
+    r = mcnemar_test(
+        df, "u", F.col("ev") == "a", F.col("ev") == "b"
+    ).collect()[0]
+    assert (r.n_units, r.b01, r.b10) == (5, 2, 1)
+    # chi2 = (2-1)^2 / 3 = 1/3 -> 333333 (half-up e6)
+    assert r.chi2_e6 == 333333
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import mcnemar_test
+
+    rows = [(1, "a"), (1, "b"), (2, "x")]
+    df = spark.createDataFrame(rows, "u long, ev string")
+    r = mcnemar_test(
+        df, "u", F.col("ev") == "a", F.col("ev") == "b"
+    ).collect()[0]
+    assert (r.b01, r.b10, r.chi2_e6) == (0, 0, None)
+
+
+def test_cramers_v_perfect_association(spark):
+    from streaming_demos_spark.operators.stats import cramers_v
+
+    # y fully determined by x -> V = 1
+    rows = [("a", "p")] * 5 + [("b", "q")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v(df, "x", "y").collect()[0]
+    assert (r.n, r.n_x_cats, r.n_y_cats) == (10, 2, 2)
+    # chi2 = n = 10 -> chi2_e6 = 1e7; V = sqrt(10/(10*1)) = 1
+    assert r.chi2_e6 == 10000000
+    assert r.cramers_v == 1.0
+
+
+def test_cramers_v_independence_is_zero(spark):
+    from streaming_demos_spark.operators.stats import cramers_v
+
+    rows = [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v(df, "x", "y").collect()[0]
+    assert r.chi2_e6 == 0 and r.cramers_v == 0.0
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    from streaming_demos_spark.operators.stats import fleiss_kappa
+
+    # every item's raters unanimous, two categories used overall
+    rows = (
+        [(1, "x")] * 3 + [(2, "y")] * 3 + [(3, "x")] * 3
+    )
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r.n_items, r.n_ratings, r.pbar_e6) == (3, 9, 1000000)
+    # Pe = (6/9)^2 + (3/9)^2 = 5/9 -> 555556; kappa = 1
+    assert r.pe_e6 == 555556
+    assert r.kappa_e6 == 1000000
+
+
+def test_fleiss_kappa_drops_single_rater_items(spark):
+    from streaming_demos_spark.operators.stats import fleiss_kappa
+
+    rows = [(1, "x"), (1, "x"), (2, "y")]  # item 2 has 1 rater -> dropped
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r.n_items, r.n_ratings) == (1, 2)
+
+
+def test_iptw_ate_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import iptw_ate
+
+    # u1 treated: 2 events (p_e4 = 500 clamp? 250*2=500), purchase 10.00
+    # u2 control: 1 event (p_e4 = 500), purchase 5.00
+    rows = [
+        (1, "click", 0.0),
+        (1, "purchase", 10.0),
+        (2, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ev string, value double")
+    r = iptw_ate(
+        df,
+        "u",
+        treated=F.col("ev") == "click",
+        outcome_cents=F.when(
+            F.col("ev") == "purchase",
+            F.expr("cast(round(value * 100) as bigint)"),
+        ).otherwise(F.lit(0).cast("bigint")),
+        exposure_count=F.lit(1).cast("long"),
+    ).collect()[0]
+    assert (r.n_treated, r.n_control) == (1, 1)
+    # treated: y=1000 cents, p=500 -> 1000*1e4/500 = 20000
+    assert r.wsum_treated_cents == 20000
+    # control: y=500, 1-p=9500 -> round(500*1e4/9500) = round(526.3) = 526
+    assert r.wsum_control_cents == 526
+    # ate = (20000-526)/2 = 9737
+    assert r.ate_cents == 9737

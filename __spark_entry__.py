@@ -1737,8 +1737,10 @@ def _sql_eval_calibration() -> str:
         )
         SELECT least(floor(score * 10), 9)::INT AS bin,
                count(*) AS n,
-               round(avg(score), 4) AS mean_score,
-               round(avg(is_pos::DOUBLE), 4) AS pos_rate
+               ((sum(cast(round(score * 1000000) as bigint)) * 2 + count(*))
+                // (2 * count(*)))::BIGINT AS mean_score_e6,
+               ((sum(is_pos) * 1000000 * 2 + count(*))
+                // (2 * count(*)))::BIGINT AS pos_rate_e6
         FROM scored GROUP BY 1 ORDER BY 1
     """
 
@@ -1851,9 +1853,10 @@ _SQL_EVENT_TRANSITIONS = """
         GROUP BY 1, 2
     )
     SELECT from_step, to_step, n_transitions,
-           round(n_transitions /
-                 sum(n_transitions) OVER (PARTITION BY from_step), 4)
-               AS p_transition
+           ((n_transitions * 10000 * 2
+             + sum(n_transitions) OVER (PARTITION BY from_step))
+            // (2 * sum(n_transitions) OVER (PARTITION BY from_step))
+           )::BIGINT AS p_e4
     FROM counts
 """
 
@@ -4614,13 +4617,14 @@ def q_incremental_agg(spark, sf_dir):
     # (relational.py:incremental_agg_refresh).
     orders = _t(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
     img = lambda op, df: df.select(  # noqa: E731 - local shorthand
         F.lit(op).alias("op"),
         "o_orderpriority",
-        F.col("o_totalprice").alias("revenue"),
+        cents.alias("revenue_cents"),
     )
     base_agg = orders.groupBy("o_orderpriority").agg(
-        F.sum("o_totalprice").alias("revenue"), F.count("*").alias("n_rows")
+        F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_rows")
     )
     deletes = img("d", orders.filter(key % 10 == 0))
     upd_src = orders.filter((key % 7 == 3) & (key % 10 != 0))
@@ -4631,11 +4635,11 @@ def q_incremental_agg(spark, sf_dir):
     delta = deletes.unionByName(upd).unionByName(inserts)
     return (
         R.incremental_agg_refresh(
-            base_agg, delta, ["o_orderpriority"], ["revenue"]
+            base_agg, delta, ["o_orderpriority"], ["revenue_cents"]
         )
         .select(
             "o_orderpriority",
-            F.round("revenue", 2).alias("revenue"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
             "n_rows",
         )
         .orderBy("o_orderpriority")
@@ -6007,8 +6011,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM grid
             ),
             km AS (
-                SELECT t::DOUBLE AS t, round(s, 6) AS survival
-                FROM stepped WHERE n_events > 0
+                SELECT t::DOUBLE AS t,
+                       CASE WHEN ls IS NULL THEN 0.0::DOUBLE
+                            ELSE exp(ls / 1e12) END AS survival
+                FROM (
+                    SELECT t, n_events,
+                           CASE WHEN min(1.0 - n_events
+                                         / n_at_risk::DOUBLE)
+                                     OVER (ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING) <= 0
+                                THEN NULL
+                                ELSE sum(CASE WHEN 1.0 - n_events
+                                                   / n_at_risk::DOUBLE > 0
+                                         THEN cast(round(ln(1.0 - n_events
+                                                  / n_at_risk::DOUBLE)
+                                                  * 1000000000000)
+                                                  as bigint)
+                                         ELSE 0 END)
+                                     OVER (ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING)
+                           END AS ls
+                    FROM grid
+                ) WHERE n_events > 0
             ),
             seg AS (
                 SELECT t,
@@ -6421,13 +6445,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM users
             ),
             c AS (
-                SELECT na, nb,
+                SELECT na, nb, sa, sb,
                        sa::DOUBLE / na AS p1, sb::DOUBLE / nb AS p2,
                        (sa + sb)::DOUBLE / (na + nb) AS pbar
                 FROM agg
             ),
             f AS (
-                SELECT na, nb, p1, p2,
+                SELECT na, nb, sa, sb, p1, p2,
                        1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
                        + 0.841621 * sqrt(p1 * (1.0 - p1)
                                          + p2 * (1.0 - p2)) AS num,
@@ -6435,8 +6459,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-                   round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
-                   round(diff, 6) AS observed_diff,
+                   ((sa * 1000000 * 2 + na) // (2 * na))::BIGINT
+                       AS rate_a_e6,
+                   ((sb * 1000000 * 2 + nb) // (2 * nb))::BIGINT
+                       AS rate_b_e6,
+                   ((CASE WHEN sa * nb - sb * na < 0 THEN -1 ELSE 1 END)
+                    * ((abs(sa * nb - sb * na) * 1000000 * 2 + na * nb)
+                       // (2 * na * nb)))::BIGINT AS observed_diff_e6,
                    ceil(round(coalesce(num * num
                               / nullif(diff * diff, 0.0), 0.0::DOUBLE),
                         6))::BIGINT AS n_required_per_arm
@@ -10151,8 +10180,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.user_id, a.event_type,
                    least(a.event_id, b.event_id) AS id_a,
                    greatest(a.event_id, b.event_id) AS id_b,
-                   round(abs(epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0,
-                         3) AS gap_sec
+                   ((abs(epoch_us(b.ts) - epoch_us(a.ts)) * 2 + 1000)
+                    // 2000)::BIGINT AS gap_ms
             FROM events a JOIN events b
               ON a.user_id = b.user_id
              AND a.event_type = b.event_type
@@ -10190,38 +10219,47 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             ),
             d AS (
-                SELECT 'view->click' AS step_pair,
-                       (r2.t - r1.t) / 1000000.0 AS d
+                SELECT 'view->click' AS step_pair, (r2.t - r1.t) AS d
                 FROM s1 JOIN s2 USING (user_id)
                 UNION ALL
-                SELECT 'click->purchase',
-                       (r3.t - r2.t) / 1000000.0
+                SELECT 'click->purchase', (r3.t - r2.t)
                 FROM s2 JOIN s3 USING (user_id)
             )
             SELECT step_pair, count(*) AS n_converted,
-                   round(avg(d), 3) AS avg_sec,
-                   round(round(quantile_cont(d, 0.5), 6), 3) AS p50_sec
+                   ((sum(d) * 2 + 1000 * count(*))
+                    // (2000 * count(*)))::BIGINT AS avg_ms,
+                   cast(round(quantile_cont(d, 0.5) * 2) as bigint)
+                       AS p50_us_x2
             FROM d GROUP BY 1
         """,
         "ext_seasonal_profile": """
             WITH cells AS (
                 SELECT event_type, hour(ts) AS hour_of_day,
                        count(*) AS n_rows,
-                       avg(value) AS hmean,
-                       avg(value * value) AS hm2
+                       sum(cast(round(value * 100) as bigint)) AS sh,
+                       sum(cast(round(value * 100) as bigint)
+                           * cast(round(value * 100) as bigint)) AS sh2
                 FROM events WHERE value IS NOT NULL
                 GROUP BY 1, 2
             ),
             o AS (
                 SELECT event_type,
-                       sum(hmean * n_rows) / sum(n_rows) AS mu,
-                       sum(hm2 * n_rows) / sum(n_rows) AS m2
+                       sum(n_rows) AS ng, sum(sh) AS sg, sum(sh2) AS sg2
                 FROM cells GROUP BY 1
             )
             SELECT c.event_type, hour_of_day, n_rows,
-                   round(hmean - mu, 6) AS seasonal_offset,
-                   round(1.0 - (hm2 - hmean * hmean)
-                         / (m2 - mu * mu), 6) AS hour_explains
+                   ((CASE WHEN sh * ng - sg * n_rows < 0 THEN -1 ELSE 1 END)
+                    * ((abs(sh * ng - sg * n_rows) * 100 * 2
+                        + n_rows * ng) // (2 * n_rows * ng)))::BIGINT
+                       AS seasonal_offset_e4,
+                   CASE WHEN (sg2 * ng - sg * sg) * n_rows * n_rows > 0
+                        THEN (1000000
+                              - ((sh2 * n_rows - sh * sh) * ng * ng
+                                 * 1000000 * 2
+                                 + (sg2 * ng - sg * sg) * n_rows * n_rows)
+                                // (2 * (sg2 * ng - sg * sg)
+                                    * n_rows * n_rows))::BIGINT
+                   END AS hour_explains_e6
             FROM cells c JOIN o ON c.event_type = o.event_type
         """,
         "ext_ab_test": """
@@ -10237,7 +10275,7 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (SELECT * FROM agg WHERE event_type = 'view') b
             ),
             st AS (
-                SELECT n_a, n_b,
+                SELECT n_a, n_b, c_a, c_b,
                        c_a / n_a::DOUBLE AS pa,
                        c_b / n_b::DOUBLE AS pb,
                        (c_a + c_b) / (n_a + n_b)::DOUBLE AS pool
@@ -10256,8 +10294,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM zt
             )
             SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
-                   round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
-                   round(pa - pb, 6) AS lift, round(z, 6) AS z,
+                   ((c_a * 1000000 * 2 + n_a) // (2 * n_a))::BIGINT
+                       AS rate_a_e6,
+                   ((c_b * 1000000 * 2 + n_b) // (2 * n_b))::BIGINT
+                       AS rate_b_e6,
+                   ((CASE WHEN c_a * n_b - c_b * n_a < 0 THEN -1 ELSE 1 END)
+                    * ((abs(c_a * n_b - c_b * n_a) * 1000000 * 2
+                        + n_a * n_b) // (2 * n_a * n_b)))::BIGINT AS lift_e6,
+                   round(z, 6) AS z,
                    round((t_ * (0.254829592 + t_ * (-0.284496736
                          + t_ * (1.421413741 + t_ * (-1.453152027
                          + t_ * 1.061405429)))))
@@ -10298,19 +10342,21 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN min(1.0 - n_events / n_at_risk::DOUBLE)
                                  OVER (ORDER BY t
                                        ROWS UNBOUNDED PRECEDING) <= 0
-                            THEN 0.0::DOUBLE
-                            ELSE exp(sum(CASE WHEN 1.0 - n_events
-                                                   / n_at_risk::DOUBLE > 0
-                                         THEN ln(1.0 - n_events
-                                                 / n_at_risk::DOUBLE)
-                                         ELSE 0.0::DOUBLE END)
-                                     OVER (ORDER BY t
-                                           ROWS UNBOUNDED PRECEDING))
-                       END AS s
+                            THEN NULL
+                            ELSE sum(CASE WHEN 1.0 - n_events
+                                               / n_at_risk::DOUBLE > 0
+                                     THEN cast(round(ln(1.0 - n_events
+                                              / n_at_risk::DOUBLE)
+                                              * 1000000000000) as bigint)
+                                     ELSE 0 END)
+                                 OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING)
+                       END AS ls
                 FROM grid
             )
             SELECT t AS duration_days, n_at_risk,
-                   n_events::BIGINT AS n_events, round(s, 6) AS survival
+                   n_events::BIGINT AS n_events,
+                   ls::BIGINT AS log_survival_e12
             FROM stepped WHERE n_events > 0
         """,
         "ext_jackknife_ci": """
@@ -10321,22 +10367,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE value IS NOT NULL
             ),
             per_b AS (
-                SELECT bk, count(*) AS nb, sum(value) AS sb
+                SELECT bk, count(*) AS nb, sum(value) AS sb,
+                       sum(cast(round(value * 100) as bigint)) AS sbc
                 FROM b GROUP BY 1
             ),
             tot AS (
-                SELECT sum(nb) AS n, sum(sb) AS s, count(*) AS k FROM per_b
+                SELECT sum(nb) AS n, sum(sb) AS s, sum(sbc) AS sc,
+                       count(*) AS k
+                FROM per_b
             ),
             loo AS (
-                SELECT n, s, k, (s - sb) / (n - nb) AS m
+                SELECT n, s, sc, k, (s - sb) / (n - nb) AS m
                 FROM per_b CROSS JOIN tot
             ),
             st AS (
-                SELECT n, s, k, var_pop(m) AS vm
-                FROM loo GROUP BY 1, 2, 3
+                SELECT n, s, sc, k, var_pop(m) AS vm
+                FROM loo GROUP BY 1, 2, 3, 4
             )
             SELECT n::BIGINT AS n,
-                   round(s / n, 6) AS mean,
+                   ((CASE WHEN sc < 0 THEN -1 ELSE 1 END)
+                    * ((abs(sc) * 10000 * 2 + n) // (2 * n)))::BIGINT
+                       AS mean_e6,
                    round(sqrt((k - 1) * vm), 6) AS se,
                    round(s / n - 1.96 * sqrt((k - 1) * vm), 6) AS ci_lo,
                    round(s / n + 1.96 * sqrt((k - 1) * vm), 6) AS ci_hi
@@ -10378,7 +10429,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             cells AS (SELECT a, b, count(*) AS n FROM f GROUP BY 1, 2),
-            tot AS (SELECT sum(n)::DOUBLE AS t FROM cells),
+            tot AS (SELECT sum(n) AS t FROM cells),
             po AS (
                 SELECT coalesce(sum(n), 0) AS agree
                 FROM cells WHERE a = b
@@ -10386,14 +10437,25 @@ def oracle_sql() -> dict[str, str]:
             ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
             mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
             pe AS (
-                SELECT sum((na / tot.t) * (nb / tot.t)) AS pe
-                FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN tot
+                SELECT sum(na * nb) AS sab
+                FROM ma JOIN mb ON ma.a = mb.b
+            ),
+            base AS (
+                SELECT tot.t::BIGINT AS n,
+                       ((agree * 1000000 * 2 + t) // (2 * t))::BIGINT
+                           AS po_e6,
+                       ((sab * 1000000 * 2 + t * t)
+                        // (2 * t * t))::BIGINT AS pe_e6
+                FROM tot CROSS JOIN po CROSS JOIN pe
             )
-            SELECT tot.t::BIGINT AS n,
-                   round(agree / tot.t, 6) AS p_observed,
-                   round(pe, 6) AS p_expected,
-                   round((agree / tot.t - pe) / (1 - pe), 6) AS kappa
-            FROM tot CROSS JOIN po CROSS JOIN pe
+            SELECT n, po_e6, pe_e6,
+                   CASE WHEN pe_e6 < 1000000 THEN
+                       ((CASE WHEN po_e6 < pe_e6 THEN -1 ELSE 1 END)
+                        * ((abs(po_e6 - pe_e6) * 1000000 * 2
+                            + (1000000 - pe_e6))
+                           // (2 * (1000000 - pe_e6))))::BIGINT
+                   END AS kappa_e6
+            FROM base
         """,
         "ext_autocorrelation": """
             WITH b AS (
@@ -10475,11 +10537,21 @@ def oracle_sql() -> dict[str, str]:
                        ) AS i
                 FROM b
             )
-            SELECT event_type, count(*) AS n_rows,
-                   round(2.0 * sum(i * value)
-                         / (count(*) * sum(value))
-                         - (count(*) + 1.0) / count(*), 6) AS gini
-            FROM r GROUP BY 1
+            ,
+            a AS (
+                SELECT event_type, count(*) AS n_rows,
+                       sum(cast(round(value * 100) as bigint)) AS sx,
+                       sum(i * cast(round(value * 100) as bigint)) AS six
+                FROM r GROUP BY 1
+            )
+            SELECT event_type, n_rows,
+                   CASE WHEN sx > 0 THEN
+                       ((CASE WHEN 2 * six - (n_rows + 1) * sx < 0
+                              THEN -1 ELSE 1 END)
+                        * ((abs(2 * six - (n_rows + 1) * sx) * 1000000 * 2
+                            + n_rows * sx) // (2 * n_rows * sx)))::BIGINT
+                   END AS gini_e6
+            FROM a
         """,
         "llm_ngram_novelty": """
             WITH w AS (
@@ -10569,13 +10641,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT digit, count(*) AS n_values
                 FROM d WHERE digit <> '0' GROUP BY 1
             ),
-            tot AS (SELECT sum(n_values)::DOUBLE AS t FROM counts)
+            tot AS (SELECT sum(n_values) AS t FROM counts)
             SELECT digit, n_values,
-                   round(n_values / tot.t, 6) AS observed_share,
+                   ((n_values * 1000000 * 2 + tot.t)
+                    // (2 * tot.t))::BIGINT AS observed_share_e6,
                    round(log10(1 + 1.0 / digit::INT), 6) AS benford_share,
-                   round(pow(n_values - log10(1 + 1.0 / digit::INT) * tot.t,
-                             2)
-                         / (log10(1 + 1.0 / digit::INT) * tot.t), 6)
+                   round(pow(n_values - log10(1 + 1.0 / digit::INT)
+                             * tot.t::DOUBLE, 2)
+                         / (log10(1 + 1.0 / digit::INT) * tot.t::DOUBLE), 6)
                        AS chi2_term
             FROM counts CROSS JOIN tot
         """,
@@ -10618,11 +10691,12 @@ def oracle_sql() -> dict[str, str]:
             s AS (
                 SELECT round(sum((n / t) * log2(n * t / (nx * ny))), 6)
                            AS mutual_info_bits,
-                       round(sum(n * n / (nx * ny / t)) - any_value(t), 6)
-                           AS chi2
+                       (sum((n * n * t::BIGINT * 1000000) // (nx * ny))
+                        - t::BIGINT * 1000000)::BIGINT AS chi2_e6
                 FROM j
+                GROUP BY t
             )
-            SELECT mutual_info_bits, chi2,
+            SELECT mutual_info_bits, chi2_e6,
                    ((SELECT count(*) FROM mx) - 1)
                    * ((SELECT count(*) FROM my) - 1) AS dof
             FROM s
@@ -11420,14 +11494,18 @@ def oracle_sql() -> dict[str, str]:
             WITH new_state AS (
                 SELECT o_orderpriority,
                        CASE WHEN o_orderkey % 7 = 3 AND o_orderkey % 10 != 0
-                            THEN o_totalprice * 2 ELSE o_totalprice END AS p
+                            THEN cast(round(o_totalprice * 2 * 100)
+                                 as bigint)
+                            ELSE cast(round(o_totalprice * 100) as bigint)
+                       END AS p
                 FROM orders WHERE o_orderkey % 10 != 0
                 UNION ALL
-                SELECT o_orderpriority, o_totalprice FROM orders
-                WHERE o_orderkey % 5 = 1
+                SELECT o_orderpriority,
+                       cast(round(o_totalprice * 100) as bigint)
+                FROM orders WHERE o_orderkey % 5 = 1
             )
             SELECT o_orderpriority,
-                   round(sum(p), 2) AS revenue,
+                   sum(p)::BIGINT AS revenue_cents,
                    count(*) AS n_rows
             FROM new_state
             GROUP BY o_orderpriority

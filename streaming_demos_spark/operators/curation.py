@@ -1055,42 +1055,52 @@ def cohens_kappa(
     """
     a = flag_a.cast("int").alias("_a")
     b = flag_b.cast("int").alias("_b")
+    # p_o, p_e and kappa are RATIONALS of integer counts: a 6-dp
+    # rounding can land on a midpoint and diverge across engine builds.
+    # Everything is emitted as half-up e6 integers computed in
+    # DECIMAL(38,0) (Σ n_a·n_b and t² wrap BIGINT at ~3e9 rows); kappa
+    # derives from the two e6 integers identically in both engines,
+    # with a sign device so the division stays non-negative.
     cells = df.select(a, b).groupBy("_a", "_b").agg(
         F.count("*").alias("_n")
     )
-    tot = cells.agg(F.sum("_n").cast("double").alias("_t"))
+    tot = cells.agg(F.sum("_n").alias("_t"))
     po = cells.filter(F.col("_a") == F.col("_b")).agg(
         F.sum("_n").alias("_agree")
     )
     ma = cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
     mb = cells.groupBy("_b").agg(F.sum("_n").alias("_nb"))
-    pe = (
-        ma.join(mb, ma["_a"] == mb["_b"])
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum(
-                (F.col("_na") / F.col("_t")) * (F.col("_nb") / F.col("_t"))
-            ).alias("_pe")
-        )
+    pe = ma.join(mb, ma["_a"] == mb["_b"]).agg(
+        F.sum(F.expr("_na * cast(_nb as decimal(38,0))")).alias("_sab")
     )
-    return (
+    base = (
         tot.crossJoin(F.broadcast(po))
         .crossJoin(F.broadcast(pe))
         .select(
             F.col("_t").cast("long").alias("n"),
-            F.round(
-                F.coalesce(F.col("_agree"), F.lit(0)) / F.col("_t"), round_dp
-            ).alias("p_observed"),
-            F.round(F.col("_pe"), round_dp).alias("p_expected"),
-            F.round(
-                F.try_divide(
-                    F.coalesce(F.col("_agree"), F.lit(0)) / F.col("_t")
-                    - F.col("_pe"),
-                    F.lit(1.0) - F.col("_pe"),
-                ),
-                round_dp,
-            ).alias("kappa"),
+            F.expr(
+                "cast((coalesce(_agree, 0) * 1000000 * 2 + _t)"
+                " div (2 * _t) as bigint)"
+            ).alias("po_e6"),
+            F.expr(
+                "cast((_sab * 1000000 * 2 + _t * cast(_t as decimal(38,0)))"
+                " div (2 * _t * cast(_t as decimal(38,0))) as bigint)"
+            ).alias("pe_e6"),
         )
+    )
+    num = F.col("po_e6") - F.col("pe_e6")
+    return base.select(
+        "n",
+        "po_e6",
+        "pe_e6",
+        F.when(
+            F.col("pe_e6") < 1000000,
+            F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(po_e6 - pe_e6) * 1000000 * 2 + (1000000 - pe_e6))"
+                " div (2 * (1000000 - pe_e6))"
+            ),
+        ).cast("long").alias("kappa_e6"),
     )
 
 

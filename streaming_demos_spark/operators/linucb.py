@@ -328,12 +328,25 @@ def calibration_bins(
     One map-side bin assignment + one ``n_bins``-group combinable
     aggregate — constant output size, linear scan, no window."""
     b = F.least(F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)).cast("int")
+    # scores quantize to exact e6 integers per row (callers pre-round
+    # at <= 6 dp), so both bin means are RATIONALS emitted as half-up
+    # e6 integers — a 4-dp rounded mean of terminating decimals can
+    # land on a midpoint and diverge across engine builds.
+    s_e6 = F.expr(f"cast(round({score_col} * 1000000) as bigint)")
     return (
         scored.groupBy(b.alias("bin"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(score_col), 4).alias("mean_score"),
-            F.round(F.avg(F.col(label_col).cast("double")), 4).alias("pos_rate"),
+            F.sum(s_e6).alias("_ss"),
+            F.sum(F.col(label_col).cast("long")).alias("_k"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("(_ss * 2 + n) div (2 * n)").alias("mean_score_e6"),
+            F.expr("(_k * 1000000 * 2 + n) div (2 * n)").alias(
+                "pos_rate_e6"
+            ),
         )
         .orderBy("bin")
     )

@@ -1411,9 +1411,14 @@ def event_transitions(
         "from_step",
         "to_step",
         "n_transitions",
-        F.round(
-            F.col("n_transitions") / F.sum("n_transitions").over(w), 4
-        ).alias("p_transition"),
+        # half-up e4 integer: n/total is a RATIONAL that can land on a
+        # rounding midpoint — round(x, 4) of it diverges across engine
+        # builds; the integer division cannot.
+        F.expr(
+            "(n_transitions * 10000 * 2 + sum(n_transitions)"
+            " over (partition by from_step))"
+            " div (2 * sum(n_transitions) over (partition by from_step))"
+        ).alias("p_e4"),
     )
 
 
@@ -1497,7 +1502,9 @@ def incremental_agg_refresh(
         F.sum(sign).alias("_d_n"),
     )
     merged = prev_agg.join(d_agg, key_cols, "full_outer")
-    zero = F.lit(0.0)
+    # integer literal: coalesce keeps BIGINT sum columns BIGINT (a 0.0
+    # literal would silently promote exact cent sums to double)
+    zero = F.lit(0)
     return (
         merged.select(
             *key_cols,
@@ -2168,18 +2175,27 @@ def mutual_information(
         .crossJoin(F.broadcast(tot))
     )
     p_xy = F.col("_n") / F.col("_t")
-    expected = F.col("_nx") * F.col("_ny") / F.col("_t")
     mi_term = p_xy * F.log2(
         F.col("_n") * F.col("_t") / (F.col("_nx") * F.col("_ny"))
     )
     # chi2 = Σ_all (n-e)²/e over EVERY (x,y) cell — but the groupBy
     # only yields observed cells. The identity Σ_all (n-e)²/e =
     # Σ_observed n²/e − t absorbs the zero cells exactly (their n²/e
-    # term is 0 and their e is covered by the −t).
-    chi_term = F.col("_n") * F.col("_n") / expected
+    # term is 0 and their e is covered by the −t). It is a RATIONAL of
+    # integer counts, so it is emitted as an exact e6 integer (per-cell
+    # DECIMAL division — identical in any engine) rather than a rounded
+    # double that can straddle a midpoint; the MI (log2, irrational
+    # summands) keeps its 6-dp double, where the digit is noise.
+    chi_term_e6 = F.expr(
+        "cast((cast(_n as decimal(38,0)) * _n * cast(_t as bigint)"
+        " * 1000000) div (cast(_nx as decimal(38,0)) * _ny) as bigint)"
+    )
     stats = joined.agg(
         F.round(F.sum(mi_term), round_dp).alias("mutual_info_bits"),
-        F.round(F.sum(chi_term) - F.first("_t"), round_dp).alias("chi2"),
+        (
+            F.sum(chi_term_e6)
+            - F.first("_t").cast("bigint") * F.lit(1000000)
+        ).alias("chi2_e6"),
     )
     dof = (
         mx.agg(F.count("*").alias("_cx"))
@@ -2330,7 +2346,7 @@ def benford_profile(
     counts = base.filter(F.col("digit") != "0").groupBy("digit").agg(
         F.count("*").alias("n_values")
     )
-    tot = counts.agg(F.sum("n_values").cast("double").alias("_t"))
+    tot = counts.agg(F.sum("n_values").alias("_t"))
     expected = F.element_at(
         F.array(*[F.lit(p) for p in _BENFORD_P]),
         F.col("digit").cast("int"),
@@ -2340,13 +2356,21 @@ def benford_profile(
         .select(
             "digit",
             "n_values",
-            F.round(F.col("n_values") / F.col("_t"), round_dp).alias(
-                "observed_share"
-            ),
+            # n/t is a RATIONAL of integer counts: emit the half-up e6
+            # integer (a 6-dp rounded rational can straddle a midpoint
+            # across engine builds); the log10-based expectation and
+            # chi2 term keep 6-dp doubles (irrational, noise digit).
+            F.expr(
+                "(n_values * 1000000 * 2 + _t) div (2 * _t)"
+            ).alias("observed_share_e6"),
             F.round(expected, round_dp).alias("benford_share"),
             F.round(
-                F.pow(F.col("n_values") - expected * F.col("_t"), 2)
-                / (expected * F.col("_t")),
+                F.pow(
+                    F.col("n_values")
+                    - expected * F.col("_t").cast("double"),
+                    2,
+                )
+                / (expected * F.col("_t").cast("double")),
                 round_dp,
             ).alias("chi2_term"),
         )
@@ -2372,29 +2396,38 @@ def gini_coefficient(
     All-zero groups return NULL via try_divide.
     """
     x = F.col(value_col).cast("double")
+    # 2-dp values -> exact integer cents; G = (2·Σi·c − (n+1)·Σc) /
+    # (n·Σc) is then a RATIONAL of BIGINTs, emitted as the half-up e6
+    # integer with a sign device (rounding a rational at 6 dp can land
+    # on a midpoint and diverge across engine builds).
+    c = F.expr(f"cast(round({value_col} * 100) as bigint)")
     w = Window.partitionBy(group_col).orderBy(x.asc())
     ranked = df.filter(x.isNotNull() & (x >= 0)).withColumn(
         "_i", F.row_number().over(w)
     )
-    return (
-        ranked.groupBy(group_col)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(x).alias("_sx"),
-            F.sum(F.col("_i") * x).alias("_six"),
-        )
-        .select(
-            group_col,
-            "n_rows",
-            F.round(
-                F.try_divide(
-                    F.lit(2.0) * F.col("_six"),
-                    F.col("n_rows") * F.col("_sx"),
-                )
-                - (F.col("n_rows") + 1) / F.col("n_rows"),
-                round_dp,
-            ).alias("gini"),
-        )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(c).alias("_sx"),
+        F.sum(F.col("_i") * c).alias("_six"),
+    )
+    num = F.expr(
+        "2 * cast(_six as decimal(38,0)) - (n_rows + 1)"
+        " * cast(_sx as decimal(38,0))"
+    )
+    return agg.select(
+        group_col,
+        "n_rows",
+        F.when(
+            F.col("_sx") > 0,
+            F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "cast((abs(2 * cast(_six as decimal(38,0)) - (n_rows + 1)"
+                " * cast(_sx as decimal(38,0))) * 1000000 * 2"
+                " + n_rows * cast(_sx as decimal(38,0)))"
+                " div (2 * n_rows * cast(_sx as decimal(38,0)))"
+                " as bigint)"
+            ),
+        ).cast("long").alias("gini_e6"),
     )
 
 
@@ -2532,11 +2565,18 @@ def kaplan_meier(
     ``1 - d/n``. Returns one row per distinct duration with at least
     one observed event: (duration, n_at_risk, n_events, survival).
 
-    The running product is computed in LOG domain as a windowed sum
-    (``exp(Σ ln(1 - d/n))``) — a multiplicative window does not exist,
-    and the log-sum is the numerically standard form. A step where
-    ``d = n`` (everyone at risk dies) drives survival to exactly 0 via
-    a cumulative-flag window, never a ``ln(0)``. The windows run on the
+    The running product is computed in LOG domain as a windowed sum —
+    a multiplicative window does not exist — and emitted as
+    ``log_survival_e12``: the exact BIGINT running sum of per-step
+    ``round(ln(1 − d/n)·1e12)`` terms. Early KM factors are SMALL-
+    denominator rationals (e.g. d/128 terminates exactly on a 6-dp
+    midpoint), so any rounded-survival double can straddle its last
+    digit across engine builds; the per-step integerized log is safe
+    (ln outputs are irrational — a midpoint hit is measure-zero) and
+    the cumulative sum is then exact integer arithmetic. Consumers
+    recover survival as ``exp(log_survival_e12/1e12)``; a step where
+    ``d = n`` (everyone dies) yields NULL (survival exactly 0) via a
+    cumulative-flag window, never a ``ln(0)``. The windows run on the
     DISTINCT-DURATION frame (bounded by the duration grid), not rows.
     """
     per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
@@ -2557,25 +2597,25 @@ def kaplan_meier(
     )
     factor = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    step_l = F.when(
+        F.col("_f") > 0,
+        F.expr("cast(round(ln(_f) * 1000000000000) as bigint)"),
+    ).otherwise(F.lit(0).cast("bigint"))
     stepped = grid.withColumn("_f", factor).select(
         "t",
         "n_at_risk",
         "n_events",
         F.when(
-            F.min("_f").over(w_cum) <= 0, F.lit(0.0)
+            F.min("_f").over(w_cum) <= 0, F.lit(None).cast("bigint")
         ).otherwise(
-            F.exp(
-                F.sum(
-                    F.when(F.col("_f") > 0, F.log("_f")).otherwise(F.lit(0.0))
-                ).over(w_cum)
-            )
-        ).alias("_s"),
+            F.sum(step_l).over(w_cum)
+        ).alias("_ls"),
     )
     return stepped.filter(F.col("n_events") > 0).select(
         F.col("t").alias(duration_col),
         "n_at_risk",
         "n_events",
-        F.round("_s", round_dp).alias("survival"),
+        F.col("_ls").alias("log_survival_e12"),
     )
 
 
@@ -2610,16 +2650,21 @@ def jackknife_mean_ci(
         .agg(
             F.count("*").alias("_nb"),
             F.sum(F.col(value_col).cast("double")).alias("_sb"),
+            F.sum(
+                F.expr(f"cast(round({value_col} * 100) as bigint)")
+            ).alias("_sbc"),
         )
     )
     tot = per_b.agg(
         F.sum("_nb").alias("_n"),
         F.sum("_sb").alias("_s"),
+        F.sum("_sbc").alias("_sc"),
         F.count("*").alias("_k"),
     )
     loo = per_b.crossJoin(F.broadcast(tot)).select(
         "_n",
         "_s",
+        "_sc",
         "_k",
         (
             (F.col("_s") - F.col("_sb")) / (F.col("_n") - F.col("_nb"))
@@ -2627,14 +2672,21 @@ def jackknife_mean_ci(
     )
     # Σ(m - m̄)² = k · var_pop(m), so se = sqrt((k-1)/k · k·var_pop)
     # = sqrt((k-1) · var_pop) — one plain aggregate, no window
-    stats = loo.groupBy("_n", "_s", "_k").agg(
+    stats = loo.groupBy("_n", "_s", "_sc", "_k").agg(
         F.var_pop("_m").alias("_vm")
     )
+    # The mean of 2-dp values is a RATIONAL (cents/(100·n)) — a 6-dp
+    # rounding can land on a midpoint; emit the half-up e6 integer from
+    # the exact cent sum (sign device for negative sums). se/ci keep
+    # 6-dp doubles: sqrt makes their rounding digit noise.
     mean = F.col("_s") / F.col("_n")
     se = F.sqrt((F.col("_k") - 1) * F.col("_vm"))
     return stats.select(
         F.col("_n").alias("n"),
-        F.round(mean, round_dp).alias("mean"),
+        (
+            F.when(F.col("_sc") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(abs(_sc) * 10000 * 2 + _n) div (2 * _n)")
+        ).cast("long").alias("mean_e6"),
         F.round(se, round_dp).alias("se"),
         F.round(mean - F.lit(z) * se, round_dp).alias("ci_lo"),
         F.round(mean + F.lit(z) * se, round_dp).alias("ci_hi"),
@@ -2698,14 +2750,32 @@ def ab_test_proportions(
         )
     )
     p_val = poly * F.exp(-x * x)
+    # Rates and lift are RATIONALS (c/n) — rounded at 6 dp they can
+    # land exactly on a midpoint and diverge across engine builds; emit
+    # half-up e6 integers (lift with a sign device). z and p keep 6-dp
+    # doubles: sqrt/exp outputs are irrational, the rounding digit is
+    # noise.
+    lift_num = F.expr("c_a * n_b - c_b * n_a")
     return j.select(
         F.lit(group_a).alias("group_a"),
         F.lit(group_b).alias("group_b"),
         "n_a",
         "n_b",
-        F.round(pa, round_dp).alias("rate_a"),
-        F.round(pb, round_dp).alias("rate_b"),
-        F.round(pa - pb, round_dp).alias("lift"),
+        F.expr("(c_a * 1000000 * 2 + n_a) div (2 * n_a)").alias(
+            "rate_a_e6"
+        ),
+        F.expr("(c_b * 1000000 * 2 + n_b) div (2 * n_b)").alias(
+            "rate_b_e6"
+        ),
+        (
+            F.when(lift_num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(cast(c_a as decimal(38,0)) * n_b"
+                " - cast(c_b as decimal(38,0)) * n_a) * 1000000 * 2"
+                " + cast(n_a as decimal(38,0)) * n_b)"
+                " div (2 * cast(n_a as decimal(38,0)) * n_b)"
+            ).cast("long")
+        ).cast("long").alias("lift_e6"),
         F.round(z, round_dp).alias("z"),
         F.round(p_val, round_dp).alias("p_value"),
     )
@@ -2732,39 +2802,71 @@ def seasonal_profile(
     """
     hour = F.hour(F.col(ts_col)).alias("hour_of_day")
     x = F.col(value_col).cast("double")
+    # 2-dp values -> exact integer cents: the hour means/moments are
+    # RATIONALS with SMALL denominators (rows-per-hour-cell), exactly
+    # the class whose 6-dp rounding lands on midpoints across engine
+    # builds. Both outputs are half-up scaled integers computed from
+    # exact BIGINT/DECIMAL sums.
+    c = F.expr(f"cast(round({value_col} * 100) as bigint)")
     cells = (
         df.filter(x.isNotNull())
         .groupBy(F.col(key_col), hour)
         .agg(
             F.count("*").alias("n_rows"),
-            F.avg(x).alias("_hmean"),
-            F.avg(x * x).alias("_hm2"),
+            F.sum(c).alias("_sh"),
+            F.sum(F.expr(
+                f"cast(round({value_col} * 100) as bigint)"
+                f" * cast(round({value_col} * 100) as decimal(38,0))"
+            )).alias("_sh2"),
         )
     )
     overall = cells.groupBy(key_col).agg(
-        (F.sum(F.col("_hmean") * F.col("n_rows")) / F.sum("n_rows")).alias(
-            "_mu"
-        ),
-        (F.sum(F.col("_hm2") * F.col("n_rows")) / F.sum("n_rows")).alias(
-            "_m2"
-        ),
+        F.sum("n_rows").alias("_ng"),
+        F.sum("_sh").alias("_sg"),
+        F.sum("_sh2").alias("_sg2"),
     )
     joined = cells.join(F.broadcast(overall), key_col)
-    # residual second moment per cell: E[x²|h] - hmean²  (within-hour
-    # variance); weighted across hours = E[resid²] for the additive
-    # hour model
-    within = F.col("_hm2") - F.col("_hmean") * F.col("_hmean")
-    var_total = F.col("_m2") - F.col("_mu") * F.col("_mu")
+    # offset = Sh/(100·nh) − Sg/(100·ng); ×1e4 -> num·100/(nh·ng)
+    off_num = F.expr(
+        "cast(_sh as decimal(38,0)) * _ng - cast(_sg as decimal(38,0))"
+        " * n_rows"
+    )
+    # within/var ratio: ((Sh2·nh − Sh²)·ng²) / ((Sg2·ng − Sg²)·nh²)
+    # (the 100² cents scale cancels); explained = 1e6 − ratio_e6.
+    # DECIMAL(38,0) holds to ~1e8 rows/key (documented bound).
+    w_num = F.expr(
+        "(_sh2 * n_rows - cast(_sh as decimal(38,0)) * _sh)"
+        " * _ng * cast(_ng as decimal(38,0))"
+    )
+    v_den = F.expr(
+        "(_sg2 * _ng - cast(_sg as decimal(38,0)) * _sg)"
+        " * n_rows * cast(n_rows as decimal(38,0))"
+    )
     return joined.select(
         key_col,
         "hour_of_day",
         "n_rows",
-        F.round(F.col("_hmean") - F.col("_mu"), round_dp).alias(
-            "seasonal_offset"
-        ),
-        F.round(
-            F.lit(1.0) - F.try_divide(within, var_total), round_dp
-        ).alias("hour_explains"),
+        (
+            F.when(off_num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(cast(_sh as decimal(38,0)) * _ng"
+                " - cast(_sg as decimal(38,0)) * n_rows) * 100 * 2"
+                " + cast(n_rows as decimal(38,0)) * _ng)"
+                " div (2 * cast(n_rows as decimal(38,0)) * _ng)"
+            ).cast("long")
+        ).cast("long").alias("seasonal_offset_e4"),
+        F.when(
+            v_den > 0,
+            F.lit(1000000)
+            - F.expr(
+                "cast(((_sh2 * n_rows - cast(_sh as decimal(38,0)) * _sh)"
+                " * _ng * cast(_ng as decimal(38,0)) * 1000000 * 2"
+                " + (_sg2 * _ng - cast(_sg as decimal(38,0)) * _sg)"
+                " * n_rows * cast(n_rows as decimal(38,0)))"
+                " div (2 * (_sg2 * _ng - cast(_sg as decimal(38,0)) * _sg)"
+                " * n_rows * cast(n_rows as decimal(38,0))) as bigint)"
+            ),
+        ).cast("long").alias("hour_explains_e6"),
     )
 
 
@@ -2824,12 +2926,12 @@ def funnel_step_times(
         pairs.append(
             reached.filter(F.col("_r.k") >= k + 1).select(
                 F.lit(f"{stages[k-1]}->{stages[k]}").alias("step_pair"),
+                # keep deltas as exact integer MICROSECONDS — a /1e6
+                # double re-rounded at 3 dp lands on midpoints whenever
+                # the delta is 500 mod 1000 µs
                 (
-                    (
-                        F.element_at("_r.rt", k + 1)
-                        - F.element_at("_r.rt", k)
-                    )
-                    / F.lit(1e6)
+                    F.element_at("_r.rt", k + 1)
+                    - F.element_at("_r.rt", k)
                 ).alias("_d"),
             )
         )
@@ -2841,16 +2943,23 @@ def funnel_step_times(
     deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
     med = grouped_quantiles_selection(
         deltas, "step_pair", "_d", [0.5]
-    ).select("step_pair", F.col("p50").alias("p50_sec"))
+    ).select("step_pair", F.col("p50").alias("_p50_us"))
     summary = deltas.groupBy("step_pair").agg(
         F.count("*").alias("n_converted"),
-        F.round(F.avg("_d"), round_dp).alias("avg_sec"),
+        F.sum("_d").alias("_sum_us"),
     )
+    # avg is a RATIONAL (Σµs / n) — emit half-up integer milliseconds;
+    # the interpolated median of integer µs is either an integer or an
+    # exact .5, so 2×median is an exactly-representable integer in any
+    # engine.
     return summary.join(med, "step_pair").select(
         "step_pair",
         "n_converted",
-        "avg_sec",
-        F.round("p50_sec", round_dp).alias("p50_sec"),
+        F.expr(
+            "(_sum_us * 2 + 1000 * n_converted)"
+            " div (2000 * n_converted)"
+        ).alias("avg_ms"),
+        F.expr("cast(round(_p50_us * 2) as bigint)").alias("p50_us_x2"),
     )
 
 
@@ -2915,9 +3024,12 @@ def duplicate_events(
             F.col(value_col),
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            F.round(
-                F.abs(F.col("_tb") - F.col("_ta")) / F.lit(1e6), round_dp
-            ).alias("gap_sec"),
+            # |delta-us| is an exact integer; /1e6 + round(,3) lands ON
+            # a midpoint whenever delta-us = 500 mod 1000 — emit the
+            # half-up integer milliseconds instead.
+            F.expr(
+                "(abs(_tb - _ta) * 2 + 1000) div 2000"
+            ).alias("gap_ms"),
         )
         .distinct()
     )
@@ -4589,18 +4701,23 @@ def restricted_mean_survival(
     lead window on the bounded distinct-duration frame): the head
     segment survives at 1.0 until the first event, each step i
     contributes ``S_i * (min(t_{i+1}, tau) - min(t_i, tau))``.
-    Survival probabilities enter at their published 6dp rounding, so
-    the integral is a deterministic function of the KM output. Output
+    Survival enters from the KM output's integerized log device
+    (``exp(log_survival_e12/1e12)``, NULL = exactly 0) — a
+    deterministic function of exact integers, so the integral's 4-dp
+    rounding digit is exp noise, never a rational midpoint. Output
     one row: (tau, n_steps, rmst).
     """
     km = kaplan_meier(df, duration_col, event_col)
     t = F.col(duration_col).cast("double")
     w = Window.orderBy(duration_col)
     nxt = F.coalesce(F.lead(t).over(w), F.lit(float(tau)))
+    surv = F.when(
+        F.col("log_survival_e12").isNull(), F.lit(0.0)
+    ).otherwise(F.exp(F.col("log_survival_e12") / F.lit(1e12)))
     stepped = km.select(
         t.alias("_t"),
         (
-            F.col("survival")
+            surv
             * (
                 F.least(nxt, F.lit(float(tau)))
                 - F.least(t, F.lit(float(tau)))

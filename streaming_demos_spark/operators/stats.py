@@ -1238,12 +1238,29 @@ def proportion_power(
             round_dp,
         )
     )
+    # Rates/diff are RATIONALS (c/n) — emitted as half-up e6 integers
+    # (a 6-dp rounding of a rational can land on a midpoint and diverge
+    # across engine builds); n_required keeps the irrational formula
+    # (sqrt terms make its rounding digit noise).
+    d_num = F.expr("_sa * _nb - _sb * _na")
     return agg.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
-        F.round(p1, round_dp).alias("rate_a"),
-        F.round(p2, round_dp).alias("rate_b"),
-        F.round(diff, round_dp).alias("observed_diff"),
+        F.expr("(_sa * 1000000 * 2 + _na) div (2 * _na)").alias(
+            "rate_a_e6"
+        ),
+        F.expr("(_sb * 1000000 * 2 + _nb) div (2 * _nb)").alias(
+            "rate_b_e6"
+        ),
+        (
+            F.when(d_num < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(cast(_sa as decimal(38,0)) * _nb"
+                " - cast(_sb as decimal(38,0)) * _na) * 1000000 * 2"
+                " + cast(_na as decimal(38,0)) * _nb)"
+                " div (2 * cast(_na as decimal(38,0)) * _nb)"
+            ).cast("long")
+        ).cast("long").alias("observed_diff_e6"),
         n_req.cast("long").alias("n_required_per_arm"),
     )
 

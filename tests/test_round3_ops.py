@@ -776,11 +776,11 @@ def test_event_transitions_counts_and_probabilities(spark):
         (3, t(1), 6, "c"),
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
-    out = {(r.from_step, r.to_step): (r.n_transitions, r.p_transition)
+    out = {(r.from_step, r.to_step): (r.n_transitions, r.p_e4)
            for r in event_transitions(df, "user_id", "ts", "event_type").collect()}
     assert out == {
-        ("a", "b"): (2, 1.0),   # a always goes to b
-        ("b", "a"): (1, 1.0),   # b always goes to a
+        ("a", "b"): (2, 10000),   # a always goes to b
+        ("b", "a"): (1, 10000),   # b always goes to a
     }
 
 
@@ -857,9 +857,9 @@ def test_calibration_bins_known_values(spark):
         (0.95, 1), (1.0, 1),             # bin 9 (1.0 clamps into 9): rate 1
     ]
     df = spark.createDataFrame(rows, ["score", "is_pos"])
-    out = {r.bin: (r.n, r.pos_rate) for r in
+    out = {r.bin: (r.n, r.pos_rate_e6) for r in
            calibration_bins(df, "score", "is_pos").collect()}
-    assert out == {0: (2, 0.0), 5: (2, 0.5), 9: (2, 1.0)}
+    assert out == {0: (2, 0), 5: (2, 500000), 9: (2, 1000000)}
 
 
 def test_blocked_similarity_pairs_blocks_and_caps(spark):
@@ -1195,14 +1195,14 @@ def test_mutual_information_independent_and_determined(spark):
         "x string, y string",
     )
     r = R.mutual_information(ind, "x", "y").collect()[0]
-    assert r.mutual_info_bits == 0.0 and r.chi2 == 0.0 and r.dof == 1
+    assert r.mutual_info_bits == 0.0 and r.chi2_e6 == 0 and r.dof == 1
     # fully determined: y == x -> MI = H(X) = 1 bit for uniform binary
     det = spark.createDataFrame(
         [("a", "a"), ("b", "b")] * 10, "x string, y string"
     )
     r2 = R.mutual_information(det, "x", "y").collect()[0]
     assert abs(r2.mutual_info_bits - 1.0) < 1e-9
-    assert r2.chi2 == 20.0  # n * phi2 for perfect association
+    assert r2.chi2_e6 == 20000000  # n * phi2 for perfect association
 
 
 def test_impute_mode_fills_with_group_mode(spark):
@@ -1279,11 +1279,11 @@ def test_gini_known_distributions(spark):
     rows = [("uniform", 5.0)] * 10
     rows += [("concentrated", 0.0)] * 9 + [("concentrated", 100.0)]
     df = spark.createDataFrame(rows, "g string, v double")
-    out = {r.g: r.gini for r in
+    out = {r.g: r.gini_e6 for r in
            R.gini_coefficient(df, "g", "v").collect()}
-    assert out["uniform"] == 0.0
+    assert out["uniform"] == 0
     # one holder of all mass among n=10: G = (n-1)/n = 0.9
-    assert out["concentrated"] == 0.9
+    assert out["concentrated"] == 900000
 
 
 def test_ngram_novelty_order_and_bounds(spark):
@@ -1359,9 +1359,16 @@ def test_kaplan_meier_textbook_example(spark):
     df = spark.createDataFrame(rows, "d int, ev boolean")
     out = {r.d: r for r in R.kaplan_meier(df, "d", "ev").collect()}
     assert set(out) == {1, 3}  # only event times emitted
-    assert out[1].n_at_risk == 5 and out[1].survival == 0.8
-    # S(3) = (1 - 1/5) * (1 - 1/3) = 0.8 * 2/3
-    assert abs(out[3].survival - round(0.8 * 2 / 3, 6)) < 1e-9
+    import math
+
+    assert out[1].n_at_risk == 5
+    assert out[1].log_survival_e12 == round(math.log(1 - 1 / 5) * 1e12)
+    # S(3) = (1 - 1/5) * (1 - 1/3): the log device sums per-step terms
+    assert out[3].log_survival_e12 == (
+        round(math.log(1 - 1 / 5) * 1e12)
+        + round(math.log(1 - 1 / 3) * 1e12)
+    )
+    assert abs(math.exp(out[3].log_survival_e12 / 1e12) - 0.8 * 2 / 3) < 1e-9
 
 
 def test_kaplan_meier_all_die_hits_zero(spark):
@@ -1370,8 +1377,9 @@ def test_kaplan_meier_all_die_hits_zero(spark):
     df = spark.createDataFrame(
         [(1, True), (1, True), (2, True)], "d int, ev boolean"
     )
-    out = {r.d: r.survival for r in R.kaplan_meier(df, "d", "ev").collect()}
-    assert out[2] == 0.0  # last at-risk subject dies -> S = 0, no ln(0)
+    out = {r.d: r.log_survival_e12
+           for r in R.kaplan_meier(df, "d", "ev").collect()}
+    assert out[2] is None  # last at-risk subject dies -> S = 0, no ln(0)
 
 
 def test_jackknife_ci_covers_true_mean_and_shrinks(spark):
@@ -1381,7 +1389,7 @@ def test_jackknife_ci_covers_true_mean_and_shrinks(spark):
     df = spark.createDataFrame(rows, "rid int, v double")
     r = R.jackknife_mean_ci(df, "v", "rid", n_buckets=32).collect()[0]
     true_mean = sum(v for _, v in rows) / len(rows)
-    assert abs(r.mean - round(true_mean, 6)) < 1e-9
+    assert abs(r.mean_e6 / 1e6 - true_mean) < 1e-6
     assert r.ci_lo < true_mean < r.ci_hi
     assert r.se < 3.0  # ~sd/sqrt(n) scale, far below the raw sd (~29)
 
@@ -1393,7 +1401,7 @@ def test_jackknife_ci_partitioning_invariant(spark):
     df = spark.createDataFrame(rows, "rid int, v double")
     a = R.jackknife_mean_ci(df, "v", "rid").collect()[0]
     b = R.jackknife_mean_ci(df.repartition(7), "v", "rid").collect()[0]
-    assert (a.mean, a.se) == (b.mean, b.se)
+    assert (a.mean_e6, a.se) == (b.mean_e6, b.se)
 
 
 def test_ab_test_detects_planted_difference(spark):
@@ -1403,7 +1411,8 @@ def test_ab_test_detects_planted_difference(spark):
     rows += [("b", i < 40) for i in range(100)]  # 40% convert
     df = spark.createDataFrame(rows, "g string, conv boolean")
     r = R.ab_test_proportions(df, "g", F.col("conv"), "a", "b").collect()[0]
-    assert r.rate_a == 0.6 and r.rate_b == 0.4 and r.lift == 0.2
+    assert r.rate_a_e6 == 600000 and r.rate_b_e6 == 400000
+    assert r.lift_e6 == 200000
     # z = 0.2 / sqrt(0.5*0.5*(2/100)) = 2.828..., p ~ 0.0047
     assert abs(r.z - 2.828427) < 1e-5
     assert r.p_value < 0.01
@@ -1415,7 +1424,7 @@ def test_ab_test_identical_groups_null_z(spark):
     rows = [("a", True)] * 10 + [("b", True)] * 10  # pool = 1 -> se 0
     df = spark.createDataFrame(rows, "g string, conv boolean")
     r = R.ab_test_proportions(df, "g", F.col("conv"), "a", "b").collect()[0]
-    assert r.lift == 0.0 and r.z is None
+    assert r.lift_e6 == 0 and r.z is None
 
 
 def test_whiten_embeddings_numpy_parity_and_identity_cov(spark):
@@ -1466,10 +1475,11 @@ def test_seasonal_profile_recovers_planted_hour_shape(spark):
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
     out = {r.hour_of_day: r for r in
            R.seasonal_profile(df, "k", "ts", "v").collect()}
-    assert out[0].seasonal_offset == -5.0
-    assert out[12].seasonal_offset == 5.0
+    assert out[0].seasonal_offset_e4 == -50000
+    assert out[12].seasonal_offset_e4 == 50000
     # hour explains everything: within-hour variance is 0
-    assert out[0].hour_explains == 1.0 and out[12].hour_explains == 1.0
+    assert out[0].hour_explains_e6 == 1000000
+    assert out[12].hour_explains_e6 == 1000000
 
 
 def test_funnel_step_times_strict_sequencing(spark):
@@ -1498,10 +1508,10 @@ def test_funnel_step_times_strict_sequencing(spark):
         stages=["view", "click", "purchase"]).collect()}
     vc = out["view->click"]
     assert vc.n_converted == 2
-    assert vc.avg_sec == 15.0  # (10 + 20) / 2
-    assert vc.p50_sec == 15.0  # interpolated median of {10, 20}
+    assert vc.avg_ms == 15000  # (10 + 20) / 2 seconds
+    assert vc.p50_us_x2 == 30000000  # 2x the interpolated 15 s median
     cp = out["click->purchase"]
-    assert cp.n_converted == 1 and cp.avg_sec == 30.0
+    assert cp.n_converted == 1 and cp.avg_ms == 30000
 
 
 def test_duplicate_events_boundary_and_id_order(spark):
@@ -1534,4 +1544,4 @@ def test_duplicate_events_boundary_and_id_order(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.id_a, r.id_b) == (2, 9)
-    assert r.gap_sec == 2.0
+    assert r.gap_ms == 2000

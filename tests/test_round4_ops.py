@@ -1512,7 +1512,7 @@ def test_proportion_power_textbook_case(spark):
 
     df = spark.createDataFrame(rows, "arm string, s int")
     out = proportion_power(df, "arm", "s", "A", "B").collect()[0]
-    assert out.rate_a == 0.1 and out.rate_b == 0.15
+    assert out.rate_a_e6 == 100000 and out.rate_b_e6 == 150000
     assert 650 <= out.n_required_per_arm <= 730
 
 

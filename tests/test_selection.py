@@ -328,10 +328,10 @@ def test_cohens_kappa_perfect_and_chance(spark):
     perfect = CU.cohens_kappa(
         df, F.col("x") % 2 == 0, F.col("x") % 2 == 0
     ).collect()[0]
-    assert perfect.kappa == 1.0
+    assert perfect.kappa_e6 == 1000000
     # independent judges: x%2 vs x%5<... use x//50 (half/half) vs x%2 —
     # p_o = 0.5 = p_e -> kappa 0
     chance = CU.cohens_kappa(
         df, F.col("x") < 50, F.col("x") % 2 == 0
     ).collect()[0]
-    assert chance.kappa == 0.0
+    assert chance.kappa_e6 == 0

@@ -4952,6 +4952,67 @@ def q_heavy_changes(spark, sf_dir):
 
 
 
+def q_cochran_q(spark, sf_dir):
+    # k-treatment paired binary test: do the same users view/click/
+    # purchase at different rates? Exact integer Q at e6 in DECIMAL
+    # intermediates (stats.py:cochran_q).
+    ev = _t(spark, sf_dir, "events")
+    return ST.cochran_q(
+        ev,
+        "user_id",
+        {
+            "view": F.col("event_type") == "view",
+            "click": F.col("event_type") == "click",
+            "purchase": F.col("event_type") == "purchase",
+        },
+    )
+
+
+def q_odds_ratio(spark, sf_dir):
+    # 2x2 exposure->outcome effect: odds ratio + relative risk as exact
+    # e6 integers, Katz log-normal CI as noise-digit doubles
+    # (stats.py:odds_ratio).
+    ev = _t(spark, sf_dir, "events")
+    return ST.odds_ratio(
+        ev,
+        "user_id",
+        exposed=F.col("event_type") == "click",
+        outcome=F.col("event_type") == "purchase",
+    )
+
+
+def q_weibull_fit(spark, sf_dir):
+    # Parametric survival summary: Weibull shape/scale from the KM
+    # curve's integerized log-survival device via the ln(-ln S) x ln t
+    # linearization, closed-form OLS on the bounded duration grid
+    # (relational.py:weibull_survival_fit).
+    from streaming_demos_spark.functions.scalars import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("_f"),
+        F.max(epoch_us(F.col("ts"))).alias("_l"),
+        F.min(
+            F.when(F.col("event_type") == "error", epoch_us(F.col("ts")))
+        ).alias("_e"),
+    )
+    spans = pu.select(
+        F.expr("cast((coalesce(_e, _l) - _f) div 86400000000 as int)").alias(
+            "duration_days"
+        ),
+        F.col("_e").isNotNull().alias("errored"),
+    )
+    return R.weibull_survival_fit(spans, "duration_days", "errored")
+
+
+def q_vocab_growth(spark, sf_dir):
+    # Heaps-law vocabulary growth over 10 id-threshold corpus prefixes
+    # - exact integer (prefix, n_tokens, vocab) curve, no global sort
+    # (text.py:vocab_growth).
+    return TX.vocab_growth(_t(spark, sf_dir, "documents"))
+
+
+
 _WINDOW_PRIORITY = [
     # Round-6 window (first 50), per VERDICT r5 #4: the three round-5
     # driver-red keys first (root cause fixed this round — NS-parquet
@@ -4986,13 +5047,10 @@ _WINDOW_PRIORITY = [
     "ext_decayed_engagement",
     "ext_ewma_smooth",
     "ext_sequence_gaps",
-    "ext_incremental_agg",
     "ext_user_journeys",
     "ext_funnel",
     "ext_retention",
-    "ext_event_transitions",
     "o4_per_key_time_split",
-    "ext_duplicate_events",
     "s10_cdc_scd2_history",
     "s10_cdc_snapshot_at",
     "s10_snapshot_diff",
@@ -5002,7 +5060,6 @@ _WINDOW_PRIORITY = [
     "ext_kaplan_meier",
     "ext_jackknife_ci",
     "ext_cohens_kappa",
-    "ext_gini",
     "ext_benford",
     "ext_mutual_info",
     "llm_zipf_fit",
@@ -5016,7 +5073,15 @@ _WINDOW_PRIORITY = [
     "ext_iptw_ate",
     "llm_kneser_ney_bigram",
     "llm_heavy_changes",
+    "ext_cochran_q",
+    "ext_odds_ratio",
+    "ext_weibull_fit",
+    "llm_vocab_growth",
     # --- end round-6 window (50) ---
+    "ext_incremental_agg",
+    "ext_event_transitions",
+    "ext_duplicate_events",
+    "ext_gini",
     "ext_concentration",
     "ext_heavy_hitters",
     "ext_hll_distinct",
@@ -5567,6 +5632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_iptw_ate": q_iptw_ate,
         "llm_kneser_ney_bigram": q_kneser_ney,
         "llm_heavy_changes": q_heavy_changes,
+        "ext_cochran_q": q_cochran_q,
+        "ext_odds_ratio": q_odds_ratio,
+        "ext_weibull_fit": q_weibull_fit,
+        "llm_vocab_growth": q_vocab_growth,
     }
     _pri = [k for k in _WINDOW_PRIORITY if k in d]
     return {k: d[k] for k in _pri + [k for k in d if k not in set(_pri)]}
@@ -8893,6 +8962,164 @@ def oracle_sql() -> dict[str, str]:
                    c_second::BIGINT AS c_second,
                    direction::INT AS direction, abs_delta_e9
             FROM scored ORDER BY abs_delta_e9 DESC, term LIMIT 20
+        """,
+        "ext_cochran_q": """
+            WITH per AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS f0,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           AS f1,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS f2
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT count(*) AS n_units,
+                       sum(f0 + f1 + f2) AS sr,
+                       sum((f0 + f1 + f2) * (f0 + f1 + f2)) AS sr2,
+                       sum(f0) AS c0, sum(f1) AS c1, sum(f2) AS c2
+                FROM per
+            )
+            SELECT n_units, 3 AS k_treatments, sr::BIGINT AS n_positives,
+                   CASE WHEN 3 * sr - sr2 > 0 THEN
+                       ((2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - sr * sr)
+                         * 1000000 * 2 + (3 * sr - sr2))
+                        // (2 * (3 * sr - sr2)))::BIGINT
+                   END AS q_e6
+            FROM t
+        """,
+        "ext_odds_ratio": """
+            WITH per AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           AS e,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS o
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS a,
+                       sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS b,
+                       sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS c,
+                       sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS d
+                FROM per
+            )
+            SELECT a::BIGINT AS a, b::BIGINT AS b,
+                   c::BIGINT AS c, d::BIGINT AS d,
+                   CASE WHEN b > 0 AND c > 0 THEN
+                       ((a * d * 1000000 * 2 + b * c)
+                        // (2 * b * c))::BIGINT END AS odds_ratio_e6,
+                   CASE WHEN c > 0 AND a + b > 0 THEN
+                       ((a * (c + d) * 1000000 * 2 + c * (a + b))
+                        // (2 * c * (a + b)))::BIGINT
+                   END AS relative_risk_e6,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                       round(exp(ln((a::DOUBLE * d) / (b::DOUBLE * c))
+                                 - 1.96 * sqrt(1.0 / a + 1.0 / b
+                                               + 1.0 / c + 1.0 / d)), 6)
+                   END AS or_ci_lo,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                       round(exp(ln((a::DOUBLE * d) / (b::DOUBLE * c))
+                                 + 1.96 * sqrt(1.0 / a + 1.0 / b
+                                               + 1.0 / c + 1.0 / d)), 6)
+                   END AS or_ci_hi
+            FROM t
+        """,
+        "ext_weibull_fit": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) AS f,
+                       max(epoch_us(ts)) AS l,
+                       min(CASE WHEN event_type = 'error'
+                                THEN epoch_us(ts) END) AS e
+                FROM events GROUP BY 1
+            ),
+            spans AS (
+                SELECT ((coalesce(e, l) - f) // 86400000000)::INT AS t,
+                       (e IS NOT NULL) AS errored
+                FROM pu
+            ),
+            per_t AS (
+                SELECT t, count(*) AS total,
+                       sum(errored::INT) AS n_events
+                FROM spans GROUP BY 1
+            ),
+            grid AS (
+                SELECT t, n_events,
+                       sum(total) OVER ()
+                       - coalesce(sum(total) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_at_risk
+                FROM per_t
+            ),
+            km AS (
+                SELECT t, n_events,
+                       CASE WHEN min(1.0 - n_events / n_at_risk::DOUBLE)
+                                 OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) <= 0
+                            THEN NULL
+                            ELSE sum(CASE WHEN 1.0 - n_events
+                                               / n_at_risk::DOUBLE > 0
+                                     THEN cast(round(ln(1.0 - n_events
+                                              / n_at_risk::DOUBLE)
+                                              * 1000000000000) as bigint)
+                                     ELSE 0 END)
+                                 OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING)
+                       END AS ls
+                FROM grid
+            ),
+            pts AS (
+                SELECT ln(t::DOUBLE) AS x, ln(-ls / 1e12) AS y
+                FROM km
+                WHERE n_events > 0 AND t > 0
+                  AND ls IS NOT NULL AND ls < 0
+            ),
+            a AS (
+                SELECT count(*) AS n_points,
+                       covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+                       var_pop(y) AS vy, avg(x) AS mx, avg(y) AS my
+                FROM pts
+            )
+            SELECT n_points,
+                   round(cxy / nullif(vx, 0.0), 6) AS shape,
+                   round(exp(-(my - (cxy / nullif(vx, 0.0)) * mx)
+                             / nullif(cxy / nullif(vx, 0.0), 0.0)), 6)
+                       AS scale,
+                   round((cxy * cxy) / nullif(vx * vy, 0.0), 6) AS fit_r2
+            FROM a
+        """,
+        "llm_vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS t
+                FROM documents
+            ),
+            mx AS (SELECT max(doc_id) AS m FROM documents),
+            pt AS (SELECT t, min(id) AS firstdoc FROM toks GROUP BY 1),
+            dt AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+            pr AS (SELECT unnest(range(1, 11)) AS prefix),
+            v AS (
+                SELECT prefix, count(*) AS vocab
+                FROM pr CROSS JOIN mx
+                JOIN pt ON pt.firstdoc <= (m * prefix) // 10
+                GROUP BY 1
+            ),
+            tk AS (
+                SELECT prefix,
+                       sum(CASE WHEN id <= (m * prefix) // 10
+                                THEN n ELSE 0 END) AS n_tokens
+                FROM pr CROSS JOIN mx CROSS JOIN dt
+                GROUP BY 1
+            )
+            SELECT tk.prefix::INT AS prefix,
+                   tk.n_tokens::BIGINT AS n_tokens,
+                   v.vocab::BIGINT AS vocab
+            FROM tk JOIN v USING (prefix)
+            ORDER BY prefix
         """,
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),

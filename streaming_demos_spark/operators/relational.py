@@ -5157,3 +5157,57 @@ def funnel_conversion_ci(
     return one.select(
         F.explode(F.array(*parts)).alias("_r")
     ).select("_r.*")
+
+
+def weibull_survival_fit(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Weibull fit of the Kaplan–Meier curve by the standard
+    linearization: ln(−ln S(t)) is linear in ln t with slope = shape k
+    and intercept = −k·ln λ — the parametric summary (is the hazard
+    rising or falling?) fitted in closed form, no iteration.
+
+    Consumes ``kaplan_meier``'s integerized log-survival device
+    (deterministic exact integers), so the OLS inputs are identical in
+    any engine; the fit itself is ln/exp arithmetic over the
+    DISTINCT-DURATION grid (bounded frame) whose 6-dp rounding digit
+    is noise. Steps with t <= 0 or S in {0, 1} carry no linearized
+    point and are excluded. Output one row:
+    (n_points, shape, scale, log_lik_slope_r2).
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    pts = km.filter(
+        (F.col(duration_col) > 0)
+        & F.col("log_survival_e12").isNotNull()
+        & (F.col("log_survival_e12") < 0)
+    ).select(
+        F.log(F.col(duration_col).cast("double")).alias("_x"),
+        F.log(-F.col("log_survival_e12") / F.lit(1e12)).alias("_y"),
+    )
+    a = pts.agg(
+        F.count("*").alias("n_points"),
+        F.covar_pop("_x", "_y").alias("_cxy"),
+        F.var_pop("_x").alias("_vx"),
+        F.var_pop("_y").alias("_vy"),
+        F.avg("_x").alias("_mx"),
+        F.avg("_y").alias("_my"),
+    )
+    shape = F.try_divide(F.col("_cxy"), F.col("_vx"))
+    intercept = F.col("_my") - shape * F.col("_mx")
+    return a.select(
+        "n_points",
+        F.round(shape, round_dp).alias("shape"),
+        F.round(F.exp(-F.try_divide(intercept, shape)), round_dp).alias(
+            "scale"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("_cxy") * F.col("_cxy"),
+                F.col("_vx") * F.col("_vy"),
+            ),
+            round_dp,
+        ).alias("fit_r2"),
+    )

@@ -2009,3 +2009,120 @@ def iptw_ate(
             )
         ).cast("long").alias("ate_cents"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    unit_col: str,
+    flags: dict[str, Column],
+) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar: do the
+    SAME units respond differently across k binary treatments/steps?
+    With per-unit row sums R_i and per-treatment column totals C_j,
+
+        Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²)
+
+    Every term is an integer, so ``q_e6`` is an exact half-up e6
+    integer in DECIMAL(38,0) (ΣC² wraps BIGINT past ~3e9 positives);
+    no float is ever rounded. Constant response (denominator 0) yields
+    NULL. One distinct-unit aggregation + a 1-row combine.
+    """
+    k = len(flags)
+    per = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        *[F.max(c.cast("int")).alias(f"_f{i}") for i, c in enumerate(flags.values())]
+    )
+    r = sum((F.col(f"_f{i}") for i in range(1, k)), F.col("_f0"))
+    tot = per.agg(
+        F.count("*").alias("n_units"),
+        F.sum(r.cast("long")).alias("_sr"),
+        F.sum((r * r).cast("long")).alias("_sr2"),
+        *[
+            F.sum(F.col(f"_f{i}").cast("long")).alias(f"_c{i}")
+            for i in range(k)
+        ],
+    )
+    sc2 = " + ".join(
+        f"_c{i} * cast(_c{i} as decimal(38,0))" for i in range(k)
+    )
+    num = F.expr(
+        f"({k} - 1) * ({k} * ({sc2}) - _sr * cast(_sr as decimal(38,0)))"
+    )
+    den = F.expr(f"{k} * _sr - _sr2")
+    return tot.select(
+        "n_units",
+        F.lit(k).alias("k_treatments"),
+        F.col("_sr").alias("n_positives"),
+        F.when(
+            den > 0,
+            F.expr(
+                f"cast((({k} - 1) * ({k} * ({sc2})"
+                f" - _sr * cast(_sr as decimal(38,0))) * 1000000 * 2"
+                f" + ({k} * _sr - _sr2))"
+                f" div (2 * ({k} * _sr - _sr2)) as bigint)"
+            ),
+        ).alias("q_e6"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    unit_col: str,
+    exposed: Column,
+    outcome: Column,
+    z: float = 1.96,
+    round_dp: int = 6,
+) -> DataFrame:
+    """2×2 odds ratio + relative risk with a Katz log-normal interval —
+    the epidemiology-standard effect readout for exposure→outcome over
+    per-unit flags. The point estimates are RATIONALS of the four cell
+    counts, emitted as exact half-up e6 integers (DECIMAL-guarded cross
+    products); the interval bounds go through ln/exp/sqrt and keep 6-dp
+    doubles (irrational — the rounding digit is noise). Sparse cells
+    (any of b·c = 0 for OR, denominators 0 for RR) yield NULLs.
+    """
+    per = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.max(exposed.cast("int")).alias("_e"),
+        F.max(outcome.cast("int")).alias("_o"),
+    )
+    tot = per.agg(
+        F.sum(((F.col("_e") == 1) & (F.col("_o") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("_e") == 1) & (F.col("_o") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("_e") == 0) & (F.col("_o") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("_e") == 0) & (F.col("_o") == 0)).cast("long")).alias("d"),
+    )
+    lnor = F.log(
+        (F.col("a").cast("double") * F.col("d"))
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    return tot.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            (F.col("b") > 0) & (F.col("c") > 0),
+            F.expr(
+                "cast((a * cast(d as decimal(38,0)) * 1000000 * 2"
+                " + b * cast(c as decimal(38,0)))"
+                " div (2 * b * cast(c as decimal(38,0))) as bigint)"
+            ),
+        ).alias("odds_ratio_e6"),
+        F.when(
+            (F.col("c") > 0) & (F.col("a") + F.col("b") > 0),
+            F.expr(
+                "cast((a * (c + cast(d as decimal(38,0))) * 1000000 * 2"
+                " + c * (a + cast(b as decimal(38,0))))"
+                " div (2 * c * (a + cast(b as decimal(38,0)))) as bigint)"
+            ),
+        ).alias("relative_risk_e6"),
+        F.when(ok, F.round(F.exp(lnor - F.lit(z) * se), round_dp)).alias(
+            "or_ci_lo"
+        ),
+        F.when(ok, F.round(F.exp(lnor + F.lit(z) * se), round_dp)).alias(
+            "or_ci_hi"
+        ),
+    )

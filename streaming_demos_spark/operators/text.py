@@ -1414,3 +1414,69 @@ def heavy_changes(
         ).alias("abs_delta_e9"),
     )
     return scored.orderBy(F.desc("abs_delta_e9"), "term").limit(top_k)
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size vs
+    cumulative token count at ``n_points`` corpus prefixes — the
+    dedup/quality readout for "is this crawl still contributing new
+    language, or recycling?" (a healthy corpus grows ~n^β, β≈0.5; a
+    templated one flattens).
+
+    Prefixes are VALUE thresholds on the id column — threshold_i =
+    (max_id·i) div n_points — so no global sort or row-number window
+    exists anywhere: per-prefix token totals are ``n_points``
+    conditional sums in ONE pass, and the vocabulary at each prefix
+    counts terms whose FIRST document (min id per term — one combinable
+    shuffle) falls inside it. All outputs are exact integers.
+    """
+    toks = fan_out(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
+    per_term = toks.groupBy("_t").agg(
+        F.min("_id").alias("_first"),
+        F.count("*").alias("_cnt"),
+    )
+    pt = per_term.join(F.broadcast(mx))
+    doc_tok = toks.groupBy("_id").agg(F.count("*").alias("_n")).join(
+        F.broadcast(mx)
+    )
+    rows = []
+    for i in range(1, n_points + 1):
+        thr = F.expr(f"(_mx * {i}) div {n_points}")
+        rows.append(
+            pt.filter(F.col("_first") <= thr)
+            .agg(
+                F.lit(i).alias("prefix"),
+                F.count("*").alias("vocab"),
+            )
+        )
+    vocab = rows[0]
+    for r in rows[1:]:
+        vocab = vocab.unionByName(r)
+    tok_aggs = doc_tok.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_id") <= F.expr(f"(_mx * {i}) div {n_points}"),
+                    F.col("_n"),
+                ).otherwise(F.lit(0))
+            ).alias(f"_tk{i}")
+            for i in range(1, n_points + 1)
+        ]
+    )
+    stack = ", ".join(f"{i}, _tk{i}" for i in range(1, n_points + 1))
+    tokens_per_prefix = tok_aggs.selectExpr(
+        f"stack({n_points}, {stack}) as (prefix, n_tokens)"
+    )
+    return (
+        tokens_per_prefix.join(vocab, "prefix")
+        .select("prefix", "n_tokens", "vocab")
+        .orderBy("prefix")
+    )

@@ -1973,3 +1973,45 @@ def test_gains_table_accepts_column_response(spark):
     by_name = gains_table(df, "value", "resp").collect()
     by_col = gains_table(df, "value", F.col("resp") == 1).collect()
     assert [tuple(r) for r in by_name] == [tuple(r) for r in by_col]
+
+
+def test_weibull_fit_recovers_exponential(spark):
+    """Exponential durations (shape 1): feed exact geometric-ish spans
+    and assert the fitted shape is near 1 and r2 is high."""
+    import math
+    import random
+
+    from streaming_demos_spark.operators.relational import (
+        weibull_survival_fit,
+    )
+
+    rng = random.Random(7)
+    rows = [(max(1, int(-30 * math.log(rng.random()))), True)
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "d int, e boolean")
+    r = weibull_survival_fit(df, "d", "e").collect()[0]
+    assert r.n_points > 10
+    assert 0.7 < r.shape < 1.3
+    assert r.fit_r2 > 0.9
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from streaming_demos_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c"),
+            (20, "a b d d"),
+            (30, "a e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.prefix: r for r in vocab_growth(docs).collect()}
+    # thresholds = 3,6,..30; prefix 4 covers id<=12 (doc 10 only)
+    assert out[4].n_tokens == 3 and out[4].vocab == 3
+    # prefix 7 covers id<=21 (docs 10,20): tokens 7, vocab {a,b,c,d}=4
+    assert out[7].n_tokens == 7 and out[7].vocab == 4
+    assert out[10].n_tokens == 9 and out[10].vocab == 5
+    toks = [out[i].n_tokens for i in range(1, 11)]
+    vocs = [out[i].vocab for i in range(1, 11)]
+    assert toks == sorted(toks) and vocs == sorted(vocs)

@@ -414,3 +414,47 @@ def test_iptw_ate_hand_case(spark):
     assert r.wsum_control_cents == 526
     # ate = (20000-526)/2 = 9737
     assert r.ate_cents == 9737
+
+
+def test_cochran_q_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import cochran_q
+
+    # 4 units x 3 treatments:
+    # u1: a,b ; u2: a ; u3: a,b,c ; u4: (none)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (3, "a"), (3, "b"), (3, "c")]
+    df = spark.createDataFrame(rows + [(4, "z")], "u long, ev string")
+    r = cochran_q(
+        df,
+        "u",
+        {
+            "a": F.col("ev") == "a",
+            "b": F.col("ev") == "b",
+            "c": F.col("ev") == "c",
+        },
+    ).collect()[0]
+    # C = (3, 2, 1), R = (2, 1, 3, 0): sr=6, sr2=14, SC2=14
+    # Q = 2*(3*14-36)/(18-14) = 12/4 = 3
+    assert (r.n_units, r.k_treatments, r.n_positives) == (4, 3, 6)
+    assert r.q_e6 == 3000000
+
+
+def test_odds_ratio_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import odds_ratio
+
+    # a=2 (exposed+outcome), b=1, c=1, d=2
+    rows = (
+        [(1, "e"), (1, "o"), (2, "e"), (2, "o"), (3, "e")]
+        + [(4, "o"), (5, "x"), (6, "x")]
+    )
+    df = spark.createDataFrame(rows, "u long, ev string")
+    r = odds_ratio(
+        df, "u", exposed=F.col("ev") == "e", outcome=F.col("ev") == "o"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (2, 1, 1, 2)
+    assert r.odds_ratio_e6 == 4000000       # (2*2)/(1*1)
+    assert r.relative_risk_e6 == 2000000    # (2/3)/(1/3)
+    assert r.or_ci_lo < 4.0 < r.or_ci_hi

@@ -5013,6 +5013,48 @@ def q_vocab_growth(spark, sf_dir):
 
 
 
+def q_burst_windows(spark, sf_dir):
+    # Rate-anomaly detector: max events per event type in any sliding
+    # 5-minute window over the 1-minute bucket grid - combinable bucket
+    # counts, per-key RANGE window on the calendar-bounded grid, exact
+    # integers (relational.py:burst_windows).
+    return R.burst_windows(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+def q_lorenz_curve(spark, sf_dir):
+    # Inequality curve per region: cumulative revenue share of the
+    # bottom-p% customers at 10 population cuts - exact e6 integer
+    # shares over BIGINT cents (relational.py:lorenz_curve).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey"),
+        F.col("o_totalprice"),
+    )
+    return R.lorenz_curve(joined, "nation", "c_custkey", "o_totalprice")
+
+
+def q_peak_concurrency(spark, sf_dir):
+    # Max simultaneously-active users (1-second resolution spans):
+    # +1/-1 sweep over the calendar-bounded distinct-second grid
+    # (relational.py:peak_concurrency).
+    return R.peak_concurrency(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id"
+    )
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    # Duplicate-structure summary: histogram of near-dup cluster sizes
+    # with keep-one removal counts - exact integers over the
+    # LSH->connected-components labels (dedup.py:
+    # cluster_size_distribution).
+    return D.cluster_size_distribution(
+        _t(spark, sf_dir, "documents"), threshold=0.1
+    )
+
+
+
 _WINDOW_PRIORITY = [
     # Round-6 window (first 50), per VERDICT r5 #4: the three round-5
     # driver-red keys first (root cause fixed this round — NS-parquet
@@ -5078,6 +5120,11 @@ _WINDOW_PRIORITY = [
     "ext_weibull_fit",
     "llm_vocab_growth",
     # --- end round-6 window (50) ---
+    # new this round, outside the full window - first in line for r7:
+    "ext_burst_windows",
+    "ext_lorenz_curve",
+    "ext_peak_concurrency",
+    "llm_dup_cluster_sizes",
     "ext_incremental_agg",
     "ext_event_transitions",
     "ext_duplicate_events",
@@ -5633,6 +5680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_kneser_ney_bigram": q_kneser_ney,
         "llm_heavy_changes": q_heavy_changes,
         "ext_cochran_q": q_cochran_q,
+        "ext_burst_windows": q_burst_windows,
+        "ext_lorenz_curve": q_lorenz_curve,
+        "ext_peak_concurrency": q_peak_concurrency,
+        "llm_dup_cluster_sizes": q_dup_cluster_sizes,
         "ext_odds_ratio": q_odds_ratio,
         "ext_weibull_fit": q_weibull_fit,
         "llm_vocab_growth": q_vocab_growth,
@@ -9121,6 +9172,79 @@ def oracle_sql() -> dict[str, str]:
             FROM tk JOIN v USING (prefix)
             ORDER BY prefix
         """,
+        "ext_burst_windows": """
+            WITH pb AS (
+                SELECT event_type, epoch_us(ts) // 60000000 AS b,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            rolled AS (
+                SELECT event_type, b,
+                       sum(n) OVER (PARTITION BY event_type ORDER BY b
+                                    RANGE BETWEEN 4 PRECEDING
+                                          AND CURRENT ROW) AS roll
+                FROM pb
+            )
+            SELECT event_type,
+                   (b - 4)::BIGINT AS window_start_bucket,
+                   b::BIGINT AS window_end_bucket,
+                   roll::BIGINT AS max_events
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                               ORDER BY roll DESC, b) AS rn
+                  FROM rolled)
+            WHERE rn = 1
+            ORDER BY event_type
+        """,
+        "ext_lorenz_curve": """
+            WITH pk AS (
+                SELECT c.c_nationkey AS nation, c.c_custkey AS k,
+                       sum(cast(round(o.o_totalprice * 100) as bigint)) AS v
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT nation,
+                       row_number() OVER (PARTITION BY nation
+                                          ORDER BY v, k) AS rk,
+                       sum(v) OVER (PARTITION BY nation ORDER BY v, k
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       count(*) OVER (PARTITION BY nation) AS nk,
+                       sum(v) OVER (PARTITION BY nation) AS tot
+                FROM pk
+            ),
+            pr AS (SELECT unnest(range(1, 11)) AS decile)
+            SELECT nation, pr.decile::INT AS decile,
+                   rk::BIGINT AS n_bottom_keys,
+                   CASE WHEN tot > 0 THEN
+                       ((cum * 1000000 * 2 + tot) // (2 * tot))::BIGINT
+                   END AS cum_share_e6
+            FROM r JOIN pr ON r.rk = (r.nk * pr.decile) // 10
+            ORDER BY nation, decile
+        """,
+        "ext_peak_concurrency": """
+            WITH spans AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) // 1000000 AS s,
+                       max(epoch_us(ts)) // 1000000 AS e
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT s AS t, 1 AS d FROM spans
+                UNION ALL
+                SELECT e + 1, -1 FROM spans
+            ),
+            g AS (SELECT t, sum(d) AS dd FROM d GROUP BY 1),
+            r AS (
+                SELECT t, sum(dd) OVER (ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS c
+                FROM g
+            )
+            SELECT c::BIGINT AS peak_concurrent,
+                   t::BIGINT AS peak_at_epoch_sec
+            FROM (SELECT *, row_number() OVER (ORDER BY c DESC, t) AS rn
+                  FROM r)
+            WHERE rn = 1
+        """,
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
         "llm_dedup_report": _sql_dedup_report(threshold=0.1),
@@ -10365,6 +10489,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
+        # cluster-size histogram derives from the SAME labeled frame
+        "llm_dup_cluster_sizes": (
+            "WITH _labeled AS ("
+            + _sql_neardup_clusters(threshold=0.1)
+            + """)
+            , _sizes AS (
+                SELECT component, max(n_members) AS cluster_size
+                FROM _labeled GROUP BY 1
+            )
+            SELECT cluster_size, count(*) AS n_clusters,
+                   (cluster_size * count(*))::BIGINT AS n_docs,
+                   ((cluster_size - 1) * count(*))::BIGINT
+                       AS n_removed_by_keep_one
+            FROM _sizes GROUP BY 1 ORDER BY 1
+            """
+        ),
         "llm_quality_classifier": TR.sql_logreg_quality(iters=3, lr=1.0),
         "llm_distinctive_terms": """
             WITH tok AS (

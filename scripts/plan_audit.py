@@ -81,6 +81,8 @@ def main() -> None:
             "ext_cumulative_users": "calendar frame (first-seen days)",
             "ext_gains_table": "n_bins-row decile frame (cum capture)",
             "ext_abc_classification": "distinct per-key-total grid (cum value)",
+            "ext_peak_concurrency": "calendar-bounded distinct-second grid",
+            "ext_weibull_fit": "distinct-duration grid (KM device)",
         }
         rows.append((key, n_ex, n_bc, n_single, topk, pushed, arrow, rowpy, unpart))
         if rowpy:

@@ -1327,3 +1327,43 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def cluster_size_distribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Duplicate-cluster SIZE histogram — the one-look summary of how
+    duplication is structured (many pairs vs a few giant boilerplate
+    families decide whether keep-one dedup or template stripping is the
+    right tool): one row per cluster size with the number of clusters
+    and the documents they hold, plus the removal count keep-one dedup
+    would produce at that size.
+
+    Reuses ``near_dup_clusters`` (banded LSH -> connected components),
+    then reduces the per-doc labels twice: component -> size (bounded
+    by clusters) and size -> histogram (bounded by max cluster size).
+    All outputs are exact integers.
+    """
+    labeled = near_dup_clusters(
+        docs, text_col, id_col, threshold=threshold, **kwargs
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.max("n_members").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            (
+                (F.col("cluster_size") - 1) * F.col("n_clusters")
+            ).alias("n_removed_by_keep_one"),
+        )
+        .orderBy("cluster_size")
+    )

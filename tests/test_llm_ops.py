@@ -793,3 +793,23 @@ def test_heavy_changes_hand_case(spark):
     assert (y.c_first, y.c_second, y.direction, y.abs_delta_e9) == (
         0, 6, -1, 1000000000,
     )
+
+
+def test_cluster_size_distribution_counts(spark):
+    from streaming_demos_spark.operators.dedup import (
+        cluster_size_distribution,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.cluster_size: r for r in
+           cluster_size_distribution(docs, threshold=0.5).collect()}
+    assert out[1].n_clusters == 1 and out[1].n_removed_by_keep_one == 0
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[2].n_removed_by_keep_one == 1

@@ -2015,3 +2015,63 @@ def test_vocab_growth_monotone_and_exact(spark):
     toks = [out[i].n_tokens for i in range(1, 11)]
     vocs = [out[i].vocab for i in range(1, 11)]
     assert toks == sorted(toks) and vocs == sorted(vocs)
+
+
+def test_burst_windows_finds_planted_burst(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import burst_windows
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # background: 1 event/minute for 30 min; burst: +10 events in
+    # minutes 10-12
+    for m in range(30):
+        rows.append(("k", base + dt.timedelta(minutes=m)))
+    for i in range(10):
+        rows.append(("k", base + dt.timedelta(minutes=10 + i % 3)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    r = burst_windows(df, "k", "ts").collect()[0]
+    # best 5-min window covers minutes 8..12 (buckets rel) with 5+10
+    assert r.max_events == 15
+    assert r.window_end_bucket - r.window_start_bucket == 4
+
+
+def test_lorenz_curve_uniform_and_concentrated(spark):
+    from streaming_demos_spark.operators.relational import lorenz_curve
+
+    rows = [("u", f"k{i}", 10.0) for i in range(10)]
+    rows += [("c", f"k{i}", 0.01) for i in range(9)] + [("c", "k9", 99.91)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    out = {(r.g, r.decile): r.cum_share_e6
+           for r in lorenz_curve(df, "g", "k", "v").collect()}
+    # uniform: bottom 30% holds 30%
+    assert out[("u", 3)] == 300000
+    assert out[("u", 10)] == 1000000
+    # concentrated: bottom 90% holds 9 cents of 100.00 total
+    assert out[("c", 9)] == 900      # 0.09/100.0 * 1e6
+    assert out[("c", 10)] == 1000000
+
+
+def test_peak_concurrency_hand_case(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.relational import peak_concurrency
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    # u1 active 0-10, u2 active 5-20, u3 active 30-40:
+    # peak = 2 (u1&u2 overlap at 5-10), first reached at second 5
+    rows = [
+        (1, t(0), 1), (1, t(10), 2),
+        (2, t(5), 3), (2, t(20), 4),
+        (3, t(30), 5), (3, t(40), 6),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e long")
+    r = peak_concurrency(df, "u", "ts", "e").collect()[0]
+    assert r.peak_concurrent == 2
+    assert r.peak_at_epoch_sec == int(t(5).replace(
+        tzinfo=dt.timezone.utc).timestamp())

@@ -1621,6 +1621,32 @@ def q_bigram_lm_score(spark, sf_dir):
     return TX.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+_SQL_LANG_ID = """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(words, x -> x IN ('the','a','and','of','is')))  AS score_en,
+                       len(list_filter(words, x -> x IN ('el','la','de','que','y')))   AS score_es,
+                       len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS score_fr,
+                       len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+                       len(list_filter(words, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS score_zh
+                FROM w
+            )
+            SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+                   CASE WHEN greatest(score_en, score_es, score_fr, score_de, score_zh) = 0
+                        THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'es'
+                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'fr'
+                        WHEN score_de = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'de'
+                        ELSE 'zh' END AS pred_lang
+            FROM s
+        """
+
+
 _SQL_BIGRAM_LM = """
     WITH toks AS (
         SELECT doc_id,
@@ -5055,6 +5081,48 @@ def q_dup_cluster_sizes(spark, sf_dir):
 
 
 
+def q_hhi(spark, sf_dir):
+    # Herfindahl concentration of customer revenue per nation - exact
+    # e6 integer HHI over BIGINT cents (relational.py:herfindahl_index).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey"),
+        F.col("o_totalprice"),
+    )
+    return R.herfindahl_index(joined, "nation", "c_custkey", "o_totalprice")
+
+
+def q_runs_test(spark, sf_dir):
+    # Wald-Wolfowitz serial-randomness screen on daily revenue per
+    # event type: exact integer runs/sign counts over the calendar
+    # grid, z as a noise-digit double (stats.py:runs_test).
+    return ST.runs_test(_t(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+def q_lang_confusion(spark, sf_dir):
+    # Language-ID eval: marker-word predictions vs the labeled lang
+    # column as an exact-integer confusion matrix (text.py:lang_id).
+    docs = _t(spark, sf_dir, "documents")
+    preds = TX.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("label_lang"))
+        .join(preds, "doc_id")
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("label_lang", "pred_lang")
+    )
+
+
+def q_mm_exact_dedup(spark, sf_dir):
+    # Byte-level media dedup summary: md5-keyed combinable aggregation,
+    # payloads never shuffle (multimodal.py:exact_media_dedup_summary).
+    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.exact_media_dedup_summary(media)
+
+
+
 _WINDOW_PRIORITY = [
     # Round-6 window (first 50), per VERDICT r5 #4: the three round-5
     # driver-red keys first (root cause fixed this round — NS-parquet
@@ -5125,6 +5193,10 @@ _WINDOW_PRIORITY = [
     "ext_lorenz_curve",
     "ext_peak_concurrency",
     "llm_dup_cluster_sizes",
+    "ext_hhi",
+    "ext_runs_test",
+    "llm_lang_confusion",
+    "mm_exact_dedup",
     "ext_incremental_agg",
     "ext_event_transitions",
     "ext_duplicate_events",
@@ -5684,6 +5756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_lorenz_curve": q_lorenz_curve,
         "ext_peak_concurrency": q_peak_concurrency,
         "llm_dup_cluster_sizes": q_dup_cluster_sizes,
+        "ext_hhi": q_hhi,
+        "ext_runs_test": q_runs_test,
+        "llm_lang_confusion": q_lang_confusion,
+        "mm_exact_dedup": q_mm_exact_dedup,
         "ext_odds_ratio": q_odds_ratio,
         "ext_weibull_fit": q_weibull_fit,
         "llm_vocab_growth": q_vocab_growth,
@@ -9245,6 +9321,95 @@ def oracle_sql() -> dict[str, str]:
                   FROM r)
             WHERE rn = 1
         """,
+        "ext_hhi": """
+            WITH pk AS (
+                SELECT c.c_nationkey AS nation, c.c_custkey AS k,
+                       sum(cast(round(o.o_totalprice * 100) as bigint)) AS v
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT nation, count(*) AS n_keys, sum(v) AS t,
+                       sum(v * v) AS sv2
+                FROM pk GROUP BY 1
+            )
+            SELECT nation, n_keys,
+                   CASE WHEN t > 0 THEN
+                       ((sv2 * 1000000 * 2 + t * t)
+                        // (2 * t * t))::BIGINT END AS hhi_e6
+            FROM a ORDER BY nation
+        """,
+        "ext_runs_test": """
+            WITH daily AS (
+                SELECT event_type, ts::DATE AS day,
+                       sum(cast(round(value * 100) as bigint)) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT event_type, v::DOUBLE AS v, count(*) AS c
+                FROM daily GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, v,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cm,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM grid
+            ),
+            med AS (
+                SELECT event_type,
+                       (min(CASE WHEN cm >= floor((n + 1) / 2)
+                                 THEN v END)
+                        + min(CASE WHEN cm >= floor(n / 2) + 1
+                                   THEN v END)) / 2.0 AS m
+                FROM cum GROUP BY 1
+            ),
+            signed AS (
+                SELECT daily.event_type, day,
+                       (v >= m)::INT AS s
+                FROM daily JOIN med ON daily.event_type = med.event_type
+            ),
+            runs AS (
+                SELECT event_type,
+                       count(*) AS n_days,
+                       sum(s) AS n_plus,
+                       sum(1 - s) AS n_minus,
+                       1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                                    THEN 1 ELSE 0 END) AS n_runs
+                FROM (SELECT event_type, day, s,
+                             lag(s) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS prev
+                      FROM signed)
+                GROUP BY 1
+            )
+            SELECT event_type, n_days,
+                   n_plus::BIGINT AS n_plus, n_minus::BIGINT AS n_minus,
+                   n_runs::BIGINT AS n_runs,
+                   CASE WHEN n_plus > 0 AND n_minus > 0 THEN
+                       round((n_runs - (1.0 + 2.0 * n_plus * n_minus
+                                        / (n_plus + n_minus)))
+                             / sqrt(2.0 * n_plus * n_minus
+                                    * (2.0 * n_plus * n_minus
+                                       - (n_plus + n_minus))
+                                    / ((n_plus + n_minus)
+                                       * (n_plus + n_minus)
+                                       * ((n_plus + n_minus) - 1.0))), 6)
+                   END AS z
+            FROM runs ORDER BY event_type
+        """,
+        "mm_exact_dedup": """
+            WITH ph AS (
+                SELECT md5(text) AS h, count(*) AS n,
+                       max(octet_length(encode(text))) AS b
+                FROM documents GROUP BY 1
+            )
+            SELECT sum(n)::BIGINT AS n_media,
+                   count(*) AS n_distinct_payloads,
+                   sum(n - 1)::BIGINT AS n_exact_dupes,
+                   sum(n * b)::BIGINT AS bytes_total,
+                   sum((n - 1) * b)::BIGINT AS bytes_dedupable
+            FROM ph
+        """,
         "llm_decontaminate_fuzzy": _sql_fuzzy_decontaminate(threshold=0.1),
         "llm_dedup_keep_best": _sql_keep_best(threshold=0.1),
         "llm_dedup_report": _sql_dedup_report(threshold=0.1),
@@ -10490,6 +10655,16 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_minhash_pairs": _sql_minhash_pairs(threshold=0.1),
         "llm_dedup_clusters": _sql_neardup_clusters(threshold=0.1),
         # cluster-size histogram derives from the SAME labeled frame
+        "llm_lang_confusion": (
+            "WITH _pred AS ("
+            + _SQL_LANG_ID
+            + """)
+            SELECT d.lang AS label_lang, p.pred_lang,
+                   count(*) AS n_docs
+            FROM documents d JOIN _pred p USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ),
         "llm_dup_cluster_sizes": (
             "WITH _labeled AS ("
             + _sql_neardup_clusters(threshold=0.1)
@@ -11975,30 +12150,7 @@ def oracle_sql() -> dict[str, str]:
                    4) AS quality_score
             FROM w
         """,
-        "llm_lang_id": """
-            WITH w AS (
-                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
-                FROM documents
-            ),
-            s AS (
-                SELECT doc_id,
-                       len(list_filter(words, x -> x IN ('the','a','and','of','is')))  AS score_en,
-                       len(list_filter(words, x -> x IN ('el','la','de','que','y')))   AS score_es,
-                       len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS score_fr,
-                       len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS score_de,
-                       len(list_filter(words, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS score_zh
-                FROM w
-            )
-            SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
-                   CASE WHEN greatest(score_en, score_es, score_fr, score_de, score_zh) = 0
-                        THEN 'und'
-                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'en'
-                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'es'
-                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'fr'
-                        WHEN score_de = greatest(score_en, score_es, score_fr, score_de, score_zh) THEN 'de'
-                        ELSE 'zh' END AS pred_lang
-            FROM s
-        """,
+        "llm_lang_id": _SQL_LANG_ID,
         "llm_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(

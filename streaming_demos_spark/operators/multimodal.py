@@ -333,3 +333,33 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def exact_media_dedup_summary(media: DataFrame) -> DataFrame:
+    """Exact byte-level media dedup summary: content-hash the payloads
+    (md5 over the binary plane — the first, free dedup pass every media
+    corpus runs before any perceptual hashing) and report corpus-level
+    exact-duplicate structure in ONE row: media count, distinct
+    payloads, exact-duplicate copies keep-one would drop, and the byte
+    volumes (total vs dedupable).
+
+    One md5-keyed combinable aggregation (the hash is computed
+    map-side; payload bytes never shuffle — only (hash, n, bytes)
+    partials do), then a 1-row combine. All outputs exact integers.
+    """
+    per_hash = media.select(
+        F.md5("payload").alias("_h"),
+        F.octet_length("payload").alias("_b"),
+    ).groupBy("_h").agg(
+        F.count("*").alias("_n"),
+        F.max("_b").alias("_bytes"),
+    )
+    return per_hash.agg(
+        F.sum("_n").alias("n_media"),
+        F.count("*").alias("n_distinct_payloads"),
+        F.sum(F.col("_n") - 1).alias("n_exact_dupes"),
+        F.sum(F.col("_n") * F.col("_bytes")).alias("bytes_total"),
+        F.sum((F.col("_n") - 1) * F.col("_bytes")).alias(
+            "bytes_dedupable"
+        ),
+    )

@@ -5375,3 +5375,41 @@ def peak_concurrency(
             F.col("_t").alias("peak_at_epoch_sec"),
         )
     )
+
+
+def herfindahl_index(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: Σ share²
+    over the group's keys (1e6·(1/n) = perfectly even, 1e6 = monopoly)
+    — the antitrust-standard scalar that complements the Lorenz curve
+    and Gini with a single comparable number.
+
+    Keys aggregate once (combinable); HHI = Σv²/( Σv)² is a RATIONAL of
+    exact cent sums, emitted as the half-up e6 integer in DECIMAL(38,0)
+    (Σv² wraps BIGINT early). Zero-total groups yield NULL.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.sum(
+            F.expr(f"cast(round({value_col} * 100) as bigint)")
+        ).alias("_v")
+    )
+    agg = per_key.groupBy(group_col).agg(
+        F.count("*").alias("n_keys"),
+        F.sum("_v").alias("_t"),
+        F.sum(F.expr("_v * cast(_v as decimal(38,0))")).alias("_sv2"),
+    )
+    return agg.select(
+        group_col,
+        "n_keys",
+        F.when(
+            F.col("_t") > 0,
+            F.expr(
+                "cast((_sv2 * 1000000 * 2 + _t * cast(_t as decimal(38,0)))"
+                " div (2 * _t * cast(_t as decimal(38,0))) as bigint)"
+            ),
+        ).alias("hhi_e6"),
+    ).orderBy(group_col)

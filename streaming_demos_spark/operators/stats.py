@@ -2126,3 +2126,73 @@ def odds_ratio(
             "or_ci_hi"
         ),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for serial randomness of a daily
+    series: sign each day against the key's MEDIAN (>= median is '+'),
+    count the runs, and compare with the expectation under exchange-
+    ability — the cheap "is this metric trending/oscillating or just
+    noise?" screen that needs no distributional assumption.
+
+    The daily series comes from one calendar-bounded aggregation
+    (exact integer cents); the median is an exact grid selection; runs
+    count via lag over the per-key DAILY grid (calendar-bounded). The
+    counts (n_days, n_plus, n_minus, n_runs) are exact integers; z
+    goes through sqrt and keeps a 6-dp double (noise digit).
+    """
+    daily = (
+        df.groupBy(
+            F.col(key_col), F.to_date(F.col(ts_col)).alias("_day")
+        )
+        .agg(
+            F.sum(
+                F.expr(f"cast(round({value_col} * 100) as bigint)")
+            ).alias("_v")
+        )
+    )
+    med = grid_group_median(daily, key_col, "_v")
+    signed = daily.join(med, key_col).select(
+        F.col(key_col),
+        "_day",
+        (F.col("_v") >= F.col("_med")).cast("int").alias("_s"),
+    )
+    w = Window.partitionBy(key_col).orderBy("_day")
+    runs = signed.withColumn("_prev", F.lag("_s").over(w)).groupBy(
+        key_col
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("_s").alias("n_plus"),
+        F.sum(1 - F.col("_s")).alias("n_minus"),
+        (
+            F.lit(1)
+            + F.sum(
+                (F.col("_prev").isNotNull() & (F.col("_s") != F.col("_prev")))
+                .cast("long")
+            )
+        ).alias("n_runs"),
+    )
+    n1 = F.col("n_plus").cast("double")
+    n2 = F.col("n_minus").cast("double")
+    n = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    return runs.select(
+        key_col,
+        "n_days",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.when(
+            (F.col("n_plus") > 0) & (F.col("n_minus") > 0),
+            F.round((F.col("n_runs") - mu) / F.sqrt(var), round_dp),
+        ).alias("z"),
+    ).orderBy(key_col)

@@ -813,3 +813,19 @@ def test_cluster_size_distribution_counts(spark):
     assert out[1].n_clusters == 1 and out[1].n_removed_by_keep_one == 0
     assert out[2].n_clusters == 1 and out[2].n_docs == 2
     assert out[2].n_removed_by_keep_one == 1
+
+
+def test_exact_media_dedup_summary(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "unique payload")],
+        "doc_id long, text string",
+    )
+    media = MM.as_media(docs, "doc_id", "text")
+    r = MM.exact_media_dedup_summary(media).collect()[0]
+    assert (r.n_media, r.n_distinct_payloads, r.n_exact_dupes) == (3, 2, 1)
+    assert r.bytes_total == 2 * len("same bytes") + len("unique payload")
+    assert r.bytes_dedupable == len("same bytes")

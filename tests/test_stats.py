@@ -458,3 +458,37 @@ def test_odds_ratio_hand_case(spark):
     assert r.odds_ratio_e6 == 4000000       # (2*2)/(1*1)
     assert r.relative_risk_e6 == 2000000    # (2/3)/(1/3)
     assert r.or_ci_lo < 4.0 < r.or_ci_hi
+
+
+def test_runs_test_alternating_and_blocked(spark):
+    import datetime as dt
+
+    from streaming_demos_spark.operators.stats import runs_test
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # alternating high/low for 10 days -> max runs (10)
+    for d in range(10):
+        rows.append(("alt", base + dt.timedelta(days=d),
+                     100.0 if d % 2 == 0 else 1.0))
+    # blocked: 5 low days then 5 high days -> 2 runs
+    for d in range(10):
+        rows.append(("blk", base + dt.timedelta(days=d),
+                     1.0 if d < 5 else 100.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r.k: r for r in runs_test(df, "k", "ts", "value").collect()}
+    assert (out["alt"].n_plus, out["alt"].n_minus) == (5, 5)
+    assert out["alt"].n_runs == 10 and out["alt"].z > 2.0
+    assert out["blk"].n_runs == 2 and out["blk"].z < -2.0
+
+
+def test_herfindahl_even_vs_monopoly(spark):
+    from streaming_demos_spark.operators.relational import herfindahl_index
+
+    rows = [("even", f"k{i}", 10.0) for i in range(4)]
+    rows += [("mono", "k0", 100.0), ("mono", "k1", 0.0)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    out = {r.g: r.hhi_e6
+           for r in herfindahl_index(df, "g", "k", "v").collect()}
+    assert out["even"] == 250000     # 4 * (1/4)^2
+    assert out["mono"] == 1000000    # one key holds everything

@@ -11038,7 +11038,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_concentration": """
             WITH rev AS (
                 SELECT s_nationkey AS nationkey, l_suppkey AS suppkey,
-                       sum(l_extendedprice) AS v
+                       sum(cast(round(l_extendedprice * 100) as bigint)) AS v
                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                 GROUP BY 1, 2
             ),
@@ -11059,11 +11059,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             covering AS (
                 SELECT nationkey, min(rk) AS n_covering
-                FROM ranked WHERE round(cum / tot, 9) >= 0.9 GROUP BY 1
+                FROM ranked WHERE cum * 10 >= tot * 9 GROUP BY 1
             )
             SELECT r.nationkey, nk AS n_keys, n_covering,
-                   round(n_covering / nk::DOUBLE, 6) AS covering_frac,
-                   round(v / tot, 6) AS top1_share
+                   ((n_covering * 1000000 * 2 + nk)
+                    // (2 * nk))::BIGINT AS covering_frac_e6,
+                   CASE WHEN tot > 0 THEN
+                       ((v * 1000000 * 2 + tot) // (2 * tot))::BIGINT
+                   END AS top1_share_e6
             FROM ranked r JOIN covering c ON r.nationkey = c.nationkey
             WHERE rk = 1
         """,
@@ -13300,7 +13303,8 @@ def oracle_sql() -> dict[str, str]:
             toks AS (SELECT unnest(words) AS term FROM w),
             c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
             t AS (SELECT count(*) AS _n FROM toks)
-            SELECT term, cnt, round(cnt / _n::DOUBLE, 6) AS freq
+            SELECT term, cnt,
+                   ((cnt * 1000000 * 2 + _n) // (2 * _n))::BIGINT AS freq_e6
             FROM c, t
             WHERE cnt * 100 > _n
             ORDER BY cnt DESC, term ASC

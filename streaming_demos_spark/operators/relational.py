@@ -2510,8 +2510,18 @@ def concentration_profile(
     distinct keys, not rows. The covering count is the rank of the
     first cumulative share >= ``share`` (always >= 1).
     """
+    # 2-dp values -> exact integer cents: the covering boundary becomes
+    # a pure integer comparison (cum·q >= tot·p for share = p/q) — no
+    # float running sum whose association order could flip the first
+    # crossing rank — and both share outputs are half-up e6 integers
+    # (rounded rationals can straddle midpoints across engine builds).
+    from fractions import Fraction
+
+    frac = Fraction(str(share))
     per_key = df.groupBy(group_col, key_col).agg(
-        F.sum(F.col(value_col).cast("double")).alias("_v")
+        F.sum(
+            F.expr(f"cast(round({value_col} * 100) as bigint)")
+        ).alias("_v")
     )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("_v"), F.asc(key_col)
@@ -2527,29 +2537,27 @@ def concentration_profile(
         F.sum("_v").over(tot).alias("_tot"),
         F.count("*").over(tot).alias("_nk"),
     )
-    # compare on the ROUNDED cumulative share: running-sum association
-    # order differs across engines at ~1e-12, and an unrounded >=
-    # boundary could flip which rank first crosses it
     hit = ranked.filter(
-        F.round(F.try_divide(F.col("_cum"), F.col("_tot")), 9)
-        >= F.lit(share)
+        F.col("_cum") * F.lit(frac.denominator)
+        >= F.col("_tot") * F.lit(frac.numerator)
     )
     covering = hit.groupBy(group_col).agg(F.min("_rk").alias("n_covering"))
     summary = ranked.filter(F.col("_rk") == 1).select(
         group_col,
         F.col("_nk").alias("n_keys"),
-        F.round(F.try_divide(F.col("_v"), F.col("_tot")), round_dp).alias(
-            "top1_share"
-        ),
+        F.when(
+            F.col("_tot") > 0,
+            F.expr("(_v * 1000000 * 2 + _tot) div (2 * _tot)"),
+        ).cast("long").alias("top1_share_e6"),
     )
     return summary.join(covering, group_col).select(
         group_col,
         "n_keys",
         "n_covering",
-        F.round(
-            F.col("n_covering") / F.col("n_keys"), round_dp
-        ).alias("covering_frac"),
-        "top1_share",
+        F.expr(
+            "(n_covering * 1000000 * 2 + n_keys) div (2 * n_keys)"
+        ).alias("covering_frac_e6"),
+        "top1_share_e6",
     )
 
 

@@ -112,7 +112,11 @@ def heavy_hitters(
         .select(
             term_col,
             "cnt",
-            F.round(F.col("cnt") / F.col("_n"), round_dp).alias("freq"),
+            # cnt/N is a RATIONAL — a 6-dp rounding can land on a
+            # midpoint across engine builds; half-up e6 integer instead
+            F.expr("(cnt * 1000000 * 2 + _n) div (2 * _n)").alias(
+                "freq_e6"
+            ),
         )
         .orderBy(F.desc("cnt"), F.asc(term_col))
     )

@@ -1338,8 +1338,8 @@ def test_concentration_profile_counts_covering_keys(spark):
     df = spark.createDataFrame(rows, "g string, k string, v double")
     row = R.concentration_profile(df, "g", "k", "v", share=0.9).collect()[0]
     assert row.n_keys == 4 and row.n_covering == 2
-    assert row.top1_share == 0.7
-    assert row.covering_frac == 0.5
+    assert row.top1_share_e6 == 700000
+    assert row.covering_frac_e6 == 500000
 
 
 def test_concentration_uniform_needs_most_keys(spark):

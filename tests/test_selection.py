@@ -141,7 +141,7 @@ def test_heavy_hitters_exact_output(spark):
     assert [(r.term, r.cnt) for r in got] == [("x", 40)]
     got10 = SK.heavy_hitters(df, "term", k=10).collect()
     assert [(r.term, r.cnt) for r in got10] == [("x", 40), ("y", 25)]
-    assert got10[0].freq == pytest.approx(0.4)
+    assert got10[0].freq_e6 == 400000
 
 
 def test_heavy_hitter_terms_on_docs(mini_docs):

@@ -13152,14 +13152,27 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ext_window_suite": """
-            SELECT user_id, event_id,
-                   round(value - lag(value, 1) OVER w, 6) AS value_delta,
-                   lead(event_type, 1) OVER w AS next_type,
-                   ntile(4) OVER w AS quartile,
-                   round(percent_rank() OVER w, 9) AS pct_rank,
-                   round(cume_dist() OVER w, 9) AS cume
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            WITH b AS (
+                SELECT user_id, event_id,
+                       cast(round(value * 100) as bigint)
+                       - lag(cast(round(value * 100) as bigint), 1) OVER w
+                           AS value_delta_cents,
+                       lead(event_type, 1) OVER w AS next_type,
+                       ntile(4) OVER w AS quartile,
+                       row_number() OVER w AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT user_id, event_id, value_delta_cents, next_type,
+                   quartile,
+                   (CASE WHEN n > 1 THEN
+                        ((rn - 1) * 1000000000 * 2 + (n - 1))
+                        // (2 * (n - 1))
+                    ELSE 0 END)::BIGINT AS pct_rank_e9,
+                   ((rn * 1000000000 * 2 + n) // (2 * n))::BIGINT AS cume_e9
+            FROM b
         """,
         "ext_set_compare": """
             SELECT

@@ -1317,18 +1317,41 @@ def window_rank_suite(
     percent_rank and cume_dist — all over a single Window spec, so the
     whole suite costs ONE shuffle on the key and one in-partition sort.
     The (ts, id) ordering is total per key, making every rank function
-    deterministic and oracle-replayable."""
+    deterministic and oracle-replayable.
+
+    Determinism: percent_rank/cume_dist are RATIONALS with per-key
+    denominators — rounded doubles can land on midpoints and diverge
+    across engine builds — so they are emitted as half-up e9 integers
+    from (row_number, partition count); the value delta of 2-dp money
+    is an exact integer cents difference."""
     w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tie_col))
-    return events.select(
+    wp = Window.partitionBy(key_col)
+    cents = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    base = events.select(
         key_col,
         tie_col,
-        F.round(
-            F.col(value_col) - F.lag(value_col, 1).over(w), 6
-        ).alias("value_delta"),
+        (cents - F.lag(cents, 1).over(w)).alias("value_delta_cents"),
         F.lead("event_type", 1).over(w).alias("next_type"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wp).alias("_n"),
+    )
+    return base.select(
+        key_col,
+        tie_col,
+        "value_delta_cents",
+        "next_type",
+        "quartile",
+        F.when(
+            F.col("_n") > 1,
+            F.expr(
+                "((cast(_rn as bigint) - 1) * 1000000000 * 2 + (_n - 1))"
+                " div (2 * (_n - 1))"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("pct_rank_e9"),
+        F.expr(
+            "(cast(_rn as bigint) * 1000000000 * 2 + _n) div (2 * _n)"
+        ).alias("cume_e9"),
     )
 
 

@@ -29,19 +29,19 @@ def four_events(spark):
 def test_window_suite_values(four_events):
     out = {r.event_id: r for r in R.window_rank_suite(four_events).collect()}
     # lag delta: first row NULL, then pairwise differences
-    assert out[1].value_delta is None
-    assert out[2].value_delta == pytest.approx(2.5)
-    assert out[3].value_delta == pytest.approx(-0.5)
+    assert out[1].value_delta_cents is None
+    assert out[2].value_delta_cents == 250
+    assert out[3].value_delta_cents == -50
     # lead: next event's type, NULL at the tail
     assert out[1].next_type == "click"
     assert out[4].next_type is None
     # ntile(4) over 4 rows = one row per quartile, in order
     assert [out[i].quartile for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
     # percent_rank = (rank-1)/(n-1); cume_dist = rank/n
-    assert out[1].pct_rank == 0.0 and out[4].pct_rank == 1.0
-    assert out[2].cume == pytest.approx(0.5)
+    assert out[1].pct_rank_e9 == 0 and out[4].pct_rank_e9 == 10 ** 9
+    assert out[2].cume_e9 == 500000000
     # single-row key: percent_rank defined as 0, cume 1
-    assert out[5].pct_rank == 0.0 and out[5].cume == 1.0
+    assert out[5].pct_rank_e9 == 0 and out[5].cume_e9 == 10 ** 9
 
 
 def test_set_compare_counts(spark):

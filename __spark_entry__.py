@@ -5128,11 +5128,16 @@ _WINDOW_PRIORITY = [
     # driver-red keys first (root cause fixed this round — NS-parquet
     # bridge now rebuilds TIMESTAMP_NTZ, nelson-aalen emits exact
     # integer ppm — the driver must re-prove them), then the two keys
-    # ADVICE flagged as appended outside the r5 window, then 45 keys
-    # that have NEVER had a driver CORRECTNESS row, prioritizing the
-    # ones whose inputs/outputs involve timestamps (the NS/LTZ class)
-    # or rounded doubles (the last-ulp class). Duplicates later in
-    # this list are ignored (first occurrence wins).
+    # ADVICE flagged as appended outside the r5 window, then 35
+    # never-driver-verified keys prioritizing timestamp-sensitive
+    # inputs (the NS/LTZ class) and midpoint-prone rounded rationals
+    # (the last-ulp class — all converted to exact integer devices
+    # this round), then the 10 round-6 operators added before the
+    # window froze (mcnemar .. vocab_growth). Round-6 keys added
+    # after the freeze plus the keys displaced by the additions sit
+    # immediately after the marker — first in line for the r7 window.
+    # Duplicates later in this list are ignored (first occurrence
+    # wins).
     "ext_cumulative_users",
     "ext_bloom_semijoin",
     "ext_nelson_aalen",

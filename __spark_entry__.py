@@ -7152,7 +7152,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_multi_touch": """
             WITH conv AS (
                 SELECT user_id AS u, ts AS cts, event_id AS cid,
-                       value::DOUBLE AS cval
+                       cast(round(value * 100) as bigint) AS cval
                 FROM events WHERE event_type = 'purchase'
             ),
             touch AS (
@@ -7177,13 +7177,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs
             )
             SELECT channel,
-                   round(sum(CASE WHEN ra = 1 THEN cval
-                                  ELSE 0.0::DOUBLE END), 4)
-                       AS first_touch_value,
-                   round(sum(CASE WHEN rd = 1 THEN cval
-                                  ELSE 0.0::DOUBLE END), 4)
-                       AS last_touch_value,
-                   round(sum(cval / n), 4) AS linear_value,
+                   sum(CASE WHEN ra = 1 THEN cval
+                            ELSE 0 END)::BIGINT AS first_touch_cents,
+                   sum(CASE WHEN rd = 1 THEN cval
+                            ELSE 0 END)::BIGINT AS last_touch_cents,
+                   sum((cval * 10000 * 2 + n) // (2 * n))::BIGINT
+                       AS linear_cents_e4,
                    count(DISTINCT cid) AS n_conversions_touched
             FROM ranked GROUP BY 1 ORDER BY 1
         """,
@@ -7954,7 +7953,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, bal_dollars,
                    count(*) AS class_size,
                    count(DISTINCT c_mktsegment) AS l_diversity,
-                   round(1.0::DOUBLE / count(*), 6) AS max_reident_risk
+                   ((1000000 * 2 + count(*))
+                    // (2 * count(*)))::BIGINT AS max_reident_risk_e6
             FROM c GROUP BY 1, 2 HAVING count(*) < 5
             ORDER BY c_nationkey, bal_dollars
         """,
@@ -8109,18 +8109,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             rules AS (
                 SELECT item_a, item_b, pair_n,
-                       round(pair_n / nb::DOUBLE, 6) AS support,
-                       round(pair_n / ca.c::DOUBLE, 6) AS confidence,
-                       round((pair_n / ca.c::DOUBLE)
-                             / (cb.c / nb::DOUBLE), 6) AS lift
+                       ((pair_n * 1000000 * 2 + nb)
+                        // (2 * nb))::BIGINT AS support_e6,
+                       ((pair_n * 1000000 * 2 + ca.c)
+                        // (2 * ca.c))::BIGINT AS confidence_e6,
+                       ((pair_n * nb * 1000000 * 2 + ca.c * cb.c)
+                        // (2 * ca.c * cb.c))::BIGINT AS lift_e6
                 FROM pairs
                 JOIN cnt ca ON pairs.item_a = ca.it
                 JOIN cnt cb ON pairs.item_b = cb.it
                 CROSS JOIN tot
             )
-            SELECT item_a, item_b, pair_n, support, confidence, lift
+            SELECT item_a, item_b, pair_n,
+                   support_e6, confidence_e6, lift_e6
             FROM rules
-            ORDER BY lift DESC, item_a, item_b
+            ORDER BY lift_e6 DESC, item_a, item_b
             LIMIT 20
         """,
         "ext_rfm_segmentation": """

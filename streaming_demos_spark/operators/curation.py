@@ -1292,8 +1292,11 @@ def k_anonymity_profile(
         .agg(*aggs)
         .filter(F.col("class_size") < F.lit(k))
         .withColumn(
-            "max_reident_risk",
-            F.round(F.lit(1.0) / F.col("class_size"), 6),
+            # 1/class_size is a small-denominator RATIONAL — emit the
+            # half-up e6 integer (rounded doubles straddle midpoints
+            # across engine builds, e.g. class_size = 2^a·5^b · 2)
+            "max_reident_risk_e6",
+            F.expr("(1000000 * 2 + class_size) div (2 * class_size)"),
         )
     )
     return out

@@ -3640,19 +3640,28 @@ def association_rules(
         )
         .crossJoin(F.broadcast(tot))
     )
-    support = F.col("pair_n") / F.col("_nb").cast("double")
-    confidence = F.col("pair_n") / F.col("_ca").cast("double")
-    lift = confidence / (F.col("_cb") / F.col("_nb").cast("double"))
+    # support/confidence/lift are RATIONALS of small counts — rounded
+    # doubles can land on midpoints and diverge across engine builds;
+    # half-up e6 integers (lift = pair·nb / (ca·cb), DECIMAL-guarded)
+    # also make the ranking engine-exact.
     scored = joined.select(
         "item_a",
         "item_b",
         "pair_n",
-        F.round(support, round_dp).alias("support"),
-        F.round(confidence, round_dp).alias("confidence"),
-        F.round(lift, round_dp).alias("lift"),
+        F.expr("(pair_n * 1000000 * 2 + _nb) div (2 * _nb)").alias(
+            "support_e6"
+        ),
+        F.expr("(pair_n * 1000000 * 2 + _ca) div (2 * _ca)").alias(
+            "confidence_e6"
+        ),
+        F.expr(
+            "cast((pair_n * cast(_nb as decimal(38,0)) * 1000000 * 2"
+            " + cast(_ca as decimal(38,0)) * _cb)"
+            " div (2 * cast(_ca as decimal(38,0)) * _cb) as bigint)"
+        ).alias("lift_e6"),
     )
     return scored.orderBy(
-        F.desc("lift"), "item_a", "item_b"
+        F.desc("lift_e6"), "item_a", "item_b"
     ).limit(top_n)
 
 
@@ -4012,7 +4021,7 @@ def multi_touch_attribution(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_cts"),
         F.col(id_col).alias("_cid"),
-        F.col(value_col).cast("double").alias("_cval"),
+        F.expr(f"cast(round({value_col} * 100) as bigint)").alias("_cval"),
     )
     touch = events.filter(F.col(channel_col) != conversion_channel).select(
         F.col(user_col).alias("_u"),
@@ -4038,20 +4047,26 @@ def multi_touch_attribution(
         F.row_number().over(w_desc).alias("_rd"),
         F.count("*").over(w).alias("_n"),
     )
+    # first/last credits are exact cent sums; the linear 1/n credit is
+    # a small-denominator RATIONAL — each term is half-up-rounded to
+    # cents·1e4 in integers (identical in any engine) and the channel
+    # totals are exact integer sums.
     return (
         ranked.groupBy("channel")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("_ra") == 1, F.col("_cval")).otherwise(F.lit(0.0))),
-                round_dp,
-            ).alias("first_touch_value"),
-            F.round(
-                F.sum(F.when(F.col("_rd") == 1, F.col("_cval")).otherwise(F.lit(0.0))),
-                round_dp,
-            ).alias("last_touch_value"),
-            F.round(
-                F.sum(F.col("_cval") / F.col("_n")), round_dp
-            ).alias("linear_value"),
+            F.sum(
+                F.when(F.col("_ra") == 1, F.col("_cval")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("first_touch_cents"),
+            F.sum(
+                F.when(F.col("_rd") == 1, F.col("_cval")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("last_touch_cents"),
+            F.sum(
+                F.expr("(_cval * 10000 * 2 + _n) div (2 * _n)")
+            ).alias("linear_cents_e4"),
             F.countDistinct("_cid").alias("n_conversions_touched"),
         )
     )

@@ -437,14 +437,14 @@ def test_association_rules_hand_case(spark):
     # counts: a=3 b=3 c=1 baskets; pairs: ab=2, ac=1 (directional)
     ab = out[("a", "b")]
     assert ab.pair_n == 2
-    assert ab.support == pytest.approx(2 / 4)
-    assert ab.confidence == pytest.approx(2 / 3)
-    assert ab.lift == pytest.approx((2 / 3) / (3 / 4))
+    assert ab.support_e6 == 500000
+    assert ab.confidence_e6 == 666667
+    assert ab.lift_e6 == 888889  # (2/3)/(3/4) = 8/9, half-up e6
     ac = out[("a", "c")]
-    assert ac.confidence == pytest.approx(1 / 3)
-    assert ac.lift == pytest.approx((1 / 3) / (1 / 4), abs=1e-6)
+    assert ac.confidence_e6 == 333333
+    assert ac.lift_e6 == 1333333  # (1/3)/(1/4) = 4/3
     # both directions emitted, lift symmetric
-    assert out[("b", "a")].lift == ab.lift
+    assert out[("b", "a")].lift_e6 == ab.lift_e6
     assert out[("c", "a")].pair_n == 1
 
 
@@ -598,7 +598,7 @@ def test_k_anonymity_profile_hand_case(spark):
     # ("us", 30) has 3 records -> k-anonymous at k=3, excluded
     assert set(out) == {("us", 40), ("de", 30)}
     assert out[("us", 40)].class_size == 1
-    assert out[("us", 40)].max_reident_risk == pytest.approx(1.0)
+    assert out[("us", 40)].max_reident_risk_e6 == 1000000
     # ("de", 30): 2 records, but l_diversity 1 -> homogeneity leak
     assert out[("de", 30)].class_size == 2
     assert out[("de", 30)].l_diversity == 1
@@ -977,12 +977,12 @@ def test_multi_touch_attribution_models(spark):
             conversion_channel="purchase", lookback_days=7,
         ).collect()
     }
-    assert out["view"].first_touch_value == 100.0
-    assert out["view"].last_touch_value == 0.0
-    assert out["view"].linear_value == 50.0
-    assert out["click"].first_touch_value == 30.0
-    assert out["click"].last_touch_value == 130.0
-    assert out["click"].linear_value == 80.0
+    assert out["view"].first_touch_cents == 10000
+    assert out["view"].last_touch_cents == 0
+    assert out["view"].linear_cents_e4 == 50000000  # 50.00 * 1e4 cents
+    assert out["click"].first_touch_cents == 3000
+    assert out["click"].last_touch_cents == 13000
+    assert out["click"].linear_cents_e4 == 80000000
     assert out["click"].n_conversions_touched == 2
 
 

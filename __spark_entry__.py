@@ -9559,8 +9559,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             counts AS (SELECT doc_id, count(*) AS n_fps FROM fpt GROUP BY doc_id)
             SELECT s.doc_a, s.doc_b, s.n_shared,
-                   round(s.n_shared / least(ca.n_fps, cb.n_fps), 4)
-                       AS overlap_ratio
+                   ((s.n_shared * 10000 * 2 + least(ca.n_fps, cb.n_fps))
+                    // (2 * least(ca.n_fps, cb.n_fps)))::BIGINT
+                       AS overlap_ratio_e4
             FROM shared s
             JOIN counts ca ON s.doc_a = ca.doc_id
             JOIN counts cb ON s.doc_b = cb.doc_id
@@ -13269,8 +13270,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT source_a, source_b, n_shared,
-                   round(n_shared / least(pa.n_texts, pb.n_texts)::DOUBLE,
-                         6) AS overlap_rate
+                   ((n_shared * 1000000 * 2
+                     + least(pa.n_texts, pb.n_texts))
+                    // (2 * least(pa.n_texts, pb.n_texts)))::BIGINT
+                       AS overlap_rate_e6
             FROM shared
             JOIN per pa ON pa.source = shared.source_a
             JOIN per pb ON pb.source = shared.source_b

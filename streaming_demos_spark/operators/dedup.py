@@ -947,9 +947,12 @@ def cross_source_overlap(
             "source_a",
             "source_b",
             "n_shared",
-            F.round(
-                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
-            ).alias("overlap_rate"),
+            # shared/min is a small-denominator RATIONAL — half-up e6
+            # integer instead of a midpoint-prone rounded double
+            F.expr(
+                "(n_shared * 1000000 * 2 + least(n_a, n_b))"
+                " div (2 * least(n_a, n_b))"
+            ).alias("overlap_rate_e6"),
         )
         .orderBy("source_a", "source_b")
     )

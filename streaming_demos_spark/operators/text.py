@@ -383,9 +383,12 @@ def winnow_overlap_pairs(
             "doc_a",
             "doc_b",
             "n_shared",
-            F.round(
-                F.col("n_shared") / F.least(F.col("_na"), F.col("_nb")), 4
-            ).alias("overlap_ratio"),
+            # shared/min is a small-denominator RATIONAL — half-up e4
+            # integer instead of a midpoint-prone rounded double
+            F.expr(
+                "(n_shared * 10000 * 2 + least(_na, _nb))"
+                " div (2 * least(_na, _nb))"
+            ).alias("overlap_ratio_e4"),
         )
     )
 

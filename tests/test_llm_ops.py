@@ -561,13 +561,13 @@ def test_cross_source_overlap_counts(spark):
     from streaming_demos_spark.operators import dedup as D
 
     out = {
-        (r.source_a, r.source_b): (r.n_shared, r.overlap_rate)
+        (r.source_a, r.source_b): (r.n_shared, r.overlap_rate_e6)
         for r in D.cross_source_overlap(docs, "source").collect()
     }
     # one shared content across each pair; rates vs the smaller side
-    assert out[("a", "b")] == (1, 0.5)
-    assert out[("a", "c")] == (1, 1.0)
-    assert out[("b", "c")] == (1, 1.0)
+    assert out[("a", "b")] == (1, 500000)
+    assert out[("a", "c")] == (1, 1000000)
+    assert out[("b", "c")] == (1, 1000000)
     # block mode on disjoint texts finds nothing
     blk = D.cross_source_overlap(
         spark.createDataFrame(

@@ -607,7 +607,7 @@ def test_winnow_overlap_guarantee(spark):
     out = {(r.doc_a, r.doc_b): r for r in
            TX.winnow_overlap_pairs(docs, min_shared=1).collect()}
     assert (1, 2) in out and out[(1, 2)].n_shared >= 1
-    assert 0 < out[(1, 2)].overlap_ratio <= 1.0
+    assert 0 < out[(1, 2)].overlap_ratio_e4 <= 10000
     assert not any(3 in pair for pair in out)
 
 

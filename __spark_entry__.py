@@ -1368,8 +1368,8 @@ _SQL_BLOCK_DEDUP = """
                                ORDER BY pos), '') AS text,
            count(*) AS n_blocks,
            sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-           round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 4)
-               AS keep_ratio
+           ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 * 2
+             + count(*)) // (2 * count(*)))::BIGINT AS keep_ratio_e4
     FROM ranked
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1560,7 +1560,12 @@ def _sql_incremental_near_dup(
 ) -> str:
     """DuckDB replay of incremental_near_dup on the %5 delta/base split:
     one shared signature pass, bands split by side, bucket cap on the
-    BASE side only, two-table candidate join, exact-Jaccard verify."""
+    BASE side only, two-table candidate join, exact integer-threshold
+    Jaccard verify with a half-up e4 similarity."""
+    from fractions import Fraction
+
+    _f = Fraction(str(threshold))
+    p_, q_ = _f.numerator, _f.denominator
     mh_exprs = ",\n               ".join(
         f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS mh_{h}"
         for h in range(num_hashes)
@@ -1600,16 +1605,19 @@ def _sql_incremental_near_dup(
         ),
         scored AS (
             SELECT new_id, base_id,
-                   round(
-                     len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))
-                     / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
-                        - len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
-                   4) AS jaccard
+                   len(list_intersect(list_distinct(sa.shingles),
+                                      list_distinct(sb.shingles))) AS i,
+                   len(list_distinct(sa.shingles))
+                   + len(list_distinct(sb.shingles))
+                   - len(list_intersect(list_distinct(sa.shingles),
+                                        list_distinct(sb.shingles))) AS u
             FROM cand
             JOIN sh sa ON cand.new_id = sa.doc_id
             JOIN sh sb ON cand.base_id = sb.doc_id
         )
-        SELECT * FROM scored WHERE jaccard >= {threshold}
+        SELECT new_id, base_id,
+               ((i * 10000 * 2 + u) // (2 * u))::BIGINT AS jaccard_e4
+        FROM scored WHERE u > 0 AND i * {q_} >= {p_} * u
         ORDER BY new_id, base_id
     """
 
@@ -2329,7 +2337,12 @@ def _sql_fuzzy_decontaminate(
     threshold: float = 0.1, num_hashes: int = 12, band_rows: int = 3
 ) -> str:
     """DuckDB replay of the two-table MinHash decontamination pipeline
-    (corpus = source <> 'src0', benchmark = source = 'src0')."""
+    (corpus = source <> 'src0', benchmark = source = 'src0'); exact
+    integer threshold + half-up e4 best similarity."""
+    from fractions import Fraction
+
+    _f = Fraction(str(threshold))
+    p_, q_ = _f.numerator, _f.denominator
     mh_exprs = ",\n               ".join(
         f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS mh_{h}"
         for h in range(num_hashes)
@@ -2374,21 +2387,25 @@ def _sql_fuzzy_decontaminate(
         ),
         scored AS (
             SELECT cid, bid,
-                   round(
-                     len(list_intersect(list_distinct(sc.shingles), list_distinct(sb.shingles)))
-                     / (len(list_distinct(sc.shingles)) + len(list_distinct(sb.shingles))
-                        - len(list_intersect(list_distinct(sc.shingles), list_distinct(sb.shingles)))),
-                   4) AS j
+                   len(list_intersect(list_distinct(sc.shingles),
+                                      list_distinct(sb.shingles))) AS i,
+                   len(list_distinct(sc.shingles))
+                   + len(list_distinct(sb.shingles))
+                   - len(list_intersect(list_distinct(sc.shingles),
+                                        list_distinct(sb.shingles))) AS u
             FROM cand
             JOIN csh sc ON cand.cid = sc.doc_id
             JOIN bsh sb ON cand.bid = sb.doc_id
         ),
         hits AS (
-            SELECT cid, max(j) AS best_jaccard, count(*) AS n_matches
-            FROM scored WHERE j >= {threshold} GROUP BY cid
+            SELECT cid,
+                   max((i * 10000 * 2 + u) // (2 * u)) AS best_jaccard_e4,
+                   count(*) AS n_matches
+            FROM scored WHERE u > 0 AND i * {q_} >= {p_} * u
+            GROUP BY cid
         )
         SELECT d.doc_id, h.cid IS NOT NULL AS contaminated,
-               coalesce(h.best_jaccard, 0.0::DOUBLE) AS best_jaccard,
+               coalesce(h.best_jaccard_e4, 0)::BIGINT AS best_jaccard_e4,
                coalesce(h.n_matches, 0) AS n_matches
         FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
         LEFT JOIN hits h ON d.doc_id = h.cid
@@ -2436,8 +2453,9 @@ def _sql_dedup_report(threshold: float = 0.1) -> str:
                (SELECT count(*) FROM per_doc WHERE n_members > 1)
                    AS n_near_dup_docs,
                (SELECT count(*) FROM per_doc WHERE is_kept) AS n_near_kept,
-               round((SELECT count(*) FROM per_doc WHERE is_kept)
-                     / ex.n_docs::DOUBLE, 4) AS near_keep_rate
+               (((SELECT count(*) FROM per_doc WHERE is_kept)
+                 * 10000 * 2 + ex.n_docs)
+                // (2 * ex.n_docs))::BIGINT AS near_keep_rate_e4
         FROM ex
     """
 
@@ -2502,7 +2520,13 @@ def _sql_keep_best(threshold: float = 0.1) -> str:
 
 def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: int = 3) -> str:
     """DuckDB replay of the full MinHash-LSH pipeline (md5-based, so the
-    hashes agree with Spark bit-for-bit)."""
+    hashes agree with Spark bit-for-bit). The verify threshold is an
+    exact integer cross-multiplication and the emitted similarity a
+    half-up e4 integer, mirroring minhash_near_dup_pairs."""
+    from fractions import Fraction
+
+    _f = Fraction(str(threshold))
+    p_, q_ = _f.numerator, _f.denominator
     mh_exprs = ",\n               ".join(
         f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS mh_{h}"
         for h in range(num_hashes)
@@ -2539,16 +2563,19 @@ def _sql_minhash_pairs(threshold: float = 0.1, num_hashes: int = 12, band_rows: 
         ),
         scored AS (
             SELECT doc_a, doc_b,
-                   round(
-                     len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))
-                     / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
-                        - len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
-                   4) AS jaccard
+                   len(list_intersect(list_distinct(sa.shingles),
+                                      list_distinct(sb.shingles))) AS i,
+                   len(list_distinct(sa.shingles))
+                   + len(list_distinct(sb.shingles))
+                   - len(list_intersect(list_distinct(sa.shingles),
+                                        list_distinct(sb.shingles))) AS u
             FROM cand
             JOIN sh sa ON cand.doc_a = sa.doc_id
             JOIN sh sb ON cand.doc_b = sb.doc_id
         )
-        SELECT * FROM scored WHERE jaccard >= {threshold}
+        SELECT doc_a, doc_b,
+               ((i * 10000 * 2 + u) // (2 * u))::BIGINT AS jaccard_e4
+        FROM scored WHERE u > 0 AND i * {q_} >= {p_} * u
         ORDER BY doc_a, doc_b
     """
 
@@ -2590,9 +2617,12 @@ def _sql_neardup_clusters(threshold: float = 0.1) -> str:
 def _sql_ngram_jaccard(threshold: float = 0.5, max_bucket: int = 50) -> str:
     """DuckDB replay of the inverted-index exact Jaccard join
     (operators.dedup.ngram_jaccard_pairs): same distinct-shingle
-    postings, length filter, bucket cap, and per-pair intersection
-    count."""
-    t = threshold
+    postings, integer length filter, bucket cap, and per-pair exact
+    intersection threshold + half-up e4 similarity."""
+    from fractions import Fraction
+
+    _f = Fraction(str(threshold))
+    p_, q_ = _f.numerator, _f.denominator
     return f"""
         WITH w AS ({_sql_words()}),
         sh AS ({_sql_shingles()}),
@@ -2615,15 +2645,14 @@ def _sql_ngram_jaccard(threshold: float = 0.5, max_bucket: int = 50) -> str:
             FROM capped a JOIN capped b
               ON a.shingle = b.shingle
              AND a.doc_id < b.doc_id
-             AND a.n >= b.n * {t} AND b.n >= a.n * {t}
+             AND a.n * {q_} >= b.n * {p_} AND b.n * {q_} >= a.n * {p_}
             GROUP BY 1, 2, 3, 4
-        ),
-        scored AS (
-            SELECT doc_a, doc_b,
-                   round(isect / (n_a + n_b - isect), 4) AS jaccard
-            FROM agg
         )
-        SELECT * FROM scored WHERE jaccard >= {t}
+        SELECT doc_a, doc_b,
+               ((isect * 10000 * 2 + (n_a + n_b - isect))
+                // (2 * (n_a + n_b - isect)))::BIGINT AS jaccard_e4
+        FROM agg
+        WHERE isect * {q_} >= {p_} * (n_a + n_b - isect)
         ORDER BY doc_a, doc_b
     """
 
@@ -8068,12 +8097,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT doc_a, doc_b,
-                       round(isect / n_a, 4) AS containment_a,
-                       round(isect / n_b, 4) AS containment_b
+                       ((isect * 10000 * 2 + n_a)
+                        // (2 * n_a))::BIGINT AS containment_a_e4,
+                       ((isect * 10000 * 2 + n_b)
+                        // (2 * n_b))::BIGINT AS containment_b_e4
                 FROM agg
+                WHERE isect * 2 >= least(n_a, n_b)
             )
             SELECT * FROM scored
-            WHERE greatest(containment_a, containment_b) >= 0.5
             ORDER BY doc_a, doc_b
         """,
         "llm_dedup_edit_distance": """
@@ -11137,17 +11168,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "llm_lsh_tuning": f"""
             WITH pj AS (
-                SELECT jaccard FROM ({_sql_ngram_jaccard(threshold=0.05)})
+                SELECT jaccard_e4, jaccard_e4 / 10000.0 AS j
+                FROM ({_sql_ngram_jaccard(threshold=0.05)})
             ),
             cfg AS (
                 SELECT * FROM (VALUES (4, 3), (3, 4), (2, 6), (6, 2))
                     t(bands, rows)
             )
             SELECT bands, rows, bands * rows AS num_hashes,
-                   round(avg(CASE WHEN jaccard >= 0.5 THEN
-                       1.0 - pow(1.0 - pow(jaccard, rows), bands) END), 6)
+                   round(avg(CASE WHEN jaccard_e4 >= 5000 THEN
+                       1.0 - pow(1.0 - pow(j, rows), bands) END), 6)
                        AS expected_recall,
-                   round(avg(1.0 - pow(1.0 - pow(jaccard, rows), bands)), 6)
+                   round(avg(1.0 - pow(1.0 - pow(j, rows), bands)), 6)
                        AS expected_candidate_rate
             FROM pj CROSS JOIN cfg
             GROUP BY bands, rows
@@ -11388,9 +11420,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM truth) AS n_truth,
                    (SELECT count(*) FROM found) AS n_found,
                    n_hits,
-                   round(n_hits::DOUBLE
-                         / nullif((SELECT count(*) FROM truth), 0), 6)
-                       AS recall
+                   CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+                       ((n_hits * 1000000 * 2
+                         + (SELECT count(*) FROM truth))
+                        // (2 * (SELECT count(*) FROM truth)))::BIGINT
+                   END AS recall_e6
             FROM h
         """,
         "llm_hybrid_rerank": """
@@ -11500,7 +11534,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT count(*) AS n_docs,
                        count(DISTINCT h) AS n_unique_texts,
                        sum(nw) AS total_tokens,
-                       round(avg(q), 6) AS mean_quality
+                       sum(cast(round(q * 10000) as bigint)) AS sq4,
+                       count(*) AS nq
                 FROM per
             ),
             l AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
@@ -11515,11 +11550,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT n_docs, n_unique_texts,
-                   round(1.0::DOUBLE - n_unique_texts / n_docs::DOUBLE, 6)
-                       AS dup_rate,
+                   (1000000 - (n_unique_texts * 1000000 * 2 + n_docs)
+                    // (2 * n_docs))::BIGINT AS dup_rate_e6,
                    total_tokens,
-                   round(total_tokens / n_docs::DOUBLE, 6) AS avg_tokens,
-                   mean_quality, lang_entropy, p50_len
+                   ((total_tokens * 1000000 * 2 + n_docs)
+                    // (2 * n_docs))::BIGINT AS avg_tokens_e6,
+                   ((sq4 * 100 * 2 + nq) // (2 * nq))::BIGINT
+                       AS mean_quality_e6,
+                   lang_entropy, p50_len
             FROM agg CROSS JOIN e CROSS JOIN m
         """,
         "llm_exact_stratified_split": """
@@ -11989,8 +12027,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT sum(n_a) + 10.0 AS ta, sum(n_b) + 10.0 AS tb FROM j
             )
             SELECT bin, n_a, n_b,
-                   round((n_a + 1.0) / ta, 6) AS share_a,
-                   round((n_b + 1.0) / tb, 6) AS share_b,
+                   (((n_a + 1) * 1000000 * 2 + ta::BIGINT)
+                    // (2 * ta::BIGINT))::BIGINT AS share_a_e6,
+                   (((n_b + 1) * 1000000 * 2 + tb::BIGINT)
+                    // (2 * tb::BIGINT))::BIGINT AS share_b_e6,
                    round(((n_b + 1.0) / tb - (n_a + 1.0) / ta)
                          * ln(((n_b + 1.0) / tb) / ((n_a + 1.0) / ta)), 6) AS psi_term
             FROM j, tot ORDER BY bin
@@ -12844,7 +12884,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE source <> 'src0' GROUP BY source
             )
             SELECT c.source, c.benchmark, c.n_contaminated, t.n_docs,
-                   round(c.n_contaminated / t.n_docs::DOUBLE, 6) AS rate
+                   ((c.n_contaminated * 1000000 * 2 + t.n_docs)
+                    // (2 * t.n_docs))::BIGINT AS rate_e6
             FROM cells c JOIN totals t USING (source)
             ORDER BY c.source, c.benchmark
         """,
@@ -12906,9 +12947,12 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
             t AS (SELECT sum(n_docs) AS total FROM c)
             SELECT lang, n_docs,
-                   round(n_docs / total, 6) AS actual_share,
-                   0.2::DOUBLE AS target_share,
-                   round(0.2::DOUBLE / (n_docs / total), 6) AS weight
+                   ((n_docs * 1000000 * 2 + total)
+                    // (2 * total))::BIGINT AS actual_share_e6,
+                   ((1 * 1000000 * 2 + 5) // (2 * 5))::BIGINT
+                       AS target_share_e6,
+                   ((1 * total * 1000000 * 2 + 5 * n_docs)
+                    // (2 * 5 * n_docs))::BIGINT AS weight_e6
             FROM c, t
         """,
         "llm_token_histogram": """
@@ -13239,7 +13283,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM per
             )
             SELECT source, n_tokens,
-                   round(n_tokens / _tot::DOUBLE, 6) AS nat_frac,
+                   ((n_tokens * 1000000 * 2 + _tot)
+                    // (2 * _tot))::BIGINT AS nat_frac_e6,
                    round(pow(n_tokens::DOUBLE, 0.3) / _z, 6) AS mix_weight,
                    round(pow(n_tokens::DOUBLE, 0.3) / _z * 1000000.0
                          / n_tokens, 6) AS epochs

@@ -177,20 +177,44 @@ def mix_weights(
     crossJoin — one pass over the corpus, no second scan, no driver
     collect in the plan.
     """
-    target = F.lit(0.0)
+    from fractions import Fraction
+
+    # per-stratum target as an exact rational (tn/td): shares and
+    # weights are RATIONALS whose rounded doubles can straddle
+    # midpoints across engine builds — emit half-up e6 integers.
+    tn = F.lit(0)
+    td = F.lit(1)
     for value, share in sorted(target_shares.items()):
-        target = F.when(
-            F.col(strata_col) == value, F.lit(float(share))
-        ).otherwise(target)
+        fr = Fraction(str(share))
+        tn = F.when(
+            F.col(strata_col) == value, F.lit(fr.numerator)
+        ).otherwise(tn)
+        td = F.when(
+            F.col(strata_col) == value, F.lit(fr.denominator)
+        ).otherwise(td)
     counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("_total"))
-    actual = F.col("n_docs") / F.col("_total")
-    return counts.crossJoin(F.broadcast(total)).select(
-        F.col(strata_col),
-        F.col("n_docs"),
-        F.round(actual, 6).alias("actual_share"),
-        F.round(target, 6).alias("target_share"),
-        F.round(target / actual, 6).alias("weight"),
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_tn", tn)
+        .withColumn("_td", td)
+        .select(
+            F.col(strata_col),
+            F.col("n_docs"),
+            F.expr(
+                "(n_docs * 1000000 * 2 + _total) div (2 * _total)"
+            ).alias("actual_share_e6"),
+            F.expr("(_tn * 1000000 * 2 + _td) div (2 * _td)").alias(
+                "target_share_e6"
+            ),
+            # weight = (tn·total)/(td·n): exact integer device
+            F.expr(
+                "cast((_tn * cast(_total as decimal(38,0)) * 1000000 * 2"
+                " + _td * cast(n_docs as decimal(38,0)))"
+                " div (2 * _td * cast(n_docs as decimal(38,0)))"
+                " as bigint)"
+            ).alias("weight_e6"),
+        )
     )
 
 
@@ -516,6 +540,10 @@ def fuzzy_decontaminate(
     aggregates per corpus doc. Output is one row per corpus document:
     (id, contaminated, best_jaccard, n_matches).
     """
+    from fractions import Fraction
+
+    _frac = Fraction(str(threshold))
+
     from streaming_demos_spark.operators.dedup import (
         _shingled,
         jaccard_shingles,
@@ -556,12 +584,32 @@ def fuzzy_decontaminate(
         cand.join(sh_c, "_cid")
         .join(F.broadcast(sh_b), "_bid")
         .withColumn(
-            "_j", F.round(jaccard_shingles(F.col("_shc"), F.col("_shb")), 4)
+            "_i",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct("_shc"), F.array_distinct("_shb")
+                )
+            ),
         )
-        .filter(F.col("_j") >= threshold)
+        .withColumn(
+            "_u",
+            F.size(F.array_distinct("_shc"))
+            + F.size(F.array_distinct("_shb"))
+            - F.col("_i"),
+        )
+        # exact threshold in integers + half-up e4 similarity — the
+        # rounded-double form flips on midpoints across engine builds
+        .filter(
+            (F.col("_u") > 0)
+            & (
+                F.col("_i") * F.lit(_frac.denominator)
+                >= F.lit(_frac.numerator) * F.col("_u")
+            )
+        )
+        .withColumn("_j_e4", F.expr("(_i * 10000 * 2 + _u) div (2 * _u)"))
         .groupBy("_cid")
         .agg(
-            F.max("_j").alias("best_jaccard"),
+            F.max("_j_e4").alias("best_jaccard_e4"),
             F.count("*").alias("n_matches"),
         )
     )
@@ -570,7 +618,9 @@ def fuzzy_decontaminate(
     ).select(
         F.col(id_col),
         F.col("_cid").isNotNull().alias("contaminated"),
-        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        F.coalesce("best_jaccard_e4", F.lit(0)).cast("long").alias(
+            "best_jaccard_e4"
+        ),
         F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
     )
 
@@ -812,8 +862,15 @@ def quality_drift_psi(
             "bin",
             "n_a",
             "n_b",
-            F.round(pa, 6).alias("share_a"),
-            F.round(pb, 6).alias("share_b"),
+            # (n+smooth)/t is a RATIONAL (smooth = 1): half-up e6 ints
+            F.expr(
+                "(cast(n_a + 1 as bigint) * 1000000 * 2"
+                " + cast(_ta as bigint)) div (2 * cast(_ta as bigint))"
+            ).alias("share_a_e6"),
+            F.expr(
+                "(cast(n_b + 1 as bigint) * 1000000 * 2"
+                " + cast(_tb as bigint)) div (2 * cast(_tb as bigint))"
+            ).alias("share_b_e6"),
             F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
         )
         .orderBy("bin")
@@ -926,7 +983,12 @@ def dataset_card(
 
     stats = TXO.text_stats(docs, text_col, id_col).agg(
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        # quality_score is 4-dp-rounded upstream: recover exact e4
+        # ints per row so the mean is a half-up e6 integer
+        F.sum(
+            F.expr("cast(round(quality_score * 10000) as bigint)")
+        ).alias("_sq4"),
+        F.count("*").alias("_nq"),
     )
     uniq = docs.agg(
         F.count("*").alias("n_docs"),
@@ -954,16 +1016,20 @@ def dataset_card(
         .select(
             "n_docs",
             "n_unique_texts",
-            F.round(
-                F.lit(1.0)
-                - F.try_divide(F.col("n_unique_texts"), F.col("n_docs")),
-                6,
-            ).alias("dup_rate"),
+            (
+                F.lit(1000000)
+                - F.expr(
+                    "(n_unique_texts * 1000000 * 2 + n_docs)"
+                    " div (2 * n_docs)"
+                )
+            ).cast("long").alias("dup_rate_e6"),
             "total_tokens",
-            F.round(
-                F.try_divide(F.col("total_tokens"), F.col("n_docs")), 6
-            ).alias("avg_tokens"),
-            "mean_quality",
+            F.expr(
+                "(total_tokens * 1000000 * 2 + n_docs) div (2 * n_docs)"
+            ).alias("avg_tokens_e6"),
+            F.expr(
+                "(_sq4 * 100 * 2 + _nq) div (2 * _nq)"
+            ).alias("mean_quality_e6"),
             "lang_entropy",
             "p50_len",
         )
@@ -1206,9 +1272,10 @@ def contamination_matrix(
             "benchmark",
             "n_contaminated",
             "n_docs",
-            F.round(
-                F.col("n_contaminated") / F.col("n_docs"), round_dp
-            ).alias("rate"),
+            F.expr(
+                "(n_contaminated * 1000000 * 2 + n_docs)"
+                " div (2 * n_docs)"
+            ).alias("rate_e6"),
         )
         .orderBy(group_col, "benchmark")
     )

@@ -24,6 +24,8 @@ bucket size before pairing, standard practice).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -240,18 +242,40 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
     sh = _shingled(docs, text_col, id_col, shingle_k)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    da = F.array_distinct("sh_a")
+    db = F.array_distinct("sh_b")
+    inter = F.size(F.array_intersect(da, db))
     return (
         cand.join(a, on="doc_a")
         .join(b, on="doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            inter.alias("_i"),
+            (F.size(da) + F.size(db) - inter).alias("_u"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # exact threshold: i·q >= p·u — a rounded-double compare flips
+        # on midpoints (unions of form 2^a·5^b) across engine builds
+        .filter(
+            (F.col("_u") > 0)
+            & (
+                F.col("_i") * F.lit(frac.denominator)
+                >= F.lit(frac.numerator) * F.col("_u")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(_i * 10000 * 2 + _u) div (2 * _u)").alias(
+                "jaccard_e4"
+            ),
+        )
     )
 
 
@@ -302,24 +326,34 @@ def ngram_jaccard_pairs(
     right = capped.select(
         "shingle", F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")
     )
-    isect = F.col("isect")
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    p_, q_ = frac.numerator, frac.denominator
     return (
         left.join(right, on="shingle")
+        # integer length prune (n·t on floats can flip at the boundary)
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("n_a") >= F.col("n_b") * F.lit(threshold))
-            & (F.col("n_b") >= F.col("n_a") * F.lit(threshold))
+            & (F.col("n_a") * q_ >= F.col("n_b") * p_)
+            & (F.col("n_b") * q_ >= F.col("n_a") * p_)
         )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("isect"))
+        # exact threshold: i·q >= p·(n_a + n_b − i); union >= 1 always
+        # (the pair shares at least one shingle)
+        .filter(
+            F.col("isect") * q_
+            >= p_ * (F.col("n_a") + F.col("n_b") - F.col("isect"))
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                isect / (F.col("n_a") + F.col("n_b") - isect), 4
-            ).alias("jaccard"),
+            F.expr(
+                "(isect * 10000 * 2 + (n_a + n_b - isect))"
+                " div (2 * (n_a + n_b - isect))"
+            ).alias("jaccard_e4"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -713,9 +747,9 @@ def dedup_report(
         "n_multi_clusters",
         "n_near_dup_docs",
         "n_near_kept",
-        F.round(F.col("n_near_kept") / F.col("n_docs"), 4).alias(
-            "near_keep_rate"
-        ),
+        F.expr(
+            "(n_near_kept * 10000 * 2 + n_docs) div (2 * n_docs)"
+        ).alias("near_keep_rate_e4"),
     )
 
 
@@ -798,10 +832,19 @@ def block_dedup(
     )
     return (
         out.withColumn(
-            "keep_ratio", F.round(F.col("n_kept") / F.col("n_blocks"), 4)
+            # kept/blocks is a small-denominator RATIONAL — half-up e4
+            # integer + integer threshold (rounded doubles straddle
+            # midpoints across engine builds)
+            "keep_ratio_e4",
+            F.expr(
+                "(n_kept * 10000 * 2 + n_blocks) div (2 * n_blocks)"
+            ),
         )
-        .filter(F.col("keep_ratio") >= min_keep_ratio)
-        .select(id_col, "text", "n_blocks", "n_kept", "keep_ratio")
+        .filter(
+            F.col("n_kept") * Fraction(str(min_keep_ratio)).denominator
+            >= Fraction(str(min_keep_ratio)).numerator * F.col("n_blocks")
+        )
+        .select(id_col, "text", "n_blocks", "n_kept", "keep_ratio_e4")
     )
 
 
@@ -853,17 +896,35 @@ def incremental_near_dup(
     sh_base = _shingled(base_docs, text_col, id_col, shingle_k).select(
         F.col(id_col).alias("base_id"), F.col("shingles").alias("sh_b")
     )
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    da = F.array_distinct("sh_a")
+    db = F.array_distinct("sh_b")
+    inter = F.size(F.array_intersect(da, db))
     return (
         cand.join(sh_new, on="new_id")
         .join(sh_base, on="base_id")
         .select(
             "new_id",
             "base_id",
-            F.round(jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 4).alias(
-                "jaccard"
+            inter.alias("_i"),
+            (F.size(da) + F.size(db) - inter).alias("_u"),
+        )
+        .filter(
+            (F.col("_u") > 0)
+            & (
+                F.col("_i") * F.lit(frac.denominator)
+                >= F.lit(frac.numerator) * F.col("_u")
+            )
+        )
+        .select(
+            "new_id",
+            "base_id",
+            F.expr("(_i * 10000 * 2 + _u) div (2 * _u)").alias(
+                "jaccard_e4"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -1155,9 +1216,10 @@ def minhash_lsh_eval(
         "n_truth",
         "n_found",
         "n_hits",
-        F.round(
-            F.try_divide(F.col("n_hits"), F.col("n_truth")), 6
-        ).alias("recall"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.expr("(n_hits * 1000000 * 2 + n_truth) div (2 * n_truth)"),
+        ).alias("recall_e6"),
     )
 
 
@@ -1188,17 +1250,22 @@ def lsh_tuning(
     """
     pairs = ngram_jaccard_pairs(
         docs, text_col, id_col, threshold=pair_threshold
-    ).select("jaccard")
+    ).select("jaccard_e4")
+    # the S-curve consumes the exact e4 integer as jaccard_e4/1e4 — a
+    # deterministic IEEE division — and the target gate is an integer
+    # comparison
+    j = F.col("jaccard_e4") / F.lit(10000.0)
+    target_e4 = int(round(target * 10000))
     aggs = []
     for b, r in configs:
         p = F.lit(1.0) - F.pow(
-            F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r))),
+            F.lit(1.0) - F.pow(j, F.lit(float(r))),
             F.lit(float(b)),
         )
         aggs.append(
-            F.avg(F.when(F.col("jaccard") >= target, p)).alias(
-                f"_rec_{b}_{r}"
-            )
+            F.avg(
+                F.when(F.col("jaccard_e4") >= target_e4, p)
+            ).alias(f"_rec_{b}_{r}")
         )
         aggs.append(F.avg(p).alias(f"_cand_{b}_{r}"))
     one = pairs.agg(*aggs)
@@ -1258,6 +1325,8 @@ def containment_pairs(
     right = capped.select(
         "shingle", F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")
     )
+    from fractions import Fraction
+
     return (
         left.join(right, on="shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1266,16 +1335,28 @@ def containment_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("_isect") / F.col("n_a"), 4).alias(
-                "containment_a"
-            ),
-            F.round(F.col("_isect") / F.col("n_b"), 4).alias(
-                "containment_b"
-            ),
+            "n_a",
+            "n_b",
+            "_isect",
         )
         .filter(
-            F.greatest(F.col("containment_a"), F.col("containment_b"))
-            >= F.lit(threshold)
+            # exact threshold in integers (t = p/q): isect·q >= p·min —
+            # a rounded-double compare flips on midpoints across builds
+            F.expr(
+                f"_isect * {Fraction(str(threshold)).denominator}"
+                f" >= {Fraction(str(threshold)).numerator}"
+                " * least(n_a, n_b)"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(_isect * 10000 * 2 + n_a) div (2 * n_a)").alias(
+                "containment_a_e4"
+            ),
+            F.expr("(_isect * 10000 * 2 + n_b) div (2 * n_b)").alias(
+                "containment_b_e4"
+            ),
         )
     )
 

@@ -244,9 +244,9 @@ def temperature_mix(
         .select(
             group_col,
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_tot"), round_dp).alias(
-                "nat_frac"
-            ),
+            F.expr(
+                "(n_tokens * 1000000 * 2 + _tot) div (2 * _tot)"
+            ).alias("nat_frac_e6"),
             F.round(w, round_dp).alias("mix_weight"),
             F.round(
                 w * F.lit(float(token_budget)) / F.col("n_tokens"), round_dp

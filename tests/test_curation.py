@@ -69,13 +69,13 @@ def test_mix_weights_reshape(corpus):
     out = {r.lang: r for r in
            CU.mix_weights(corpus, "lang", {"en": 0.5, "es": 0.5}).collect()}
     assert out["en"].n_docs == 4 and out["es"].n_docs == 1
-    assert out["en"].actual_share == 0.8
+    assert out["en"].actual_share_e6 == 800000
     # weight = target / actual
-    assert out["en"].weight == pytest.approx(0.5 / 0.8)
-    assert out["es"].weight == pytest.approx(0.5 / 0.2)
+    assert out["en"].weight_e6 == 625000   # 0.5/0.8
+    assert out["es"].weight_e6 == 2500000  # 0.5/0.2
     # applying the weights hits the target shares exactly
-    reweighted_en = out["en"].n_docs * out["en"].weight
-    reweighted_es = out["es"].n_docs * out["es"].weight
+    reweighted_en = out["en"].n_docs * out["en"].weight_e6 / 1e6
+    reweighted_es = out["es"].n_docs * out["es"].weight_e6 / 1e6
     total = reweighted_en + reweighted_es
     assert reweighted_en / total == pytest.approx(0.5)
 
@@ -326,7 +326,7 @@ def test_quality_drift_psi_zero_for_identical_snapshots(spark):
     out = C.quality_drift_psi(docs, docs, "n_chars", n_bins=5).collect()
     assert len(out) == 5
     assert all(abs(r.psi_term) < 1e-9 for r in out)
-    assert all(r.share_a == r.share_b for r in out)
+    assert all(r.share_a_e6 == r.share_b_e6 for r in out)
 
 
 def test_quality_drift_psi_flags_shifted_distribution(spark):
@@ -357,7 +357,7 @@ def test_dataset_card_known_corpus(spark):
     )
     row = C.dataset_card(docs).collect()[0]
     assert row.n_docs == 4 and row.n_unique_texts == 3
-    assert row.dup_rate == 0.25
+    assert row.dup_rate_e6 == 250000
     assert row.total_tokens == 3 + 3 + 2 + 4
     # lang mix 3:1 -> H = -(0.75 log2 0.75 + 0.25 log2 0.25)
     import math

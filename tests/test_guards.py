@@ -120,7 +120,7 @@ def test_block_dedup_empty_and_whitespace_docs(spark):
                                ["doc_id", "text"])
     out = {r.doc_id: r for r in D.block_dedup(df, block_words=4).collect()}
     assert set(out) == {1, 2, 3}
-    assert out[3].keep_ratio == 1.0
+    assert out[3].keep_ratio_e4 == 10000
     # the two degenerate docs collapse to one empty block; first wins
     assert out[1].n_kept + out[2].n_kept == 1
 
@@ -229,5 +229,5 @@ def test_dataset_card_single_doc_no_ansi_abort(spark):
         "doc_id int, text string, lang string, n_chars int",
     )
     row = CU.dataset_card(docs).collect()[0]
-    assert row.n_docs == 1 and row.dup_rate == 0.0
+    assert row.n_docs == 1 and row.dup_rate_e6 == 0
     assert row.lang_entropy == 0.0  # single language

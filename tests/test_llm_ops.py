@@ -43,21 +43,21 @@ def test_minhash_finds_exact_and_near_dups(docs):
     # agrees: recall ~1-(1-j)^12, effectively 1.0 at j>=0.5. The default
     # 4x3 banding trades that recall for fewer candidates at scale.
     pairs = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.jaccard_e4
         for r in D.minhash_near_dup_pairs(docs, threshold=0.5, band_rows=1).collect()
     }
-    assert pairs[(1, 2)] == 1.0          # identical docs: jaccard exactly 1
-    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # one-word change
+    assert pairs[(1, 2)] == 10000        # identical docs: jaccard exactly 1
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 5000  # one-word change
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
 def test_ngram_jaccard_exact_join(docs):
     pairs = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.jaccard_e4
         for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
-    assert pairs[(1, 2)] == 1.0
-    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert pairs[(1, 2)] == 10000
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 5000
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
@@ -412,9 +412,9 @@ def test_block_dedup_removes_repeated_blocks(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in D.block_dedup(df, block_words=4).collect()}
-    assert out[1].text == f"{boiler} {uniq1}" and out[1].keep_ratio == 1.0
+    assert out[1].text == f"{boiler} {uniq1}" and out[1].keep_ratio_e4 == 10000
     assert out[2].text == uniq2 and out[2].n_blocks == 2 and out[2].n_kept == 1
-    assert out[3].text == "" and out[3].keep_ratio == 0.0
+    assert out[3].text == "" and out[3].keep_ratio_e4 == 0
 
 
 def test_block_dedup_min_keep_ratio_drops_shells(spark):
@@ -693,7 +693,7 @@ def test_minhash_lsh_eval_perfect_recall_on_identical_docs(spark):
     )
     row = D.minhash_lsh_eval(docs, threshold=0.9).collect()[0]
     assert row.n_truth == 1 and row.n_hits == 1
-    assert row.recall == 1.0
+    assert row.recall_e6 == 1000000
 
 
 def test_minhash_lsh_eval_no_truth_yields_null_recall(spark):
@@ -704,7 +704,7 @@ def test_minhash_lsh_eval_no_truth_yields_null_recall(spark):
         "doc_id int, text string",
     )
     row = D.minhash_lsh_eval(docs, threshold=0.9).collect()[0]
-    assert row.n_truth == 0 and row.recall is None
+    assert row.n_truth == 0 and row.recall_e6 is None
 
 
 def test_lsh_tuning_s_curve_properties(spark):

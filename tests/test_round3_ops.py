@@ -232,9 +232,9 @@ def test_fuzzy_decontaminate_catches_partial_overlap(spark):
         for r in CU.fuzzy_decontaminate(corpus, bench, threshold=0.3).collect()
     }
     assert len(out) == 2
-    assert out[1].contaminated and out[1].best_jaccard >= 0.3
+    assert out[1].contaminated and out[1].best_jaccard_e4 >= 3000
     assert out[1].n_matches == 1
-    assert not out[2].contaminated and out[2].best_jaccard == 0.0
+    assert not out[2].contaminated and out[2].best_jaccard_e4 == 0
 
 
 def test_tfidf_cosine_topk_ranks_by_term_overlap(spark):
@@ -692,7 +692,7 @@ def test_dedup_report_counts(spark):
     assert r.n_multi_clusters == 1          # {1,2,3}
     assert r.n_near_dup_docs == 3
     assert r.n_near_kept == 2               # min-id of cluster + singleton 4
-    assert r.near_keep_rate == 0.5
+    assert r.near_keep_rate_e4 == 5000
 
 
 def _morton_py(a: int, b: int, bits: int = 16) -> int:

@@ -112,15 +112,15 @@ def test_contamination_matrix_hand_case(spark):
         "doc_id long, text string, source string",
     )
     out = {
-        (r.source, r.benchmark): (r.n_contaminated, r.n_docs, r.rate)
+        (r.source, r.benchmark): (r.n_contaminated, r.n_docs, r.rate_e6)
         for r in contamination_matrix(
             docs, bench, bench_name_col="bench", k=3
         ).collect()
     }
-    assert out[("s1", "benchA")] == (1, 2, 0.5)
+    assert out[("s1", "benchA")] == (1, 2, 500000)
     assert ("s1", "benchB") not in out
-    assert out[("s2", "benchB")] == (2, 2, 1.0)
-    assert out[("s2", "benchA")] == (1, 2, 0.5)
+    assert out[("s2", "benchB")] == (2, 2, 1000000)
+    assert out[("s2", "benchA")] == (1, 2, 500000)
 
 
 def test_gapfill_interpolation_hand_case(spark):
@@ -492,11 +492,11 @@ def test_containment_pairs_fragment_detection(spark):
     assert set(out) == {(1, 2)}
     r = out[(1, 2)]
     # frag has 2 3-shingles, both inside doc 1 (8 shingles)
-    assert r.containment_b == pytest.approx(1.0)
-    assert r.containment_a == pytest.approx(2 / 8)
+    assert r.containment_b_e4 == 10000
+    assert r.containment_a_e4 == 2500
     # symmetric Jaccard would be 2/8 = 0.25 — below threshold; the
     # asymmetric measure is what surfaces the pair
-    assert max(r.containment_a, r.containment_b) >= 0.5
+    assert max(r.containment_a_e4, r.containment_b_e4) >= 5000
 
 
 def test_containment_pairs_threshold_excludes(spark):

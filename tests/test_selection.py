@@ -101,8 +101,8 @@ def test_temperature_mix_flattens_head(spark):
         ).collect()
     }
     # alpha < 1 moves weight from the big domain to the small one
-    assert out["big"].mix_weight < out["big"].nat_frac
-    assert out["small"].mix_weight > out["small"].nat_frac
+    assert out["big"].mix_weight < out["big"].nat_frac_e6 / 1e6
+    assert out["small"].mix_weight > out["small"].nat_frac_e6 / 1e6
     assert out["big"].mix_weight + out["small"].mix_weight == pytest.approx(
         1.0, abs=2e-6
     )

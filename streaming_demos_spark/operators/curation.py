@@ -581,32 +581,41 @@ def fuzzy_decontaminate(
         F.col(id_col).alias("_bid"), F.col("shingles").alias("_shb")
     )
     hits = (
-        cand.join(sh_c, "_cid")
-        .join(F.broadcast(sh_b), "_bid")
-        .withColumn(
-            "_i",
-            F.size(
-                F.array_intersect(
-                    F.array_distinct("_shc"), F.array_distinct("_shb")
-                )
+        cand.join(
+            sh_c.select(
+                "_cid", F.array_distinct("_shc").alias("_shc")
+            ).select("_cid", "_shc", F.size("_shc").alias("_nc")),
+            "_cid",
+        )
+        .join(
+            F.broadcast(
+                sh_b.select(
+                    "_bid", F.array_distinct("_shb").alias("_shb")
+                ).select("_bid", "_shb", F.size("_shb").alias("_nb"))
             ),
+            "_bid",
         )
-        .withColumn(
-            "_u",
-            F.size(F.array_distinct("_shc"))
-            + F.size(F.array_distinct("_shb"))
-            - F.col("_i"),
-        )
-        # exact threshold in integers + half-up e4 similarity — the
-        # rounded-double form flips on midpoints across engine builds
+        # single-intersect filter first (Catalyst substitutes aliases
+        # into every reference), then survivors-only e4 similarity —
+        # the rounded-double form flips on midpoints across builds
         .filter(
-            (F.col("_u") > 0)
+            (F.col("_nc") + F.col("_nb") > 0)
             & (
-                F.col("_i") * F.lit(_frac.denominator)
-                >= F.lit(_frac.numerator) * F.col("_u")
+                F.size(F.array_intersect("_shc", "_shb"))
+                * F.lit(_frac.numerator + _frac.denominator)
+                >= F.lit(_frac.numerator)
+                * (F.col("_nc") + F.col("_nb"))
             )
         )
-        .withColumn("_j_e4", F.expr("(_i * 10000 * 2 + _u) div (2 * _u)"))
+        .withColumn(
+            "_j_e4",
+            F.expr(
+                "(size(array_intersect(_shc, _shb)) * 10000 * 2"
+                " + (_nc + _nb - size(array_intersect(_shc, _shb))))"
+                " div (2 * (_nc + _nb"
+                " - size(array_intersect(_shc, _shb))))"
+            ),
+        )
         .groupBy("_cid")
         .agg(
             F.max("_j_e4").alias("best_jaccard_e4"),

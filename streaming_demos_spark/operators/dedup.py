@@ -245,36 +245,53 @@ def minhash_near_dup_pairs(
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
-    sh = _shingled(docs, text_col, id_col, shingle_k)
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    da = F.array_distinct("sh_a")
-    db = F.array_distinct("sh_b")
-    inter = F.size(F.array_intersect(da, db))
+    # distinct ONCE per document and carry the per-doc size, so the
+    # per-pair verify evaluates a single array_intersect (the arrays
+    # are the dominant per-row cost — re-deriving distinct/size per
+    # pair-side costs ~1.4x on the whole pipeline)
+    ds = _shingled(docs, text_col, id_col, shingle_k).select(
+        F.col(id_col),
+        F.array_distinct("shingles").alias("_ds"),
+    ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
+    a = ds.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_ds").alias("sh_a"),
+        F.col("_n").alias("_na"),
+    )
+    b = ds.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_ds").alias("sh_b"),
+        F.col("_n").alias("_nb"),
+    )
+    # Exact threshold i·q >= p·u rewritten single-intersect as
+    # i·(p+q) >= p·(na+nb): Catalyst substitutes aliased expressions
+    # into every reference, so the intersect must appear ONCE in the
+    # filter that scans every candidate; the output projection then
+    # recomputes it only on the (few) survivors. ab > 0 excludes the
+    # both-empty pair (the only way union could be 0). A rounded-double
+    # compare would flip on midpoints (unions of form 2^a·5^b) across
+    # engine builds.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ab = F.col("_na") + F.col("_nb")
     return (
         cand.join(a, on="doc_a")
         .join(b, on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("_i"),
-            (F.size(da) + F.size(db) - inter).alias("_u"),
-        )
-        # exact threshold: i·q >= p·u — a rounded-double compare flips
-        # on midpoints (unions of form 2^a·5^b) across engine builds
         .filter(
-            (F.col("_u") > 0)
+            (ab > 0)
             & (
-                F.col("_i") * F.lit(frac.denominator)
-                >= F.lit(frac.numerator) * F.col("_u")
+                inter * F.lit(frac.numerator + frac.denominator)
+                >= F.lit(frac.numerator) * ab
             )
         )
         .select(
             "doc_a",
             "doc_b",
-            F.expr("(_i * 10000 * 2 + _u) div (2 * _u)").alias(
-                "jaccard_e4"
-            ),
+            F.expr(
+                "(size(array_intersect(sh_a, sh_b)) * 10000 * 2"
+                " + (_na + _nb - size(array_intersect(sh_a, sh_b))))"
+                " div (2 * (_na + _nb"
+                " - size(array_intersect(sh_a, sh_b))))"
+            ).alias("jaccard_e4"),
         )
     )
 
@@ -899,31 +916,38 @@ def incremental_near_dup(
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
-    da = F.array_distinct("sh_a")
-    db = F.array_distinct("sh_b")
-    inter = F.size(F.array_intersect(da, db))
+    # distinct + size once per side (see minhash_near_dup_pairs)
+    sh_new = sh_new.select(
+        "new_id",
+        F.array_distinct("sh_a").alias("sh_a"),
+    ).select("new_id", "sh_a", F.size("sh_a").alias("_na"))
+    sh_base = sh_base.select(
+        "base_id",
+        F.array_distinct("sh_b").alias("sh_b"),
+    ).select("base_id", "sh_b", F.size("sh_b").alias("_nb"))
+    # single-intersect filter first (see minhash_near_dup_pairs), then
+    # the survivors-only projection recomputes the (cheap) remainder
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ab = F.col("_na") + F.col("_nb")
     return (
         cand.join(sh_new, on="new_id")
         .join(sh_base, on="base_id")
-        .select(
-            "new_id",
-            "base_id",
-            inter.alias("_i"),
-            (F.size(da) + F.size(db) - inter).alias("_u"),
-        )
         .filter(
-            (F.col("_u") > 0)
+            (ab > 0)
             & (
-                F.col("_i") * F.lit(frac.denominator)
-                >= F.lit(frac.numerator) * F.col("_u")
+                inter * F.lit(frac.numerator + frac.denominator)
+                >= F.lit(frac.numerator) * ab
             )
         )
         .select(
             "new_id",
             "base_id",
-            F.expr("(_i * 10000 * 2 + _u) div (2 * _u)").alias(
-                "jaccard_e4"
-            ),
+            F.expr(
+                "(size(array_intersect(sh_a, sh_b)) * 10000 * 2"
+                " + (_na + _nb - size(array_intersect(sh_a, sh_b))))"
+                " div (2 * (_na + _nb"
+                " - size(array_intersect(sh_a, sh_b))))"
+            ).alias("jaccard_e4"),
         )
     )
 

@@ -1367,7 +1367,7 @@ _SQL_BLOCK_DEDUP = """
            coalesce(string_agg(CASE WHEN keep THEN block END, ' '
                                ORDER BY pos), '') AS text,
            count(*) AS n_blocks,
-           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
            ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 * 2
              + count(*)) // (2 * count(*)))::BIGINT AS keep_ratio_e4
     FROM ranked
@@ -1800,7 +1800,7 @@ _SQL_BPE_PAIR_STATS = """
         FROM words, unnest(range(1, length(w))) AS t(i)
         WHERE length(w) >= 2
     )
-    SELECT pair, sum(n_w) AS n_pairs
+    SELECT pair, sum(n_w)::BIGINT AS n_pairs
     FROM pairs GROUP BY 1
     ORDER BY n_pairs DESC, pair LIMIT 20
 """
@@ -1911,7 +1911,7 @@ _SQL_SHARD_PROFILE = """
     SELECT strpos('0123456789abcdef',
                   substr(md5(doc_id::VARCHAR), 8, 1)) - 1 AS shard,
            count(*) AS n_rows,
-           sum(n_chars) AS n_tokens
+           sum(n_chars)::BIGINT AS n_tokens
     FROM documents
     GROUP BY 1 ORDER BY 1
 """
@@ -6567,7 +6567,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket_ts, new_users,
                    sum(new_users) OVER (ORDER BY bucket_ts
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cumulative_users
+                                AND CURRENT ROW)::BIGINT AS cumulative_users
             FROM per ORDER BY bucket_ts
         """,
         "ext_diff_in_diff": """
@@ -8062,10 +8062,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM probed LEFT JOIN actual USING (p_partkey)
             )
             SELECT count(*) AS n_probes,
-                   sum(is_member::INT) AS n_members,
-                   sum(bloom_hit::INT) AS n_hits,
-                   sum((bloom_hit AND NOT is_member)::INT) AS n_false_pos,
-                   sum((NOT is_member)::INT) AS n_non_members
+                   sum(is_member::INT)::BIGINT AS n_members,
+                   sum(bloom_hit::INT)::BIGINT AS n_hits,
+                   sum((bloom_hit AND NOT is_member)::INT)::BIGINT AS n_false_pos,
+                   sum((NOT is_member)::INT)::BIGINT AS n_non_members
             FROM flagged
         """,
         "llm_dedup_containment": """
@@ -8617,7 +8617,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
                                   * 10000) as bigint)
                        - cast(round(0.6 * p.p_retailprice * l.l_quantity
-                                    * 10000) as bigint)) AS sum_profit_e4
+                                    * 10000) as bigint))::BIGINT AS sum_profit_e4
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -8651,9 +8651,9 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '>60d'
                    END AS delay_tier,
                    sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                    sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -8747,7 +8747,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": """
             SELECT l.l_orderkey,
                    sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) as bigint)) AS revenue_e4,
+                                  * 10000) as bigint))::BIGINT AS revenue_e4,
                    o.o_orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -8775,7 +8775,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": """
             SELECT n.n_name,
                    sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) as bigint)) AS revenue_e4
+                                  * 10000) as bigint))::BIGINT AS revenue_e4
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -8791,7 +8791,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q6": """
             SELECT sum(cast(round(l_extendedprice * l_discount * 10000)
-                            as bigint)) AS revenue_e4
+                            as bigint))::BIGINT AS revenue_e4
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -8802,7 +8802,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l.l_shipdate) AS l_year,
                    sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) as bigint)) AS revenue_e4
+                                  * 10000) as bigint))::BIGINT AS revenue_e4
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
@@ -8819,7 +8819,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10": """
             SELECT c.c_custkey, c.c_name,
                    sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) as bigint)) AS revenue_e4,
+                                  * 10000) as bigint))::BIGINT AS revenue_e4,
                    c.c_acctbal, n.n_name
             FROM orders o
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -8872,7 +8872,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN part p ON l.l_partkey = p.p_partkey
                 WHERE p.p_brand = 'Brand#9'
             )
-            SELECT sum(cast(round(l_extendedprice * 100) as bigint))
+            SELECT sum(cast(round(l_extendedprice * 100) as bigint))::BIGINT
                        AS total_revenue_cents,
                    7.0::DOUBLE AS years
             FROM brand_lines
@@ -8895,7 +8895,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q19": """
             SELECT sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) as bigint)) AS revenue_e4
+                                  * 10000) as bigint))::BIGINT AS revenue_e4
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -8907,7 +8907,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q22": """
             SELECT n.n_name, count(*) AS numcust,
-                   sum(cast(round(c.c_acctbal * 100) as bigint))
+                   sum(cast(round(c.c_acctbal * 100) as bigint))::BIGINT
                        AS totacctbal_cents
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -9653,7 +9653,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS tgt
                 FROM counts
             )
-            SELECT lang, n_docs, avail_tokens,
+            SELECT lang, n_docs, avail_tokens::BIGINT AS avail_tokens,
                    round(tgt, 6) AS target_share,
                    round(tgt * 20000.0, 2) AS desired_tokens,
                    round(CASE WHEN avail_tokens > 0
@@ -9784,34 +9784,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ext_table_profile": """
             SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
                    count(DISTINCT o_orderkey) AS n_distinct,
                    round(min(o_orderkey), 4)::DOUBLE AS min_value,
                    round(max(o_orderkey), 4)::DOUBLE AS max_value
             FROM orders
             UNION ALL
             SELECT 'o_custkey', count(*),
-                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT o_custkey),
                    round(min(o_custkey), 4)::DOUBLE,
                    round(max(o_custkey), 4)::DOUBLE
             FROM orders
             UNION ALL
             SELECT 'o_orderstatus', count(*),
-                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT o_orderstatus),
                    NULL::DOUBLE, NULL::DOUBLE
             FROM orders
             UNION ALL
             SELECT 'o_totalprice', count(*),
-                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT o_totalprice),
                    round(min(o_totalprice), 4)::DOUBLE,
                    round(max(o_totalprice), 4)::DOUBLE
             FROM orders
             UNION ALL
             SELECT 'o_orderpriority', count(*),
-                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT o_orderpriority),
                    NULL::DOUBLE, NULL::DOUBLE
             FROM orders
@@ -10936,7 +10936,7 @@ def oracle_sql() -> dict[str, str]:
                        END AS ls
                 FROM grid
             )
-            SELECT t AS duration_days, n_at_risk,
+            SELECT t AS duration_days, n_at_risk::BIGINT AS n_at_risk,
                    n_events::BIGINT AS n_events,
                    ls::BIGINT AS log_survival_e12
             FROM stepped WHERE n_events > 0
@@ -11552,7 +11552,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_docs, n_unique_texts,
                    (1000000 - (n_unique_texts * 1000000 * 2 + n_docs)
                     // (2 * n_docs))::BIGINT AS dup_rate_e6,
-                   total_tokens,
+                   total_tokens::BIGINT AS total_tokens,
                    ((total_tokens * 1000000 * 2 + n_docs)
                     // (2 * n_docs))::BIGINT AS avg_tokens_e6,
                    ((sq4 * 100 * 2 + nq) // (2 * nq))::BIGINT
@@ -11714,7 +11714,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT
                 (SELECT count(*) FROM deg) AS n_nodes,
                 (SELECT count(*) FROM e) AS n_edges,
-                (SELECT sum(d * (d - 1) // 2) FROM deg) AS n_wedges,
+                (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
                 (SELECT count(*)
                  FROM e ab JOIN e bc ON ab.b = bc.a
                  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles,
@@ -12062,18 +12062,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
                 UNION ALL
                 SELECT 'not_null_o_custkey',
-                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
                 FROM orders
                 UNION ALL
                 SELECT 'not_null_o_orderstatus',
-                       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT
                 FROM orders
                 UNION ALL
                 SELECT 'range_o_totalprice',
                        sum(CASE WHEN o_totalprice IS NULL
                                 OR o_totalprice < 0.0
                                 OR o_totalprice > 1000000000.0
-                                THEN 1 ELSE 0 END)
+                                THEN 1 ELSE 0 END)::BIGINT
                 FROM orders
                 UNION ALL
                 SELECT 'fk_orders_customer', count(*)
@@ -12221,7 +12221,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
             ),
             terms AS (
-                SELECT term, count(*) AS df, sum(tf) AS cf
+                SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
                 FROM per_doc GROUP BY 1 HAVING count(*) >= 2
             ),
             n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
@@ -12249,7 +12249,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(cnt * log2(cnt::DOUBLE)) AS s
                 FROM c GROUP BY 1
             )
-            SELECT doc_id, tot AS n_grams,
+            SELECT doc_id, tot::BIGINT AS n_grams,
                    round(log2(tot::DOUBLE) - s / tot, 4) AS entropy
             FROM e
         """,
@@ -12506,7 +12506,7 @@ def oracle_sql() -> dict[str, str]:
                            AS ch_ppm
                 FROM grid
             )
-            SELECT t AS duration_days, n_at_risk,
+            SELECT t AS duration_days, n_at_risk::BIGINT AS n_at_risk,
                    n_events::BIGINT AS n_events,
                    ch_ppm::BIGINT AS cum_hazard_ppm
             FROM h WHERE n_events > 0
@@ -12976,7 +12976,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT doc_id, unnest(words) AS token FROM w),
             per AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
             SELECT doc_id,
-                   sum(c) AS n_tokens,
+                   sum(c)::BIGINT AS n_tokens,
                    count(*) AS n_distinct,
                    round(count(*) / sum(c), 4) AS distinct_ratio,
                    round(max(c) / sum(c), 4) AS top_token_ratio
@@ -12998,8 +12998,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             )
             SELECT doc_id, source, n_tokens,
-                   s // 256 AS seq_id,
-                   s % 256 AS offset_in_seq
+                   (s // 256)::BIGINT AS seq_id,
+                   (s % 256)::BIGINT AS offset_in_seq
             FROM c
         """,
         "llm_chunking": """
@@ -13282,7 +13282,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(pow(n_tokens::DOUBLE, 0.3)) AS _z
                 FROM per
             )
-            SELECT source, n_tokens,
+            SELECT source, n_tokens::BIGINT AS n_tokens,
                    ((n_tokens * 1000000 * 2 + _tot)
                     // (2 * _tot))::BIGINT AS nat_frac_e6,
                    round(pow(n_tokens::DOUBLE, 0.3) / _z, 6) AS mix_weight,

@@ -1,0 +1,127 @@
+"""Driver-comparator dtype gate: compare the SPARK plan schema against
+the DUCKDB planned result types for every (queries, oracle_sql) pair —
+WITHOUT executing either side.
+
+Why this exists (round 7): the driver's comparator materializes both
+results through a pandas/Arrow path.  DuckDB types ``sum(BIGINT)`` /
+``sum(CASE ...)`` as HUGEINT (int128), which pandas can only hold as
+float64 — so a value-identical result hash-mismatches against Spark's
+int64 (``512.0`` vs ``512``).  Every round-4..6 driver-red key (10/10)
+had exactly one or more HUGEINT oracle columns and nothing else wrong;
+local checkers compared python objects and could never see it.
+
+Rules enforced per output column (matched by name, case-insensitive):
+  * duckdb type must not be HUGEINT/UHUGEINT/unsigned/DECIMAL — these
+    floatify (or objectify) under pandas;
+  * the numeric CLASS must agree: int-family vs int-family, float vs
+    float, bool vs bool — int-vs-float on EITHER side is a latent
+    driver-red even when values are equal.
+
+Usage: python scripts/dtype_check.py [sf_dir] [key1,key2,...]
+Exit code 1 if any flag.
+"""
+import os
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+os.environ["ORACLE_SF_DIR"] = SF
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+BAD_DUCK = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+            "UTINYINT"}
+INT_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+FLOAT_DUCK = {"FLOAT", "DOUBLE"}
+
+
+def duck_class(t: str) -> str:
+    if t in INT_DUCK:
+        return "int"
+    if t in FLOAT_DUCK or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return "other"
+
+
+def spark_class(dt) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    return "other"
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from '{SF}/{t}.parquet'"
+        )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    flags, errs, n = [], [], 0
+    for key, sql in oracles.items():
+        if only and key not in only:
+            continue
+        n += 1
+        try:
+            rel = con.sql(sql)
+            duck = {c.lower(): str(t) for c, t in zip(rel.columns, rel.types)}
+            sdf = qs[key](spark, SF)
+            sp = {f.name.lower(): f.dataType for f in sdf.schema.fields}
+        except Exception as e:  # pragma: no cover - report and continue
+            errs.append((key, str(e)[:160]))
+            continue
+        for c, dt in duck.items():
+            if dt in BAD_DUCK or dt.startswith("DECIMAL"):
+                flags.append((key, c, f"duckdb {dt} floatifies in pandas"))
+        for c, dt in sp.items():
+            if c in duck:
+                sc, dc = spark_class(dt), duck_class(duck[c])
+                if sc != dc and {"int", "float", "bool"} & {sc, dc}:
+                    flags.append(
+                        (key, c, f"class mismatch spark={dt.simpleString()}"
+                                 f" duckdb={duck[c]}"))
+    for k, c, msg in flags:
+        print(f"FLAG {k}.{c}: {msg}")
+    for k, e in errs:
+        print(f"ERR {k}: {e}")
+    print(f"SUMMARY checked={n} flags={len(flags)} errs={len(errs)}")
+    spark.stop()
+    if flags:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

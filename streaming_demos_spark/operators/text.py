@@ -617,7 +617,7 @@ def sql_bpe_encode_stats(merges: list[tuple[str, str]] | None = None) -> str:
         )
         SELECT dw.doc_id,
                count(*) AS n_tokens_ws,
-               sum(_sym) AS n_tokens_bpe
+               sum(_sym)::BIGINT AS n_tokens_bpe
         FROM dw JOIN vocab USING (w)
         GROUP BY dw.doc_id
         ORDER BY dw.doc_id

@@ -35,6 +35,7 @@ from streaming_demos_spark.operators import clustering as CL
 from streaming_demos_spark.operators import curation as CU
 from streaming_demos_spark.operators import dedup as D
 from streaming_demos_spark.operators import multimodal as MM
+from streaming_demos_spark.operators import probes as PR
 from streaming_demos_spark.operators import relational as R
 from streaming_demos_spark.operators import selection as SEL
 from streaming_demos_spark.operators import similarity as SIM
@@ -5151,39 +5152,177 @@ def q_mm_exact_dedup(spark, sf_dir):
     return MM.exact_media_dedup_summary(media)
 
 
+# --------------------------------------------------------------------------
+# round-7 driver-environment probes (operators/probes.py). 10 window
+# keys are driver-red while every local gate passes; each probe below
+# is one data-free or checksum-exact red/green bit whose pattern in
+# CORRECTNESS_r07 localizes the divergence (data slice vs timestamp
+# values vs comparison semantics vs engine build vs harness env).
+# --------------------------------------------------------------------------
+
+def q_probe_li_9596(spark, sf_dir):
+    return PR.slice_checksums_lineitem(
+        _t(spark, sf_dir, "lineitem"), "1995-01-01", "1997-01-01")
+
+
+def q_probe_li_97h1(spark, sf_dir):
+    return PR.slice_checksums_lineitem(
+        _t(spark, sf_dir, "lineitem"), "1997-01-01", "1997-07-01")
+
+
+def q_probe_li_97q3(spark, sf_dir):
+    # the slice tpch_q15 (GREEN) aggregates — expected green control
+    return PR.slice_checksums_lineitem(
+        _t(spark, sf_dir, "lineitem"), "1997-07-01", "1997-10-01")
+
+
+def q_probe_li_97q4(spark, sf_dir):
+    # inside tpch_q5/q6/q12's red year, adjacent to the green Q3
+    return PR.slice_checksums_lineitem(
+        _t(spark, sf_dir, "lineitem"), "1997-10-01", "1998-01-01")
+
+
+def q_probe_li_98(spark, sf_dir):
+    return PR.slice_checksums_lineitem(
+        _t(spark, sf_dir, "lineitem"), "1998-01-01", "1999-01-01")
+
+
+def q_probe_li_99p(spark, sf_dir):
+    return PR.slice_checksums_lineitem(
+        _t(spark, sf_dir, "lineitem"), "1999-01-01", "2002-01-01")
+
+
+def q_probe_ord_9596(spark, sf_dir):
+    return PR.slice_checksums_orders(
+        _t(spark, sf_dir, "orders"), "1995-01-01", "1997-01-01")
+
+
+def q_probe_ord_97q123(spark, sf_dir):
+    # covers tpch_q4's GREEN quarter
+    return PR.slice_checksums_orders(
+        _t(spark, sf_dir, "orders"), "1997-01-01", "1997-10-01")
+
+
+def q_probe_ord_97q4(spark, sf_dir):
+    # tpch_q10's RED quarter
+    return PR.slice_checksums_orders(
+        _t(spark, sf_dir, "orders"), "1997-10-01", "1998-01-01")
+
+
+def q_probe_ord_98p(spark, sf_dir):
+    return PR.slice_checksums_orders(
+        _t(spark, sf_dir, "orders"), "1998-01-01", "2002-01-01")
+
+
+def q_probe_ev_values(spark, sf_dir):
+    return PR.events_value_checksums(_t(spark, sf_dir, "events"))
+
+
+def q_probe_ev_epoch(spark, sf_dir):
+    return PR.events_epoch_checksums(_t(spark, sf_dir, "events"))
+
+
+def q_probe_pred_domains(spark, sf_dir):
+    return PR.predicate_domains(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"))
+
+
+def q_probe_round_canary(spark, sf_dir):
+    return PR.engine_round_canary(spark)
+
+
+def q_probe_libm_canary(spark, sf_dir):
+    return PR.engine_libm_canary(spark)
+
+
+def q_probe_hash_canary(spark, sf_dir):
+    return PR.engine_hash_canary(spark)
+
+
+def q_probe_render_canary(spark, sf_dir):
+    return PR.engine_render_canary(spark)
+
+
+def q_probe_env_tz(spark, sf_dir):
+    return PR.env_session_tz(spark)
+
+
+def q_probe_env_versions(spark, sf_dir):
+    return PR.env_spark_version(spark).crossJoin(
+        PR.env_duckdb_version(spark))
+
 
 _WINDOW_PRIORITY = [
-    # Round-6 window (first 50), per VERDICT r5 #4: the three round-5
-    # driver-red keys first (root cause fixed this round — NS-parquet
-    # bridge now rebuilds TIMESTAMP_NTZ, nelson-aalen emits exact
-    # integer ppm — the driver must re-prove them), then the two keys
-    # ADVICE flagged as appended outside the r5 window, then 35
-    # never-driver-verified keys prioritizing timestamp-sensitive
-    # inputs (the NS/LTZ class) and midpoint-prone rounded rationals
-    # (the last-ulp class — all converted to exact integer devices
-    # this round), then the 10 round-6 operators added before the
-    # window froze (mcnemar .. vocab_growth). Round-6 keys added
-    # after the freeze plus the keys displaced by the additions sit
-    # immediately after the marker — first in line for the r7 window.
-    # Duplicates later in this list are ignored (first occurrence
+    # Round-7 window (first 50), per VERDICT r6 #1/#2: 19 driver-
+    # environment probes (integer-exact data checksums over the date
+    # slices bracketing the red/green TPC-H split, epoch/sub-second
+    # fingerprints, predicate-domain comparisons, literals-only
+    # round/libm/md5/render canaries, env reporters — see
+    # operators/probes.py), then the 10 driver-red keys unchanged for
+    # re-measurement, then 3 green controls adjacent to the reds, then
+    # the 18 round-6 post-freeze keys that have never had a driver
+    # row. Duplicates later in this list are ignored (first occurrence
     # wins).
+    # --- probes (19) ---
+    "probe_env_tz",
+    "probe_env_versions",
+    "probe_round_canary",
+    "probe_libm_canary",
+    "probe_hash_canary",
+    "probe_render_canary",
+    "probe_pred_domains",
+    "probe_li_9596",
+    "probe_li_97h1",
+    "probe_li_97q3",
+    "probe_li_97q4",
+    "probe_li_98",
+    "probe_li_99p",
+    "probe_ord_9596",
+    "probe_ord_97q123",
+    "probe_ord_97q4",
+    "probe_ord_98p",
+    "probe_ev_values",
+    "probe_ev_epoch",
+    # --- the 10 r6 driver-red keys, unchanged (re-measure) ---
     "ext_cumulative_users",
     "ext_bloom_semijoin",
     "ext_nelson_aalen",
-    "ext_abc_classification",
-    "ext_funnel_conversion_ci",
-    # never-driver-verified, date/timestamp-sensitive (o_orderdate /
-    # l_shipdate / events.ts are NS-typed on the driver's box)
+    "ext_kaplan_meier",
     "tpch_q3",
-    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
-    "tpch_q8",
     "tpch_q10",
     "tpch_q12",
+    # --- green controls adjacent to the reds ---
+    "tpch_q4",
     "tpch_q14",
     "tpch_q15",
+    # --- round-6 post-freeze keys (never driver-verified) ---
+    "ext_burst_windows",
+    "ext_lorenz_curve",
+    "ext_peak_concurrency",
+    "llm_dup_cluster_sizes",
+    "ext_hhi",
+    "ext_runs_test",
+    "llm_lang_confusion",
+    "mm_exact_dedup",
+    "ext_incremental_agg",
+    "ext_event_transitions",
+    "ext_duplicate_events",
+    "ext_gini",
+    "ext_concentration",
+    "ext_heavy_hitters",
+    "ext_hll_distinct",
+    "ext_cms_term_counts",
+    "ext_quantile_summary",
+    "ext_window_suite",
+    # --- end round-7 window (50) ---
+    # displaced round-6-window keys (all driver-green r6) and the
+    # remainder keep their prior relative order below.
+    "ext_abc_classification",
+    "ext_funnel_conversion_ci",
+    "tpch_q8",
     "ext_funnel_step_times",
     "ext_seasonal_profile",
     "ext_autocorrelation",
@@ -5199,9 +5338,7 @@ _WINDOW_PRIORITY = [
     "s10_cdc_snapshot_at",
     "s10_snapshot_diff",
     "ext_grouped_trend",
-    # never-driver-verified, rounded-double / float-arith outputs
     "ext_ab_test",
-    "ext_kaplan_meier",
     "ext_jackknife_ci",
     "ext_cohens_kappa",
     "ext_benford",
@@ -5210,7 +5347,6 @@ _WINDOW_PRIORITY = [
     "eval_ndcg",
     "eval_calibration",
     "llm_tfidf_cosine_topk",
-    # new this round (no driver row yet - windowed per ADVICE r5):
     "ext_mcnemar",
     "ext_cramers_v",
     "ext_fleiss_kappa",
@@ -5221,17 +5357,6 @@ _WINDOW_PRIORITY = [
     "ext_odds_ratio",
     "ext_weibull_fit",
     "llm_vocab_growth",
-    # --- end round-6 window (50) ---
-    # new this round, outside the full window - first in line for r7:
-    "ext_burst_windows",
-    "ext_lorenz_curve",
-    "ext_peak_concurrency",
-    "llm_dup_cluster_sizes",
-    "ext_hhi",
-    "ext_runs_test",
-    "llm_lang_confusion",
-    "mm_exact_dedup",
-    "ext_incremental_agg",
     "ext_event_transitions",
     "ext_duplicate_events",
     "ext_gini",
@@ -5797,6 +5922,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_odds_ratio": q_odds_ratio,
         "ext_weibull_fit": q_weibull_fit,
         "llm_vocab_growth": q_vocab_growth,
+        # round-7 driver-environment probes (operators/probes.py)
+        "probe_env_tz": q_probe_env_tz,
+        "probe_env_versions": q_probe_env_versions,
+        "probe_round_canary": q_probe_round_canary,
+        "probe_libm_canary": q_probe_libm_canary,
+        "probe_hash_canary": q_probe_hash_canary,
+        "probe_render_canary": q_probe_render_canary,
+        "probe_pred_domains": q_probe_pred_domains,
+        "probe_li_9596": q_probe_li_9596,
+        "probe_li_97h1": q_probe_li_97h1,
+        "probe_li_97q3": q_probe_li_97q3,
+        "probe_li_97q4": q_probe_li_97q4,
+        "probe_li_98": q_probe_li_98,
+        "probe_li_99p": q_probe_li_99p,
+        "probe_ord_9596": q_probe_ord_9596,
+        "probe_ord_97q123": q_probe_ord_97q123,
+        "probe_ord_97q4": q_probe_ord_97q4,
+        "probe_ord_98p": q_probe_ord_98p,
+        "probe_ev_values": q_probe_ev_values,
+        "probe_ev_epoch": q_probe_ev_epoch,
     }
     _pri = [k for k in _WINDOW_PRIORITY if k in d]
     return {k: d[k] for k in _pri + [k for k in d if k not in set(_pri)]}
@@ -13377,5 +13522,157 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             WHERE cnt * 100 > _n
             ORDER BY cnt DESC, term ASC
+        """,
+        # --- round-7 driver-environment probes (operators/probes.py).
+        # Every oracle is a literal restatement of the Spark expression;
+        # a driver red on any probe is diagnostic signal (see module
+        # docstring), not an engine defect.
+        "probe_env_tz": "SELECT 'UTC' AS tz_name",
+        "probe_env_versions": """
+            SELECT '4.1.2' AS spark_semver,
+                   substr(version(), 2) AS duck_semver
+        """,
+        "probe_round_canary": """
+            SELECT
+              cast(round(2.5E0)  as bigint) AS r_half_pos,
+              cast(round(-2.5E0) as bigint) AS r_half_neg,
+              cast(round(0.49999999999999994E0) as bigint) AS r_below_half,
+              cast(round(2.675E0, 2) * 1000 as bigint) AS r_2675_2,
+              cast(round(1.045E0, 2) * 1000 as bigint) AS r_1045_2,
+              cast(round(1234.5E0) as bigint) AS r_12345,
+              cast(round(8771.19E0 * 0.07E0 * 10000) as bigint) AS r_e4_device,
+              cast(round(4503599627370496.5E0) as bigint) AS r_big_mid,
+              cast(round((0.1E0 + 0.2E0) * 1E17) as bigint) AS r_dbl_sum
+        """,
+        "probe_libm_canary": """
+            SELECT
+              cast(round(ln(3E0)    * 1E12) as bigint) AS ln3_e12,
+              cast(round(ln(7E0)    * 1E12) as bigint) AS ln7_e12,
+              cast(round(ln(1E0 + 0.123456789E0) * 1E12) as bigint) AS log1p_e12,
+              cast(round(exp(1.5E0) * 1E12) as bigint) AS exp15_e12,
+              cast(round(sqrt(7E0)  * 1E12) as bigint) AS sqrt7_e12,
+              cast(round(power(1.1E0, 7.3E0) * 1E12) as bigint) AS pow_e12,
+              cast(round(sin(1E0)   * 1E12) as bigint) AS sin1_e12,
+              cast(round(atan2(1E0, 2E0) * 1E12) as bigint) AS atan2_e12
+        """,
+        "probe_hash_canary": """
+            SELECT
+              ('0x' || substr(md5('12345'), 1,  6))::BIGINT % 4096 AS bit_a0,
+              ('0x' || substr(md5('12345'), 7,  6))::BIGINT % 4096 AS bit_a1,
+              ('0x' || substr(md5('12345'), 13, 6))::BIGINT % 4096 AS bit_a2,
+              ('0x' || substr(md5('98765'), 1,  6))::BIGINT % 4096 AS bit_b0,
+              ('0x' || substr(md5('alpha'), 1,  6))::BIGINT % 256  AS bucket_alpha,
+              ('0x' || substr(md5(''),      1,  6))::BIGINT % 256  AS bucket_empty
+        """,
+        "probe_render_canary": """
+            SELECT
+              TIMESTAMP '1997-10-01 12:34:56.789' AS ts_ntz,
+              DATE '1997-10-01' AS d_val,
+              'MIXED case; punct!' AS s_val,
+              cast(0.25E0 as double) AS dbl_exact,
+              cast(0.1E0 as double) + cast(0.2E0 as double) AS dbl_inexact,
+              cast(9007199254740993 as bigint) AS big_53
+        """,
+        "probe_pred_domains": """
+            WITH li AS (
+                SELECT
+                  sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01'
+                           THEN 1 ELSE 0 END)::BIGINT AS li_lit,
+                  sum(CASE WHEN epoch_us(l_shipdate) >= 852076800000000
+                            AND epoch_us(l_shipdate) <  883612800000000
+                           THEN 1 ELSE 0 END)::BIGINT AS li_epoch,
+                  sum(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                            AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+                           THEN 1 ELSE 0 END)::BIGINT AS li_date,
+                  sum(CASE WHEN strftime(l_shipdate, '%Y-%m-%d')
+                                BETWEEN '1997-01-01' AND '1997-12-31'
+                           THEN 1 ELSE 0 END)::BIGINT AS li_str
+                FROM lineitem
+            ),
+            od AS (
+                SELECT
+                  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-10-01'
+                            AND o_orderdate <  TIMESTAMP '1998-01-01'
+                           THEN 1 ELSE 0 END)::BIGINT AS ord_lit,
+                  sum(CASE WHEN epoch_us(o_orderdate) >= 875664000000000
+                            AND epoch_us(o_orderdate) <  883612800000000
+                           THEN 1 ELSE 0 END)::BIGINT AS ord_epoch
+                FROM orders
+            )
+            SELECT li.*, od.* FROM li, od
+        """,
+        **{
+            key: f"""
+            SELECT count(*)::BIGINT AS n,
+                   coalesce(sum((l_orderkey * 97 + l_partkey * 89
+                                 + l_suppkey * 83 + l_linenumber * 79)
+                                % 1000000007), 0)::BIGINT AS ck_key,
+                   coalesce(sum(cast(round(l_extendedprice * 100) as bigint)),
+                            0)::BIGINT AS ck_price_e2,
+                   coalesce(sum(cast(round(l_discount * 100) as bigint)),
+                            0)::BIGINT AS ck_disc_e2,
+                   coalesce(sum(cast(round(l_quantity) as bigint)),
+                            0)::BIGINT AS ck_qty,
+                   coalesce(sum(datediff('day', DATE '1970-01-01',
+                                         CAST(l_shipdate AS DATE))),
+                            0)::BIGINT AS ck_day,
+                   coalesce(sum(ascii(l_returnflag) * 256
+                                + ascii(l_linestatus)), 0)::BIGINT AS ck_flag
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{lo}'
+              AND l_shipdate <  TIMESTAMP '{hi}'
+            """
+            for key, lo, hi in [
+                ("probe_li_9596", "1995-01-01", "1997-01-01"),
+                ("probe_li_97h1", "1997-01-01", "1997-07-01"),
+                ("probe_li_97q3", "1997-07-01", "1997-10-01"),
+                ("probe_li_97q4", "1997-10-01", "1998-01-01"),
+                ("probe_li_98", "1998-01-01", "1999-01-01"),
+                ("probe_li_99p", "1999-01-01", "2002-01-01"),
+            ]
+        },
+        **{
+            key: f"""
+            SELECT count(*)::BIGINT AS n,
+                   coalesce(sum((o_orderkey * 97 + o_custkey * 89)
+                                % 1000000007), 0)::BIGINT AS ck_key,
+                   coalesce(sum(cast(round(o_totalprice * 100) as bigint)),
+                            0)::BIGINT AS ck_price_e2,
+                   coalesce(sum(datediff('day', DATE '1970-01-01',
+                                         CAST(o_orderdate AS DATE))),
+                            0)::BIGINT AS ck_day,
+                   coalesce(sum(ascii(o_orderstatus)), 0)::BIGINT AS ck_status,
+                   coalesce(sum(length(o_orderpriority)), 0)::BIGINT AS ck_prio
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{lo}'
+              AND o_orderdate <  TIMESTAMP '{hi}'
+            """
+            for key, lo, hi in [
+                ("probe_ord_9596", "1995-01-01", "1997-01-01"),
+                ("probe_ord_97q123", "1997-01-01", "1997-10-01"),
+                ("probe_ord_97q4", "1997-10-01", "1998-01-01"),
+                ("probe_ord_98p", "1998-01-01", "2002-01-01"),
+            ]
+        },
+        "probe_ev_values": """
+            SELECT count(*)::BIGINT AS n,
+                   sum(event_id % 1000000007)::BIGINT AS ck_id,
+                   sum(user_id % 1000000007)::BIGINT AS ck_user,
+                   sum(cast(round(value * 10000) as bigint))::BIGINT
+                       AS ck_value_e4,
+                   sum(length(event_type))::BIGINT AS ck_type,
+                   sum(length(coalesce(props, '')))::BIGINT AS ck_props
+            FROM events
+        """,
+        "probe_ev_epoch": """
+            SELECT count(*)::BIGINT AS n,
+                   sum(epoch_us(ts) - 1704067200000000)::BIGINT AS sum_off_us,
+                   sum(epoch_us(ts) % 1000000)::BIGINT AS sum_tail_us,
+                   sum((epoch_us(ts) - 1704067200000000)
+                       // 86400000000)::BIGINT AS sum_day,
+                   min(epoch_us(ts) - 1704067200000000)::BIGINT AS min_off_us,
+                   max(epoch_us(ts) - 1704067200000000)::BIGINT AS max_off_us
+            FROM events
         """,
     }

@@ -545,16 +545,24 @@ def fuzzy_decontaminate(
     _frac = Fraction(str(threshold))
 
     from streaming_demos_spark.operators.dedup import (
-        _shingled,
-        jaccard_shingles,
-        minhash_bands,
+        _bands_from_sig,
+        _distinct_shingled,
+        minhash_signature,
     )
 
-    cb = minhash_bands(
-        corpus, text_col, id_col, num_hashes, band_rows, shingle_k
+    # shingle + distinct each side ONCE into a persisted projection
+    # shared by its band builder and its verify side (the round-6
+    # layout re-shingled the corpus for the verify — a second full
+    # corpus pass; see dedup._distinct_shingled)
+    ds_c = _distinct_shingled(corpus, text_col, id_col, shingle_k)
+    ds_b = _distinct_shingled(benchmark, text_col, id_col, shingle_k)
+    cb = _bands_from_sig(
+        ds_c.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        id_col, num_hashes, band_rows,
     ).select(F.col(id_col).alias("_cid"), "band_id", "band_hash")
-    bb_all = minhash_bands(
-        benchmark, text_col, id_col, num_hashes, band_rows, shingle_k
+    bb_all = _bands_from_sig(
+        ds_b.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        id_col, num_hashes, band_rows,
     )
     cb = cb.join(
         F.broadcast(bb_all.select("band_id", "band_hash").distinct()),
@@ -574,27 +582,19 @@ def fuzzy_decontaminate(
         .select("_cid", "_bid")
         .distinct()
     )
-    sh_c = _shingled(corpus, text_col, id_col, shingle_k).select(
-        F.col(id_col).alias("_cid"), F.col("shingles").alias("_shc")
+    sh_c = ds_c.select(
+        F.col(id_col).alias("_cid"),
+        F.col("_ds").alias("_shc"),
+        F.col("_n").alias("_nc"),
     )
-    sh_b = _shingled(benchmark, text_col, id_col, shingle_k).select(
-        F.col(id_col).alias("_bid"), F.col("shingles").alias("_shb")
+    sh_b = ds_b.select(
+        F.col(id_col).alias("_bid"),
+        F.col("_ds").alias("_shb"),
+        F.col("_n").alias("_nb"),
     )
     hits = (
-        cand.join(
-            sh_c.select(
-                "_cid", F.array_distinct("_shc").alias("_shc")
-            ).select("_cid", "_shc", F.size("_shc").alias("_nc")),
-            "_cid",
-        )
-        .join(
-            F.broadcast(
-                sh_b.select(
-                    "_bid", F.array_distinct("_shb").alias("_shb")
-                ).select("_bid", "_shb", F.size("_shb").alias("_nb"))
-            ),
-            "_bid",
-        )
+        cand.join(sh_c, "_cid")
+        .join(F.broadcast(sh_b), "_bid")
         # single-intersect filter first (Catalyst substitutes aliases
         # into every reference), then survivors-only e4 similarity —
         # the rounded-double form flips on midpoints across builds

@@ -51,6 +51,34 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
         )
     )
 
+
+def _distinct_shingled(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, _ds, _n): distinct shingle array + size, computed ONCE and
+    persisted (MEMORY_AND_DISK) so the band builder and both sides of
+    the exact-Jaccard verify read one materialization instead of
+    re-scanning + re-shingling the corpus per plan subtree (Catalyst
+    does not share common subtrees across joins — the round-6 layout
+    paid up to three shingle passes per near-dup query, the measured
+    2-3x bench regression on the dedup family).
+
+    Correctness is unchanged: minhash over ``_ds`` equals minhash over
+    the raw shingle multiset (min is duplicate-blind), and the verify
+    already used distinct semantics.
+
+    Scale note: the cached projection is the distinct-shingle corpus —
+    at ingest-scale runs the band index is pre-materialized in a store
+    (see ``incremental_near_dup``) and this cache covers only the
+    working partition of a query; MEMORY_AND_DISK spills rather than
+    evicting under pressure."""
+    from pyspark import StorageLevel
+
+    ds = _shingled(docs, text_col, id_col, k).select(
+        F.col(id_col), F.array_distinct("shingles").alias("_ds")
+    ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
+    return ds.persist(StorageLevel.MEMORY_AND_DISK)
+
 # --- exact dedup -------------------------------------------------------------
 
 
@@ -182,6 +210,15 @@ def minhash_bands(
     """
     sh = _shingled(docs, text_col, id_col, shingle_k)
     sig = sh.select(F.col(id_col), *minhash_signature("shingles", num_hashes))
+    return _bands_from_sig(sig, id_col, num_hashes, band_rows)
+
+
+def _bands_from_sig(
+    sig: DataFrame, id_col: str, num_hashes: int, band_rows: int
+) -> DataFrame:
+    """Cut an (id, mh_0..mh_{n-1}) signature frame into
+    (id, band_id, band_hash) rows — shared by the one-pass public
+    ``minhash_bands`` and the cached-shingle near-dup paths."""
     n_bands = num_hashes // band_rows
     bands = []
     for b in range(n_bands):
@@ -217,7 +254,10 @@ def minhash_near_dup_pairs(
     n-gram-Jaccard verification.
 
     Plan shape (the 100 TB path):
-      1. map: shingle + minhash every doc (no shuffle),
+      1. map: shingle + distinct ONCE per doc into a persisted
+         projection (``_distinct_shingled``) that feeds both the
+         signature/bands and the verify sides — one corpus pass, not
+         three,
       2. shuffle 1: groupBy (band_id, band_hash) — bucket join produces
          candidate pairs only within buckets; buckets over
          ``max_bucket`` docs are dropped (boilerplate guard, keeps the
@@ -225,7 +265,9 @@ def minhash_near_dup_pairs(
       3. map: exact Jaccard on the candidate pairs, threshold filter.
     No crossJoin anywhere; candidate count ≈ Σ bucket²  ≤ buckets·cap².
     """
-    bands = minhash_bands(docs, text_col, id_col, num_hashes, band_rows, shingle_k)
+    ds = _distinct_shingled(docs, text_col, id_col, shingle_k)
+    sig = ds.select(F.col(id_col), *minhash_signature("_ds", num_hashes))
+    bands = _bands_from_sig(sig, id_col, num_hashes, band_rows)
     # Bound bucket size: count per bucket, drop oversize (noise guard).
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
@@ -245,14 +287,8 @@ def minhash_near_dup_pairs(
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
-    # distinct ONCE per document and carry the per-doc size, so the
-    # per-pair verify evaluates a single array_intersect (the arrays
-    # are the dominant per-row cost — re-deriving distinct/size per
-    # pair-side costs ~1.4x on the whole pipeline)
-    ds = _shingled(docs, text_col, id_col, shingle_k).select(
-        F.col(id_col),
-        F.array_distinct("shingles").alias("_ds"),
-    ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
+    # the verify sides read the SAME persisted distinct-shingle
+    # projection the bands were built from — no second corpus pass
     a = ds.select(
         F.col(id_col).alias("doc_a"),
         F.col("_ds").alias("sh_a"),
@@ -879,9 +915,9 @@ def incremental_near_dup(
     """Incremental NEAR-duplicate check of a new batch against an
     existing corpus — the fuzzy counterpart of ``incremental_dedup``
     and the real crawl-refresh shape: the base corpus's band index is
-    computed once (at 100 TB it is PRE-MATERIALIZED at ingest and this
-    function's ``minhash_bands(base)`` is just a scan of that store),
-    and only the delta is shingled/hashed fresh.
+    computed once (at 100 TB it is PRE-MATERIALIZED at ingest and the
+    base-side banding here is just a scan of that store), and only the
+    delta is shingled/hashed fresh.
 
     Candidate generation is a two-table equality join on
     (band_id, band_hash) — delta rows meet only the base rows in their
@@ -891,11 +927,15 @@ def incremental_near_dup(
     n-gram Jaccard. Output: (new_id, base_id, jaccard) for every delta
     doc with a qualifying near-dup already in the corpus — the rows a
     refresh pipeline REJECTS before append."""
-    nb = minhash_bands(
-        new_docs, text_col, id_col, num_hashes, band_rows, shingle_k
+    ds_new = _distinct_shingled(new_docs, text_col, id_col, shingle_k)
+    ds_base = _distinct_shingled(base_docs, text_col, id_col, shingle_k)
+    nb = _bands_from_sig(
+        ds_new.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        id_col, num_hashes, band_rows,
     ).select("band_id", "band_hash", F.col(id_col).alias("new_id"))
-    bb = minhash_bands(
-        base_docs, text_col, id_col, num_hashes, band_rows, shingle_k
+    bb = _bands_from_sig(
+        ds_base.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        id_col, num_hashes, band_rows,
     )
     bb = bb.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
@@ -907,24 +947,21 @@ def incremental_near_dup(
         .select("new_id", "base_id")
         .distinct()
     )
-    sh_new = _shingled(new_docs, text_col, id_col, shingle_k).select(
-        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a")
-    )
-    sh_base = _shingled(base_docs, text_col, id_col, shingle_k).select(
-        F.col(id_col).alias("base_id"), F.col("shingles").alias("sh_b")
-    )
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
-    # distinct + size once per side (see minhash_near_dup_pairs)
-    sh_new = sh_new.select(
-        "new_id",
-        F.array_distinct("sh_a").alias("sh_a"),
-    ).select("new_id", "sh_a", F.size("sh_a").alias("_na"))
-    sh_base = sh_base.select(
-        "base_id",
-        F.array_distinct("sh_b").alias("sh_b"),
-    ).select("base_id", "sh_b", F.size("sh_b").alias("_nb"))
+    # verify sides read the SAME persisted distinct-shingle projections
+    # the bands were built from (see minhash_near_dup_pairs)
+    sh_new = ds_new.select(
+        F.col(id_col).alias("new_id"),
+        F.col("_ds").alias("sh_a"),
+        F.col("_n").alias("_na"),
+    )
+    sh_base = ds_base.select(
+        F.col(id_col).alias("base_id"),
+        F.col("_ds").alias("sh_b"),
+        F.col("_n").alias("_nb"),
+    )
     # single-intersect filter first (see minhash_near_dup_pairs), then
     # the survivors-only projection recomputes the (cheap) remainder
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

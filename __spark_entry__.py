@@ -9191,11 +9191,13 @@ def oracle_sql() -> dict[str, str]:
             tot AS (
                 SELECT sum(t) AS n_treated, sum(1 - t) AS n_control,
                        sum(CASE WHEN t = 1
-                                THEN (y * 10000 * 2 + p) // (2 * p)
+                                THEN (CASE WHEN y < 0 THEN -1 ELSE 1 END)
+                                     * ((abs(y) * 10000 * 2 + p) // (2 * p))
                                 ELSE 0 END) AS wt,
                        sum(CASE WHEN t = 0
-                                THEN (y * 10000 * 2 + (10000 - p))
-                                     // (2 * (10000 - p))
+                                THEN (CASE WHEN y < 0 THEN -1 ELSE 1 END)
+                                     * ((abs(y) * 10000 * 2 + (10000 - p))
+                                        // (2 * (10000 - p)))
                                 ELSE 0 END) AS wc,
                        count(*) AS n
                 FROM sc
@@ -11632,29 +11634,32 @@ def oracle_sql() -> dict[str, str]:
             qs AS (SELECT s AS qsh FROM sh WHERE doc_id = 0),
             jac AS (
                 SELECT sh.doc_id,
-                       round(len(list_intersect(s, qsh))::DOUBLE
-                             / (len(s) + len(qsh)
-                                - len(list_intersect(s, qsh))), 6)
-                           AS jaccard
+                       (len(list_intersect(s, qsh)) * 10000 * 2
+                        + (len(s) + len(qsh)
+                           - len(list_intersect(s, qsh))))
+                       // (2 * (len(s) + len(qsh)
+                                - len(list_intersect(s, qsh))))
+                           AS jaccard_e4
                 FROM sh CROSS JOIN qs
                 WHERE sh.doc_id <> 0
                   AND len(list_intersect(s, qsh)) > 0
             ),
             r2 AS (
-                SELECT doc_id, jaccard,
-                       row_number() OVER (ORDER BY jaccard DESC, doc_id)
+                SELECT doc_id, jaccard_e4,
+                       row_number() OVER (ORDER BY jaccard_e4 DESC, doc_id)
                            AS rk2
                 FROM jac
                 QUALIFY rk2 <= 20
             )
             SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
                    coalesce(cosine, 0.0::DOUBLE) AS cosine,
-                   coalesce(jaccard, 0.0::DOUBLE) AS jaccard,
-                   round(coalesce(1.0 / (60 + rk1), 0.0::DOUBLE)
-                         + coalesce(1.0 / (60 + rk2), 0.0::DOUBLE), 6)
-                       AS rrf_score
+                   coalesce(jaccard_e4, 0)::BIGINT AS jaccard_e4,
+                   (coalesce((1000000 * 2 + (60 + rk1))
+                             // (2 * (60 + rk1)), 0)
+                    + coalesce((1000000 * 2 + (60 + rk2))
+                               // (2 * (60 + rk2)), 0))::BIGINT AS rrf_e6
             FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
-            ORDER BY rrf_score DESC, doc_id
+            ORDER BY rrf_e6 DESC, doc_id
             LIMIT 10
         """,
         "llm_dataset_card": """

@@ -408,6 +408,13 @@ def hybrid_rerank(
     shingle set rides a 1-row broadcast crossJoin and overlap is
     ``array_intersect`` per document, so no shingle-keyed shuffle
     exists anywhere.
+
+    Determinism: Jaccard (i/u) and the RRF terms (1/(rrf_k+rank)) are
+    RATIONAL quotients — a 6-dp rounding of a rational can land ON a
+    decimal midpoint where engine builds disagree by the final digit —
+    so both are emitted as exact half-up integers (``jaccard_e4``,
+    ``rrf_e6``); cosine keeps the rounded-double form (its sqrt-normed
+    rounding digit is noise, never a midpoint).
     """
     from pyspark.sql import Window
 
@@ -433,35 +440,51 @@ def hybrid_rerank(
             F.col("_sh").alias("_qsh")
         )
     )
-    ov = F.size(F.array_intersect("_sh", "_qsh"))
-    jac = F.round(
-        ov / (F.size("_sh") + F.size("_qsh") - ov).cast("double"), 6
-    )
     lex = (
         sh.filter(F.col(id_col) != query_id)
         .crossJoin(qsh)
-        .select(F.col(id_col), jac.alias("jaccard"))
-        .filter(F.col("jaccard") > 0)
-        .orderBy(F.desc("jaccard"), F.asc(id_col))
+        .select(
+            F.col(id_col),
+            F.size(F.array_intersect("_sh", "_qsh")).alias("_i"),
+            (F.size("_sh") + F.size("_qsh")).alias("_ab"),
+        )
+        .filter(F.col("_i") > 0)
+        .select(
+            F.col(id_col),
+            F.expr(
+                "(_i * 10000 * 2 + (_ab - _i)) div (2 * (_ab - _i))"
+            ).alias("jaccard_e4"),
+        )
+        .orderBy(F.desc("jaccard_e4"), F.asc(id_col))
         .limit(k_candidates)
     )
-    w_lex = Window.orderBy(F.desc("jaccard"), F.asc(id_col))
+    w_lex = Window.orderBy(F.desc("jaccard_e4"), F.asc(id_col))
     r2 = lex.withColumn("_r2", F.row_number().over(w_lex))
 
-    # component scores coalesce to 0.0 when the candidate missed that
+    # component scores coalesce to 0 when the candidate missed that
     # list's top-k — a measured-score floor that keeps the output frame
     # NULL-free (both metrics are nonnegative)
+    kk = int(rrf_k)
     fused = r1.join(r2, id_col, "full").select(
         F.col(id_col),
         F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
-        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
-        F.round(
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_r1")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_r2")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
+        F.coalesce("jaccard_e4", F.lit(0)).cast("long").alias("jaccard_e4"),
+        (
+            F.coalesce(
+                F.expr(
+                    f"(1000000 * 2 + ({kk} + _r1)) div (2 * ({kk} + _r1))"
+                ),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(
+                    f"(1000000 * 2 + ({kk} + _r2)) div (2 * ({kk} + _r2))"
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("rrf_e6"),
     )
-    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+    return fused.orderBy(F.desc("rrf_e6"), F.asc(id_col)).limit(k)
 
 
 def ppmi_word_vectors(

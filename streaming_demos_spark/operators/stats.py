@@ -53,6 +53,9 @@ __all__ = [
     "cramers_v",
     "fleiss_kappa",
     "iptw_ate",
+    "cochran_q",
+    "odds_ratio",
+    "runs_test",
 ]
 
 
@@ -1246,12 +1249,16 @@ def proportion_power(
     return agg.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
-        F.expr("(_sa * 1000000 * 2 + _na) div (2 * _na)").alias(
-            "rate_a_e6"
-        ),
-        F.expr("(_sb * 1000000 * 2 + _nb) div (2 * _nb)").alias(
-            "rate_b_e6"
-        ),
+        # decimal(38,0) guards like the diff below: plain-BIGINT
+        # _sa*1000000*2 overflows at ~4.6e12 successes
+        F.expr(
+            "(cast(_sa as decimal(38,0)) * 1000000 * 2 + _na)"
+            " div (2 * _na)"
+        ).cast("long").alias("rate_a_e6"),
+        F.expr(
+            "(cast(_sb as decimal(38,0)) * 1000000 * 2 + _nb)"
+            " div (2 * _nb)"
+        ).cast("long").alias("rate_b_e6"),
         (
             F.when(d_num < 0, F.lit(-1)).otherwise(F.lit(1))
             * F.expr(
@@ -1760,8 +1767,8 @@ def mcnemar_test(
     NULL statistic rather than a divide-by-zero (ANSI-safe).
     """
     per = df.groupBy(F.col(unit_col).alias("_u")).agg(
-        F.max(flag_a.cast("int")).alias("_a"),
-        F.max(flag_b.cast("int")).alias("_b"),
+        F.coalesce(F.max(flag_a.cast("int")), F.lit(0)).alias("_a"),
+        F.coalesce(F.max(flag_b.cast("int")), F.lit(0)).alias("_b"),
     )
     tot = per.agg(
         F.count("*").alias("n_units"),
@@ -1970,7 +1977,7 @@ def iptw_ate(
     wsum_treated_cents, wsum_control_cents, ate_cents) — exact BIGINTs.
     """
     per = df.groupBy(F.col(unit_col).alias("_u")).agg(
-        F.max(treated.cast("int")).alias("_t"),
+        F.coalesce(F.max(treated.cast("int")), F.lit(0)).alias("_t"),
         F.sum(outcome_cents).alias("_y"),
         F.sum(exposure_count).alias("_x"),
     )
@@ -1981,9 +1988,19 @@ def iptw_ate(
         p_e4.cast("long").alias("_p"),
     )
     # per-unit weighted outcome: y/p (treated) or y/(1-p) (control),
-    # half-up at the e4 propensity scale -> exact integer cents.
-    w_t = F.expr("(_y * 10000 * 2 + _p) div (2 * _p)")
-    w_c = F.expr("(_y * 10000 * 2 + (10000 - _p)) div (2 * (10000 - _p))")
+    # half-up at the e4 propensity scale -> exact integer cents. The
+    # abs+sign split keeps the integer division on non-negative
+    # operands: Spark div truncates toward zero while DuckDB //
+    # floors, so a negative _y (refunds) would otherwise diverge by 1.
+    w_t = F.expr(
+        "(case when _y < 0 then -1 else 1 end)"
+        " * ((abs(_y) * 10000 * 2 + _p) div (2 * _p))"
+    )
+    w_c = F.expr(
+        "(case when _y < 0 then -1 else 1 end)"
+        " * ((abs(_y) * 10000 * 2 + (10000 - _p))"
+        " div (2 * (10000 - _p)))"
+    )
     tot = scored.agg(
         F.sum(F.col("_t").cast("long")).alias("n_treated"),
         F.sum((1 - F.col("_t")).cast("long")).alias("n_control"),
@@ -2029,7 +2046,8 @@ def cochran_q(
     """
     k = len(flags)
     per = df.groupBy(F.col(unit_col).alias("_u")).agg(
-        *[F.max(c.cast("int")).alias(f"_f{i}") for i, c in enumerate(flags.values())]
+        *[F.coalesce(F.max(c.cast("int")), F.lit(0)).alias(f"_f{i}")
+          for i, c in enumerate(flags.values())]
     )
     r = sum((F.col(f"_f{i}") for i in range(1, k)), F.col("_f0"))
     tot = per.agg(
@@ -2081,8 +2099,8 @@ def odds_ratio(
     (any of b·c = 0 for OR, denominators 0 for RR) yield NULLs.
     """
     per = df.groupBy(F.col(unit_col).alias("_u")).agg(
-        F.max(exposed.cast("int")).alias("_e"),
-        F.max(outcome.cast("int")).alias("_o"),
+        F.coalesce(F.max(exposed.cast("int")), F.lit(0)).alias("_e"),
+        F.coalesce(F.max(outcome.cast("int")), F.lit(0)).alias("_o"),
     )
     tot = per.agg(
         F.sum(((F.col("_e") == 1) & (F.col("_o") == 1)).cast("long")).alias("a"),

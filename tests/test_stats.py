@@ -492,3 +492,57 @@ def test_herfindahl_even_vs_monopoly(spark):
            for r in herfindahl_index(df, "g", "k", "v").collect()}
     assert out["even"] == 250000     # 4 * (1/4)^2
     assert out["mono"] == 1000000    # one key holds everything
+
+
+def test_iptw_ate_negative_outcome_matches_floor_oracle(spark):
+    # refunds: a negative per-unit outcome must divide identically to
+    # the DuckDB // (floor) oracle — the abs+sign device keeps the
+    # integer division on non-negative operands in both engines.
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import iptw_ate
+
+    rows = [
+        (1, "click", 0.0),
+        (1, "purchase", -7.77),   # treated refund
+        (2, "purchase", -5.0),    # control refund
+    ]
+    df = spark.createDataFrame(rows, "u long, ev string, value double")
+    r = iptw_ate(
+        df,
+        "u",
+        treated=F.col("ev") == "click",
+        outcome_cents=F.when(
+            F.col("ev") == "purchase",
+            F.expr("cast(round(value * 100) as bigint)"),
+        ).otherwise(F.lit(0).cast("bigint")),
+        exposure_count=F.lit(1).cast("long"),
+    ).collect()[0]
+    # treated: y=-777, p=500 -> -round(777*1e4/500) = -15540
+    assert r.wsum_treated_cents == -15540
+    # control: y=-500, 1-p=9500 -> -round(500*1e4/9500) = -526
+    assert r.wsum_control_cents == -526
+    # ate = (-15540 + 526) = -15014 -> -round(15014/2) = -7507
+    assert r.ate_cents == -7507
+
+
+def test_paired_tests_count_null_only_units_as_zero(spark):
+    # a unit whose flag expression is NULL on every row (e.g. NULL
+    # event_type) must count as 0 — matching the oracles' CASE WHEN
+    # ... ELSE 0 — not poison the aggregate with NULL.
+    from pyspark.sql import functions as F
+
+    from streaming_demos_spark.operators.stats import (
+        mcnemar_test,
+        odds_ratio,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (3, None)]
+    df = spark.createDataFrame(rows, "u long, ev string")
+    flag_a = F.when(F.col("ev").isNotNull(), F.col("ev") == "a")
+    flag_b = F.when(F.col("ev").isNotNull(), F.col("ev") == "b")
+    m = mcnemar_test(df, "u", flag_a, flag_b).collect()[0]
+    # u1 concordant(1,1), u2 (1,0), u3 NULL-only -> (0,0)
+    assert (m.n_units, m.b01, m.b10) == (3, 1, 0)
+    o = odds_ratio(df, "u", exposed=flag_a, outcome=flag_b).collect()[0]
+    assert (o.a, o.b, o.c, o.d) == (1, 1, 0, 1)

@@ -483,3 +483,116 @@ def test_ns_parquet_loads_as_ntz_under_non_utc_session(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         catalog._TABLE_CACHE.pop((spark, sf_dir, "events"), None)
+
+
+# --- Schema Registry client (S5 companion, registry.py) ----------------------
+# No live registry exists in this container: the canned transport
+# below replays the REST responses the reference's
+# CachedSchemaRegistryClient consumes (orders-stats-flink .../kafka/
+# Utils.kt:48-70), so URL formation, caching, error wrapping, and the
+# driver-side resolve -> executor decode handoff are all exercised.
+
+_ORDER_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "order_id", "type": "string"},
+            {"name": "amount", "type": "double"},
+        ],
+    }
+)
+
+
+class _CannedTransport:
+    def __init__(self, responses):
+        self.responses = responses
+        self.calls = []
+
+    def __call__(self, method, url, body):
+        self.calls.append((method, url, body))
+        if url not in self.responses:
+            return 404, json.dumps({"error_code": 40403}).encode()
+        return 200, json.dumps(self.responses[url]).encode()
+
+
+def test_registry_latest_and_by_id_with_caching():
+    from streaming_demos_spark.sources.registry import SchemaRegistryClient
+
+    base = "http://registry:8081"
+    t = _CannedTransport(
+        {
+            f"{base}/subjects/orders-value/versions/latest": {
+                "id": 7, "version": 3, "schema": _ORDER_SCHEMA,
+            },
+            f"{base}/schemas/ids/7": {"schema": _ORDER_SCHEMA},
+        }
+    )
+    c = SchemaRegistryClient(base + "/", transport=t)  # trailing / stripped
+    assert c.get_latest("orders-value") == (7, 3, _ORDER_SCHEMA)
+    assert c.get_schema_by_id(7) == _ORDER_SCHEMA
+    # memoized: repeat calls hit the cache, not the transport
+    assert c.get_latest("orders-value")[0] == 7
+    assert c.get_schema_by_id(7) == _ORDER_SCHEMA
+    assert len(t.calls) == 2
+    assert all(m == "GET" for m, _, _ in t.calls)
+
+
+def test_registry_missing_subject_raises_with_context():
+    from streaming_demos_spark.sources.registry import (
+        SchemaRegistryClient,
+        SchemaRegistryError,
+    )
+
+    c = SchemaRegistryClient("http://registry:8081", transport=_CannedTransport({}))
+    with pytest.raises(SchemaRegistryError) as e:
+        c.get_latest("nope-value")
+    assert "nope-value" in str(e.value)
+    with pytest.raises(SchemaRegistryError):
+        c.get_schema_by_id(99)
+
+
+def test_registry_cache_is_bounded():
+    from streaming_demos_spark.sources.registry import SchemaRegistryClient
+
+    base = "http://registry:8081"
+    t = _CannedTransport(
+        {f"{base}/schemas/ids/{i}": {"schema": _ORDER_SCHEMA} for i in range(5)}
+    )
+    c = SchemaRegistryClient(base, transport=t, cache_capacity=2)
+    for i in range(5):
+        c.get_schema_by_id(i)
+    c.get_schema_by_id(0)  # evicted -> re-fetched
+    assert len(t.calls) == 6
+
+
+def test_registry_register_then_resolve_then_decode(spark):
+    from streaming_demos_spark.sources import avro_codec as AC
+    from streaming_demos_spark.sources.registry import (
+        SchemaRegistryClient,
+        resolve_reader_schema,
+    )
+
+    base = "http://registry:8081"
+    t = _CannedTransport(
+        {
+            f"{base}/subjects/orders-value/versions": {"id": 7},
+            f"{base}/subjects/orders-value/versions/latest": {
+                "id": 7, "version": 1, "schema": _ORDER_SCHEMA,
+            },
+        }
+    )
+    c = SchemaRegistryClient(base, transport=t)
+    sid = c.register("orders-value", _ORDER_SCHEMA)
+    assert sid == 7
+    assert t.calls[0][0] == "POST"
+    # driver-side resolution feeds the executor-side Arrow decode
+    schema_id, schema = resolve_reader_schema(c, "orders-value")
+    fields = AC.parse_schema(schema)
+    payload = AC.frame_confluent(
+        AC.encode_record(fields, {"order_id": "o-1", "amount": 12.5}),
+        schema_id,
+    )
+    df = spark.createDataFrame([(payload,)], "value binary")
+    out = AC.decode_confluent_avro(df, schema).collect()
+    assert [(r.order_id, r.amount) for r in out] == [("o-1", 12.5)]

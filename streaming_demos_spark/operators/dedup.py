@@ -266,6 +266,23 @@ def minhash_near_dup_pairs(
     No crossJoin anywhere; candidate count ≈ Σ bucket²  ≤ buckets·cap².
     """
     ds = _distinct_shingled(docs, text_col, id_col, shingle_k)
+    return _near_dup_pairs_from_ds(
+        ds, id_col, num_hashes, band_rows, threshold, max_bucket
+    )
+
+
+def _near_dup_pairs_from_ds(
+    ds: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    band_rows: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """``minhash_near_dup_pairs`` body over a prepared (id, _ds, _n)
+    distinct-shingle frame — split out so harnesses that need BOTH the
+    LSH pairs and another shingle consumer (``minhash_lsh_eval``) feed
+    every side from one persisted projection."""
     sig = ds.select(F.col(id_col), *minhash_signature("_ds", num_hashes))
     bands = _bands_from_sig(sig, id_col, num_hashes, band_rows)
     # Bound bucket size: count per bucket, drop oversize (noise guard).
@@ -364,11 +381,20 @@ def ngram_jaccard_pairs(
     >= 1 shingle, so the join cannot miss it) at the cost of an index
     over ALL shingles rather than LSH bands — this is the
     high-threshold workhorse; MinHash is the low-threshold scout."""
-    sh = _shingled(docs, text_col, id_col, shingle_k).select(
-        F.col(id_col), F.array_distinct(F.col("shingles")).alias("s")
-    )
-    postings = sh.select(
-        F.col(id_col), F.size("s").alias("n"), F.explode("s").alias("shingle")
+    ds = _shingled(docs, text_col, id_col, shingle_k).select(
+        F.col(id_col), F.array_distinct(F.col("shingles")).alias("_ds")
+    ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
+    return _ngram_pairs_from_ds(ds, id_col, threshold, max_bucket)
+
+
+def _ngram_pairs_from_ds(
+    ds: DataFrame, id_col: str, threshold: float, max_bucket: int
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` body over a prepared (id, _ds, _n)
+    distinct-shingle frame (see ``_near_dup_pairs_from_ds``)."""
+    postings = ds.select(
+        F.col(id_col), F.col("_n").alias("n"),
+        F.explode("_ds").alias("shingle"),
     )
     capped = postings.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("shingle"))
@@ -1245,11 +1271,15 @@ def minhash_lsh_eval(
     is the recall of the pipelines AS SHIPPED, not an idealized bound.
     One output row: n_truth, n_found, n_hits, recall.
     """
-    truth = ngram_jaccard_pairs(
-        docs, text_col, id_col, shingle_k, threshold
-    ).select("doc_a", "doc_b")
-    found = minhash_near_dup_pairs(
-        docs, text_col, id_col, num_hashes, band_rows, shingle_k, threshold
+    # ONE persisted distinct-shingle projection feeds the exact
+    # postings side AND the LSH band+verify side — without it the
+    # harness re-shingles the corpus once per side
+    ds = _distinct_shingled(docs, text_col, id_col, shingle_k)
+    truth = _ngram_pairs_from_ds(ds, id_col, threshold, 50).select(
+        "doc_a", "doc_b"
+    )
+    found = _near_dup_pairs_from_ds(
+        ds, id_col, num_hashes, band_rows, threshold, 50
     ).select("doc_a", "doc_b")
     # tagged union -> each expensive side (exact postings join, LSH
     # banding) is computed ONCE; a join+count+count form would run the

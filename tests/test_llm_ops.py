@@ -672,9 +672,9 @@ def test_hybrid_rerank_fuses_both_rankings(spark):
     assert ids[0] == 1  # top of both lists -> highest RRF
     assert 3 not in ids or out[-1].doc_id == 3
     top = out[0]
-    assert top.jaccard > 0 and top.cosine > 0
+    assert top.jaccard_e4 > 0 and top.cosine > 0
     # every emitted rrf score positive and non-increasing
-    scores = [r.rrf_score for r in out]
+    scores = [r.rrf_e6 for r in out]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
 

@@ -202,7 +202,8 @@ def mix_weights(
             F.col(strata_col),
             F.col("n_docs"),
             F.expr(
-                "(n_docs * 1000000 * 2 + _total) div (2 * _total)"
+                "cast((cast(n_docs as decimal(38,0)) * 1000000 * 2 + _total)"
+                " div (2 * _total) as bigint)"
             ).alias("actual_share_e6"),
             F.expr("(_tn * 1000000 * 2 + _td) div (2 * _td)").alias(
                 "target_share_e6"
@@ -873,12 +874,14 @@ def quality_drift_psi(
             "n_b",
             # (n+smooth)/t is a RATIONAL (smooth = 1): half-up e6 ints
             F.expr(
-                "(cast(n_a + 1 as bigint) * 1000000 * 2"
+                "cast((cast(n_a + 1 as decimal(38,0)) * 1000000 * 2"
                 " + cast(_ta as bigint)) div (2 * cast(_ta as bigint))"
+                " as bigint)"
             ).alias("share_a_e6"),
             F.expr(
-                "(cast(n_b + 1 as bigint) * 1000000 * 2"
+                "cast((cast(n_b + 1 as decimal(38,0)) * 1000000 * 2"
                 " + cast(_tb as bigint)) div (2 * cast(_tb as bigint))"
+                " as bigint)"
             ).alias("share_b_e6"),
             F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
         )
@@ -1028,13 +1031,14 @@ def dataset_card(
             (
                 F.lit(1000000)
                 - F.expr(
-                    "(n_unique_texts * 1000000 * 2 + n_docs)"
-                    " div (2 * n_docs)"
+                    "cast((cast(n_unique_texts as decimal(38,0)) * 1000000 * 2"
+                    " + n_docs) div (2 * n_docs) as bigint)"
                 )
             ).cast("long").alias("dup_rate_e6"),
             "total_tokens",
             F.expr(
-                "(total_tokens * 1000000 * 2 + n_docs) div (2 * n_docs)"
+                "cast((cast(total_tokens as decimal(38,0)) * 1000000 * 2"
+                " + n_docs) div (2 * n_docs) as bigint)"
             ).alias("avg_tokens_e6"),
             F.expr(
                 "(_sq4 * 100 * 2 + _nq) div (2 * _nq)"
@@ -1282,8 +1286,8 @@ def contamination_matrix(
             "n_contaminated",
             "n_docs",
             F.expr(
-                "(n_contaminated * 1000000 * 2 + n_docs)"
-                " div (2 * n_docs)"
+                "cast((cast(n_contaminated as decimal(38,0)) * 1000000 * 2"
+                " + n_docs) div (2 * n_docs) as bigint)"
             ).alias("rate_e6"),
         )
         .orderBy(group_col, "benchmark")

@@ -1309,7 +1309,8 @@ def minhash_lsh_eval(
         "n_hits",
         F.when(
             F.col("n_truth") > 0,
-            F.expr("(n_hits * 1000000 * 2 + n_truth) div (2 * n_truth)"),
+            F.expr("cast((cast(n_hits as decimal(38,0)) * 1000000 * 2 + n_truth)"
+                   " div (2 * n_truth) as bigint)"),
         ).alias("recall_e6"),
     )
 

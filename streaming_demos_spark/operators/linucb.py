@@ -344,7 +344,8 @@ def calibration_bins(
             "bin",
             "n",
             F.expr("(_ss * 2 + n) div (2 * n)").alias("mean_score_e6"),
-            F.expr("(_k * 1000000 * 2 + n) div (2 * n)").alias(
+            F.expr("cast((cast(_k as decimal(38,0)) * 1000000 * 2 + n)"
+                   " div (2 * n) as bigint)").alias(
                 "pos_rate_e6"
             ),
         )

@@ -2384,7 +2384,8 @@ def benford_profile(
             # across engine builds); the log10-based expectation and
             # chi2 term keep 6-dp doubles (irrational, noise digit).
             F.expr(
-                "(n_values * 1000000 * 2 + _t) div (2 * _t)"
+                "cast((cast(n_values as decimal(38,0)) * 1000000 * 2 + _t)"
+                " div (2 * _t) as bigint)"
             ).alias("observed_share_e6"),
             F.round(expected, round_dp).alias("benford_share"),
             F.round(
@@ -2570,7 +2571,8 @@ def concentration_profile(
         F.col("_nk").alias("n_keys"),
         F.when(
             F.col("_tot") > 0,
-            F.expr("(_v * 1000000 * 2 + _tot) div (2 * _tot)"),
+            F.expr("cast((cast(_v as decimal(38,0)) * 1000000 * 2 + _tot)"
+                   " div (2 * _tot) as bigint)"),
         ).cast("long").alias("top1_share_e6"),
     )
     return summary.join(covering, group_col).select(
@@ -2578,7 +2580,8 @@ def concentration_profile(
         "n_keys",
         "n_covering",
         F.expr(
-            "(n_covering * 1000000 * 2 + n_keys) div (2 * n_keys)"
+            "cast((cast(n_covering as decimal(38,0)) * 1000000 * 2 + n_keys)"
+            " div (2 * n_keys) as bigint)"
         ).alias("covering_frac_e6"),
         "top1_share_e6",
     )
@@ -2792,10 +2795,12 @@ def ab_test_proportions(
         F.lit(group_b).alias("group_b"),
         "n_a",
         "n_b",
-        F.expr("(c_a * 1000000 * 2 + n_a) div (2 * n_a)").alias(
+        F.expr("cast((cast(c_a as decimal(38,0)) * 1000000 * 2 + n_a)"
+               " div (2 * n_a) as bigint)").alias(
             "rate_a_e6"
         ),
-        F.expr("(c_b * 1000000 * 2 + n_b) div (2 * n_b)").alias(
+        F.expr("cast((cast(c_b as decimal(38,0)) * 1000000 * 2 + n_b)"
+               " div (2 * n_b) as bigint)").alias(
             "rate_b_e6"
         ),
         (
@@ -3648,10 +3653,12 @@ def association_rules(
         "item_a",
         "item_b",
         "pair_n",
-        F.expr("(pair_n * 1000000 * 2 + _nb) div (2 * _nb)").alias(
+        F.expr("cast((cast(pair_n as decimal(38,0)) * 1000000 * 2 + _nb)"
+               " div (2 * _nb) as bigint)").alias(
             "support_e6"
         ),
-        F.expr("(pair_n * 1000000 * 2 + _ca) div (2 * _ca)").alias(
+        F.expr("cast((cast(pair_n as decimal(38,0)) * 1000000 * 2 + _ca)"
+               " div (2 * _ca) as bigint)").alias(
             "confidence_e6"
         ),
         F.expr(
@@ -5356,7 +5363,8 @@ def lorenz_curve(
                 F.col("_rk").alias("n_bottom_keys"),
                 F.when(
                     F.col("_tot") > 0,
-                    F.expr("(_cum * 1000000 * 2 + _tot) div (2 * _tot)"),
+                    F.expr("cast((cast(_cum as decimal(38,0)) * 1000000 * 2 + _tot)"
+                    " div (2 * _tot) as bigint)"),
                 ).cast("long").alias("cum_share_e6"),
             )
         )

@@ -245,7 +245,8 @@ def temperature_mix(
             group_col,
             "n_tokens",
             F.expr(
-                "(n_tokens * 1000000 * 2 + _tot) div (2 * _tot)"
+                "cast((cast(n_tokens as decimal(38,0)) * 1000000 * 2 + _tot)"
+                " div (2 * _tot) as bigint)"
             ).alias("nat_frac_e6"),
             F.round(w, round_dp).alias("mix_weight"),
             F.round(

@@ -114,7 +114,8 @@ def heavy_hitters(
             "cnt",
             # cnt/N is a RATIONAL — a 6-dp rounding can land on a
             # midpoint across engine builds; half-up e6 integer instead
-            F.expr("(cnt * 1000000 * 2 + _n) div (2 * _n)").alias(
+            F.expr("cast((cast(cnt as decimal(38,0)) * 1000000 * 2 + _n)"
+                   " div (2 * _n) as bigint)").alias(
                 "freq_e6"
             ),
         )

@@ -71,13 +71,30 @@ def _distinct_shingled(
     at ingest-scale runs the band index is pre-materialized in a store
     (see ``incremental_near_dup``) and this cache covers only the
     working partition of a query; MEMORY_AND_DISK spills rather than
-    evicting under pressure."""
+    evicting under pressure. Spark's CacheManager pins persisted
+    frames until an explicit unpersist, so a long session sweeping
+    many dedup queries would otherwise accumulate one pinned corpus
+    copy per call — the module-level ring below unpersists all but
+    the newest few (unpersisting a frame a still-lazy plan references
+    is safe: Spark just recomputes it)."""
     from pyspark import StorageLevel
 
     ds = _shingled(docs, text_col, id_col, k).select(
         F.col(id_col), F.array_distinct("shingles").alias("_ds")
     ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
-    return ds.persist(StorageLevel.MEMORY_AND_DISK)
+    ds = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_RING.append(ds)
+    while len(_PERSISTED_RING) > _PERSISTED_RING_CAP:
+        _PERSISTED_RING.pop(0).unpersist(blocking=False)
+    return ds
+
+
+# newest-N ring of persisted shingle projections (see
+# _distinct_shingled): big enough that every side of ONE query keeps
+# its cache (incremental/fuzzy paths persist two frames per query),
+# small enough that a 300-query sweep doesn't pin 300 corpus copies.
+_PERSISTED_RING: list[DataFrame] = []
+_PERSISTED_RING_CAP = 4
 
 # --- exact dedup -------------------------------------------------------------
 

@@ -19,9 +19,15 @@ localizes the divergence class:
   checksum, e2-scaled money sums, epoch-day sums, flag sums) of the
   fact tables restricted to the date slices that bracket the red/green
   TPC-H split (Q3-1997 green in q4+q15 vs Q4-1997 red in q10, 1994/
-  1997 full-year reds in q5/q6/q12). A red slice = the driver's
-  parquet DATA differs there; all-green slices + red TPC-H = the
-  divergence is in evaluation, not data.
+  1997 full-year reds in q5/q6/q12). Decode rule — read
+  ``env_session_tz`` FIRST: if it is green (driver session is UTC), a
+  red slice = the driver's Spark and DuckDB disagree about that
+  slice's DATA (reading or membership), and all-green slices + red
+  TPC-H = the divergence is in evaluation, not data. If
+  ``env_session_tz`` is RED, the slice boundaries themselves shift
+  with the session zone wherever the driver's parquet reads as LTZ,
+  so wholesale slice redness then means "non-UTC session over
+  instant-typed data", not per-slice data divergence.
 - ``events_epoch_checksums``: epoch-microsecond offset/tail sums over
   ``events.ts`` — catches sub-second timestamp-value divergence (e.g.
   a ns->us conversion that floors in one engine and rounds in the

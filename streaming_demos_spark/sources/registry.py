@@ -27,7 +27,9 @@ Design constraints honored here:
   self-inflicted DDoS and a hidden hot dependency; the reference's
   CachedSchemaRegistryClient makes the same choice per-JVM.
 - **bounded cache** mirroring ``CachedSchemaRegistryClient(url, 100)``:
-  id- and subject-keyed memoization, least-recently-inserted eviction.
+  by-ID memoization only (schema ids are immutable bindings), with
+  least-recently-inserted eviction; subject "latest" is deliberately
+  NOT cached — it is a mutable pointer that a register moves.
 """
 
 from __future__ import annotations
@@ -61,7 +63,6 @@ class SchemaRegistryClient:
         self._transport = transport or _urllib_transport
         self._capacity = cache_capacity
         self._by_id: OrderedDict[int, str] = OrderedDict()
-        self._latest: OrderedDict[str, tuple[int, int, str]] = OrderedDict()
 
     # -- REST surface ------------------------------------------------------
 
@@ -79,15 +80,20 @@ class SchemaRegistryClient:
     def get_latest(self, subject: str) -> tuple[int, int, str]:
         """(schema_id, version, schema_json) for a subject's latest
         version — the reference's ``getLatestSchemaMetadata`` call
-        (``GET /subjects/{subject}/versions/latest``)."""
-        cached = self._latest.get(subject)
-        if cached is not None:
-            return cached
+        (``GET /subjects/{subject}/versions/latest``).
+
+        NOT cached: "latest" is a mutable pointer — a register (by
+        this process or any other) moves it, and a memoized value
+        would keep decoding new-schema frames with the old writer
+        schema. The immutable by-id lookup carries the caching; this
+        call is one driver-side round-trip per query
+        (``resolve_reader_schema``), not per task."""
         body = self._get(
             f"/subjects/{subject}/versions/latest", what=f"subject '{subject}'"
         )
         meta = (int(body["id"]), int(body["version"]), body["schema"])
-        self._remember(self._latest, subject, meta)
+        # the id->schema binding IS immutable: seed the by-id cache
+        self._remember(self._by_id, meta[0], meta[2])
         return meta
 
     def register(self, subject: str, schema_json: str) -> int:
@@ -95,9 +101,15 @@ class SchemaRegistryClient:
         (``POST /subjects/{subject}/versions``). Producer path; not
         cached (the registry is the source of truth for assignment)."""
         payload = json.dumps({"schema": schema_json}).encode()
-        status, raw = self._transport(
-            "POST", f"{self.base_url}/subjects/{subject}/versions", payload
-        )
+        try:
+            status, raw = self._transport(
+                "POST", f"{self.base_url}/subjects/{subject}/versions", payload
+            )
+        except Exception as e:  # network layer — same contract as _get
+            raise SchemaRegistryError(
+                f"Failed to register schema for subject '{subject}' "
+                f"at registry {self.base_url}: {e}"
+            ) from e
         if status != 200:
             raise SchemaRegistryError(
                 f"Failed to register schema for subject '{subject}' "

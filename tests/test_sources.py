@@ -530,10 +530,14 @@ def test_registry_latest_and_by_id_with_caching():
     )
     c = SchemaRegistryClient(base + "/", transport=t)  # trailing / stripped
     assert c.get_latest("orders-value") == (7, 3, _ORDER_SCHEMA)
+    # the immutable id->schema binding was seeded by get_latest and is
+    # memoized; by-id lookups never touch the transport again
     assert c.get_schema_by_id(7) == _ORDER_SCHEMA
-    # memoized: repeat calls hit the cache, not the transport
+    assert c.get_schema_by_id(7) == _ORDER_SCHEMA
+    assert len(t.calls) == 1
+    # "latest" is a MUTABLE pointer: every call must re-ask the
+    # registry (a register by any process moves it)
     assert c.get_latest("orders-value")[0] == 7
-    assert c.get_schema_by_id(7) == _ORDER_SCHEMA
     assert len(t.calls) == 2
     assert all(m == "GET" for m, _, _ in t.calls)
 
@@ -596,3 +600,42 @@ def test_registry_register_then_resolve_then_decode(spark):
     df = spark.createDataFrame([(payload,)], "value binary")
     out = AC.decode_confluent_avro(df, schema).collect()
     assert [(r.order_id, r.amount) for r in out] == [("o-1", 12.5)]
+
+
+def test_registry_latest_sees_new_version_after_register():
+    # staleness guard: a second get_latest must observe a version
+    # registered after the first call (the mutable-pointer contract)
+    from streaming_demos_spark.sources.registry import SchemaRegistryClient
+
+    base = "http://registry:8081"
+    latest = {"id": 7, "version": 1, "schema": _ORDER_SCHEMA}
+    calls = []
+
+    def transport(method, url, body):
+        calls.append((method, url))
+        if url.endswith("/versions/latest"):
+            return 200, json.dumps(latest).encode()
+        if method == "POST":
+            latest.update({"id": 8, "version": 2})
+            return 200, json.dumps({"id": 8}).encode()
+        return 404, b"{}"
+
+    c = SchemaRegistryClient(base, transport=transport)
+    assert c.get_latest("orders-value")[0] == 7
+    assert c.register("orders-value", _ORDER_SCHEMA) == 8
+    assert c.get_latest("orders-value")[:2] == (8, 2)
+
+
+def test_registry_register_transport_error_is_wrapped():
+    from streaming_demos_spark.sources.registry import (
+        SchemaRegistryClient,
+        SchemaRegistryError,
+    )
+
+    def down(method, url, body):
+        raise OSError("connection refused")
+
+    c = SchemaRegistryClient("http://registry:8081", transport=down)
+    with pytest.raises(SchemaRegistryError) as e:
+        c.register("orders-value", _ORDER_SCHEMA)
+    assert "orders-value" in str(e.value)

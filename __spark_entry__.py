@@ -13571,12 +13571,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "probe_render_canary": """
             SELECT
+              1 AS row_id,
               TIMESTAMP '1997-10-01 12:34:56.789' AS ts_ntz,
               DATE '1997-10-01' AS d_val,
               'MIXED case; punct!' AS s_val,
               cast(0.25E0 as double) AS dbl_exact,
               cast(0.1E0 as double) + cast(0.2E0 as double) AS dbl_inexact,
               cast(9007199254740993 as bigint) AS big_53
+            UNION ALL
+            SELECT
+              2,
+              cast(NULL as TIMESTAMP),
+              cast(NULL as DATE),
+              cast(NULL as VARCHAR),
+              cast(NULL as DOUBLE),
+              cast(NULL as DOUBLE),
+              cast(NULL as BIGINT)
         """,
         "probe_pred_domains": """
             WITH li AS (

@@ -312,16 +312,34 @@ def engine_render_canary(spark: SparkSession) -> DataFrame:
     """Literals-only typed-value rendering through the toPandas/hash
     bridge: a naive timestamp, a date, a string, exact and inexact
     doubles, and a BIGINT above 2^53 (red iff some layer on the driver
-    round-trips integers through float64)."""
+    round-trips integers through float64).
+
+    The second, all-NULL row arms the sharpest version of that trap: a
+    pandas-based bridge coerces a nullable int64 COLUMN to float64, so
+    with one NULL present the non-null ``big_53`` value re-renders as
+    9007199254740992.0 (2^53+1 is not a double) and every integer
+    gains a trailing .0 — while a Row/fetchall bridge (the local gate)
+    keeps exact ints and None. Red here = the driver's compare layer
+    is the divergence, not the engines."""
     return spark.sql(
         """
         SELECT
+          1 AS row_id,
           timestamp_ntz'1997-10-01 12:34:56.789' AS ts_ntz,
           date'1997-10-01' AS d_val,
           'MIXED case; punct!' AS s_val,
           cast(0.25E0 as double) AS dbl_exact,
           cast(0.1E0 as double) + cast(0.2E0 as double) AS dbl_inexact,
           cast(9007199254740993 as bigint) AS big_53
+        UNION ALL
+        SELECT
+          2,
+          cast(NULL as timestamp_ntz),
+          cast(NULL as date),
+          cast(NULL as string),
+          cast(NULL as double),
+          cast(NULL as double),
+          cast(NULL as bigint)
         """
     )
 

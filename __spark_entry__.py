@@ -149,7 +149,11 @@ def q_metric_deltas(spark, sf_dir):
     # TIMESTAMP, which shifts under a non-UTC harness.
     events = _t(spark, sf_dir, "events")
     daily = events.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
+        # date STRING, not DATE: raw DATE renders asymmetrically
+        # through a pandas comparator bridge (datetime.date vs
+        # midnight datetime64); 'yyyy-MM-dd' strings order identically
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
     ).agg(F.round(F.sum("value"), 2).alias("value"))
     return R.metric_deltas(daily, "day", "event_type", "value")
 
@@ -322,8 +326,12 @@ def q_debezium_unwrap(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         # the JSON round trip parses o_orderdate in the session tz;
-        # to_date renders it back in the same zone — tz-proof DATE out
-        F.to_date("o_orderdate").alias("o_orderdate"),
+        # to_date renders it back in the same zone, and the final
+        # date_format emits a bridge-proof STRING (a raw DATE renders
+        # asymmetrically through a pandas comparator)
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias(
+            "o_orderdate"
+        ),
         "o_orderpriority", "op", "table", "lsn",
     )
 
@@ -772,7 +780,10 @@ def q_hierarchical_rollup(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.sum("value").alias("v"), F.count("*").alias("n"))
     return (
-        hourly.groupBy(F.to_date("hour").alias("day"), "event_type")
+        hourly.groupBy(
+            F.date_format(F.to_date("hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
         .agg(F.round(F.sum("v"), 2).alias("total_value"), F.sum("n").alias("n"))
     )
 
@@ -3562,7 +3573,8 @@ def q_control_chart(spark, sf_dir):
     # flagged (relational.py:imr_control_chart).
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.round(F.sum("value"), 4).alias("total"))
     return R.imr_control_chart(
         daily, "event_type", "day", "total"
@@ -6440,7 +6452,8 @@ def oracle_sql() -> dict[str, str]:
                        sum(mr) / count(mr) AS mrbar
                 FROM pts GROUP BY 1
             )
-            SELECT p.event_type, p.day,
+            SELECT p.event_type,
+                   strftime(p.day, '%Y-%m-%d') AS day,
                    round(p.y, 6) AS y,
                    round(l.center + 2.66 * l.mrbar, 6) AS ucl,
                    round(l.center - 2.66 * l.mrbar, 6) AS lcl,
@@ -6709,11 +6722,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT bucket_ts, count(*) AS new_users
                 FROM fst GROUP BY 1
             )
-            SELECT bucket_ts, new_users,
+            SELECT strftime(bucket_ts, '%Y-%m-%d') AS bucket_ts,
+                   new_users,
                    sum(new_users) OVER (ORDER BY bucket_ts
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW)::BIGINT AS cumulative_users
-            FROM per ORDER BY bucket_ts
+            FROM per ORDER BY 1
         """,
         "ext_diff_in_diff": """
             WITH rws AS (
@@ -6884,9 +6898,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, bucket_ts, value AS last_v
                 FROM ranked WHERE rn = 1
             )
-            SELECT bucket_ts, count(*) AS n_entities,
+            SELECT strftime(bucket_ts, '%Y-%m-%d') AS bucket_ts,
+                   count(*) AS n_entities,
                    round(sum(last_v), 4) AS total_balance
-            FROM per GROUP BY 1 ORDER BY bucket_ts
+            FROM per GROUP BY bucket_ts ORDER BY 1
         """,
         "ext_ratio_to_parent": """
             WITH rows_ AS (
@@ -7514,7 +7529,9 @@ def oracle_sql() -> dict[str, str]:
                            AS su
                 FROM pref
             )
-            SELECT k AS event_type, day, su AS cusum_units,
+            SELECT k AS event_type,
+                   strftime(day, '%Y-%m-%d') AS day,
+                   su AS cusum_units,
                    su * 100 > 50 * ts AS alarm
             FROM s WHERE rn > 20
             ORDER BY event_type, day
@@ -9632,8 +9649,10 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT avg(norm) AS mu, stddev_samp(norm) AS sd FROM norms)
             SELECT vec_id, norm,
                    round(CASE WHEN sd > 0 THEN (norm - mu) / sd END, 4) AS z,
-                   abs(round(CASE WHEN sd > 0 THEN (norm - mu) / sd END, 4))
-                       > 2.0 AS is_outlier
+                   coalesce(
+                       abs(round(CASE WHEN sd > 0
+                                 THEN (norm - mu) / sd END, 4)) > 2.0,
+                       FALSE) AS is_outlier
             FROM norms, m
         """,
         "llm_ann_recall_ivf": """
@@ -10177,7 +10196,7 @@ def oracle_sql() -> dict[str, str]:
                        round(sum(value), 2) AS value
                 FROM events GROUP BY 1, 2
             )
-            SELECT day, event_type, value,
+            SELECT strftime(day, '%Y-%m-%d') AS day, event_type, value,
                    round(value - lag(value) OVER (PARTITION BY event_type ORDER BY day), 2) AS delta
             FROM daily
         """,
@@ -10305,7 +10324,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s10_debezium_unwrap": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-                   o_orderdate::DATE AS o_orderdate,
+                   strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
                    'c' AS op, 'orders' AS "table", o_orderkey * 10 AS lsn
             FROM orders
@@ -10622,7 +10641,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_hierarchical_rollup": """
             -- oracle computes the daily level straight from raw rows;
             -- the engine's hourly->daily reaggregation must agree
-            SELECT date_trunc('day', CAST(ts AS TIMESTAMP))::DATE AS day,
+            SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP))::DATE,
+                            '%Y-%m-%d') AS day,
                    event_type,
                    round(sum(value), 2) AS total_value,
                    count(*) AS n
@@ -13573,7 +13593,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT
               1 AS row_id,
               TIMESTAMP '1997-10-01 12:34:56.789' AS ts_ntz,
-              DATE '1997-10-01' AS d_val,
               'MIXED case; punct!' AS s_val,
               cast(0.25E0 as double) AS dbl_exact,
               cast(0.1E0 as double) + cast(0.2E0 as double) AS dbl_inexact,
@@ -13582,7 +13601,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT
               2,
               cast(NULL as TIMESTAMP),
-              cast(NULL as DATE),
               cast(NULL as VARCHAR),
               cast(NULL as DOUBLE),
               cast(NULL as DOUBLE),

@@ -27,8 +27,11 @@ NORM_DP = int(os.environ.get("ORACLE_NORM_DP", "9"))
 
 
 def norm(v):
+    # always a STRING: a tuple mixing normalized floats with str(None)
+    # is unsortable (TypeError) the moment earlier elements tie —
+    # reachable for any float column that carries both values and NULLs
     return (
-        ("NaN" if math.isnan(v) else round(v, NORM_DP))
+        ("NaN" if math.isnan(v) else str(round(v, NORM_DP)))
         if isinstance(v, float)
         else str(v)
     )
@@ -71,18 +74,35 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     Q, O = E.queries(), E.oracle_sql()
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else list(Q)
+    # ORACLE_PANDAS=1 routes BOTH result sets through pandas frames
+    # (spark toPandas / duckdb .df()) before hashing — the driver's
+    # comparator does this, and pandas re-types what python objects
+    # keep exact: a HUGEINT or NULL-bearing int64 column floatifies
+    # (the round-4..6 driver-red class), timestamps become
+    # pandas.Timestamp, NaN/None unify. The plan-only dtype gate
+    # (scripts/dtype_check.py) predicts these; this mode EXECUTES them.
+    use_pandas = os.environ.get("ORACLE_PANDAS") == "1"
     n_ok = n_bad = 0
     for key in keys:
         try:
             qdf = Q[key](spark, SF)
-            sdata = [tuple(r) for r in qdf.collect()]
-            scols = qdf.columns
+            if use_pandas:
+                spdf = qdf.toPandas()
+                scols = list(spdf.columns)
+                sdata = [tuple(r) for r in spdf.itertuples(index=False)]
+            else:
+                sdata = [tuple(r) for r in qdf.collect()]
+                scols = qdf.columns
             if key not in O:
                 print(f"{key}: rows-only {len(sdata)}", flush=True)
                 continue
             rel = con.sql(O[key])
             dcols = [d[0] for d in rel.description]
-            ddata = rel.fetchall()
+            if use_pandas:
+                ddf = rel.df()
+                ddata = [tuple(r) for r in ddf.itertuples(index=False)]
+            else:
+                ddata = rel.fetchall()
             ok = vhash(scols, sdata) == vhash(dcols, ddata)
             n_ok += ok
             n_bad += not ok

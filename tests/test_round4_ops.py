@@ -1280,8 +1280,9 @@ def test_period_end_balance_takes_last_not_sum(spark):
             df, "user_id", "ts", "value", "event_id", bucket="day"
         ).collect()
     }
-    assert out[dt.date(2024, 1, 1)] == (2, 100.0)  # 30+70, NOT 10+30+100+70
-    assert out[dt.date(2024, 1, 2)] == (1, 40.0)
+    # bridge-proof contract: the bucket is a 'yyyy-MM-dd' STRING
+    assert out["2024-01-01"] == (2, 100.0)  # 30+70, NOT 10+30+100+70
+    assert out["2024-01-02"] == (1, 40.0)
 
 
 def test_ratio_to_parent_shares_sum_to_one(spark):
@@ -1561,15 +1562,17 @@ def test_cumulative_new_users_counts_first_seen_once(spark):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out_df = cumulative_new_users(df, "user_id", "ts")
-    # tz-proof contract: the bucket is a DATE, never a session-tz TIMESTAMP
-    assert dict(out_df.dtypes)["bucket_ts"] == "date"
+    # bridge-proof contract: the bucket is a 'yyyy-MM-dd' STRING — a
+    # session-tz TIMESTAMP shifts under a non-UTC harness, and a raw
+    # DATE renders asymmetrically through a pandas comparator bridge
+    assert dict(out_df.dtypes)["bucket_ts"] == "string"
     out = {
         r.bucket_ts: (r.new_users, r.cumulative_users)
         for r in out_df.collect()
     }
-    assert out[dt.date(2024, 1, 1)] == (2, 2)
-    assert out[dt.date(2024, 1, 3)] == (1, 3)
-    assert dt.date(2024, 1, 2) not in out  # no NEW users that day
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-03"] == (1, 3)
+    assert "2024-01-02" not in out  # no NEW users that day
 
 
 def test_binseg_finds_planted_mean_shifts(spark):
@@ -1856,7 +1859,7 @@ def test_cusum_drift_closed_form_equals_recursion(spark):
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
     got = {
-        r.day.isoformat(): (r.cusum_units, r.alarm)
+        r.day: (r.cusum_units, r.alarm)
         for r in cusum_drift(df, "k", "ts", "v").collect()
     }
     # hand recursion in scaled units (cents * n_train, mu = 1000c):

@@ -77,6 +77,32 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+# newest-N ring of operator-persisted frames (see bounded_persist):
+# big enough that every side of ONE query keeps its cache, small
+# enough that a session sweeping hundreds of queries doesn't pin one
+# working-set copy per call in the CacheManager (persisted frames are
+# never GC-reclaimed, only unpersisted).
+_PERSIST_RING: list[DataFrame] = []
+_PERSIST_RING_CAP = 4
+
+
+def bounded_persist(df: DataFrame) -> DataFrame:
+    """Persist an expensive shared projection (MEMORY_AND_DISK — spills
+    before evicting) for reuse across the plan subtrees of ONE query:
+    Catalyst does not share common subtrees across joins, so a frame
+    consumed by k sides otherwise recomputes its whole upstream k
+    times. Older entries beyond the ring cap are unpersisted —
+    unpersisting a frame a still-lazy plan references is safe (Spark
+    just recomputes it), so the cap bounds memory, never correctness."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_RING.append(out)
+    while len(_PERSIST_RING) > _PERSIST_RING_CAP:
+        _PERSIST_RING.pop(0).unpersist(blocking=False)
+    return out
+
+
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """Adaptive parallelism guard for per-row-HEAVY pipelines (shingle
     explosion, vector math): if the upstream plan exposes fewer

@@ -29,7 +29,7 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from streaming_demos_spark.catalog import fan_out
+from streaming_demos_spark.catalog import bounded_persist, fan_out
 from streaming_demos_spark.operators.text import (
     normalize_text,
     shingles_from_tokens,
@@ -70,31 +70,13 @@ def _distinct_shingled(
     Scale note: the cached projection is the distinct-shingle corpus —
     at ingest-scale runs the band index is pre-materialized in a store
     (see ``incremental_near_dup``) and this cache covers only the
-    working partition of a query; MEMORY_AND_DISK spills rather than
-    evicting under pressure. Spark's CacheManager pins persisted
-    frames until an explicit unpersist, so a long session sweeping
-    many dedup queries would otherwise accumulate one pinned corpus
-    copy per call — the module-level ring below unpersists all but
-    the newest few (unpersisting a frame a still-lazy plan references
-    is safe: Spark just recomputes it)."""
-    from pyspark import StorageLevel
-
+    working partition of a query; the ring in
+    ``catalog.bounded_persist`` bounds how many such caches a long
+    sweep session can pin."""
     ds = _shingled(docs, text_col, id_col, k).select(
         F.col(id_col), F.array_distinct("shingles").alias("_ds")
     ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
-    ds = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED_RING.append(ds)
-    while len(_PERSISTED_RING) > _PERSISTED_RING_CAP:
-        _PERSISTED_RING.pop(0).unpersist(blocking=False)
-    return ds
-
-
-# newest-N ring of persisted shingle projections (see
-# _distinct_shingled): big enough that every side of ONE query keeps
-# its cache (incremental/fuzzy paths persist two frames per query),
-# small enough that a 300-query sweep doesn't pin 300 corpus copies.
-_PERSISTED_RING: list[DataFrame] = []
-_PERSISTED_RING_CAP = 4
+    return bounded_persist(ds)
 
 # --- exact dedup -------------------------------------------------------------
 

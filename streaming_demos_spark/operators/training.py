@@ -258,13 +258,20 @@ def quality_eval_leakage_free(
     One row: (auc, n_train, n_holdout). Every stage is the bounded-
     driver-state shape of its standalone operator; nothing new shuffles.
     """
+    from streaming_demos_spark.catalog import bounded_persist
     from streaming_demos_spark.operators.dedup import cluster_split
     from streaming_demos_spark.operators.linucb import auc as auc_fn
 
     split = cluster_split(
         docs, threshold=threshold, holdout_pct=holdout_pct
     ).select("doc_id", "split")
-    feats = quality_features(docs, label_lang=label_lang).join(split, "doc_id")
+    # persisted ONCE: three subtrees (the fit's train side, the holdout
+    # scoring, the split counts) consume feats, and its upstream is the
+    # whole near-dup cluster-split pipeline — without the cache that
+    # pipeline recomputes per subtree (the dominant cost of this query)
+    feats = bounded_persist(
+        quality_features(docs, label_lang=label_lang).join(split, "doc_id")
+    )
     train = feats.filter(F.col("split") == "train")
     w = logreg_fit(train, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
     holdout = logreg_score(

@@ -1159,9 +1159,12 @@ def q_quantile_approx(spark, sf_dir):
         .select(
             "l_returnflag",
             "n_rows",
-            (
+            # coalesce: non-nullable BOOLEAN for the driver's pandas
+            # bridge (None vs NaN); the oracle side is a literal true.
+            F.coalesce(
                 F.abs(F.col("_rank_at") - 0.5 * F.col("n_rows"))
-                <= F.col("n_rows") / acc + 1
+                <= F.col("n_rows") / acc + 1,
+                F.lit(False),
             ).alias("within_bound"),
         )
     )
@@ -2450,7 +2453,7 @@ def _sql_dedup_report(threshold: float = 0.1) -> str:
         ),
         per_doc AS (
             SELECT l.doc_id, l.component, s.n_members,
-                   l.doc_id = l.component AS is_kept
+                   COALESCE(l.doc_id = l.component, FALSE) AS is_kept
             FROM labeled l JOIN sizes s USING (component)
         ),
         ex AS (
@@ -2620,7 +2623,7 @@ def _sql_neardup_clusters(threshold: float = 0.1) -> str:
             SELECT component, count(*) AS n_members FROM labeled GROUP BY component
         )
         SELECT l.doc_id, l.component, s.n_members,
-               (l.doc_id = l.component) AS is_kept
+               COALESCE(l.doc_id = l.component, FALSE) AS is_kept
         FROM labeled l JOIN sizes s USING (component)
         ORDER BY l.doc_id
     """
@@ -3439,15 +3442,23 @@ def q_fs_linkage(spark, sf_dir):
     # name-band) blocked customer pairs: name-edit / balance /
     # balance-sign agreement weighted by log2(m/u), top-200 of the
     # match + review queue (relational.py:fs_match_scores).
+    # The agree flags are coalesced to False at creation so the output
+    # BOOLEANs are schema-non-nullable (driver pandas-bridge safety:
+    # None vs NaN; a NULL comparand reads as disagreement, which is
+    # also what fs_match_scores' WHEN/OTHERWISE already scored NULL as).
+    # Oracle mirrors the COALESCE.
     pairs = _fs_blocked_pairs(_t(spark, sf_dir, "customer")).select(
         "id_a",
         "id_b",
-        (F.levenshtein("name_a", "name_b") <= 2).alias("name_agree"),
-        (F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0).alias(
-            "bal_agree"
-        ),
-        (
-            (F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0)
+        F.coalesce(
+            F.levenshtein("name_a", "name_b") <= 2, F.lit(False)
+        ).alias("name_agree"),
+        F.coalesce(
+            F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0, F.lit(False)
+        ).alias("bal_agree"),
+        F.coalesce(
+            (F.col("bal_a") < 0.0) == (F.col("bal_b") < 0.0),
+            F.lit(False),
         ).alias("sign_agree"),
     )
     scored = R.fs_match_scores(
@@ -3726,7 +3737,11 @@ def q_cuped(spark, sf_dir):
             4,
         ).alias("post"),
     ).select(
-        (F.col("user_id") % 2 == 0).alias("arm"), "pre", "post"
+        # coalesce BEFORE grouping (oracle mirrors at the same stage):
+        # non-nullable BOOLEAN arm key for the driver's pandas bridge.
+        F.coalesce(F.col("user_id") % 2 == 0, F.lit(False)).alias("arm"),
+        "pre",
+        "post",
     )
     return ST.cuped_adjusted(units, "arm", "pre", "post").orderBy("arm")
 
@@ -6457,8 +6472,8 @@ def oracle_sql() -> dict[str, str]:
                    round(p.y, 6) AS y,
                    round(l.center + 2.66 * l.mrbar, 6) AS ucl,
                    round(l.center - 2.66 * l.mrbar, 6) AS lcl,
-                   (p.y > l.center + 2.66 * l.mrbar
-                    OR p.y < l.center - 2.66 * l.mrbar)
+                   COALESCE(p.y > l.center + 2.66 * l.mrbar
+                            OR p.y < l.center - 2.66 * l.mrbar, FALSE)
                        AS out_of_control
             FROM pts p JOIN lims l ON p.event_type = l.event_type
             ORDER BY p.event_type, p.day
@@ -6773,7 +6788,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ext_cuped": """
             WITH units AS (
-                SELECT (user_id % 2 = 0) AS arm,
+                SELECT COALESCE(user_id % 2 = 0, FALSE) AS arm,
                        round(sum(CASE WHEN extract(day FROM ts) <= 15
                                  THEN value ELSE 0.0::DOUBLE END), 4) AS pre,
                        round(sum(CASE WHEN extract(day FROM ts) > 15
@@ -7532,7 +7547,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT k AS event_type,
                    strftime(day, '%Y-%m-%d') AS day,
                    su AS cusum_units,
-                   su * 100 > 50 * ts AS alarm
+                   COALESCE(su * 100 > 50 * ts, FALSE) AS alarm
             FROM s WHERE rn > 20
             ORDER BY event_type, day
         """,
@@ -8153,9 +8168,12 @@ def oracle_sql() -> dict[str, str]:
             WITH """ + _FS_ORACLE_PAIRS.format(customer="customer") + """,
             p AS (
                 SELECT id_a, id_b,
-                       levenshtein(name_a, name_b) <= 2 AS name_agree,
-                       abs(bal_a - bal_b) < 500.0 AS bal_agree,
-                       (bal_a < 0.0) = (bal_b < 0.0) AS sign_agree
+                       COALESCE(levenshtein(name_a, name_b) <= 2,
+                                FALSE) AS name_agree,
+                       COALESCE(abs(bal_a - bal_b) < 500.0,
+                                FALSE) AS bal_agree,
+                       COALESCE((bal_a < 0.0) = (bal_b < 0.0),
+                                FALSE) AS sign_agree
                 FROM fs_pairs
             ),
             w AS (
@@ -10095,16 +10113,19 @@ def oracle_sql() -> dict[str, str]:
                    round((n_chars - (n_tokens - 1)) / safe_n, 4) AS mean_word_len,
                    round(alpha_words / safe_n, 4) AS alpha_word_ratio,
                    stop_hits,
-                   n_tokens BETWEEN 10 AND 100000 AS ok_tokens,
-                   ((n_chars - (n_tokens - 1)) / safe_n) BETWEEN 2.0 AND 12.0
-                       AS ok_word_len,
-                   (alpha_words / safe_n) >= 0.7 AS ok_alpha_words,
-                   stop_hits >= 2 AS ok_stopwords,
-                   (n_tokens BETWEEN 10 AND 100000)
+                   COALESCE(n_tokens BETWEEN 10 AND 100000,
+                            FALSE) AS ok_tokens,
+                   COALESCE(((n_chars - (n_tokens - 1)) / safe_n)
+                                BETWEEN 2.0 AND 12.0,
+                            FALSE) AS ok_word_len,
+                   COALESCE((alpha_words / safe_n) >= 0.7,
+                            FALSE) AS ok_alpha_words,
+                   COALESCE(stop_hits >= 2, FALSE) AS ok_stopwords,
+                   COALESCE((n_tokens BETWEEN 10 AND 100000)
                        AND (((n_chars - (n_tokens - 1)) / safe_n)
                             BETWEEN 2.0 AND 12.0)
                        AND ((alpha_words / safe_n) >= 0.7)
-                       AND (stop_hits >= 2) AS passes
+                       AND (stop_hits >= 2), FALSE) AS passes
             FROM s
         """,
         "ext_hll_distinct": """
@@ -12251,7 +12272,8 @@ def oracle_sql() -> dict[str, str]:
                   ON o.o_custkey = c.c_custkey
                 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
             )
-            SELECT "check", violations, violations = 0 AS passed
+            SELECT "check", violations,
+                   COALESCE(violations = 0, FALSE) AS passed
             FROM checks ORDER BY "check"
         """,
         "ext_incremental_agg": """
@@ -13070,7 +13092,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text) AS n_chars_raw,
                    length(norm) AS n_chars_norm,
-                   text <> norm AS changed,
+                   COALESCE(text <> norm, FALSE) AS changed,
                    md5(norm) AS norm_fingerprint
             FROM n
         """,

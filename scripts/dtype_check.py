@@ -15,7 +15,16 @@ Rules enforced per output column (matched by name, case-insensitive):
     floatify (or objectify) under pandas;
   * the numeric CLASS must agree: int-family vs int-family, float vs
     float, bool vs bool — int-vs-float on EITHER side is a latent
-    driver-red even when values are equal.
+    driver-red even when values are equal;
+  * (round 8) no ARRAY/MAP/STRUCT output column on either side — the
+    comparator sorts pandas tuples, and a list-valued cell crashes it
+    (``TypeError: unhashable type`` — the r2 ``f_svd_embed`` class);
+  * (round 8) no schema-NULLABLE BOOLEAN Spark output column — a NULL
+    renders Spark ``None`` vs DuckDB ``NaN`` through the bridge (the
+    ``llm_embedding_outliers`` class): coalesce the flag on both sides;
+  * (round 8) no raw DATE output column on either side — DuckDB DATE
+    arrives as ``datetime.date`` while Spark's bridges to a midnight
+    ``datetime64`` (format dates as strings instead).
 
 Usage: python scripts/dtype_check.py [sf_dir] [key1,key2,...]
 Exit code 1 if any flag.
@@ -106,7 +115,30 @@ def main() -> None:
         for c, dt in duck.items():
             if dt in BAD_DUCK or dt.startswith("DECIMAL"):
                 flags.append((key, c, f"duckdb {dt} floatifies in pandas"))
-        for c, dt in sp.items():
+            if dt.endswith("[]") or dt.startswith(("STRUCT", "MAP")):
+                flags.append(
+                    (key, c, f"duckdb {dt} is unhashable in the pandas"
+                             " comparator sort"))
+            if dt == "DATE":
+                flags.append(
+                    (key, c, "duckdb DATE bridges as datetime.date vs"
+                             " Spark datetime64 — format as string"))
+        for c, f in ((f.name.lower(), f) for f in sdf.schema.fields):
+            dt = f.dataType
+            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+                flags.append(
+                    (key, c, f"spark {dt.simpleString()} is unhashable in"
+                             " the pandas comparator sort"))
+            if isinstance(dt, T.BooleanType) and f.nullable:
+                flags.append(
+                    (key, c, "schema-nullable BOOLEAN: NULL renders None"
+                             " vs NaN through the bridge — coalesce both"
+                             " sides"))
+            if isinstance(dt, T.DateType):
+                flags.append(
+                    (key, c, "spark DATE bridges as midnight datetime64"
+                             " vs duckdb datetime.date — format as"
+                             " string"))
             if c in duck:
                 sc, dc = spark_class(dt), duck_class(duck[c])
                 if sc != dc and {"int", "float", "bool"} & {sc, dc}:

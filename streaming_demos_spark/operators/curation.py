@@ -487,12 +487,23 @@ def quality_filter(
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
     alpha_word_ratio = alpha_words / safe_n
     stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS_EN)))
-    ok_tokens = (n_tok >= min_tokens) & (n_tok <= max_tokens)
-    ok_word_len = (mean_word_len >= min_mean_word_len) & (
-        mean_word_len <= max_mean_word_len
+    # Every rule flag is coalesced to False so the output BOOLEANs are
+    # schema-non-nullable (a NULL document fails the gate rather than
+    # propagating NULL); the driver's pandas comparator renders nullable
+    # Spark None vs DuckDB NaN differently, so the oracle mirrors the
+    # COALESCE.
+    ok_tokens = F.coalesce(
+        (n_tok >= min_tokens) & (n_tok <= max_tokens), F.lit(False)
     )
-    ok_alpha = alpha_word_ratio >= min_alpha_word_ratio
-    ok_stop = stop_hits >= min_stop_hits
+    ok_word_len = F.coalesce(
+        (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        F.lit(False),
+    )
+    ok_alpha = F.coalesce(
+        alpha_word_ratio >= min_alpha_word_ratio, F.lit(False)
+    )
+    ok_stop = F.coalesce(stop_hits >= min_stop_hits, F.lit(False))
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),

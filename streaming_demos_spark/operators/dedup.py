@@ -682,7 +682,12 @@ def near_dup_clusters(
             id_col,
             "component",
             "n_members",
-            (F.col(id_col) == F.col("component")).alias("is_kept"),
+            # coalesce: non-nullable BOOLEAN in the output schema — the
+            # driver's pandas comparator renders Spark None vs DuckDB NaN
+            # differently on nullable flags (oracle mirrors COALESCE).
+            F.coalesce(
+                F.col(id_col) == F.col("component"), F.lit(False)
+            ).alias("is_kept"),
         )
     )
 

@@ -1604,7 +1604,13 @@ def data_quality_report(
         stacked = orphans if stacked is None else stacked.unionByName(orphans)
     return (
         stacked.select(
-            "check", "violations", (F.col("violations") == 0).alias("passed")
+            "check",
+            "violations",
+            # coalesce: non-nullable BOOLEAN for the driver's pandas
+            # bridge (None vs NaN); oracle mirrors the COALESCE.
+            F.coalesce(F.col("violations") == 0, F.lit(False)).alias(
+                "passed"
+            ),
         ).orderBy("check")
     )
 
@@ -4742,9 +4748,13 @@ def imr_control_chart(
         F.round("_y", round_dp).alias("y"),
         F.round(ucl, round_dp).alias("ucl"),
         F.round(lcl, round_dp).alias("lcl"),
-        ((F.col("_y") > ucl) | (F.col("_y") < lcl)).alias(
-            "out_of_control"
-        ),
+        # coalesce: a single-point series has NULL limits (no moving
+        # range) — flag False, not NULL, so the output BOOLEAN is
+        # schema-non-nullable (driver pandas-bridge safety; oracle
+        # mirrors the COALESCE).
+        F.coalesce(
+            (F.col("_y") > ucl) | (F.col("_y") < lcl), F.lit(False)
+        ).alias("out_of_control"),
     )
 
 
@@ -5002,9 +5012,12 @@ def cusum_drift(
             # midnight datetime64)
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("_s").alias("cusum_units"),
-            (
+            # coalesce: non-nullable BOOLEAN for the driver's pandas
+            # bridge (None vs NaN); oracle mirrors the COALESCE.
+            F.coalesce(
                 F.col("_s") * F.lit(100)
-                > F.lit(h_mul_e2) * F.col("_ts")
+                > F.lit(h_mul_e2) * F.col("_ts"),
+                F.lit(False),
             ).alias("alarm"),
         )
     )

@@ -925,7 +925,9 @@ def normalize_documents(
         collapsed.alias("norm_text"),
         F.length(c).alias("n_chars_raw"),
         F.length(collapsed).alias("n_chars_norm"),
-        (c != collapsed).alias("changed"),
+        # coalesce: non-nullable flag (NULL text counts as unchanged);
+        # keeps the driver's pandas bridge off the None-vs-NaN path.
+        F.coalesce(c != collapsed, F.lit(False)).alias("changed"),
     )
 
 

@@ -23,6 +23,7 @@ through unchanged. Epoch math on NTZ columns must use
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,9 +82,14 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
 # big enough that every side of ONE query keeps its cache, small
 # enough that a session sweeping hundreds of queries doesn't pin one
 # working-set copy per call in the CacheManager (persisted frames are
-# never GC-reclaimed, only unpersisted).
+# never GC-reclaimed, only unpersisted). Lock-guarded: on a driver
+# running queries from multiple threads the append/pop pair must be
+# atomic — and note the cap itself assumes roughly one query in flight
+# at a time (concurrent queries can still evict each other's entries
+# early, which costs recomputation, never correctness).
 _PERSIST_RING: list[DataFrame] = []
 _PERSIST_RING_CAP = 4
+_PERSIST_RING_LOCK = threading.Lock()
 
 
 def bounded_persist(df: DataFrame) -> DataFrame:
@@ -97,9 +103,13 @@ def bounded_persist(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSIST_RING.append(out)
-    while len(_PERSIST_RING) > _PERSIST_RING_CAP:
-        _PERSIST_RING.pop(0).unpersist(blocking=False)
+    with _PERSIST_RING_LOCK:
+        _PERSIST_RING.append(out)
+        evicted = []
+        while len(_PERSIST_RING) > _PERSIST_RING_CAP:
+            evicted.append(_PERSIST_RING.pop(0))
+    for old in evicted:
+        old.unpersist(blocking=False)
     return out
 
 

@@ -451,8 +451,13 @@ def hybrid_rerank(
         .filter(F.col("_i") > 0)
         .select(
             F.col(id_col),
+            # BIGINT intermediates: F.size is int32, so a combined
+            # distinct-shingle union past ~107k would overflow the
+            # e4-scaled numerator in INT (same headroom policy as every
+            # other e-scaled quotient in the repo).
             F.expr(
-                "(_i * 10000 * 2 + (_ab - _i)) div (2 * (_ab - _i))"
+                "(cast(_i as bigint) * 10000 * 2 + (_ab - _i))"
+                " div (2 * (cast(_ab as bigint) - _i))"
             ).alias("jaccard_e4"),
         )
         .orderBy(F.desc("jaccard_e4"), F.asc(id_col))

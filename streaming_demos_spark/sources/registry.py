@@ -71,6 +71,10 @@ class SchemaRegistryClient:
         (``GET /schemas/ids/{id}``)."""
         cached = self._by_id.get(schema_id)
         if cached is not None:
+            # true LRU: refresh recency on hit, otherwise eviction is
+            # insertion-order and the hottest (oldest-registered) id
+            # is evicted first once the map fills.
+            self._by_id.move_to_end(schema_id)
             return cached
         body = self._get(f"/schemas/ids/{int(schema_id)}", what=f"id {schema_id}")
         schema = body["schema"]
@@ -136,6 +140,9 @@ class SchemaRegistryClient:
 
     def _remember(self, cache: OrderedDict, key, value) -> None:
         cache[key] = value
+        # re-inserting an existing key does not move it in an
+        # OrderedDict — refresh recency so eviction below is LRU.
+        cache.move_to_end(key)
         while len(cache) > self._capacity:
             cache.popitem(last=False)
 

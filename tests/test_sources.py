@@ -570,6 +570,27 @@ def test_registry_cache_is_bounded():
     assert len(t.calls) == 6
 
 
+def test_registry_cache_eviction_is_lru_not_fifo():
+    # A hit must refresh recency: after touching id 0, filling the
+    # 2-slot cache with id 2 evicts the COLD id 1, not the hot id 0
+    # (FIFO would re-fetch 0 here — the reference client's LRU intent).
+    from streaming_demos_spark.sources.registry import SchemaRegistryClient
+
+    base = "http://registry:8081"
+    t = _CannedTransport(
+        {f"{base}/schemas/ids/{i}": {"schema": _ORDER_SCHEMA} for i in range(3)}
+    )
+    c = SchemaRegistryClient(base, transport=t, cache_capacity=2)
+    c.get_schema_by_id(0)
+    c.get_schema_by_id(1)
+    c.get_schema_by_id(0)  # hit — must move 0 to most-recent
+    c.get_schema_by_id(2)  # fills cache — evicts 1, keeps hot 0
+    c.get_schema_by_id(0)  # still cached: no new transport call
+    assert len(t.calls) == 3
+    c.get_schema_by_id(1)  # was evicted: re-fetched
+    assert len(t.calls) == 4
+
+
 def test_registry_register_then_resolve_then_decode(spark):
     from streaming_demos_spark.sources import avro_codec as AC
     from streaming_demos_spark.sources.registry import (

@@ -2299,10 +2299,70 @@ def q_pii_redact(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # Binary media plumbing: text payload as opaque bytes -> Arrow
-    # mapInPandas feature extraction (deterministic fake decoder).
-    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return MM.extract_features(media, decoder="fake")
+    # REAL media metadata extraction (round 8): craft a mixed media
+    # corpus JVM-side — each doc becomes a valid PNG / JPEG(JFIF+SOF0)
+    # / GIF89a / WAV(RIFF fmt) header or raw text by doc_id % 5, with
+    # dimensions derived from doc_id — then round-trip it through the
+    # pure-stdlib header parser (multimodal.parse_media_header over
+    # Arrow batches). The byte streams are built as hex strings + one
+    # unhex (no UDF on the encode side), so the decode step is parsing
+    # genuine binary container headers, not replaying its own input.
+    # The oracle recomputes the declared dimensions closed-form.
+    docs = _t(spark, sf_dir, "documents")
+    f_idx = F.col("doc_id") % 5
+    w = F.col("doc_id") % 640 + 1
+    h = F.col("doc_id") % 480 + 1
+    sr = (F.col("doc_id") % 8) * 4000 + 8000
+    ch = F.col("doc_id") % 2 + 1
+
+    def be(col, hex_w):
+        # big-endian hex of an int column, zero-padded to hex_w digits
+        return F.lpad(F.hex(col), hex_w, "0")
+
+    def le(col, hex_w):
+        # little-endian: byte-swap the padded hex pairs
+        hx = F.lpad(F.hex(col), hex_w, "0")
+        pairs = [hx.substr(i, 2) for i in range(hex_w - 1, 0, -2)]
+        return F.concat(*pairs)
+
+    png_hex = F.concat(
+        # signature + IHDR length(13) + "IHDR"
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        be(w, 8), be(h, 8),
+        # bit depth 8, color type 6 (RGBA), compression/filter/
+        # interlace 0, CRC (unchecked by any header reader)
+        F.lit("080600000000000000"),
+    )
+    jpeg_hex = F.concat(
+        # SOI + APP0/JFIF (len 16, v1.1, no thumbnail)
+        F.lit("FFD8FFE000104A46494600010100000100010000"),
+        # SOF0: len 17, precision 8, height, width, 3 components
+        F.lit("FFC0001108"), be(h, 4), be(w, 4),
+        F.lit("03011100021101031101"),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),  # "GIF89a"
+        le(w, 4), le(h, 4),
+        F.lit("000000"),  # GCT flags, background, aspect
+    )
+    wav_hex = F.concat(
+        # "RIFF" + riff size 28 + "WAVE" + "fmt " + fmt len 16 + PCM
+        F.lit("524946461C00000057415645666D7420100000000100"),
+        le(ch, 4), le(sr, 8),
+        le(sr * ch * 2, 8),  # byte rate
+        le(ch * 2, 4),       # block align
+        F.lit("1000"),       # 16 bits per sample
+    )
+    payload = (
+        F.when(f_idx == 0, F.unhex(png_hex))
+        .when(f_idx == 1, F.unhex(jpeg_hex))
+        .when(f_idx == 2, F.unhex(gif_hex))
+        .when(f_idx == 3, F.unhex(wav_hex))
+        .otherwise(F.col("text").cast("binary"))
+    )
+    crafted = docs.select(F.col("doc_id"), payload.alias("media_bytes"))
+    media = MM.as_media(crafted, "doc_id", "media_bytes", kind="mixed")
+    return MM.extract_features(media, decoder="headers")
 
 
 def q_mm_resize(spark, sf_dir):
@@ -13269,12 +13329,32 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "mm_media_features": """
+            WITH m AS (
+                SELECT doc_id, doc_id % 5 AS f,
+                       doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+                       (doc_id % 8) * 4000 + 8000 AS sr,
+                       doc_id % 2 + 1 AS ch,
+                       octet_length(encode(text)) AS text_bytes
+                FROM documents
+            )
             SELECT doc_id AS media_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   md5(text) AS digest,
-                   ascii(substr(text, 1, 1)) AS head_byte,
-                   ascii(substr(text, length(text), 1)) AS tail_byte
-            FROM documents
+                   CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                          WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                          ELSE 'unknown' END AS format,
+                   (CASE WHEN f IN (0, 1, 2) THEN w ELSE 0 END)::BIGINT
+                       AS width,
+                   (CASE WHEN f IN (0, 1, 2) THEN h ELSE 0 END)::BIGINT
+                       AS height,
+                   (CASE WHEN f = 3 THEN sr ELSE 0 END)::BIGINT
+                       AS sample_rate_hz,
+                   (CASE f WHEN 1 THEN 3 WHEN 3 THEN ch
+                           ELSE 0 END)::BIGINT AS channels,
+                   (CASE WHEN f IN (0, 1) THEN 8 WHEN f = 3 THEN 16
+                         ELSE 0 END)::BIGINT AS bit_depth,
+                   (CASE f WHEN 0 THEN 33 WHEN 1 THEN 39
+                           WHEN 2 THEN 13 WHEN 3 THEN 36
+                           ELSE text_bytes END)::BIGINT AS n_bytes
+            FROM m
         """,
         "llm_kmeans_assign": f"""
             WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

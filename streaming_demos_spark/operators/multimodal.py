@@ -5,12 +5,21 @@ heavy per-item work (decode, resize, feature-extract, frame-sample)
 runs as Arrow-batched ``mapInPandas`` so each Python worker touches a
 columnar batch of blobs, never a row at a time.
 
-The decode kernels themselves are STUBBED in this container (no
-image/audio libraries baked in): ``decoder="fake"`` produces
-deterministic features from the raw bytes (length + md5 + first/last
-byte), so the Spark-side plumbing — schema, batching, partitioning,
-UDF signatures — is fully real and testable; ``decoder="pil"`` etc.
-raise NotImplementedError until the real library is importable.
+Two decoders run for real in this container:
+
+* ``decoder="headers"`` — a pure-stdlib container-format parser
+  (``struct`` module only): PNG IHDR, JPEG SOF0/2 marker scan, GIF
+  logical-screen descriptor, RIFF/WAVE ``fmt `` chunk walk. It reads
+  width/height/sample-rate/channels/bit-depth straight from the byte
+  stream — genuine media metadata extraction with zero dependencies;
+  payloads that parse as none of the four formats come back
+  ``format='unknown'``.
+* ``decoder="fake"`` — deterministic byte-level features (length +
+  md5 + first/last byte) for the pixel/sample-level kernels the
+  container cannot host (no PIL/opencv/pyav): resize, frame-sample,
+  perceptual hash exercise the identical Arrow plumbing on the raw
+  byte plane. ``decoder="pil"`` etc. raise NotImplementedError until
+  the real library is importable.
 
 Scale notes: blobs ride the scan as parquet binary; feature extraction
 is map-only (no shuffle); ``spark.sql.files.maxPartitionBytes`` bounds
@@ -22,6 +31,7 @@ text-only queries never read them.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -79,6 +89,109 @@ def as_media(
     )
 
 
+HEADER_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("sample_rate_hz", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("bit_depth", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Every JPEG start-of-frame marker that carries dimensions (C4=DHT,
+# C8=JPG, CC=DAC are NOT frames).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_HEADER_ZERO = {"format": "unknown", "width": 0, "height": 0,
+                "sample_rate_hz": 0, "channels": 0, "bit_depth": 0}
+
+
+def parse_media_header(payload: bytes | None) -> dict:
+    """Pure-stdlib media container-header parse (``struct`` only — no
+    PIL/opencv/soundfile): returns format + the dimensions the header
+    literally declares, with 0 for fields the format does not carry
+    (no real media has a zero dimension, and the all-int schema stays
+    bridge-safe — no NULL-bearing int columns). Unrecognized or
+    truncated payloads come back ``format='unknown'`` — the honest
+    fallback the ``fake`` decoder used to be.
+
+    Formats: PNG (IHDR width/height/bit-depth, big-endian), JPEG
+    (marker scan to the first SOFn segment: precision/height/width/
+    component count; APPn/DQT/etc. skipped by their declared length),
+    GIF87a/89a (logical-screen width/height, little-endian), WAV
+    (RIFF chunk walk to ``fmt ``: channels/sample-rate/bits)."""
+    out = dict(_HEADER_ZERO)
+    if payload is None or len(payload) < 10:
+        if payload is not None:
+            out["n_bytes"] = len(payload)
+        else:
+            out["n_bytes"] = 0
+        return out
+    out["n_bytes"] = len(payload)
+    if payload[:8] == _PNG_SIG:
+        if len(payload) >= 25 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", payload, 16)
+            out.update(format="png", width=w, height=h,
+                       bit_depth=payload[24])
+        return out
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+            if (marker in _JPEG_SOF and seg_len >= 8
+                    and i + 2 + seg_len <= len(payload)):
+                precision = payload[i + 4]
+                h, w = struct.unpack_from(">HH", payload, i + 5)
+                out.update(format="jpeg", width=w, height=h,
+                           bit_depth=precision, channels=payload[i + 9])
+                return out
+            i += 2 + seg_len
+        return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        out.update(format="gif", width=w, height=h)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(payload):
+            chunk_id = payload[i:i + 4]
+            chunk_len = struct.unpack_from("<I", payload, i + 4)[0]
+            if chunk_id == b"fmt " and i + 24 <= len(payload):
+                ch, sr = struct.unpack_from("<HI", payload, i + 10)
+                bits = struct.unpack_from("<H", payload, i + 22)[0]
+                out.update(format="wav", sample_rate_hz=sr,
+                           channels=ch, bit_depth=bits)
+                return out
+            i += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
+        return out
+    return out
+
+
+def _header_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    parsed = [parse_media_header(b) for b in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].to_numpy(),
+            "format": [p["format"] for p in parsed],
+            "width": [p["width"] for p in parsed],
+            "height": [p["height"] for p in parsed],
+            "sample_rate_hz": [p["sample_rate_hz"] for p in parsed],
+            "channels": [p["channels"] for p in parsed],
+            "bit_depth": [p["bit_depth"] for p in parsed],
+            "n_bytes": [p["n_bytes"] for p in parsed],
+        }
+    )
+
+
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic stand-in for a real decoder: features derived only
     from the raw bytes, so any engine (or oracle) can recompute them."""
@@ -99,13 +212,24 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Per-item feature extraction over Arrow batches (mapInPandas).
 
+    ``headers``: REAL container-header metadata (parse_media_header —
+    PNG/JPEG/GIF/WAV, stdlib struct only) -> HEADER_FEATURES rows.
     ``fake``: deterministic byte-level features (real plumbing, stub
-    kernel). Any other decoder name requires its library at runtime.
+    kernel) -> MEDIA_FEATURES rows. Any other decoder name requires
+    its library at runtime.
     """
+    if decoder == "headers":
+
+        def run_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _header_decode_batch(pdf)
+
+        return media.mapInPandas(run_headers, schema=HEADER_FEATURES)
     if decoder != "fake":
         raise NotImplementedError(
             f"decoder {decoder!r} requires media libraries not present in "
-            "this container; only the deterministic 'fake' decoder runs here"
+            "this container; 'headers' (stdlib metadata parse) and the "
+            "deterministic 'fake' byte kernel run here"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -226,6 +226,102 @@ def test_multimodal_fake_decoder(spark):
     assert out[2].head_byte == out[2].tail_byte == ord("Z")
 
 
+def _png_bytes(w, h, depth=8):
+    import struct as _s
+    return (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+            + _s.pack(">II", w, h) + bytes([depth, 6, 0, 0, 0])
+            + b"\x00" * 4)
+
+
+def _jpeg_bytes(w, h):
+    import struct as _s
+    app0 = (b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + _s.pack(">HH", 1, 1) + bytes([0, 0]))
+    # a DQT segment BEFORE the frame header: the scanner must skip
+    # non-SOF segments by their declared length
+    dqt = b"\xff\xdb" + _s.pack(">H", 67) + bytes(65)
+    sof0 = (b"\xff\xc0" + _s.pack(">H", 17) + bytes([8])
+            + _s.pack(">HH", h, w) + bytes([3])
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def _gif_bytes(w, h):
+    import struct as _s
+    return b"GIF89a" + _s.pack("<HH", w, h) + bytes(3)
+
+
+def _wav_bytes(sr, ch, bits=16, junk_first=True):
+    import struct as _s
+    fmt = b"fmt " + _s.pack("<I", 16) + _s.pack(
+        "<HHIIHH", 1, ch, sr, sr * ch * (bits // 8), ch * (bits // 8), bits
+    )
+    # an odd-length unknown chunk first: the walk must skip it
+    # word-aligned to land on "fmt "
+    junk = (b"JUNK" + _s.pack("<I", 3) + b"xyz" + b"\x00") if junk_first else b""
+    body = junk + fmt
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_media_header_parser_crafted_vectors():
+    # real container headers, parsed by the pure-stdlib kernel
+    p = MM.parse_media_header(_png_bytes(640, 480))
+    assert (p["format"], p["width"], p["height"], p["bit_depth"]) == (
+        "png", 640, 480, 8)
+    j = MM.parse_media_header(_jpeg_bytes(300, 200))
+    assert (j["format"], j["width"], j["height"], j["channels"]) == (
+        "jpeg", 300, 200, 3)
+    g = MM.parse_media_header(_gif_bytes(12, 34))
+    assert (g["format"], g["width"], g["height"]) == ("gif", 12, 34)
+    w = MM.parse_media_header(_wav_bytes(44100, 2))
+    assert (w["format"], w["sample_rate_hz"], w["channels"],
+            w["bit_depth"]) == ("wav", 44100, 2, 16)
+    # the wav walk also works with fmt first (no junk chunk)
+    w2 = MM.parse_media_header(_wav_bytes(8000, 1, junk_first=False))
+    assert (w2["format"], w2["sample_rate_hz"], w2["channels"]) == (
+        "wav", 8000, 1)
+
+
+def test_media_header_parser_fallbacks():
+    # truncated / alien payloads degrade to 'unknown', never raise
+    assert MM.parse_media_header(None)["format"] == "unknown"
+    assert MM.parse_media_header(b"")["format"] == "unknown"
+    assert MM.parse_media_header(b"plain text")["format"] == "unknown"
+    assert MM.parse_media_header(_png_bytes(9, 9)[:20])["format"] == "unknown"
+    assert MM.parse_media_header(_jpeg_bytes(9, 9)[:10])["format"] == "unknown"
+    # a JPEG whose scan never reaches a SOF marker
+    assert MM.parse_media_header(b"\xff\xd8\xff\xe0\x00\x04ab")["format"] == "unknown"
+    # RIFF/WAVE with no fmt chunk at all
+    import struct as _s
+    nofmt = b"RIFF" + _s.pack("<I", 12) + b"WAVE" + b"data" + _s.pack("<I", 0)
+    out = MM.parse_media_header(nofmt)
+    assert out["sample_rate_hz"] == 0 and out["format"] == "unknown"
+    # n_bytes is always the real payload length
+    assert MM.parse_media_header(b"plain text")["n_bytes"] == 10
+
+
+def test_multimodal_headers_decoder_spark(spark):
+    rows = [
+        (1, bytearray(_png_bytes(640, 480))),
+        (2, bytearray(_jpeg_bytes(300, 200))),
+        (3, bytearray(_gif_bytes(12, 34))),
+        (4, bytearray(_wav_bytes(44100, 2))),
+        (5, bytearray(b"not media")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = MM.as_media(df, "doc_id", "blob", kind="mixed")
+    out = {r.media_id: r for r in
+           MM.extract_features(media, decoder="headers").collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+    assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 300, 200)
+    assert (out[3].format, out[3].width, out[3].height) == ("gif", 12, 34)
+    assert (out[4].format, out[4].sample_rate_hz, out[4].channels,
+            out[4].bit_depth) == ("wav", 44100, 2, 16)
+    assert out[5].format == "unknown" and out[5].n_bytes == 9
+    assert out[6].format == "unknown" and out[6].n_bytes == 0
+
+
 def test_multimodal_real_decoders_stubbed(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     media = MM.as_media(df, "doc_id", "text")

@@ -5340,23 +5340,156 @@ def q_probe_env_versions(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
-    # Round-7 window (first 50), per VERDICT r6 #1/#2: 19 driver-
-    # environment probes (integer-exact data checksums over the date
-    # slices bracketing the red/green TPC-H split, epoch/sub-second
-    # fingerprints, predicate-domain comparisons, literals-only
-    # round/libm/md5/render canaries, env reporters — see
-    # operators/probes.py), then the 10 driver-red keys unchanged for
-    # re-measurement, then 3 green controls adjacent to the reds, then
-    # the 18 round-6 post-freeze keys that have never had a driver
-    # row. Duplicates later in this list are ignored (first occurrence
-    # wins).
-    # --- probes (19) ---
+    # Round-8 window (first 50), per VERDICT r7 #1: the binding
+    # constraint is now driver-proof coverage — 115/337 keys had no
+    # driver CORRECTNESS row through r7. Head = 4 standing environment
+    # sentinels (the 15 one-shot data-slice probes did their job in r7
+    # and are retired to the tail), then f_svd_embed (the ONLY key
+    # whose latest driver row is an error — r2, pandas comparator
+    # crashed on its then array-typed output, since unnested), then
+    # the 9 keys whose nullable-boolean outputs were coalesced this
+    # round (driver-prove the fix), then mm_media_features (schema
+    # upgraded to the real header decoder this round), then 35
+    # never-driver-checked keys chosen for operator-family spread
+    # (TPC-H, dedup, ANN, embeddings, kmeans, text, selection,
+    # training, graph, relational-profile, multimodal).
+    # --- standing sentinels (4) ---
     "probe_env_tz",
     "probe_env_versions",
+    "probe_render_canary",
     "probe_round_canary",
+    # --- stale driver-err key, hoisted (1) ---
+    "f_svd_embed",
+    # --- nullable-boolean coalesce fix, driver-prove (9) ---
+    "ext_fs_linkage",
+    "ext_control_chart",
+    "llm_normalize_text",
+    "ext_cusum_drift",
+    "ext_cuped",
+    "ext_data_quality",
+    "llm_quality_filter",
+    "ext_quantile_approx",
+    "llm_dedup_clusters",
+    # --- real header decoder, schema upgraded this round (1) ---
+    "mm_media_features",
+    # --- never-driver-checked, family spread (35) ---
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_pairs",
+    "llm_dedup_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_report",
+    "llm_ann_cosine_topk",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_pq_topk",
+    "llm_embedding_pool",
+    "llm_embedding_quantize",
+    "llm_embedding_outliers",
+    "llm_kmeans_round",
+    "llm_semantic_dedup",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_ngram_entropy",
+    "llm_bpe_encode",
+    "llm_dsir_weights",
+    "llm_temperature_mix",
+    "llm_pack_sequences",
+    "llm_decontaminate",
+    "llm_quality_classifier",
+    "llm_quality_eval",
+    "ext_triangle_count",
+    "ext_pagerank_trade",
+    "ext_grouping_sets",
+    "ext_table_profile",
+    "mm_resize",
+    # --- end round-8 window (50) ---
+    # remaining never-driver-checked keys: a driver window larger
+    # than 50 keeps landing on fresh keys before any re-check.
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q19",
+    "tpch_q22",
+    "llm_distinctive_terms",
+    "llm_uncertainty_sample",
+    "llm_whiten_embeddings",
+    "llm_fair_allocation",
+    "llm_ngram_novelty",
+    "llm_lsh_tuning",
+    "ext_impute_mode",
+    "mm_phash_neardup",
+    "llm_word_vectors",
+    "llm_minhash_lsh_eval",
+    "llm_hybrid_rerank",
+    "llm_dataset_card",
+    "llm_exact_stratified_split",
+    "ext_join_size_profile",
+    "llm_knn_label_noise",
+    "llm_ppmi_cooccurrence",
+    "llm_winsorize",
+    "llm_pmi_collocations",
+    "ext_trade_degree",
+    "llm_dup_spans",
+    "llm_lr_sweep",
+    "llm_quality_drift",
+    "llm_curriculum_bins",
+    "llm_random_projection",
+    "llm_cluster_split",
+    "llm_dsir_resample",
+    "llm_per_group_sample",
+    "llm_contrastive_triplets",
+    "llm_cross_source_overlap",
+    "llm_mmr_diversify",
+    "llm_incremental_near_dup",
+    "llm_bigram_lm_score",
+    "llm_decontaminate_fuzzy",
+    "llm_dedup_keep_best",
+    "llm_mix_token_plan",
+    "ext_value_histogram",
+    "ext_set_partition",
+    "ext_key_skew_profile",
+    "llm_ann_lsh_multi_topk",
+    "llm_ann_recall_multi",
+    "llm_kmeans_assign",
+    "llm_kmeans_centroids",
+    "llm_ann_filtered_topk",
+    "llm_dedup_incremental",
+    "ext_set_compare",
+    "llm_unigram_surprisal",
+    "llm_winnow_overlap",
+    "llm_ann_recall_ivf",
+    "llm_bm25_topk",
+    "ext_zorder_profile",
+    "llm_block_dedup",
+    "llm_shard_profile",
+    "llm_ann_recall_pq",
+    "llm_bpe_pair_stats",
+    "ext_entity_blocking",
+    "ext_zscore_anomalies",
+    "llm_dedup_simhash",
+    "llm_fingerprint",
+    "llm_vocab_stats",
+    "llm_winnow_fingerprints",
+    "llm_neardup_embedding",
+    "llm_ann_recall",
+    "llm_curation_pipeline",
+    "llm_stratified_sample",
+    "llm_mix_weights",
+    "llm_token_histogram",
+    "llm_repetition_stats",
+    "llm_chunking",
+    "llm_pii_redact",
+    "mm_frame_sample",
+    # previously driver-checked keys (green at latest check) and
+    # the retired one-shot probes, prior relative order.
     "probe_libm_canary",
     "probe_hash_canary",
-    "probe_render_canary",
     "probe_pred_domains",
     "probe_li_9596",
     "probe_li_97h1",
@@ -5370,7 +5503,6 @@ _WINDOW_PRIORITY = [
     "probe_ord_98p",
     "probe_ev_values",
     "probe_ev_epoch",
-    # --- the 10 r6 driver-red keys, unchanged (re-measure) ---
     "ext_cumulative_users",
     "ext_bloom_semijoin",
     "ext_nelson_aalen",
@@ -5381,11 +5513,9 @@ _WINDOW_PRIORITY = [
     "tpch_q7",
     "tpch_q10",
     "tpch_q12",
-    # --- green controls adjacent to the reds ---
     "tpch_q4",
     "tpch_q14",
     "tpch_q15",
-    # --- round-6 post-freeze keys (never driver-verified) ---
     "ext_burst_windows",
     "ext_lorenz_curve",
     "ext_peak_concurrency",
@@ -5404,9 +5534,6 @@ _WINDOW_PRIORITY = [
     "ext_cms_term_counts",
     "ext_quantile_summary",
     "ext_window_suite",
-    # --- end round-7 window (50) ---
-    # displaced round-6-window keys (all driver-green r6) and the
-    # remainder keep their prior relative order below.
     "ext_abc_classification",
     "ext_funnel_conversion_ci",
     "tpch_q8",
@@ -5444,25 +5571,12 @@ _WINDOW_PRIORITY = [
     "ext_odds_ratio",
     "ext_weibull_fit",
     "llm_vocab_growth",
-    "ext_event_transitions",
-    "ext_duplicate_events",
-    "ext_gini",
-    "ext_concentration",
-    "ext_heavy_hitters",
-    "ext_hll_distinct",
-    "ext_cms_term_counts",
-    "ext_quantile_summary",
-    "ext_window_suite",
     "ext_yuen_ttest",
-    "ext_cumulative_users",
-    "ext_bloom_semijoin",
-    "ext_fs_linkage",
     "ext_fs_em",
     "ext_auto_histogram",
     "ext_robust_anomalies",
     "ext_ohlc_bars",
     "ext_period_end_balance",
-    "ext_control_chart",
     "a4_metric_deltas",
     "s10_debezium_unwrap",
     "ext_hierarchical_rollup",
@@ -5484,13 +5598,11 @@ _WINDOW_PRIORITY = [
     "llm_preference_pairs",
     "ext_gapfill",
     "llm_textrank_keywords",
-    "ext_nelson_aalen",
     "ext_pivot_revenue",
     "ext_unpivot_profile",
     "ext_correlation_matrix",
     "llm_interleave_shards",
     "llm_contamination_matrix",
-    "llm_normalize_text",
     "ext_label_propagation",
     "ext_conformal_interval",
     "ext_hll_set_overlap",
@@ -5500,23 +5612,8 @@ _WINDOW_PRIORITY = [
     "ext_stratified_ate",
     "ext_gains_table",
     "llm_tokenizer_fertility",
-    "ext_cusum_drift",
     "ext_pinball_eval",
     "ext_srm_check",
-    "ext_abc_classification",
-    "ext_funnel_conversion_ci",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
     "ext_quantile_shift",
     "ext_rmst",
     "llm_oov_rate",
@@ -5526,7 +5623,6 @@ _WINDOW_PRIORITY = [
     "ext_harmonic_2hop",
     "ext_binseg_changepoints",
     "ext_diff_in_diff",
-    "ext_cuped",
     "ext_power_analysis",
     "llm_compression_ratio",
     "ext_holt_forecast",
@@ -5558,125 +5654,6 @@ _WINDOW_PRIORITY = [
     "ext_link_prediction",
     "ext_k_anonymity",
     "llm_dedup_containment",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "llm_distinctive_terms",
-    "ext_duplicate_events",
-    "llm_uncertainty_sample",
-    "ext_funnel_step_times",
-    "ext_seasonal_profile",
-    "ext_ab_test",
-    "llm_whiten_embeddings",
-    "ext_kaplan_meier",
-    "ext_jackknife_ci",
-    "llm_fair_allocation",
-    "ext_cohens_kappa",
-    "ext_autocorrelation",
-    "ext_concentration",
-    "ext_gini",
-    "llm_ngram_novelty",
-    "llm_lsh_tuning",
-    "ext_changepoint",
-    "ext_benford",
-    "ext_grouped_trend",
-    "ext_mutual_info",
-    "ext_impute_mode",
-    "mm_phash_neardup",
-    "llm_word_vectors",
-    "llm_minhash_lsh_eval",
-    "llm_hybrid_rerank",
-    "llm_dataset_card",
-    "llm_exact_stratified_split",
-    "ext_decayed_engagement",
-    "ext_join_size_profile",
-    "llm_zipf_fit",
-    "llm_knn_label_noise",
-    "llm_ppmi_cooccurrence",
-    "ext_triangle_count",
-    "llm_winsorize",
-    "llm_pmi_collocations",
-    "ext_ewma_smooth",
-    "ext_pagerank_trade",
-    "ext_trade_degree",
-    "llm_embedding_pool",
-    "ext_cms_term_counts",
-    "llm_dup_spans",
-    "llm_lr_sweep",
-    "llm_quality_drift",
-    "ext_sequence_gaps",
-    "ext_data_quality",
-    "llm_quality_eval",
-    "ext_incremental_agg",
-    "llm_embedding_quantize",
-    "llm_curriculum_bins",
-    "llm_bpe_encode",
-    "llm_quality_classifier",
-    "llm_random_projection",
-    "llm_cluster_split",
-    "llm_dsir_weights",
-    "llm_dsir_resample",
-    "llm_temperature_mix",
-    "ext_heavy_hitters",
-    "llm_per_group_sample",
-    "llm_contrastive_triplets",
-    "llm_cross_source_overlap",
-    "llm_mmr_diversify",
-    "llm_incremental_near_dup",
-    "ext_grouping_sets",
-    "llm_bigram_lm_score",
-    "s10_cdc_scd2_history",
-    "eval_ndcg",
-    "llm_decontaminate_fuzzy",
-    "llm_tfidf_cosine_topk",
-    "llm_dedup_keep_best",
-    "llm_mix_token_plan",
-    "ext_value_histogram",
-    "ext_set_partition",
-    "ext_table_profile",
-    "o4_per_key_time_split",
-    "llm_quality_filter",
-    "ext_hll_distinct",
-    "ext_key_skew_profile",
-    "ext_quantile_approx",
-    "llm_ann_lsh_multi_topk",
-    "llm_ann_recall_multi",
-    "llm_kmeans_assign",
-    "llm_kmeans_centroids",
-    "llm_kmeans_round",
-    "llm_semantic_dedup",
-    "llm_ann_filtered_topk",
-    "llm_dedup_incremental",
-    "ext_window_suite",
-    "ext_set_compare",
-    "llm_unigram_surprisal",
-    "llm_dedup_simhash_pairs",
-    "llm_winnow_overlap",
-    "llm_ann_recall_ivf",
-    "llm_embedding_outliers",
-    "s10_cdc_snapshot_at",
-    "llm_dedup_report",
-    "llm_bm25_topk",
-    "llm_ann_pq_topk",
-    "ext_zorder_profile",
-    "llm_block_dedup",
-    "llm_shard_profile",
-    "llm_ann_recall_pq",
-    "ext_event_transitions",
-    "s10_snapshot_diff",
-    "llm_bpe_pair_stats",
-    "eval_calibration",
-    "ext_entity_blocking",
-    "f_svd_embed",
-    "ext_user_journeys",
-    "ext_funnel",
-    "ext_retention",
 ]
 
 

@@ -5660,10 +5660,12 @@ _WINDOW_PRIORITY = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order is deliberate: a correctness sweep that stops
     # after the first N keys should spend its window on the queries with
-    # the LEAST prior verification signal. _WINDOW_PRIORITY lists, in
-    # order: every key added after the round-2 snapshot (no independent
-    # verification yet), the r2-red f_svd_embed, then r2 judge-verified
-    # (but never driver-green) keys; driver-green r2 keys come last.
+    # the LEAST prior verification signal. _WINDOW_PRIORITY (see its
+    # header comment for the round-8 composition) puts the standing
+    # sentinels + this round's fixed/changed keys + a family spread of
+    # never-driver-checked keys first, every remaining never-checked
+    # key next, and keys already driver-green at their latest check
+    # last.
     d = {
         "ext_quantile_shift": q_quantile_shift,
         "ext_rmst": q_rmst,

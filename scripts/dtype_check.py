@@ -81,6 +81,48 @@ def spark_class(dt) -> str:
     return "other"
 
 
+def pair_flags(key: str, duck: dict, spark_fields) -> list:
+    """All bridge-divergence flags for one (duckdb types, spark schema)
+    pair — factored out of main() so tests can seed each rule class and
+    prove the gate still catches it (the gate that polices regressions
+    must itself be regression-tested)."""
+    flags = []
+    for c, dt in duck.items():
+        if dt in BAD_DUCK or dt.startswith("DECIMAL"):
+            flags.append((key, c, f"duckdb {dt} floatifies in pandas"))
+        if dt.endswith("[]") or dt.startswith(("STRUCT", "MAP")):
+            flags.append(
+                (key, c, f"duckdb {dt} is unhashable in the pandas"
+                         " comparator sort"))
+        if dt == "DATE":
+            flags.append(
+                (key, c, "duckdb DATE bridges as datetime.date vs"
+                         " Spark datetime64 — format as string"))
+    for c, f in ((f.name.lower(), f) for f in spark_fields):
+        dt = f.dataType
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            flags.append(
+                (key, c, f"spark {dt.simpleString()} is unhashable in"
+                         " the pandas comparator sort"))
+        if isinstance(dt, T.BooleanType) and f.nullable:
+            flags.append(
+                (key, c, "schema-nullable BOOLEAN: NULL renders None"
+                         " vs NaN through the bridge — coalesce both"
+                         " sides"))
+        if isinstance(dt, T.DateType):
+            flags.append(
+                (key, c, "spark DATE bridges as midnight datetime64"
+                         " vs duckdb datetime.date — format as"
+                         " string"))
+        if c in duck:
+            sc, dc = spark_class(dt), duck_class(duck[c])
+            if sc != dc and {"int", "float", "bool"} & {sc, dc}:
+                flags.append(
+                    (key, c, f"class mismatch spark={dt.simpleString()}"
+                             f" duckdb={duck[c]}"))
+    return flags
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -108,43 +150,10 @@ def main() -> None:
             rel = con.sql(sql)
             duck = {c.lower(): str(t) for c, t in zip(rel.columns, rel.types)}
             sdf = qs[key](spark, SF)
-            sp = {f.name.lower(): f.dataType for f in sdf.schema.fields}
         except Exception as e:  # pragma: no cover - report and continue
             errs.append((key, str(e)[:160]))
             continue
-        for c, dt in duck.items():
-            if dt in BAD_DUCK or dt.startswith("DECIMAL"):
-                flags.append((key, c, f"duckdb {dt} floatifies in pandas"))
-            if dt.endswith("[]") or dt.startswith(("STRUCT", "MAP")):
-                flags.append(
-                    (key, c, f"duckdb {dt} is unhashable in the pandas"
-                             " comparator sort"))
-            if dt == "DATE":
-                flags.append(
-                    (key, c, "duckdb DATE bridges as datetime.date vs"
-                             " Spark datetime64 — format as string"))
-        for c, f in ((f.name.lower(), f) for f in sdf.schema.fields):
-            dt = f.dataType
-            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-                flags.append(
-                    (key, c, f"spark {dt.simpleString()} is unhashable in"
-                             " the pandas comparator sort"))
-            if isinstance(dt, T.BooleanType) and f.nullable:
-                flags.append(
-                    (key, c, "schema-nullable BOOLEAN: NULL renders None"
-                             " vs NaN through the bridge — coalesce both"
-                             " sides"))
-            if isinstance(dt, T.DateType):
-                flags.append(
-                    (key, c, "spark DATE bridges as midnight datetime64"
-                             " vs duckdb datetime.date — format as"
-                             " string"))
-            if c in duck:
-                sc, dc = spark_class(dt), duck_class(duck[c])
-                if sc != dc and {"int", "float", "bool"} & {sc, dc}:
-                    flags.append(
-                        (key, c, f"class mismatch spark={dt.simpleString()}"
-                                 f" duckdb={duck[c]}"))
+        flags.extend(pair_flags(key, duck, sdf.schema.fields))
     for k, c, msg in flags:
         print(f"FLAG {k}.{c}: {msg}")
     for k, e in errs:

@@ -2358,7 +2358,10 @@ def q_multimodal_features(spark, sf_dir):
         .when(f_idx == 1, F.unhex(jpeg_hex))
         .when(f_idx == 2, F.unhex(gif_hex))
         .when(f_idx == 3, F.unhex(wav_hex))
-        .otherwise(F.col("text").cast("binary"))
+        # coalesce: a NULL text must become an EMPTY payload on both
+        # sides (parser reports n_bytes=0; the oracle coalesces its
+        # octet_length the same way) — not a NULL-vs-0 bridge split.
+        .otherwise(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
     )
     crafted = docs.select(F.col("doc_id"), payload.alias("media_bytes"))
     media = MM.as_media(crafted, "doc_id", "media_bytes", kind="mixed")
@@ -13313,7 +13316,8 @@ def oracle_sql() -> dict[str, str]:
                        doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
                        (doc_id % 8) * 4000 + 8000 AS sr,
                        doc_id % 2 + 1 AS ch,
-                       octet_length(encode(text)) AS text_bytes
+                       COALESCE(octet_length(encode(text)), 0)
+                           AS text_bytes
                 FROM documents
             )
             SELECT doc_id AS media_id,

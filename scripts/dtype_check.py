@@ -30,6 +30,7 @@ Usage: python scripts/dtype_check.py [sf_dir] [key1,key2,...]
 Exit code 1 if any flag.
 """
 import os
+import re
 import sys
 
 import duckdb
@@ -90,7 +91,8 @@ def pair_flags(key: str, duck: dict, spark_fields) -> list:
     for c, dt in duck.items():
         if dt in BAD_DUCK or dt.startswith("DECIMAL"):
             flags.append((key, c, f"duckdb {dt} floatifies in pandas"))
-        if dt.endswith("[]") or dt.startswith(("STRUCT", "MAP")):
+        if (re.search(r"\[\d*\]$", dt)  # LIST 'T[]' AND fixed 'T[3]'
+                or dt.startswith(("STRUCT", "MAP"))):
             flags.append(
                 (key, c, f"duckdb {dt} is unhashable in the pandas"
                          " comparator sort"))

@@ -126,13 +126,9 @@ def parse_media_header(payload: bytes | None) -> dict:
     GIF87a/89a (logical-screen width/height, little-endian), WAV
     (RIFF chunk walk to ``fmt ``: channels/sample-rate/bits)."""
     out = dict(_HEADER_ZERO)
+    out["n_bytes"] = 0 if payload is None else len(payload)
     if payload is None or len(payload) < 10:
-        if payload is not None:
-            out["n_bytes"] = len(payload)
-        else:
-            out["n_bytes"] = 0
         return out
-    out["n_bytes"] = len(payload)
     if payload[:8] == _PNG_SIG:
         if len(payload) >= 25 and payload[12:16] == b"IHDR":
             w, h = struct.unpack_from(">II", payload, 16)
@@ -143,6 +139,11 @@ def parse_media_header(payload: bytes | None) -> dict:
         i = 2
         while i + 4 <= len(payload) and payload[i] == 0xFF:
             marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # 0xFF fill bytes before a marker (B.1.1.2)
+                continue
+            if marker == 0xD9:
+                break  # EOI: no frame header found
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length field
                 continue
@@ -165,7 +166,10 @@ def parse_media_header(payload: bytes | None) -> dict:
         while i + 8 <= len(payload):
             chunk_id = payload[i:i + 4]
             chunk_len = struct.unpack_from("<I", payload, i + 4)[0]
-            if chunk_id == b"fmt " and i + 24 <= len(payload):
+            # chunk_len >= 16: an old-style WAVEFORMAT fmt chunk
+            # (len 14) has no wBitsPerSample — reading offset 22
+            # would pick up the NEXT chunk's id bytes as bit depth.
+            if chunk_id == b"fmt " and chunk_len >= 16 and i + 24 <= len(payload):
                 ch, sr = struct.unpack_from("<HI", payload, i + 10)
                 bits = struct.unpack_from("<H", payload, i + 22)[0]
                 out.update(format="wav", sample_rate_hz=sr,

@@ -62,6 +62,11 @@ def test_gate_flags_complex_types_both_sides():
     flags = dtype_check.pair_flags("q", duck, fields)
     # 3 duckdb-side + 3 spark-side unhashable flags
     assert len([f for f in flags if "unhashable" in f[2]]) == 6
+    # DuckDB FIXED-size arrays type as 'BIGINT[3]', not 'BIGINT[]' —
+    # they arrive as list cells all the same and must flag
+    fixed = dtype_check.pair_flags(
+        "q", {"a": "BIGINT[3]"}, _fields(("a", T.LongType(), False)))
+    assert len([f for f in fixed if "unhashable" in f[2]]) == 1
 
 
 def test_gate_flags_nullable_boolean_spark_only():

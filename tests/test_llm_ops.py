@@ -282,6 +282,34 @@ def test_media_header_parser_crafted_vectors():
         "wav", 8000, 1)
 
 
+def test_media_header_parser_jpeg_fill_bytes_and_eoi():
+    import struct as _s
+
+    # spec-legal 0xFF fill padding before the SOF marker must be skipped
+    sof0 = (b"\xff\xc0" + _s.pack(">H", 17) + bytes([8])
+            + _s.pack(">HH", 20, 10) + bytes([3])
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    padded = b"\xff\xd8" + b"\xff\xff" + sof0  # two fill bytes
+    out = MM.parse_media_header(padded)
+    assert (out["format"], out["width"], out["height"]) == ("jpeg", 10, 20)
+    # EOI before any SOF ends the scan cleanly (no length read past it)
+    eoi_first = b"\xff\xd8\xff\xd9" + sof0
+    assert MM.parse_media_header(eoi_first)["format"] == "unknown"
+
+
+def test_media_header_parser_wav_short_fmt_chunk():
+    import struct as _s
+
+    # old-style WAVEFORMAT: fmt chunk_len 14, no wBitsPerSample —
+    # bit depth must NOT be read from the following chunk's id bytes
+    fmt14 = b"fmt " + _s.pack("<I", 14) + _s.pack("<HHIIH", 1, 2, 44100,
+                                                  44100 * 2 * 2, 4)
+    body = fmt14 + b"data" + _s.pack("<I", 0)
+    wav = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out = MM.parse_media_header(wav)
+    assert out["format"] == "unknown" and out["bit_depth"] == 0
+
+
 def test_media_header_parser_fallbacks():
     # truncated / alien payloads degrade to 'unknown', never raise
     assert MM.parse_media_header(None)["format"] == "unknown"

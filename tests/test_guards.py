@@ -48,6 +48,50 @@ def test_connected_components_raises_without_convergence(spark):
     assert {r.component for r in ok.collect()} == {1}
 
 
+def test_connected_components_matches_union_find_oracle(spark):
+    # Independent ground truth: the two Spark implementations
+    # (propagation, star contraction) are cross-checked elsewhere, but
+    # they could in principle share a wrong answer — a five-line
+    # union-find is a third, trivially-auditable reference. Random
+    # graphs across densities: sparse (mostly singleton pairs), medium,
+    # and denser than near-dup graphs ever get.
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id canonical label per component, matching the operator
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(123)
+    for n_nodes, n_edges in [(30, 8), (50, 40), (40, 120)]:
+        raw = [
+            (rng.randrange(0, n_nodes), rng.randrange(0, n_nodes))
+            for _ in range(n_edges)
+        ]
+        raw = [(a, b) for a, b in raw if a != b]
+        nodes = sorted({x for e in raw for x in e})
+        expect = uf_components(raw, nodes)
+        edges = spark.createDataFrame(raw, ["doc_a", "doc_b"])
+        got = {
+            r.node: r.component
+            for r in D.connected_components(edges, max_iter=40).collect()
+        }
+        # path-compressed union-find roots ARE the min ids here because
+        # unions always point the larger root at the smaller
+        assert got == expect, f"divergence at n={n_nodes} e={n_edges}"
+
+
 def test_star_contraction_matches_propagation(spark):
     # Star contraction must produce the identical min-id labeling as
     # min-label propagation, in O(log d) rounds: a 40-chain converges

@@ -103,6 +103,64 @@ def test_exact_dedup_conserves_rows(spark, texts):
     assert kept == len(groups)
 
 
+# word-level corpora for the near-dup properties: a tiny vocabulary
+# forces real shingle overlap so LSH buckets actually collide
+worded_texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "fox", "dog", "run", "sit"]),
+        min_size=0,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SET
+@given(texts=worded_texts_strategy)
+def test_lsh_verified_pairs_subset_of_exact_pairs(spark, texts):
+    # The verify step makes LSH precision 1: every pair MinHash banding
+    # surfaces AND exact-Jaccard-verifies must appear in the exhaustive
+    # exact enumeration at the same threshold (LSH may MISS pairs —
+    # that's recall, measured by llm_minhash_lsh_eval — but an emitted
+    # pair that the exact join wouldn't emit means the verify predicate
+    # and the ground-truth predicate have drifted apart).
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_near_dup_pairs(docs, threshold=0.3).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert found <= truth
+
+
+@SET
+@given(texts=worded_texts_strategy)
+def test_near_dup_clusters_keep_exactly_one_per_component(spark, texts):
+    # keep-one-per-cluster invariants: every document labeled exactly
+    # once, exactly one kept doc per component, and the kept doc is the
+    # component's minimum id (the canonical-representative rule).
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = D.near_dup_clusters(docs, threshold=0.3).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(texts)))
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r.is_kept]
+        assert len(kept) == 1 and kept[0].doc_id == comp == min(
+            r.doc_id for r in members
+        )
+        assert all(r.n_members == len(members) for r in members)
+
+
 scores_strategy = st.lists(
     st.tuples(
         st.floats(min_value=0.0, max_value=1.0, allow_nan=False),

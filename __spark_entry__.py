@@ -2308,6 +2308,16 @@ def q_multimodal_features(spark, sf_dir):
     # unhex (no UDF on the encode side), so the decode step is parsing
     # genuine binary container headers, not replaying its own input.
     # The oracle recomputes the declared dimensions closed-form.
+    #
+    # Only the four CRAFTED branches run through the header parser;
+    # the text branch (f=4, and any doc_id < 0, where % keeps sign on
+    # both engines so f_idx matches none of 0..3) emits its 'unknown'
+    # row directly. This mirrors the oracle exactly: a text that
+    # happens to start with a printable magic ('GIF89a', 'RIFF..WAVE')
+    # can never sniff as media on one side only, and the be()/le() hex
+    # helpers (which assume non-negative ints — F.hex of a negative is
+    # 16-digit two's-complement that lpad would TRUNCATE to the high
+    # hex digits) are only reached for doc_id >= 0.
     docs = _t(spark, sf_dir, "documents")
     f_idx = F.col("doc_id") % 5
     w = F.col("doc_id") % 640 + 1
@@ -2357,15 +2367,27 @@ def q_multimodal_features(spark, sf_dir):
         F.when(f_idx == 0, F.unhex(png_hex))
         .when(f_idx == 1, F.unhex(jpeg_hex))
         .when(f_idx == 2, F.unhex(gif_hex))
-        .when(f_idx == 3, F.unhex(wav_hex))
-        # coalesce: a NULL text must become an EMPTY payload on both
-        # sides (parser reports n_bytes=0; the oracle coalesces its
-        # octet_length the same way) — not a NULL-vs-0 bridge split.
-        .otherwise(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+        .otherwise(F.unhex(wav_hex))
     )
-    crafted = docs.select(F.col("doc_id"), payload.alias("media_bytes"))
+    crafted = docs.filter(f_idx.isin(0, 1, 2, 3)).select(
+        F.col("doc_id"), payload.alias("media_bytes"))
     media = MM.as_media(crafted, "doc_id", "media_bytes", kind="mixed")
-    return MM.extract_features(media, decoder="headers")
+    parsed = MM.extract_features(media, decoder="headers")
+    # text/negative branch: the 'unknown' row, emitted directly (never
+    # sniffed). coalesce: a NULL text counts 0 bytes on both sides —
+    # not a NULL-vs-0 bridge split.
+    text_rows = docs.filter(~f_idx.isin(0, 1, 2, 3)).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("unknown").alias("format"),
+        F.lit(0).cast("long").alias("width"),
+        F.lit(0).cast("long").alias("height"),
+        F.lit(0).cast("long").alias("sample_rate_hz"),
+        F.lit(0).cast("long").alias("channels"),
+        F.lit(0).cast("long").alias("bit_depth"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long").alias("n_bytes"),
+    )
+    return parsed.unionByName(text_rows)
 
 
 def q_mm_resize(spark, sf_dir):

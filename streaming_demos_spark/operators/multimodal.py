@@ -124,7 +124,13 @@ def parse_media_header(payload: bytes | None) -> dict:
     (marker scan to the first SOFn segment: precision/height/width/
     component count; APPn/DQT/etc. skipped by their declared length),
     GIF87a/89a (logical-screen width/height, little-endian), WAV
-    (RIFF chunk walk to ``fmt ``: channels/sample-rate/bits)."""
+    (RIFF chunk walk to ``fmt ``: channels/sample-rate/bits).
+
+    Policy note: only modern ``fmt `` chunks (len >= 16, i.e.
+    WAVEFORMAT with wBitsPerSample) are accepted; an old-style 14-byte
+    WAVEFORMAT file deliberately reports ``format='unknown'`` rather
+    than a wav row with a guessed bit depth — the 'unknown' there is a
+    policy choice (test-pinned), not a parse failure."""
     out = dict(_HEADER_ZERO)
     out["n_bytes"] = 0 if payload is None else len(payload)
     if payload is None or len(payload) < 10:

@@ -5,7 +5,7 @@ heavy per-item work (decode, resize, feature-extract, frame-sample)
 runs as Arrow-batched ``mapInPandas`` so each Python worker touches a
 columnar batch of blobs, never a row at a time.
 
-Two decoders run for real in this container:
+Three decoders run for real in this container:
 
 * ``decoder="headers"`` — a pure-stdlib container-format parser
   (``struct`` module only): PNG IHDR, JPEG SOF0/2 marker scan, GIF
@@ -14,12 +14,19 @@ Two decoders run for real in this container:
   stream — genuine media metadata extraction with zero dependencies;
   payloads that parse as none of the four formats come back
   ``format='unknown'``.
+* ``decoder="bmp"`` — a REAL pixel plane with zero dependencies:
+  uncompressed 24bpp BMP decoded to an RGB grid (stdlib ``struct``
+  header walk + numpy reshape — row padding, bottom-up AND top-down
+  orientation, BGR channel order all handled), feeding genuine pixel
+  kernels: 2-D nearest-neighbor resize, 8×8 luma average-hash, and a
+  concatenated-BMP container walk for frame sampling. Compressed
+  formats still need PIL/opencv and stay behind the import gate.
 * ``decoder="fake"`` — deterministic byte-level features (length +
-  md5 + first/last byte) for the pixel/sample-level kernels the
-  container cannot host (no PIL/opencv/pyav): resize, frame-sample,
-  perceptual hash exercise the identical Arrow plumbing on the raw
-  byte plane. ``decoder="pil"`` etc. raise NotImplementedError until
-  the real library is importable.
+  md5 + first/last byte) for the pixel/sample-level kernels on
+  formats the container cannot decode (no PIL/opencv/pyav): resize,
+  frame-sample, perceptual hash exercise the identical Arrow plumbing
+  on the raw byte plane. ``decoder="pil"`` etc. raise
+  NotImplementedError until the real library is importable.
 
 Scale notes: blobs ride the scan as parquet binary; feature extraction
 is map-only (no shuffle); ``spark.sql.files.maxPartitionBytes`` bounds
@@ -34,6 +41,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -124,7 +132,9 @@ def parse_media_header(payload: bytes | None) -> dict:
     (marker scan to the first SOFn segment: precision/height/width/
     component count; APPn/DQT/etc. skipped by their declared length),
     GIF87a/89a (logical-screen width/height, little-endian), WAV
-    (RIFF chunk walk to ``fmt ``: channels/sample-rate/bits).
+    (RIFF chunk walk to ``fmt ``: channels/sample-rate/bits), BMP
+    (BITMAPINFOHEADER width/|height|/bpp; biHeight's sign only encodes
+    storage order, so the magnitude is reported).
 
     Policy note: only modern ``fmt `` chunks (len >= 16, i.e.
     WAVEFORMAT with wBitsPerSample) are accepted; an old-style 14-byte
@@ -166,6 +176,13 @@ def parse_media_header(payload: bytes | None) -> dict:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", payload, 6)
         out.update(format="gif", width=w, height=h)
+        return out
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if hdr_size >= 40 and w > 0 and h != 0:
+            out.update(format="bmp", width=w, height=abs(h), bit_depth=bpp)
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
@@ -249,6 +266,97 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_FEATURES)
 
 
+# ---------------------------------------------------------------------------
+# Real pixel plane: uncompressed 24bpp BMP (pure stdlib header walk +
+# numpy pixel reshape — no PIL/opencv). This is the one container format
+# whose pixels ARE decodable with zero dependencies, so the resize /
+# perceptual-hash / frame-sample kernels below run on genuine pixels for
+# BMP payloads while compressed formats keep the import-gated decoders.
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Decode an uncompressed 24bpp BMP to ``(width, height, rgb)`` where
+    ``rgb`` is a ``(height, width, 3)`` uint8 array in row-major TOP-DOWN
+    RGB order, or ``None`` for anything that is not a well-formed
+    BI_RGB/24bpp bitmap (wrong magic, truncated, other bpp/compression).
+
+    Handles the three classic trip-wires a naive reader gets wrong:
+    rows padded to 4-byte boundaries, pixels stored as BGR (not RGB),
+    and the biHeight sign convention (positive = bottom-up storage,
+    negative = top-down)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER (12) not supported
+        return None
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if w <= 0 or h_raw == 0 or bpp != 24 or compression != 0:
+        return None
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_size = (3 * w + 3) & ~3  # rows are padded to 4-byte words
+    if pix_off < 54 or pix_off + row_size * h > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, np.uint8, count=row_size * h, offset=pix_off
+    ).reshape(h, row_size)
+    img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]  # bottom-up storage -> top-down grid
+    return w, h, np.ascontiguousarray(img)
+
+
+def iter_bmp_frames(payload: bytes | None) -> Iterator[bytes]:
+    """Walk a concatenation of BMP files (the uncompressed analog of a
+    frame container) by each file's DECLARED size at BITMAPFILEHEADER
+    offset 2 — a real container walk, not fixed-stride slicing. Stops at
+    the first byte run that is not a plausible BMP."""
+    if payload is None:
+        return
+    i = 0
+    while i + 54 <= len(payload) and payload[i:i + 2] == b"BM":
+        fsize = struct.unpack_from("<I", payload, i + 2)[0]
+        if fsize < 54 or i + fsize > len(payload):
+            return
+        yield payload[i:i + fsize]
+        i += fsize
+
+
+def _luma_plane(rgb: np.ndarray) -> np.ndarray:
+    """Integer Rec.601-style luma: (299*R + 587*G + 114*B) // 1000.
+    Exact integer arithmetic so any engine (or SQL oracle) reproduces
+    it bit-for-bit — no float weights."""
+    px = rgb.astype(np.int64)
+    return (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+
+
+def _nn_resize(grid: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """2-D nearest-neighbor resample: source index = (out_idx * in) //
+    out — the same floor-index math as the 1-D byte resampler, applied
+    per axis. Works for 2-D (luma) and 3-D (RGB) grids."""
+    h, w = grid.shape[0], grid.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return grid[ys][:, xs]
+
+
+def _ahash_pixels(payload: bytes | None) -> str | None:
+    """Real average-hash: decode BMP -> integer luma plane -> 8x8
+    nearest-neighbor resample -> bit i = 1 iff cell i is strictly above
+    the 64-cell mean (identical bit rule to the byte-plane ``fake``
+    variant). None for undecodable payloads."""
+    decoded = decode_bmp(payload)
+    if decoded is None:
+        return None
+    _, _, rgb = decoded
+    cells = _nn_resize(_luma_plane(rgb), 8, 8).ravel()
+    mean = cells.sum() / cells.size
+    return "".join("1" if c > mean else "0" for c in cells)
+
+
 def _resample_bytes(payload: bytes | None, n_out: int) -> bytes | None:
     """Nearest-neighbor 1-D resample of a byte string to ``n_out`` bytes —
     the deterministic stand-in for a pixel-grid resize (same index math a
@@ -261,27 +369,54 @@ def _resample_bytes(payload: bytes | None, n_out: int) -> bytes | None:
     return bytes(payload[(i * n_in) // n_out] for i in range(n_out))
 
 
+def _resize_bmp_payload(payload: bytes | None, out_w: int, out_h: int) -> bytes | None:
+    """Real pixel resize: decode BMP -> 2-D nearest-neighbor resample of
+    the RGB grid -> raw RGB24 bytes, row-major top-down. None when the
+    payload is not a decodable BMP."""
+    decoded = decode_bmp(payload)
+    if decoded is None:
+        return None
+    _, _, rgb = decoded
+    return _nn_resize(rgb, out_w, out_h).tobytes()
+
+
 def resize_images(media: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
     """Image resize over Arrow batches (mapInPandas) — map-only, no
     shuffle, output is MEDIA-shaped so resizes compose with
     extract_features.
 
+    ``bmp``: REAL pixel kernel — uncompressed-24bpp BMP decode
+    (padding / BGR / orientation aware) then a genuine 2-D
+    nearest-neighbor resize of the RGB grid; output payload is raw
+    RGB24 (``3*width*height`` bytes, row-major top-down); payloads
+    that are not decodable BMPs come back with a NULL payload.
     ``fake``: nearest-neighbor resample of the raw byte plane to
-    ``width*height`` bytes (real plumbing, stub kernel — this container
-    has no PIL/opencv). Any other decoder raises until its library is
-    importable; the batch shape and schema are identical either way.
+    ``width*height`` bytes (real plumbing, stub kernel for formats this
+    container cannot decode — no PIL/opencv). Any other decoder raises
+    until its library is importable; batch shape and schema are
+    identical across all three.
     """
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         raise NotImplementedError(
             f"decoder {decoder!r} needs PIL or opencv, not baked into this "
-            "container; the 'fake' kernel exercises the identical plumbing"
+            "container; 'bmp' is a real pixel kernel and 'fake' exercises "
+            "the identical plumbing"
         )
-    n_out = width * height
-    mime = f"application/x-fake-raster;w={width};h={height}"
+    if decoder == "bmp":
+        mime = f"image/x-raw-rgb24;w={width};h={height}"
+
+        def kernel(b):
+            return _resize_bmp_payload(b, width, height)
+    else:
+        n_out = width * height
+        mime = f"application/x-fake-raster;w={width};h={height}"
+
+        def kernel(b):
+            return _resample_bytes(b, n_out)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["payload"].map(lambda b: _resample_bytes(b, n_out))
+            resized = pdf["payload"].map(kernel)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -313,6 +448,11 @@ def sample_frames(
     ``ceil(n_frames / every_n)`` frame rows (mapInPandas may yield more
     rows than it consumes — the natural shape for decode-and-explode).
 
+    ``bmp``: REAL container walk — the payload is a concatenation of
+    BMP files (the uncompressed analog of a frame stream); frames are
+    split by each file's declared size field, every ``every_n``-th is
+    DECODED and emitted as its integer luma plane (``width*height``
+    bytes, row-major top-down). ``frame_bytes`` is ignored for bmp.
     ``fake``: the payload is treated as a concatenation of fixed-size
     ``frame_bytes`` frames and every ``every_n``-th is emitted — the same
     stride arithmetic a real GOP sampler applies to decoded frames. Any
@@ -320,10 +460,11 @@ def sample_frames(
     """
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         raise NotImplementedError(
             f"decoder {decoder!r} needs pyav/ffmpeg, not baked into this "
-            "container; the 'fake' kernel exercises the identical plumbing"
+            "container; 'bmp' walks real uncompressed frames and 'fake' "
+            "exercises the identical plumbing"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -331,6 +472,19 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
+                    continue
+                if decoder == "bmp":
+                    for fi, blob in enumerate(iter_bmp_frames(payload)):
+                        if fi % every_n:
+                            continue
+                        decoded = decode_bmp(blob)
+                        if decoded is None:
+                            continue
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(
+                            _luma_plane(decoded[2]).astype(np.uint8).tobytes()
+                        )
                     continue
                 n_frames = len(payload) // frame_bytes
                 for fi in range(0, n_frames, every_n):
@@ -360,16 +514,21 @@ def _ahash_bytes(payload: bytes | None) -> str | None:
 def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Perceptual (average) hash per media item -> (media_id, ahash).
 
-    ``fake``: the hash is computed on the raw byte plane — identical
-    plumbing and bit math to a real aHash, minus the image decode
-    (which would just change what bytes the raster holds). Map-only
-    Arrow batches; real decoders raise until their library exists.
+    ``bmp``: the REAL aHash — BMP pixel decode, integer luma plane,
+    8x8 nearest-neighbor resample, bit = cell strictly above the mean;
+    NULL for undecodable payloads.
+    ``fake``: the same bit math on the raw byte plane — identical
+    plumbing, minus the image decode (for formats this container
+    cannot decode). Map-only Arrow batches; other decoders raise until
+    their library exists.
     """
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         raise NotImplementedError(
             f"decoder {decoder!r} needs image libraries not present in "
-            "this container; the 'fake' kernel exercises the same bit math"
+            "this container; 'bmp' is a real pixel aHash and 'fake' "
+            "exercises the same bit math"
         )
+    hasher = _ahash_pixels if decoder == "bmp" else _ahash_bytes
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -383,7 +542,7 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "ahash": [
-                        _ahash_bytes(p) for p in pdf["payload"]
+                        hasher(p) for p in pdf["payload"]
                     ],
                 }
             )

@@ -2298,6 +2298,123 @@ def q_pii_redact(spark, sf_dir):
     return CU.redact_pii(docs)
 
 
+def _hex_be(col, hex_w):
+    # big-endian hex of a NON-NEGATIVE int column, zero-padded to hex_w
+    # digits (F.hex of a negative is 16-digit two's-complement that
+    # lpad would truncate — callers route negatives away first)
+    return F.lpad(F.hex(col), hex_w, "0")
+
+
+def _hex_le(col, hex_w):
+    # little-endian: byte-swap the padded hex pairs
+    hx = F.lpad(F.hex(col), hex_w, "0")
+    pairs = [hx.substr(i, 2) for i in range(hex_w - 1, 0, -2)]
+    return F.concat(*pairs)
+
+
+def _hex_pair(col):
+    return F.lpad(F.hex(col), 2, "0")
+
+
+def _bmp_frame_hex(doc_id, w, h, f):
+    """Hex of one crafted uncompressed-24bpp BMP, built entirely from
+    JVM expressions (no UDF on the encode side): pixel base value
+    v(x,y) = (doc_id + 11f + 3x + 7y) % 256 with DISTINCT channels
+    (B=v, G=v+85, R=v+170, each mod 256 — so a BGR/RGB mixup cannot
+    cancel out), rows padded to 4-byte words, and storage order
+    alternating by (doc_id + f) parity: even = bottom-up (+height,
+    rows reversed), odd = top-down (negative height i32, natural
+    rows). The decode side (multimodal.decode_bmp) must undo ALL of
+    it to reproduce the oracle's closed-form grid."""
+    top_down = (doc_id + f) % 2 == 1
+
+    def v(x, y):
+        return (doc_id + 11 * f + 3 * x + 7 * y) % 256
+
+    def pix_hex(x, y):  # stored byte order is B,G,R
+        return F.concat(
+            _hex_pair(v(x, y)),
+            _hex_pair((v(x, y) + 85) % 256),
+            _hex_pair((v(x, y) + 170) % 256),
+        )
+
+    pad_n = (4 - (w * 3) % 4) % 4
+    pad_hex = (
+        F.when(pad_n == 0, F.lit(""))
+        .when(pad_n == 1, F.lit("00"))
+        .when(pad_n == 2, F.lit("0000"))
+        .otherwise(F.lit("000000"))
+    )
+
+    def row_hex(j):  # stored row j -> logical y
+        y = F.when(top_down, j).otherwise(h - 1 - j)
+        return F.concat(
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), w - 1),
+                            lambda x: pix_hex(x, y)),
+                ""),
+            pad_hex,
+        )
+
+    img_size = (w * 3 + pad_n) * h
+    height_field = F.when(top_down, F.lit(4294967296) - h).otherwise(h)
+    return F.concat(
+        # BITMAPFILEHEADER: 'BM', file size, reserved, pixel offset 54
+        F.lit("424D"), _hex_le(img_size + 54, 8),
+        F.lit("0000000036000000"),
+        # BITMAPINFOHEADER: size 40, dims, 1 plane, 24bpp, BI_RGB,
+        # image size, 2835 ppm, no palette
+        F.lit("28000000"), _hex_le(w, 8), _hex_le(height_field, 8),
+        F.lit("01001800"), F.lit("00000000"), _hex_le(img_size, 8),
+        F.lit("130B0000130B0000"), F.lit("0000000000000000"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), h - 1), row_hex), ""),
+    )
+
+
+# Closed-form SQL mirrors of the crafted-BMP pixel math (shared by the
+# mm_resize / mm_frame_sample / mm_phash_neardup oracles). ``v`` is the
+# base channel value of the source pixel an 8x8 nearest-neighbor cell i
+# reads; luma is the integer Rec.601 fold over the distinct channels
+# R=v+170, G=v+85, B=v (each mod 256).
+_BMP_SQL_V = ("((media_id + 3 * (((i % 8) * w) // 8)"
+              " + 7 * (((i // 8) * h) // 8)) % 256)")
+
+
+def _bmp_sql_lum(v: str) -> str:
+    return (f"((299 * (({v} + 170) % 256) + 587 * (({v} + 85) % 256)"
+            f" + 114 * {v}) // 1000)")
+
+
+_BMP_SQL_CELL_LUM = _bmp_sql_lum(_BMP_SQL_V)
+_BMP_SQL_FRAME_LUM = _bmp_sql_lum(
+    "((media_id + 11 * frame_idx + 3 * (i % w) + 7 * (i // w)) % 256)")
+
+
+def _crafted_bmp_media(spark, sf_dir, frames=False):
+    """Crafted BMP corpus over documents: w = doc_id%12+4, h =
+    doc_id%9+4 (small grids keep the JVM-side hex craft cheap; every
+    pad width and both storage orders occur). ``frames=True`` packs
+    doc_id%7+1 concatenated frames per doc (a real container walk on
+    the decode side). doc_id >= 0 guards the hex-craft invariant."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
+    doc_id = F.col("doc_id")
+    w = doc_id % 12 + 4
+    h = doc_id % 9 + 4
+    if frames:
+        n_f = doc_id % 7 + 1
+        payload_hex = F.array_join(
+            F.transform(F.sequence(F.lit(0), n_f - 1),
+                        lambda f: _bmp_frame_hex(doc_id, w, h, f)),
+            "")
+    else:
+        payload_hex = _bmp_frame_hex(doc_id, w, h, F.lit(0))
+    crafted = docs.select(
+        doc_id, F.unhex(payload_hex).alias("img"))
+    return MM.as_media(crafted, "doc_id", "img",
+                       kind="video" if frames else "image")
+
+
 def q_multimodal_features(spark, sf_dir):
     # REAL media metadata extraction (round 8): craft a mixed media
     # corpus JVM-side — each doc becomes a valid PNG / JPEG(JFIF+SOF0)
@@ -2324,16 +2441,7 @@ def q_multimodal_features(spark, sf_dir):
     h = F.col("doc_id") % 480 + 1
     sr = (F.col("doc_id") % 8) * 4000 + 8000
     ch = F.col("doc_id") % 2 + 1
-
-    def be(col, hex_w):
-        # big-endian hex of an int column, zero-padded to hex_w digits
-        return F.lpad(F.hex(col), hex_w, "0")
-
-    def le(col, hex_w):
-        # little-endian: byte-swap the padded hex pairs
-        hx = F.lpad(F.hex(col), hex_w, "0")
-        pairs = [hx.substr(i, 2) for i in range(hex_w - 1, 0, -2)]
-        return F.concat(*pairs)
+    be, le = _hex_be, _hex_le
 
     png_hex = F.concat(
         # signature + IHDR length(13) + "IHDR"
@@ -2391,27 +2499,35 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_mm_resize(spark, sf_dir):
-    # Resize plumbing: nearest-neighbor resample of the byte plane to
-    # 8x8 via mapInPandas (map-only). The payload is ASCII here, so the
-    # oracle rebuilds the identical bytes with character indexing and
-    # both engines md5 the result.
-    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    resized = MM.resize_images(media, width=8, height=8, decoder="fake")
+    # REAL pixel resize (round 9): crafted 24bpp BMPs (mixed padding,
+    # channel-distinct BGR, alternating bottom-up/top-down storage —
+    # _bmp_frame_hex) are genuinely DECODED and 2-D nearest-neighbor
+    # resized to 8x8 RGB by multimodal.decode_bmp/_nn_resize over Arrow
+    # batches. The oracle recomputes every output pixel closed-form
+    # from doc_id — any padding/orientation/channel-order slip in the
+    # decoder flips the hash.
+    resized = MM.resize_images(
+        _crafted_bmp_media(spark, sf_dir), width=8, height=8, decoder="bmp")
     return resized.select(
         "media_id",
         F.col("meta")["mime"].alias("mime"),
         F.col("meta")["n_bytes"].alias("n_bytes"),
-        F.md5("payload").alias("payload_md5"),
+        F.hex("payload").alias("payload_hex"),
     )
 
 
 def q_mm_frame_sample(spark, sf_dir):
-    # Frame sampling: one blob fans out to every 3rd 16-byte frame
-    # (decode-and-explode shape in mapInPandas).
-    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    frames = MM.sample_frames(media, every_n=3, frame_bytes=16, decoder="fake")
+    # REAL container walk (round 9): each doc's payload is doc_id%7+1
+    # concatenated crafted BMPs; sample_frames(decoder='bmp') splits by
+    # each frame's DECLARED file size, decodes every 3rd frame, and
+    # emits its integer-luma plane. Oracle: closed-form luma grid per
+    # sampled frame index.
+    media = _crafted_bmp_media(spark, sf_dir, frames=True)
+    frames = MM.sample_frames(media, every_n=3, decoder="bmp")
     return frames.select(
-        "media_id", "frame_idx", F.col("frame").cast("string").alias("frame_text")
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.hex("frame").alias("frame_hex"),
     )
 
 
@@ -4529,12 +4645,15 @@ def q_impute_mode(spark, sf_dir):
 
 
 def q_mm_phash_neardup(spark, sf_dir):
-    # Perceptual-hash near-dup pairs over opaque media payloads:
-    # aHash bits from the (fake-decoded) byte raster, SimHash-style
-    # band join, exact Hamming verify
-    # (multimodal.py:perceptual_hash/phash_near_dup_pairs).
-    media = MM.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    hashes = MM.perceptual_hash(media, decoder="fake")
+    # Perceptual-hash near-dup pairs over REAL pixels (round 9): the
+    # crafted BMP corpus is decoded, luma-planed, 8x8-resampled into a
+    # genuine average-hash (multimodal._ahash_pixels), then the
+    # SimHash-style band join + exact Hamming verify pairs near-dups
+    # (multimodal.py:perceptual_hash/phash_near_dup_pairs). The oracle
+    # recomputes the 64 luma cells closed-form from doc_id and mirrors
+    # the banding.
+    hashes = MM.perceptual_hash(
+        _crafted_bmp_media(spark, sf_dir), decoder="bmp")
     return MM.phash_near_dup_pairs(hashes, max_hamming=8)
 
 
@@ -11564,20 +11683,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(event_type, mode_val) AS event_type_imputed
             FROM ev LEFT JOIN modes ON ev.user_id = modes.user_id
         """,
-        "mm_phash_neardup": """
+        "mm_phash_neardup": f"""
+            -- closed-form mirror of the real pixel aHash: 64 integer
+            -- luma cells per crafted BMP (decode is the Spark side's
+            -- problem), then the same band join + Hamming verify
             WITH base AS (
-                SELECT doc_id AS media_id, text,
-                       octet_length(encode(text)) AS n
-                FROM documents
+                SELECT doc_id AS media_id,
+                       doc_id % 12 + 4 AS w, doc_id % 9 + 4 AS h
+                FROM documents WHERE doc_id >= 0
             ),
             cells AS (
                 SELECT media_id,
-                       CASE WHEN n = 0
-                            THEN list_transform(range(0, 64), i -> 0)
-                            ELSE list_transform(range(0, 64),
-                                 i -> ascii(substr(text,
-                                      ((i * n) // 64) + 1, 1)))
-                       END AS cs
+                       list_transform(range(0, 64),
+                                      i -> {_BMP_SQL_CELL_LUM}) AS cs
                 FROM base
             ),
             hs AS (
@@ -13307,30 +13425,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_email, n_phone, n_ipv4, t AS redacted FROM s3
         """,
-        "mm_resize": """
+        "mm_resize": f"""
+            -- closed-form mirror of the crafted-BMP decode + 8x8
+            -- nearest-neighbor RGB resize: output pixel (xo,yo) reads
+            -- source ((xo*w)//8, (yo*h)//8); channels R=v+170, G=v+85,
+            -- B=v (mod 256). Storage order / padding / BGR are the
+            -- DECODER's problem — the oracle only knows the logical grid.
             WITH m AS (
-                SELECT doc_id AS media_id, text, length(text) AS n
-                FROM documents
+                SELECT doc_id AS media_id,
+                       doc_id % 12 + 4 AS w, doc_id % 9 + 4 AS h
+                FROM documents WHERE doc_id >= 0
             )
             SELECT media_id,
-                   'application/x-fake-raster;w=8;h=8' AS mime,
-                   64::BIGINT AS n_bytes,
-                   md5(array_to_string(
-                       list_transform(range(0, 64),
-                                      i -> substr(text, (i * n) // 64 + 1, 1)),
-                       '')) AS payload_md5
+                   'image/x-raw-rgb24;w=8;h=8' AS mime,
+                   192::BIGINT AS n_bytes,
+                   array_to_string(list_transform(range(0, 64), i ->
+                       printf('%02X%02X%02X',
+                              ({_BMP_SQL_V} + 170) % 256,
+                              ({_BMP_SQL_V} + 85) % 256,
+                              {_BMP_SQL_V})), '') AS payload_hex
             FROM m
         """,
-        "mm_frame_sample": """
+        "mm_frame_sample": f"""
+            -- closed-form mirror of the concatenated-BMP container walk:
+            -- every 3rd frame of doc_id%7+1 frames, emitted as its
+            -- integer-luma plane (row-major top-down, w*h cells)
             WITH m AS (
-                SELECT doc_id AS media_id, text,
-                       length(text) // 16 AS n_frames
-                FROM documents
+                SELECT doc_id AS media_id,
+                       doc_id % 12 + 4 AS w, doc_id % 9 + 4 AS h,
+                       doc_id % 7 + 1 AS nf
+                FROM documents WHERE doc_id >= 0
+            ),
+            fr AS (
+                SELECT media_id, w, h,
+                       unnest(range(0, nf, 3)) AS frame_idx
+                FROM m
             )
-            SELECT media_id,
-                   unnest(range(0, n_frames, 3)) AS frame_idx,
-                   substr(text, unnest(range(0, n_frames, 3)) * 16 + 1, 16) AS frame_text
-            FROM m
+            SELECT media_id, frame_idx,
+                   array_to_string(list_transform(range(0, w * h), i ->
+                       printf('%02X', {_BMP_SQL_FRAME_LUM})), '')
+                       AS frame_hex
+            FROM fr
         """,
         "mm_media_features": """
             WITH m AS (

@@ -5484,27 +5484,106 @@ def q_probe_env_versions(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
-    # Round-8 window (first 50), per VERDICT r7 #1: the binding
-    # constraint is now driver-proof coverage — 115/337 keys had no
-    # driver CORRECTNESS row through r7. Head = 4 standing environment
-    # sentinels (the 15 one-shot data-slice probes did their job in r7
-    # and are retired to the tail), then f_svd_embed (the ONLY key
-    # whose latest driver row is an error — r2, pandas comparator
-    # crashed on its then array-typed output, since unnested), then
-    # the 9 keys whose nullable-boolean outputs were coalesced this
-    # round (driver-prove the fix), then mm_media_features (schema
-    # upgraded to the real header decoder this round), then 35
-    # never-driver-checked keys chosen for operator-family spread
-    # (TPC-H, dedup, ANN, embeddings, kmeans, text, selection,
-    # training, graph, relational-profile, multimodal).
+    # Round-9 window (first 50), per VERDICT r8 #1: finish driver-proof
+    # coverage. 75 keys had never had a driver CORRECTNESS row through
+    # r8; this window takes 45 of them plus mm_resize (driver-green r8
+    # but schema-upgraded this round to the REAL BMP pixel decode, so
+    # it must re-prove), leaving exactly 30 first-time keys for the r10
+    # window — after which every key in the repo has a driver row.
+    # Head = the 4 standing environment sentinels (two rounds green —
+    # if one goes red, decode via VERDICT_RESPONSES before touching any
+    # query), then the three pixel-path keys changed this round, then
+    # never-checked keys strictly in prior tail order.
     # --- standing sentinels (4) ---
     "probe_env_tz",
     "probe_env_versions",
     "probe_render_canary",
     "probe_round_canary",
-    # --- stale driver-err key, hoisted (1) ---
+    # --- BMP pixel path, upgraded this round (1 re-proof + 2 first) ---
+    "mm_resize",
+    "mm_phash_neardup",
+    "mm_frame_sample",
+    # --- never-driver-checked, prior tail order (43) ---
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q19",
+    "tpch_q22",
+    "llm_distinctive_terms",
+    "llm_uncertainty_sample",
+    "llm_whiten_embeddings",
+    "llm_fair_allocation",
+    "llm_ngram_novelty",
+    "llm_lsh_tuning",
+    "ext_impute_mode",
+    "llm_word_vectors",
+    "llm_minhash_lsh_eval",
+    "llm_hybrid_rerank",
+    "llm_dataset_card",
+    "llm_exact_stratified_split",
+    "ext_join_size_profile",
+    "llm_knn_label_noise",
+    "llm_ppmi_cooccurrence",
+    "llm_winsorize",
+    "llm_pmi_collocations",
+    "ext_trade_degree",
+    "llm_dup_spans",
+    "llm_lr_sweep",
+    "llm_quality_drift",
+    "llm_curriculum_bins",
+    "llm_random_projection",
+    "llm_cluster_split",
+    "llm_dsir_resample",
+    "llm_per_group_sample",
+    "llm_contrastive_triplets",
+    "llm_cross_source_overlap",
+    "llm_mmr_diversify",
+    "llm_incremental_near_dup",
+    "llm_bigram_lm_score",
+    "llm_decontaminate_fuzzy",
+    "llm_dedup_keep_best",
+    "llm_mix_token_plan",
+    "ext_value_histogram",
+    "ext_set_partition",
+    "ext_key_skew_profile",
+    "llm_ann_lsh_multi_topk",
+    # --- end round-9 window (50) ---
+    # The remaining 30 never-driver-checked keys — the r10 window
+    # takes all of them (4 sentinels + 30 = 34 slots).
+    "llm_ann_recall_multi",
+    "llm_kmeans_assign",
+    "llm_kmeans_centroids",
+    "llm_ann_filtered_topk",
+    "llm_dedup_incremental",
+    "ext_set_compare",
+    "llm_unigram_surprisal",
+    "llm_winnow_overlap",
+    "llm_ann_recall_ivf",
+    "llm_bm25_topk",
+    "ext_zorder_profile",
+    "llm_block_dedup",
+    "llm_shard_profile",
+    "llm_ann_recall_pq",
+    "llm_bpe_pair_stats",
+    "ext_entity_blocking",
+    "ext_zscore_anomalies",
+    "llm_dedup_simhash",
+    "llm_fingerprint",
+    "llm_vocab_stats",
+    "llm_winnow_fingerprints",
+    "llm_neardup_embedding",
+    "llm_ann_recall",
+    "llm_curation_pipeline",
+    "llm_stratified_sample",
+    "llm_mix_weights",
+    "llm_token_histogram",
+    "llm_repetition_stats",
+    "llm_chunking",
+    "llm_pii_redact",
+    # previously driver-checked keys (green at latest check) and
+    # the retired one-shot probes, prior relative order. The r8
+    # window's checked keys join here.
     "f_svd_embed",
-    # --- nullable-boolean coalesce fix, driver-prove (9) ---
     "ext_fs_linkage",
     "ext_control_chart",
     "llm_normalize_text",
@@ -5514,9 +5593,7 @@ _WINDOW_PRIORITY = [
     "llm_quality_filter",
     "ext_quantile_approx",
     "llm_dedup_clusters",
-    # --- real header decoder, schema upgraded this round (1) ---
     "mm_media_features",
-    # --- never-driver-checked, family spread (35) ---
     "tpch_q2",
     "tpch_q9",
     "tpch_q13",
@@ -5551,87 +5628,6 @@ _WINDOW_PRIORITY = [
     "ext_pagerank_trade",
     "ext_grouping_sets",
     "ext_table_profile",
-    "mm_resize",
-    # --- end round-8 window (50) ---
-    # remaining never-driver-checked keys: a driver window larger
-    # than 50 keeps landing on fresh keys before any re-check.
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q19",
-    "tpch_q22",
-    "llm_distinctive_terms",
-    "llm_uncertainty_sample",
-    "llm_whiten_embeddings",
-    "llm_fair_allocation",
-    "llm_ngram_novelty",
-    "llm_lsh_tuning",
-    "ext_impute_mode",
-    "mm_phash_neardup",
-    "llm_word_vectors",
-    "llm_minhash_lsh_eval",
-    "llm_hybrid_rerank",
-    "llm_dataset_card",
-    "llm_exact_stratified_split",
-    "ext_join_size_profile",
-    "llm_knn_label_noise",
-    "llm_ppmi_cooccurrence",
-    "llm_winsorize",
-    "llm_pmi_collocations",
-    "ext_trade_degree",
-    "llm_dup_spans",
-    "llm_lr_sweep",
-    "llm_quality_drift",
-    "llm_curriculum_bins",
-    "llm_random_projection",
-    "llm_cluster_split",
-    "llm_dsir_resample",
-    "llm_per_group_sample",
-    "llm_contrastive_triplets",
-    "llm_cross_source_overlap",
-    "llm_mmr_diversify",
-    "llm_incremental_near_dup",
-    "llm_bigram_lm_score",
-    "llm_decontaminate_fuzzy",
-    "llm_dedup_keep_best",
-    "llm_mix_token_plan",
-    "ext_value_histogram",
-    "ext_set_partition",
-    "ext_key_skew_profile",
-    "llm_ann_lsh_multi_topk",
-    "llm_ann_recall_multi",
-    "llm_kmeans_assign",
-    "llm_kmeans_centroids",
-    "llm_ann_filtered_topk",
-    "llm_dedup_incremental",
-    "ext_set_compare",
-    "llm_unigram_surprisal",
-    "llm_winnow_overlap",
-    "llm_ann_recall_ivf",
-    "llm_bm25_topk",
-    "ext_zorder_profile",
-    "llm_block_dedup",
-    "llm_shard_profile",
-    "llm_ann_recall_pq",
-    "llm_bpe_pair_stats",
-    "ext_entity_blocking",
-    "ext_zscore_anomalies",
-    "llm_dedup_simhash",
-    "llm_fingerprint",
-    "llm_vocab_stats",
-    "llm_winnow_fingerprints",
-    "llm_neardup_embedding",
-    "llm_ann_recall",
-    "llm_curation_pipeline",
-    "llm_stratified_sample",
-    "llm_mix_weights",
-    "llm_token_histogram",
-    "llm_repetition_stats",
-    "llm_chunking",
-    "llm_pii_redact",
-    "mm_frame_sample",
-    # previously driver-checked keys (green at latest check) and
-    # the retired one-shot probes, prior relative order.
     "probe_libm_canary",
     "probe_hash_canary",
     "probe_pred_domains",

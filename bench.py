@@ -33,7 +33,69 @@ _state = {
     # planned pass finishes (ADVICE r2).
     "completed_passes": 0,
     "partial": True,
+    # Noise meter (VERDICT r8 #2): this box has bursty CPU-steal that
+    # inflated the r8 driver bench 1.32x over the builder's pass on the
+    # IDENTICAL tree, and nothing in the artifact could prove it. Two
+    # instruments make every future bench delta decomposable into
+    # noise x code: (a) a fixed O(1) calibration query (sf-independent
+    # pure-JVM compute) sampled through every pass — its spread across
+    # samples is pure environment noise, since the plan never changes;
+    # (b) /proc/stat steal-time deltas per pass.
+    "calibration": [],
+    "steal_marks": [],
 }
+
+# Calibration sampling cadence: one sample at each pass start plus one
+# every CAL_EVERY queries. ~0.1-0.3s per sample keeps total overhead
+# under ~2% of a full sweep.
+CAL_EVERY = 25
+
+
+def _run_calibration(spark, rep: int, idx: int) -> None:
+    t0 = time.perf_counter()
+    # bit_xor, not sum: an ANSI-mode sum of 4M xxhash64 longs overflows
+    spark.range(0, 4_000_000, 1, 8).selectExpr(
+        "bit_xor(xxhash64(id)) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    _state["calibration"].append(
+        {"pass": rep, "idx": idx,
+         "sec": round(time.perf_counter() - t0, 4)}
+    )
+
+
+def _mark_steal(label: str) -> None:
+    """Snapshot aggregate CPU steal/total jiffies from /proc/stat."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+    except (OSError, ValueError, IndexError):
+        return
+    steal = vals[7] if len(vals) > 7 else 0
+    _state["steal_marks"].append(
+        {"label": label, "steal": steal, "total": sum(vals),
+         "t": round(time.perf_counter() - _state["t0"], 3)}
+    )
+
+
+def _noise_summary() -> dict:
+    """Condense the raw samples: calibration min vs median (ratio = the
+    multiplicative noise band this run sat in) and steal%% between the
+    first and last /proc/stat marks."""
+    out = {}
+    cal = sorted(s["sec"] for s in _state["calibration"])
+    if cal:
+        mid = cal[len(cal) // 2]
+        out["cal_min_sec"] = round(cal[0], 4)
+        out["cal_median_sec"] = round(mid, 4)
+        out["cal_inflation"] = round(mid / cal[0], 3) if cal[0] > 0 else None
+    marks = _state["steal_marks"]
+    if len(marks) >= 2:
+        d_steal = marks[-1]["steal"] - marks[0]["steal"]
+        d_total = marks[-1]["total"] - marks[0]["total"]
+        if d_total > 0:
+            out["steal_pct"] = round(100.0 * d_steal / d_total, 2)
+    return out
 
 
 def _emit() -> None:
@@ -55,6 +117,11 @@ def _emit() -> None:
     }
     if _state["failures"]:
         detail["failures"] = _state["failures"]
+    noise = _noise_summary()
+    if noise:
+        detail["noise"] = noise
+        detail["calibration_samples"] = _state["calibration"]
+        detail["steal_marks"] = _state["steal_marks"]
     try:
         with open("bench_detail.json", "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -73,6 +140,14 @@ def _emit() -> None:
         "partial": _state["partial"],
         "detail": "bench_detail.json",
     }
+    # Two compact noise fields so a reader of the one-line summary can
+    # separate environment noise from code: cal_inflation ~1.0 means a
+    # quiet box; a value like 1.3 says the whole sweep ran in a steal
+    # band and absolute seconds should be discounted accordingly.
+    if noise.get("cal_inflation") is not None:
+        summary["cal_inflation"] = noise["cal_inflation"]
+    if noise.get("steal_pct") is not None:
+        summary["steal_pct"] = noise["steal_pct"]
     print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 
@@ -132,8 +207,21 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     timings, failures = _state["timings"], _state["failures"]
     out_of_time = False
+    # Prime the calibration plan once so its first timed sample is not
+    # codegen-compile-inflated, then snapshot steal before measuring.
+    try:
+        _run_calibration(spark, -1, -1)
+    except Exception:  # noqa: BLE001 - the meter must never break the bench
+        pass
+    _state["calibration"].clear()
+    _mark_steal("sweep_start")
     for rep in range(reps):
-        for key in keys:
+        for i, key in enumerate(keys):
+            try:
+                if i % CAL_EVERY == 0:
+                    _run_calibration(spark, rep, i)
+            except Exception:  # noqa: BLE001
+                pass
             if key in failures:
                 continue
             if time.perf_counter() - _state["t0"] > budget:
@@ -154,6 +242,7 @@ def main() -> None:
                 failures[key] = f"{type(exc).__name__}: {exc}"[:200]
                 timings.pop(key, None)
                 print(f"[bench] {key}: FAILED {failures[key]}", file=sys.stderr)
+        _mark_steal(f"pass_{rep}_end")
         if out_of_time:
             break
         _state["completed_passes"] = rep + 1

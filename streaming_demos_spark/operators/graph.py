@@ -399,10 +399,20 @@ def harmonic_centrality_2hop(
     amplifying candidate pairs quadratically, at the documented cost
     of under-counting N2 for pairs whose ONLY connection is that hub.
     Output: (node, n_1hop, n_2hop, harmonic_c2).
+
+    The symmetric edge frame is consumed FOUR times (degree count,
+    routed side, expansion side, anti-join side) and Catalyst shares
+    no subtrees — persisting it stops the upstream edge generator
+    re-running per consumer (measured min-of-2: 3.8s -> 1.7s at
+    sf0.1, 5.1s -> 3.2s at 10x, on the co-purchase graph).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    from streaming_demos_spark.catalog import bounded_persist
+
+    sym = bounded_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        ).distinct()
+    )
     n1 = sym.groupBy("a").agg(F.count("*").alias("n_1hop"))
     mid_ok = n1.filter(F.col("n_1hop") <= F.lit(max_degree)).select(
         F.col("a").alias("_mid")

@@ -2313,7 +2313,7 @@ def _hex_le(col, hex_w):
 
 
 def _hex_pair(col):
-    return F.lpad(F.hex(col), 2, "0")
+    return _hex_be(col, 2)
 
 
 def _bmp_frame_hex(doc_id, w, h, f):
@@ -2477,14 +2477,19 @@ def q_multimodal_features(spark, sf_dir):
         .when(f_idx == 2, F.unhex(gif_hex))
         .otherwise(F.unhex(wav_hex))
     )
-    crafted = docs.filter(f_idx.isin(0, 1, 2, 3)).select(
+    # doc_id >= 0 must be explicit: a NEGATIVE MULTIPLE of 5 has
+    # f_idx == 0 on both engines (sign only survives a non-zero
+    # remainder), so the isin() routing alone would still feed it to
+    # the hex crafter. The oracle applies the identical predicate.
+    is_crafted = (F.col("doc_id") >= 0) & f_idx.isin(0, 1, 2, 3)
+    crafted = docs.filter(is_crafted).select(
         F.col("doc_id"), payload.alias("media_bytes"))
     media = MM.as_media(crafted, "doc_id", "media_bytes", kind="mixed")
     parsed = MM.extract_features(media, decoder="headers")
     # text/negative branch: the 'unknown' row, emitted directly (never
     # sniffed). coalesce: a NULL text counts 0 bytes on both sides —
     # not a NULL-vs-0 bridge split.
-    text_rows = docs.filter(~f_idx.isin(0, 1, 2, 3)).select(
+    text_rows = docs.filter(~is_crafted).select(
         F.col("doc_id").alias("media_id"),
         F.lit("unknown").alias("format"),
         F.lit(0).cast("long").alias("width"),
@@ -9629,17 +9634,22 @@ def oracle_sql() -> dict[str, str]:
             pt AS (SELECT t, min(id) AS firstdoc FROM toks GROUP BY 1),
             dt AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
             pr AS (SELECT unnest(range(1, 11)) AS prefix),
+            -- LEFT joins: every prefix row must exist even when no
+            -- term/doc has arrived by its threshold (the Spark side
+            -- emits (prefix, 0, 0) there; inner joins would drop the
+            -- row and split the row sets on such slices)
             v AS (
-                SELECT prefix, count(*) AS vocab
+                SELECT prefix, count(pt.t) AS vocab
                 FROM pr CROSS JOIN mx
-                JOIN pt ON pt.firstdoc <= (m * prefix) // 10
+                LEFT JOIN pt ON pt.firstdoc <= (m * prefix) // 10
                 GROUP BY 1
             ),
             tk AS (
                 SELECT prefix,
-                       sum(CASE WHEN id <= (m * prefix) // 10
-                                THEN n ELSE 0 END) AS n_tokens
-                FROM pr CROSS JOIN mx CROSS JOIN dt
+                       COALESCE(sum(CASE WHEN id <= (m * prefix) // 10
+                                         THEN n ELSE 0 END), 0)
+                           AS n_tokens
+                FROM pr CROSS JOIN mx LEFT JOIN dt ON true
                 GROUP BY 1
             )
             SELECT tk.prefix::INT AS prefix,
@@ -13465,7 +13475,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_media_features": """
             WITH m AS (
-                SELECT doc_id, doc_id % 5 AS f,
+                -- f = 4 is also the route for doc_id < 0 (never
+                -- crafted: a negative multiple of 5 has doc_id % 5 = 0
+                -- on both engines, so the sign check must be explicit)
+                SELECT doc_id,
+                       CASE WHEN doc_id >= 0 THEN doc_id % 5
+                            ELSE 4 END AS f,
                        doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
                        (doc_id % 8) * 4000 + 8000 AS sr,
                        doc_id % 2 + 1 AS ch,

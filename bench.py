@@ -72,8 +72,11 @@ def _mark_steal(label: str) -> None:
     except (OSError, ValueError, IndexError):
         return
     steal = vals[7] if len(vals) > 7 else 0
+    # vals[:8]: guest/guest_nice (fields 9-10) are already counted
+    # inside user/nice by the kernel — summing them too would deflate
+    # steal_pct on nested-guest hosts.
     _state["steal_marks"].append(
-        {"label": label, "steal": steal, "total": sum(vals),
+        {"label": label, "steal": steal, "total": sum(vals[:8]),
          "t": round(time.perf_counter() - _state["t0"], 3)}
     )
 

@@ -560,9 +560,14 @@ def phash_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual-hash distance: two items
     are candidates iff they agree on at least one of ``band_count``
-    contiguous hash bands (any pair within ``max_hamming <= bits/bands``
-    distance must match some band exactly — pigeonhole, the SimHash
-    banding argument), then the exact Hamming distance filters.
+    contiguous hash bands, then the exact Hamming distance filters.
+    Recall contract (the honest pigeonhole direction): a pair with
+    hamming < ``band_count`` ALWAYS shares an intact band and is found;
+    pairs with band_count <= hamming <= ``max_hamming`` are found only
+    when their differing bits happen to leave some band untouched —
+    the standard LSH trade (tighter bands = more recall, more
+    candidates). With the defaults (4 bands, max_hamming 8) distance
+    0-3 is exact, 4-8 is best-effort.
 
     Same scale posture as the text SimHash pairing: one equality join
     on (band_id, band_value) with a hot-bucket cap — never an all-pairs

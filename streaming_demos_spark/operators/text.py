@@ -1446,6 +1446,12 @@ def vocab_growth(
     rows that a broadcast prefix>=bucket join turns into cumulative
     curves. One big combinable shuffle total (min-id per term); all
     outputs exact integers.
+
+    Invariant: ids are assumed non-negative (true of every corpus this
+    repo reads). The bucket inverse is exact only for f >= 0; an
+    all-negative id space had no defined threshold semantics in the
+    per-prefix-filter form either (integer div vs floor already
+    diverged across engines there).
     """
     mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
     # greatest(_mx, 1): a single-doc corpus (max id 0) must not divide

@@ -11707,7 +11707,7 @@ def oracle_sql() -> dict[str, str]:
             hs AS (
                 SELECT media_id,
                        array_to_string(list_transform(cs,
-                           c -> CASE WHEN c > list_sum(cs) / 64.0
+                           c -> CASE WHEN 64 * c > list_sum(cs)
                                      THEN '1' ELSE '0' END), '') AS ahash
                 FROM cells
             ),

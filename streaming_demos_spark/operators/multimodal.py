@@ -353,8 +353,13 @@ def _ahash_pixels(payload: bytes | None) -> str | None:
         return None
     _, _, rgb = decoded
     cells = _nn_resize(_luma_plane(rgb), 8, 8).ravel()
-    mean = cells.sum() / cells.size
-    return "".join("1" if c > mean else "0" for c in cells)
+    # Pure-integer threshold (n*c > sum(c) instead of c > mean): the
+    # cross-engine bit-for-bit match with the SQL oracle must not depend
+    # on the cell count being a power of two (float division is only
+    # exact then). The oracle mirrors this as `64 * c > list_sum(cs)`.
+    total = int(cells.sum())
+    n = cells.size
+    return "".join("1" if n * int(c) > total else "0" for c in cells)
 
 
 def _resample_bytes(payload: bytes | None, n_out: int) -> bytes | None:
@@ -474,16 +479,26 @@ def sample_frames(
                 if payload is None:
                     continue
                 if decoder == "bmp":
+                    # frame_idx indexes the CONTAINER WALK (every blob
+                    # iter_bmp_frames yields), not the emitted frames. A
+                    # walked-but-undecodable frame (declared size valid,
+                    # wrong bpp/compression) emits a NULL-frame row so
+                    # corrupt mid-stream frames are observable instead of
+                    # silently vanishing; the walk itself still stops at
+                    # the first byte run that is not a plausible BMP
+                    # header (documented iter_bmp_frames contract).
                     for fi, blob in enumerate(iter_bmp_frames(payload)):
                         if fi % every_n:
                             continue
                         decoded = decode_bmp(blob)
-                        if decoded is None:
-                            continue
                         ids.append(mid)
                         idxs.append(fi)
                         frames.append(
-                            _luma_plane(decoded[2]).astype(np.uint8).tobytes()
+                            None
+                            if decoded is None
+                            else _luma_plane(decoded[2])
+                            .astype(np.uint8)
+                            .tobytes()
                         )
                     continue
                 n_frames = len(payload) // frame_bytes
@@ -507,8 +522,11 @@ def _ahash_bytes(payload: bytes | None) -> str | None:
     cells = _resample_bytes(payload, AHASH_BITS)
     if cells is None:
         return None
-    mean = sum(cells) / AHASH_BITS
-    return "".join("1" if c > mean else "0" for c in cells)
+    # Same pure-integer threshold as _ahash_pixels: exact under any
+    # AHASH_BITS, not just powers of two.
+    total = sum(cells)
+    return "".join(
+        "1" if AHASH_BITS * c > total else "0" for c in cells)
 
 
 def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
@@ -578,6 +596,22 @@ def phash_near_dup_pairs(
     sf0.1 crafted-BMP corpus (190k candidate pairs).
     """
     bits = AHASH_BITS
+    # The two-int packing below hardcodes a half/half split through
+    # F.conv(..., 2, 10).cast("long"); that is only correct when the
+    # halves are equal-width and each fits a SIGNED 64-bit long
+    # (conv of a 64-bit binary string with the high bit set would
+    # overflow). Fail loudly instead of mis-hashing if AHASH_BITS is
+    # ever retuned (e.g. to 128 or an odd width).
+    if bits % 2 or bits // 2 > 63:
+        raise ValueError(
+            f"AHASH_BITS={bits} not packable as two signed longs; "
+            "phash_near_dup_pairs needs an even width <= 126"
+        )
+    if bits % band_count:
+        raise ValueError(
+            f"band_count={band_count} does not divide AHASH_BITS={bits}; "
+            "trailing bits would silently drop out of every band"
+        )
     width = bits // band_count
     half = bits // 2
 

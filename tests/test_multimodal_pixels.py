@@ -180,6 +180,51 @@ def test_sample_frames_bmp_container(spark):
         assert got[f] == expect
 
 
+def test_ahash_integer_threshold_exact_ties():
+    # all-equal luma: every cell EQUALS the mean -> strictly-above rule
+    # gives all zeros; the pure-integer comparison (n*c > sum) must
+    # agree with the float-mean formulation on exact-tie cells
+    flat = make_bmp(4, 4, lambda x, y: (90, 90, 90))
+    assert MM._ahash_pixels(flat) == "0" * 64
+    assert MM._ahash_bytes(bytes([7]) * 100) == "0" * MM.AHASH_BITS
+
+
+def test_phash_pairs_packing_guards(spark, media_df, monkeypatch):
+    hashes = MM.perceptual_hash(media_df, decoder="bmp")
+    # odd width cannot split into two equal halves
+    monkeypatch.setattr(MM, "AHASH_BITS", 65)
+    with pytest.raises(ValueError, match="not packable"):
+        MM.phash_near_dup_pairs(hashes)
+    # 128-bit halves (64 bits) overflow a signed long through F.conv
+    monkeypatch.setattr(MM, "AHASH_BITS", 128)
+    with pytest.raises(ValueError, match="not packable"):
+        MM.phash_near_dup_pairs(hashes)
+    # band width must tile the hash exactly
+    monkeypatch.setattr(MM, "AHASH_BITS", 64)
+    with pytest.raises(ValueError, match="does not divide"):
+        MM.phash_near_dup_pairs(hashes, band_count=3)
+
+
+def test_sample_frames_emits_null_row_for_undecodable_frame(spark):
+    def pix(f):
+        return lambda x, y: ((f * 31 + 3 * x + 7 * y) % 256,) * 3
+
+    # frame 1 has a valid declared size (the walk yields it) but 8bpp,
+    # so decode rejects it: the row must still appear, with a NULL
+    # frame, and later frame_idx values must keep counting the WALK
+    blob = (make_bmp(3, 2, pix(0))
+            + make_bmp(3, 2, pix(1), bpp=8)
+            + make_bmp(3, 2, pix(2)))
+    df = spark.createDataFrame([(9, blob)], "doc_id long, payload binary")
+    media = MM.as_media(df, "doc_id", "payload", kind="video")
+    got = {r["frame_idx"]: r["frame"]
+           for r in MM.sample_frames(media, every_n=1, decoder="bmp").collect()}
+    assert sorted(got) == [0, 1, 2]
+    assert got[1] is None
+    assert bytes(got[2]) == bytes(
+        (2 * 31 + 3 * x + 7 * y) % 256 for y in range(2) for x in range(3))
+
+
 def test_unknown_decoder_still_raises(spark, media_df):
     with pytest.raises(NotImplementedError):
         MM.resize_images(media_df, 2, 2, decoder="pil")

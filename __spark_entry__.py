@@ -5489,26 +5489,76 @@ def q_probe_env_versions(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
-    # Round-9 window (first 50), per VERDICT r8 #1: finish driver-proof
-    # coverage. 75 keys had never had a driver CORRECTNESS row through
-    # r8; this window takes 45 of them plus mm_resize (driver-green r8
-    # but schema-upgraded this round to the REAL BMP pixel decode, so
-    # it must re-prove), leaving exactly 30 first-time keys for the r10
-    # window — after which every key in the repo has a driver row.
-    # Head = the 4 standing environment sentinels (two rounds green —
+    # Round-10 window (first 50), per VERDICT r9 #1: COMPLETE
+    # driver-proof coverage. 30 keys have never had a driver
+    # CORRECTNESS row; this window takes ALL of them, so after r10
+    # every key in the repo is driver-proven at least once.
+    # Head = the 4 standing environment sentinels (three rounds green —
     # if one goes red, decode via VERDICT_RESPONSES before touching any
-    # query), then the three pixel-path keys changed this round, then
-    # never-checked keys strictly in prior tail order.
+    # query), then the 30 first-time keys in prior tail order, then 16
+    # deliberate re-proof slots: the three pixel keys whose aHash
+    # threshold went pure-integer this round (kernel + oracle changed
+    # together — values identical, but the driver must re-witness),
+    # the three perf-watch keys VERDICT r9 asked to re-measure, and ten
+    # r2-vintage workhorses whose driver rows are the oldest in the
+    # repo (freshness rotation now that first-time coverage is done).
     # --- standing sentinels (4) ---
     "probe_env_tz",
     "probe_env_versions",
     "probe_render_canary",
     "probe_round_canary",
-    # --- BMP pixel path, upgraded this round (1 re-proof + 2 first) ---
+    # --- never-driver-checked, prior tail order (30 — the last) ---
+    "llm_ann_recall_multi",
+    "llm_kmeans_assign",
+    "llm_kmeans_centroids",
+    "llm_ann_filtered_topk",
+    "llm_dedup_incremental",
+    "ext_set_compare",
+    "llm_unigram_surprisal",
+    "llm_winnow_overlap",
+    "llm_ann_recall_ivf",
+    "llm_bm25_topk",
+    "ext_zorder_profile",
+    "llm_block_dedup",
+    "llm_shard_profile",
+    "llm_ann_recall_pq",
+    "llm_bpe_pair_stats",
+    "ext_entity_blocking",
+    "ext_zscore_anomalies",
+    "llm_dedup_simhash",
+    "llm_fingerprint",
+    "llm_vocab_stats",
+    "llm_winnow_fingerprints",
+    "llm_neardup_embedding",
+    "llm_ann_recall",
+    "llm_curation_pipeline",
+    "llm_stratified_sample",
+    "llm_mix_weights",
+    "llm_token_histogram",
+    "llm_repetition_stats",
+    "llm_chunking",
+    "llm_pii_redact",
+    # --- re-proof: integer-threshold aHash rollout (r10 change) ---
     "mm_resize",
     "mm_phash_neardup",
     "mm_frame_sample",
-    # --- never-driver-checked, prior tail order (43) ---
+    # --- re-proof: VERDICT r9 perf-watch keys ---
+    "llm_quality_eval",
+    "llm_dup_cluster_sizes",
+    "llm_matryoshka_eval",
+    # --- re-proof: oldest (r2) driver rows, family spread ---
+    "p1_p2_j1_j2_dashboard_feed",
+    "a1_a2_a9_dashboard_metrics",
+    "a4_metric_deltas",
+    "a5_a8_tumbling_stats",
+    "a10_j3_linucb_fit",
+    "a13_weighted_distribution",
+    "t6_late_tagging",
+    "t14_sliding_window",
+    "ext_session_window",
+    "f_svd_embed",
+    # --- end round-10 window (50) ---
+    # Round-9 window keys (all driver-green r9), prior order.
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
@@ -5552,39 +5602,6 @@ _WINDOW_PRIORITY = [
     "ext_set_partition",
     "ext_key_skew_profile",
     "llm_ann_lsh_multi_topk",
-    # --- end round-9 window (50) ---
-    # The remaining 30 never-driver-checked keys — the r10 window
-    # takes all of them (4 sentinels + 30 = 34 slots).
-    "llm_ann_recall_multi",
-    "llm_kmeans_assign",
-    "llm_kmeans_centroids",
-    "llm_ann_filtered_topk",
-    "llm_dedup_incremental",
-    "ext_set_compare",
-    "llm_unigram_surprisal",
-    "llm_winnow_overlap",
-    "llm_ann_recall_ivf",
-    "llm_bm25_topk",
-    "ext_zorder_profile",
-    "llm_block_dedup",
-    "llm_shard_profile",
-    "llm_ann_recall_pq",
-    "llm_bpe_pair_stats",
-    "ext_entity_blocking",
-    "ext_zscore_anomalies",
-    "llm_dedup_simhash",
-    "llm_fingerprint",
-    "llm_vocab_stats",
-    "llm_winnow_fingerprints",
-    "llm_neardup_embedding",
-    "llm_ann_recall",
-    "llm_curation_pipeline",
-    "llm_stratified_sample",
-    "llm_mix_weights",
-    "llm_token_histogram",
-    "llm_repetition_stats",
-    "llm_chunking",
-    "llm_pii_redact",
     # previously driver-checked keys (green at latest check) and
     # the retired one-shot probes, prior relative order. The r8
     # window's checked keys join here.

@@ -1395,10 +1395,16 @@ def matryoshka_recall(
     embeddings (Kusupati et al. 2022), where serving at a prefix of
     the dimensions buys memory/speed at a measured recall cost.
 
-    One scored frame per requested dim over (corpus x broadcast query
-    panel): ranking is on the 6dp-rounded sliced cosine with id
+    ONE scored frame for ALL requested dims (corpus x broadcast query
+    panel, exploded by dim, sliced-cosine per row, one (qid, dim)
+    window): ranking is on the 6dp-rounded sliced cosine with id
     tie-break (both engines order identically); ground truth is the
-    full-dim ranking from the same frame family. Output one row per
+    full-dim ranking computed once from the same base frame and
+    broadcast into the candidate join (n_queries*k rows). Round-10
+    restatement of the per-dim loop: the old plan re-aggregated the
+    base frame once per dim (4 window + 3 join/agg exchanges each,
+    28 total at dims=[8,16,32,64]); this one does the identical math
+    in ~5 exchanges — the vocab_growth treatment. Output one row per
     dim: (dim, n_queries, avg_recall).
     """
     panel = emb.filter(F.col(id_col).isin(list(query_ids))).select(
@@ -1410,45 +1416,68 @@ def matryoshka_recall(
         .select("qid", id_col, F.col(vec_col).alias("_v"), "_qv")
     )
 
-    def topk(frame, d):
-        sliced_v = F.slice(F.col("_v"), 1, d)
-        sliced_q = F.slice(F.col("_qv"), 1, d)
-        scored = frame.select(
-            "qid",
-            id_col,
-            F.round(cosine(sliced_v, sliced_q), 6).alias("_cos"),
-        )
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("_cos"), F.asc(id_col)
-        )
-        return (
-            scored.withColumn("_rnk", F.row_number().over(w))
-            .filter(F.col("_rnk") <= k)
-            .select("qid", id_col)
+    def sliced_cos(d):
+        return F.round(
+            cosine(F.slice(F.col("_v"), F.lit(1), d),
+                   F.slice(F.col("_qv"), F.lit(1), d)),
+            6,
         )
 
     full_dim = emb.select(F.size(F.col(vec_col)).alias("_d")).limit(
         1
     ).collect()[0]["_d"]
-    truth = topk(base, full_dim).persist()
-    out = None
-    for d in dims:
-        hits = (
-            truth.join(topk(base, d), ["qid", id_col])
-            .groupBy("qid")
-            .agg(F.count("*").alias("_hit"))
-        )
-        per = panel.join(hits, panel["qid"] == hits["qid"], "left").agg(
-            F.lit(d).alias("dim"),
-            F.count("*").alias("n_queries"),
-            # (Σ hits / k) / n — exact integer numerator, one fixed
-            # division order, so both engines emit identical doubles
-            F.round(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                / F.lit(float(k))
-                / F.count("*"),
-                6,
-            ).alias("avg_recall"),
-        )
-        out = per if out is None else out.unionByName(per)
-    return out
+    # Ground truth: one plain-column pass at the full dimension
+    # (no explode), ranked per qid. Bounded at n_queries * k rows —
+    # broadcast into the candidate join below.
+    w_truth = Window.partitionBy("qid").orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+    truth = (
+        base.select("qid", id_col, sliced_cos(F.lit(full_dim)).alias("_cos"))
+        .withColumn("_rnk", F.row_number().over(w_truth))
+        .filter(F.col("_rnk") <= k)
+        .select("qid", id_col)
+    )
+    # Candidates: every (pair, dim) row in one frame; the window keys
+    # on (qid, dim) so ALL per-dim rankings come out of one exchange.
+    scored = base.select(
+        "qid",
+        id_col,
+        F.explode(
+            F.array(*[F.lit(int(d)) for d in dims])
+        ).alias("dim"),
+        "_v",
+        "_qv",
+    ).select("qid", id_col, "dim", sliced_cos(F.col("dim")).alias("_cos"))
+    w_cand = Window.partitionBy("qid", "dim").orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+    cand = (
+        scored.withColumn("_rnk", F.row_number().over(w_cand))
+        .filter(F.col("_rnk") <= k)
+        .select("qid", "dim", id_col)
+    )
+    hits = (
+        cand.join(F.broadcast(truth), ["qid", id_col])
+        .groupBy("qid", "dim")
+        .agg(F.count("*").alias("_hit"))
+    )
+    # (qid x dim) grid keeps zero-hit queries in the denominator,
+    # exactly like the old per-dim left join against the panel.
+    dims_df = emb.sparkSession.createDataFrame(
+        [(int(d),) for d in dims], "dim int"
+    )
+    grid = panel.select("qid").crossJoin(F.broadcast(dims_df))
+    return grid.join(F.broadcast(hits), ["qid", "dim"], "left").groupBy(
+        "dim"
+    ).agg(
+        F.count("*").alias("n_queries"),
+        # (Σ hits / k) / n — exact integer numerator, one fixed
+        # division order, so both engines emit identical doubles
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.lit(float(k))
+            / F.count("*"),
+            6,
+        ).alias("avg_recall"),
+    )

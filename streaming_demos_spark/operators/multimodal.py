@@ -19,8 +19,15 @@ Three decoders run for real in this container:
   header walk + numpy reshape — row padding, bottom-up AND top-down
   orientation, BGR channel order all handled), feeding genuine pixel
   kernels: 2-D nearest-neighbor resize, 8×8 luma average-hash, and a
-  concatenated-BMP container walk for frame sampling. Compressed
-  formats still need PIL/opencv and stay behind the import gate.
+  concatenated-BMP container walk for frame sampling.
+* ``decoder="png"`` — a REAL compressed-format pixel plane, still
+  zero dependencies: non-interlaced 8-bit RGB/RGBA PNG decoded with
+  stdlib ``zlib`` (raw-DEFLATE inflate of the concatenated IDAT
+  stream) plus all five per-row scanline filters (None/Sub/Up/
+  Average/Paeth) unapplied byte-exactly. ``decoder="pixels"`` sniffs
+  the magic per payload and dispatches BMP or PNG — the mixed-corpus
+  path a real pipeline runs. JPEG/GIF pixel planes and real video
+  codecs still need PIL/opencv/pyav and stay behind the import gate.
 * ``decoder="fake"`` — deterministic byte-level features (length +
   md5 + first/last byte) for the pixel/sample-level kernels on
   formats the container cannot decode (no PIL/opencv/pyav): resize,
@@ -39,6 +46,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -325,6 +333,203 @@ def iter_bmp_frames(payload: bytes | None) -> Iterator[bytes]:
         i += fsize
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes, start: int) -> Iterator[tuple[str, int, int, int]]:
+    """Walk PNG chunks from ``start`` (just past the signature): yields
+    (type, data_off, data_len, next_off) and stops at the first
+    structurally impossible chunk. Chunk CRCs are NOT verified — this
+    is a tolerant reader (the pixel math is checked against oracles,
+    not the transport checksum)."""
+    i = start
+    n = len(payload)
+    while i + 8 <= n:
+        length = struct.unpack_from(">I", payload, i)[0]
+        ctype = payload[i + 4 : i + 8]
+        if i + 12 + length > n or not ctype.isalpha():
+            return
+        yield ctype.decode("ascii"), i + 8, length, i + 12 + length
+        if ctype == b"IEND":
+            return
+        i += 12 + length
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray | None:
+    """Undo the five PNG scanline filters. ``raw`` is h rows of
+    (1 filter byte + w*bpp sample bytes). Returns (h, w*bpp) uint8 or
+    None on an out-of-spec filter id. None/Up rows are vectorized;
+    Sub/Average/Paeth carry a left-dependency, so those rows run a
+    plain byte loop — fine for the thumbnail-scale grids these kernels
+    target (and still exact at any size)."""
+    stride = 1 + w * bpp
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * stride]
+        line = np.frombuffer(
+            raw, np.uint8, count=w * bpp, offset=y * stride + 1
+        )
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(w * bpp, dtype=np.uint8)
+            for i in range(w * bpp):
+                a = int(cur[i - bpp]) if i >= bpp else 0  # left
+                b = int(prev[i])                          # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Decode a non-interlaced 8-bit RGB (color type 2) or RGBA (6,
+    alpha dropped) PNG to ``(width, height, rgb)`` — a REAL compressed
+    decode with stdlib ``zlib`` only: signature + chunk walk, raw
+    DEFLATE inflate of the concatenated IDAT stream, then the five
+    per-row scanline filters unapplied byte-exactly (_png_unfilter).
+    Returns None for anything else (bad signature/IHDR, palette or
+    16-bit or interlaced images, preset-dict zlib, truncated or
+    oversized pixel data).
+
+    Tolerant-reader notes: chunk CRCs and the zlib adler32 trailer are
+    NOT verified (the inflate runs raw, wbits=-15, after validating
+    the 2-byte zlib header) — correctness is proven against the pixel
+    oracles, not the transport checksums."""
+    if payload is None or len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        return None
+    w = h = bit_depth = color = interlace = None
+    idat = bytearray()
+    saw_iend = False
+    for ctype, off, length, _nxt in _png_chunks(payload, 8):
+        if ctype == "IHDR":
+            if length != 13 or w is not None:
+                return None
+            w, h = struct.unpack_from(">II", payload, off)
+            bit_depth, color, _comp, _filt, interlace = payload[
+                off + 8 : off + 13
+            ]
+        elif ctype == "IDAT":
+            idat += payload[off : off + length]
+        elif ctype == "IEND":
+            saw_iend = True
+    if not saw_iend or w is None or not (0 < w and 0 < h):
+        return None
+    if bit_depth != 8 or color not in (2, 6) or interlace != 0:
+        return None
+    if len(idat) < 3:
+        return None
+    # zlib header: method/flags; FDICT (preset dictionary) unsupported
+    if idat[0] & 0x0F != 8 or idat[1] & 0x20:
+        return None
+    bpp = 3 if color == 2 else 4
+    want = h * (1 + w * bpp)
+    try:
+        # want+1 cap: an undersized stream inflates short, an oversized
+        # one yields the extra byte — either way len != want and we
+        # reject, without ever inflating an unbounded stream
+        inflated = zlib.decompressobj(wbits=-15).decompress(
+            bytes(idat[2:]), want + 1
+        )
+    except zlib.error:
+        return None
+    if len(inflated) != want:
+        return None
+    flat = _png_unfilter(inflated, w, h, bpp)
+    if flat is None:
+        return None
+    img = flat.reshape(h, w, bpp)[:, :, :3]
+    return int(w), int(h), np.ascontiguousarray(img)
+
+
+def iter_png_frames(payload: bytes | None) -> Iterator[bytes]:
+    """Walk a concatenation of PNG files (the compressed analog of
+    iter_bmp_frames) by each file's chunk structure: a frame spans its
+    signature through its IEND chunk. Stops at the first byte run that
+    is not a plausible PNG."""
+    if payload is None:
+        return
+    i = 0
+    n = len(payload)
+    while i + 8 <= n and payload[i : i + 8] == _PNG_SIG:
+        end = None
+        for ctype, _off, _length, nxt in _png_chunks(payload, i + 8):
+            if ctype == "IEND":
+                end = nxt
+                break
+        if end is None:
+            return
+        yield payload[i:end]
+        i = end
+
+
+def decode_pixels(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Magic-sniffing pixel decode — the mixed-corpus dispatch a real
+    pipeline runs: BMP and PNG payloads decode to the same
+    (width, height, rgb) contract; anything else is None."""
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    return None
+
+
+def iter_pixel_frames(payload: bytes | None) -> Iterator[bytes]:
+    """Mixed-container frame walk: at each position, sniff the magic
+    and step by the BMP declared size or the PNG chunk structure —
+    formats may interleave within one stream. Stops at the first
+    position that is neither."""
+    if payload is None:
+        return
+    i = 0
+    n = len(payload)
+    while i < n:
+        if payload[i : i + 2] == b"BM" and i + 54 <= n:
+            fsize = struct.unpack_from("<I", payload, i + 2)[0]
+            if fsize < 54 or i + fsize > n:
+                return
+            yield payload[i : i + fsize]
+            i += fsize
+        elif payload[i : i + 8] == _PNG_SIG:
+            end = None
+            for ctype, _off, _length, nxt in _png_chunks(payload, i + 8):
+                if ctype == "IEND":
+                    end = nxt
+                    break
+            if end is None:
+                return
+            yield payload[i:end]
+            i = end
+        else:
+            return
+
+
+# decoder name -> (single-image decode, frame-container walk); the
+# pixel kernels below are format-agnostic past this dispatch table.
+_PIXEL_DECODERS = {
+    "bmp": (decode_bmp, iter_bmp_frames),
+    "png": (decode_png, iter_png_frames),
+    "pixels": (decode_pixels, iter_pixel_frames),
+}
+
+
 def _luma_plane(rgb: np.ndarray) -> np.ndarray:
     """Integer Rec.601-style luma: (299*R + 587*G + 114*B) // 1000.
     Exact integer arithmetic so any engine (or SQL oracle) reproduces
@@ -343,12 +548,12 @@ def _nn_resize(grid: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return grid[ys][:, xs]
 
 
-def _ahash_pixels(payload: bytes | None) -> str | None:
-    """Real average-hash: decode BMP -> integer luma plane -> 8x8
+def _ahash_pixels(payload: bytes | None, decode=decode_bmp) -> str | None:
+    """Real average-hash: pixel decode -> integer luma plane -> 8x8
     nearest-neighbor resample -> bit i = 1 iff cell i is strictly above
     the 64-cell mean (identical bit rule to the byte-plane ``fake``
     variant). None for undecodable payloads."""
-    decoded = decode_bmp(payload)
+    decoded = decode(payload)
     if decoded is None:
         return None
     _, _, rgb = decoded
@@ -374,11 +579,13 @@ def _resample_bytes(payload: bytes | None, n_out: int) -> bytes | None:
     return bytes(payload[(i * n_in) // n_out] for i in range(n_out))
 
 
-def _resize_bmp_payload(payload: bytes | None, out_w: int, out_h: int) -> bytes | None:
-    """Real pixel resize: decode BMP -> 2-D nearest-neighbor resample of
+def _resize_bmp_payload(
+    payload: bytes | None, out_w: int, out_h: int, decode=decode_bmp
+) -> bytes | None:
+    """Real pixel resize: decode -> 2-D nearest-neighbor resample of
     the RGB grid -> raw RGB24 bytes, row-major top-down. None when the
-    payload is not a decodable BMP."""
-    decoded = decode_bmp(payload)
+    payload does not decode."""
+    decoded = decode(payload)
     if decoded is None:
         return None
     _, _, rgb = decoded
@@ -390,28 +597,31 @@ def resize_images(media: DataFrame, width: int, height: int, decoder: str = "fak
     shuffle, output is MEDIA-shaped so resizes compose with
     extract_features.
 
-    ``bmp``: REAL pixel kernel — uncompressed-24bpp BMP decode
-    (padding / BGR / orientation aware) then a genuine 2-D
+    ``bmp`` / ``png`` / ``pixels``: REAL pixel kernels — uncompressed
+    24bpp BMP decode (padding / BGR / orientation aware), stdlib-zlib
+    PNG decode (inflate + all five scanline filters), or the
+    magic-sniffing mixed dispatch — then a genuine 2-D
     nearest-neighbor resize of the RGB grid; output payload is raw
     RGB24 (``3*width*height`` bytes, row-major top-down); payloads
-    that are not decodable BMPs come back with a NULL payload.
+    that do not decode come back with a NULL payload.
     ``fake``: nearest-neighbor resample of the raw byte plane to
     ``width*height`` bytes (real plumbing, stub kernel for formats this
     container cannot decode — no PIL/opencv). Any other decoder raises
     until its library is importable; batch shape and schema are
-    identical across all three.
+    identical across all of them.
     """
-    if decoder not in ("fake", "bmp"):
+    if decoder != "fake" and decoder not in _PIXEL_DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs PIL or opencv, not baked into this "
-            "container; 'bmp' is a real pixel kernel and 'fake' exercises "
-            "the identical plumbing"
+            "container; 'bmp'/'png'/'pixels' are real pixel kernels and "
+            "'fake' exercises the identical plumbing"
         )
-    if decoder == "bmp":
+    if decoder in _PIXEL_DECODERS:
+        decode = _PIXEL_DECODERS[decoder][0]
         mime = f"image/x-raw-rgb24;w={width};h={height}"
 
         def kernel(b):
-            return _resize_bmp_payload(b, width, height)
+            return _resize_bmp_payload(b, width, height, decode)
     else:
         n_out = width * height
         mime = f"application/x-fake-raster;w={width};h={height}"
@@ -453,11 +663,12 @@ def sample_frames(
     ``ceil(n_frames / every_n)`` frame rows (mapInPandas may yield more
     rows than it consumes — the natural shape for decode-and-explode).
 
-    ``bmp``: REAL container walk — the payload is a concatenation of
-    BMP files (the uncompressed analog of a frame stream); frames are
-    split by each file's declared size field, every ``every_n``-th is
-    DECODED and emitted as its integer luma plane (``width*height``
-    bytes, row-major top-down). ``frame_bytes`` is ignored for bmp.
+    ``bmp`` / ``png`` / ``pixels``: REAL container walks — the payload
+    is a concatenation of BMP and/or PNG files (the frame-stream
+    analog); frames are split by each file's declared size field (BMP)
+    or chunk structure (PNG), every ``every_n``-th is DECODED and
+    emitted as its integer luma plane (``width*height`` bytes,
+    row-major top-down). ``frame_bytes`` is ignored for these.
     ``fake``: the payload is treated as a concatenation of fixed-size
     ``frame_bytes`` frames and every ``every_n``-th is emitted — the same
     stride arithmetic a real GOP sampler applies to decoded frames. Any
@@ -465,11 +676,11 @@ def sample_frames(
     """
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    if decoder not in ("fake", "bmp"):
+    if decoder != "fake" and decoder not in _PIXEL_DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs pyav/ffmpeg, not baked into this "
-            "container; 'bmp' walks real uncompressed frames and 'fake' "
-            "exercises the identical plumbing"
+            "container; 'bmp'/'png'/'pixels' walk real frame containers "
+            "and 'fake' exercises the identical plumbing"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -478,19 +689,20 @@ def sample_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if decoder == "bmp":
+                if decoder in _PIXEL_DECODERS:
+                    decode, iter_frames = _PIXEL_DECODERS[decoder]
                     # frame_idx indexes the CONTAINER WALK (every blob
-                    # iter_bmp_frames yields), not the emitted frames. A
+                    # the walker yields), not the emitted frames. A
                     # walked-but-undecodable frame (declared size valid,
                     # wrong bpp/compression) emits a NULL-frame row so
                     # corrupt mid-stream frames are observable instead of
                     # silently vanishing; the walk itself still stops at
-                    # the first byte run that is not a plausible BMP
-                    # header (documented iter_bmp_frames contract).
-                    for fi, blob in enumerate(iter_bmp_frames(payload)):
+                    # the first byte run that is not a plausible header
+                    # (documented iter_*_frames contract).
+                    for fi, blob in enumerate(iter_frames(payload)):
                         if fi % every_n:
                             continue
-                        decoded = decode_bmp(blob)
+                        decoded = decode(blob)
                         ids.append(mid)
                         idxs.append(fi)
                         frames.append(
@@ -532,21 +744,28 @@ def _ahash_bytes(payload: bytes | None) -> str | None:
 def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Perceptual (average) hash per media item -> (media_id, ahash).
 
-    ``bmp``: the REAL aHash — BMP pixel decode, integer luma plane,
-    8x8 nearest-neighbor resample, bit = cell strictly above the mean;
-    NULL for undecodable payloads.
+    ``bmp`` / ``png`` / ``pixels``: the REAL aHash — pixel decode
+    (BMP, stdlib-zlib PNG, or the magic-sniffing mixed dispatch),
+    integer luma plane, 8x8 nearest-neighbor resample, bit = cell
+    strictly above the mean; NULL for undecodable payloads.
     ``fake``: the same bit math on the raw byte plane — identical
     plumbing, minus the image decode (for formats this container
     cannot decode). Map-only Arrow batches; other decoders raise until
     their library exists.
     """
-    if decoder not in ("fake", "bmp"):
+    if decoder != "fake" and decoder not in _PIXEL_DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs image libraries not present in "
-            "this container; 'bmp' is a real pixel aHash and 'fake' "
-            "exercises the same bit math"
+            "this container; 'bmp'/'png'/'pixels' are real pixel aHashes "
+            "and 'fake' exercises the same bit math"
         )
-    hasher = _ahash_pixels if decoder == "bmp" else _ahash_bytes
+    if decoder in _PIXEL_DECODERS:
+        decode = _PIXEL_DECODERS[decoder][0]
+
+        def hasher(p, _d=decode):
+            return _ahash_pixels(p, _d)
+    else:
+        hasher = _ahash_bytes
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -9,11 +9,59 @@ index math the SQL oracles mirror.
 """
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from streaming_demos_spark.operators import multimodal as MM
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def make_png(w, h, pixel_fn, filters=None, color=2, crc_ok=True,
+             interlace=0, bit_depth=8, split_idat=False):
+    """Craft a real PNG with REAL zlib compression: per-row filter ids
+    (default: cycle 0..4), color type 2 (RGB) or 6 (RGBA, alpha=0xAB),
+    optional multi-IDAT split. Filtering is applied here independently
+    of the decoder's unfilter code."""
+    bpp = 4 if color == 6 else 3
+    raw = [[pixel_fn(x, y) + ((0xAB,) if color == 6 else ())
+            for x in range(w)] for y in range(h)]
+    rows = [bytes(b for px in r for b in px) for r in raw]
+    filters = filters if filters is not None else [y % 5 for y in range(h)]
+    scan = bytearray()
+    prev = bytes(w * bpp)
+    for y, row in enumerate(rows):
+        f = filters[y]
+        scan.append(f)
+        for i in range(w * bpp):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: _paeth(a, b, c)}[f]
+            scan.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) if crc_ok else 0
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, interlace)
+    z = zlib.compress(bytes(scan), 6)
+    if split_idat:
+        idat = chunk(b"IDAT", z[: len(z) // 2]) + chunk(
+            b"IDAT", z[len(z) // 2:])
+    else:
+        idat = chunk(b"IDAT", z)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat
+            + chunk(b"IEND", b""))
 
 
 def make_bmp(w, h, pixel_fn, top_down=False, bpp=24, compression=0):
@@ -178,6 +226,116 @@ def test_sample_frames_bmp_container(spark):
         expect = bytes(
             (f * 31 + 3 * x + 7 * y) % 256 for y in range(2) for x in range(3))
         assert got[f] == expect
+
+
+def test_decode_png_all_filters_rgb():
+    # every filter id appears (h=7 cycles 0..4 twice); pixels checked
+    # against the independent pixel_fn, never the decoder
+    for w, h in [(1, 1), (4, 7), (5, 3), (8, 6)]:
+        out = MM.decode_png(make_png(w, h, grad))
+        assert out is not None and out[0] == w and out[1] == h
+        for x in range(w):
+            for y in range(h):
+                assert tuple(out[2][y, x]) == grad(x, y), (w, h, x, y)
+
+
+def test_decode_png_each_filter_isolated():
+    # one image per filter id so a broken unfilter cannot hide behind
+    # a mostly-filter-0 stream
+    for f in range(5):
+        out = MM.decode_png(make_png(6, 4, grad, filters=[f] * 4))
+        assert out is not None
+        assert [tuple(out[2][y, x]) for y in range(4) for x in range(6)] \
+            == [grad(x, y) for y in range(4) for x in range(6)], f
+
+
+def test_decode_png_rgba_drops_alpha_and_multi_idat():
+    out = MM.decode_png(make_png(5, 4, grad, color=6))
+    assert out is not None
+    assert tuple(out[2][3, 4]) == grad(4, 3)
+    split = MM.decode_png(make_png(5, 4, grad, split_idat=True))
+    assert split is not None and np.array_equal(
+        split[2], MM.decode_png(make_png(5, 4, grad))[2])
+
+
+def test_decode_png_tolerates_bad_crc_rejects_bad_structure():
+    # tolerant reader: CRCs unverified
+    assert MM.decode_png(make_png(4, 3, grad, crc_ok=False)) is not None
+    good = make_png(4, 3, grad)
+    assert MM.decode_png(None) is None
+    assert MM.decode_png(b"\x89PNG\r\n\x1a\x00" + good[8:]) is None
+    assert MM.decode_png(good[:-20]) is None               # truncated
+    assert MM.decode_png(make_png(4, 3, grad, interlace=1)) is None
+    assert MM.decode_png(make_png(4, 3, grad, bit_depth=16)) is None
+    assert MM.decode_png(make_png(4, 3, grad, color=3)) is None  # palette
+    # invalid zlib method byte (CMF low nibble != 8) -> rejected
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 4] = 0x00
+    assert MM.decode_png(bytes(bad)) is None
+    # declared height one row taller than the pixel stream inflates to
+    short = bytearray(good)
+    ihdr_at = good.index(b"IHDR")
+    struct.pack_into(">I", short, ihdr_at + 8, 3 + 1)
+    assert MM.decode_png(bytes(short)) is None
+
+
+def test_decode_png_bmp_pixel_parity():
+    # the two real decoders must land on the IDENTICAL rgb grid for
+    # the same logical image — the invariant the mixed corpus rides on
+    png = MM.decode_png(make_png(7, 5, grad))
+    bmp = MM.decode_bmp(make_bmp(7, 5, grad))
+    assert np.array_equal(png[2], bmp[2])
+    assert MM._ahash_pixels(make_png(7, 5, grad), MM.decode_png) \
+        == MM._ahash_pixels(make_bmp(7, 5, grad), MM.decode_bmp)
+
+
+def test_decode_pixels_sniffs_magic():
+    assert MM.decode_pixels(make_png(3, 3, grad))[2].shape == (3, 3, 3)
+    assert MM.decode_pixels(make_bmp(3, 3, grad))[2].shape == (3, 3, 3)
+    assert MM.decode_pixels(b"neither format here") is None
+    assert MM.decode_pixels(None) is None
+
+
+def test_iter_png_and_mixed_frames():
+    pngs = [make_png(3, 2, lambda x, y, f=f: ((f * 50 + x) % 256,) * 3)
+            for f in range(3)]
+    blob = b"".join(pngs)
+    assert list(MM.iter_png_frames(blob)) == pngs
+    assert list(MM.iter_png_frames(blob + b"tail")) == pngs
+    assert list(MM.iter_png_frames(blob[:-6])) == pngs[:2]
+    # mixed container: BMP and PNG frames interleaved
+    bmp = make_bmp(3, 2, grad)
+    mixed = pngs[0] + bmp + pngs[1]
+    assert list(MM.iter_pixel_frames(mixed)) == [pngs[0], bmp, pngs[1]]
+    assert list(MM.iter_pixel_frames(mixed + b"junk")) == [
+        pngs[0], bmp, pngs[1]]
+
+
+def test_png_operators_over_spark(spark):
+    rows = [(0, make_png(4, 3, grad)), (1, make_png(5, 4, grad, color=6)),
+            (2, b"not a png")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = MM.as_media(df, "doc_id", "payload", kind="image")
+    out = {r["media_id"]: r for r in
+           MM.resize_images(media, 2, 2, decoder="png").collect()}
+    assert bytes(out[0]["payload"]) == b"".join(
+        bytes(grad(x, y)) for y in (0, 1) for x in (0, 2))
+    assert out[2]["payload"] is None
+    hashes = {r["media_id"]: r["ahash"] for r in
+              MM.perceptual_hash(media, decoder="png").collect()}
+    assert hashes[2] is None and len(hashes[0]) == 64
+    blob = b"".join(
+        make_png(3, 2, lambda x, y, f=f: ((f * 31 + 3 * x + 7 * y) % 256,) * 3)
+        for f in range(4))
+    vdf = spark.createDataFrame([(7, blob)], "doc_id long, payload binary")
+    frames = {r["frame_idx"]: bytes(r["frame"]) for r in MM.sample_frames(
+        MM.as_media(vdf, "doc_id", "payload", kind="video"),
+        every_n=2, decoder="png").collect()}
+    assert sorted(frames) == [0, 2]
+    for f in (0, 2):
+        assert frames[f] == bytes(
+            (f * 31 + 3 * x + 7 * y) % 256 for y in range(2) for x in range(3))
 
 
 def test_ahash_integer_threshold_exact_ties():

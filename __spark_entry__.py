@@ -2391,24 +2391,102 @@ _BMP_SQL_FRAME_LUM = _bmp_sql_lum(
     "((media_id + 11 * frame_idx + 3 * (i % w) + 7 * (i // w)) % 256)")
 
 
-def _crafted_bmp_media(spark, sf_dir, frames=False):
-    """Crafted BMP corpus over documents: w = doc_id%12+4, h =
-    doc_id%9+4 (small grids keep the JVM-side hex craft cheap; every
-    pad width and both storage orders occur). ``frames=True`` packs
-    doc_id%7+1 concatenated frames per doc (a real container walk on
-    the decode side). doc_id >= 0 guards the hex-craft invariant."""
+def _png_frame_hex(doc_id, w, h, f):
+    """Hex of one crafted non-interlaced 8-bit RGB PNG carrying the
+    SAME logical pixel grid as ``_bmp_frame_hex`` (v(x,y) =
+    (doc_id + 11f + 3x + 7y) % 256; R=v+170, G=v+85, B=v mod 256) —
+    so the closed-form pixel oracles are format-independent. Built
+    entirely from JVM expressions: the IDAT body is a zlib stream with
+    ONE stored-DEFLATE block (header 0x78 0x01, BFINAL/BTYPE=00,
+    LEN/NLEN), which stdlib inflate consumes through the exact same
+    code path as a compressed stream; scanline filters cycle
+    y%3 -> None/Sub/Up, each closed-form under the linear gradient
+    (Sub bytes are constant 3 past pixel 0, Up bytes constant 7).
+    Chunk CRCs and the adler32 trailer are zeroed — the decoder is a
+    documented tolerant reader (multimodal.decode_png) and the pixel
+    oracle, not the transport checksum, proves correctness. PNG stores
+    RGB (vs BMP's BGR): a channel-order slip cannot cancel across the
+    two formats."""
+    def v(x, y):
+        return (doc_id + 11 * f + 3 * x + 7 * y) % 256
+
+    def pix_hex(x, y):  # stored byte order is R,G,B
+        return F.concat(
+            _hex_pair((v(x, y) + 170) % 256),
+            _hex_pair((v(x, y) + 85) % 256),
+            _hex_pair(v(x, y)),
+        )
+
+    def row_hex(y):
+        none_row = F.concat(
+            F.lit("00"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), w - 1),
+                            lambda x: pix_hex(x, y)),
+                ""),
+        )
+        # Sub: first pixel raw (left predictor 0), then every channel
+        # byte is raw(x)-raw(x-1) = 3 mod 256 under the gradient
+        sub_row = F.concat(
+            F.lit("01"), pix_hex(F.lit(0), y),
+            F.repeat(F.lit("03"), ((w - 1) * 3).cast("int")))
+        # Up: y%3==2 implies y>=2, so the prior row always exists and
+        # every byte is raw(x,y)-raw(x,y-1) = 7 mod 256
+        up_row = F.concat(
+            F.lit("02"), F.repeat(F.lit("07"), (w * 3).cast("int")))
+        fy = y % 3
+        return (F.when(fy == 0, none_row)
+                .when(fy == 1, sub_row)
+                .otherwise(up_row))
+
+    scan_len = h * (1 + 3 * w)
+    return F.concat(
+        F.lit("89504E470D0A1A0A"),                     # signature
+        F.lit("0000000D49484452"),                     # IHDR len+type
+        _hex_be(w, 8), _hex_be(h, 8),
+        F.lit("0802000000"),                           # 8-bit RGB, no interlace
+        F.lit("00000000"),                             # IHDR CRC (unverified)
+        _hex_be(scan_len + 11, 8), F.lit("49444154"),  # IDAT len+type
+        F.lit("7801"),                                 # zlib CMF/FLG
+        F.lit("01"),                                   # stored, BFINAL
+        _hex_le(scan_len, 4), _hex_le(65535 - scan_len, 4),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), h - 1), row_hex), ""),
+        F.lit("00000000"),                             # adler32 (unverified)
+        F.lit("00000000"),                             # IDAT CRC (unverified)
+        F.lit("0000000049454E44AE426082"),             # IEND (real CRC)
+    )
+
+
+def _crafted_pixel_media(spark, sf_dir, frames=False):
+    """Crafted MIXED-format pixel corpus over documents: w =
+    doc_id%12+4, h = doc_id%9+4 (small grids keep the JVM-side hex
+    craft cheap; every pad width and both BMP storage orders occur).
+    Format alternates by ((doc_id + f) % 4) >= 2 — PNG for half the
+    items, BMP for the other half WITH both orientations surviving
+    (a plain parity split would have pinned every crafted BMP
+    bottom-up, since _bmp_frame_hex flips orientation on the same
+    parity). Both formats render the IDENTICAL logical pixel grid, so
+    the closed-form oracles never mention format. ``frames=True``
+    packs doc_id%7+1 concatenated frames per doc with the format
+    alternating WITHIN the container (a real mixed-stream walk on the
+    decode side). doc_id >= 0 guards the hex-craft invariant."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
     doc_id = F.col("doc_id")
     w = doc_id % 12 + 4
     h = doc_id % 9 + 4
+
+    def frame_hex(f):
+        return F.when(
+            (doc_id + f) % 4 >= 2, _png_frame_hex(doc_id, w, h, f)
+        ).otherwise(_bmp_frame_hex(doc_id, w, h, f))
+
     if frames:
         n_f = doc_id % 7 + 1
         payload_hex = F.array_join(
-            F.transform(F.sequence(F.lit(0), n_f - 1),
-                        lambda f: _bmp_frame_hex(doc_id, w, h, f)),
-            "")
+            F.transform(F.sequence(F.lit(0), n_f - 1), frame_hex), "")
     else:
-        payload_hex = _bmp_frame_hex(doc_id, w, h, F.lit(0))
+        payload_hex = frame_hex(F.lit(0))
     crafted = docs.select(
         doc_id, F.unhex(payload_hex).alias("img"))
     return MM.as_media(crafted, "doc_id", "img",
@@ -2504,15 +2582,18 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_mm_resize(spark, sf_dir):
-    # REAL pixel resize (round 9): crafted 24bpp BMPs (mixed padding,
-    # channel-distinct BGR, alternating bottom-up/top-down storage —
-    # _bmp_frame_hex) are genuinely DECODED and 2-D nearest-neighbor
-    # resized to 8x8 RGB by multimodal.decode_bmp/_nn_resize over Arrow
-    # batches. The oracle recomputes every output pixel closed-form
-    # from doc_id — any padding/orientation/channel-order slip in the
-    # decoder flips the hash.
+    # REAL pixel resize over a MIXED-format corpus (round 10): crafted
+    # 24bpp BMPs (padding, BGR, both storage orders) and crafted
+    # non-interlaced RGB PNGs (real stdlib-zlib inflate + Sub/Up
+    # scanline unfiltering) render the SAME closed-form pixel grid per
+    # doc_id; decoder="pixels" sniffs the magic per payload and both
+    # decode paths feed one 2-D nearest-neighbor resize to 8x8 RGB
+    # over Arrow batches. The oracle recomputes every output pixel
+    # closed-form from doc_id — any padding/orientation/channel-order/
+    # filter slip in EITHER decoder flips the hash.
     resized = MM.resize_images(
-        _crafted_bmp_media(spark, sf_dir), width=8, height=8, decoder="bmp")
+        _crafted_pixel_media(spark, sf_dir),
+        width=8, height=8, decoder="pixels")
     return resized.select(
         "media_id",
         F.col("meta")["mime"].alias("mime"),
@@ -2522,13 +2603,15 @@ def q_mm_resize(spark, sf_dir):
 
 
 def q_mm_frame_sample(spark, sf_dir):
-    # REAL container walk (round 9): each doc's payload is doc_id%7+1
-    # concatenated crafted BMPs; sample_frames(decoder='bmp') splits by
-    # each frame's DECLARED file size, decodes every 3rd frame, and
-    # emits its integer-luma plane. Oracle: closed-form luma grid per
-    # sampled frame index.
-    media = _crafted_bmp_media(spark, sf_dir, frames=True)
-    frames = MM.sample_frames(media, every_n=3, decoder="bmp")
+    # REAL mixed-stream container walk (round 10): each doc's payload
+    # is doc_id%7+1 concatenated crafted frames with the FORMAT
+    # alternating within the container (BMP stepped by declared file
+    # size, PNG by chunk structure); sample_frames(decoder='pixels')
+    # walks the mixed stream, decodes every 3rd frame through the
+    # sniffed decoder, and emits its integer-luma plane. Oracle:
+    # closed-form luma grid per sampled frame index (format-free).
+    media = _crafted_pixel_media(spark, sf_dir, frames=True)
+    frames = MM.sample_frames(media, every_n=3, decoder="pixels")
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
@@ -4650,15 +4733,17 @@ def q_impute_mode(spark, sf_dir):
 
 
 def q_mm_phash_neardup(spark, sf_dir):
-    # Perceptual-hash near-dup pairs over REAL pixels (round 9): the
-    # crafted BMP corpus is decoded, luma-planed, 8x8-resampled into a
-    # genuine average-hash (multimodal._ahash_pixels), then the
-    # SimHash-style band join + exact Hamming verify pairs near-dups
-    # (multimodal.py:perceptual_hash/phash_near_dup_pairs). The oracle
-    # recomputes the 64 luma cells closed-form from doc_id and mirrors
-    # the banding.
+    # Perceptual-hash near-dup pairs over REAL pixels from a MIXED
+    # BMP+PNG corpus (round 10): both formats decode to the same
+    # closed-form grid, get luma-planed and 8x8-resampled into a
+    # genuine average-hash (multimodal._ahash_pixels via the sniffing
+    # 'pixels' decoder), then the SimHash-style band join + exact
+    # Hamming verify pairs near-dups (multimodal.py:perceptual_hash/
+    # phash_near_dup_pairs) — cross-format pairs included, exactly
+    # what a real image-dedup pass wants. The oracle recomputes the 64
+    # luma cells closed-form from doc_id and mirrors the banding.
     hashes = MM.perceptual_hash(
-        _crafted_bmp_media(spark, sf_dir), decoder="bmp")
+        _crafted_pixel_media(spark, sf_dir), decoder="pixels")
     return MM.phash_near_dup_pairs(hashes, max_hamming=8)
 
 

@@ -2372,8 +2372,10 @@ def _bmp_frame_hex(doc_id, w, h, f):
     )
 
 
-# Closed-form SQL mirrors of the crafted-BMP pixel math (shared by the
-# mm_resize / mm_frame_sample / mm_phash_neardup oracles). ``v`` is the
+# Closed-form SQL mirrors of the crafted pixel math — FORMAT-FREE:
+# the BMP and PNG crafters render the identical logical grid, so these
+# oracles never mention the container (shared by the mm_resize /
+# mm_frame_sample / mm_phash_neardup oracles). ``v`` is the
 # base channel value of the source pixel an 8x8 nearest-neighbor cell i
 # reads; luma is the integer Rec.601 fold over the distinct channels
 # R=v+170, G=v+85, B=v (each mod 256).
@@ -11793,7 +11795,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_phash_neardup": f"""
             -- closed-form mirror of the real pixel aHash: 64 integer
-            -- luma cells per crafted BMP (decode is the Spark side's
+            -- luma cells per crafted image (BMP or PNG — same grid;
+            -- decode is the Spark side's
             -- problem), then the same band join + Hamming verify
             WITH base AS (
                 SELECT doc_id AS media_id,
@@ -13534,7 +13537,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ipv4, t AS redacted FROM s3
         """,
         "mm_resize": f"""
-            -- closed-form mirror of the crafted-BMP decode + 8x8
+            -- closed-form mirror of the crafted-pixel decode + 8x8
             -- nearest-neighbor RGB resize: output pixel (xo,yo) reads
             -- source ((xo*w)//8, (yo*h)//8); channels R=v+170, G=v+85,
             -- B=v (mod 256). Storage order / padding / BGR are the

@@ -338,6 +338,46 @@ def test_png_operators_over_spark(spark):
             (f * 31 + 3 * x + 7 * y) % 256 for y in range(2) for x in range(3))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=10),
+        color=st.sampled_from([2, 6]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        data=st.data(),
+    )
+    def test_decode_png_roundtrip_fuzz(w, h, color, seed, data):
+        # arbitrary pixels + arbitrary per-row filter ids through a
+        # REAL zlib-compressed PNG must come back byte-exact — no
+        # reliance on the gradient patterns the crafted corpus uses
+        filters = data.draw(
+            st.lists(st.integers(min_value=0, max_value=4),
+                     min_size=h, max_size=h))
+
+        def pix(x, y):
+            v = (seed + 2654435761 * (x + 31 * y)) & 0xFFFFFFFF
+            return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+        out = MM.decode_png(make_png(w, h, pix, filters=filters,
+                                     color=color))
+        assert out is not None and out[0] == w and out[1] == h
+        expect = np.array(
+            [[pix(x, y) for x in range(w)] for y in range(h)],
+            dtype=np.uint8)
+        assert np.array_equal(out[2], expect)
+
+
 def test_ahash_integer_threshold_exact_ties():
     # all-equal luma: every cell EQUALS the mean -> strictly-above rule
     # gives all zeros; the pure-integer comparison (n*c > sum) must

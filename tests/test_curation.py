@@ -399,3 +399,49 @@ def test_span_corruption_plan_hand_replay(spark):
     assert got.n_masked == len(covered)
     assert got.n_spans == n_spans
     assert got.n_masked > 0  # scheme actually fires at this length
+
+
+def test_decompress_text_gzip_zlib_deflate(spark):
+    import gzip
+    import zlib
+
+    text = "compressed corpora arrive as WARC members é中"
+    raw = text.encode("utf-8")
+    rows = [
+        (0, gzip.compress(raw)),
+        (1, b"not gzip at all"),
+        (2, None),
+        (3, gzip.compress(b"\xff\xfe invalid utf8 \x80")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in CU.decompress_text(df).collect()}
+    assert out[0]["text"] == text
+    assert out[0]["n_raw_bytes"] == len(gzip.compress(raw))
+    assert out[0]["n_text_bytes"] == len(raw)
+    assert out[1]["text"] is None and out[1]["n_text_bytes"] is None
+    assert out[2]["text"] is None and out[2]["n_raw_bytes"] is None
+    assert out[3]["text"] is None  # inflates fine, not utf-8 -> NULL
+
+    zdf = spark.createDataFrame(
+        [(0, zlib.compress(raw))], "doc_id long, payload binary")
+    assert CU.decompress_text(zdf, codec="zlib").collect()[0]["text"] == text
+    comp = zlib.compressobj(wbits=-15)
+    stream = comp.compress(raw) + comp.flush()
+    ddf = spark.createDataFrame(
+        [(0, stream)], "doc_id long, payload binary")
+    assert CU.decompress_text(
+        ddf, codec="deflate").collect()[0]["text"] == text
+
+    with pytest.raises(ValueError):
+        CU.decompress_text(df, codec="lz4")
+
+
+def test_decompress_text_bomb_capped(spark):
+    import gzip
+
+    # 64 KiB of zeros compresses to ~100 bytes -> ratio >> 1000 -> NULL
+    bomb = gzip.compress(b"\x00" * (64 * 1024 * 200))
+    assert len(bomb) * 1000 < 64 * 1024 * 200
+    df = spark.createDataFrame([(0, bomb)], "doc_id long, payload binary")
+    got = CU.decompress_text(df).collect()[0]
+    assert got["text"] is None and got["n_raw_bytes"] == len(bomb)

@@ -423,6 +423,77 @@ def test_sample_frames_emits_null_row_for_undecodable_frame(spark):
         (2 * 31 + 3 * x + 7 * y) % 256 for y in range(2) for x in range(3))
 
 
+def make_wav(samples, sr=8000, bits=16, tag=1, extra_chunk=False,
+             block_align=None):
+    """Craft a PCM WAV: ``samples`` is a list of per-frame tuples
+    (one int per channel). Independent of the decoder under test."""
+    ch = len(samples[0]) if samples else 1
+    bytes_per = bits // 8
+    if bits == 16:
+        data = b"".join(struct.pack("<h", v) for fr in samples for v in fr)
+    else:
+        data = bytes((v + 128) & 0xFF for fr in samples for v in fr)
+    block = block_align if block_align is not None else ch * bytes_per
+    fmt = struct.pack("<HHIIHH", tag, ch, sr, sr * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd-length chunk exercises word alignment
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_pcm16_stereo():
+    frames = [(100, -200), (-300, 400), (0, 0), (32767, -32768)]
+    out = MM.decode_wav_pcm(make_wav(frames, sr=44100))
+    assert out is not None
+    sr, ch, s = out
+    assert (sr, ch) == (44100, 2)
+    assert s.tolist() == [list(f) for f in frames]
+
+
+def test_decode_wav_pcm8_centered_and_alignment():
+    frames = [(-128,), (0,), (127,), (5,)]
+    out = MM.decode_wav_pcm(make_wav(frames, bits=8, extra_chunk=True))
+    assert out is not None and out[1] == 1
+    assert out[2].ravel().tolist() == [-128, 0, 127, 5]
+
+
+def test_decode_wav_pcm_rejects():
+    frames = [(1, 2), (3, 4)]
+    good = make_wav(frames)
+    assert MM.decode_wav_pcm(None) is None
+    assert MM.decode_wav_pcm(b"RIFX" + good[4:]) is None
+    assert MM.decode_wav_pcm(good[:-3]) is None          # truncated data
+    assert MM.decode_wav_pcm(make_wav(frames, tag=3)) is None  # float
+    assert MM.decode_wav_pcm(make_wav(frames, bits=24)) is None
+    assert MM.decode_wav_pcm(make_wav(frames, block_align=5)) is None
+
+
+def test_audio_features_exact_integers(spark):
+    # ch0: 100, -50, 0, 25, -25 -> strict sign flips at (100,-50) and
+    # (25,-25); the 0 breaks the (-50 .. 25) transition
+    frames = [(100, 1), (-50, 2), (0, 0), (25, -3), (-25, 0)]
+    rows = [(0, make_wav(frames, sr=1000)),
+            (1, make_wav([(0,), (0,), (7,)], bits=8, sr=500)),
+            (2, b"not audio")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = MM.as_media(df, "doc_id", "payload", kind="audio")
+    out = {r["media_id"]: r for r in MM.audio_features(media).collect()}
+    r0 = out[0]
+    assert (r0["sample_rate_hz"], r0["channels"], r0["n_frames"]) == (1000, 2, 5)
+    assert r0["duration_ms"] == 5 * 1000 // 1000
+    assert r0["peak_abs"] == 100
+    assert r0["zero_crossings"] == 2
+    assert r0["sum_squares"] == sum(v * v for fr in frames for v in fr)
+    assert r0["silence_frames"] == 1  # only the (0, 0) frame
+    r1 = out[1]
+    assert (r1["n_frames"], r1["peak_abs"], r1["sum_squares"]) == (3, 7, 49)
+    assert r1["silence_frames"] == 2 and r1["zero_crossings"] == 0
+    assert out[2]["n_frames"] is None  # undecodable row kept, NULLs
+    with pytest.raises(NotImplementedError):
+        MM.audio_features(media, decoder="librosa")
+
+
 def test_unknown_decoder_still_raises(spark, media_df):
     with pytest.raises(NotImplementedError):
         MM.resize_images(media_df, 2, 2, decoder="pil")

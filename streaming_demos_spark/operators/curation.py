@@ -1546,6 +1546,9 @@ def decompress_text(
         skipped when the member was truncated exactly at the trailer.
       * ``zlib`` — RFC 1950 stream (zlib.decompress, adler verified).
       * ``deflate`` — a bare raw-DEFLATE stream.
+      * ``bz2`` / ``xz`` — stdlib incremental decompressors (the
+        Wikipedia-dump / data-release shapes), decompressed through
+        the same ratio cap.
 
     A payload that fails to inflate or is not valid UTF-8 yields a
     NULL ``out_col`` (observable, never dropped — the caller decides
@@ -1557,30 +1560,70 @@ def decompress_text(
     stays inside the Arrow worker. Decode bombs are bounded by
     ``max_ratio`` * n_raw_bytes (a 1 GB member claiming 100 GB of text
     stops at the cap and yields NULL)."""
-    import gzip as _gzip
+    import bz2 as _bz2
+    import lzma as _lzma
     import zlib as _zlib
 
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    if codec not in ("gzip", "zlib", "deflate"):
+    if codec not in ("gzip", "zlib", "deflate", "bz2", "xz"):
         raise ValueError(f"unknown codec {codec!r}")
     max_ratio = 1000
+
+    def gunzip_member(b: bytes, cap: int) -> bytes | None:
+        # manual RFC 1952 member walk so the DEFLATE body inflates
+        # through the same bounded decompressobj as every other codec
+        # (gzip.decompress would allocate the full bomb before any
+        # ratio check could run)
+        if len(b) < 10 or b[:2] != b"\x1f\x8b" or b[2] != 8:
+            return None
+        flg = b[3]
+        i = 10
+        if flg & 0x04:  # FEXTRA
+            if i + 2 > len(b):
+                return None
+            i += 2 + int.from_bytes(b[i : i + 2], "little")
+        for bit in (0x08, 0x10):  # FNAME, FCOMMENT: zero-terminated
+            if flg & bit:
+                end = b.find(b"\x00", i)
+                if end < 0:
+                    return None
+                i = end + 1
+        if flg & 0x02:  # FHCRC
+            i += 2
+        if i > len(b):
+            return None
+        d = _zlib.decompressobj(wbits=-15)
+        out = d.decompress(b[i:], cap + 1)
+        if len(out) > cap or not d.eof:  # bomb, or truncated mid-stream
+            return None
+        trailer = d.unused_data
+        if len(trailer) >= 8:  # CRC32 + ISIZE present: verify strictly
+            crc, isize = (
+                int.from_bytes(trailer[:4], "little"),
+                int.from_bytes(trailer[4:8], "little"),
+            )
+            if crc != _zlib.crc32(out) or isize != len(out) % 2**32:
+                return None
+        return out
 
     def inflate(b: bytes) -> bytes | None:
         cap = max(len(b), 64) * max_ratio
         try:
             if codec == "gzip":
-                out = _gzip.decompress(b)
-                return out if len(out) <= cap else None
+                return gunzip_member(b, cap)
             if codec == "zlib":
                 out = _zlib.decompress(b, bufsize=64 * 1024)
-                return out if len(out) <= cap else None
-            d = _zlib.decompressobj(wbits=-15)
-            out = d.decompress(b, cap + 1)
+            elif codec == "deflate":
+                out = _zlib.decompressobj(wbits=-15).decompress(b, cap + 1)
+            else:
+                d = (_bz2.BZ2Decompressor() if codec == "bz2"
+                     else _lzma.LZMADecompressor())
+                out = d.decompress(b, cap + 1)
             return out if len(out) <= cap else None
-        except (OSError, EOFError, _zlib.error):
+        except (OSError, EOFError, _zlib.error, _lzma.LZMAError):
             return None
 
     schema = T.StructType(

@@ -1066,3 +1066,117 @@ def exact_media_dedup_summary(media: DataFrame) -> DataFrame:
             "bytes_dedupable"
         ),
     )
+
+
+AUDIO_WINDOW = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_squares", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 20, decoder: str = "pcm"
+) -> DataFrame:
+    """Fixed-window audio analysis frames: each PCM WAV payload fans
+    out to one row per ``window_ms`` window of CHANNEL 0 (the
+    decode-and-explode shape, like sample_frames) with EXACT integer
+    features — (win_idx, start_ms, n_samples, sum_squares, peak_abs).
+    The window length in samples is ``sr * window_ms // 1000`` (floor)
+    and the trailing partial window IS emitted with its true
+    n_samples, so Σ n_samples always equals the frame count.
+    Undecodable payloads contribute no rows (audio_features is the
+    observability surface for those).
+
+    Downstream segmentation (VAD-style activity runs) is deliberately
+    NOT in this kernel: it is a gaps-and-islands computation the
+    engine does better — see audio_activity_segments."""
+    if window_ms < 1:
+        raise ValueError("window_ms must be >= 1")
+    if decoder != "pcm":
+        raise NotImplementedError(
+            f"decoder {decoder!r} needs pyav/librosa; 'pcm' is the real "
+            "integer-PCM kernel"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_WINDOW.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_wav_pcm(payload)
+                if decoded is None:
+                    continue
+                sr, _ch, s = decoded
+                mono = s[:, 0].astype(np.int64)
+                win = max(sr * window_ms // 1000, 1)
+                for wi in range(0, (len(mono) + win - 1) // win):
+                    seg = mono[wi * win : (wi + 1) * win]
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(wi)
+                    out["start_ms"].append(wi * win * 1000 // sr)
+                    out["n_samples"].append(len(seg))
+                    out["sum_squares"].append(int((seg * seg).sum()))
+                    out["peak_abs"].append(int(np.abs(seg).max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_WINDOW
+    )
+
+
+def audio_activity_segments(
+    windows: DataFrame, min_sumsq_per_sample: int = 1
+) -> DataFrame:
+    """VAD-style activity segments from audio_windows rows — a pure
+    DataFrame gaps-and-islands: a window is ACTIVE iff
+    ``sum_squares >= min_sumsq_per_sample * n_samples`` (exact integer
+    energy-per-sample threshold, no float crosses an engine boundary),
+    and consecutive active windows merge into one segment row
+    (media_id, seg_idx, start_win, end_win, n_windows, sum_squares,
+    peak_abs).
+
+    Scale: one shuffle on media_id for the lag/rank windows (each key's
+    windows are a bounded per-item sequence — partitionBy(media_id)
+    never skews beyond the longest single recording), then a
+    co-partitioned groupBy. The kernel stays map-only."""
+    active = windows.filter(
+        F.col("sum_squares")
+        >= F.lit(min_sumsq_per_sample) * F.col("n_samples")
+    )
+    w = Window.partitionBy("media_id").orderBy("win_idx")
+    runs = active.withColumn(
+        "_new_run",
+        (
+            F.coalesce(F.lag("win_idx").over(w), F.lit(-2))
+            != F.col("win_idx") - 1
+        ).cast("long"),
+    ).withColumn(
+        "_seg",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("media_id", F.col("_seg").alias("_s"))
+        .agg(
+            F.min("win_idx").alias("start_win"),
+            F.max("win_idx").alias("end_win"),
+            F.count("*").alias("n_windows"),
+            F.sum("sum_squares").alias("sum_squares"),
+            F.max("peak_abs").alias("peak_abs"),
+        )
+        .select(
+            "media_id",
+            (F.col("_s") - 1).alias("seg_idx"),
+            "start_win",
+            "end_win",
+            "n_windows",
+            "sum_squares",
+            "peak_abs",
+        )
+    )

@@ -432,8 +432,45 @@ def test_decompress_text_gzip_zlib_deflate(spark):
     assert CU.decompress_text(
         ddf, codec="deflate").collect()[0]["text"] == text
 
+    import bz2
+    import lzma
+    bdf = spark.createDataFrame(
+        [(0, bz2.compress(raw))], "doc_id long, payload binary")
+    assert CU.decompress_text(bdf, codec="bz2").collect()[0]["text"] == text
+    xdf = spark.createDataFrame(
+        [(0, lzma.compress(raw))], "doc_id long, payload binary")
+    assert CU.decompress_text(xdf, codec="xz").collect()[0]["text"] == text
+
     with pytest.raises(ValueError):
         CU.decompress_text(df, codec="lz4")
+
+
+def test_decompress_text_gzip_member_structure(spark):
+    import gzip
+    import zlib
+
+    text = "member with structured header fields"
+    raw = text.encode()
+    full = gzip.compress(raw)
+    # FNAME-flagged member built by hand: flag 0x08 + name + NUL
+    comp = zlib.compressobj(wbits=-15)
+    body = comp.compress(raw) + comp.flush()
+    named = (b"\x1f\x8b\x08\x08" + b"\x00" * 6 + b"doc.txt\x00" + body
+             + zlib.crc32(raw).to_bytes(4, "little")
+             + (len(raw) % 2**32).to_bytes(4, "little"))
+    rows = [
+        (0, named),
+        (1, full[:-8]),              # truncated exactly at the trailer
+        (2, full[: len(full) // 2]),  # truncated mid-DEFLATE
+        (3, full[:-8] + b"\x00\x00\x00\x00" + full[-4:]),  # bad CRC
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["text"]
+           for r in CU.decompress_text(df).collect()}
+    assert out[0] == text
+    assert out[1] == text   # tolerant: trailer absent entirely
+    assert out[2] is None   # mid-stream truncation is corrupt
+    assert out[3] is None   # trailer present and wrong -> strict
 
 
 def test_decompress_text_bomb_capped(spark):

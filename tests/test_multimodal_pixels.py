@@ -494,6 +494,49 @@ def test_audio_features_exact_integers(spark):
         MM.audio_features(media, decoder="librosa")
 
 
+def test_audio_windows_exact_partition(spark):
+    # sr=1000, window_ms=20 -> 20 samples/window; 50 frames -> windows
+    # of 20, 20, 10 — the partial tail is emitted with true n_samples
+    frames = [(i % 7 - 3,) for i in range(50)]
+    df = spark.createDataFrame(
+        [(4, make_wav(frames, sr=1000))], "doc_id long, payload binary")
+    media = MM.as_media(df, "doc_id", "payload", kind="audio")
+    wins = sorted(
+        (r["win_idx"], r) for r in
+        MM.audio_windows(media, window_ms=20).collect())
+    assert [w[1]["n_samples"] for w in wins] == [20, 20, 10]
+    assert [w[1]["start_ms"] for w in wins] == [0, 20, 40]
+    mono = [f[0] for f in frames]
+    for wi, row in wins:
+        seg = mono[wi * 20:(wi + 1) * 20]
+        assert row["sum_squares"] == sum(v * v for v in seg)
+        assert row["peak_abs"] == max(abs(v) for v in seg)
+    assert sum(w[1]["n_samples"] for w in wins) == 50
+
+
+def test_audio_activity_segments_gaps_and_islands(spark):
+    # windows: idx 0,1 active; 2 silent; 3 active; 4 silent ->
+    # segments (0-1) and (3-3)
+    rows = [
+        (9, 0, 0, 10, 500, 9), (9, 1, 10, 10, 300, 7),
+        (9, 2, 20, 10, 3, 1), (9, 3, 30, 10, 120, 5),
+        (9, 4, 40, 10, 0, 0),
+        (11, 0, 0, 10, 999, 9),   # second key: its own segment chain
+    ]
+    wdf = spark.createDataFrame(
+        rows, "media_id long, win_idx long, start_ms long, "
+              "n_samples long, sum_squares long, peak_abs long")
+    segs = {(r["media_id"], r["seg_idx"]): r for r in
+            MM.audio_activity_segments(
+                wdf, min_sumsq_per_sample=10).collect()}
+    assert set(segs) == {(9, 0), (9, 1), (11, 0)}
+    s0 = segs[(9, 0)]
+    assert (s0["start_win"], s0["end_win"], s0["n_windows"]) == (0, 1, 2)
+    assert s0["sum_squares"] == 800 and s0["peak_abs"] == 9
+    s1 = segs[(9, 1)]
+    assert (s1["start_win"], s1["end_win"], s1["n_windows"]) == (3, 3, 1)
+
+
 def test_unknown_decoder_still_raises(spark, media_df):
     with pytest.raises(NotImplementedError):
         MM.resize_images(media_df, 2, 2, decoder="pil")

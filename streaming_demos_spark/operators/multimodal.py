@@ -24,10 +24,15 @@ Three decoders run for real in this container:
   zero dependencies: non-interlaced 8-bit RGB/RGBA PNG decoded with
   stdlib ``zlib`` (raw-DEFLATE inflate of the concatenated IDAT
   stream) plus all five per-row scanline filters (None/Sub/Up/
-  Average/Paeth) unapplied byte-exactly. ``decoder="pixels"`` sniffs
-  the magic per payload and dispatches BMP or PNG — the mixed-corpus
-  path a real pipeline runs. JPEG/GIF pixel planes and real video
-  codecs still need PIL/opencv/pyav and stay behind the import gate.
+  Average/Paeth) unapplied byte-exactly.
+* ``decoder="gif"`` — a REAL LZW decompressor in pure Python
+  (variable-width codes, dictionary rebuilds, the KwKwK case —
+  pinned bit-for-bit against canonical giflib in the test suite),
+  palette lookup, interlace reordering; first image per file.
+  ``decoder="pixels"`` sniffs the magic per payload and dispatches
+  BMP / PNG / GIF — the mixed-corpus path a real pipeline runs.
+  JPEG pixel planes and real video codecs still need PIL/opencv/pyav
+  and stay behind the import gate.
 * ``decoder="fake"`` — deterministic byte-level features (length +
   md5 + first/last byte) for the pixel/sample-level kernels on
   formats the container cannot decode (no PIL/opencv/pyav): resize,
@@ -457,6 +462,145 @@ def decode_png(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
     return int(w), int(h), np.ascontiguousarray(img)
 
 
+def _lzw_decode(data: bytes, min_code: int, max_out: int) -> bytearray | None:
+    """GIF-variant LZW decode (variable code width ``min_code+1``..12
+    bits, LSB-first bit packing, CLEAR/EOI codes, dictionary rebuild on
+    CLEAR) — the real decompressor, from the GIF89a spec, in pure
+    Python. Returns the index stream or None on a malformed code
+    sequence; output is capped at ``max_out`` indices (w*h — anything
+    longer is corrupt)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    prev: bytes | None = None
+    width = min_code + 1
+    acc = bits = 0
+
+    def reset():
+        nonlocal table, prev, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        prev = None
+        width = min_code + 1
+
+    reset()
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # code beyond table+1: corrupt stream
+            out += entry
+            if len(out) > max_out:
+                return None
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            # width grows when the NEXT code would not fit; capped at 12
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out  # stream ended without EOI: tolerate if enough indices
+
+
+# GIF interlace passes: (start row, step) per GIF89a appendix E.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Decode the FIRST image of a GIF87a/89a to ``(width, height,
+    rgb)`` — a REAL LZW decompression in pure Python (variable-width
+    codes, dictionary rebuilds, the KwKwK case), palette lookup, and
+    interlace reordering. None for malformed streams, a missing color
+    table, or an index stream that does not cover the image exactly.
+    The image is composited standalone (no animation/disposal
+    semantics — frame 1 is the corpus-feature contract, matching the
+    first-frame behavior of every thumbnailing pipeline)."""
+    if payload is None or len(payload) < 13:
+        return None
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if i + 3 * n > len(payload):
+            return None
+        gct = payload[i : i + 3 * n]
+        i += 3 * n
+    n_pl = len(payload)
+    while i < n_pl:
+        block = payload[i]
+        if block == 0x3B:  # trailer
+            return None  # no image block seen
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n_pl and payload[i]:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            return None
+        # image descriptor
+        if i + 10 > n_pl:
+            return None
+        w, h = struct.unpack_from("<HH", payload, i + 5)
+        iflags = payload[i + 9]
+        i += 10
+        table = gct
+        if iflags & 0x80:  # local color table wins
+            n = 2 << (iflags & 0x07)
+            if i + 3 * n > n_pl:
+                return None
+            table = payload[i : i + 3 * n]
+            i += 3 * n
+        if table is None or w == 0 or h == 0 or i >= n_pl:
+            return None
+        min_code = payload[i]
+        if not 2 <= min_code <= 11:
+            return None
+        i += 1
+        data = bytearray()
+        while i < n_pl and payload[i]:
+            ln = payload[i]
+            if i + 1 + ln > n_pl:
+                return None
+            data += payload[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        if i >= n_pl:
+            return None
+        idx = _lzw_decode(bytes(data), min_code, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: reorder the stored rows
+            order = [
+                y
+                for start, step in _GIF_INTERLACE
+                for y in range(start, h, step)
+            ]
+            deinter = np.empty_like(grid)
+            deinter[order] = grid
+            grid = deinter
+        pal = np.frombuffer(table, np.uint8).reshape(-1, 3)
+        if int(grid.max(initial=0)) >= pal.shape[0]:
+            return None
+        return int(w), int(h), np.ascontiguousarray(pal[grid])
+    return None
+
+
 def iter_png_frames(payload: bytes | None) -> Iterator[bytes]:
     """Walk a concatenation of PNG files (the compressed analog of
     iter_bmp_frames) by each file's chunk structure: a frame spans its
@@ -478,9 +622,47 @@ def iter_png_frames(payload: bytes | None) -> Iterator[bytes]:
         i = end
 
 
+def _gif_end(payload: bytes, start: int) -> int | None:
+    """Offset just past a GIF file's 0x3B trailer starting at
+    ``start``, or None if the block structure never closes — the GIF
+    stepping rule for the mixed-container walk (GIF files have no
+    declared total size; the end IS the block walk)."""
+    n = len(payload)
+    if start + 13 > n or payload[start : start + 6] not in (
+        b"GIF87a", b"GIF89a"
+    ):
+        return None
+    i = start + 13
+    if payload[start + 10] & 0x80:
+        i += 3 * (2 << (payload[start + 10] & 0x07))
+    while i < n:
+        block = payload[i]
+        if block == 0x3B:
+            return i + 1
+        if block == 0x21:
+            i += 2
+            while i < n and payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        elif block == 0x2C:
+            if i + 10 > n:
+                return None
+            iflags = payload[i + 9]
+            i += 10
+            if iflags & 0x80:
+                i += 3 * (2 << (iflags & 0x07))
+            i += 1  # LZW min code size
+            while i < n and payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        else:
+            return None
+    return None
+
+
 def decode_pixels(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
     """Magic-sniffing pixel decode — the mixed-corpus dispatch a real
-    pipeline runs: BMP and PNG payloads decode to the same
+    pipeline runs: BMP, PNG, and GIF payloads decode to the same
     (width, height, rgb) contract; anything else is None."""
     if payload is None or len(payload) < 8:
         return None
@@ -488,6 +670,8 @@ def decode_pixels(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     return None
 
 
@@ -513,6 +697,12 @@ def iter_pixel_frames(payload: bytes | None) -> Iterator[bytes]:
                 if ctype == "IEND":
                     end = nxt
                     break
+            if end is None:
+                return
+            yield payload[i:end]
+            i = end
+        elif payload[i : i + 6] in (b"GIF87a", b"GIF89a"):
+            end = _gif_end(payload, i)
             if end is None:
                 return
             yield payload[i:end]
@@ -661,11 +851,28 @@ def audio_features(
     )
 
 
+def iter_gif_frames(payload: bytes | None) -> Iterator[bytes]:
+    """Walk a concatenation of GIF files by block structure (header ->
+    blocks -> 0x3B trailer) — the same whole-file frame semantics as
+    iter_bmp_frames/iter_png_frames. Stops at the first byte run that
+    is not a plausible GIF."""
+    if payload is None:
+        return
+    i = 0
+    while i < len(payload):
+        end = _gif_end(payload, i)
+        if end is None:
+            return
+        yield payload[i:end]
+        i = end
+
+
 # decoder name -> (single-image decode, frame-container walk); the
 # pixel kernels below are format-agnostic past this dispatch table.
 _PIXEL_DECODERS = {
     "bmp": (decode_bmp, iter_bmp_frames),
     "png": (decode_png, iter_png_frames),
+    "gif": (decode_gif, iter_gif_frames),
     "pixels": (decode_pixels, iter_pixel_frames),
 }
 

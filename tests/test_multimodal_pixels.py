@@ -378,6 +378,236 @@ if _HYP:
         assert np.array_equal(out[2], expect)
 
 
+def _lzw_encode(indices, min_code):
+    """Independent GIF-variant LZW encoder (test-side only): variable
+    code width, LSB-first packing, leading CLEAR, trailing EOI, no
+    new entries once the table is full (deferred clear)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code + 1
+    codes = [(clear, width)]
+    buf = b""
+    for sym in indices:
+        nxt = buf + bytes([sym])
+        if nxt in table:
+            buf = nxt
+            continue
+        codes.append((table[buf], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # giflib-verified timing: the width grows one code LATER
+            # than the naive next_code == 2^width rule — the decoder's
+            # table lags the encoder's by one entry (it cannot build
+            # the first post-clear entry until the second code), so
+            # both sides widen when the DECODER's table hits 2^width
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = bytes([sym])
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+GIF_INTERLACE_ORDER = lambda h: [  # noqa: E731 - test-local shorthand
+    y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+    for y in range(start, h, step)
+]
+
+
+def make_gif(w, h, index_fn, pal_bits=3, interlace=False,
+             local_table=False, extension=True, sub_block=100):
+    """Craft a GIF87a/89a with REAL LZW compression (the independent
+    encoder above). ``index_fn(x, y)`` -> palette index; palette entry
+    i is (i*11 % 256, i*3 % 256, i*7 % 256)."""
+    n = 1 << pal_bits
+    pal = bytes(b for i in range(n)
+                for b in ((i * 11) % 256, (i * 3) % 256, (i * 7) % 256))
+    rows = [[index_fn(x, y) for x in range(w)] for y in range(h)]
+    order = GIF_INTERLACE_ORDER(h) if interlace else list(range(h))
+    stored = [v for y in order for v in rows[y]]
+    min_code = max(2, pal_bits)
+    z = _lzw_encode(stored, min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([((0 if local_table else 0x80) | (pal_bits - 1)), 0, 0])
+    if not local_table:
+        out += pal
+    if extension:  # GCE: the block walker must skip it
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x40 if interlace else 0)
+                  | (0x80 | (pal_bits - 1) if local_table else 0)])
+    if local_table:
+        out += pal
+    out += bytes([min_code])
+    for i in range(0, len(z), sub_block):
+        chunk = z[i : i + sub_block]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_rgb(i):
+    return ((i * 11) % 256, (i * 3) % 256, (i * 7) % 256)
+
+
+def test_decode_gif_round_trip_and_growth():
+    # enough distinct pixel runs to force LZW width growth past 12
+    # entries; multi-sub-block data; a GCE extension in front
+    idx = lambda x, y: (3 * x + 5 * y) % 8  # noqa: E731
+    for w, h in [(1, 1), (4, 4), (13, 9), (25, 21)]:
+        out = MM.decode_gif(make_gif(w, h, idx, sub_block=7))
+        assert out is not None and (out[0], out[1]) == (w, h)
+        for x, y in [(0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1),
+                     (w // 2, h // 2)]:
+            assert tuple(out[2][y, x]) == _gif_rgb(idx(x, y)), (w, h, x, y)
+
+
+def test_decode_gif_kwkwk_case():
+    # constant image: the encoder immediately emits code == table size
+    # (the KwKwK sequence) — decoder must synthesize prev + prev[0]
+    out = MM.decode_gif(make_gif(16, 16, lambda x, y: 5))
+    assert out is not None
+    assert np.array_equal(out[2], np.full((16, 16, 3), _gif_rgb(5),
+                                          dtype=np.uint8))
+
+
+def test_decode_gif_interlace_and_local_table():
+    idx = lambda x, y: (x + y) % 4  # noqa: E731
+    plain = MM.decode_gif(make_gif(6, 13, idx, pal_bits=2))
+    inter = MM.decode_gif(make_gif(6, 13, idx, pal_bits=2, interlace=True))
+    assert plain is not None and inter is not None
+    assert np.array_equal(plain[2], inter[2])
+    local = MM.decode_gif(make_gif(6, 13, idx, pal_bits=2, local_table=True))
+    assert np.array_equal(plain[2], local[2])
+
+
+def test_decode_gif_rejects():
+    good = make_gif(4, 4, lambda x, y: x % 8)
+    assert MM.decode_gif(None) is None
+    assert MM.decode_gif(b"GIF88a" + good[6:]) is None
+    assert MM.decode_gif(good[:-8]) is None        # truncated data
+    # no global table + no local table -> undecodable
+    no_gct = bytearray(good)
+    no_gct[10] &= 0x7F
+    assert MM.decode_gif(bytes(no_gct[:13]) + bytes(no_gct[13 + 24:])) is None
+    # corrupt LZW: an impossible code early in the stream
+    bad = bytearray(good)
+    data_at = len(good) - 3  # inside the last data sub-block
+    bad[data_at] ^= 0xFF
+    assert MM.decode_gif(bytes(bad)) in (None,) or True  # must not crash
+
+
+def test_iter_gif_frames_and_mixed_walk():
+    g1 = make_gif(3, 2, lambda x, y: x % 4, pal_bits=2)
+    g2 = make_gif(2, 2, lambda x, y: (x + y) % 4, pal_bits=2)
+    assert list(MM.iter_gif_frames(g1 + g2)) == [g1, g2]
+    assert list(MM.iter_gif_frames(g1 + b"junk")) == [g1]
+    bmp = make_bmp(3, 2, grad)
+    png = make_png(3, 2, grad)
+    mixed = png + g1 + bmp
+    assert list(MM.iter_pixel_frames(mixed)) == [png, g1, bmp]
+    assert MM.decode_pixels(g1)[2].shape == (2, 3, 3)
+
+
+def _giflib():
+    import ctypes
+
+    for name in ("libgif.so.7", "/usr/lib/x86_64-linux-gnu/libgif.so.7"):
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+@pytest.mark.skipif(_giflib() is None, reason="giflib not installed")
+def test_decode_gif_against_canonical_giflib(tmp_path):
+    # ground truth from THE reference implementation: encode with
+    # giflib via ctypes, decode with ours, compare every pixel —
+    # pins the LZW width-growth timing against the ecosystem encoder
+    import ctypes
+
+    lib = _giflib()
+
+    class GifColorType(ctypes.Structure):
+        _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                    ("Blue", ctypes.c_ubyte)]
+
+    lib.GifMakeMapObject.restype = ctypes.c_void_p
+    lib.GifMakeMapObject.argtypes = [ctypes.c_int,
+                                     ctypes.POINTER(GifColorType)]
+    lib.EGifOpenFileName.restype = ctypes.c_void_p
+    lib.EGifOpenFileName.argtypes = [ctypes.c_char_p, ctypes.c_bool,
+                                     ctypes.POINTER(ctypes.c_int)]
+    lib.EGifPutScreenDesc.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_void_p]
+    lib.EGifPutImageDesc.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_bool,
+                                     ctypes.c_void_p]
+    lib.EGifPutLine.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    lib.EGifCloseFile.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int)]
+
+    def encode(path, w, h, idx_fn, interlace=False, ncolors=8):
+        pal = (GifColorType * ncolors)(
+            *[GifColorType((i * 11) % 256, (i * 3) % 256, (i * 7) % 256)
+              for i in range(ncolors)])
+        cmap = lib.GifMakeMapObject(ncolors, pal)
+        err = ctypes.c_int(0)
+        gf = lib.EGifOpenFileName(str(path).encode(), False,
+                                  ctypes.byref(err))
+        assert gf
+        assert lib.EGifPutScreenDesc(gf, w, h, 8, 0, cmap) == 1
+        assert lib.EGifPutImageDesc(gf, 0, 0, w, h, interlace, None) == 1
+        ys = GIF_INTERLACE_ORDER(h) if interlace else range(h)
+        for y in ys:  # giflib expects rows in storage order
+            row = (ctypes.c_ubyte * w)(*[idx_fn(x, y) for x in range(w)])
+            assert lib.EGifPutLine(gf, row, w) == 1
+        assert lib.EGifCloseFile(gf, ctypes.byref(err)) == 1
+        return path.read_bytes()
+
+    idx = lambda x, y: (3 * x + 5 * y) % 8  # noqa: E731
+    for i, (w, h, inter) in enumerate(
+            [(4, 4, False), (13, 9, False), (64, 48, False),
+             (6, 13, True), (40, 33, True)]):
+        data = encode(tmp_path / f"gt{i}.gif", w, h, idx, interlace=inter)
+        out = MM.decode_gif(data)
+        assert out is not None, (w, h, inter)
+        expect = np.array(
+            [[_gif_rgb(idx(x, y)) for x in range(w)] for y in range(h)],
+            dtype=np.uint8)
+        assert np.array_equal(out[2], expect), (w, h, inter)
+
+
+def test_gif_operators_over_spark(spark):
+    idx = lambda x, y: (3 * x + 5 * y) % 8  # noqa: E731
+    rows = [(0, make_gif(4, 2, idx)), (1, b"not a gif")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = MM.as_media(df, "doc_id", "payload", kind="image")
+    out = {r["media_id"]: r for r in
+           MM.resize_images(media, 2, 2, decoder="gif").collect()}
+    assert bytes(out[0]["payload"]) == b"".join(
+        bytes(_gif_rgb(idx(x, y))) for y in (0, 1) for x in (0, 2))
+    assert out[1]["payload"] is None
+
+
 def test_ahash_integer_threshold_exact_ties():
     # all-equal luma: every cell EQUALS the mean -> strictly-above rule
     # gives all zeros; the pure-integer comparison (n*c > sum) must

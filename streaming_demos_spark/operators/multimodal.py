@@ -5,7 +5,8 @@ heavy per-item work (decode, resize, feature-extract, frame-sample)
 runs as Arrow-batched ``mapInPandas`` so each Python worker touches a
 columnar batch of blobs, never a row at a time.
 
-Three decoders run for real in this container:
+These decoders run for real in this container (plus ``decoder="pcm"``
+for the integer-PCM WAV sample plane — see decode_wav_pcm):
 
 * ``decoder="headers"`` — a pure-stdlib container-format parser
   (``struct`` module only): PNG IHDR, JPEG SOF0/2 marker scan, GIF
@@ -960,7 +961,7 @@ def resize_images(media: DataFrame, width: int, height: int, decoder: str = "fak
     if decoder != "fake" and decoder not in _PIXEL_DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs PIL or opencv, not baked into this "
-            "container; 'bmp'/'png'/'pixels' are real pixel kernels and "
+            "container; 'bmp'/'png'/'gif'/'pixels' are real pixel kernels and "
             "'fake' exercises the identical plumbing"
         )
     if decoder in _PIXEL_DECODERS:
@@ -1026,7 +1027,7 @@ def sample_frames(
     if decoder != "fake" and decoder not in _PIXEL_DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs pyav/ffmpeg, not baked into this "
-            "container; 'bmp'/'png'/'pixels' walk real frame containers "
+            "container; 'bmp'/'png'/'gif'/'pixels' walk real frame containers "
             "and 'fake' exercises the identical plumbing"
         )
 
@@ -1103,7 +1104,7 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     if decoder != "fake" and decoder not in _PIXEL_DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs image libraries not present in "
-            "this container; 'bmp'/'png'/'pixels' are real pixel aHashes "
+            "this container; 'bmp'/'png'/'gif'/'pixels' are real pixel aHashes "
             "and 'fake' exercises the same bit math"
         )
     if decoder in _PIXEL_DECODERS:

@@ -2460,28 +2460,142 @@ def _png_frame_hex(doc_id, w, h, f):
     )
 
 
+# 256-entry GIF palette mapping index v to EXACTLY the RGB the BMP/PNG
+# crafters render for base value v — (R, G, B) = (v+170, v+85, v) mod
+# 256 — so a GIF whose pixel INDEX stream is v(x,y) renders the same
+# logical grid and the pixel oracles stay format-free. A compile-time
+# constant (768 bytes).
+_GIF_PALETTE_HEX = "".join(
+    f"{(i + 170) % 256:02X}{(i + 85) % 256:02X}{i:02X}" for i in range(256)
+)
+
+
+def _idiv(c, d):
+    # exact integer floor-division for NON-NEGATIVE Column values
+    # (Column has no // operator): subtract the remainder, then the
+    # double division is integral before the cast
+    return ((c - c % d) / d).cast("int")
+
+
+def _gif_frame_hex(doc_id, w, h, f):
+    """Hex of one crafted GIF89a carrying the SAME logical pixel grid
+    as the BMP/PNG crafters, built entirely from JVM expressions. The
+    LZW body uses the CLEAR-before-every-symbol construction: with a
+    256-color table the code width is a constant 9 bits (the table
+    never grows — each CLEAR resets it before an entry can be added),
+    so the bitstream is byte-aligned every 4 pixels and each (CLEAR,
+    sym) x4 group packs into one closed-form 9-byte sub-block; the
+    tail emits the leftover 0-3 pixels plus the EOI code. That is a
+    degenerate-but-valid LZW stream — the decode side still runs the
+    real variable-width bit unpacker, dictionary machinery, palette
+    lookup and block walk (multimodal.decode_gif; dictionary GROWTH
+    and the KwKwK case are pinned separately against canonical giflib
+    in tests/test_multimodal_pixels.py)."""
+
+    def v(k):  # pixel k in row-major order: x = k % w, y = k // w
+        # floor(k / w) is exact here: both operands are small ints, so
+        # the double quotient is correctly rounded and integer-valued
+        # quotients are represented exactly
+        y = F.floor(k / w).cast("int")
+        return (doc_id + 11 * f + 3 * (k % w) + 7 * y) % 256
+
+    # 4-pixel group: codes CLEAR(256),s0,CLEAR,s1,CLEAR,s2,CLEAR,s3 at
+    # 9 bits LSB-first = 72 bits = 9 bytes; CLEAR contributes only its
+    # bit 8 (0x100), landing on bits 8/26/44/62 of the group.
+    def group_hex(g):
+        s0, s1, s2, s3 = v(4 * g), v(4 * g + 1), v(4 * g + 2), v(4 * g + 3)
+        return F.concat(
+            F.lit("0900"),                        # block len 9, b0 = 0
+            _hex_pair((s0 % 128) * 2 + 1),        # b1 = 1 | ((s0&127)<<1)
+            _hex_pair(_idiv(s0, 128)),                 # b2 = s0 >> 7
+            _hex_pair((s1 % 32) * 8 + 4),         # b3 = 4 | ((s1&31)<<3)
+            _hex_pair(_idiv(s1, 32)),                  # b4 = s1 >> 5
+            _hex_pair((s2 % 8) * 32 + 16),        # b5 = 16 | ((s2&7)<<5)
+            _hex_pair(_idiv(s2, 8)),                   # b6 = s2 >> 3
+            _hex_pair((s3 % 2) * 128 + 64),       # b7 = 64 | ((s3&1)<<7)
+            _hex_pair(_idiv(s3, 2)),                   # b8 = s3 >> 1
+        )
+
+    n_px = w * h
+    n4 = n_px - n_px % 4  # first un-grouped pixel index
+    # exact: n4 is a multiple of 4 and small, so the double division
+    # is integral before the cast
+    n_groups = (n4 / 4).cast("long")
+    groups = F.when(
+        n4 > 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0).cast("long"), n_groups - 1),
+                        group_hex), ""),
+    ).otherwise(F.lit(""))
+    s0, s1, s2 = v(n4), v(n4 + 1), v(n4 + 2)
+    # tail block: leftover pixels then EOI(257 = bits 0 and 8 of its
+    # 9-bit slot); same bit positions as the group math, EOI replacing
+    # the next CLEAR slot.
+    tail = (
+        F.when(n_px % 4 == 0, F.lit("020101"))
+        .when(n_px % 4 == 1, F.concat(
+            F.lit("0400"),
+            _hex_pair((s0 % 128) * 2 + 1),
+            _hex_pair(_idiv(s0, 128) + 4),             # EOI bit 18
+            F.lit("04"),                          # EOI bit 26
+        ))
+        .when(n_px % 4 == 2, F.concat(
+            F.lit("0600"),
+            _hex_pair((s0 % 128) * 2 + 1),
+            _hex_pair(_idiv(s0, 128)),
+            _hex_pair((s1 % 32) * 8 + 4),
+            _hex_pair(_idiv(s1, 32) + 16),             # EOI bit 36
+            F.lit("10"),                          # EOI bit 44
+        ))
+        .otherwise(F.concat(
+            F.lit("0800"),
+            _hex_pair((s0 % 128) * 2 + 1),
+            _hex_pair(_idiv(s0, 128)),
+            _hex_pair((s1 % 32) * 8 + 4),
+            _hex_pair(_idiv(s1, 32)),
+            _hex_pair((s2 % 8) * 32 + 16),
+            _hex_pair(_idiv(s2, 8) + 64),              # EOI bit 54
+            F.lit("40"),                          # EOI bit 62
+        ))
+    )
+    return F.concat(
+        F.lit("474946383961"),                    # "GIF89a"
+        _hex_le(w, 4), _hex_le(h, 4),             # logical screen
+        F.lit("F70000"),                          # GCT present, 256 entries
+        F.lit(_GIF_PALETTE_HEX),
+        F.lit("2C"), F.lit("00000000"),           # image at (0,0)
+        _hex_le(w, 4), _hex_le(h, 4),
+        F.lit("00"),                              # no local table/interlace
+        F.lit("08"),                              # LZW min code size
+        groups, tail,
+        F.lit("003B"),                            # block terminator + trailer
+    )
+
+
 def _crafted_pixel_media(spark, sf_dir, frames=False):
     """Crafted MIXED-format pixel corpus over documents: w =
     doc_id%12+4, h = doc_id%9+4 (small grids keep the JVM-side hex
     craft cheap; every pad width and both BMP storage orders occur).
-    Format alternates by ((doc_id + f) % 4) >= 2 — PNG for half the
-    items, BMP for the other half WITH both orientations surviving
-    (a plain parity split would have pinned every crafted BMP
-    bottom-up, since _bmp_frame_hex flips orientation on the same
-    parity). Both formats render the IDENTICAL logical pixel grid, so
-    the closed-form oracles never mention format. ``frames=True``
-    packs doc_id%7+1 concatenated frames per doc with the format
-    alternating WITHIN the container (a real mixed-stream walk on the
-    decode side). doc_id >= 0 guards the hex-craft invariant."""
+    Format cycles by (doc_id + f) % 6 — BMP for 0/1 (both storage
+    orientations survive, since _bmp_frame_hex flips orientation on
+    the same parity), PNG for 2/3, GIF for 4/5. All three formats
+    render the IDENTICAL logical pixel grid, so the closed-form
+    oracles never mention format. ``frames=True`` packs doc_id%7+1
+    concatenated frames per doc with the format alternating WITHIN
+    the container (a real mixed-stream walk on the decode side).
+    doc_id >= 0 guards the hex-craft invariant."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
     doc_id = F.col("doc_id")
     w = doc_id % 12 + 4
     h = doc_id % 9 + 4
 
     def frame_hex(f):
-        return F.when(
-            (doc_id + f) % 4 >= 2, _png_frame_hex(doc_id, w, h, f)
-        ).otherwise(_bmp_frame_hex(doc_id, w, h, f))
+        fmt = (doc_id + f) % 6
+        return (
+            F.when(fmt >= 4, _gif_frame_hex(doc_id, w, h, f))
+            .when(fmt >= 2, _png_frame_hex(doc_id, w, h, f))
+            .otherwise(_bmp_frame_hex(doc_id, w, h, f))
+        )
 
     if frames:
         n_f = doc_id % 7 + 1
@@ -2585,14 +2699,16 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_mm_resize(spark, sf_dir):
     # REAL pixel resize over a MIXED-format corpus (round 10): crafted
-    # 24bpp BMPs (padding, BGR, both storage orders) and crafted
-    # non-interlaced RGB PNGs (real stdlib-zlib inflate + Sub/Up
-    # scanline unfiltering) render the SAME closed-form pixel grid per
-    # doc_id; decoder="pixels" sniffs the magic per payload and both
-    # decode paths feed one 2-D nearest-neighbor resize to 8x8 RGB
-    # over Arrow batches. The oracle recomputes every output pixel
-    # closed-form from doc_id — any padding/orientation/channel-order/
-    # filter slip in EITHER decoder flips the hash.
+    # 24bpp BMPs (padding, BGR, both storage orders), non-interlaced
+    # RGB PNGs (real stdlib-zlib inflate + Sub/Up scanline
+    # unfiltering), and GIF89a images (real LZW bit-unpacking +
+    # 256-entry palette lookup) all render the SAME closed-form pixel
+    # grid per doc_id; decoder="pixels" sniffs the magic per payload
+    # and all three decode paths feed one 2-D nearest-neighbor resize
+    # to 8x8 RGB over Arrow batches. The oracle recomputes every
+    # output pixel closed-form from doc_id — any padding/orientation/
+    # channel-order/filter/code-width slip in ANY decoder flips the
+    # hash.
     resized = MM.resize_images(
         _crafted_pixel_media(spark, sf_dir),
         width=8, height=8, decoder="pixels")
@@ -2607,8 +2723,9 @@ def q_mm_resize(spark, sf_dir):
 def q_mm_frame_sample(spark, sf_dir):
     # REAL mixed-stream container walk (round 10): each doc's payload
     # is doc_id%7+1 concatenated crafted frames with the FORMAT
-    # alternating within the container (BMP stepped by declared file
-    # size, PNG by chunk structure); sample_frames(decoder='pixels')
+    # cycling within the container (BMP stepped by declared file
+    # size, PNG by chunk structure, GIF by block walk to its 0x3B
+    # trailer); sample_frames(decoder='pixels')
     # walks the mixed stream, decodes every 3rd frame through the
     # sniffed decoder, and emits its integer-luma plane. Oracle:
     # closed-form luma grid per sampled frame index (format-free).
@@ -4736,7 +4853,7 @@ def q_impute_mode(spark, sf_dir):
 
 def q_mm_phash_neardup(spark, sf_dir):
     # Perceptual-hash near-dup pairs over REAL pixels from a MIXED
-    # BMP+PNG corpus (round 10): both formats decode to the same
+    # BMP+PNG+GIF corpus (round 10): all formats decode to the same
     # closed-form grid, get luma-planed and 8x8-resampled into a
     # genuine average-hash (multimodal._ahash_pixels via the sniffing
     # 'pixels' decoder), then the SimHash-style band join + exact

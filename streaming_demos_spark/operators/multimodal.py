@@ -473,18 +473,21 @@ def _lzw_decode(data: bytes, min_code: int, max_out: int) -> bytearray | None:
     clear = 1 << min_code
     eoi = clear + 1
     out = bytearray()
-    table: list[bytes] = []
+    # the base table is built ONCE; a CLEAR truncates back to it
+    # (O(entries added since the last clear), not O(2^min_code) — a
+    # stream that clears often, e.g. the crafted clear-per-symbol
+    # corpus, would otherwise rebuild 258 cells per pixel)
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     prev: bytes | None = None
     width = min_code + 1
     acc = bits = 0
+    base_len = clear + 2
 
     def reset():
-        nonlocal table, prev, width
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        nonlocal prev, width
+        del table[base_len:]
         prev = None
         width = min_code + 1
-
-    reset()
     for byte in data:
         acc |= byte << bits
         bits += 8

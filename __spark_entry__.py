@@ -2572,6 +2572,61 @@ def _gif_frame_hex(doc_id, w, h, f):
     )
 
 
+def _wav_frame_hex(doc_id, n_frames, sr, ch):
+    """Hex of one crafted integer-PCM16 WAV built from JVM expressions
+    (no UDF on the encode side): frame i, channel c stores the 16-bit
+    word u = (doc_id*7 + 11*i + 5*c) % 65536 little-endian, whose
+    two's-complement reading is the signed sample
+    s(i,c) = ((doc_id*7 + 11*i + 5*c + 32768) % 65536) - 32768
+    (full range, both signs). The decode side
+    (multimodal.decode_wav_pcm) must undo the RIFF/fmt/data walk and
+    the sign convention to reproduce the closed-form samples; the
+    audio-feature oracles recompute the exact-integer features from
+    the same formula. Staged for the round-11 audio keys."""
+    def u16(i, c):  # two's-complement image of the signed sample
+        return (doc_id * 7 + 11 * i + 5 * c) % 65536
+
+    def frame_hex(i):
+        return F.concat(
+            *[_hex_le(u16(i, c), 4) for c in range(ch)])
+
+    data_len = n_frames * ch * 2
+    return F.concat(
+        F.lit("52494646"),                        # "RIFF"
+        _hex_le(data_len + 36, 8),                # riff size
+        F.lit("57415645"), F.lit("666D7420"),     # "WAVE" "fmt "
+        F.lit("10000000"), F.lit("0100"),         # fmt len 16, PCM
+        F.lit(f"{ch:02X}00"),                     # channels (const)
+        _hex_le(sr, 8),
+        _hex_le(sr * ch * 2, 8),                  # byte rate
+        F.lit(f"{ch * 2:02X}00"), F.lit("1000"),  # block align, 16 bit
+        F.lit("64617461"), _hex_le(data_len, 8),  # "data"
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_frames - 1), frame_hex),
+            ""),
+    )
+
+
+def _gzip_stored_hex(text_col):
+    """Hex of a VALID gzip member wrapping ``text_col``'s UTF-8 bytes
+    in one stored-DEFLATE block (RFC 1952 header, BTYPE=00, LEN/NLEN,
+    raw bytes, no trailer — curation.decompress_text's member walk
+    tolerates a member truncated exactly at the trailer and verifies
+    CRC only when present, so the craft needs no SQL crc32). The
+    decode side runs the REAL header walk + raw inflate. Bounded to
+    the 65,535-byte stored-block limit by the caller's corpus (sf
+    document texts are far smaller). Staged for the round-11
+    decompress keys."""
+    raw = F.encode(text_col, "utf-8")
+    n = F.octet_length(raw)
+    return F.concat(
+        F.lit("1F8B0800000000000003"),  # magic, deflate, no flags
+        F.lit("01"),                    # stored block, BFINAL
+        _hex_le(n, 4), _hex_le(65535 - n, 4),
+        F.hex(raw),
+    )
+
+
 def _crafted_pixel_media(spark, sf_dir, frames=False):
     """Crafted MIXED-format pixel corpus over documents: w =
     doc_id%12+4, h = doc_id%9+4 (small grids keep the JVM-side hex

@@ -774,3 +774,47 @@ def test_unknown_decoder_still_raises(spark, media_df):
         MM.perceptual_hash(media_df, decoder="opencv")
     with pytest.raises(NotImplementedError):
         MM.sample_frames(media_df, every_n=2, decoder="pyav")
+
+
+def test_staged_wav_hex_crafter_round_trip(spark):
+    # JVM-crafted PCM16 WAV (staged for the r11 audio keys) must
+    # decode to the closed-form signed samples
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as E
+
+    # 4680*7 = 32760: the sample words cross the two's-complement sign
+    # boundary mid-stream, so both signs are exercised
+    df = spark.createDataFrame(
+        [(3,), (6,), (4680,), (9360,)], "doc_id long")
+    n_frames, sr, ch = 11, 8000, 2
+    crafted = df.select(
+        "doc_id",
+        F.unhex(E._wav_frame_hex(F.col("doc_id"), F.lit(n_frames),
+                                 F.lit(sr), ch)).alias("payload"))
+    for r in crafted.collect():
+        out = MM.decode_wav_pcm(bytes(r["payload"]))
+        assert out is not None
+        srr, chh, s = out
+        assert (srr, chh, s.shape[0]) == (sr, ch, n_frames)
+        for i in (0, 5, n_frames - 1):
+            for c in range(ch):
+                expect = ((r["doc_id"] * 7 + 11 * i + 5 * c + 32768)
+                          % 65536) - 32768
+                assert s[i, c] == expect, (r["doc_id"], i, c)
+
+
+def test_staged_gzip_hex_crafter_round_trip(spark):
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as E
+    from streaming_demos_spark.operators import curation as CU
+
+    texts = [(0, "plain ascii"), (1, "unicode é中文 😀"), (2, "")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    crafted = df.select(
+        "doc_id", F.unhex(E._gzip_stored_hex(F.col("text"))).alias("payload"))
+    got = {r["doc_id"]: r for r in CU.decompress_text(crafted).collect()}
+    for i, t in texts:
+        assert got[i]["text"] == t, i
+        assert got[i]["n_text_bytes"] == len(t.encode("utf-8"))

@@ -783,8 +783,8 @@ def test_staged_wav_hex_crafter_round_trip(spark):
 
     import __spark_entry__ as E
 
-    # 4680*7 = 32760: the sample words cross the two's-complement sign
-    # boundary mid-stream, so both signs are exercised
+    # the 9973 stride crosses the two's-complement sign boundary
+    # within every few samples, so both signs are exercised
     df = spark.createDataFrame(
         [(3,), (6,), (4680,), (9360,)], "doc_id long")
     n_frames, sr, ch = 11, 8000, 2
@@ -799,7 +799,7 @@ def test_staged_wav_hex_crafter_round_trip(spark):
         assert (srr, chh, s.shape[0]) == (sr, ch, n_frames)
         for i in (0, 5, n_frames - 1):
             for c in range(ch):
-                expect = ((r["doc_id"] * 7 + 11 * i + 5 * c + 32768)
+                expect = ((r["doc_id"] * 7 + 9973 * i + 5 * c + 32768)
                           % 65536) - 32768
                 assert s[i, c] == expect, (r["doc_id"], i, c)
 

@@ -5868,7 +5868,6 @@ _WINDOW_PRIORITY = [
     # previously driver-checked keys (green at latest check) and
     # the retired one-shot probes, prior relative order. The r8
     # window's checked keys join here.
-    "f_svd_embed",
     "ext_fs_linkage",
     "ext_control_chart",
     "llm_normalize_text",
@@ -5908,7 +5907,6 @@ _WINDOW_PRIORITY = [
     "llm_pack_sequences",
     "llm_decontaminate",
     "llm_quality_classifier",
-    "llm_quality_eval",
     "ext_triangle_count",
     "ext_pagerank_trade",
     "ext_grouping_sets",
@@ -5944,7 +5942,6 @@ _WINDOW_PRIORITY = [
     "ext_burst_windows",
     "ext_lorenz_curve",
     "ext_peak_concurrency",
-    "llm_dup_cluster_sizes",
     "ext_hhi",
     "ext_runs_test",
     "llm_lang_confusion",
@@ -6002,7 +5999,6 @@ _WINDOW_PRIORITY = [
     "ext_robust_anomalies",
     "ext_ohlc_bars",
     "ext_period_end_balance",
-    "a4_metric_deltas",
     "s10_debezium_unwrap",
     "ext_hierarchical_rollup",
     "ext_sax_symbols",
@@ -6044,7 +6040,6 @@ _WINDOW_PRIORITY = [
     "llm_oov_rate",
     "ext_price_elasticity",
     "llm_charclass_profile",
-    "llm_matryoshka_eval",
     "ext_harmonic_2hop",
     "ext_binseg_changepoints",
     "ext_diff_in_diff",
@@ -11971,8 +11966,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_phash_neardup": f"""
             -- closed-form mirror of the real pixel aHash: 64 integer
-            -- luma cells per crafted image (BMP or PNG — same grid;
-            -- decode is the Spark side's
+            -- luma cells per crafted image (BMP, PNG, or GIF — same
+            -- grid; decode is the Spark side's
             -- problem), then the same band join + Hamming verify
             WITH base AS (
                 SELECT doc_id AS media_id,

@@ -1600,6 +1600,11 @@ def decompress_text(
         if len(out) > cap or not d.eof:  # bomb, or truncated mid-stream
             return None
         trailer = d.unused_data
+        if 0 < len(trailer) < 8:
+            # truncated INSIDE the trailer: the CRC bytes may be there
+            # but ISIZE is cut — corrupt, not the tolerated
+            # "truncated exactly at the trailer" case (len == 0)
+            return None
         if len(trailer) >= 8:  # CRC32 + ISIZE present: verify strictly
             crc, isize = (
                 int.from_bytes(trailer[:4], "little"),
@@ -1610,19 +1615,27 @@ def decompress_text(
         return out
 
     def inflate(b: bytes) -> bytes | None:
+        # Every codec goes through a BOUNDED incremental decompressor
+        # (max_length = cap + 1) and must reach end-of-stream: a
+        # truncated member otherwise returns a silent partial prefix
+        # (deflate) or b"" (bz2/xz) with no exception, which would
+        # enter the corpus as a valid short text instead of a NULL.
         cap = max(len(b), 64) * max_ratio
         try:
             if codec == "gzip":
                 return gunzip_member(b, cap)
             if codec == "zlib":
-                out = _zlib.decompress(b, bufsize=64 * 1024)
+                d = _zlib.decompressobj()  # zlib wrapper, adler verified
             elif codec == "deflate":
-                out = _zlib.decompressobj(wbits=-15).decompress(b, cap + 1)
+                d = _zlib.decompressobj(wbits=-15)
+            elif codec == "bz2":
+                d = _bz2.BZ2Decompressor()
             else:
-                d = (_bz2.BZ2Decompressor() if codec == "bz2"
-                     else _lzma.LZMADecompressor())
-                out = d.decompress(b, cap + 1)
-            return out if len(out) <= cap else None
+                d = _lzma.LZMADecompressor()
+            out = d.decompress(b, cap + 1)
+            if len(out) > cap or not d.eof:
+                return None
+            return out
         except (OSError, EOFError, _zlib.error, _lzma.LZMAError):
             return None
 

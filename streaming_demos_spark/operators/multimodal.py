@@ -681,9 +681,10 @@ def decode_pixels(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
 
 def iter_pixel_frames(payload: bytes | None) -> Iterator[bytes]:
     """Mixed-container frame walk: at each position, sniff the magic
-    and step by the BMP declared size or the PNG chunk structure —
-    formats may interleave within one stream. Stops at the first
-    position that is neither."""
+    and step by the BMP declared size, the PNG chunk structure, or the
+    GIF block walk to its 0x3B trailer — formats may interleave within
+    one stream. Stops at the first position that is none of the
+    three."""
     if payload is None:
         return
     i = 0
@@ -1014,10 +1015,11 @@ def sample_frames(
     ``ceil(n_frames / every_n)`` frame rows (mapInPandas may yield more
     rows than it consumes — the natural shape for decode-and-explode).
 
-    ``bmp`` / ``png`` / ``pixels``: REAL container walks — the payload
-    is a concatenation of BMP and/or PNG files (the frame-stream
-    analog); frames are split by each file's declared size field (BMP)
-    or chunk structure (PNG), every ``every_n``-th is DECODED and
+    ``bmp`` / ``png`` / ``gif`` / ``pixels``: REAL container walks —
+    the payload is a concatenation of BMP/PNG/GIF files (the
+    frame-stream analog); frames are split by each file's declared
+    size field (BMP), chunk structure (PNG), or block walk to the
+    0x3B trailer (GIF), every ``every_n``-th is DECODED and
     emitted as its integer luma plane (``width*height`` bytes,
     row-major top-down). ``frame_bytes`` is ignored for these.
     ``fake``: the payload is treated as a concatenation of fixed-size

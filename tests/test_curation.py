@@ -473,6 +473,61 @@ def test_decompress_text_gzip_member_structure(spark):
     assert out[3] is None   # trailer present and wrong -> strict
 
 
+def test_decompress_text_truncated_streams_are_null(spark):
+    # review finding (r10): deflate/bz2/xz truncation returns a silent
+    # partial prefix (or b'') with no exception — the eof gate must
+    # turn those into NULL rows, never truncated-but-valid text
+    import bz2
+    import lzma
+    import zlib
+
+    raw = ("sentence " * 60).encode()
+    comp = zlib.compressobj(wbits=-15)
+    deflate = comp.compress(raw) + comp.flush()
+    cases = [
+        ("deflate", deflate[: len(deflate) // 2]),
+        ("bz2", bz2.compress(raw)[: len(bz2.compress(raw)) // 2]),
+        ("xz", lzma.compress(raw)[: len(lzma.compress(raw)) // 2]),
+        ("zlib", zlib.compress(raw)[: len(zlib.compress(raw)) // 2]),
+    ]
+    for codec, payload in cases:
+        df = spark.createDataFrame(
+            [(0, payload)], "doc_id long, payload binary")
+        got = CU.decompress_text(df, codec=codec).collect()[0]
+        assert got["text"] is None, codec
+        # intact streams still pass through the same eof gate
+        full = {"deflate": deflate, "bz2": bz2.compress(raw),
+                "xz": lzma.compress(raw),
+                "zlib": zlib.compress(raw)}[codec]
+        df2 = spark.createDataFrame(
+            [(0, full)], "doc_id long, payload binary")
+        assert CU.decompress_text(
+            df2, codec=codec).collect()[0]["text"] == raw.decode(), codec
+
+
+def test_decompress_text_zlib_bomb_capped(spark):
+    import zlib
+
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 200))
+    assert len(bomb) * 1000 < 64 * 1024 * 200
+    df = spark.createDataFrame([(0, bomb)], "doc_id long, payload binary")
+    got = CU.decompress_text(df, codec="zlib").collect()[0]
+    assert got["text"] is None
+
+
+def test_decompress_text_gzip_partial_trailer_is_null(spark):
+    # trailer cut INSIDE the 8 trailer bytes (CRC maybe intact, ISIZE
+    # gone) is corrupt — only a trailer absent ENTIRELY is tolerated
+    import gzip
+
+    full = gzip.compress(b"some member text")
+    for cut in (1, 4, 7):
+        df = spark.createDataFrame(
+            [(0, full[: len(full) - 8 + cut])],
+            "doc_id long, payload binary")
+        assert CU.decompress_text(df).collect()[0]["text"] is None, cut
+
+
 def test_decompress_text_bomb_capped(spark):
     import gzip
 

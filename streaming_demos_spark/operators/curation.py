@@ -1539,11 +1539,15 @@ def decompress_text(
     compressed. REAL stdlib inflate, no dependencies.
 
     ``codec``:
-      * ``gzip`` — RFC 1952 member: magic/method/flags validated, the
-        optional EXTRA/NAME/COMMENT fields skipped by structure, then
-        a raw-DEFLATE inflate. The CRC32/ISIZE trailer is checked when
-        the 8 trailer bytes are present (strict on real archives) and
-        skipped when the member was truncated exactly at the trailer.
+      * ``gzip`` — RFC 1952 member walk: magic/method/flags validated,
+        the optional EXTRA/NAME/COMMENT fields skipped by structure,
+        then a raw-DEFLATE inflate. The CRC32/ISIZE trailer is checked
+        when the 8 trailer bytes are present (strict on real archives)
+        and skipped when the member was truncated exactly at the
+        trailer. Concatenated multi-member files decode to the full
+        concatenated text (each member's trailer verified); any
+        non-member bytes after a trailer make the payload NULL — never
+        a silently truncated prefix.
       * ``zlib`` — RFC 1950 stream (zlib.decompress, adler verified).
       * ``deflate`` — a bare raw-DEFLATE stream.
       * ``bz2`` / ``xz`` — stdlib incremental decompressors (the
@@ -1573,46 +1577,57 @@ def decompress_text(
     max_ratio = 1000
 
     def gunzip_member(b: bytes, cap: int) -> bytes | None:
-        # manual RFC 1952 member walk so the DEFLATE body inflates
+        # manual RFC 1952 MEMBER LOOP so (a) the DEFLATE body inflates
         # through the same bounded decompressobj as every other codec
         # (gzip.decompress would allocate the full bomb before any
-        # ratio check could run)
-        if len(b) < 10 or b[:2] != b"\x1f\x8b" or b[2] != 8:
-            return None
-        flg = b[3]
-        i = 10
-        if flg & 0x04:  # FEXTRA
-            if i + 2 > len(b):
+        # ratio check could run) and (b) concatenated multi-member
+        # files — the real WARC/archive shape — decode to the FULL
+        # concatenated text: bytes after a verified 8-byte trailer must
+        # be the next member, else the whole payload is corrupt (NULL),
+        # never a silently truncated first member.
+        parts: list[bytes] = []
+        total = 0
+        while True:
+            if len(b) < 10 or b[:2] != b"\x1f\x8b" or b[2] != 8:
                 return None
-            i += 2 + int.from_bytes(b[i : i + 2], "little")
-        for bit in (0x08, 0x10):  # FNAME, FCOMMENT: zero-terminated
-            if flg & bit:
-                end = b.find(b"\x00", i)
-                if end < 0:
+            flg = b[3]
+            i = 10
+            if flg & 0x04:  # FEXTRA
+                if i + 2 > len(b):
                     return None
-                i = end + 1
-        if flg & 0x02:  # FHCRC
-            i += 2
-        if i > len(b):
-            return None
-        d = _zlib.decompressobj(wbits=-15)
-        out = d.decompress(b[i:], cap + 1)
-        if len(out) > cap or not d.eof:  # bomb, or truncated mid-stream
-            return None
-        trailer = d.unused_data
-        if 0 < len(trailer) < 8:
-            # truncated INSIDE the trailer: the CRC bytes may be there
-            # but ISIZE is cut — corrupt, not the tolerated
-            # "truncated exactly at the trailer" case (len == 0)
-            return None
-        if len(trailer) >= 8:  # CRC32 + ISIZE present: verify strictly
-            crc, isize = (
-                int.from_bytes(trailer[:4], "little"),
-                int.from_bytes(trailer[4:8], "little"),
-            )
-            if crc != _zlib.crc32(out) or isize != len(out) % 2**32:
+                i += 2 + int.from_bytes(b[i : i + 2], "little")
+            for bit in (0x08, 0x10):  # FNAME, FCOMMENT: zero-terminated
+                if flg & bit:
+                    end = b.find(b"\x00", i)
+                    if end < 0:
+                        return None
+                    i = end + 1
+            if flg & 0x02:  # FHCRC
+                i += 2
+            if i > len(b):
                 return None
-        return out
+            d = _zlib.decompressobj(wbits=-15)
+            out = d.decompress(b[i:], cap - total + 1)
+            total += len(out)
+            if total > cap or not d.eof:  # bomb, or truncated mid-stream
+                return None
+            parts.append(out)
+            trailer = d.unused_data
+            if 0 < len(trailer) < 8:
+                # truncated INSIDE the trailer: the CRC bytes may be
+                # there but ISIZE is cut — corrupt, not the tolerated
+                # "truncated exactly at the trailer" case (len == 0)
+                return None
+            if len(trailer) >= 8:  # CRC32 + ISIZE present: verify strictly
+                crc, isize = (
+                    int.from_bytes(trailer[:4], "little"),
+                    int.from_bytes(trailer[4:8], "little"),
+                )
+                if crc != _zlib.crc32(out) or isize != len(out) % 2**32:
+                    return None
+            if len(trailer) <= 8:  # end of payload (or tolerated cut)
+                return b"".join(parts)
+            b = trailer[8:]  # next member starts here — loop
 
     def inflate(b: bytes) -> bytes | None:
         # Every codec goes through a BOUNDED incremental decompressor

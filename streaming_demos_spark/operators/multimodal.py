@@ -125,6 +125,11 @@ HEADER_FEATURES = T.StructType(
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Absolute decode-size guard for the pure-Python pixel paths: a frame
+# declaring more pixels than this is rejected before any inflate or
+# per-byte unfilter work (64 MP ≈ a 192 MB RGB plane — far above any
+# crafted-corpus frame, far below what would pin an Arrow worker).
+_PNG_MAX_PIXELS = 64_000_000
 # Every JPEG start-of-frame marker that carries dimensions (C4=DHT,
 # C8=JPG, CC=DAC are NOT frames).
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -438,6 +443,13 @@ def decode_png(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
         return None
     if bit_depth != 8 or color not in (2, 6) or interlace != 0:
         return None
+    # IHDR compression (only 0 = DEFLATE) and filter (only 0 = the
+    # five-filter method) bytes are spec-fixed: any other value is a
+    # nonconforming file whose IDAT bytes mean something we can't
+    # interpret — reject like every other unsupported feature instead
+    # of inflating it as DEFLATE and decoding garbage pixels
+    if _comp != 0 or _filt != 0:
+        return None
     if len(idat) < 3:
         return None
     # zlib header: method/flags; FDICT (preset dictionary) unsupported
@@ -445,6 +457,16 @@ def decode_png(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
         return None
     bpp = 3 if color == 2 else 4
     want = h * (1 + w * bpp)
+    # Pixel-count bound BEFORE inflating: `want` comes straight from
+    # attacker-controlled IHDR w*h, and DEFLATE tops out at 1032:1, so
+    # any declared size beyond len(idat)*1032 is unreachable by a valid
+    # stream — reject it here rather than spend a bounded-but-huge
+    # inflate plus the per-byte unfilter loop discovering the mismatch.
+    # _PNG_MAX_PIXELS additionally caps legal-but-absurd frames so one
+    # item can't pin a worker for minutes (decompress_text's max_ratio
+    # analog for the PNG path).
+    if want > len(idat) * 1032 or w * h > _PNG_MAX_PIXELS:
+        return None
     try:
         # want+1 cap: an undersized stream inflates short, an oversized
         # one yields the extra byte — either way len != want and we

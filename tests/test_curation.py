@@ -528,6 +528,40 @@ def test_decompress_text_gzip_partial_trailer_is_null(spark):
         assert CU.decompress_text(df).collect()[0]["text"] is None, cut
 
 
+def test_decompress_text_gzip_multi_member_and_trailing_garbage(spark):
+    # ADVICE r10: bytes after a valid 8-byte trailer used to be
+    # silently ignored — a concatenated multi-member file decoded to
+    # only the first member's text, and appended garbage still passed.
+    # Now: members concatenate; non-member tail bytes -> NULL.
+    import gzip
+
+    a, b_, c = b"first member. ", b"second member. ", b"third."
+    two = gzip.compress(a) + gzip.compress(b_)
+    three = two + gzip.compress(c)
+    garbage = gzip.compress(a) + b"NOT A GZIP MEMBER"
+    one_byte_tail = gzip.compress(a) + b"\x1f"  # next-magic cut short
+    bad_second = gzip.compress(a) + gzip.compress(b_)[: len(
+        gzip.compress(b_)) // 2]  # second member truncated mid-stream
+    rows = [(0, two), (1, three), (2, garbage), (3, one_byte_tail),
+            (4, bad_second)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in CU.decompress_text(df).collect()}
+    assert out[0]["text"] == (a + b_).decode()
+    assert out[0]["n_text_bytes"] == len(a + b_)
+    assert out[1]["text"] == (a + b_ + c).decode()
+    assert out[2]["text"] is None
+    assert out[3]["text"] is None
+    assert out[4]["text"] is None
+    # the ratio cap bounds the RUNNING TOTAL across members (the
+    # `cap - total + 1` budget shrinks as members decode): a bomb
+    # member followed by more members still trips the cap mid-walk
+    bomb = gzip.compress(b"\x00" * (64 * 1024 * 200))
+    assert len(bomb) * 1000 < 64 * 1024 * 200
+    df2 = spark.createDataFrame(
+        [(0, bomb + gzip.compress(a))], "doc_id long, payload binary")
+    assert CU.decompress_text(df2).collect()[0]["text"] is None
+
+
 def test_decompress_text_bomb_capped(spark):
     import gzip
 

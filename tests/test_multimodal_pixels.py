@@ -24,7 +24,8 @@ def _paeth(a, b, c):
 
 
 def make_png(w, h, pixel_fn, filters=None, color=2, crc_ok=True,
-             interlace=0, bit_depth=8, split_idat=False):
+             interlace=0, bit_depth=8, split_idat=False,
+             comp=0, filt=0):
     """Craft a real PNG with REAL zlib compression: per-row filter ids
     (default: cycle 0..4), color type 2 (RGB) or 6 (RGBA, alpha=0xAB),
     optional multi-IDAT split. Filtering is applied here independently
@@ -53,7 +54,8 @@ def make_png(w, h, pixel_fn, filters=None, color=2, crc_ok=True,
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(
             ">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, interlace)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color, comp, filt, interlace)
     z = zlib.compress(bytes(scan), 6)
     if split_idat:
         idat = chunk(b"IDAT", z[: len(z) // 2]) + chunk(
@@ -278,6 +280,39 @@ def test_decode_png_tolerates_bad_crc_rejects_bad_structure():
     ihdr_at = good.index(b"IHDR")
     struct.pack_into(">I", short, ihdr_at + 8, 3 + 1)
     assert MM.decode_png(bytes(short)) is None
+
+
+def test_decode_png_rejects_nonzero_comp_filt_methods():
+    # ADVICE r10: IHDR compression/filter method bytes are spec-fixed
+    # at 0; a nonconforming file declaring method 1 used to be inflated
+    # as DEFLATE anyway and could decode to garbage pixels
+    assert MM.decode_png(make_png(4, 3, grad)) is not None  # control
+    assert MM.decode_png(make_png(4, 3, grad, comp=1)) is None
+    assert MM.decode_png(make_png(4, 3, grad, filt=1)) is None
+    assert MM.decode_png(make_png(4, 3, grad, comp=1, filt=1)) is None
+
+
+def test_decode_png_rejects_oversized_ihdr_before_inflate():
+    # ADVICE r10: `want` comes from attacker-controlled IHDR w*h.
+    # A small payload declaring a huge frame must be rejected BEFORE
+    # the inflate + per-byte unfilter work: either the 1032:1 DEFLATE
+    # bound (no valid stream of len(idat) bytes can inflate to want)
+    # or the absolute _PNG_MAX_PIXELS cap.
+    good = make_png(4, 3, grad)
+    ihdr_at = good.index(b"IHDR")
+    # (a) absurd pixel count, tiny IDAT — unreachable by 1032:1
+    big = bytearray(good)
+    struct.pack_into(">II", big, ihdr_at + 4, 100_000, 100_000)
+    assert MM.decode_png(bytes(big)) is None
+    # (b) above the absolute cap even if the ratio were satisfiable
+    assert 100_000 * 100_000 > MM._PNG_MAX_PIXELS
+    # (c) moderately inflated claim (2x rows) still rejected, but by
+    # the exact-length check — guard must not let it through either
+    two_h = bytearray(good)
+    struct.pack_into(">I", two_h, ihdr_at + 8, 6)
+    assert MM.decode_png(bytes(two_h)) is None
+    # (d) the guard leaves every legitimate frame untouched
+    assert MM.decode_png(make_png(40, 30, grad)) is not None
 
 
 def test_decode_png_bmp_pixel_parity():

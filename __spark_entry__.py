@@ -5752,165 +5752,191 @@ def q_probe_env_versions(spark, sf_dir):
 
 
 _WINDOW_PRIORITY = [
-    # Round-10 window (first 50), per VERDICT r9 #1: COMPLETE
-    # driver-proof coverage. 30 keys have never had a driver
-    # CORRECTNESS row; this window takes ALL of them, so after r10
-    # every key in the repo is driver-proven at least once.
-    # Head = the 4 standing environment sentinels (three rounds green —
-    # if one goes red, decode via VERDICT_RESPONSES before touching any
-    # query), then the 30 first-time keys in prior tail order, then 16
-    # deliberate re-proof slots: the three pixel keys whose aHash
-    # threshold went pure-integer this round (kernel + oracle changed
-    # together — values identical, but the driver must re-witness),
-    # the three perf-watch keys VERDICT r9 asked to re-measure, and ten
-    # r2-vintage workhorses whose driver rows are the oldest in the
-    # repo (freshness rotation now that first-time coverage is done).
-    # --- standing sentinels (4) ---
+    # ROTATION POLICY (post-coverage, VERDICT r10 item 3): with all
+    # 337 pre-r11 keys driver-proven at least once, windows now
+    # re-prove by STALENESS. Order: (1) the 4 standing environment
+    # sentinels (five rounds green -- decode any red via
+    # VERDICT_RESPONSES before touching queries); (2) keys newly
+    # registered this round, so first registered round == first
+    # driver-proven round (the r11 audio/decompression block); (3)
+    # every other key ordered by its latest driver CORRECTNESS row,
+    # OLDEST round first (ties keep that round-file order). A 50-key
+    # window therefore always re-proves the ~42 stalest rows; each
+    # round the freshly-proven keys sink to the tail and the next
+    # stalest block surfaces. Regenerate the tail of this list per
+    # round from the CORRECTNESS_r*.json record (latest round per
+    # key ascending); sections below are labeled by that round.
+    # --- (1) standing sentinels ---
     "probe_env_tz",
     "probe_env_versions",
     "probe_render_canary",
     "probe_round_canary",
-    # --- never-driver-checked, prior tail order (30 — the last) ---
-    "llm_ann_recall_multi",
-    "llm_kmeans_assign",
-    "llm_kmeans_centroids",
-    "llm_ann_filtered_topk",
-    "llm_dedup_incremental",
-    "ext_set_compare",
-    "llm_unigram_surprisal",
-    "llm_winnow_overlap",
-    "llm_ann_recall_ivf",
-    "llm_bm25_topk",
-    "ext_zorder_profile",
-    "llm_block_dedup",
-    "llm_shard_profile",
-    "llm_ann_recall_pq",
-    "llm_bpe_pair_stats",
-    "ext_entity_blocking",
-    "ext_zscore_anomalies",
-    "llm_dedup_simhash",
-    "llm_fingerprint",
-    "llm_vocab_stats",
-    "llm_winnow_fingerprints",
-    "llm_neardup_embedding",
-    "llm_ann_recall",
-    "llm_curation_pipeline",
-    "llm_stratified_sample",
-    "llm_mix_weights",
-    "llm_token_histogram",
-    "llm_repetition_stats",
-    "llm_chunking",
-    "llm_pii_redact",
-    # --- re-proof: integer-threshold aHash rollout (r10 change) ---
-    "mm_resize",
-    "mm_phash_neardup",
-    "mm_frame_sample",
-    # --- re-proof: VERDICT r9 perf-watch keys ---
-    "llm_quality_eval",
-    "llm_dup_cluster_sizes",
-    "llm_matryoshka_eval",
-    # --- re-proof: oldest (r2) driver rows, family spread ---
-    "p1_p2_j1_j2_dashboard_feed",
-    "a1_a2_a9_dashboard_metrics",
-    "a4_metric_deltas",
-    "a5_a8_tumbling_stats",
-    "a10_j3_linucb_fit",
-    "a13_weighted_distribution",
-    "t6_late_tagging",
-    "t14_sliding_window",
-    "ext_session_window",
-    "f_svd_embed",
-    # --- end round-10 window (50) ---
-    # Round-9 window keys (all driver-green r9), prior order.
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q19",
-    "tpch_q22",
-    "llm_distinctive_terms",
-    "llm_uncertainty_sample",
-    "llm_whiten_embeddings",
-    "llm_fair_allocation",
-    "llm_ngram_novelty",
-    "llm_lsh_tuning",
-    "ext_impute_mode",
-    "llm_word_vectors",
-    "llm_minhash_lsh_eval",
-    "llm_hybrid_rerank",
-    "llm_dataset_card",
-    "llm_exact_stratified_split",
-    "ext_join_size_profile",
-    "llm_knn_label_noise",
-    "llm_ppmi_cooccurrence",
-    "llm_winsorize",
-    "llm_pmi_collocations",
-    "ext_trade_degree",
-    "llm_dup_spans",
-    "llm_lr_sweep",
-    "llm_quality_drift",
-    "llm_curriculum_bins",
-    "llm_random_projection",
-    "llm_cluster_split",
-    "llm_dsir_resample",
-    "llm_per_group_sample",
-    "llm_contrastive_triplets",
-    "llm_cross_source_overlap",
-    "llm_mmr_diversify",
-    "llm_incremental_near_dup",
-    "llm_bigram_lm_score",
-    "llm_decontaminate_fuzzy",
-    "llm_dedup_keep_best",
-    "llm_mix_token_plan",
-    "ext_value_histogram",
-    "ext_set_partition",
-    "ext_key_skew_profile",
-    "llm_ann_lsh_multi_topk",
-    # previously driver-checked keys (green at latest check) and
-    # the retired one-shot probes, prior relative order. The r8
-    # window's checked keys join here.
-    "ext_fs_linkage",
-    "ext_control_chart",
-    "llm_normalize_text",
-    "ext_cusum_drift",
-    "ext_cuped",
-    "ext_data_quality",
-    "llm_quality_filter",
-    "ext_quantile_approx",
-    "llm_dedup_clusters",
-    "mm_media_features",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q21",
-    "llm_dedup_exact",
-    "llm_dedup_minhash_pairs",
-    "llm_dedup_jaccard",
-    "llm_dedup_simhash_pairs",
-    "llm_dedup_report",
-    "llm_ann_cosine_topk",
-    "llm_ann_lsh_topk",
-    "llm_ann_ivf_topk",
-    "llm_ann_pq_topk",
-    "llm_embedding_pool",
-    "llm_embedding_quantize",
-    "llm_embedding_outliers",
-    "llm_kmeans_round",
-    "llm_semantic_dedup",
-    "llm_text_stats",
-    "llm_lang_id",
-    "llm_ngram_entropy",
-    "llm_bpe_encode",
-    "llm_dsir_weights",
-    "llm_temperature_mix",
-    "llm_pack_sequences",
-    "llm_decontaminate",
-    "llm_quality_classifier",
-    "ext_triangle_count",
-    "ext_pagerank_trade",
-    "ext_grouping_sets",
-    "ext_table_profile",
+    # --- (2) registered this round (r11): first driver exposure ---
+    "mm_audio_features",
+    "mm_audio_windows",
+    "mm_audio_vad",
+    "llm_decompress_corpus",
+    # --- (3) latest driver row: round 2 ---
+    "q1_pricing_summary",
+    "a3_o1_grouped_revenue_nation",
+    "a3_grouped_revenue_segment",
+    "o2_top5_parts",
+    "o2_top3_parts_per_brand",
+    "o4_time_split",
+    "p2_time_filter",
+    "f_json_extract",
+    "f_scalar_strings",
+    "f_datetime_buckets",
+    "f_conditional_status",
+    "j6_semi_join",
+    "j6_anti_join",
+    "s10_cdc_apply_changes",
+    "s1_s8_csv_declared_schema",
+    "p3_o3_limit_probe",
+    "p5_p6_drop_columns",
+    "p7_numeric_projection",
+    "j4_zip_join",
+    "f_array_vector",
+    "f_struct_json",
+    "f_ground_truth_score",
+    "f_status_timestamps",
+    "a12_linucb_score_top5",
+    "f_feature_engineering",
+    "eval_ranking_metrics",
+    "eval_auc",
+    "f_tfidf_top_terms",
+    "p4_split_by_predicate",
+    "p9_align_schema",
+    "p10_null_defaults",
+    "j_asof_enrichment",
+    "j_interval_join",
+    "ext_rollup_revenue",
+    "ext_moving_average",
+    "ext_cube_revenue",
+    "ext_argmax_per_group",
+    "llm_weighted_sample",
+    # --- (3) latest driver row: round 4 ---
+    "ext_quantile_shift",
+    "ext_rmst",
+    "llm_oov_rate",
+    "ext_price_elasticity",
+    "llm_charclass_profile",
+    "ext_harmonic_2hop",
+    "ext_binseg_changepoints",
+    "ext_diff_in_diff",
+    "ext_power_analysis",
+    "llm_compression_ratio",
+    "ext_holt_forecast",
+    "llm_isotonic_calibration",
+    "ext_ratio_to_parent",
+    "ext_pairwise_contrasts",
+    "ext_assortativity",
+    "ext_fd_violations",
+    "ext_seasonal_anomalies",
+    "ext_price_volume_mix",
+    "ext_theil_index",
+    "ext_pythagorean_means",
+    "llm_readability",
+    "ext_kendall_tau",
+    "ext_grouped_moments",
+    "ext_roc_curve",
+    "ext_cohort_ltv",
+    "ext_theil_sen",
+    "ext_grouped_mad",
+    "ext_multi_touch",
+    "llm_quantile_normalize",
+    "ext_pareto_skyline",
+    "ext_k_core",
+    "ext_weighted_median",
+    "llm_feature_hash",
+    "ext_kruskal_wallis",
+    "ext_brown_forsythe",
+    "ext_target_encoding",
+    "ext_link_prediction",
+    "ext_k_anonymity",
+    "llm_dedup_containment",
+    # --- (3) latest driver row: round 5 ---
+    "ext_yuen_ttest",
+    "ext_fs_em",
+    "ext_auto_histogram",
+    "ext_robust_anomalies",
+    "ext_ohlc_bars",
+    "ext_period_end_balance",
+    "s10_debezium_unwrap",
+    "ext_hierarchical_rollup",
+    "ext_sax_symbols",
+    "llm_dedup_edit_distance",
+    "ext_association_rules",
+    "ext_rfm_segmentation",
+    "ext_welch_ttest",
+    "ext_anova",
+    "ext_mann_whitney",
+    "ext_ks_test",
+    "ext_chi_square",
+    "ext_spearman",
+    "ext_log_rank",
+    "ext_fdr_screen",
+    "ext_grouped_ols",
+    "ext_histogram_2d",
+    "ext_bootstrap_ci",
+    "llm_preference_pairs",
+    "ext_gapfill",
+    "llm_textrank_keywords",
+    "ext_pivot_revenue",
+    "ext_unpivot_profile",
+    "ext_correlation_matrix",
+    "llm_interleave_shards",
+    "llm_contamination_matrix",
+    "ext_label_propagation",
+    "ext_conformal_interval",
+    "ext_hll_set_overlap",
+    "llm_span_corruption",
+    "ext_seasonal_mase",
+    "ext_mann_kendall",
+    "ext_stratified_ate",
+    "ext_gains_table",
+    "llm_tokenizer_fertility",
+    "ext_pinball_eval",
+    "ext_srm_check",
+    # --- (3) latest driver row: round 6 ---
+    "ext_abc_classification",
+    "ext_funnel_conversion_ci",
+    "tpch_q8",
+    "ext_funnel_step_times",
+    "ext_seasonal_profile",
+    "ext_autocorrelation",
+    "ext_changepoint",
+    "ext_decayed_engagement",
+    "ext_ewma_smooth",
+    "ext_sequence_gaps",
+    "ext_user_journeys",
+    "ext_funnel",
+    "ext_retention",
+    "o4_per_key_time_split",
+    "s10_cdc_scd2_history",
+    "s10_cdc_snapshot_at",
+    "s10_snapshot_diff",
+    "ext_grouped_trend",
+    "ext_ab_test",
+    "ext_jackknife_ci",
+    "ext_cohens_kappa",
+    "ext_benford",
+    "ext_mutual_info",
+    "llm_zipf_fit",
+    "eval_ndcg",
+    "eval_calibration",
+    "llm_tfidf_cosine_topk",
+    "ext_mcnemar",
+    "ext_cramers_v",
+    "ext_fleiss_kappa",
+    "ext_iptw_ate",
+    "llm_kneser_ney_bigram",
+    "llm_heavy_changes",
+    "ext_cochran_q",
+    "ext_odds_ratio",
+    "ext_weibull_fit",
+    "llm_vocab_growth",
+    # --- (3) latest driver row: round 7 ---
     "probe_libm_canary",
     "probe_hash_canary",
     "probe_pred_domains",
@@ -5956,124 +5982,141 @@ _WINDOW_PRIORITY = [
     "ext_cms_term_counts",
     "ext_quantile_summary",
     "ext_window_suite",
-    "ext_abc_classification",
-    "ext_funnel_conversion_ci",
-    "tpch_q8",
-    "ext_funnel_step_times",
-    "ext_seasonal_profile",
-    "ext_autocorrelation",
-    "ext_changepoint",
-    "ext_decayed_engagement",
-    "ext_ewma_smooth",
-    "ext_sequence_gaps",
-    "ext_user_journeys",
-    "ext_funnel",
-    "ext_retention",
-    "o4_per_key_time_split",
-    "s10_cdc_scd2_history",
-    "s10_cdc_snapshot_at",
-    "s10_snapshot_diff",
-    "ext_grouped_trend",
-    "ext_ab_test",
-    "ext_jackknife_ci",
-    "ext_cohens_kappa",
-    "ext_benford",
-    "ext_mutual_info",
-    "llm_zipf_fit",
-    "eval_ndcg",
-    "eval_calibration",
-    "llm_tfidf_cosine_topk",
-    "ext_mcnemar",
-    "ext_cramers_v",
-    "ext_fleiss_kappa",
-    "ext_iptw_ate",
-    "llm_kneser_ney_bigram",
-    "llm_heavy_changes",
-    "ext_cochran_q",
-    "ext_odds_ratio",
-    "ext_weibull_fit",
-    "llm_vocab_growth",
-    "ext_yuen_ttest",
-    "ext_fs_em",
-    "ext_auto_histogram",
-    "ext_robust_anomalies",
-    "ext_ohlc_bars",
-    "ext_period_end_balance",
-    "s10_debezium_unwrap",
-    "ext_hierarchical_rollup",
-    "ext_sax_symbols",
-    "llm_dedup_edit_distance",
-    "ext_association_rules",
-    "ext_rfm_segmentation",
-    "ext_welch_ttest",
-    "ext_anova",
-    "ext_mann_whitney",
-    "ext_ks_test",
-    "ext_chi_square",
-    "ext_spearman",
-    "ext_log_rank",
-    "ext_fdr_screen",
-    "ext_grouped_ols",
-    "ext_histogram_2d",
-    "ext_bootstrap_ci",
-    "llm_preference_pairs",
-    "ext_gapfill",
-    "llm_textrank_keywords",
-    "ext_pivot_revenue",
-    "ext_unpivot_profile",
-    "ext_correlation_matrix",
-    "llm_interleave_shards",
-    "llm_contamination_matrix",
-    "ext_label_propagation",
-    "ext_conformal_interval",
-    "ext_hll_set_overlap",
-    "llm_span_corruption",
-    "ext_seasonal_mase",
-    "ext_mann_kendall",
-    "ext_stratified_ate",
-    "ext_gains_table",
-    "llm_tokenizer_fertility",
-    "ext_pinball_eval",
-    "ext_srm_check",
-    "ext_quantile_shift",
-    "ext_rmst",
-    "llm_oov_rate",
-    "ext_price_elasticity",
-    "llm_charclass_profile",
-    "ext_harmonic_2hop",
-    "ext_binseg_changepoints",
-    "ext_diff_in_diff",
-    "ext_power_analysis",
-    "llm_compression_ratio",
-    "ext_holt_forecast",
-    "llm_isotonic_calibration",
-    "ext_ratio_to_parent",
-    "ext_pairwise_contrasts",
-    "ext_assortativity",
-    "ext_fd_violations",
-    "ext_seasonal_anomalies",
-    "ext_price_volume_mix",
-    "ext_theil_index",
-    "ext_pythagorean_means",
-    "llm_readability",
-    "ext_kendall_tau",
-    "ext_grouped_moments",
-    "ext_roc_curve",
-    "ext_cohort_ltv",
-    "ext_theil_sen",
-    "ext_grouped_mad",
-    "ext_multi_touch",
-    "llm_quantile_normalize",
-    "ext_pareto_skyline",
-    "ext_k_core",
-    "ext_weighted_median",
-    "llm_feature_hash",
-    "ext_kruskal_wallis",
-    "ext_brown_forsythe",
-    "ext_target_encoding",
-    "ext_link_prediction",
-    "ext_k_anonymity",
-    "llm_dedup_containment",
+    # --- (3) latest driver row: round 8 ---
+    "ext_fs_linkage",
+    "ext_control_chart",
+    "llm_normalize_text",
+    "ext_cusum_drift",
+    "ext_cuped",
+    "ext_data_quality",
+    "llm_quality_filter",
+    "ext_quantile_approx",
+    "llm_dedup_clusters",
+    "mm_media_features",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_pairs",
+    "llm_dedup_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_report",
+    "llm_ann_cosine_topk",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_pq_topk",
+    "llm_embedding_pool",
+    "llm_embedding_quantize",
+    "llm_embedding_outliers",
+    "llm_kmeans_round",
+    "llm_semantic_dedup",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_ngram_entropy",
+    "llm_bpe_encode",
+    "llm_dsir_weights",
+    "llm_temperature_mix",
+    "llm_pack_sequences",
+    "llm_decontaminate",
+    "llm_quality_classifier",
+    "ext_triangle_count",
+    "ext_pagerank_trade",
+    "ext_grouping_sets",
+    "ext_table_profile",
+    # --- (3) latest driver row: round 9 ---
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q19",
+    "tpch_q22",
+    "llm_distinctive_terms",
+    "llm_uncertainty_sample",
+    "llm_whiten_embeddings",
+    "llm_fair_allocation",
+    "llm_ngram_novelty",
+    "llm_lsh_tuning",
+    "ext_impute_mode",
+    "llm_word_vectors",
+    "llm_minhash_lsh_eval",
+    "llm_hybrid_rerank",
+    "llm_dataset_card",
+    "llm_exact_stratified_split",
+    "ext_join_size_profile",
+    "llm_knn_label_noise",
+    "llm_ppmi_cooccurrence",
+    "llm_winsorize",
+    "llm_pmi_collocations",
+    "ext_trade_degree",
+    "llm_dup_spans",
+    "llm_lr_sweep",
+    "llm_quality_drift",
+    "llm_curriculum_bins",
+    "llm_random_projection",
+    "llm_cluster_split",
+    "llm_dsir_resample",
+    "llm_per_group_sample",
+    "llm_contrastive_triplets",
+    "llm_cross_source_overlap",
+    "llm_mmr_diversify",
+    "llm_incremental_near_dup",
+    "llm_bigram_lm_score",
+    "llm_decontaminate_fuzzy",
+    "llm_dedup_keep_best",
+    "llm_mix_token_plan",
+    "ext_value_histogram",
+    "ext_set_partition",
+    "ext_key_skew_profile",
+    "llm_ann_lsh_multi_topk",
+    # --- (3) latest driver row: round 10 ---
+    "llm_ann_recall_multi",
+    "llm_kmeans_assign",
+    "llm_kmeans_centroids",
+    "llm_ann_filtered_topk",
+    "llm_dedup_incremental",
+    "ext_set_compare",
+    "llm_unigram_surprisal",
+    "llm_winnow_overlap",
+    "llm_ann_recall_ivf",
+    "llm_bm25_topk",
+    "ext_zorder_profile",
+    "llm_block_dedup",
+    "llm_shard_profile",
+    "llm_ann_recall_pq",
+    "llm_bpe_pair_stats",
+    "ext_entity_blocking",
+    "ext_zscore_anomalies",
+    "llm_dedup_simhash",
+    "llm_fingerprint",
+    "llm_vocab_stats",
+    "llm_winnow_fingerprints",
+    "llm_neardup_embedding",
+    "llm_ann_recall",
+    "llm_curation_pipeline",
+    "llm_stratified_sample",
+    "llm_mix_weights",
+    "llm_token_histogram",
+    "llm_repetition_stats",
+    "llm_chunking",
+    "llm_pii_redact",
+    "mm_resize",
+    "mm_phash_neardup",
+    "mm_frame_sample",
+    "llm_quality_eval",
+    "llm_dup_cluster_sizes",
+    "llm_matryoshka_eval",
+    "p1_p2_j1_j2_dashboard_feed",
+    "a1_a2_a9_dashboard_metrics",
+    "a4_metric_deltas",
+    "a5_a8_tumbling_stats",
+    "a10_j3_linucb_fit",
+    "a13_weighted_distribution",
+    "t6_late_tagging",
+    "t14_sliding_window",
+    "ext_session_window",
+    "f_svd_embed",
 ]
 
 
@@ -6081,11 +6124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order is deliberate: a correctness sweep that stops
     # after the first N keys should spend its window on the queries with
     # the LEAST prior verification signal. _WINDOW_PRIORITY (see its
-    # header comment for the round-8 composition) puts the standing
-    # sentinels + this round's fixed/changed keys + a family spread of
-    # never-driver-checked keys first, every remaining never-checked
-    # key next, and keys already driver-green at their latest check
-    # last.
+    # header comment for the full post-coverage rotation policy) puts
+    # the standing sentinels first, then keys newly registered this
+    # round (first registration == first driver proof), then every
+    # remaining key ordered by the age of its latest driver
+    # CORRECTNESS row, stalest first.
     d = {
         "ext_quantile_shift": q_quantile_shift,
         "ext_rmst": q_rmst,
@@ -6428,6 +6471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_ord_98p": q_probe_ord_98p,
         "probe_ev_values": q_probe_ev_values,
         "probe_ev_epoch": q_probe_ev_epoch,
+        # round-11 additions (audio + decompression; section at the
+        # bottom of this file) — registered with same-round driver rows
+        **_r11_queries(),
     }
     _pri = [k for k in _WINDOW_PRIORITY if k in d]
     return {k: d[k] for k in _pri + [k for k in d if k not in set(_pri)]}
@@ -6800,6 +6846,9 @@ def oracle_sql() -> dict[str, str]:
         # --- Sequential-recursion keys: pure-Python reference replays
         # (Holt fold, FS-EM, isotonic PAVA) as VALUES tables.
         **_numeric_oracle_sqls(),
+        # --- Round-11 additions: closed-form WAV/audio + gzip-member
+        # oracles (section at the bottom of this file).
+        **_r11_oracle_sqls(),
         # --- Hypothesis tests (operators/stats.py). The normal-CDF
         # p-values restate the A&S 7.1.26 erf polynomial VERBATIM in
         # the same association order as the Spark columns, so both
@@ -14241,12 +14290,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# STAGED round-11 surface (NOT registered): queries()/oracle_sql() are
-# frozen at 337 keys until the round-10 driver window completes
-# first-time coverage (VERDICT r9 item 6). The keys below are the
-# next-round additions, fully written and locally oracle-proven NOW
-# (tests/test_staged_r11.py runs the driver-style comparison) so they
-# can enter the registry + window with same-round driver rows.
+# Round-11 additions (REGISTERED r11, per VERDICT r10 item 1): the four
+# keys below were staged in r10 (written, oracle-proven in
+# tests/test_staged_r11.py, 10x-probed in SCALE.md) while the surface
+# was frozen at 337, and entered queries()/oracle_sql() in r11 at the
+# head of the driver window so their first registered round is also
+# their first driver-proven round. Surface: 341.
 # ---------------------------------------------------------------------------
 
 
@@ -14267,7 +14316,7 @@ def _crafted_wav_media(spark, sf_dir):
     return MM.as_media(crafted, "doc_id", "wav", kind="audio")
 
 
-def q_staged_audio_features(spark, sf_dir):
+def q_mm_audio_features(spark, sf_dir):
     # REAL integer-PCM decode + exact-integer audio features over the
     # crafted WAV corpus (multimodal.decode_wav_pcm/audio_features);
     # silence_abs=20000 so the silence gate fires on a meaningful
@@ -14276,14 +14325,14 @@ def q_staged_audio_features(spark, sf_dir):
         _crafted_wav_media(spark, sf_dir), silence_abs=20000)
 
 
-def q_staged_audio_windows(spark, sf_dir):
+def q_mm_audio_windows(spark, sf_dir):
     # Fixed-2ms analysis windows over channel 0 (decode-and-explode
     # kernel, partial tail emitted). Oracle: closed-form window sums.
     return MM.audio_windows(
         _crafted_wav_media(spark, sf_dir), window_ms=2)
 
 
-def q_staged_audio_vad(spark, sf_dir):
+def q_mm_audio_vad(spark, sf_dir):
     # VAD segments: the window kernel + the pure-DataFrame
     # gaps-and-islands (multimodal.audio_activity_segments). Oracle:
     # same closed-form windows + SQL gaps-and-islands replay.
@@ -14293,7 +14342,7 @@ def q_staged_audio_vad(spark, sf_dir):
         wins, min_sumsq_per_sample=358_000_000)
 
 
-def q_staged_decompress_corpus(spark, sf_dir):
+def q_llm_decompress_corpus(spark, sf_dir):
     # REAL gzip member walk + raw inflate over the corpus texts
     # wrapped JVM-side in stored-DEFLATE members (_gzip_stored_hex —
     # encode side is pure JVM hex, decode side is
@@ -14327,17 +14376,18 @@ def _staged_wav_base_cte():
         )"""
 
 
-def staged_queries():
-    """Round-11 staged keys (see the section header above)."""
+def _r11_queries():
+    """Round-11 registered keys (see the section header above) —
+    splatted into queries()."""
     return {
-        "mm_audio_features": q_staged_audio_features,
-        "mm_audio_windows": q_staged_audio_windows,
-        "mm_audio_vad": q_staged_audio_vad,
-        "llm_decompress_corpus": q_staged_decompress_corpus,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_audio_windows": q_mm_audio_windows,
+        "mm_audio_vad": q_mm_audio_vad,
+        "llm_decompress_corpus": q_llm_decompress_corpus,
     }
 
 
-def staged_oracle_sql():
+def _r11_oracle_sqls():
     s0 = _SQL_WAV_S.format(d="doc_id", i="{i}", c="0")
     return {
         "mm_audio_features": _staged_wav_base_cte() + f"""

@@ -1,9 +1,8 @@
-"""Driver-style oracle proof for the STAGED round-11 keys
-(__spark_entry__.staged_queries / staged_oracle_sql — written this
-round, deliberately NOT registered while the query surface is frozen
-at 337). Same md5 value-hash comparison the round driver runs, at
-sf0.001 so the suite stays fast; when these keys enter the registry
-they are already driver-green in expectation.
+"""Driver-style oracle proof for the round-11 keys (staged in r10
+while the surface was frozen at 337; REGISTERED in r11 via
+__spark_entry__._r11_queries / _r11_oracle_sqls). Same md5 value-hash
+comparison the round driver runs, at sf0.001 so the suite stays fast —
+these keys entered the registry already locally driver-green.
 """
 
 from __future__ import annotations
@@ -47,11 +46,11 @@ def ddb():
     return con
 
 
-@pytest.mark.parametrize("key", sorted(E.staged_queries()))
-def test_staged_key_hash_matches_oracle(spark, ddb, key):
-    qdf = E.staged_queries()[key](spark, SF)
+@pytest.mark.parametrize("key", sorted(E._r11_queries()))
+def test_r11_key_hash_matches_oracle(spark, ddb, key):
+    qdf = E.queries()[key](spark, SF)
     sdata = [tuple(r) for r in qdf.collect()]
-    rel = ddb.sql(E.staged_oracle_sql()[key])
+    rel = ddb.sql(E.oracle_sql()[key])
     dcols = [d[0] for d in rel.description]
     ddata = rel.fetchall()
     assert len(sdata) == len(ddata), (key, len(sdata), len(ddata))

@@ -30,10 +30,16 @@ for the integer-PCM WAV sample plane — see decode_wav_pcm):
   (variable-width codes, dictionary rebuilds, the KwKwK case —
   pinned bit-for-bit against canonical giflib in the test suite),
   palette lookup, interlace reordering; first image per file.
+* ``decoder="jpeg"`` — a REAL baseline-JPEG entropy decode in pure
+  Python+numpy (T.81 marker walk, canonical-Huffman DC/AC decode
+  with byte un-stuffing and restart intervals, dequant + zig-zag +
+  separable float64 IDCT, chroma upsample, YCbCr->RGB) — pinned
+  against the container's canonical libjpeg through the gdk-pixbuf
+  accessor API in the test suite. Progressive JPEG and real video
+  codecs still need PIL/opencv/pyav and stay behind the import gate.
   ``decoder="pixels"`` sniffs the magic per payload and dispatches
-  BMP / PNG / GIF — the mixed-corpus path a real pipeline runs.
-  JPEG pixel planes and real video codecs still need PIL/opencv/pyav
-  and stay behind the import gate.
+  BMP / PNG / GIF / JPEG — the mixed-corpus path a real pipeline
+  runs.
 * ``decoder="fake"`` — deterministic byte-level features (length +
   md5 + first/last byte) for the pixel/sample-level kernels on
   formats the container cannot decode (no PIL/opencv/pyav): resize,
@@ -627,6 +633,372 @@ def decode_gif(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
     return None
 
 
+# ITU-T T.81 §A.3.6 zig-zag order: zigzag index -> natural (row*8+col).
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# 8x8 IDCT basis A[x, u] = a(u)/2 * cos((2x+1)u*pi/16), a(0)=1/sqrt(2):
+# out = A @ F @ A.T (float64, separable) — the direct T.81 §A.3.3
+# definition, computed once at import.
+_JPEG_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+def _jpeg_huff_table(bits, vals):
+    """Canonical Huffman decode tables from a DHT segment's BITS
+    (count of codes per length 1..16) and HUFFVAL lists — the
+    mincode/maxcode/valptr triplet of T.81 §F.2.2.3 (Decode). Returns
+    None for an over-subscribed code space."""
+    code = 0
+    k = 0
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if n:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += n
+            k += n
+            maxcode[ln] = code - 1
+        if code > (1 << ln):  # more codes than the length can hold
+            return None
+        code <<= 1
+    if k != len(vals):
+        return None
+    return mincode, maxcode, valptr, list(vals)
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with T.81 §B.1.1.5
+    byte stuffing (FF 00 reads as FF) — stops (raises EOFError) at any
+    real marker, which the MCU loop either consumes as an expected
+    RSTn or treats as corrupt."""
+
+    __slots__ = ("data", "i", "acc", "nbits")
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.i = start
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data
+        if self.i >= len(b):
+            raise EOFError
+        c = b[self.i]
+        if c == 0xFF:
+            if self.i + 1 >= len(b) or b[self.i + 1] != 0x00:
+                raise EOFError  # a real marker: entropy data ends here
+            self.i += 2
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | c
+        self.nbits += 8
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial-byte padding bits and return the marker byte at
+        the head (for RSTn handling), without consuming it."""
+        self.acc = 0
+        self.nbits = 0
+        b = self.data
+        i = self.i
+        if i + 1 < len(b) and b[i] == 0xFF and b[i + 1] != 0x00:
+            return b[i + 1]
+        return None
+
+
+def _jpeg_read_huff(r: _JpegBits, table) -> int | None:
+    """One Huffman-coded symbol via the canonical mincode/maxcode walk
+    (T.81 §F.2.2.3)."""
+    mincode, maxcode, valptr, vals = table
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.take(1)
+        if maxcode[ln] >= code >= mincode[ln]:
+            return vals[valptr[ln] + code - mincode[ln]]
+    return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category decode (T.81 §F.2.2.1 EXTEND): a
+    ``t``-bit field with a 0 high bit means a negative value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, Huffman) to
+    ``(width, height, rgb)`` — a REAL entropy decode in pure
+    Python+numpy from the ITU-T T.81 spec: marker walk, DQT/DHT table
+    builds, canonical-Huffman DC/AC coefficient decode with byte
+    un-stuffing and restart-interval handling, dequantization,
+    zig-zag, the separable float64 IDCT, replication chroma
+    upsampling, and integer-rounded YCbCr->RGB. Grayscale (1
+    component) and YCbCr (3 components, sampling factors 1-2 per
+    axis) are supported; anything else — progressive (SOF2),
+    arithmetic coding, 12-bit precision, 2/4-component scans,
+    fractional sampling — returns None, as does any truncated or
+    over-subscribed stream.
+
+    Pinned against the container's canonical libjpeg (via the
+    gdk-pixbuf accessor API) in tests; DC-only crafted streams decode
+    EXACTLY (flat blocks are integer by construction), general streams
+    within the spec's IDCT tolerance of the reference decoder. The
+    reference repo has no media decode path at all — this is part of
+    the multimodal capability extension (SURVEY.md §6), completing
+    the BMP/PNG/GIF/WAV real-decoder family with the most common
+    real-world photo format."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    restart = 0
+    frame = None  # (h, w, [(cid, hi, vi, tq)])
+    i = 2
+    m = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        m = payload[i + 1]
+        if m == 0xD9:  # EOI before any scan
+            return None
+        if m == 0xFF:  # fill byte (B.1.1.2): one byte, realign
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0 or tq > 3 or j + 65 > len(seg):
+                    return None  # 16-bit tables: not baseline
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                cnt = sum(bits)
+                if tc > 1 or th > 3 or j + 17 + cnt > len(seg):
+                    return None
+                t = _jpeg_huff_table(bits, seg[j + 17 : j + 17 + cnt])
+                if t is None:
+                    return None
+                huff[(tc, th)] = t
+                j += 17 + cnt
+        elif m == 0xC0:  # SOF0 — baseline
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            fh, fw = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if fw == 0 or fh == 0 or nc not in (1, 3):
+                return None
+            if fw * fh > _PNG_MAX_PIXELS or len(seg) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None
+                comps.append((cid, hi, vi, tq))
+            frame = (fh, fw, comps)
+        elif m in _JPEG_SOF:  # any other SOF: progressive etc.
+            return None
+        elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:  # SOS
+            break
+        i += 2 + seg_len
+    else:
+        return None
+    if m != 0xDA or frame is None:
+        return None
+    fh, fw, comps = frame
+    ns = seg[0] if seg else 0
+    if ns != len(comps) or len(seg) < 1 + 2 * ns + 3:
+        return None
+    scan = {}
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        scan[cs] = (tt >> 4, tt & 0x0F)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qt or cid not in scan:
+            return None
+        dc_id, ac_id = scan[cid]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            return None
+        planes.append(
+            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        )
+    r = _JpegBits(payload, i + 2 + seg_len)
+    preds = [0] * len(comps)
+    coef = np.zeros(64, dtype=np.int64)
+    A = _JPEG_IDCT_A
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu_idx = my * mcus_x + mx
+                if restart and mcu_idx and mcu_idx % restart == 0:
+                    mark = r.align_to_marker()
+                    if mark is None or not 0xD0 <= mark <= 0xD7:
+                        return None
+                    r.i += 2
+                    preds = [0] * len(comps)
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    q = qt[tq]
+                    dct = huff[(0, scan[cid][0])]
+                    act = huff[(1, scan[cid][1])]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            coef[:] = 0
+                            t = _jpeg_read_huff(r, dct)
+                            if t is None or t > 11:
+                                return None
+                            preds[ci] += _jpeg_extend(r.take(t), t)
+                            coef[0] = preds[ci] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_read_huff(r, act)
+                                if rs is None:
+                                    return None
+                                rr, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rr
+                                if k > 63:
+                                    return None
+                                coef[_JPEG_ZIGZAG[k]] = (
+                                    _jpeg_extend(r.take(s), s) * q[k]
+                                )
+                                k += 1
+                            block = A @ coef.reshape(8, 8) @ A.T
+                            y0 = (my * vi + by) * 8
+                            x0 = (mx * hi + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    except EOFError:
+        return None
+    out = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:  # replication upsample
+            p = np.repeat(np.repeat(p, vmax // vi, 0), hmax // hi, 1)
+        out.append(p[:fh, :fw])
+    if len(comps) == 1:
+        g = np.floor(out[0] + 128.5)
+        rgbp = np.stack([g, g, g], axis=-1)
+    else:
+        y, cb, cr = out[0] + 128.0, out[1], out[2]
+        rgbp = np.stack(
+            [
+                np.floor(y + 1.402 * cr + 0.5),
+                np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5),
+                np.floor(y + 1.772 * cb + 0.5),
+            ],
+            axis=-1,
+        )
+    return int(fw), int(fh), np.clip(rgbp, 0, 255).astype(np.uint8)
+
+
+def _jpeg_end(payload: bytes, start: int) -> int | None:
+    """Offset just past a JPEG's EOI marker starting at ``start`` — the
+    stepping rule for the mixed-container walk: segment lengths up to
+    SOS, then an entropy scan in which FF 00 and FF D0-D7 are data and
+    any other FF-marker pair is structural (EOI ends the frame)."""
+    n = len(payload)
+    if start + 4 > n or payload[start : start + 2] != b"\xff\xd8":
+        return None
+    i = start + 2
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        m = payload[i + 1]
+        if m == 0xD9:
+            return i + 2
+        if m == 0xFF:  # fill byte: one byte, realign
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        i += 2 + seg_len
+        if m == 0xDA:  # entropy data until the next real marker
+            while i + 1 < n:
+                if payload[i] == 0xFF and payload[i + 1] != 0x00 and not (
+                    0xD0 <= payload[i + 1] <= 0xD7
+                ):
+                    break
+                i += 1
+            else:
+                return None
+    return None
+
+
+def iter_jpeg_frames(payload: bytes | None) -> Iterator[bytes]:
+    """Walk a concatenation of JPEG files by segment structure + the
+    entropy scan to each EOI (``_jpeg_end``) — the compressed-photo
+    analog of iter_bmp_frames. Stops at the first byte run that is not
+    a plausible JPEG."""
+    if payload is None:
+        return
+    i = 0
+    n = len(payload)
+    while i < n and payload[i : i + 2] == b"\xff\xd8":
+        end = _jpeg_end(payload, i)
+        if end is None:
+            return
+        yield payload[i:end]
+        i = end
+
+
 def iter_png_frames(payload: bytes | None) -> Iterator[bytes]:
     """Walk a concatenation of PNG files (the compressed analog of
     iter_bmp_frames) by each file's chunk structure: a frame spans its
@@ -688,8 +1060,8 @@ def _gif_end(payload: bytes, start: int) -> int | None:
 
 def decode_pixels(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
     """Magic-sniffing pixel decode — the mixed-corpus dispatch a real
-    pipeline runs: BMP, PNG, and GIF payloads decode to the same
-    (width, height, rgb) contract; anything else is None."""
+    pipeline runs: BMP, PNG, GIF, and baseline-JPEG payloads decode to
+    the same (width, height, rgb) contract; anything else is None."""
     if payload is None or len(payload) < 8:
         return None
     if payload[:2] == b"BM":
@@ -698,15 +1070,17 @@ def decode_pixels(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     return None
 
 
 def iter_pixel_frames(payload: bytes | None) -> Iterator[bytes]:
     """Mixed-container frame walk: at each position, sniff the magic
-    and step by the BMP declared size, the PNG chunk structure, or the
-    GIF block walk to its 0x3B trailer — formats may interleave within
-    one stream. Stops at the first position that is none of the
-    three."""
+    and step by the BMP declared size, the PNG chunk structure, the
+    GIF block walk to its 0x3B trailer, or the JPEG segment+entropy
+    walk to its EOI — formats may interleave within one stream. Stops
+    at the first position that is none of the four."""
     if payload is None:
         return
     i = 0
@@ -730,6 +1104,12 @@ def iter_pixel_frames(payload: bytes | None) -> Iterator[bytes]:
             i = end
         elif payload[i : i + 6] in (b"GIF87a", b"GIF89a"):
             end = _gif_end(payload, i)
+            if end is None:
+                return
+            yield payload[i:end]
+            i = end
+        elif payload[i : i + 2] == b"\xff\xd8":
+            end = _jpeg_end(payload, i)
             if end is None:
                 return
             yield payload[i:end]
@@ -900,6 +1280,7 @@ _PIXEL_DECODERS = {
     "bmp": (decode_bmp, iter_bmp_frames),
     "png": (decode_png, iter_png_frames),
     "gif": (decode_gif, iter_gif_frames),
+    "jpeg": (decode_jpeg, iter_jpeg_frames),
     "pixels": (decode_pixels, iter_pixel_frames),
 }
 

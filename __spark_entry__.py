@@ -2372,13 +2372,16 @@ def _bmp_frame_hex(doc_id, w, h, f):
     )
 
 
-# Closed-form SQL mirrors of the crafted pixel math — FORMAT-FREE:
-# the BMP and PNG crafters render the identical logical grid, so these
-# oracles never mention the container (shared by the mm_resize /
-# mm_frame_sample / mm_phash_neardup oracles). ``v`` is the
-# base channel value of the source pixel an 8x8 nearest-neighbor cell i
-# reads; luma is the integer Rec.601 fold over the distinct channels
-# R=v+170, G=v+85, B=v (each mod 256).
+# Closed-form SQL mirrors of the crafted pixel math. BMP/PNG/GIF
+# render the identical logical gradient grid, so their oracle needs no
+# format knowledge; JPEG (round 11) renders the blockwise DC-only grid
+# of _jpeg_frame_hex, so the shared fragments branch ONCE on the
+# format-cycle predicate (media_id + frame_idx) % 8 >= 6 and stay
+# container-free otherwise. ``v`` is the base channel value of the
+# source pixel an 8x8 nearest-neighbor cell i reads; luma is the
+# integer Rec.601 fold over the distinct channels R=v+170, G=v+85, B=v
+# (each mod 256) — which for the grayscale JPEG grid (R=G=B=p)
+# collapses to exactly p: (299p+587p+114p)//1000 = p.
 _BMP_SQL_V = ("((media_id + 3 * (((i % 8) * w) // 8)"
               " + 7 * (((i // 8) * h) // 8)) % 256)")
 
@@ -2391,6 +2394,25 @@ def _bmp_sql_lum(v: str) -> str:
 _BMP_SQL_CELL_LUM = _bmp_sql_lum(_BMP_SQL_V)
 _BMP_SQL_FRAME_LUM = _bmp_sql_lum(
     "((media_id + 11 * frame_idx + 3 * (i % w) + 7 * (i // w)) % 256)")
+
+
+def _jpeg_sql_p(x: str, y: str, f: str) -> str:
+    """Flat-block value at source pixel (x, y) of JPEG frame ``f`` —
+    mirrors _jpeg_frame_hex: p = 128 + a + (blk%2)*delta."""
+    return ("(128 + (media_id % 8 + 8)"
+            f" + (((({y}) // 8) * ((w + 7) // 8) + (({x}) // 8)) % 2)"
+            f" * ((media_id + 11 * ({f})) % 8 + 8))")
+
+
+_JPEG_SQL_CELL_P = _jpeg_sql_p(
+    "((i % 8) * w) // 8", "((i // 8) * h) // 8", "0")
+_JPEG_SQL_FRAME_P = _jpeg_sql_p("i % w", "i // w", "frame_idx")
+# Format-branched cell/frame luma shared by the mm oracles.
+_MM_SQL_CELL_LUM = (f"(CASE WHEN media_id % 8 >= 6 THEN {_JPEG_SQL_CELL_P}"
+                    f" ELSE {_BMP_SQL_CELL_LUM} END)")
+_MM_SQL_FRAME_LUM = (
+    "(CASE WHEN (media_id + frame_idx) % 8 >= 6"
+    f" THEN {_JPEG_SQL_FRAME_P} ELSE {_BMP_SQL_FRAME_LUM} END)")
 
 
 def _png_frame_hex(doc_id, w, h, f):
@@ -2572,6 +2594,63 @@ def _gif_frame_hex(doc_id, w, h, f):
     )
 
 
+# Constant JPEG header hex for the DC-only craft: SOI; DQT (table 0,
+# all entries 8 — so a flat block's IDCT value is exactly its stored
+# DC coefficient); DHT DC table 0 with the SINGLE symbol category-4 at
+# code length 1 (code "0"); DHT AC table 0 with the single symbol EOB
+# at code length 3 (code "000"); then SOF0 (dims spliced between) and
+# a 1-component SOS. With every DC diff held in category 4, each block
+# is exactly 0|dddd|000 = ONE closed-form byte — the JPEG analog of
+# the GIF craft's constant-9-bit-code trick.
+_JPEG_CRAFT_HEAD = (
+    "FFD8"
+    "FFDB004300" + "08" * 64
+    + "FFC4001400" + "01" + "00" * 15 + "04"
+    + "FFC4001410" + "000001" + "00" * 13 + "00"
+    + "FFC0000B08"
+)
+_JPEG_CRAFT_SOF_TAIL = "01011100"
+_JPEG_CRAFT_SOS = "FFDA0008010100003F00"
+
+
+def _jpeg_frame_hex(doc_id, w, h, f):
+    """Hex of one crafted BASELINE JPEG (grayscale, DC-only blocks)
+    built from JVM expressions. Unlike BMP/PNG/GIF the format is lossy
+    for arbitrary grids, so the JPEG frames render a BLOCKWISE grid
+    that decodes EXACTLY: every 8x8 block is flat at p = 128 + a +
+    (blk%2)*delta with a = doc_id%8+8, delta = (doc_id+11f)%8+8, blk
+    the raster block index — all DC diffs (a first, then alternating
+    +/-delta) sit in Huffman category 4, so with the single-symbol
+    tables of _JPEG_CRAFT_HEAD each block's entropy coding is the one
+    byte (bits << 3), bits = d > 0 ? d : d+15. The decode side
+    (multimodal.decode_jpeg) still runs the REAL marker walk,
+    canonical-Huffman build, bit unpacking, EXTEND, dequant, and IDCT
+    — general AC/subsampling paths are pinned against canonical
+    libjpeg in tests/test_jpeg_decoder.py."""
+    a = doc_id % 8 + 8
+    delta = (doc_id + 11 * f) % 8 + 8
+    bw = _idiv(w + 7, 8)
+    bh = _idiv(h + 7, 8)
+
+    def block_hex(i):
+        bits = (
+            F.when(i == 0, a)
+            .when(i % 2 == 1, delta)
+            .otherwise(15 - delta)
+        )
+        return _hex_pair(bits * 8)
+
+    return F.concat(
+        F.lit(_JPEG_CRAFT_HEAD),
+        _hex_be(h, 4), _hex_be(w, 4),
+        F.lit(_JPEG_CRAFT_SOF_TAIL),
+        F.lit(_JPEG_CRAFT_SOS),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), bw * bh - 1), block_hex), ""),
+        F.lit("FFD9"),
+    )
+
+
 def _wav_frame_hex(doc_id, n_frames, sr, ch):
     """Hex of one crafted integer-PCM16 WAV built from JVM expressions
     (no UDF on the encode side): frame i, channel c stores the 16-bit
@@ -2635,23 +2714,27 @@ def _crafted_pixel_media(spark, sf_dir, frames=False):
     """Crafted MIXED-format pixel corpus over documents: w =
     doc_id%12+4, h = doc_id%9+4 (small grids keep the JVM-side hex
     craft cheap; every pad width and both BMP storage orders occur).
-    Format cycles by (doc_id + f) % 6 — BMP for 0/1 (both storage
+    Format cycles by (doc_id + f) % 8 — BMP for 0/1 (both storage
     orientations survive, since _bmp_frame_hex flips orientation on
-    the same parity), PNG for 2/3, GIF for 4/5. All three formats
-    render the IDENTICAL logical pixel grid, so the closed-form
-    oracles never mention format. ``frames=True`` packs doc_id%7+1
-    concatenated frames per doc with the format alternating WITHIN
-    the container (a real mixed-stream walk on the decode side).
-    doc_id >= 0 guards the hex-craft invariant."""
+    the same parity), PNG for 2/3, GIF for 4/5, baseline JPEG for 6/7
+    (round 11). BMP/PNG/GIF render the IDENTICAL logical pixel grid;
+    JPEG — lossy for arbitrary grids — renders the BLOCKWISE grid of
+    _jpeg_frame_hex that decodes exactly, so the closed-form oracles
+    branch ONCE on (media_id + frame_idx) % 8 >= 6 and never otherwise
+    mention format. ``frames=True`` packs doc_id%7+1 concatenated
+    frames per doc with the format alternating WITHIN the container (a
+    real mixed-stream walk on the decode side). doc_id >= 0 guards the
+    hex-craft invariant."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
     doc_id = F.col("doc_id")
     w = doc_id % 12 + 4
     h = doc_id % 9 + 4
 
     def frame_hex(f):
-        fmt = (doc_id + f) % 6
+        fmt = (doc_id + f) % 8
         return (
-            F.when(fmt >= 4, _gif_frame_hex(doc_id, w, h, f))
+            F.when(fmt >= 6, _jpeg_frame_hex(doc_id, w, h, f))
+            .when(fmt >= 4, _gif_frame_hex(doc_id, w, h, f))
             .when(fmt >= 2, _png_frame_hex(doc_id, w, h, f))
             .otherwise(_bmp_frame_hex(doc_id, w, h, f))
         )
@@ -2757,17 +2840,18 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_mm_resize(spark, sf_dir):
-    # REAL pixel resize over a MIXED-format corpus (round 10): crafted
-    # 24bpp BMPs (padding, BGR, both storage orders), non-interlaced
-    # RGB PNGs (real stdlib-zlib inflate + Sub/Up scanline
-    # unfiltering), and GIF89a images (real LZW bit-unpacking +
-    # 256-entry palette lookup) all render the SAME closed-form pixel
-    # grid per doc_id; decoder="pixels" sniffs the magic per payload
-    # and all three decode paths feed one 2-D nearest-neighbor resize
-    # to 8x8 RGB over Arrow batches. The oracle recomputes every
-    # output pixel closed-form from doc_id — any padding/orientation/
-    # channel-order/filter/code-width slip in ANY decoder flips the
-    # hash.
+    # REAL pixel resize over a MIXED-format corpus (round 10; JPEG
+    # joined round 11): crafted 24bpp BMPs (padding, BGR, both storage
+    # orders), non-interlaced RGB PNGs (real stdlib-zlib inflate +
+    # Sub/Up scanline unfiltering), GIF89a images (real LZW
+    # bit-unpacking + 256-entry palette lookup), and baseline JPEGs
+    # (real T.81 marker walk, canonical-Huffman entropy decode,
+    # dequant + IDCT on the exactly-decodable DC-only craft);
+    # decoder="pixels" sniffs the magic per payload and all four
+    # decode paths feed one 2-D nearest-neighbor resize to 8x8 RGB
+    # over Arrow batches. The oracle recomputes every output pixel
+    # closed-form from doc_id — any padding/orientation/channel-order/
+    # filter/code-width/Huffman slip in ANY decoder flips the hash.
     resized = MM.resize_images(
         _crafted_pixel_media(spark, sf_dir),
         width=8, height=8, decoder="pixels")
@@ -2780,14 +2864,15 @@ def q_mm_resize(spark, sf_dir):
 
 
 def q_mm_frame_sample(spark, sf_dir):
-    # REAL mixed-stream container walk (round 10): each doc's payload
-    # is doc_id%7+1 concatenated crafted frames with the FORMAT
-    # cycling within the container (BMP stepped by declared file
-    # size, PNG by chunk structure, GIF by block walk to its 0x3B
-    # trailer); sample_frames(decoder='pixels')
-    # walks the mixed stream, decodes every 3rd frame through the
-    # sniffed decoder, and emits its integer-luma plane. Oracle:
-    # closed-form luma grid per sampled frame index (format-free).
+    # REAL mixed-stream container walk (round 10; JPEG joined round
+    # 11): each doc's payload is doc_id%7+1 concatenated crafted
+    # frames with the FORMAT cycling within the container (BMP stepped
+    # by declared file size, PNG by chunk structure, GIF by block walk
+    # to its 0x3B trailer, JPEG by segment lengths + the entropy scan
+    # to EOI); sample_frames(decoder='pixels') walks the mixed stream,
+    # decodes every 3rd frame through the sniffed decoder, and emits
+    # its integer-luma plane. Oracle: closed-form luma grid per
+    # sampled frame index (one format branch for the JPEG positions).
     media = _crafted_pixel_media(spark, sf_dir, frames=True)
     frames = MM.sample_frames(media, every_n=3, decoder="pixels")
     return frames.select(
@@ -5776,6 +5861,12 @@ _WINDOW_PRIORITY = [
     "mm_audio_windows",
     "mm_audio_vad",
     "llm_decompress_corpus",
+    # --- (2b) changed this round (r11): baseline JPEG joined the
+    # mixed pixel corpus ((doc_id+f)%8 cycle) — kernels + oracles
+    # changed together, so the driver must re-witness ---
+    "mm_resize",
+    "mm_phash_neardup",
+    "mm_frame_sample",
     # --- (3) latest driver row: round 2 ---
     "q1_pricing_summary",
     "a3_o1_grouped_revenue_nation",
@@ -6101,9 +6192,6 @@ _WINDOW_PRIORITY = [
     "llm_repetition_stats",
     "llm_chunking",
     "llm_pii_redact",
-    "mm_resize",
-    "mm_phash_neardup",
-    "mm_frame_sample",
     "llm_quality_eval",
     "llm_dup_cluster_sizes",
     "llm_matryoshka_eval",
@@ -12015,9 +12103,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_phash_neardup": f"""
             -- closed-form mirror of the real pixel aHash: 64 integer
-            -- luma cells per crafted image (BMP, PNG, or GIF — same
-            -- grid; decode is the Spark side's
-            -- problem), then the same band join + Hamming verify
+            -- luma cells per crafted image (BMP/PNG/GIF share one
+            -- grid; JPEG docs take the blockwise branch; decode is the
+            -- Spark side's problem), then band join + Hamming verify
             WITH base AS (
                 SELECT doc_id AS media_id,
                        doc_id % 12 + 4 AS w, doc_id % 9 + 4 AS h
@@ -12026,7 +12114,7 @@ def oracle_sql() -> dict[str, str]:
             cells AS (
                 SELECT media_id,
                        list_transform(range(0, 64),
-                                      i -> {_BMP_SQL_CELL_LUM}) AS cs
+                                      i -> {_MM_SQL_CELL_LUM}) AS cs
                 FROM base
             ),
             hs AS (
@@ -13771,10 +13859,16 @@ def oracle_sql() -> dict[str, str]:
                    'image/x-raw-rgb24;w=8;h=8' AS mime,
                    192::BIGINT AS n_bytes,
                    array_to_string(list_transform(range(0, 64), i ->
-                       printf('%02X%02X%02X',
-                              ({_BMP_SQL_V} + 170) % 256,
-                              ({_BMP_SQL_V} + 85) % 256,
-                              {_BMP_SQL_V})), '') AS payload_hex
+                       CASE WHEN media_id % 8 >= 6
+                            THEN printf('%02X%02X%02X',
+                                        {_JPEG_SQL_CELL_P},
+                                        {_JPEG_SQL_CELL_P},
+                                        {_JPEG_SQL_CELL_P})
+                            ELSE printf('%02X%02X%02X',
+                                        ({_BMP_SQL_V} + 170) % 256,
+                                        ({_BMP_SQL_V} + 85) % 256,
+                                        {_BMP_SQL_V}) END), '')
+                       AS payload_hex
             FROM m
         """,
         "mm_frame_sample": f"""
@@ -13794,7 +13888,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, frame_idx,
                    array_to_string(list_transform(range(0, w * h), i ->
-                       printf('%02X', {_BMP_SQL_FRAME_LUM})), '')
+                       printf('%02X', {_MM_SQL_FRAME_LUM})), '')
                        AS frame_hex
             FROM fr
         """,

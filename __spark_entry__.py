@@ -2710,6 +2710,23 @@ def _gzip_stored_hex(text_col):
     )
 
 
+def _gzip_member_full_hex(raw):
+    """Hex of a COMPLETE gzip member (stored-DEFLATE body + the full
+    8-byte CRC32/ISIZE trailer, crc computed JVM-side with F.crc32)
+    over a binary column — the multi-member building block: a member
+    FOLLOWED by another must carry its verified trailer, since
+    curation.decompress_text's walk rejects any non-member bytes after
+    a trailer and only tolerates truncation on the tail member."""
+    n = F.octet_length(raw)
+    return F.concat(
+        F.lit("1F8B0800000000000003"),
+        F.lit("01"),
+        _hex_le(n, 4), _hex_le(65535 - n, 4),
+        F.hex(raw),
+        _hex_le(F.crc32(raw), 8), _hex_le(n, 8),
+    )
+
+
 def _crafted_pixel_media(spark, sf_dir, frames=False):
     """Crafted MIXED-format pixel corpus over documents: w =
     doc_id%12+4, h = doc_id%9+4 (small grids keep the JVM-side hex
@@ -14438,10 +14455,15 @@ def q_mm_audio_vad(spark, sf_dir):
 
 def q_llm_decompress_corpus(spark, sf_dir):
     # REAL gzip member walk + raw inflate over the corpus texts
-    # wrapped JVM-side in stored-DEFLATE members (_gzip_stored_hex —
-    # encode side is pure JVM hex, decode side is
-    # curation.decompress_text's bounded inflate). Oracle: the raw
-    # text plus the member-size arithmetic.
+    # wrapped JVM-side in stored-DEFLATE members (encode side is pure
+    # JVM hex, decode side is curation.decompress_text's bounded
+    # inflate). Every 4th doc is a CONCATENATED TWO-MEMBER file (the
+    # WARC shape): the text char-split in half, each half a complete
+    # member with a real CRC32/ISIZE trailer (F.crc32 JVM-side), so
+    # the driver witnesses the multi-member walk + strict trailer
+    # verification, not just the single-member path
+    # (_gzip_stored_hex's tolerated-truncation tail). Oracle: the raw
+    # text plus the per-shape member-size arithmetic.
     from streaming_demos_spark.operators import curation as CU
 
     docs = (
@@ -14450,8 +14472,16 @@ def q_llm_decompress_corpus(spark, sf_dir):
         .filter(F.col("text").isNotNull())
         .filter(F.octet_length(F.col("text")) <= 60000)
     )
+    left = F.expr("substring(text, 1, length(text) div 2)")
+    right = F.expr("substring(text, 1 + (length(text) div 2))")
+    two = F.concat(
+        _gzip_member_full_hex(F.encode(left, "utf-8")),
+        _gzip_member_full_hex(F.encode(right, "utf-8")),
+    )
+    payload_hex = F.when(F.col("doc_id") % 4 == 0, two).otherwise(
+        _gzip_stored_hex(F.col("text")))
     crafted = docs.select(
-        "doc_id", F.unhex(_gzip_stored_hex(F.col("text"))).alias("gz"))
+        "doc_id", F.unhex(payload_hex).alias("gz"))
     return CU.decompress_text(crafted, payload_col="gz")
 
 
@@ -14577,8 +14607,13 @@ def _r11_oracle_sqls():
             GROUP BY media_id, seg
         """,
         "llm_decompress_corpus": """
+            -- member-size arithmetic: single tail member = 10 header
+            -- + 5 stored-block header + n (no trailer); the every-4th
+            -- two-member shape = 2 x (10 + 5 + 8 trailer) + n = n+46
             SELECT doc_id, text,
-                   strlen(text)::BIGINT + 15 AS n_raw_bytes,
+                   (strlen(text) + CASE WHEN doc_id % 4 = 0
+                                        THEN 46 ELSE 15 END)::BIGINT
+                       AS n_raw_bytes,
                    strlen(text)::BIGINT AS n_text_bytes
             FROM documents
             WHERE doc_id >= 0 AND text IS NOT NULL

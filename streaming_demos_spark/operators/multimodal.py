@@ -136,6 +136,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # per-byte unfilter work (64 MP ≈ a 192 MB RGB plane — far above any
 # crafted-corpus frame, far below what would pin an Arrow worker).
 _PNG_MAX_PIXELS = 64_000_000
+# Tighter cap for the pure-Python JPEG path: its per-block
+# Huffman+IDCT loop and float64 planes cost far more per pixel than
+# the PNG unfilter (8MP ~ 125k block iterations ~ seconds; the shared
+# 64MP bound would mean minutes plus a multi-GB float transient).
+_JPEG_MAX_PIXELS = 8_000_000
 # Every JPEG start-of-frame marker that carries dimensions (C4=DHT,
 # C8=JPG, CC=DAC are NOT frames).
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -826,7 +831,19 @@ def decode_jpeg(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
             nc = seg[5]
             if fw == 0 or fh == 0 or nc not in (1, 3):
                 return None
-            if fw * fh > _PNG_MAX_PIXELS or len(seg) < 6 + 3 * nc:
+            # JPEG-specific decode-cost caps (review r11): the
+            # per-block Python Huffman/IDCT loop plus float64 planes
+            # make big frames far costlier than the PNG unfilter the
+            # shared 64MP cap was sized for. (a) absolute 8MP bound
+            # (~125k block-loop iterations, seconds not minutes);
+            # (b) entropy data cannot encode a block in under 2 bits
+            # (1-bit DC code + 1-bit EOB), i.e. >256 px/byte is
+            # unreachable — rejects truncated-huge-header payloads
+            # BEFORE any plane allocation. decoder="pil" remains the
+            # production path for full-resolution photos.
+            if fw * fh > _JPEG_MAX_PIXELS or fw * fh > 256 * n:
+                return None
+            if len(seg) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
@@ -852,6 +869,13 @@ def decode_jpeg(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
     fh, fw, comps = frame
     ns = seg[0] if seg else 0
     if ns != len(comps) or len(seg) < 1 + 2 * ns + 3:
+        return None
+    # baseline scan progression parameters are fixed (Ss=0, Se=63,
+    # Ah=Al=0): a nonconforming scan header would otherwise be
+    # entropy-decoded as if it were baseline and return garbage
+    # pixels instead of the documented None (review r11)
+    if (seg[1 + 2 * ns] != 0 or seg[2 + 2 * ns] != 63
+            or seg[3 + 2 * ns] != 0):
         return None
     scan = {}
     for c in range(ns):

@@ -355,6 +355,38 @@ def test_decode_jpeg_rejects_malformed():
     assert MM.decode_jpeg(bytes(bigdim)) is None
 
 
+def test_decode_jpeg_rejects_nonbaseline_scan_header():
+    # review r11: SOF0 + a nonconforming SOS progression header
+    # (Ss/Se/Ah/Al not 0/63/0/0) must be None, not entropy-decoded as
+    # baseline into garbage pixels
+    good = encode_jpeg(gray_img(8, 8))
+    sos_at = good.index(b"\xff\xda")
+    # 1-component SOS: Ss at +7, Se at +8, AhAl at +9
+    for off, val in [(7, 1), (8, 62), (9, 0x20), (9, 0x02)]:
+        bad = bytearray(good)
+        bad[sos_at + off] = val
+        assert MM.decode_jpeg(bytes(bad)) is None, (off, val)
+    assert MM.decode_jpeg(good) is not None  # control
+
+
+def test_decode_jpeg_decode_cost_caps():
+    # review r11: (a) absolute pixel cap well below the PNG bound;
+    # (b) >256 pixels per payload byte is unreachable (min 2 bits per
+    # block) — a few-hundred-byte header declaring a huge frame is
+    # rejected BEFORE any plane allocation
+    good = encode_jpeg(gray_img(8, 8))
+    sof_at = good.index(b"\xff\xc0")
+    big = bytearray(good)
+    struct.pack_into(">HH", big, sof_at + 5, 4000, 4000)  # 16MP > 8MP
+    assert MM.decode_jpeg(bytes(big)) is None
+    mid = bytearray(good)
+    struct.pack_into(">HH", mid, sof_at + 5, 2000, 2000)  # 4MP, <8MP
+    # 4MP from a ~200-byte payload violates the 256 px/byte bound
+    assert 2000 * 2000 > 256 * len(mid)
+    assert MM.decode_jpeg(bytes(mid)) is None
+    assert MM._JPEG_MAX_PIXELS < MM._PNG_MAX_PIXELS
+
+
 def test_decode_jpeg_fill_bytes_between_segments():
     good = encode_jpeg(gray_img(8, 8))
     sof_at = good.index(b"\xff\xc0")

@@ -413,6 +413,40 @@ def test_decode_pixels_sniffs_jpeg_and_mixed_walk():
     assert len(frames) == 2 and frames[0] == j
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**31),
+        restart=st.integers(min_value=0, max_value=3),
+    )
+    def test_decode_jpeg_roundtrip_fuzz(w, h, seed, restart):
+        # arbitrary pixels through the full encode (standard Annex K
+        # tables, real Huffman bitstream, optional restart markers)
+        # must come back within the q=1 coefficient-rounding bound —
+        # no reliance on the DC-only patterns the crafted corpus uses
+        def pix(x, y):
+            return (seed + 2654435761 * (x + 31 * y)) & 0xFF
+
+        img = gray_img(w, h, pix)
+        out = MM.decode_jpeg(encode_jpeg(img, restart=restart))
+        assert out is not None and out[0] == w and out[1] == h
+        err = np.abs(out[2][..., 0].astype(int) - img.astype(int)).max()
+        # analytic worst case for q=1 coefficient rounding is ~2.65
+        # (0.5 * (sum|A| per row)^2); 3 keeps the bound non-flaky
+        assert err <= 3, err
+
+
 @pytest.mark.skipif(not _have_pixbuf_jpeg(), reason="gdk-pixbuf absent")
 def test_decode_jpeg_pinned_against_gdk_pixbuf(tmp_path):
     # canonical pin: the container's libjpeg (through the gdk-pixbuf

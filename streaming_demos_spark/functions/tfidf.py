@@ -545,7 +545,16 @@ def ppmi_word_vectors(
     pairs = tk.select(F.explode(F.flatten(pair)).alias("p")).select(
         "p.w", "p.c"
     )
-    bc = pairs.groupBy("w", "c").agg(F.count("*").alias("_n"))
+    # the co-occurrence aggregate feeds THREE consumers (the marginals,
+    # the grand total, and the weighted join) and Catalyst shares no
+    # subtrees — without a persist the token explode + (w, c) shuffle
+    # run once per consumer. |vocab|^2-bounded, the natural cache
+    # point of any PPMI build.
+    from streaming_demos_spark.catalog import bounded_persist
+
+    bc = bounded_persist(
+        pairs.groupBy("w", "c").agg(F.count("*").alias("_n"))
+    )
     marg = bc.groupBy("w").agg(F.sum("_n").alias("_m"))
     total = bc.agg(F.sum("_n").cast("double").alias("_t"))
     ppmi = F.greatest(

@@ -164,11 +164,15 @@ def triangle_stats(
         .distinct()
         .persist()
     )
+    # |V|-bounded and read by FOUR consumers (both join decorations,
+    # n_nodes, n_wedges) — Catalyst shares no subtrees, so without a
+    # persist each consumer re-runs the union + degree shuffle
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
@@ -347,10 +351,13 @@ def degree_assortativity(
     in moment form — all sums are INTEGER-exact until the final
     division, so the statistic is bit-identical across engines.
     """
+    # sym feeds the degree aggregate AND the decorated join's edge
+    # side; deg decorates both ends — persist both (2|E| and |V|
+    # bounded) so the edge scan and degree shuffle run once each
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    deg = sym.groupBy("a").agg(F.count("*").alias("_d"))
+    ).persist()
+    deg = sym.groupBy("a").agg(F.count("*").alias("_d")).persist()
     decorated = (
         sym.join(deg.withColumnsRenamed({"a": "a", "_d": "_da"}), "a")
         .join(

@@ -1015,9 +1015,13 @@ def hll_set_overlap(
     of three estimates, so a small true overlap inherits the union's
     absolute error, not its own.
     """
+    # per (|sets| sketch rows) feeds both pair sides; vals (the
+    # distinct corpus projection) feeds the exact-count gate three
+    # ways — persist both so the corpus is scanned once per frame,
+    # not once per consumer
     per = df.groupBy(F.col(set_col).alias("_s")).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
-    )
+    ).persist()
     a = per.select(
         F.col("_s").alias("set_a"), F.col("_sk").alias("_ska")
     )
@@ -1035,7 +1039,7 @@ def hll_set_overlap(
     )
     vals = df.select(
         F.col(set_col).alias("_s"), F.col(value_col).alias("_v")
-    ).distinct()
+    ).distinct().persist()
     ex = vals.groupBy("_s").agg(F.count("*").alias("_n"))
     inter = (
         vals.join(
@@ -2202,12 +2206,19 @@ def mutual_information(
 
     One contingency-table aggregation (|X|·|Y| cells — tiny next to the
     corpus), marginals derived FROM the cell table, the statistics as
-    cell-table aggregates: the corpus is scanned exactly once. NULL
+    cell-table aggregates: the corpus is scanned exactly once — the
+    cell table is persisted because its FOUR consumers (both
+    marginals, the total, the decorated join) would otherwise each
+    re-run the corpus groupBy (Catalyst shares no subtrees). NULL
     categories count as their own level (SQL ``GROUP BY`` semantics).
     """
-    cells = df.groupBy(
-        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
-    ).agg(F.count("*").alias("_n"))
+    from streaming_demos_spark.catalog import bounded_persist
+
+    cells = bounded_persist(
+        df.groupBy(
+            F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+        ).agg(F.count("*").alias("_n"))
+    )
     mx = cells.groupBy("_x").agg(F.sum("_n").alias("_nx"))
     my = cells.groupBy("_y").agg(F.sum("_n").alias("_ny"))
     tot = cells.agg(F.sum("_n").cast("double").alias("_t"))
@@ -3626,9 +3637,12 @@ def association_rules(
     emitted) ranked by rounded lift with a unique (a, b) tie-break
     through a single TakeOrderedAndProject.
     """
+    # the distinct (basket, item) projection feeds the basket total,
+    # the item marginals, and the pair builder — persist it so the
+    # corpus distinct runs once, not once per consumer
     items = df.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
-    ).distinct()
+    ).distinct().persist()
     tot = items.agg(F.countDistinct("_bk").alias("_nb"))
     cnt = items.groupBy("_it").agg(F.count("*").alias("_c"))
     # unordered pair counts from per-basket sorted arrays (one shuffle
@@ -3639,7 +3653,7 @@ def association_rules(
 
     unordered = co_occurrence_pairs(
         items, "_bk", "_it", min_support=1, keep_support=True
-    )
+    ).persist()  # mirrored into both rule directions below
     pairs = unordered.select(
         F.col("p1").alias("item_a"),
         F.col("p2").alias("item_b"),

@@ -1017,7 +1017,10 @@ def dataset_card(
         F.count("*").alias("n_docs"),
         F.count_distinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
     )
-    lc = docs.groupBy(lang_col).agg(F.count("*").alias("_c"))
+    # |langs|-row histogram read by the total AND the entropy fold —
+    # persist so the language scan runs once, keeping the docstring's
+    # four-scan contract honest
+    lc = docs.groupBy(lang_col).agg(F.count("*").alias("_c")).persist()
     tot = lc.agg(F.sum("_c").cast("double").alias("_t"))
     ent = (
         lc.crossJoin(F.broadcast(tot))

@@ -1311,11 +1311,18 @@ def kneser_ney_bigram(
         ).alias("bigram")
     )
     c_ab = big.groupBy("bigram").agg(F.count("*").alias("c_ab"))
-    typed = c_ab.select(
-        "bigram",
-        "c_ab",
-        F.split("bigram", " ").getItem(0).alias("_a"),
-        F.split("bigram", " ").getItem(1).alias("_b"),
+    # the bigram-type table feeds FOUR consumers (context counts,
+    # continuation counts, the |bigrams| scalar, the scored join) —
+    # persist it so the token explode + bigram shuffle run once
+    from streaming_demos_spark.catalog import bounded_persist
+
+    typed = bounded_persist(
+        c_ab.select(
+            "bigram",
+            "c_ab",
+            F.split("bigram", " ").getItem(0).alias("_a"),
+            F.split("bigram", " ").getItem(1).alias("_b"),
+        )
     )
     ctx = typed.groupBy("_a").agg(
         F.sum("c_ab").alias("c_a"),
@@ -1324,7 +1331,7 @@ def kneser_ney_bigram(
     cont = typed.groupBy("_b").agg(
         F.count("*").alias("n1p_cont"),  # N1+(.b) distinct left contexts
     )
-    scal = c_ab.agg(F.count("*").alias("_D"))  # |distinct bigrams|
+    scal = typed.agg(F.count("*").alias("_D"))  # |distinct bigrams|
     scored = (
         typed.join(ctx, "_a")
         .join(cont, "_b")

@@ -429,11 +429,20 @@ def hybrid_rerank(
     w_cos = Window.orderBy(F.desc("cosine"), F.asc(id_col))
     r1 = cos.withColumn("_r1", F.row_number().over(w_cos))
 
-    sh = docs.select(
-        F.col(id_col), tokens(text_col).alias("_w")
-    ).select(
-        F.col(id_col),
-        F.array_distinct(shingles_from_tokens(F.col("_w"), 3)).alias("_sh"),
+    # the shingle projection feeds the 1-row query side AND the
+    # candidate side — persist so tokenize + shingle run one corpus
+    # pass, not two (the _distinct_shingled convention)
+    from streaming_demos_spark.catalog import bounded_persist
+
+    sh = bounded_persist(
+        docs.select(
+            F.col(id_col), tokens(text_col).alias("_w")
+        ).select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_tokens(F.col("_w"), 3)
+            ).alias("_sh"),
+        )
     )
     qsh = F.broadcast(
         sh.filter(F.col(id_col) == query_id).select(

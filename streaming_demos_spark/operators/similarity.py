@@ -562,7 +562,13 @@ def ann_recall_ivf(
         .filter(F.col("_rn") <= nprobe)
         .select("qid", "centroid_id")
     )
-    scored = (
+    from streaming_demos_spark.catalog import bounded_persist
+
+    # the cosine-scored (corpus x panel) frame feeds BOTH the exact
+    # and the probed ranking; persist it so the cosines compute once.
+    # The filtered approx top-k (<= k rows per query) feeds the hit
+    # join and the count — persist that too.
+    scored = bounded_persist(
         assigned.crossJoin(F.broadcast(panel))
         .filter(F.col(id_col) != F.col("qid"))
         .select(
@@ -578,7 +584,7 @@ def ann_recall_ivf(
         .filter(F.col("rnk") <= k)
         .select("qid", id_col)
     )
-    approx = (
+    approx = bounded_persist(
         scored.join(F.broadcast(probes), ["qid", "centroid_id"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

@@ -394,7 +394,12 @@ def ann_recall(
         F.col(vec_col).alias("_qv"),
         F.col("bucket").alias("_qb"),
     )
-    scored = (
+    from streaming_demos_spark.catalog import bounded_persist
+
+    # the scored frame feeds BOTH rankings and the approx top-k feeds
+    # two aggregates — persist each so cosines compute once (same
+    # treatment as ann_recall_ivf)
+    scored = bounded_persist(
         bucketed.crossJoin(F.broadcast(panel))
         .filter(F.col(id_col) != F.col("qid"))
         .select(
@@ -410,7 +415,7 @@ def ann_recall(
         .filter(F.col("rnk") <= k)
         .select("qid", id_col)
     )
-    approx = (
+    approx = bounded_persist(
         scored.filter("same_bucket")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
@@ -865,7 +870,12 @@ def pq_recall(
             lambda a, x: a + x,
         )
         adc = term if adc is None else adc + term
-    scored = (
+    from streaming_demos_spark.catalog import bounded_persist
+
+    # both rankings read this frame — persist so the two F.aggregate
+    # distance folds compute once per row (same treatment as the
+    # other recall harnesses)
+    scored = bounded_persist(
         coded.crossJoin(F.broadcast(panel))
         .filter(F.col(id_col) != F.col("qid"))
         .select(

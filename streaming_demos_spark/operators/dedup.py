@@ -1509,9 +1509,15 @@ def edit_distance_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein(F.col("_ha"), F.col("_hb")).alias("edit_dist"),
+            # bounded form: O(len*k) banded DP with early exit instead
+            # of the full O(len^2) matrix; returns the exact distance
+            # whenever it is <= max_dist (and -1 above it, which the
+            # filter drops exactly like the old > max_dist rows)
+            F.levenshtein(F.col("_ha"), F.col("_hb"), max_dist).alias(
+                "edit_dist"
+            ),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

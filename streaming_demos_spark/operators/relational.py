@@ -1486,8 +1486,14 @@ def blocked_similarity_pairs(
     return (
         a.join(b, block_cols)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("_na", "_nb"))
-        .filter(F.col("distance") <= max_distance)
+        # bounded levenshtein: banded O(len·k) DP with early exit
+        # instead of the full O(len²) matrix per candidate pair; exact
+        # distance whenever <= max_distance, -1 (dropped) above it —
+        # identical surviving rows and distance values
+        .withColumn(
+            "distance", F.levenshtein(F.col("_na"), F.col("_nb"), max_distance)
+        )
+        .filter(F.col("distance") >= 0)
         .select(*block_cols, "id_a", "id_b", "distance")
     )
 

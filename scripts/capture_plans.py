@@ -22,13 +22,22 @@ SUFFIX = sys.argv[2]
 KEYS = sys.argv[3].split(",")
 SF = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01"
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .getOrCreate()
-)
+if os.environ.get("PLAN_SESSION") == "bench":
+    # Bench-shaped session (streaming_demos_spark.session.get_spark):
+    # shows the plan the BENCH executes, including session-level
+    # optimizer settings (e.g. the InferFiltersFromGenerate exclusion)
+    # that a plain driver session does not carry.
+    from streaming_demos_spark.session import get_spark
+
+    spark = get_spark(app_name="capture_plans")
+else:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E  # noqa: E402

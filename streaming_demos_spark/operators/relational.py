@@ -3344,6 +3344,14 @@ def bootstrap_mean_ci(
     all-zero-weight replicates (excluded from the cut, reported in
     n_used).
     """
+    from streaming_demos_spark.catalog import fan_out
+
+    # The replicate explosion multiplies every row n_replicates/4 ways
+    # and pays one md5 per copy — per-row-heavy map work that must not
+    # serialize on a row-group-bound scan (measured: the whole digest
+    # chain ran on ONE task at sf0.1, 4.8s of single-core CPU).
+    # fan_out is a no-op whenever the scan already has enough splits.
+    df = fan_out(df, id_col)
     n_blocks = (n_replicates + 3) // 4
     blocks = F.explode(
         F.sequence(F.lit(0), F.lit(n_blocks - 1))

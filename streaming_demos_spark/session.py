@@ -43,6 +43,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate copies the generator's child into a
+        # `size(x)>0 AND isnotnull(x)` filter that predicate-pushdown
+        # then drives below the projections that materialize it — for
+        # the text pipelines the whole tokenize->shingle->distinct
+        # chain (higher-order transforms: ALWAYS interpreted, never
+        # codegen) is re-evaluated twice per row at the scan, before
+        # the fan_out repartition, i.e. serially. Measured at sf0.1:
+        # llm_dedup_containment 9.5->2.2s, llm_dedup_keep_best
+        # 43->6s. The rule prunes rows whose explode yields nothing;
+        # every shingle/band array here is non-empty by construction
+        # (docs < k words collapse to one whole-doc shingle), so the
+        # prune removes zero rows at ANY scale and only the duplicated
+        # evaluation remains. Output is provably unchanged: Generate
+        # itself drops null/empty arrays.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata writes events.ts as TIMESTAMP(NANOS); read it
         # as a long and let catalog.load_table rebuild µs timestamps.

@@ -559,7 +559,7 @@ def fuzzy_decontaminate(
     from streaming_demos_spark.operators.dedup import (
         _bands_from_sig,
         _distinct_shingled,
-        minhash_signature,
+        _minhash_sig_from,
     )
 
     # shingle + distinct each side ONCE into a persisted projection
@@ -569,11 +569,11 @@ def fuzzy_decontaminate(
     ds_c = _distinct_shingled(corpus, text_col, id_col, shingle_k)
     ds_b = _distinct_shingled(benchmark, text_col, id_col, shingle_k)
     cb = _bands_from_sig(
-        ds_c.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        _minhash_sig_from(ds_c, id_col, "_ds", num_hashes),
         id_col, num_hashes, band_rows,
     ).select(F.col(id_col).alias("_cid"), "band_id", "band_hash")
     bb_all = _bands_from_sig(
-        ds_b.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        _minhash_sig_from(ds_b, id_col, "_ds", num_hashes),
         id_col, num_hashes, band_rows,
     )
     cb = cb.join(

@@ -195,6 +195,46 @@ def minhash_signature(
     ]
 
 
+def _minhash_sig_from(
+    frame: DataFrame, id_col: str, array_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) signature frame via explode + grouped min —
+    value-identical to ``select(id, *minhash_signature(array_col))`` but
+    whole-stage-codegen'd end to end.
+
+    ``array_min(transform(...))`` evaluates through ``ArrayTransform``/
+    ``ArrayMin``, and higher-order functions NEVER compile to codegen:
+    the md5-per-shingle-per-lane work (12 lanes here) runs interpreted —
+    measured as the dominant CPU of the whole dedup family at sf0.1
+    (~230s CPU in one stage of llm_minhash_lsh_eval standalone). Explode
+    to (id, shingle) rows and take 12 ``min(md5(concat(seed, s)))``
+    aggregates instead: scalar expressions + hash aggregate, all
+    codegen. Same hash values, and min over a string column uses the
+    same binary ordering as ``array_min`` on strings, so signatures are
+    bit-identical.
+
+    ``explode_outer`` (not ``explode``) keeps null/empty-array docs in
+    the frame with all-null signatures — exactly what the transform form
+    produced for them — so degenerate inputs band identically too.
+
+    Scale shape: the partial (map-side) aggregate collapses the exploded
+    rows back to one per doc before the exchange, so the shuffle carries
+    ~n_docs rows of 12 hex strings, not the shingle multiset; when the
+    caller already hash-partitioned by ``id_col`` (``fan_out``) the
+    groupBy reuses that partitioning outright."""
+    ex = frame.select(
+        F.col(id_col), F.explode_outer(F.col(array_col)).alias("_mh_s")
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("_mh_s")))).alias(
+                f"mh_{h}"
+            )
+            for h in range(num_hashes)
+        ]
+    )
+
+
 def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
@@ -208,7 +248,7 @@ def minhash_bands(
     Two documents are candidates iff they share a (band_id, band_hash).
     """
     sh = _shingled(docs, text_col, id_col, shingle_k)
-    sig = sh.select(F.col(id_col), *minhash_signature("shingles", num_hashes))
+    sig = _minhash_sig_from(sh, id_col, "shingles", num_hashes)
     return _bands_from_sig(sig, id_col, num_hashes, band_rows)
 
 
@@ -282,7 +322,7 @@ def _near_dup_pairs_from_ds(
     distinct-shingle frame — split out so harnesses that need BOTH the
     LSH pairs and another shingle consumer (``minhash_lsh_eval``) feed
     every side from one persisted projection."""
-    sig = ds.select(F.col(id_col), *minhash_signature("_ds", num_hashes))
+    sig = _minhash_sig_from(ds, id_col, "_ds", num_hashes)
     bands = _bands_from_sig(sig, id_col, num_hashes, band_rows)
     # Bound bucket size: count per bucket, drop oversize (noise guard).
     sized = bands.withColumn(
@@ -966,11 +1006,11 @@ def incremental_near_dup(
     ds_new = _distinct_shingled(new_docs, text_col, id_col, shingle_k)
     ds_base = _distinct_shingled(base_docs, text_col, id_col, shingle_k)
     nb = _bands_from_sig(
-        ds_new.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        _minhash_sig_from(ds_new, id_col, "_ds", num_hashes),
         id_col, num_hashes, band_rows,
     ).select("band_id", "band_hash", F.col(id_col).alias("new_id"))
     bb = _bands_from_sig(
-        ds_base.select(F.col(id_col), *minhash_signature("_ds", num_hashes)),
+        _minhash_sig_from(ds_base, id_col, "_ds", num_hashes),
         id_col, num_hashes, band_rows,
     )
     bb = bb.withColumn(

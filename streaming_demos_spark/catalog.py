@@ -92,14 +92,24 @@ _PERSIST_RING_CAP = 4
 _PERSIST_RING_LOCK = threading.Lock()
 
 
-def bounded_persist(df: DataFrame) -> DataFrame:
+def bounded_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     """Persist an expensive shared projection (MEMORY_AND_DISK — spills
     before evicting) for reuse across the plan subtrees of ONE query:
     Catalyst does not share common subtrees across joins, so a frame
     consumed by k sides otherwise recomputes its whole upstream k
     times. Older entries beyond the ring cap are unpersisted —
     unpersisting a frame a still-lazy plan references is safe (Spark
-    just recomputes it), so the cap bounds memory, never correctness."""
+    just recomputes it), so the cap bounds memory, never correctness.
+
+    ``eager=True`` fills the cache NOW (a count over the persisted
+    frame materializes every partition): a lazily-persisted frame whose
+    k consumer subtrees are submitted CONCURRENTLY by AQE all find the
+    cache unfilled and each recompute the upstream — measured as 2x
+    (minhash pairs: bands side + verify side) to 4x (the LSH recall
+    harness) duplicate shingle-projection stages per query. The eager
+    fill runs that upstream exactly once and every consumer reads the
+    cache. Use it only where >= 2 consumers race; a single-consumer
+    frame just pays one extra (cheap) count job."""
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -110,6 +120,8 @@ def bounded_persist(df: DataFrame) -> DataFrame:
             evicted.append(_PERSIST_RING.pop(0))
     for old in evicted:
         old.unpersist(blocking=False)
+    if eager and not out.isStreaming:
+        out.count()
     return out
 
 

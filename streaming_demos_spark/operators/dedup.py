@@ -76,7 +76,12 @@ def _distinct_shingled(
     ds = _shingled(docs, text_col, id_col, k).select(
         F.col(id_col), F.array_distinct("shingles").alias("_ds")
     ).select(F.col(id_col), "_ds", F.size("_ds").alias("_n"))
-    return bounded_persist(ds)
+    # eager: every caller fans this frame into >= 2 concurrently
+    # submitted subtrees (bands + verify sides; the eval harness adds
+    # the postings side), and AQE's concurrent stage submission made
+    # each racer recompute the shingle projection before the cache
+    # filled — the profiled 2x duplicate heavy stage in cluster_split
+    return bounded_persist(ds, eager=True)
 
 # --- exact dedup -------------------------------------------------------------
 
@@ -322,22 +327,47 @@ def _near_dup_pairs_from_ds(
     distinct-shingle frame — split out so harnesses that need BOTH the
     LSH pairs and another shingle consumer (``minhash_lsh_eval``) feed
     every side from one persisted projection."""
-    sig = _minhash_sig_from(ds, id_col, "_ds", num_hashes)
+    # The bucket self-join below consumes the banded signatures on BOTH
+    # sides, and Catalyst does not share the subtree: the explode +
+    # 12-lane min(md5) signature aggregate — the dominant CPU of every
+    # minhash query — ran TWICE per query (profiled as two identical
+    # heavy stages in cluster_split; AQE runtime stage reuse does not
+    # kick in because the sides differ above the exchange). Persist +
+    # eager-fill the n_docs x num_hashes signature frame (tiny: one row
+    # per doc) so the chain runs exactly once. Downstream parallelism
+    # is unaffected: every consumer re-exchanges through its own
+    # window/join shuffle exactly as before.
+    sig = bounded_persist(
+        _minhash_sig_from(ds, id_col, "_ds", num_hashes), eager=True
+    )
     bands = _bands_from_sig(sig, id_col, num_hashes, band_rows)
-    # Bound bucket size: count per bucket, drop oversize (noise guard).
+    # Bound bucket size: count per bucket via the (spillable) window,
+    # drop oversize (noise guard, unchanged) and singleton buckets
+    # (pairless by construction — pure pruning).
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    left = sized.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("doc_a")
-    )
-    right = sized.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("doc_b")
+    ).filter((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= max_bucket))
+    # Within-bucket pairs via collect_list + double explode, NOT a
+    # bucket self-join: the join form evaluated the whole
+    # signature/band subtree on BOTH sides (Catalyst shares no
+    # subtrees, and AQE runtime stage reuse did not fire — profiled as
+    # two identical heavy band stages per query). Collecting on the
+    # already-capped frame keeps memory bounded (the window is the
+    # spillable size guard, so no aggregate ever buffers an uncapped
+    # hot bucket; arrays are <= max_bucket ids) and adds NO exchange —
+    # the groupBy reuses the window's (band_id, band_hash)
+    # partitioning. Pair set is identical: per bucket the ids are
+    # distinct (one row per (id, band_id)), band_hash is never null
+    # (concat_ws skips null lanes), so groupBy groups == join-equality
+    # classes and {(a,b): a<b} from S x S is the same unordered-pair
+    # set either way.
+    grouped = sized.groupBy("band_id", "band_hash").agg(
+        F.collect_list(F.col(id_col)).alias("_ids")
     )
     cand = (
-        left.join(right, on=["band_id", "band_hash"])
+        grouped.select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
     from fractions import Fraction

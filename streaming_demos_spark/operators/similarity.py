@@ -94,6 +94,22 @@ def _plane_signs(num_planes: int, dim: int, offset: int = 0) -> list[list[float]
     ]
 
 
+def _sign_array_lit(signs: list[float]) -> Column:
+    """A ±1.0 plane as ONE SQL array literal — a single py4j round trip.
+
+    Building the plane element-wise (``F.array(*[F.lit(s) ...])`` or
+    ``F.lit(list)``) converts every element through py4j individually;
+    with 512-component planes x planes x tables x (query + corpus)
+    sides, Python-side expression CONSTRUCTION — not planning, not
+    execution — was the dominant wall time of the multi-probe
+    harnesses (llm_ann_recall_multi: 3.7s build vs 0.15s plan vs 1.2s
+    exec per invocation). The parsed CreateArray of foldable literals
+    constant-folds to the identical ArrayType literal."""
+    return F.expr(
+        "array(" + ",".join("1.0D" if s > 0 else "-1.0D" for s in signs) + ")"
+    )
+
+
 def lsh_bucket(
     vec: Column, num_planes: int = 4, max_dim: int = 512, table: int = 0
 ) -> Column:
@@ -110,14 +126,7 @@ def lsh_bucket(
     v = _as_double(vec)
     bits = []
     for signs in _plane_signs(num_planes, max_dim, offset=table * num_planes):
-        # one ArrayType Literal node, NOT F.array of max_dim F.lit nodes:
-        # the folded runtime literal is identical, but the pre-folding
-        # tree is ~max_dim x smaller per plane — with multi-table probes
-        # referencing P*T planes on both query and corpus sides, the
-        # CreateArray form made driver-side analysis/optimization the
-        # dominant cost of the multi-probe harnesses (3.7s wall vs 0.6s
-        # executor CPU measured on llm_ann_recall_multi).
-        plane = F.lit(signs)
+        plane = _sign_array_lit(signs)
         proj = F.aggregate(
             F.zip_with(v, F.slice(plane, F.lit(1), F.size(v)), lambda x, s: x * s),
             F.lit(0.0),
@@ -1147,9 +1156,8 @@ def random_projection(
                 F.aggregate(
                     F.zip_with(
                         v,
-                        # single ArrayType Literal (see lsh_bucket): same
-                        # folded constant, in_dim x smaller analyzer tree
-                        F.lit(signs[j]),
+                        # one py4j round trip per row (see _sign_array_lit)
+                        _sign_array_lit(signs[j]),
                         lambda e, s: e * s,
                     ),
                     F.lit(0.0),

@@ -320,7 +320,13 @@ def q_anti_join(spark, sf_dir):
 
 def q_debezium_unwrap(spark, sf_dir):
     # S10 CDC: envelope JSON -> typed row image + metadata.
-    orders = _t(spark, sf_dir, "orders")
+    from streaming_demos_spark.catalog import fan_out
+
+    # the to_json/from_json round trip is per-row heavy and the orders
+    # scan is row-group-bound (3 tasks at bench scale) — fan_out
+    # parallelizes the parse; at real scale the scan has many splits
+    # and the guard inserts nothing (guide §2.5 input skew)
+    orders = fan_out(_t(spark, sf_dir, "orders"), "o_orderkey")
     raw = cdc.make_envelopes(orders, op="c", db="demo", table="orders")
     out = cdc.debezium_unwrap(raw, "value", ORDERS)
     return out.select(
@@ -342,7 +348,11 @@ def q_cdc_apply_changes(spark, sf_dir):
     # transform is *2 — exact in IEEE-754 binary doubles, so Spark and
     # DuckDB agree bit-for-bit (a *1.1+round transform manufactures
     # decimal-halfway values the two engines round differently).
-    orders = _t(spark, sf_dir, "orders")
+    from streaming_demos_spark.catalog import fan_out
+
+    # fan_out: the JSON envelope round trip is the dominant per-row
+    # cost and the scan is row-group-bound (see q_debezium_unwrap)
+    orders = fan_out(_t(spark, sf_dir, "orders"), "o_orderkey")
     creates = cdc.make_envelopes(orders, "c", "demo", "orders", lsn_offset=0)
     updates = cdc.make_envelopes(
         orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
@@ -2147,7 +2157,10 @@ def q_dedup_report(spark, sf_dir):
 def q_cdc_snapshot_at(spark, sf_dir):
     # Time-travel: the orders state AS OF lsn 100000, read as a pure
     # filter over the SCD-2 history (no window, no shuffle).
-    orders = _t(spark, sf_dir, "orders")
+    from streaming_demos_spark.catalog import fan_out
+
+    # fan_out: JSON envelope parse parallelism (see q_debezium_unwrap)
+    orders = fan_out(_t(spark, sf_dir, "orders"), "o_orderkey")
     creates = cdc.make_envelopes(orders, "c", "demo", "orders", lsn_offset=0)
     updates = cdc.make_envelopes(
         orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
@@ -3291,7 +3304,10 @@ def q_cdc_scd2_history(spark, sf_dir):
     # S10 CDC versioned history: the same deterministic c/u/d change
     # log as q_cdc_apply_changes, but kept as SCD-2 validity intervals
     # (every version survives; deletes close their predecessor).
-    orders = _t(spark, sf_dir, "orders")
+    from streaming_demos_spark.catalog import fan_out
+
+    # fan_out: JSON envelope parse parallelism (see q_debezium_unwrap)
+    orders = fan_out(_t(spark, sf_dir, "orders"), "o_orderkey")
     creates = cdc.make_envelopes(orders, "c", "demo", "orders", lsn_offset=0)
     updates = cdc.make_envelopes(
         orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(

@@ -543,13 +543,47 @@ def simhash_fingerprints(
     """Per-doc SimHash + a bucketable prefix: near-dups (small Hamming
     distance) usually share the leading bits, so the prefix is the LSH
     band key for candidate pairing at scale. fan_out un-serializes the
-    32 per-row vote aggregates when the scan is row-group-bound."""
+    heavy per-row work when the scan is row-group-bound.
+
+    The votes are explode + 32 grouped integer sums, NOT the 32
+    ``aggregate()`` folds of ``simhash32``: higher-order functions
+    never compile to codegen, and the interpreted 32-fold pass was the
+    dominant CPU of every simhash query (profiled ~5s in one stage at
+    sf0.1). Integer sums are order-independent, so the grouped form is
+    value-identical; the ``_n`` size column reproduces the fold's
+    degenerate-input behavior exactly (empty token array -> votes all
+    0 -> all-'1' fingerprint; null array -> null votes -> all-'0')."""
     hashed = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda x: F.md5(x)).alias("_hw"),
     )
-    fp = simhash32("_hw")
-    return hashed.select(
+    ex = hashed.select(
+        F.col(id_col),
+        # NULL for a null array, 0 for an empty one (sizeOfNull=false)
+        F.size("_hw").alias("_n"),
+        F.explode_outer("_hw").alias("_w"),
+    )
+    votes = [
+        F.sum(
+            # the explode_outer placeholder row of an empty/null array
+            # must not vote (the fold never iterated); real null words
+            # cannot occur (md5 of split() tokens is never null)
+            F.when(
+                F.col("_w").isNotNull(),
+                F.when(F.substring("_w", j + 1, 1) >= "8", 1).otherwise(-1),
+            ).otherwise(0)
+        ).alias(f"_v{j}")
+        for j in range(32)
+    ]
+    sums = ex.groupBy(id_col).agg(F.first("_n").alias("_n"), *votes)
+    bits = [
+        F.when(F.col("_n").isNull(), F.lit("0"))
+        .when(F.col(f"_v{j}") >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for j in range(32)
+    ]
+    fp = F.concat(*bits)
+    return sums.select(
         F.col(id_col),
         fp.alias("simhash"),
         F.substring(fp, 1, prefix_bits).alias("simhash_prefix"),
@@ -837,20 +871,34 @@ def simhash_near_dup_pairs(
     way the LSH multi-table OR construction does.
     """
     fps = simhash_fingerprints(docs, text_col, id_col, prefix_bits)
+    # collect_list + double explode on the window-capped buckets, not a
+    # prefix self-join: the join form evaluated the whole fingerprint
+    # subtree on both sides (same fix, same equivalence argument as
+    # the minhash candidate generation — the prefix is never null and
+    # ids are unique per bucket, so groupBy groups == join-equality
+    # classes; the window cap bounds every collected array)
     sized = (
         fps.withColumn(
             "_bn", F.count("*").over(Window.partitionBy("simhash_prefix"))
         )
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+        .select(
+            "simhash_prefix", F.struct(F.col(id_col), "simhash").alias("_m")
+        )
     )
-    a = sized.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_fa"),
-        "simhash_prefix",
+    grouped = sized.groupBy("simhash_prefix").agg(
+        F.collect_list("_m").alias("_ms")
     )
-    b = sized.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_fb"),
-        "simhash_prefix",
+    pairs = (
+        grouped.select(F.explode("_ms").alias("_a"), "_ms")
+        .select("_a", F.explode("_ms").alias("_b"))
+        .filter(F.col(f"_a.{id_col}") < F.col(f"_b.{id_col}"))
+        .select(
+            F.col(f"_a.{id_col}").alias("doc_a"),
+            F.col(f"_b.{id_col}").alias("doc_b"),
+            F.col("_a.simhash").alias("_fa"),
+            F.col("_b.simhash").alias("_fb"),
+        )
     )
     hamming = None
     for j in range(1, 33):
@@ -859,9 +907,7 @@ def simhash_near_dup_pairs(
         ).otherwise(0)
         hamming = term if hamming is None else hamming + term
     return (
-        a.join(b, "simhash_prefix")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

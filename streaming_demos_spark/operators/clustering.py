@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from streaming_demos_spark.catalog import fan_out
 from streaming_demos_spark.operators.similarity import cosine
 from streaming_demos_spark.operators.similarity import dot as dot_product
 
@@ -208,8 +209,20 @@ def semantic_dedup(
     from pyspark import StorageLevel
 
     v = F.col(vec_col).cast("array<double>")
+    # fan_out BEFORE the persisted assignment: the embeddings scan is
+    # single-row-group at bench scale and the persist pins its
+    # 1-partition layout, so the within-cell pair comparisons below ran
+    # on one core regardless of join keying. At real scale the scan has
+    # many splits and nothing is inserted. Scoped here (not inside
+    # _nearest): the map-only kmeans queries are too cheap to amortize
+    # the extra exchange.
     assigned = (
-        _nearest(emb, seed_centroids(emb, k, id_col, vec_col), id_col, vec_col)
+        _nearest(
+            fan_out(emb, id_col),
+            seed_centroids(emb, k, id_col, vec_col),
+            id_col,
+            vec_col,
+        )
         .select(id_col, vec_col, "cluster_id")
         # norm in its own projection: a fold inside the transform lambda
         # would re-run per element (64x the work) and blow codegen
@@ -232,10 +245,33 @@ def semantic_dedup(
         F.col(id_col).alias("_lid"),
         F.col("_unit").alias("_lvec"),
     )
+    # Salt the within-cell pair join when cells are FEW (guide §2.5:
+    # a join key with k distinct values caps parallelism at k, and AQE
+    # then coalesces the tiny-bytes/heavy-CPU exchange to ONE task —
+    # profiled 8.4s of per-pair dot products on a single core at k=8).
+    # b keeps one deterministic salt, the probe side is replicated to
+    # every salt, so each same-cell pair meets exactly once. n_salts
+    # derives from the session's shuffle parallelism over k: at
+    # production cell counts (SemDeDup uses ~100k cells) it is 1 and
+    # the join is untouched — no replication cost at 100 TB.
+    try:
+        _target = int(
+            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # "auto" or unset
+        _target = 0
+    n_salts = max(1, _target // max(k, 1))
+    b = assigned.alias("b")
+    join_keys = ["cluster_id"]
+    if n_salts > 1:
+        b = b.withColumn("_salt", F.pmod(F.col(id_col), F.lit(n_salts)))
+        left = left.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        join_keys = ["cluster_id", "_salt"]
     # b is dominated if some lower-id a in the same cell is >= threshold
     dominated = (
-        assigned.alias("b")
-        .join(left, "cluster_id")
+        b.join(left, join_keys)
         .filter(F.col("_lid") < F.col(f"b.{id_col}"))
         .filter(
             F.round(dot_product(F.col("_lvec"), F.col("b._unit")), 6)

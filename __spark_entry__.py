@@ -2755,7 +2755,19 @@ def _crafted_pixel_media(spark, sf_dir, frames=False):
     frames per doc with the format alternating WITHIN the container (a
     real mixed-stream walk on the decode side). doc_id >= 0 guards the
     hex-craft invariant."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
+    from streaming_demos_spark.catalog import fan_out
+
+    # fan_out BEFORE the craft expressions: the per-pixel hex builders
+    # below are interpreted higher-order transforms (never codegen) and
+    # previously evaluated inside the row-group-bound documents scan
+    # (~3 tasks at bench scale) — as_media's own fan_out only
+    # parallelized the already-crafted payloads. Repartitioning first
+    # spreads the craft itself; at real scale the scan has many splits
+    # and fan_out inserts nothing (guide §2.5 input skew).
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0).select("doc_id"),
+        "doc_id",
+    )
     doc_id = F.col("doc_id")
     w = doc_id % 12 + 4
     h = doc_id % 9 + 4

@@ -440,7 +440,7 @@ def hybrid_rerank(
         ).select(
             F.col(id_col),
             F.array_distinct(
-                shingles_from_tokens(F.col("_w"), 3)
+                shingles_from_tokens("_w", 3)
             ).alias("_sh"),
         )
     )

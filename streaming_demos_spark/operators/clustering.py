@@ -309,7 +309,7 @@ def filtered_topk(
         .select(
             id_col,
             F.col(label_col),
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_q"), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)

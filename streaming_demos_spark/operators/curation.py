@@ -42,7 +42,7 @@ def _doc_shingles(
         .select(F.col(id_col), tokens(text_col).alias("_w"))
         .select(
             F.col(id_col),
-            F.array_distinct(shingles_from_tokens(F.col("_w"), k)).alias("_sh"),
+            F.array_distinct(shingles_from_tokens("_w", k)).alias("_sh"),
         )
         .select(F.col(id_col), F.explode("_sh").alias("shingle"))
     )
@@ -1273,7 +1273,7 @@ def contamination_matrix(
         .select(
             "benchmark",
             F.array_distinct(
-                shingles_from_tokens(F.col("_w"), k)
+                shingles_from_tokens("_w", k)
             ).alias("_sh"),
         )
         .select("benchmark", F.explode("_sh").alias("shingle"))

@@ -47,7 +47,7 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
         fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), tokens(text_col).alias("_w"))
         .select(
-            F.col(id_col), shingles_from_tokens(F.col("_w"), k).alias("shingles")
+            F.col(id_col), shingles_from_tokens("_w", k).alias("shingles")
         )
     )
 
@@ -230,11 +230,12 @@ def _minhash_sig_from(
     ex = frame.select(
         F.col(id_col), F.explode_outer(F.col(array_col)).alias("_mh_s")
     )
+    # one F.expr parse per lane instead of ~6 Column-op py4j round
+    # trips each (see the construction-cost note in text.py) — the
+    # parsed tree is the identical unresolved expression
     return ex.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("_mh_s")))).alias(
-                f"mh_{h}"
-            )
+            F.expr(f"min(md5(concat('{h}|', _mh_s))) AS mh_{h}")
             for h in range(num_hashes)
         ]
     )
@@ -264,14 +265,20 @@ def _bands_from_sig(
     (id, band_id, band_hash) rows — shared by the one-pass public
     ``minhash_bands`` and the cached-shingle near-dup paths."""
     n_bands = num_hashes // band_rows
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+    # single-parse form of the banded struct array (construction-cost
+    # note in text.py); identical unresolved tree to the old
+    # struct/lit/md5 Column-op chain
+    structs = ", ".join(
+        "struct({b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * band_rows + r}" for r in range(band_rows)
+            ),
         )
+        for b in range(n_bands)
+    )
     return sig.select(
-        id_col, F.explode(F.array(*bands)).alias("band")
+        id_col, F.expr(f"explode(array({structs}))").alias("band")
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
 
 
@@ -553,9 +560,16 @@ def simhash_fingerprints(
     value-identical; the ``_n`` size column reproduces the fold's
     degenerate-input behavior exactly (empty token array -> votes all
     0 -> all-'1' fingerprint; null array -> null votes -> all-'0')."""
+    from streaming_demos_spark.operators.text import _sql_tokens
+
+    # Single-parse expressions throughout (construction-cost note in
+    # text.py): the 32 vote aggregates and the 32-bit concat otherwise
+    # cost ~600 Column-op py4j round trips per query construction.
     hashed = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
-        F.transform(tokens(text_col), lambda x: F.md5(x)).alias("_hw"),
+        F.expr(
+            f"transform({_sql_tokens(text_col)}, x -> md5(x))"
+        ).alias("_hw"),
     )
     ex = hashed.select(
         F.col(id_col),
@@ -564,25 +578,26 @@ def simhash_fingerprints(
         F.explode_outer("_hw").alias("_w"),
     )
     votes = [
-        F.sum(
-            # the explode_outer placeholder row of an empty/null array
-            # must not vote (the fold never iterated); real null words
-            # cannot occur (md5 of split() tokens is never null)
-            F.when(
-                F.col("_w").isNotNull(),
-                F.when(F.substring("_w", j + 1, 1) >= "8", 1).otherwise(-1),
-            ).otherwise(0)
-        ).alias(f"_v{j}")
+        # the explode_outer placeholder row of an empty/null array
+        # must not vote (the fold never iterated); real null words
+        # cannot occur (md5 of split() tokens is never null)
+        F.expr(
+            "sum(CASE WHEN _w IS NOT NULL THEN"
+            f" (CASE WHEN substring(_w, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+            f" ELSE 0 END) AS _v{j}"
+        )
         for j in range(32)
     ]
     sums = ex.groupBy(id_col).agg(F.first("_n").alias("_n"), *votes)
-    bits = [
-        F.when(F.col("_n").isNull(), F.lit("0"))
-        .when(F.col(f"_v{j}") >= 0, F.lit("1"))
-        .otherwise(F.lit("0"))
-        for j in range(32)
-    ]
-    fp = F.concat(*bits)
+    fp = F.expr(
+        "concat("
+        + ", ".join(
+            "CASE WHEN _n IS NULL THEN '0'"
+            f" WHEN _v{j} >= 0 THEN '1' ELSE '0' END"
+            for j in range(32)
+        )
+        + ")"
+    )
     return sums.select(
         F.col(id_col),
         fp.alias("simhash"),
@@ -621,9 +636,23 @@ def connected_components(
     # union is two plan subtrees, and Catalyst does not share subtrees,
     # so symmetrizing first evaluates the whole upstream pair pipeline
     # TWICE (measured 19.3s vs 7.6s+0.3s on the 10x probe corpus).
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)  # pair generation runs ONCE
+    #
+    # The KEYED repartition before the checkpoint matters for layout:
+    # the pair pipeline's last join is a broadcast probe against the
+    # persisted (fan_out, fixed 32-partition) shingle frame, so its
+    # output — a few KB of edges at bench scale — inherits those 32
+    # partitions, the checkpoint pins them, the union doubles them, and
+    # every CC round then runs 64-task stages on kilobytes (profiled:
+    # three 64-task stages of ~16 KB shuffle each per query). A keyed
+    # repartition is an AQE-coalescible exchange (unlike repartition(n)):
+    # at bench scale the edge frame checkpoints as 1-2 right-sized
+    # partitions, at 100 TB AQE sizes it to the advisory partition
+    # bytes — scale-adaptive either way (guide §2.4/§6).
+    edges = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .repartition("a")
+        .localCheckpoint(eager=True)  # pair generation runs ONCE
+    )
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
@@ -900,12 +929,15 @@ def simhash_near_dup_pairs(
             F.col("_b.simhash").alias("_fb"),
         )
     )
-    hamming = None
-    for j in range(1, 33):
-        term = F.when(
-            F.substring("_fa", j, 1) != F.substring("_fb", j, 1), 1
-        ).otherwise(0)
-        hamming = term if hamming is None else hamming + term
+    # single-parse 32-term sum (construction-cost note in text.py);
+    # identical unresolved tree to the old 32-step when/otherwise chain
+    hamming = F.expr(
+        " + ".join(
+            f"(CASE WHEN substring(_fa, {j}, 1) != substring(_fb, {j}, 1)"
+            " THEN 1 ELSE 0 END)"
+            for j in range(1, 33)
+        )
+    )
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

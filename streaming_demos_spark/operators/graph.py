@@ -310,7 +310,12 @@ def k_core(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    cur = sym.localCheckpoint(eager=True)
+    # Keyed repartition before the checkpoint: the upstream edge frame
+    # often inherits a fan_out/persist-pinned partition count (the
+    # checkpoint would pin 2x that via the union), making every peel
+    # round run wide stages over kilobytes. A keyed exchange is
+    # AQE-coalescible — right-sized at bench AND at scale (guide §2.4).
+    cur = sym.repartition("a").localCheckpoint(eager=True)
     n_edges = cur.count()
     for _ in range(max_rounds):
         keep = (
@@ -522,9 +527,14 @@ def label_propagation(
     cut lineage like ``pagerank``/``k_core``. Output: (node, community)
     where community is the final label.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).localCheckpoint(eager=True)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # keyed (AQE-coalescible) repartition: don't let the checkpoint
+        # pin the upstream's inherited partition count (see k_core)
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

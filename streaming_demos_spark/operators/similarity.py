@@ -35,17 +35,40 @@ def _as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
+def _qn(name: str) -> str:
+    """Quote a column name for embedding in an F.expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """``dot`` as one parseable SQL fragment over two column NAMES —
+    plan-construction here is py4j-bound (~30 ms to build one
+    aggregate(zip_with(..)) operator-by-operator vs ~0.5 ms to parse
+    the whole subtree); the parsed tree is the identical unresolved
+    expression (see text.py construction-cost note)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Σ a_i·b_i via zip_with + left-to-right fold (JVM, no UDF)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sql_dot(_qn(a), _qn(b)))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     """NULL (not a DIVIDE_BY_ZERO crash — Spark 4 runs ANSI mode) when
     either vector has zero norm; zero vectors are a plausible input
     (failed encodes, padding rows) and must not kill a corpus job."""
+    if isinstance(a, str) and isinstance(b, str):
+        da = f"cast({_qn(a)} as array<double>)"
+        db = f"cast({_qn(b)} as array<double>)"
+        return F.expr(
+            f"try_divide({_sql_dot(da, db)},"
+            f" sqrt({_sql_dot(da, da)}) * sqrt({_sql_dot(db, db)}))"
+        )
     da, db = _as_double(a), _as_double(b)
     return F.try_divide(
         dot(da, db), F.sqrt(dot(da, da)) * F.sqrt(dot(db, db))
@@ -70,7 +93,7 @@ def brute_force_topk(
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_q"), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -111,7 +134,7 @@ def _sign_array_lit(signs: list[float]) -> Column:
 
 
 def lsh_bucket(
-    vec: Column, num_planes: int = 4, max_dim: int = 512, table: int = 0
+    vec: Column | str, num_planes: int = 4, max_dim: int = 512, table: int = 0
 ) -> Column:
     """Sign-LSH bucket key: bit p = sign of the projection of the
     vector onto hyperplane p; a '0'/'1' string of length ``num_planes``.
@@ -122,10 +145,26 @@ def lsh_bucket(
     re-derived md5(p:j) per element per ROW, i.e. rows·dim·planes
     hashes of row-independent values. Vectors must have <= ``max_dim``
     components (the plane literal is sliced down to the row's length).
-    ``table`` selects an independent plane-set (multi-table OR)."""
+    ``table`` selects an independent plane-set (multi-table OR).
+
+    A column NAME input takes the single-F.expr fast path (the whole
+    P-plane bucket parses in one py4j round trip — see the
+    construction-cost note in text.py); the parsed tree is the
+    identical unresolved expression as the Column form below."""
+    planes = _plane_signs(num_planes, max_dim, offset=table * num_planes)
+    if isinstance(vec, str):
+        v = f"cast({_qn(vec)} as array<double>)"
+        bits = []
+        for signs in planes:
+            arr = "array(" + ",".join(
+                "1.0D" if s > 0 else "-1.0D" for s in signs) + ")"
+            proj = (f"aggregate(zip_with({v}, slice({arr}, 1, size({v})),"
+                    " (x, s) -> x * s), 0.0D, (acc, x) -> acc + x)")
+            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(bits) + ")")
     v = _as_double(vec)
     bits = []
-    for signs in _plane_signs(num_planes, max_dim, offset=table * num_planes):
+    for signs in planes:
         plane = _sign_array_lit(signs)
         proj = F.aggregate(
             F.zip_with(v, F.slice(plane, F.lit(1), F.size(v)), lambda x, s: x * s),
@@ -139,7 +178,7 @@ def lsh_bucket(
 def with_lsh_bucket(
     emb: DataFrame, num_planes: int = 4, vec_col: str = "embedding"
 ) -> DataFrame:
-    return emb.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+    return emb.withColumn("bucket", lsh_bucket(vec_col, num_planes))
 
 
 def with_lsh_buckets(
@@ -153,7 +192,7 @@ def with_lsh_buckets(
     one corpus pass regardless of table count."""
     for t in range(num_tables):
         emb = emb.withColumn(
-            f"bucket_{t}", lsh_bucket(F.col(vec_col), num_planes, table=t)
+            f"bucket_{t}", lsh_bucket(vec_col, num_planes, table=t)
         )
     return emb
 
@@ -180,7 +219,7 @@ def lsh_topk(
         .join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_q"), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -225,7 +264,7 @@ def lsh_topk_multi(
         .crossJoin(F.broadcast(q.select("_q")))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_q"), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -252,7 +291,7 @@ def ivf_assign(
         id_col,
         vec_col,
         "_cid",
-        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_ccos"),
+        F.round(cosine(vec_col, "_cvec"), 6).alias("_ccos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_cid"))
     return (
@@ -288,7 +327,7 @@ def ivf_topk(
         centroids.crossJoin(F.broadcast(q))
         .select(
             F.col(id_col).alias("centroid_id"),
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("_pcos"),
+            F.round(cosine(vec_col, "_q"), 6).alias("_pcos"),
         )
         .orderBy(F.desc("_pcos"), F.asc("centroid_id"))
         .limit(nprobe)
@@ -300,7 +339,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_q"), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -421,7 +460,7 @@ def ann_recall(
         .select(
             "qid",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_qv"), 6).alias("cos_sim"),
             (F.col("bucket") == F.col("_qb")).alias("same_bucket"),
         )
     )
@@ -491,7 +530,7 @@ def ann_recall_lift(
         .select(
             "qid",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_qv"), 6).alias("cos_sim"),
             (F.col("bucket_0") == F.col("_qbucket_0")).alias("m_single"),
             match_any.alias("m_multi"),
         )
@@ -577,7 +616,7 @@ def ann_recall_ivf(
         .select(
             "qid",
             F.col(id_col).alias("centroid_id"),
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("_pcos"),
+            F.round(cosine(vec_col, "_qv"), 6).alias("_pcos"),
         )
         .withColumn("_rn", F.row_number().over(wprobe))
         .filter(F.col("_rn") <= nprobe)
@@ -595,7 +634,7 @@ def ann_recall_ivf(
         .select(
             "qid",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(cosine(vec_col, "_qv"), 6).alias("cos_sim"),
             "centroid_id",
         )
     )
@@ -712,19 +751,21 @@ def pq_codebooks(
     ]
 
 
-def _packed_codebook_expr(cb: list[list[float]]) -> Column:
-    """One subspace's codebook as a single parsed literal:
-    array<struct<n: double, w: array<double>>> with n = ||codeword||^2.
-    One F.expr parse instead of ~16x(1+dsub) F.lit py4j round-trips —
-    literal-building dominated plan-construction time otherwise."""
-    return F.expr(
-        "array(%s)"
-        % ", ".join(
-            "struct(%rD as n, array(%s) as w)"
-            % (sum(c * c for c in cw), ", ".join(f"{c!r}D" for c in cw))
-            for cw in cb
-        )
+def _packed_codebook_sql(cb: list[list[float]]) -> str:
+    """One subspace's codebook as SQL literal text:
+    array<struct<n: double, w: array<double>>> with n = ||codeword||^2."""
+    return "array(%s)" % ", ".join(
+        "struct(%rD as n, array(%s) as w)"
+        % (sum(c * c for c in cw), ", ".join(f"{c!r}D" for c in cw))
+        for cw in cb
     )
+
+
+def _packed_codebook_expr(cb: list[list[float]]) -> Column:
+    """One subspace's codebook as a single parsed literal — one F.expr
+    parse instead of ~16x(1+dsub) F.lit py4j round-trips;
+    literal-building dominated plan-construction time otherwise."""
+    return F.expr(_packed_codebook_sql(cb))
 
 
 def pq_encode(
@@ -755,28 +796,27 @@ def pq_encode(
     """
     dsub = len(codebooks[0][0])
     m = len(codebooks)
+    # every projection below is a single-parse F.expr (construction-
+    # cost note in text.py); the parsed trees are the identical
+    # unresolved expressions the old Column-op chains built
     keep = [F.col(c) for c in (keep_cols or [])]
     subs = emb.select(
         F.col(id_col),
         *keep,
         *[
-            F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(
-                f"_s{j}"
+            F.expr(
+                f"slice(cast({_qn(vec_col)} as array<double>),"
+                f" {j * dsub + 1}, {dsub}) AS _s{j}"
             )
             for j in range(m)
         ],
     )
 
     def _dists(j: int) -> Column:
-        return F.transform(
-            _packed_codebook_expr(codebooks[j]),
-            lambda s: s["n"]
-            - F.lit(2.0)
-            * F.aggregate(
-                F.zip_with(F.col(f"_s{j}"), s["w"], lambda x, c: x * c),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
+        return F.expr(
+            f"transform({_packed_codebook_sql(codebooks[j])},"
+            f" s -> s.n - 2.0D * aggregate(zip_with(_s{j}, s.w,"
+            " (x, c) -> x * c), 0.0D, (a, x) -> a + x))"
         )
 
     keep_names = [F.col(c) for c in (keep_cols or [])]
@@ -787,9 +827,10 @@ def pq_encode(
         F.col(id_col),
         *keep_names,
         *[
-            (F.array_position(f"_d{j}", F.array_min(f"_d{j}")) - 1)
-            .cast("int")
-            .alias(f"code_{j}")
+            F.expr(
+                f"cast(array_position(_d{j}, array_min(_d{j})) - 1 as int)"
+                f" AS code_{j}"
+            )
             for j in range(m)
         ],
     )
@@ -828,11 +869,14 @@ def pq_adc_topk(
     the scan cost drops to the 4-byte codes."""
     coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
     luts = pq_adc_lut(query_vec, codebooks)
-    acc = None
-    for j, lut in enumerate(luts):
-        lut_arr = F.expr("array(%s)" % ", ".join(f"{x!r}D" for x in lut))
-        term = F.element_at(lut_arr, F.col(f"code_{j}") + 1)
-        acc = term if acc is None else acc + term
+    # whole ADC sum as one parse (construction-cost note in text.py)
+    acc = F.expr(
+        " + ".join(
+            "element_at(array(%s), code_%d + 1)"
+            % (", ".join(f"{x!r}D" for x in lut), j)
+            for j, lut in enumerate(luts)
+        )
+    )
     return (
         coded.select(F.col(id_col), F.round(acc, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
@@ -865,27 +909,23 @@ def pq_recall(
     panel = emb.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
     )
-    qd = F.col("_qv").cast("array<double>")
-    vd = F.col(vec_col).cast("array<double>")
-    true_d = F.round(
-        F.aggregate(
-            F.zip_with(vd, qd, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        6,
+    # single-parse forms (construction-cost note in text.py): the old
+    # per-subspace Column-op chains cost ~50 ms of py4j round trips
+    # each to build; the parsed trees are identical
+    qd = "cast(_qv as array<double>)"
+    vd = f"cast({_qn(vec_col)} as array<double>)"
+    true_d = F.expr(
+        f"round(aggregate(zip_with({vd}, {qd}, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (a, x) -> a + x), 6)"
     )
-    adc = None
-    for j, cb in enumerate(codebooks):
-        cw = F.element_at(_packed_codebook_expr(cb), F.col(f"code_{j}") + 1)["w"]
-        term = F.aggregate(
-            F.zip_with(
-                F.slice(qd, j * dsub + 1, dsub), cw, lambda x, c: (x - c) * (x - c)
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+    adc = F.expr(
+        " + ".join(
+            f"aggregate(zip_with(slice({qd}, {j * dsub + 1}, {dsub}),"
+            f" element_at({_packed_codebook_sql(cb)}, code_{j} + 1).w,"
+            " (x, c) -> (x - c) * (x - c)), 0.0D, (a, x) -> a + x)"
+            for j, cb in enumerate(codebooks)
         )
-        adc = term if adc is None else adc + term
+    )
     from streaming_demos_spark.catalog import bounded_persist
 
     # both rankings read this frame — persist so the two F.aggregate

@@ -34,14 +34,37 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# Construction-cost note (guide §4 applied to the DRIVER): on this
+# harness py4j round trips cost ~2-3 ms EACH, so building expressions
+# operator-by-operator (every F.fn call is >= 1 round trip) dominates
+# plan-construction wall time for the hot helpers below — measured
+# ~5 ms per simple Column op vs ~0.5 ms to parse a whole subtree with
+# one F.expr. Helpers therefore take the column NAME fast path (one
+# parse) and keep the Column-object form as the general fallback; the
+# parsed tree is the identical unresolved expression, so analyzed
+# plans — and results — are unchanged.
+
+
+def _q(name: str) -> str:
+    """Quote a column name for embedding in an F.expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_tokens(name: str) -> str:
+    return f"split(lower(trim({_q(name)})), '\\\\s+')"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased text -> array<string>."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    if isinstance(text, str):
+        return F.expr(_sql_tokens(text))
+    return F.split(F.lower(F.trim(text)), r"\s+")
 
 
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (the cheap `wc -w` estimator)."""
+    if isinstance(text, str):
+        return F.expr(f"size({_sql_tokens(text)})")
     return F.size(tokens(text))
 
 
@@ -50,9 +73,20 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     tokenizer-like regex (runs of letters, runs of digits, or single
     non-space symbols) — the standard cheap proxy when the real
     tokenizer is unavailable."""
-    c = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        return F.expr(
+            f"size(regexp_extract_all(lower({_q(text)}),"
+            " '([a-z]+|[0-9]+|[^a-z0-9\\\\s])', 1))"
+        )
     return F.size(
-        F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1))
+        F.regexp_extract_all(F.lower(text), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1))
+    )
+
+
+def _sql_normalize(name: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({_q(name)}),"
+        " '[^a-z0-9\\\\s]', ''), '\\\\s+', ' '))"
     )
 
 
@@ -60,8 +94,9 @@ def normalize_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, strip everything
     but alphanumerics+space, collapse whitespace runs to single
     spaces, trim."""
-    c = F.col(text) if isinstance(text, str) else text
-    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    if isinstance(text, str):
+        return F.expr(_sql_normalize(text))
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 
@@ -69,10 +104,22 @@ def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     The batch analog of a rolling-hash content id — two documents with
     the same canonical content collide exactly."""
+    if isinstance(text, str):
+        return F.expr(f"md5({_sql_normalize(text)})")
     return F.md5(normalize_text(text))
 
 
-def shingles_from_tokens(w: Column, k: int = 3) -> Column:
+def _sql_shingles(name: str, k: int) -> str:
+    w = _q(name)
+    return (
+        f"CASE WHEN size({w}) >= {k} THEN "
+        f"transform(sequence(1, size({w}) - {k - 1}),"
+        f" i -> array_join(slice({w}, i, {k}), ' '))"
+        f" ELSE array(array_join({w}, ' ')) END"
+    )
+
+
+def shingles_from_tokens(w: Column | str, k: int = 3) -> Column:
     """Sliding word k-grams over an ALREADY MATERIALIZED token-array
     column; documents with fewer than k words collapse to one
     whole-document shingle.
@@ -83,6 +130,8 @@ def shingles_from_tokens(w: Column, k: int = 3) -> Column:
     regex split for every slice — O(words) splits per row, a measured
     10x slowdown on the documents table at sf0.1. Callers must project
     ``tokens(text)`` to a column first."""
+    if isinstance(w, str):
+        return F.expr(_sql_shingles(w, k))
     n = F.size(w)
     return F.when(
         n >= k,
@@ -126,7 +175,7 @@ def winnow_fingerprints(
     hashed = toks.select(
         F.col(id_col),
         F.transform(
-            shingles_from_tokens(F.col("_w"), k), lambda s: F.md5(s)
+            shingles_from_tokens("_w", k), lambda s: F.md5(s)
         ).alias("_h"),
     )
     m = F.size("_h")
@@ -811,7 +860,7 @@ def ngram_novelty(
         .select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("_w"), k))
+                F.array_distinct(shingles_from_tokens("_w", k))
             ).alias("shingle"),
         )
     )

@@ -2740,6 +2740,231 @@ def _gzip_member_full_hex(raw):
     )
 
 
+# --- single-parse SQL forms of the pixel-frame crafts -----------------------
+#
+# The Column-operator craft builders above cost ~1-2 s of py4j round
+# trips PER QUERY CONSTRUCTION (every F.fn call is a ~2-3 ms round trip
+# on this harness — see the construction-cost note in operators/
+# text.py), and their per-pixel transform lambdas evaluate interpreted
+# (higher-order functions never reach codegen). The _sql_* builders
+# below emit the identical byte streams as SQL TEXT parsed by ONE
+# F.expr, and replace the per-pixel hex arithmetic with substring
+# lookups into driver-computed constant tables:
+#
+#   BMP/PNG rows: the x-th pixel triple of a row is trip((c+3x)%256)
+#   with c = (doc_id+11f+7y)%256. Since 3·171 ≡ 1 (mod 256), write
+#   c ≡ 3d (mod 256) with d = 171c mod 256; then the row is the
+#   CONTIGUOUS slice [d, d+w) of the 256-entry table T[t] =
+#   trip((3t)%256) — one substring per ROW instead of 3 hex-pair
+#   expression trees per PIXEL.
+#
+#   GIF groups: bytes (b1,b2) depend only on s0, (b3,b4) on s1, etc.,
+#   so each pair is a 4-hex-char lookup in a 256-entry table — four
+#   substrings per 4-pixel group instead of eight hex-pair chains.
+#
+# Equality with the Column builders was verified exhaustively over the
+# full doc_id residue period (lcm(256,12,9,8,2,7) = 16128 ids, both
+# single- and multi-frame payloads) before the Column forms were
+# retired; the mm oracle hashes re-prove the bytes end-to-end.
+
+_BMP_ROWTAB = "".join(
+    f"{(3 * t) % 256:02X}{((3 * t) + 85) % 256:02X}{((3 * t) + 170) % 256:02X}"
+    for t in range(256)
+) * 2
+_PNG_ROWTAB = "".join(
+    f"{((3 * t) + 170) % 256:02X}{((3 * t) + 85) % 256:02X}{(3 * t) % 256:02X}"
+    for t in range(256)
+) * 2
+# GIF 9-bit LSB-first group-byte pair tables, indexed by symbol value.
+_GIF_TAB_A = "".join(
+    f"{(s % 128) * 2 + 1:02X}{s // 128:02X}" for s in range(256))
+_GIF_TAB_B = "".join(
+    f"{(s % 32) * 8 + 4:02X}{s // 32:02X}" for s in range(256))
+_GIF_TAB_C = "".join(
+    f"{(s % 8) * 32 + 16:02X}{s // 8:02X}" for s in range(256))
+_GIF_TAB_D = "".join(
+    f"{(s % 2) * 128 + 64:02X}{s // 2:02X}" for s in range(256))
+
+
+def _sql_hex_be2(e: str, width: int) -> str:
+    return f"lpad(hex({e}), {width}, '0')"
+
+
+def _sql_hex_le2(e: str, width: int) -> str:
+    hx = _sql_hex_be2(e, width)
+    return "concat(%s)" % ", ".join(
+        f"substring({hx}, {i}, 2)" for i in range(width - 1, 0, -2)
+    )
+
+
+def _bmp_frame_sql(did: str, w: str, h: str, f: str) -> str:
+    """SQL text of the crafted 24bpp BMP of ``_bmp_frame_hex``'s
+    contract: v(x,y) = (doc_id+11f+3x+7y)%256, channels B=v, G=v+85,
+    R=v+170 (mod 256), rows padded to 4-byte words, storage order
+    alternating by (doc_id+f) parity (even bottom-up, odd top-down
+    with negative i32 height)."""
+    td = f"(pmod({did} + {f}, 2) = 1)"
+    y = f"(CASE WHEN {td} THEN j ELSE {h} - 1 - j END)"
+    d = f"pmod(pmod({did} + 11 * {f} + 7 * {y}, 256) * 171, 256)"
+    padn = f"pmod(4 - pmod({w} * 3, 4), 4)"
+    row = (
+        f"concat(substring('{_BMP_ROWTAB}', 6 * {d} + 1, 6 * {w}),"
+        f" substring('000000', 1, 2 * {padn}))"
+    )
+    pixdata = f"array_join(transform(sequence(0, {h} - 1), j -> {row}), '')"
+    img_size = f"(({w} * 3 + {padn}) * {h})"
+    height_field = f"(CASE WHEN {td} THEN 4294967296 - {h} ELSE {h} END)"
+    return "concat(%s)" % ", ".join([
+        "'424D'", _sql_hex_le2(f"({img_size} + 54)", 8),
+        "'0000000036000000'",
+        "'28000000'", _sql_hex_le2(w, 8), _sql_hex_le2(height_field, 8),
+        "'01001800'", "'00000000'", _sql_hex_le2(img_size, 8),
+        "'130B0000130B0000'", "'0000000000000000'",
+        pixdata,
+    ])
+
+
+def _png_frame_sql(did: str, w: str, h: str, f: str) -> str:
+    """SQL text of the crafted non-interlaced 8-bit RGB PNG of
+    ``_png_frame_hex``'s contract (stored-DEFLATE IDAT, y%3 filter
+    cycle None/Sub/Up, zeroed CRCs/adler)."""
+    d = f"pmod(pmod({did} + 11 * {f} + 7 * j, 256) * 171, 256)"
+    none_row = f"concat('00', substring('{_PNG_ROWTAB}', 6 * {d} + 1, 6 * {w}))"
+    sub_row = (
+        f"concat('01', substring('{_PNG_ROWTAB}', 6 * {d} + 1, 6),"
+        f" repeat('03', cast(({w} - 1) * 3 as int)))"
+    )
+    up_row = f"concat('02', repeat('07', cast({w} * 3 as int)))"
+    row = (
+        f"(CASE WHEN pmod(j, 3) = 0 THEN {none_row}"
+        f" WHEN pmod(j, 3) = 1 THEN {sub_row}"
+        f" ELSE {up_row} END)"
+    )
+    rows = f"array_join(transform(sequence(0, {h} - 1), j -> {row}), '')"
+    scan_len = f"({h} * (1 + 3 * {w}))"
+    return "concat(%s)" % ", ".join([
+        "'89504E470D0A1A0A'",
+        "'0000000D49484452'",
+        _sql_hex_be2(w, 8), _sql_hex_be2(h, 8),
+        "'0802000000'",
+        "'00000000'",
+        _sql_hex_be2(f"({scan_len} + 11)", 8), "'49444154'",
+        "'7801'",
+        "'01'",
+        _sql_hex_le2(scan_len, 4), _sql_hex_le2(f"(65535 - {scan_len})", 4),
+        rows,
+        "'00000000'",
+        "'00000000'",
+        "'0000000049454E44AE426082'",
+    ])
+
+
+def _gif_v_sql(did: str, w: str, f: str, k: str) -> str:
+    """GIF pixel value at row-major index ``k`` (see _gif_frame_hex)."""
+    return (
+        f"pmod({did} + 11 * {f} + 3 * ({k} % {w})"
+        f" + 7 * cast(floor(({k}) / {w}) as int), 256)"
+    )
+
+
+def _gif_frame_sql(did: str, w: str, h: str, f: str) -> str:
+    """SQL text of the crafted GIF89a of ``_gif_frame_hex``'s contract
+    (CLEAR-before-every-symbol constant-9-bit LZW, 256-entry palette
+    (v+170, v+85, v))."""
+    s = [_gif_v_sql(did, w, f, k) for k in
+         ("(4 * g)", "(4 * g + 1)", "(4 * g + 2)", "(4 * g + 3)")]
+    ghex = (
+        "concat('0900',"
+        f" substring('{_GIF_TAB_A}', 4 * {s[0]} + 1, 4),"
+        f" substring('{_GIF_TAB_B}', 4 * {s[1]} + 1, 4),"
+        f" substring('{_GIF_TAB_C}', 4 * {s[2]} + 1, 4),"
+        f" substring('{_GIF_TAB_D}', 4 * {s[3]} + 1, 4))"
+    )
+    n_px = f"({w} * {h})"
+    n4 = f"({n_px} - pmod({n_px}, 4))"
+    n_groups = f"cast({n4} / 4 as bigint)"
+    groups = (
+        f"(CASE WHEN {n4} > 0 THEN array_join(transform("
+        f"sequence(cast(0 as bigint), {n_groups} - 1), g -> {ghex}), '')"
+        " ELSE '' END)"
+    )
+    t0 = _gif_v_sql(did, w, f, n4)
+    t1 = _gif_v_sql(did, w, f, f"({n4} + 1)")
+    t2 = _gif_v_sql(did, w, f, f"({n4} + 2)")
+
+    def hx2(e: str) -> str:
+        return f"lpad(hex({e}), 2, '0')"
+
+    tail = (
+        f"(CASE WHEN pmod({n_px}, 4) = 0 THEN '020101'"
+        f" WHEN pmod({n_px}, 4) = 1 THEN concat('0400',"
+        f" {hx2(f'pmod({t0}, 128) * 2 + 1')},"
+        f" {hx2(f'({t0} div 128) + 4')}, '04')"
+        f" WHEN pmod({n_px}, 4) = 2 THEN concat('0600',"
+        f" {hx2(f'pmod({t0}, 128) * 2 + 1')},"
+        f" {hx2(f'{t0} div 128')},"
+        f" {hx2(f'pmod({t1}, 32) * 8 + 4')},"
+        f" {hx2(f'({t1} div 32) + 16')}, '10')"
+        f" ELSE concat('0800',"
+        f" {hx2(f'pmod({t0}, 128) * 2 + 1')},"
+        f" {hx2(f'{t0} div 128')},"
+        f" {hx2(f'pmod({t1}, 32) * 8 + 4')},"
+        f" {hx2(f'{t1} div 32')},"
+        f" {hx2(f'pmod({t2}, 8) * 32 + 16')},"
+        f" {hx2(f'({t2} div 8) + 64')}, '40') END)"
+    )
+    return "concat(%s)" % ", ".join([
+        "'474946383961'",
+        _sql_hex_le2(w, 4), _sql_hex_le2(h, 4),
+        "'F70000'",
+        f"'{_GIF_PALETTE_HEX}'",
+        "'2C'", "'00000000'",
+        _sql_hex_le2(w, 4), _sql_hex_le2(h, 4),
+        "'00'",
+        "'08'",
+        groups, tail,
+        "'003B'",
+    ])
+
+
+def _jpeg_frame_sql(did: str, w: str, h: str, f: str) -> str:
+    """SQL text of the crafted DC-only baseline JPEG of
+    ``_jpeg_frame_hex``'s contract (single-symbol Huffman tables, one
+    closed-form byte per 8x8 block)."""
+    a = f"(pmod({did}, 8) + 8)"
+    delta = f"(pmod({did} + 11 * {f}, 8) + 8)"
+    bw = f"(({w} + 7) div 8)"
+    bh = f"(({h} + 7) div 8)"
+    bits = (
+        f"(CASE WHEN i = 0 THEN {a}"
+        f" WHEN pmod(i, 2) = 1 THEN {delta}"
+        f" ELSE 15 - {delta} END)"
+    )
+    block = f"lpad(hex({bits} * 8), 2, '0')"
+    return "concat(%s)" % ", ".join([
+        f"'{_JPEG_CRAFT_HEAD}'",
+        _sql_hex_be2(h, 4), _sql_hex_be2(w, 4),
+        f"'{_JPEG_CRAFT_SOF_TAIL}'",
+        f"'{_JPEG_CRAFT_SOS}'",
+        f"array_join(transform(sequence(0, {bw} * {bh} - 1), i -> {block}), '')",
+        "'FFD9'",
+    ])
+
+
+def _pixel_frame_sql(did: str, f: str) -> str:
+    """One frame's hex as SQL text: format cycles by (doc_id + f) % 8
+    exactly as the retired Column-form frame_hex did."""
+    w = f"({did} % 12 + 4)"
+    h = f"({did} % 9 + 4)"
+    fmt = f"pmod({did} + {f}, 8)"
+    return (
+        f"(CASE WHEN {fmt} >= 6 THEN {_jpeg_frame_sql(did, w, h, f)}"
+        f" WHEN {fmt} >= 4 THEN {_gif_frame_sql(did, w, h, f)}"
+        f" WHEN {fmt} >= 2 THEN {_png_frame_sql(did, w, h, f)}"
+        f" ELSE {_bmp_frame_sql(did, w, h, f)} END)"
+    )
+
+
 def _crafted_pixel_media(spark, sf_dir, frames=False):
     """Crafted MIXED-format pixel corpus over documents: w =
     doc_id%12+4, h = doc_id%9+4 (small grids keep the JVM-side hex
@@ -2769,24 +2994,17 @@ def _crafted_pixel_media(spark, sf_dir, frames=False):
         "doc_id",
     )
     doc_id = F.col("doc_id")
-    w = doc_id % 12 + 4
-    h = doc_id % 9 + 4
 
-    def frame_hex(f):
-        fmt = (doc_id + f) % 8
-        return (
-            F.when(fmt >= 6, _jpeg_frame_hex(doc_id, w, h, f))
-            .when(fmt >= 4, _gif_frame_hex(doc_id, w, h, f))
-            .when(fmt >= 2, _png_frame_hex(doc_id, w, h, f))
-            .otherwise(_bmp_frame_hex(doc_id, w, h, f))
-        )
-
+    # ONE F.expr for the whole payload (see the _sql_* craft builders
+    # above): parses in a single py4j round trip and swaps the
+    # interpreted per-pixel hex arithmetic for substring table lookups.
     if frames:
-        n_f = doc_id % 7 + 1
-        payload_hex = F.array_join(
-            F.transform(F.sequence(F.lit(0), n_f - 1), frame_hex), "")
+        payload_hex = F.expr(
+            "array_join(transform(sequence(0, doc_id % 7),"
+            f" f -> {_pixel_frame_sql('doc_id', 'f')}), '')"
+        )
     else:
-        payload_hex = frame_hex(F.lit(0))
+        payload_hex = F.expr(_pixel_frame_sql("doc_id", "0"))
     crafted = docs.select(
         doc_id, F.unhex(payload_hex).alias("img"))
     return MM.as_media(crafted, "doc_id", "img",
@@ -14438,20 +14656,50 @@ def oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def _wav_frame_sql(did: str, n: str, sr: str, ch: int) -> str:
+    """SQL text of ``_wav_frame_hex``'s crafted PCM16 WAV (same byte
+    stream; see the single-parse rationale at the pixel _sql_ crafts)."""
+    frame = "concat(%s)" % ", ".join(
+        _sql_hex_le2(f"pmod({did} * 7 + 9973 * i + 5 * {c}, 65536)", 4)
+        for c in range(ch)
+    )
+    data_len = f"({n} * {ch * 2})"
+    return "concat(%s)" % ", ".join([
+        "'52494646'",
+        _sql_hex_le2(f"({data_len} + 36)", 8),
+        "'57415645'", "'666D7420'",
+        "'10000000'", "'0100'",
+        f"'{ch:02X}00'",
+        _sql_hex_le2(sr, 8),
+        _sql_hex_le2(f"({sr} * {ch * 2})", 8),
+        f"'{ch * 2:02X}00'", "'1000'",
+        "'64617461'", _sql_hex_le2(data_len, 8),
+        f"array_join(transform(sequence(0, {n} - 1), i -> {frame}), '')",
+    ])
+
+
 def _crafted_wav_media(spark, sf_dir):
     """Crafted PCM16 WAV corpus over documents: n = doc_id%50+10
     frames, sr = (doc_id%4+1)*8000, channels = doc_id%2+1. Sample
     words follow the closed-form _wav_frame_hex formula, so the audio
     oracles recompute every exact-integer feature. doc_id >= 0 guards
     the hex-craft invariant."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
-    doc_id = F.col("doc_id")
-    n = doc_id % 50 + 10
-    sr = (doc_id % 4 + 1) * 8000
-    payload_hex = F.when(
-        doc_id % 2 == 1, _wav_frame_hex(doc_id, n, sr, 2)
-    ).otherwise(_wav_frame_hex(doc_id, n, sr, 1))
-    crafted = docs.select(doc_id, F.unhex(payload_hex).alias("wav"))
+    from streaming_demos_spark.catalog import fan_out
+
+    # fan_out BEFORE the craft (see _crafted_pixel_media) and ONE
+    # F.expr for the whole payload (construction-cost note in
+    # operators/text.py).
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0).select("doc_id"),
+        "doc_id",
+    )
+    n = "(doc_id % 50 + 10)"
+    sr = "((doc_id % 4 + 1) * 8000)"
+    payload_hex = F.expr(
+        f"CASE WHEN doc_id % 2 = 1 THEN {_wav_frame_sql('doc_id', n, sr, 2)}"
+        f" ELSE {_wav_frame_sql('doc_id', n, sr, 1)} END"
+    )
+    crafted = docs.select(F.col("doc_id"), F.unhex(payload_hex).alias("wav"))
     return MM.as_media(crafted, "doc_id", "wav", kind="audio")
 
 

@@ -69,26 +69,25 @@ def _nearest(
             )
         ).alias("_cents")
     )
-    v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                # try_divide: zero-norm vectors (or an empty cell's zero
-                # centroid) get NULL cosine, not an ANSI job abort
-                F.round(
-                    F.try_divide(
-                        dot_product(v, c["cv"]), F.col("_vnorm") * c["cn"]
-                    ),
-                    6,
-                ).alias("cos"),
-                (-c["cid"]).alias("ncid"),
-            ),
-        )
+    # single-parse forms (construction-cost note in operators/text.py);
+    # identical unresolved trees to the old Column-op chains.
+    # try_divide: zero-norm vectors (or an empty cell's zero centroid)
+    # get NULL cosine, not an ANSI job abort.
+    vq = "`" + vec_col.replace("`", "``") + "`"
+    v = f"cast({vq} as array<double>)"
+
+    def _dot(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                " 0.0D, (acc, x) -> acc + x)")
+
+    best = F.expr(
+        "array_max(transform(_cents, c -> struct("
+        f"round(try_divide({_dot(v, 'c.cv')}, _vnorm * c.cn), 6) AS cos,"
+        " -c.cid AS ncid)))"
     )
     return (
         emb.crossJoin(F.broadcast(packed))
-        .withColumn("_vnorm", F.sqrt(dot_product(v, v)))
+        .withColumn("_vnorm", F.expr(f"sqrt({_dot(v, v)})"))
         .withColumn("_best", best)
         .select(
             id_col,

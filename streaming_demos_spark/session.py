@@ -61,15 +61,15 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # The generated-class cache (static conf, default 100 entries)
-        # thrashes under a 341-query suite: each query compiles 5-15
-        # codegen units, so by the time a plan re-runs (bench min-of-N
-        # passes; repeated production queries) its entries are long
-        # evicted and Janino recompiles identical source. Sizing the
-        # cache to the suite makes repeat executions measure execution,
-        # not recompilation — the same steady-state the bench's sf0.001
-        # warmup pass was already designed to reach (guide §1).
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # NOTE (measured, r11): raising spark.sql.codegen.cache.maxEntries
+        # from its 100-entry default to 4096 — to let bench min-of-N
+        # passes skip Janino recompilation — was a large NEGATIVE: the
+        # retained generated classes can never be unloaded, JIT-compiled
+        # code accumulates across a 341-query sweep, and pass 3 degraded
+        # 10-50x on the heaviest queries (llm_dedup_report 6s -> 316s,
+        # calibration-query median 2x) with steal flat — classic code-
+        # cache/JIT exhaustion. Keep the default; the sf0.001 warmup
+        # already absorbs first-compile cost.
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata writes events.ts as TIMESTAMP(NANOS); read it
         # as a long and let catalog.load_table rebuild µs timestamps.

@@ -334,19 +334,17 @@ def _near_dup_pairs_from_ds(
     distinct-shingle frame — split out so harnesses that need BOTH the
     LSH pairs and another shingle consumer (``minhash_lsh_eval``) feed
     every side from one persisted projection."""
-    # The bucket self-join below consumes the banded signatures on BOTH
-    # sides, and Catalyst does not share the subtree: the explode +
-    # 12-lane min(md5) signature aggregate — the dominant CPU of every
-    # minhash query — ran TWICE per query (profiled as two identical
-    # heavy stages in cluster_split; AQE runtime stage reuse does not
-    # kick in because the sides differ above the exchange). Persist +
-    # eager-fill the n_docs x num_hashes signature frame (tiny: one row
-    # per doc) so the chain runs exactly once. Downstream parallelism
-    # is unaffected: every consumer re-exchanges through its own
-    # window/join shuffle exactly as before.
-    sig = bounded_persist(
-        _minhash_sig_from(ds, id_col, "_ds", num_hashes), eager=True
-    )
+    # The signature frame has exactly ONE consumer since the
+    # within-bucket pairing moved from a bucket self-join to
+    # collect_list + double explode (below): bands -> window -> groupBy
+    # is a single linear subtree, so the explode + 12-lane min(md5)
+    # aggregate already runs exactly once per query. The eager persist
+    # this frame used to carry (from the self-join era, when both join
+    # sides re-evaluated it) had become pure overhead — one extra
+    # driver action + a cache write per query, ~0.9s of the
+    # cluster-family keys' wall at bench scale (guide §5: persist only
+    # when reused).
+    sig = _minhash_sig_from(ds, id_col, "_ds", num_hashes)
     bands = _bands_from_sig(sig, id_col, num_hashes, band_rows)
     # Bound bucket size: count per bucket via the (spillable) window,
     # drop oversize (noise guard, unchanged) and singleton buckets

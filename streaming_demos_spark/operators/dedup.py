@@ -651,9 +651,14 @@ def connected_components(
         .repartition("a")
         .localCheckpoint(eager=True)  # pair generation runs ONCE
     )
+    # sym is NOT checkpointed: it is a narrow union over the already
+    # checkpointed edge blocks, so each round re-derives it with two
+    # local cached-block reads — strictly cheaper than the extra
+    # materialization action its own checkpoint cost (one driver job
+    # per query; the per-action floor dominates small-graph rounds).
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -667,6 +672,12 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # LAZY checkpoint + FULL count fused into ONE driver action per
+        # round (was two: an eager materialization plus a limit(1)
+        # count): the unrestricted count computes every partition of
+        # the checkpointed RDD, so the count job itself materializes
+        # the checkpoint, and the next round reads the cached blocks.
+        # A limit(1) count here would risk a partial materialization.
         proposed = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
@@ -674,9 +685,9 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = proposed.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        changed = proposed.filter(F.col("lbl") != F.col("old_lbl")).count()
         labels = proposed.select("node", "lbl")
         if changed == 0:
             converged = True

@@ -87,7 +87,10 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
 # atomic — and note the cap itself assumes roughly one query in flight
 # at a time (concurrent queries can still evict each other's entries
 # early, which costs recomputation, never correctness).
-_PERSIST_RING: list[DataFrame] = []
+# entries are [frame, filled]: `filled` records whether an eager count
+# has materialized the cache, so a same-plan re-request can skip the
+# fill action instead of re-counting a warm cache.
+_PERSIST_RING: list[list] = []
 _PERSIST_RING_CAP = 4
 _PERSIST_RING_LOCK = threading.Lock()
 
@@ -112,16 +115,49 @@ def bounded_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     frame just pays one extra (cheap) count job."""
     from pyspark import StorageLevel
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # Dedupe by plan semantics BEFORE persisting: Spark's CacheManager
+    # keys cached data on the canonicalized plan, so two bounded_persist
+    # calls with the same plan share ONE cache entry — but the ring used
+    # to hold one ref per CALL, and evicting the older duplicate
+    # unpersisted the shared entry out from under the newer one. A
+    # family of queries re-deriving the same projection (the dedup
+    # keys' distinct-shingle frame) then rematerialized it once per
+    # query from the fifth call on (profiled: +2.3s/query at sf0.1).
+    # An LRU refresh keeps exactly one ref per distinct plan and makes
+    # eviction safe again.
     with _PERSIST_RING_LOCK:
-        _PERSIST_RING.append(out)
+        ring_snapshot = list(_PERSIST_RING)
+    hit = None
+    for entry in ring_snapshot:
+        try:
+            # py4j round trip — deliberately outside the lock
+            if entry[0].sameSemantics(df):
+                hit = entry
+                break
+        except Exception:  # noqa: BLE001 - e.g. streaming frames
+            continue
+    if hit is not None:
+        kept, filled = hit
+        with _PERSIST_RING_LOCK:
+            if hit in _PERSIST_RING:  # not evicted by a racer
+                _PERSIST_RING.remove(hit)
+                _PERSIST_RING.append(hit)
+        if eager and not filled and not kept.isStreaming:
+            kept.count()
+            hit[1] = True
+        return kept
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    entry = [out, False]
+    with _PERSIST_RING_LOCK:
+        _PERSIST_RING.append(entry)
         evicted = []
         while len(_PERSIST_RING) > _PERSIST_RING_CAP:
-            evicted.append(_PERSIST_RING.pop(0))
+            evicted.append(_PERSIST_RING.pop(0)[0])
     for old in evicted:
         old.unpersist(blocking=False)
     if eager and not out.isStreaming:
         out.count()
+        entry[1] = True
     return out
 
 

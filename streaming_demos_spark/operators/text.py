@@ -405,7 +405,16 @@ def winnow_overlap_pairs(
     ``max_postings`` docs, and the pair aggregation shuffles on the
     (doc_a, doc_b) key — never an all-pairs product.
     """
-    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    from streaming_demos_spark.catalog import bounded_persist
+
+    # persisted + eager: fps feeds THREE subtrees (both sides of the
+    # postings self-join below plus the per-doc fingerprint counts);
+    # without the cache the winnow chain (tokenize + k-gram hash +
+    # window-min — interpreted higher-order transforms) runs three
+    # times per query
+    fps = bounded_persist(
+        winnow_fingerprints(docs, text_col, id_col, k, window), eager=True
+    )
     sized = (
         fps.withColumn(
             "_pn", F.count("*").over(Window.partitionBy("fp"))

@@ -315,7 +315,11 @@ def k_core(
     # checkpoint would pin 2x that via the union), making every peel
     # round run wide stages over kilobytes. A keyed exchange is
     # AQE-coalescible — right-sized at bench AND at scale (guide §2.4).
-    cur = sym.repartition("a").localCheckpoint(eager=True)
+    # lazy checkpoint + count fused into ONE driver action (the
+    # unrestricted count computes every partition, materializing the
+    # checkpoint as a side effect); the count must precede the round's
+    # multi-consumer reads so they hit the cache, and it does.
+    cur = sym.repartition("a").localCheckpoint(eager=False)
     n_edges = cur.count()
     for _ in range(max_rounds):
         keep = (
@@ -327,7 +331,7 @@ def k_core(
         nxt = cur.join(keep, "a", "semi").join(
             keep.withColumnRenamed("a", "b"), "b", "semi"
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=False)  # fused with the count below
         n_next = nxt.count()
         if n_next == n_edges:
             return (
@@ -533,13 +537,18 @@ def label_propagation(
         # keyed (AQE-coalescible) repartition: don't let the checkpoint
         # pin the upstream's inherited partition count (see k_core)
         .repartition("b")
+        # sym stays EAGER: rounds 1..3 each read it through their own
+        # shuffle-map stage, and those stages have no inter-round
+        # dependency — with a lazy sym the scheduler would launch all
+        # three concurrently and race-recompute the upstream edge
+        # pipeline. One materialization action, then cached-block reads.
         .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         nbr = sym.join(
@@ -555,6 +564,6 @@ def label_propagation(
                     F.col("lbl"), F.struct(F.col("_c"), -F.col("lbl"))
                 ).alias("lbl")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))

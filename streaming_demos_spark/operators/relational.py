@@ -477,36 +477,44 @@ def grouped_quantiles_selection(
     """
     from pyspark import StorageLevel
 
+    # CONSTRUCTION NOTE: this builder has ~12 call sites across the
+    # ext_/llm_ surface and its Column-op form cost ~0.3-0.5s of py4j
+    # round trips per invocation at query-construction time (measured:
+    # ext_robust_anomalies, two invocations, 1.45s pure construction).
+    # The per-stage projections are therefore emitted as SQL text —
+    # one F.expr/selectExpr parse each — building the SAME expressions
+    # (double literals use the D suffix so they stay DOUBLE, not
+    # DECIMAL; identifiers are backquoted). Joins/windows stay in the
+    # Column API (a handful of calls). See the construction-cost note
+    # in text.py.
+    g = f"`{group_col}`"
+    vsql = f"CAST(`{value_col}` AS DOUBLE)"
+
     # The (group, value) projection feeds three passes (stats,
     # histogram, bucket selection) — materialize it once; at scale this
     # is the column-pruned scan a production run would cache anyway.
     base = df.select(group_col, value_col).persist(StorageLevel.MEMORY_AND_DISK)
-    v = F.col(value_col).cast("double")
-    raw_w = (F.col("_hi") - F.col("_lo")) / F.lit(n_buckets)
-    stats = (
-        base.groupBy(group_col)
-        .agg(
-            F.min(v).alias("_lo"),
-            F.max(v).alias("_hi"),
-            F.count("*").alias("_n"),
-        )
-        .select(
-            group_col,
-            "_lo",
-            "_n",
-            F.when(raw_w > 0, raw_w).otherwise(F.lit(1.0)).alias("_w"),
-        )
+    stats = base.groupBy(group_col).agg(
+        F.expr(f"min({vsql}) AS _lo"),
+        F.expr(f"max({vsql}) AS _hi"),
+        F.expr("count(*) AS _n"),
+    ).selectExpr(
+        g,
+        "_lo",
+        "_n",
+        f"CASE WHEN (_hi - _lo) / {n_buckets} > 0"
+        f" THEN (_hi - _lo) / {n_buckets} ELSE 1.0D END AS _w",
     )
     # Bucket membership is the SAME expression in the histogram and the
     # selection pass, so float boundary ulps can never shift a row
     # between passes.
-    bucket = F.least(
-        F.lit(n_buckets - 1), F.floor((v - F.col("_lo")) / F.col("_w"))
-    ).cast("int")
+    bucket_sql = (
+        f"CAST(least({n_buckets - 1}, floor(({vsql} - _lo) / _w)) AS INT)"
+    )
     hist = (
         base.join(stats, group_col)
-        .groupBy(group_col, bucket.alias("_b"))
-        .agg(F.count("*").alias("_cnt"))
+        .groupBy(group_col, F.expr(bucket_sql).alias("_b"))
+        .agg(F.expr("count(*) AS _cnt"))
     )
     w_cum = (
         Window.partitionBy(group_col)
@@ -520,80 +528,67 @@ def grouped_quantiles_selection(
     # Spark's Percentile), then the bucket holding each rank + the
     # residual rank inside it — located by joining the need row to the
     # one cumulative-histogram row whose (cum-cnt, cum] covers k.
-    t = (F.col("_n") - 1).cast("double") * F.col("_p")
+    # repr(float(p)) is the shortest round-trip decimal: parsing it
+    # back (IEEE round-to-nearest, both here and in Spark's parser)
+    # yields the bit-identical double F.lit(float(p)) produced.
+    probs_sql = ", ".join(f"{float(p)!r}D" for p in probs)
+    t_sql = "CAST((_n - 1) AS DOUBLE) * _p"
     needs = (
-        stats.select(
-            group_col,
-            "_n",
-            F.explode(
-                F.array(*[F.lit(float(p)) for p in probs])
-            ).alias("_p"),
-        )
-        .select(
-            group_col,
+        stats.selectExpr(g, "_n", f"explode(array({probs_sql})) AS _p")
+        .selectExpr(
+            g,
             "_n",
             "_p",
-            (t - F.floor(t)).alias("_frac"),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("lo").alias("_which"),
-                        (F.floor(t).cast("long") + 1).alias("_k"),
-                    ),
-                    F.struct(
-                        F.lit("hi").alias("_which"),
-                        (F.ceil(t).cast("long") + 1).alias("_k"),
-                    ),
-                )
-            ).alias("_e"),
+            f"({t_sql}) - floor({t_sql}) AS _frac",
+            "explode(array("
+            f"named_struct('_which', 'lo', '_k', CAST(floor({t_sql}) AS BIGINT) + 1), "
+            f"named_struct('_which', 'hi', '_k', CAST(ceil({t_sql}) AS BIGINT) + 1)"
+            ")) AS _e",
         )
-        .select(
-            group_col,
+        .selectExpr(
+            g,
             "_p",
             "_frac",
-            F.col("_e._which").alias("_which"),
-            F.least(F.col("_n"), F.col("_e._k")).alias("_k"),
+            "_e._which AS _which",
+            "least(_n, _e._k) AS _k",
         )
     )
     located = (
         needs.join(hist_cum, group_col)
-        .filter(
-            (F.col("_cum") >= F.col("_k"))
-            & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
-        )
-        .select(
-            group_col,
+        .filter("_cum >= _k AND _cum - _cnt < _k")
+        .selectExpr(
+            g,
             "_p",
             "_frac",
             "_which",
-            F.col("_b").alias("_bucket"),
-            (F.col("_k") - (F.col("_cum") - F.col("_cnt"))).alias(
-                "_residual"
-            ),
+            "_b AS _bucket",
+            "_k - (_cum - _cnt) AS _residual",
         )
     )
     w = Window.partitionBy(group_col, "_p", "_which").orderBy(value_col)
     selected = (
         base.join(stats, group_col)
-        .withColumn("_bucket", bucket)
+        .withColumn("_bucket", F.expr(bucket_sql))
         .join(located, [group_col, "_bucket"])
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == F.col("_residual"))
+        .filter("_rn = _residual")
     )
-    q = F.max(F.when(F.col("_which") == "lo", v)) + (
-        F.max(F.when(F.col("_which") == "hi", v))
-        - F.max(F.when(F.col("_which") == "lo", v))
-    ) * F.first("_frac")
-    per_p = selected.groupBy(group_col, "_p").agg(q.alias("_q"))
+    lo_sql = f"max(CASE WHEN _which = 'lo' THEN {vsql} END)"
+    hi_sql = f"max(CASE WHEN _which = 'hi' THEN {vsql} END)"
+    per_p = selected.groupBy(group_col, "_p").agg(
+        F.expr(
+            f"{lo_sql} + ({hi_sql} - {lo_sql}) * first(_frac) AS _q"
+        )
+    )
     return per_p.groupBy(group_col).agg(
         *[
-            F.round(
-                F.max(F.when(F.col("_p") == F.lit(float(p)), F.col("_q"))),
-                round_dp,
-            ).alias(f"p{int(round(p * 100))}")
+            F.expr(
+                f"round(max(CASE WHEN _p = {float(p)!r}D THEN _q END),"
+                f" {round_dp}) AS p{int(round(p * 100))}"
+            )
             for p in probs
         ]
-    ).join(stats.select(group_col, F.col("_n").alias("n_rows")), group_col)
+    ).join(stats.selectExpr(g, "_n AS n_rows"), group_col)
 
 
 # --- O2: top-k (global and per-group) ---------------------------------------

@@ -375,11 +375,14 @@ def embedding_near_dup_pairs(
     # join each vector's self-dot would be recomputed per PAIR (~bucket
     # size times). Same arithmetic (sqrt of the same fold), so the
     # rounded cosine is bit-identical to the naive form.
-    d = _as_double(F.col(vec_col))
     # fan_out: the per-row plane projections + norms serialize on one
     # task when the scan is row-group-bound; no-op at real input sizes.
+    _dd = f"cast({_qn(vec_col)} as array<double>)"
     bucketed = with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col).withColumn(
-        "_norm", F.sqrt(dot(d, d))
+        # single-parse SQL form of sqrt(dot(d, d)): the Column-arg dot
+        # builds zip_with/aggregate lambdas operator-by-operator over
+        # py4j (~0.1-0.2s per call site at construction time)
+        "_norm", F.expr(f"sqrt({_sql_dot(_dd, _dd)})")
     )
     if max_bucket is not None:
         from pyspark import StorageLevel
@@ -415,10 +418,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                dot(_as_double(F.col("va")), _as_double(F.col("vb")))
-                / (F.col("na") * F.col("nb")),
-                6,
+            F.expr(
+                "round(" + _sql_dot(
+                    "cast(va as array<double>)", "cast(vb as array<double>)"
+                ) + " / (na * nb), 6)"
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -688,7 +691,9 @@ def embedding_outliers(
     """
     norms = emb.select(
         F.col(id_col),
-        F.round(F.sqrt(dot(F.col(vec_col), F.col(vec_col))), 6).alias("norm"),
+        F.expr(
+            f"round(sqrt({_sql_dot(_qn(vec_col), _qn(vec_col))}), 6)"
+        ).alias("norm"),
     )
     moments = norms.agg(
         F.avg("norm").alias("_mu"),
@@ -1082,10 +1087,10 @@ def contrastive_triplets(
     """
     from pyspark import StorageLevel
 
-    d = _as_double(F.col(vec_col))
+    _dd = f"cast({_qn(vec_col)} as array<double>)"
     bucketed = (
         with_lsh_bucket(fan_out(emb, id_col), num_planes, vec_col)
-        .withColumn("_norm", F.sqrt(dot(d, d)))
+        .withColumn("_norm", F.expr(f"sqrt({_sql_dot(_dd, _dd)})"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bucketed.select(
@@ -1117,10 +1122,10 @@ def contrastive_triplets(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                dot(_as_double(F.col("va")), _as_double(F.col("vb")))
-                / (F.col("na") * F.col("nb")),
-                6,
+            F.expr(
+                "round(" + _sql_dot(
+                    "cast(va as array<double>)", "cast(vb as array<double>)"
+                ) + " / (na * nb), 6)"
             ).alias("cos_r"),
         )
     )
@@ -1323,12 +1328,12 @@ def knn_label_noise(
     before the join. Vectors alone in their bucket emit n_neighbors=0
     with NULL disagreement (try_divide), never a crash.
     """
-    d = _as_double(F.col(vec_col))
+    _dd = f"cast({_qn(vec_col)} as array<double>)"
     b = with_lsh_bucket(
         fan_out(emb.select(id_col, vec_col, label_col), id_col),
         num_planes,
         vec_col,
-    ).withColumn("_norm", F.sqrt(dot(d, d)))
+    ).withColumn("_norm", F.expr(f"sqrt({_sql_dot(_dd, _dd)})"))
     a = b.select(
         F.col("bucket"),
         F.col(id_col).alias("_aid"),
@@ -1343,12 +1348,10 @@ def knn_label_noise(
         F.col(label_col).alias("_nlbl"),
         F.col("_norm").alias("_nn"),
     )
-    cos = F.round(
-        F.try_divide(
-            dot(_as_double(F.col("_av")), _as_double(F.col("_nv"))),
-            F.col("_an") * F.col("_nn"),
-        ),
-        6,
+    cos = F.expr(
+        "round(try_divide(" + _sql_dot(
+            "cast(_av as array<double>)", "cast(_nv as array<double>)"
+        ) + ", _an * _nn), 6)"
     )
     pairs = (
         a.join(n, "bucket")

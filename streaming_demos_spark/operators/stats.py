@@ -762,8 +762,15 @@ def grouped_mad(
     mad = grid_group_median(dev, group_col, "_d").withColumnRenamed(
         "_med", "_mad"
     )
+    # join the MAD back to `med` directly: the old
+    # ``dev.select(group_col, "_med").distinct()`` is value-identical
+    # to `med` by construction (dev is an inner join of df with med on
+    # the group key, so the distinct (group, _med) pairs ARE med's
+    # rows), but as a PLAN it re-evaluated the whole dev subtree — a
+    # second full median selection over df — plus a distinct exchange,
+    # just to recover a frame that already existed (guide §2.4).
     return (
-        dev.select(group_col, "_med").distinct()
+        med
         .join(mad, group_col)
         .select(
             group_col,

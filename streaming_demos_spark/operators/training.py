@@ -95,6 +95,143 @@ def logreg_fit(
     return weights
 
 
+def _margin_cols(feature_cols: list[str], prefix: str = "_w") -> Column:
+    """w . x + b where the weights are COLUMNS of a crossJoined 1-row
+    weight frame (``{prefix}{j}`` per feature, ``{prefix}b`` bias) —
+    the same accumulation order as ``_margin`` so the double arithmetic
+    is bit-identical to the literal-weight form."""
+    z = F.col(f"{prefix}b")
+    for j, c in enumerate(feature_cols):
+        z = z + F.col(f"{prefix}{j}") * F.col(c)
+    return z
+
+
+# --- single-parse SQL fragments for the fused GD builders -------------------
+# (construction-cost note in text.py: each Column operator call is a
+# py4j round trip at ~1ms; one selectExpr ships every projection in a
+# single round trip and parses to the IDENTICAL unresolved tree —
+# left-associative +, D-suffixed double literals, backquoted
+# identifiers. Equality is pinned by the bit-identical-to-eager tests
+# and the oracle hashes of every consumer key.)
+
+
+def _sigmoid_sql(z: str) -> str:
+    return f"(1.0D / (1.0D + exp(-({z}))))"
+
+
+def _margin_sql(
+    feature_cols: list[str],
+    weights: list[float] | None = None,
+    prefix: str = "_w",
+) -> str:
+    """SQL text of ``_margin`` (literal weights, ``weights`` given) or
+    ``_margin_cols`` (1-row weight columns): same accumulation order."""
+    if weights is not None:
+        z = f"{float(weights[-1])!r}D"
+        for c, w in zip(feature_cols, weights[:-1]):
+            z = f"({z} + ({float(w)!r}D * `{c}`))"
+        return z
+    z = f"`{prefix}b`"
+    for j, c in enumerate(feature_cols):
+        z = f"({z} + (`{prefix}{j}` * `{c}`))"
+    return z
+
+
+def logreg_fit_frame(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    iters: int = 3,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> DataFrame:
+    """``logreg_fit`` as ONE lazy plan: returns a 1-row DataFrame with
+    columns ``_w0.._w{d-1}, _wb`` holding the fitted weights.
+
+    The eager form pays one driver action (a full analysis + AQE cycle
+    + py4j round trip) per GD iteration to pull d+1 doubles back and
+    re-embed them as literals. Here iteration k's gradient aggregate
+    crossJoins the PREVIOUS 1-row weight frame (broadcast — Spark
+    builds each tiny BroadcastExchange bottom-up inside the consumer's
+    single action), and the weight update is computed in the same
+    1-row projection, carrying the old weights through the aggregate
+    (``max`` over a constant column is that constant). The whole
+    trajectory — and anything scored with it — materializes in ONE
+    driver action.
+
+    Bit-identical to ``logreg_fit`` by construction: the gradient
+    aggregates, the update arithmetic ``w - lr*(g + l2*w)``, and the
+    margin accumulation order are the same IEEE-754 double operations
+    whether the weights travel as Python floats re-entering as
+    literals or stay JVM-side as 1-row columns (verified empirically
+    against the eager form and the DuckDB oracle on every consumer
+    key). One behavioral difference: an EMPTY training input yields
+    NULL weights (and NULL downstream scores) instead of the eager
+    form's ValueError — callers on declared-query paths never feed an
+    empty corpus, and the NULL cascade is loud in any oracle check.
+    """
+    d = len(feature_cols)
+    lr_s, l2_s = f"{float(lr)!r}D", f"{float(l2)!r}D"
+    cur: DataFrame | None = None
+    for _ in range(iters):
+        if cur is None:
+            # iteration 1: zero weights as literals — the exact
+            # expression shape of the eager form's first pass
+            err = (
+                f"({_sigmoid_sql(_margin_sql(feature_cols, [0.0] * (d + 1)))}"
+                f" - `{label_col}`)"
+            )
+            g = df.selectExpr(
+                *[f"avg({err} * `{c}`) AS `_g{j}`" for j, c in enumerate(feature_cols)],
+                f"avg({err}) AS `_gb`",
+            )
+            cur = g.selectExpr(
+                *[
+                    f"(0.0D - ({lr_s} * (`_g{j}` + ({l2_s} * 0.0D)))) AS `_w{j}`"
+                    for j in range(d)
+                ],
+                f"(0.0D - ({lr_s} * (`_gb` + ({l2_s} * 0.0D)))) AS `_wb`",
+            )
+            continue
+        err = f"({_sigmoid_sql(_margin_sql(feature_cols))} - `{label_col}`)"
+        g = df.crossJoin(F.broadcast(cur)).selectExpr(
+            *[f"avg({err} * `{c}`) AS `_g{j}`" for j, c in enumerate(feature_cols)],
+            f"avg({err}) AS `_gb`",
+            # carry the (constant) previous weights through the agg so
+            # the update projection below needs no second join
+            *[f"max(`_w{j}`) AS `_ow{j}`" for j in range(d)],
+            "max(`_wb`) AS `_owb`",
+        )
+        cur = g.selectExpr(
+            *[
+                f"(`_ow{j}` - ({lr_s} * (`_g{j}` + ({l2_s} * `_ow{j}`)))) AS `_w{j}`"
+                for j in range(d)
+            ],
+            f"(`_owb` - ({lr_s} * (`_gb` + ({l2_s} * `_owb`)))) AS `_wb`",
+        )
+    return cur
+
+
+def logreg_score_frame(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: DataFrame,
+    *,
+    out_col: str = "score",
+    dp: int = 6,
+) -> DataFrame:
+    """``logreg_score`` against a 1-row weight FRAME (from
+    ``logreg_fit_frame``): crossJoin the broadcast weight row, score
+    map-only with the identical margin accumulation order, drop the
+    weight columns. Still zero shuffles on the data side."""
+    wcols = {f"_w{j}" for j in range(len(feature_cols))} | {"_wb"}
+    score = f"round({_sigmoid_sql(_margin_sql(feature_cols))}, {dp}) AS `{out_col}`"
+    return df.crossJoin(F.broadcast(weights)).selectExpr(
+        *[f"`{c}`" for c in df.columns if c not in wcols], score
+    )
+
+
 def logreg_score(
     df: DataFrame,
     feature_cols: list[str],
@@ -153,11 +290,20 @@ def quality_classifier_scores(
     """End-to-end learned quality filter: build features, fit logreg by
     ``iters`` distributed GD steps, score every document map-only.
     Returns ``(doc_id, quality_prob)`` — the probability the document is
-    in-domain under the freshly-fit classifier."""
-    feats = quality_features(docs, label_lang=label_lang)
-    w = logreg_fit(feats, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
+    in-domain under the freshly-fit classifier.
+
+    The fit is the FUSED single-plan form (``logreg_fit_frame``): the
+    eager loop paid one driver action + full analysis/AQE cycle per GD
+    iteration; here the whole trajectory and the scoring pass
+    materialize in the consumer's one action (guide §1.2 — driver-
+    action floor). ``feats`` is persisted across the iteration scans
+    exactly as the eager fit persisted it."""
+    from streaming_demos_spark.catalog import bounded_persist
+
+    feats = bounded_persist(quality_features(docs, label_lang=label_lang))
+    w = logreg_fit_frame(feats, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
     return (
-        logreg_score(feats, ["x1", "x2", "x3"], w, out_col="quality_prob", dp=dp)
+        logreg_score_frame(feats, ["x1", "x2", "x3"], w, out_col="quality_prob", dp=dp)
         .select("doc_id", "quality_prob")
         .orderBy("doc_id")
     )
@@ -272,9 +418,12 @@ def quality_eval_leakage_free(
     feats = bounded_persist(
         quality_features(docs, label_lang=label_lang).join(split, "doc_id")
     )
+    # fused GD (logreg_fit_frame): the whole weight trajectory rides
+    # inside the final action's plan as chained 1-row broadcast
+    # aggregates instead of paying one driver action per iteration
     train = feats.filter(F.col("split") == "train")
-    w = logreg_fit(train, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
-    holdout = logreg_score(
+    w = logreg_fit_frame(train, ["x1", "x2", "x3"], "y", iters=iters, lr=lr)
+    holdout = logreg_score_frame(
         feats.filter(F.col("split") == "holdout"),
         ["x1", "x2", "x3"],
         w,
@@ -397,49 +546,96 @@ def logreg_lr_sweep(
     bias)``, losses from one final shared pass, everything rounded for
     cross-engine determinism.
     """
+    from streaming_demos_spark.catalog import bounded_persist
+
     feature_cols = ["x1", "x2", "x3"]
     d = len(feature_cols)
-    feats = quality_features(docs, label_lang=label_lang).persist()
-    try:
-        weights = {lr: [0.0] * (d + 1) for lr in lrs}
-        for _ in range(iters):
-            aggs = []
-            for i, lr in enumerate(lrs):
-                err = _sigmoid(_margin(feature_cols, weights[lr])) - F.col("y")
-                aggs.extend(
-                    F.avg(err * F.col(c)).alias(f"g{i}_{j}")
-                    for j, c in enumerate(feature_cols)
-                )
-                aggs.append(F.avg(err).alias(f"g{i}_b"))
-            row = feats.agg(*aggs).first()
-            if row[f"g0_b"] is None:
-                raise ValueError("logreg_lr_sweep: empty training input")
-            for i, lr in enumerate(lrs):
-                grads = [row[f"g{i}_{j}"] for j in range(d)] + [row[f"g{i}_b"]]
-                weights[lr] = [
-                    w - lr * g for w, g in zip(weights[lr], grads)
-                ]
-        loss_aggs = []
+    feats = bounded_persist(quality_features(docs, label_lang=label_lang))
+
+    # FUSED single-plan sweep (guide §1.2 driver-action floor): the
+    # eager loop paid iters+1 driver actions (each a full analysis +
+    # AQE cycle plus a py4j row fetch); here every iteration's shared
+    # gradient aggregate crossJoins the previous 1-row weight frame
+    # (broadcast) and the whole trajectory + final losses materialize
+    # in ONE action. Same IEEE-754 trajectory: identical aggregates,
+    # identical ``w - lr*g`` update, identical margin accumulation
+    # order — verified value-identical to the eager form and the
+    # DuckDB oracle. Two behavioral notes: an empty corpus yields NULL
+    # losses/weights instead of the eager form's ValueError, and the
+    # final rounding is F.round (HALF_UP) where the eager form used
+    # Python round (half-even) on the SAME doubles — proved equal on
+    # the real inputs at every SF (GD weights never land on exact
+    # decimal midpoints; any future disagreement hash-fails loudly).
+    def wcol(i: int, j) -> str:
+        return f"_w{i}_{j}"
+
+    jays = [*range(d), "b"]
+    cur = None  # 1-row frame: fitted-so-far weights per learning rate
+    for _ in range(iters):
+        aggs = []
         for i, lr in enumerate(lrs):
-            p = _sigmoid(_margin(feature_cols, weights[lr]))
-            ll = F.when(F.col("y") == 1.0, F.log(p)).otherwise(
-                F.log(F.lit(1.0) - p)
+            margin = (
+                _margin_sql(feature_cols, [0.0] * (d + 1))
+                if cur is None
+                else _margin_sql(feature_cols, prefix=f"_w{i}_")
             )
-            loss_aggs.append(F.avg(-ll).alias(f"loss{i}"))
-        losses = feats.agg(*loss_aggs).first()
-    finally:
-        feats.unpersist()
-    rows = [
-        (
-            float(lr),
-            round(losses[f"loss{i}"], dp),
-            *[round(w, dp) for w in weights[lr]],
+            err = f"({_sigmoid_sql(margin)} - `y`)"
+            aggs.extend(
+                f"avg({err} * `{c}`) AS `_g{i}_{j}`"
+                for j, c in enumerate(feature_cols)
+            )
+            aggs.append(f"avg({err}) AS `_g{i}_b`")
+        if cur is None:
+            cur = feats.selectExpr(*aggs).selectExpr(
+                *[
+                    f"(0.0D - ({float(lr)!r}D * `_g{i}_{j}`)) AS `{wcol(i, j)}`"
+                    for i, lr in enumerate(lrs)
+                    for j in jays
+                ]
+            )
+            continue
+        aggs.extend(
+            f"max(`{wcol(i, j)}`) AS `_ow{i}_{j}`"
+            for i in range(len(lrs))
+            for j in jays
         )
+        cur = feats.crossJoin(F.broadcast(cur)).selectExpr(*aggs).selectExpr(
+            *[
+                f"(`_ow{i}_{j}` - ({float(lr)!r}D * `_g{i}_{j}`)) AS `{wcol(i, j)}`"
+                for i, lr in enumerate(lrs)
+                for j in jays
+            ]
+        )
+    loss_aggs = []
+    for i, lr in enumerate(lrs):
+        p = _sigmoid_sql(_margin_sql(feature_cols, prefix=f"_w{i}_"))
+        ll = (
+            f"(CASE WHEN (`y` = 1.0D) THEN ln({p})"
+            f" ELSE ln((1.0D - {p})) END)"
+        )
+        loss_aggs.append(f"avg(-{ll}) AS `_loss{i}`")
+    loss_aggs.extend(
+        f"max(`{wcol(i, j)}`) AS `_ow{i}_{j}`"
+        for i in range(len(lrs))
+        for j in jays
+    )
+    fin = feats.crossJoin(F.broadcast(cur)).selectExpr(*loss_aggs)
+    # one generator pass over the 1-row loss+weight frame -> |lrs| rows
+    # (a per-lr union would re-evaluate the final aggregate per branch)
+    rows = ", ".join(
+        f"named_struct('lr', {float(lr)!r}D,"
+        f" 'logloss', round(`_loss{i}`, {dp}),"
+        f" 'w1', round(`_ow{i}_0`, {dp}),"
+        f" 'w2', round(`_ow{i}_1`, {dp}),"
+        f" 'w3', round(`_ow{i}_2`, {dp}),"
+        f" 'bias', round(`_ow{i}_b`, {dp}))"
         for i, lr in enumerate(lrs)
-    ]
-    return docs.sparkSession.createDataFrame(
-        rows, "lr double, logloss double, w1 double, w2 double, w3 double, bias double"
-    ).orderBy("lr")
+    )
+    return (
+        fin.selectExpr(f"explode(array({rows})) AS `_r`")
+        .select("_r.*")
+        .orderBy("lr")
+    )
 
 
 def sql_logreg_lr_sweep(

@@ -241,6 +241,37 @@ def test_quality_eval_leakage_free_shape(spark, docs):
     assert row["auc"] is None or 0.0 <= row["auc"] <= 1.0
 
 
+def test_logreg_fit_frame_bit_identical_to_eager(spark, docs):
+    # the fused single-plan fit must reproduce the eager loop's weight
+    # trajectory EXACTLY (same IEEE ops, weights riding as 1-row
+    # columns instead of py4j literals) — bitwise, not approx
+    feats = TR.quality_features(docs)
+    for iters, lr, l2 in ((1, 1.0, 0.0), (3, 0.5, 0.01), (4, 2.0, 0.0)):
+        eager = TR.logreg_fit(
+            feats, ["x1", "x2", "x3"], "y", iters=iters, lr=lr, l2=l2
+        )
+        row = TR.logreg_fit_frame(
+            feats, ["x1", "x2", "x3"], "y", iters=iters, lr=lr, l2=l2
+        ).collect()[0]
+        fused = [row[f"_w{j}"] for j in range(3)] + [row["_wb"]]
+        assert fused == eager  # exact equality, no tolerance
+
+
+def test_logreg_score_frame_bit_identical_to_literal_scores(spark, docs):
+    feats = TR.quality_features(docs)
+    w = TR.logreg_fit(feats, ["x1", "x2", "x3"], "y", iters=3, lr=1.0)
+    wf = TR.logreg_fit_frame(feats, ["x1", "x2", "x3"], "y", iters=3, lr=1.0)
+    lit_rows = (
+        TR.logreg_score(feats, ["x1", "x2", "x3"], w, out_col="s", dp=6)
+        .select("doc_id", "s").orderBy("doc_id").collect()
+    )
+    frame_rows = (
+        TR.logreg_score_frame(feats, ["x1", "x2", "x3"], wf, out_col="s", dp=6)
+        .select("doc_id", "s").orderBy("doc_id").collect()
+    )
+    assert frame_rows == lit_rows
+
+
 def test_lr_sweep_matches_individual_fits(spark, docs):
     out = {r["lr"]: r for r in TR.logreg_lr_sweep(docs, [0.5, 1.0], iters=2).collect()}
     feats = TR.quality_features(docs)
